@@ -1,0 +1,13 @@
+package graft
+
+/** Single source of truth for the engine's capability inventory
+  * (SURVEY.md §2). Each operator group contributes its GQueries here;
+  * SparkEntry derives the driver contract maps from this list.
+  */
+object Registry {
+  def all: Seq[GQuery] =
+    operators.RelationalQueries.all ++
+      operators.AsOfJoin.queries
+
+  def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
+}

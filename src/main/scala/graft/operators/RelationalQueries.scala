@@ -1,0 +1,616 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{GQuery, Tables => T}
+import graft.util.Par._
+
+/** The relational core: the DuckDB-style OLAP SQL surface
+  * (scan→filter→project→aggregate→join→window→sort — the pipeline the
+  * reference traces through parser/binder/physical operators in
+  * reference:duckdb:24-45), re-expressed as declarative Spark
+  * DataFrame plans so Catalyst owns pushdown, pruning, join selection
+  * and AQE does runtime re-planning.
+  *
+  * Scale notes (100 TB): every dim table (region/nation/supplier/part/
+  * customer) joins via `broadcast()`; fact-fact joins shuffle once on
+  * the join key; all money aggregation is exact-decimal (see
+  * [[graft.util.Par]]); every query ends in a deterministic total
+  * order so results are reproducible.
+  */
+object RelationalQueries {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** Revenue expression: extendedprice * (1 - discount), exact decimal. */
+  private def revenue(df: DataFrame): Column =
+    dec2(df("l_extendedprice")) * oneMinus(df("l_discount"))
+  private val sRevenue = s"${sDec2("l_extendedprice")} * ${sOneMinus("l_discount")}"
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    GQuery("q01_pricing_summary", (s, d) => {
+      val li = T.lineitem(s, d)
+      li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+          moneySum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+          moneySum(revenue(li)).as("sum_disc_price"),
+          moneySum(revenue(li) * onePlus(col("l_tax"))).as("sum_charge"),
+          moneyAvg(col("l_quantity")).as("avg_qty"),
+          moneyAvg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${sMoneySum(sDec2("l_quantity"))} AS sum_qty,
+        ${sMoneySum(sDec2("l_extendedprice"))} AS sum_base_price,
+        ${sMoneySum(sRevenue)} AS sum_disc_price,
+        ${sMoneySum(s"$sRevenue * ${sOnePlus("l_tax")}")} AS sum_charge,
+        ${sMoneyAvg("l_quantity")} AS avg_qty,
+        ${sMoneyAvg("l_extendedprice")} AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- q02
+    GQuery("q02_filter_project", (s, d) => {
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("2001-01-01 00:00:00") &&
+          col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00' AND l_quantity < 5
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- q03
+    GQuery("q03_join_agg", (s, d) => {
+      val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = T.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = T.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(moneySum(revenue(l)).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    }, Some(s"""
+      SELECT l_orderkey, o_orderdate, ${sMoneySum(sRevenue)} AS rev
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY rev DESC, l_orderkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q04
+    GQuery("q04_exists_semijoin", (s, d) => {
+      val o = T.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val l = T.lineitem(s, d)
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q05
+    GQuery("q05_multijoin", (s, d) => {
+      val l = T.lineitem(s, d)
+      l.join(broadcast(T.orders(s, d)
+            .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ts("1999-01-01 00:00:00"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T.customer(s, d)),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(moneySum(revenue(l)).as("rev"))
+        .orderBy(col("rev").desc, col("n_name"))
+    }, Some(s"""
+      SELECT n_name, ${sMoneySum(sRevenue)} AS rev
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY n_name ORDER BY rev DESC, n_name""")),
+
+    // ---------------------------------------------------------------- q06
+    GQuery("q06_scan_agg", (s, d) => {
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          moneySum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))).as("rev"),
+          count(lit(1)).as("n"))
+    }, Some(s"""
+      SELECT ${sMoneySum(s"${sDec2("l_extendedprice")} * ${sDec2("l_discount")}")} AS rev,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---------------------------------------------------------------- q07
+    GQuery("q07_antijoin", (s, d) => {
+      val recent = T.orders(s, d)
+        .filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+      T.customer(s, d)
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q08
+    GQuery("q08_outer_join", (s, d) => {
+      val o = T.orders(s, d).filter(col("o_orderdate") >= ts("2001-01-01 00:00:00"))
+      T.customer(s, d)
+        .join(o, col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(max(col("o_totalprice")), lit(0.0)).as("max_price"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             COALESCE(MAX(o_totalprice), 0.0) AS max_price
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q09
+    GQuery("q09_distinct", (s, d) => {
+      T.lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+    }, Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+             COUNT(DISTINCT l_suppkey) AS n_supps,
+             COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp
+      FROM lineitem""")),
+
+    // ---------------------------------------------------------------- q10
+    GQuery("q10_topk", (s, d) => {
+      val l = T.lineitem(s, d)
+      l.join(broadcast(T.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(moneySum(revenue(l)).as("rev"), count(lit(1)).as("n_items"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(10)
+    }, Some(s"""
+      SELECT c_custkey, c_name, ${sMoneySum(sRevenue)} AS rev, COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY rev DESC, c_custkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q11
+    GQuery("q11_having", (s, d) => {
+      T.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(moneySum(dec2(col("l_quantity"))).as("total_qty"),
+          count(lit(1)).as("n"))
+        .filter(col("total_qty") > 800.0)
+        .orderBy(col("l_partkey"))
+    }, Some(s"""
+      SELECT l_partkey, ${sMoneySum(sDec2("l_quantity"))} AS total_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+      HAVING ${sMoneySum(sDec2("l_quantity"))} > 800.0
+      ORDER BY l_partkey""")),
+
+    // ---------------------------------------------------------------- q12
+    GQuery("q12_case_agg", (s, d) => {
+      T.lineitem(s, d)
+        .join(broadcast(T.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }, Some("""
+      SELECT l_linestatus,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---------------------------------------------------------------- q13
+    GQuery("q13_grouping_sets", (s, d) => {
+      T.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("l_quantity"))).as("total_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             ${sMoneySum(sDec2("l_quantity"))} AS total_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q14
+    GQuery("q14_window_rank", (s, d) => {
+      val l = T.lineitem(s, d)
+      val perPart = l
+        .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(moneySum(revenue(l)).as("rev"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("rev").desc, col("p_partkey"))
+      perPart
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    }, Some(s"""
+      SELECT p_brand, p_partkey, rev, rnk FROM (
+        SELECT p_brand, p_partkey, rev,
+               CAST(RANK() OVER (PARTITION BY p_brand
+                 ORDER BY rev DESC, p_partkey) AS BIGINT) AS rnk
+        FROM (SELECT p_brand, p_partkey, ${sMoneySum(sRevenue)} AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand, p_partkey))
+      WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""")),
+
+    // ---------------------------------------------------------------- q15
+    GQuery("q15_window_running", (s, d) => {
+      val monthly = T.lineitem(s, d)
+        .groupBy(col("l_suppkey"),
+          date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("running_qty", sum(col("qty_dec")).over(w).cast("double"))
+        .select(col("l_suppkey"), col("month"),
+          col("qty_dec").cast("double").as("qty"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("month"))
+    }, Some(s"""
+      SELECT l_suppkey, month, CAST(qty_dec AS DOUBLE) AS qty,
+             CAST(SUM(qty_dec) OVER (PARTITION BY l_suppkey ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_qty
+      FROM (SELECT l_suppkey, date_trunc('month', l_shipdate) AS month,
+                   SUM(${sDec2("l_quantity")}) AS qty_dec
+            FROM lineitem GROUP BY 1, 2)
+      ORDER BY l_suppkey, month""")),
+
+    // ---------------------------------------------------------------- q16
+    GQuery("q16_window_lag", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T.orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("days_since_prev",
+          datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("days_since_prev"))
+        .filter(col("o_custkey") < 100)
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(DATE_DIFF('day',
+               LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS BIGINT) AS days_since_prev
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q17
+    GQuery("q17_subquery_scalar", (s, d) => {
+      val p = T.part(s, d)
+      val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+        .agg(moneyAvg(col("p_retailprice")).as("avg_price"))
+      p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          col("avg_price"))
+        .orderBy(col("p_partkey"))
+    }, Some(s"""
+      SELECT p_partkey, p_brand, p_retailprice, avg_price
+      FROM part JOIN (SELECT p_brand AS b_brand,
+            ${sMoneyAvg("p_retailprice")} AS avg_price
+          FROM part GROUP BY p_brand) b ON p_brand = b_brand
+      WHERE p_retailprice > avg_price
+      ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- q18
+    GQuery("q18_in_subquery", (s, d) => {
+      val machCust = T.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey"))
+      T.orders(s, d)
+        .join(broadcast(machCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'MACHINERY')
+      ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q19
+    GQuery("q19_union", (s, d) => {
+      val c = T.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("customer"))
+      val su = T.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n")).withColumn("src", lit("supplier"))
+      c.unionByName(su)
+        .select(col("src"), col("nk"), col("n"))
+        .orderBy(col("src"), col("nk"))
+    }, Some("""
+      SELECT src, nk, n FROM (
+        SELECT 'customer' AS src, c_nationkey AS nk, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT 'supplier' AS src, s_nationkey AS nk, COUNT(*) AS n
+        FROM supplier GROUP BY s_nationkey)
+      ORDER BY src, nk""")),
+
+    // ---------------------------------------------------------------- q20
+    GQuery("q20_intersect_except", (s, d) => {
+      val cn = T.customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+      val sn = T.supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+      val both = cn.intersect(sn).withColumn("tag", lit("both"))
+      val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+      both.unionByName(custOnly)
+        .select(col("tag"), col("nk"))
+        .orderBy(col("tag"), col("nk"))
+    }, Some("""
+      WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      SELECT 'both' AS tag, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+      UNION ALL
+      SELECT 'cust_only' AS tag, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+      ORDER BY tag, nk""")),
+
+    // ---------------------------------------------------------------- q21
+    GQuery("q21_cte_multiref", (s, d) => {
+      val monthly = T.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+      val prev = monthly.select(col("m").as("pm"), col("n").as("prev_n"))
+      monthly.join(prev,
+          col("m") === (col("pm") + expr("INTERVAL 1 MONTH")), "left_outer")
+        .select(col("m"), col("n"), col("prev_n"))
+        .orderBy(col("m"))
+    }, Some("""
+      WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT a.m AS m, a.n AS n, b.n AS prev_n
+      FROM monthly a LEFT JOIN monthly b ON a.m = b.m + INTERVAL 1 MONTH
+      ORDER BY m""")),
+
+    // ---------------------------------------------------------------- q22
+    GQuery("q22_string_funcs", (s, d) => {
+      T.customer(s, d).select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+          col("c_name").like("%5%").as("has5"),
+          length(col("c_name")).cast("long").as("name_len"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, UPPER(c_name) AS uname, SUBSTR(c_name, 1, 8) AS prefix,
+             c_mktsegment || '#' || c_name AS tagged,
+             (c_name LIKE '%5%') AS has5,
+             CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+             COALESCE(REGEXP_EXTRACT(c_name, '([0-9]+)', 1), '') AS digits
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q23
+    GQuery("q23_date_funcs", (s, d) => {
+      T.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          date_trunc("quarter", col("o_orderdate")).as("qtr"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due"),
+          expr("weekday(o_orderdate)").cast("long").as("dow0"))
+        .filter(col("o_orderkey") < 2000)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+             CAST(MONTH(o_orderdate) AS BIGINT) AS mon,
+             date_trunc('quarter', o_orderdate) AS qtr,
+             CAST(o_orderdate AS DATE) + 30 AS due,
+             CAST(ISODOW(o_orderdate) - 1 AS BIGINT) AS dow0
+      FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q24
+    GQuery("q24_decimal_agg", (s, d) => {
+      val li = T.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
+          sum(revenue(li)).cast("decimal(38,4)").as("sum_rev"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      SELECT l_returnflag,
+             CAST(SUM(${sDec2("l_quantity")}) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(SUM($sRevenue) AS DECIMAL(38,4)) AS sum_rev
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q25
+    GQuery("q25_pivot", (s, d) => {
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .count()
+        .na.fill(0L, Seq("O", "F", "P"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q26
+    GQuery("q26_unpivot", (s, d) => {
+      T.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))
+    }, Some("""
+      SELECT p_partkey, attr, val FROM (
+        SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+      ORDER BY p_partkey, attr""")),
+
+    // ---------------------------------------------------------------- q27
+    GQuery("q27_values_inline", (s, d) => {
+      import s.implicits._
+      val labels = Seq(("R", "returned"), ("A", "acknowledged"), ("N", "none"))
+        .toDF("flag", "label")
+      T.lineitem(s, d)
+        .join(broadcast(labels), col("l_returnflag") === col("flag"))
+        .groupBy(col("l_returnflag"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, label, COUNT(*) AS n
+      FROM lineitem JOIN (VALUES ('R','returned'), ('A','acknowledged'),
+        ('N','none')) v(flag, label) ON l_returnflag = flag
+      GROUP BY l_returnflag, label ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q28
+    GQuery("q28_null_semantics", (s, d) => {
+      T.customer(s, d).select(
+          col("c_custkey"),
+          coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("OTHER"))
+            .as("seg"),
+          (col("c_acctbal") <=> lit(0.0)).as("zero_bal"),
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("pos_bal"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+             (c_acctbal IS NOT DISTINCT FROM 0.0) AS zero_bal,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q29
+    // Approx algorithms differ by engine → rows-only check (no oracle).
+    GQuery("q29_approx_quantile", (s, d) => {
+      T.lineitem(s, d).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+          .as("p95"))
+    }, None),
+
+    // ---------------------------------------------------------------- q30
+    GQuery("q30_approx_distinct", (s, d) => {
+      T.lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }, None),
+
+    // ---------------------------------------------------------------- q31
+    GQuery("q31_sample", (s, d) => {
+      // Deterministic content-hash Bernoulli sample (~1/8): portable
+      // across engines, stable across re-runs and partitioning.
+      T.lineitem(s, d)
+        .filter(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("-"), col("l_linenumber").cast("string"))), 1, 1)
+          .isin("0", "1"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '-' ||
+        CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0','1')
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---------------------------------------------------------------- q33
+    GQuery("q33_range_join", (s, d) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 20000.0), ("mid", 20000.0, 60000.0),
+        ("high", 60000.0, 200000.0)).toDF("band", "lo", "hi")
+      T.lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("l_extendedprice"))).as("total"))
+        .orderBy(col("band"))
+    }, Some(s"""
+      SELECT band, COUNT(*) AS n, ${sMoneySum(sDec2("l_extendedprice"))} AS total
+      FROM lineitem JOIN (VALUES ('low', 0.0, 20000.0),
+        ('mid', 20000.0, 60000.0), ('high', 60000.0, 200000.0)) b(band, lo, hi)
+        ON l_extendedprice >= lo AND l_extendedprice < hi
+      GROUP BY band ORDER BY band""")),
+
+    // ---------------------------------------------------------------- q34
+    GQuery("q34_skew_salted_join", (s, d) => {
+      // Salted shuffle join: the orders side is replicated across 8
+      // salts, the lineitem side picks a deterministic salt per row, so
+      // a hot l_orderkey spreads over 8 reducers. Same result as the
+      // plain join (the oracle).
+      import s.implicits._
+      val salts = (0 until 8).toDF("salt")
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .crossJoin(broadcast(salts))
+      val l = T.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("l_quantity"))).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ${sMoneySum(sDec2("l_quantity"))} AS qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
+}
