@@ -7,7 +7,10 @@ package graft
 object Registry {
   def all: Seq[GQuery] =
     operators.RelationalQueries.all ++
-      operators.AsOfJoin.queries
+      operators.AsOfJoin.queries ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextOps.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -26,7 +26,7 @@ object TextHash {
     val w = tokens(text)
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)), i =>
-        concat_ws(" ", slice(w, i, n))))
+        concat_ws(" ", slice(w, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -65,7 +65,7 @@ object TextHash {
     */
   def lshBands(sig: Column, nBands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)), bnd =>
-      hash(slice(sig, bnd * rows + 1, rows)).cast("long"))
+      hash(slice(sig, bnd * rows + 1, lit(rows))).cast("long"))
 
   /** 64-bit SimHash of the token multiset: for each bit position, sum
     * ±1 votes from xxhash64(token) bits, then keep the sign. A single
@@ -76,11 +76,12 @@ object TextHash {
       tokens(text),
       typedLit(Seq.fill(64)(0L)),
       (acc, t) => zip_with(acc, sequence(lit(0), lit(63)), (v, bpos) =>
-        v + when(shiftright(xxhash64(t), bpos).bitwiseAND(1) === 1, 1L)
+        v + when(call_function("shiftright", xxhash64(t), bpos)
+            .bitwiseAND(1) === 1, 1L)
           .otherwise(-1L)))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)), (v, bpos) =>
-        when(v > 0, shiftleft(lit(1L), bpos)).otherwise(0L)),
+        when(v > 0, call_function("shiftleft", lit(1L), bpos)).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
@@ -89,7 +90,7 @@ object TextHash {
     */
   def simhashBands(sim: Column): Column =
     transform(sequence(lit(0), lit(3)), bnd =>
-      shiftright(sim, bnd * 16).bitwiseAND(0xFFFFL))
+      call_function("shiftright", sim, bnd * 16).bitwiseAND(0xFFFFL))
 
   /** Rolling polynomial fingerprint over tokens, mod P (Karp–Rabin
     * style): fp = Σ tokhash·31^k mod P, fold kept < 2³⁶ so ANSI-safe.

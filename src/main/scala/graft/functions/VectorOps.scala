@@ -54,7 +54,8 @@ object VectorOps {
   def hyperplaneBucket(vec: Column, planes: Column): Column =
     aggregate(
       zip_with(planes, sequence(lit(0), size(planes) - 1), (p, i) =>
-        when(dot(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))),
+        when(dot(vec, p) >= 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
   /** Deterministic pseudo-random hyperplanes (public xorshift-free LCG on
