@@ -10,7 +10,11 @@ object Registry {
       operators.AsOfJoin.queries ++
       operators.Dedup.all ++
       operators.Similarity.all ++
-      operators.TextOps.all
+      operators.TextOps.all ++
+      operators.Multimodal.all ++
+      sources.Sources.all ++
+      streaming.Streaming.all ++
+      Sql.all
 
   def byName: Map[String, GQuery] = all.map(q => q.name -> q).toMap
 }

@@ -16,6 +16,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(o => q.name -> normalize(o))).toMap
 
+  /** Flatten builder-indented SQL to one line. Trims per line (never
+    * inside a line), so multi-space string literals survive intact. */
   private def normalize(sql: String): String =
-    sql.replaceAll("\\s+", " ").trim
+    sql.linesIterator.map(_.trim).filter(_.nonEmpty).mkString(" ")
 }

@@ -47,6 +47,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Pairs of embeddings with cosine > θ (the near-dup contract), found
+    * via hyperplane-LSH candidate buckets — never all-pairs. `limit <= 0`
+    * returns every qualifying pair.
+    */
+  def embeddingNearDup(s: SparkSession, d: String, theta: Double,
+      limit: Int = 0): DataFrame = {
+    val tables = 4
+    val planes = (0 until tables).map(t =>
+      typedLit(VectorOps.makePlanes(seed = 100 + t, nBits = 8, dim = 64)))
+    val base = T.embeddings(s, d).select(col("vec_id"),
+      VectorOps.normalize(col("embedding")).as("nv"))
+    val bucketed = base.select(col("vec_id"), col("nv"),
+      posexplode(array(planes.map(p =>
+        VectorOps.hyperplaneBucket(col("nv"), p)): _*))
+        .as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"),
+      col("vec_id").as("vec_a"), col("nv").as("nv_a"))
+    val b = bucketed.select(col("tbl").as("tbl2"),
+      col("bucket").as("bucket2"),
+      col("vec_id").as("vec_b"), col("nv").as("nv_b"))
+    val pairs = a.join(b,
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
+          && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosinePrenorm(col("nv_a"), col("nv_b")), 6)
+          .as("cos"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cos")).as("cos"))
+      .filter(col("cos") > theta)
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+    if (limit > 0) pairs.limit(limit) else pairs
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- d01
@@ -118,35 +151,15 @@ object Dedup {
     }, None),
 
     // ---------------------------------------------------------------- d05
-    // Embedding-cosine near-dup: 4 independent random-hyperplane LSH
-    // tables (8 bits each) generate candidates; exact cosine ranks them.
-    // The synthetic embeddings are near-orthogonal (max cos ≈ 0.51), so
-    // this reports the top candidate pairs rather than thresholding.
-    GQuery("d05_embedding_neardup", (s, d) => {
-      val tables = 4
-      val planes = (0 until tables).map(t =>
-        typedLit(VectorOps.makePlanes(seed = 100 + t, nBits = 8, dim = 64)))
-      val base = T.embeddings(s, d).select(col("vec_id"),
-        VectorOps.normalize(col("embedding")).as("nv"))
-      val bucketed = base.select(col("vec_id"), col("nv"),
-        posexplode(array(planes.map(p =>
-          VectorOps.hyperplaneBucket(col("nv"), p)): _*))
-          .as(Seq("tbl", "bucket")))
-      val a = bucketed.select(col("tbl"), col("bucket"),
-        col("vec_id").as("vec_a"), col("nv").as("nv_a"))
-      val b = bucketed.select(col("tbl").as("tbl2"),
-        col("bucket").as("bucket2"),
-        col("vec_id").as("vec_b"), col("nv").as("nv_b"))
-      a.join(b, col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
-          && col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(VectorOps.cosinePrenorm(col("nv_a"), col("nv_b")), 6)
-            .as("cos"))
-        .groupBy(col("vec_a"), col("vec_b"))
-        .agg(max(col("cos")).as("cos"))
-        .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
-        .limit(100)
-    }, None),
+    // Embedding-cosine near-dup (θ-threshold contract, SURVEY §2): 4
+    // independent random-hyperplane LSH tables (8 bits each) generate
+    // candidates; exact cosine keeps pairs with cos > θ. Production
+    // default is θ=0.95; the registered query runs θ=0.4 because the
+    // synthetic embeddings are near-orthogonal (max cos ≈ 0.51) and a
+    // 0.95 cut would make the gate vacuous (0 rows). The top-100 view
+    // stays available via [[embeddingNearDup]]'s limit parameter.
+    GQuery("d05_embedding_neardup",
+      (s, d) => embeddingNearDup(s, d, theta = 0.4), None),
 
     // ---------------------------------------------------------------- d06
     // Normalized-key dedup keep-first: URL-style key normalization

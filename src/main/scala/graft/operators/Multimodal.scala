@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+
+/** Multimodal columns: image/audio/video handled as opaque `binary`
+  * columns with typed metadata. The container has no codec libraries, so
+  * the DECODE step is a clearly-marked deterministic fake
+  * ([[fakeDecodeMeta]]); everything Spark-side — binary schema, batch
+  * shape, per-frame sampling plan, partitioning — is real and tested.
+  * Swapping the fake for a real codec keeps every plan unchanged: it is
+  * one expression over the same `binary` column.
+  *
+  * Scale notes: binary payloads ride the normal columnar path (parquet
+  * BYTE_ARRAY); metadata extraction is per-row and codegen'd (zero
+  * shuffle); frame sampling explodes only the sampled offsets (k rows
+  * per asset, not |payload| rows), so a 100 TB video corpus produces a
+  * frame table ∝ assets × k.
+  */
+object Multimodal {
+
+  /** Documents re-materialized as a fake asset table: text bytes stand
+    * in for an encoded media payload. At production this column is the
+    * real image/audio/video bytes read from parquet/lakehouse.
+    */
+  private def assets(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source"))
+
+  /** STUB — deterministic fake decode. A real implementation would parse
+    * the container header (e.g. PNG IHDR / WAV fmt chunk); here width,
+    * height and channels are derived from stable byte statistics so the
+    * pipeline shape and schema are exercised end-to-end without codecs.
+    */
+  private def fakeDecodeMeta(payload: Column): Column = struct(
+    length(payload).cast("long").as("n_bytes"),
+    crc32(payload).as("checksum"),
+    (pmod(crc32(payload), lit(1280)) + 64).cast("int").as("width"),
+    (pmod(crc32(reverse(payload)), lit(720)) + 64).cast("int").as("height"),
+    lit(3).as("channels"))
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---------------------------------------------------------------- m01
+    // Binary column + typed metadata extraction. One scan, per-row
+    // expressions only.
+    GQuery("m01_binary_meta", (s, d) => {
+      assets(s, d)
+        .withColumn("meta", fakeDecodeMeta(col("payload")))
+        .select(col("asset_id"), col("source"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"))
+        .orderBy(col("asset_id"))
+    }, None),
+
+    // ---------------------------------------------------------------- m02
+    // Frame sampling: treat the payload as fixed-size frames (FrameBytes
+    // each) and take every Stride-th frame. The plan explodes sampled
+    // frame indices, then slices the payload — output is k rows per
+    // asset with (frame_no, frame_bytes, frame_hash). STUB: "frames" are
+    // raw byte slices; a real decoder would emit pixel buffers with the
+    // same schema.
+    GQuery("m02_frame_sample", (s, d) => {
+      val FrameBytes = 64
+      val Stride = 4
+      val withFrames = assets(s, d)
+        .withColumn("n_frames",
+          ceil(length(col("payload")).cast("double") / FrameBytes).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("asset_id"), col("payload"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(Stride)))
+            .as("frame_no"))
+      withFrames
+        .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
+          expr(s"substring(payload, frame_no * $FrameBytes + 1, $FrameBytes)")
+            .as("frame_bytes"))
+        .withColumn("frame_hash", crc32(col("frame_bytes")))
+        .select(col("asset_id"), col("frame_no"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          col("frame_hash"))
+        .orderBy(col("asset_id"), col("frame_no"))
+    }, None)
+  )
+}

@@ -76,7 +76,9 @@ object RelationalQueries {
       val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = T.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
       val l = T.lineitem(s, d).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      // orders is a fact table: fact⋈fact shuffles on the key (AQE picks
+      // the strategy); only the dim (customer) side broadcasts.
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(moneySum(revenue(l)).as("rev"))
@@ -115,9 +117,9 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q05
     GQuery("q05_multijoin", (s, d) => {
       val l = T.lineitem(s, d)
-      l.join(broadcast(T.orders(s, d)
+      l.join(T.orders(s, d)
             .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
-              col("o_orderdate") < ts("1999-01-01 00:00:00"))),
+              col("o_orderdate") < ts("1999-01-01 00:00:00")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(T.customer(s, d)),
@@ -205,7 +207,7 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q10
     GQuery("q10_topk", (s, d) => {
       val l = T.lineitem(s, d)
-      l.join(broadcast(T.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+      l.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(moneySum(revenue(l)).as("rev"), count(lit(1)).as("n_items"))
@@ -236,7 +238,7 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q12
     GQuery("q12_case_agg", (s, d) => {
       T.lineitem(s, d)
-        .join(broadcast(T.orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_linestatus"))
         .agg(
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
@@ -592,16 +594,30 @@ object RelationalQueries {
 
     // ---------------------------------------------------------------- q34
     GQuery("q34_skew_salted_join", (s, d) => {
-      // Salted shuffle join: the orders side is replicated across 8
-      // salts, the lineitem side picks a deterministic salt per row, so
-      // a hot l_orderkey spreads over 8 reducers. Same result as the
-      // plain join (the oracle).
-      import s.implicits._
-      val salts = (0 until 8).toDF("salt")
+      // Hot-key-only salted join: detect heavy-hitter keys with a cheap
+      // count pass (bounded output — broadcasts), then replicate ONLY
+      // hot keys' orders rows across 8 salts; cold keys keep salt 0 and
+      // are never replicated. The probe salt comes from a row hash, so
+      // hot keys spread evenly over 8 reducers. Unlike blanket salting
+      // this costs ~zero extra rows at 100 TB when skew is rare, and the
+      // result is identical to the plain join (the oracle).
+      val NSalt = 8
+      val l0 = T.lineitem(s, d)
+      // Heavy hitters: keys whose row count could overflow one reducer.
+      // Threshold is tiny here so the hot path actually exercises.
+      val hot = l0.groupBy(col("l_orderkey").as("hk"))
+        .agg(count(lit(1)).as("hn")).filter(col("hn") >= 6).select(col("hk"))
       val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-        .crossJoin(broadcast(salts))
-      val l = T.lineitem(s, d)
-        .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+        .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_outer")
+        .withColumn("salts", when(col("hk").isNotNull,
+          sequence(lit(0), lit(NSalt - 1))).otherwise(array(lit(0))))
+        .withColumn("salt", explode(col("salts")))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("salt"))
+      val l = l0
+        .join(broadcast(hot), col("l_orderkey") === col("hk"), "left_outer")
+        .withColumn("salt", when(col("hk").isNotNull,
+          pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(NSalt))
+            .cast("int")).otherwise(lit(0)))
       l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),

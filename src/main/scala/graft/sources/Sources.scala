@@ -55,11 +55,11 @@ object Sources {
       s.read
         .option("header", "true")
         .schema("c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, " +
-          "c_mktsegment STRING, c_acctbal DOUBLE")
+          "c_acctbal DOUBLE, c_mktsegment STRING")
         .csv(s"$out/customer")
         .orderBy(col("c_custkey"))
     }, Some("""
-      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- s03

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+
+/** Structured Streaming over the `events` table, with batch-equivalent
+  * semantics so results are oracle-checkable: each query reads the same
+  * parquet through `readStream`, runs the streaming transform to
+  * completion (`processAllAvailable` on a memory sink), and returns the
+  * final table. On a cluster the identical plan runs unbounded against a
+  * live source — `readStream` is the only line that changes.
+  *
+  * Scale notes (100 TB / unbounded): state is keyed and bounded —
+  * st01's window state is |event_type| × |open windows|; st02's session
+  * state expires via watermark; st03's dedup state holds only keys
+  * inside the watermark horizon. All three shuffle once on their state
+  * key, which is exactly the minimum for stateful streaming.
+  */
+object Streaming {
+
+  /** Events as a bounded stream: same file, same nanos→micros
+    * truncation as the batch reader (Tables.events), so streaming and
+    * batch answers are comparable bit-for-bit.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = T.events(s, d).schema // micros ts, post-truncation
+    // File-stream sources list a directory; select just the events file
+    // via glob (at production scale this is the events/ lake prefix).
+    val raw = s.readStream
+      .schema(schema.copy(fields = schema.fields.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming transform to completion on a memory sink and hand
+    * back the final result. `complete` mode for aggregations (the final
+    * table IS the answer); `append` for row streams.
+    */
+  private def runToEnd(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // --------------------------------------------------------------- st01
+    // Tumbling 1-hour window aggregation per event_type: the canonical
+    // streaming agg. Batch-equivalent oracle: date_trunc buckets.
+    GQuery("st01_windowed_agg", (s, d) => {
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("total"))
+      runToEnd(s, agg, "complete")
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }, Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+
+    // --------------------------------------------------------------- st02
+    // Gap-based sessionization: session_window(ts, 30 min) per user.
+    // Session identity depends on merge order only through the final
+    // merged extent, which is deterministic; engines disagree on session
+    // SQL so this is a rows-only check (SURVEY §2 marks it ◻).
+    GQuery("st02_sessionize", (s, d) => {
+      val sess = eventsStream(s, d)
+        .withWatermark("ts", "1 day")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("session_value"))
+      runToEnd(s, sess, "complete")
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }, None),
+
+    // --------------------------------------------------------------- st03
+    // Streaming dedup with watermark: dropDuplicates on the event key
+    // holds state only within the watermark horizon. Output is the
+    // distinct key set (deterministic regardless of which physical row
+    // arrived first), so it hash-matches a batch DISTINCT.
+    GQuery("st03_stateful_dedup", (s, d) => {
+      val dedup = eventsStream(s, d)
+        .withWatermark("ts", "1 day")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicates("user_id", "event_type", "ts")
+      runToEnd(s, dedup, "append")
+        .orderBy(col("user_id"), col("event_type"), col("ts"))
+    }, Some("""
+      SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events ORDER BY user_id, event_type, ts"""))
+  )
+}

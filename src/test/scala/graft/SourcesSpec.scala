@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  test("partitioned write prunes partitions at planning time") {
+    val out = Files.createTempDirectory("graft_prunetest").toString
+    Tables.customer(spark, sfDir).write.mode("overwrite")
+      .partitionBy("c_mktsegment").parquet(s"$out/c")
+    val pruned = spark.read.parquet(s"$out/c")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // The partition filter must be resolved against directory names,
+    // not applied as a data filter after a full scan.
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("c_mktsegment"))
+    // And the pruned read returns exactly the segment's rows.
+    val expected = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").count()
+    assert(pruned.count() == expected && expected > 0)
+  }
+
+  test("parquet round trip preserves schema and values") {
+    val out = Files.createTempDirectory("graft_rt").toString
+    val src = Tables.orders(spark, sfDir)
+    src.write.mode("overwrite").parquet(s"$out/o")
+    val back = spark.read.parquet(s"$out/o")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") < 5).select(col("l_orderkey"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(l_quantity,5"))
+    // Column pruning: scan schema must not include unused columns.
+    assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
+  }
+}
