@@ -19,10 +19,15 @@ object Sql {
   private val TableNames = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every test table under its name as a temp view. Idempotent. */
-  def open(spark: SparkSession, dir: String): Unit = TableNames.foreach {
-    case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
-    case t => Tables(spark, dir, t).createOrReplaceTempView(t)
+  /** Register every test table under its name as a temp view, plus the
+    * graft_* native functions (FunctionRegistry). Idempotent.
+    */
+  def open(spark: SparkSession, dir: String): Unit = {
+    GraftExtensions.installInto(spark)
+    TableNames.foreach {
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case t => Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
   }
 
   /** Run one SQL statement against the registered views. */

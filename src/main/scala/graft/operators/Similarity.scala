@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{GQuery, Tables => T}
-import graft.functions.VectorOps
+import graft.functions.{FastVector, VectorOps}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`array<float>` 64-dim).
@@ -27,7 +27,7 @@ object Similarity {
 
   private def normalized(s: SparkSession, d: String): DataFrame =
     T.embeddings(s, d).select(col("vec_id"),
-      VectorOps.normalize(col("embedding")).as("nv"))
+      FastVector.normalize(col("embedding")).as("nv"))
 
   private def queriesDf(base: DataFrame): DataFrame =
     base.filter(col("vec_id") < NQueries)
@@ -52,7 +52,7 @@ object Similarity {
       val cand = base.join(broadcast(queriesDf(base)),
           col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          VectorOps.cosinePrenorm(col("q_nv"), col("nv")).as("cos"))
+          FastVector.dot(col("q_nv"), col("nv")).as("cos"))
       topK(cand)
     }, None),
 
@@ -63,12 +63,11 @@ object Similarity {
     GQuery("a02_ann_lsh", (s, d) => {
       val tables = 8
       val planes = (0 until tables).map(t =>
-        typedLit(VectorOps.makePlanes(seed = 200 + t, nBits = 10, dim = 64)))
+        VectorOps.makePlanes(seed = 200 + t, nBits = 10, dim = 64))
       val base = normalized(s, d)
       def bucketed(df: DataFrame, idc: String, nvc: String): DataFrame =
         df.select(col(idc), col(nvc),
-          posexplode(array(planes.map(p =>
-            VectorOps.hyperplaneBucket(col(nvc), p)): _*))
+          posexplode(FastVector.hyperplaneBuckets(col(nvc), planes))
             .as(Seq("tbl", "bucket")))
       val corpus = bucketed(base, "vec_id", "nv")
       val qs = bucketed(queriesDf(base), "q_id", "q_nv")
@@ -79,7 +78,7 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("q_nv"), col("nv"))
         .distinct()
         .select(col("q_id"), col("vec_id"),
-          VectorOps.cosinePrenorm(col("q_nv"), col("nv")).as("cos"))
+          FastVector.dot(col("q_nv"), col("nv")).as("cos"))
       topK(cand)
     }, None),
 
@@ -96,7 +95,7 @@ object Similarity {
           vc: String, cidc: String, cvc: String, keep: Int): DataFrame = {
         val scored = vecs.join(broadcast(cents))
           .select(col(idc), col(vc), col(cidc),
-            VectorOps.cosinePrenorm(col(vc), col(cvc)).as("csim"))
+            FastVector.dot(col(vc), col(cvc)).as("csim"))
         val w = Window.partitionBy(col(idc))
           .orderBy(col("csim").desc, col(cidc))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
@@ -111,7 +110,7 @@ object Similarity {
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cid"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), VectorOps.normalize(
+        .select(col("cid"), FastVector.normalize(
           transform(col("dm"), e => e.getField("m"))).as("cv"))
 
       val assigned = nearest(base, cents, "vec_id", "nv", "cid", "cv", 1)
@@ -122,7 +121,7 @@ object Similarity {
       val cand = assigned.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          VectorOps.cosinePrenorm(col("q_nv"), col("nv")).as("cos"))
+          FastVector.dot(col("q_nv"), col("nv")).as("cos"))
       topK(cand)
     }, None)
   )

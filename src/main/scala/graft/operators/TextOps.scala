@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
-import graft.functions.TextHash
+import graft.functions.{FastText, TextHash}
 
 /** Text analysis for training-data pipelines: token counting, quality
   * scoring, language ID, fingerprinting, corpus n-gram stats — all over
@@ -124,9 +124,8 @@ object TextOps {
     GQuery("t04_fingerprint", (s, d) => {
       T.documents(s, d).select(
           col("doc_id"),
-          TextHash.rollingFingerprint(col("text")).as("fp"),
-          coalesce(array_min(TextHash.shingleHashes31(col("text"), 8)),
-            lit(TextHash.P)).as("winnow_fp"))
+          FastText.rollingFp(col("text")).as("fp"),
+          FastText.shingleMin31(col("text"), 8).as("winnow_fp"))
         .orderBy(col("doc_id"))
     }, None),
 

@@ -1,0 +1,28 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * Column API. Spark 4 scopes the Expression⇄Column converters
+  * `private[sql]` (columnNodeSupport.scala); this shim lives under
+  * `org.apache.spark.sql` solely to re-export them — the standard idiom
+  * for libraries that ship native expressions (no reflection, no
+  * bytecode tricks, just the documented classic converter).
+  */
+object Glue {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its analyzed-input Catalyst expression. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native function into an ALREADY-RUNNING session (the
+    * with-extensions path only works at session build time).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Text-SQL access to the injected native functions — the engine's
+  * extension point (SURVEY §6, reference:duckdb:39-55).
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("installed functions are callable from text SQL and match the API") {
+    GraftExtensions.installInto(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "a b").toDF("text")
+    df.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql("""
+      SELECT graft_simhash64(text) AS sh, graft_rolling_fp(text) AS fp,
+             graft_minhash_sig(text, 3) AS sig
+      FROM ext_docs ORDER BY text""").collect()
+    val viaApi = df
+      .select(functions.FastText.simhash64(col("text")).as("sh"),
+        functions.FastText.rollingFp(col("text")).as("fp"))
+      .orderBy(col("text")).collect()
+    assert(viaSql(0).getLong(0) == viaApi(0).getLong(0))
+    assert(viaSql(1).getLong(1) == viaApi(1).getLong(1))
+    assert(viaSql(0).getSeq[Long](2).size == 64)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{FastText, FastVector, TextHash, VectorOps}
+
+/** The native Catalyst expressions must produce EXACTLY the values of
+  * the reference HOF formulations they replace — hash for hash, slot
+  * for slot — on adversarial inputs (empty docs, short docs, repeated
+  * tokens, multi-space runs, unicode).
+  */
+class FastTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",
+    "",
+    "one  two   three four five six seven",
+    "中文 文档 测试 一 二 三 四",
+    "x " * 200 + "tail words here",
+    (1 to 100).map(i => s"tok$i").mkString(" "))
+  private def df = docs.toDF("text")
+
+  test("MinHashSig equals the TextHash HOF signature on every doc") {
+    val (pa, pb) = TextHash.makePerms(seed = 42L, 64)
+    val rows = df.select(
+      FastText.minhashSig(col("text"), 3, pa, pb).as("fast"),
+      TextHash.minhashSignature(
+        TextHash.shingleHashes31(col("text"), 3), pa, pb).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("SimHash64 equals the TextHash HOF simhash on every doc") {
+    val rows = df.select(
+      FastText.simhash64(col("text")).as("fast"),
+      TextHash.simhash64(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("RollingFp equals the TextHash HOF fingerprint on every doc") {
+    val rows = df.select(
+      FastText.rollingFp(col("text")).as("fast"),
+      TextHash.rollingFingerprint(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("ShingleMin31 equals coalesce(array_min(shingleHashes31), P)") {
+    val rows = df.select(
+      FastText.shingleMin31(col("text"), 8).as("fast"),
+      coalesce(array_min(TextHash.shingleHashes31(col("text"), 8)),
+        lit(TextHash.P)).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("FastVector dot/normalize/buckets equal the VectorOps HOF forms") {
+    val vecs = Seq(
+      Seq(1.0f, -2.0f, 3.0f, 0.5f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f),
+      Seq(-1.5f, 2.5f, -3.5f, 4.5f)).toDF("v")
+    val planes = (0 until 3).map(t =>
+      VectorOps.makePlanes(seed = 300 + t, nBits = 6, dim = 4))
+    val rows = vecs.select(
+      FastVector.normalize(col("v")).as("fn"),
+      VectorOps.normalize(col("v")).as("hn"),
+      FastVector.hyperplaneBuckets(FastVector.normalize(col("v")), planes)
+        .as("fb"),
+      array(planes.map(p => VectorOps.hyperplaneBucket(
+        VectorOps.normalize(col("v")), typedLit(p))): _*).as("hb"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+    }
+    val dotRows = vecs.select(
+      FastVector.dot(col("v").cast("array<double>"),
+        col("v").cast("array<double>")).as("fd"),
+      VectorOps.dot(col("v"), col("v")).as("hd")).collect()
+    dotRows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}
