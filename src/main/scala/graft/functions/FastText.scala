@@ -149,6 +149,53 @@ object FastText {
       copy(child = c)
   }
 
+  /** Language-ID scorer: fraction of each profile's character bigrams
+    * present among the doc's distinct bigrams; returns the argmax as a
+    * (score, lang) struct. Equals the HOF form in TextOps.t03 — same
+    * substr-by-codepoint bigrams (including the length<2 edge where the
+    * whole text is the only "bigram"), same array_max tie-break
+    * (lexicographically larger lang wins equal scores).
+    */
+  case class LangScore(child: Expression, profiles: Seq[(String, Seq[String])])
+      extends UnaryExpression with CodegenFallback {
+    private val profArr: Array[(UTF8String, Array[String])] =
+      profiles.map { case (l, ps) =>
+        (UTF8String.fromString(l), ps.toArray)
+      }.toArray
+    override def dataType: DataType = StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("lang", StringType, nullable = false)))
+    override def prettyName: String = "graft_lang_score"
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val bigrams = new java.util.HashSet[String]()
+      val upper = math.max(s.length - 1, 1)
+      var i = 0
+      while (i < upper) {
+        bigrams.add(s.substring(i, math.min(i + 2, s.length)))
+        i += 1
+      }
+      var bestScore = -1.0
+      var bestLang: UTF8String = null
+      profArr.foreach { case (lang, prof) =>
+        var hits = 0
+        var k = 0
+        while (k < prof.length) {
+          if (bigrams.contains(prof(k))) hits += 1
+          k += 1
+        }
+        val score = hits.toDouble / prof.length
+        if (score > bestScore ||
+            (score == bestScore && lang.compareTo(bestLang) > 0)) {
+          bestScore = score; bestLang = lang
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(bestScore, bestLang)
+    }
+    override protected def withNewChildInternal(c: Expression): LangScore =
+      copy(child = c)
+  }
+
   // Column-facing wrappers.
   def minhashSig(text: Column, n: Int, as: Seq[Long], bs: Seq[Long]): Column =
     Glue.column(MinHashSig(Glue.expression(text), n, as, bs))
@@ -158,4 +205,6 @@ object FastText {
     Glue.column(RollingFp(Glue.expression(text)))
   def shingleMin31(text: Column, n: Int): Column =
     Glue.column(ShingleMin31(Glue.expression(text), n))
+  def langScore(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    Glue.column(LangScore(Glue.expression(text), profiles))
 }

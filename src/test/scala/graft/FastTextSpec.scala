@@ -55,6 +55,32 @@ class FastTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("LangScore equals the HOF bigram-profile argmax on every doc") {
+    val profiles = Seq(
+      "en" -> Seq("th", "he", "in", "er", "an"),
+      "de" -> Seq("er", "en", "ch", "de", "ei"),
+      "zh" -> Seq("中文", "文档", "测试", "一 ", " 二"))
+    val bg = array_distinct(expr(
+      "transform(sequence(1, greatest(length(text)-1, 1)), " +
+        "i -> substr(text, i, 2))"))
+    val scored = profiles.map { case (lang, profile) =>
+      struct(
+        (size(array_intersect(bg, typedLit(profile))).cast("double") /
+          size(typedLit(profile))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val hofBest = array_max(array(scored: _*))
+    val fastBest = FastText.langScore(col("text"), profiles)
+    val rows = df.select(
+      fastBest.getField("lang").as("fl"), fastBest.getField("score").as("fs"),
+      hofBest.getField("lang").as("hl"), hofBest.getField("score").as("hs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(2))
+      assert(r.getDouble(1) == r.getDouble(3))
+    }
+  }
+
   test("FastVector dot/normalize/buckets equal the VectorOps HOF forms") {
     val vecs = Seq(
       Seq(1.0f, -2.0f, 3.0f, 0.5f),
