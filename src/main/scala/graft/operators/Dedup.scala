@@ -27,9 +27,21 @@ object Dedup {
     */
   private def minhashBandTable(s: SparkSession, d: String): DataFrame = {
     val sig = FastText.minhashSig(col("text"), ShingleN, permA, permB)
+    // Redistribute BEFORE the CPU-heavy signature: the test corpus is a
+    // single-row-group file (one scan task); hashing must not serialize
+    // behind it. At lake scale the scan is already many tasks and AQE
+    // coalesces this exchange to a no-op-sized shuffle of raw text —
+    // one linear pass, always dominated by the O(tokens×perms) hashing
+    // it unlocks.
+    // Two projections: band extraction references `sig` 16 times (once
+    // per band slice); materializing the signature first keeps it ONE
+    // evaluation per row instead of 16 (CollapseProject keeps multiply-
+    // referenced non-cheap projections separate).
     T.documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"),
-        posexplode(TextHash.lshBands(sig, NBands, BandRows))
+        posexplode(TextHash.lshBands(col("sig"), NBands, BandRows))
           .as(Seq("band", "bkey")))
   }
 
@@ -112,6 +124,7 @@ object Dedup {
     // luck); verified by exact popcount of the XOR.
     GQuery("d03_simhash", (s, d) => {
       val docs = T.documents(s, d)
+        .repartition(col("doc_id")) // parallelize hashing past the 1-task scan
         .select(col("doc_id"), FastText.simhash64(col("text")).as("sim"))
       val bands = docs.select(col("doc_id"), col("sim"),
         posexplode(TextHash.simhashBands(col("sim"))).as(Seq("band", "bkey")))
@@ -136,8 +149,10 @@ object Dedup {
     // by doc_id (shuffle), then per-pair set algebra — still bucket-
     // bounded, never all-pairs.
     GQuery("d04_ngram_jaccard", (s, d) => {
-      val sets = T.documents(s, d).select(col("doc_id"),
-        array_distinct(TextHash.shingles(col("text"), ShingleN)).as("sh"))
+      val sets = T.documents(s, d)
+        .repartition(col("doc_id")) // parallelize shingling past the 1-task scan
+        .select(col("doc_id"),
+          array_distinct(TextHash.shingles(col("text"), ShingleN)).as("sh"))
       val cand = minhashCandidates(s, d)
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
