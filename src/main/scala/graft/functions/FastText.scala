@@ -149,6 +149,41 @@ object FastText {
       copy(child = c)
   }
 
+  /** Distinct word-n-gram shingles — equals
+    * array_distinct(TextHash.shingles(text, n)) (first-occurrence order,
+    * like array_distinct). One pass, one StringBuilder, no boxed lambdas.
+    */
+  case class DistinctShingles(child: Expression, shingleN: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_distinct_shingles"
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokens(input.asInstanceOf[UTF8String])
+      if (toks.length < shingleN) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - shingleN) {
+        sb.setLength(0)
+        var j = 0
+        while (j < shingleN) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): DistinctShingles =
+      copy(child = c)
+  }
+
   /** Language-ID scorer: fraction of each profile's character bigrams
     * present among the doc's distinct bigrams; returns the argmax as a
     * (score, lang) struct. Equals the HOF form in TextOps.t03 — same
@@ -207,4 +242,6 @@ object FastText {
     Glue.column(ShingleMin31(Glue.expression(text), n))
   def langScore(text: Column, profiles: Seq[(String, Seq[String])]): Column =
     Glue.column(LangScore(Glue.expression(text), profiles))
+  def distinctShingles(text: Column, n: Int): Column =
+    Glue.column(DistinctShingles(Glue.expression(text), n))
 }

@@ -152,7 +152,7 @@ object Dedup {
       val sets = T.documents(s, d)
         .repartition(col("doc_id")) // parallelize shingling past the 1-task scan
         .select(col("doc_id"),
-          array_distinct(TextHash.shingles(col("text"), ShingleN)).as("sh"))
+          FastText.distinctShingles(col("text"), ShingleN).as("sh"))
       val cand = minhashCandidates(s, d)
       cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),

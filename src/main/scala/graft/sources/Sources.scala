@@ -100,6 +100,33 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment
       FROM customer WHERE c_mktsegment = 'BUILDING'
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s05
+    // Lake-metadata surface (reference:metadata:1-53): the table-stats
+    // pass an engine runs to maintain catalog statistics — per-column
+    // row count, null count, min/max, distinct count — as ONE
+    // aggregation scan. At 100 TB this is the ANALYZE-TABLE shape:
+    // map-side partial aggs, single reduce, output size O(columns).
+    GQuery("s05_table_stats", (s, d) => {
+      T.orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("orderkey_nonnull"),
+          min(col("o_orderdate")).as("orderdate_min"),
+          max(col("o_orderdate")).as("orderdate_max"),
+          round(min(col("o_totalprice")), 2).as("totalprice_min"),
+          round(max(col("o_totalprice")), 2).as("totalprice_max"),
+          countDistinct(col("o_orderstatus")).as("status_distinct"),
+          countDistinct(col("o_custkey")).as("custkey_distinct"))
+    }, Some("""
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderkey) AS orderkey_nonnull,
+             MIN(o_orderdate) AS orderdate_min,
+             MAX(o_orderdate) AS orderdate_max,
+             ROUND(MIN(o_totalprice), 2) AS totalprice_min,
+             ROUND(MAX(o_totalprice), 2) AS totalprice_max,
+             COUNT(DISTINCT o_orderstatus) AS status_distinct,
+             COUNT(DISTINCT o_custkey) AS custkey_distinct
+      FROM orders"""))
   )
 }

@@ -55,6 +55,13 @@ class FastTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("DistinctShingles equals array_distinct(TextHash.shingles) per doc") {
+    val rows = df.select(
+      FastText.distinctShingles(col("text"), 3).as("fast"),
+      array_distinct(TextHash.shingles(col("text"), 3)).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("LangScore equals the HOF bigram-profile argmax on every doc") {
     val profiles = Seq(
       "en" -> Seq("th", "he", "in", "er", "an"),
