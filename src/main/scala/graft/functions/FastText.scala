@@ -184,6 +184,37 @@ object FastText {
       copy(child = c)
   }
 
+  /** All word-n-gram shingles WITH duplicates (corpus frequency use
+    * case, e.g. t05) — equals TextHash-style shingling without the
+    * distinct. Empty array when the doc has fewer than n tokens.
+    */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_word_ngrams"
+    override protected def nullSafeEval(input: Any): Any = {
+      val toks = tokens(input.asInstanceOf[UTF8String])
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordNgrams =
+      copy(child = c)
+  }
+
   /** Language-ID scorer: fraction of each profile's character bigrams
     * present among the doc's distinct bigrams; returns the argmax as a
     * (score, lang) struct. Equals the HOF form in TextOps.t03 — same
@@ -244,4 +275,6 @@ object FastText {
     Glue.column(LangScore(Glue.expression(text), profiles))
   def distinctShingles(text: Column, n: Int): Column =
     Glue.column(DistinctShingles(Glue.expression(text), n))
+  def wordNgrams(text: Column, n: Int): Column =
+    Glue.column(WordNgrams(Glue.expression(text), n))
 }

@@ -124,13 +124,9 @@ object TextOps {
     // shuffle is the final groupBy on the n-gram key — partial (map-side)
     // aggregation keeps reduce traffic ∝ |vocab²|, not |corpus|.
     GQuery("t05_ngram_stats", (s, d) => {
-      val w = TextHash.tokens(col("text"))
-      val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1), i =>
-          concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .otherwise(array().cast("array<string>"))
       T.documents(s, d)
-        .select(explode(bigrams).as("ngram"))
+        .repartition(col("doc_id")) // parallelize past the 1-task scan
+        .select(explode(FastText.wordNgrams(col("text"), 2)).as("ngram"))
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))

@@ -62,6 +62,17 @@ class FastTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("WordNgrams equals the HOF bigram builder per doc") {
+    val w = TextHash.tokens(col("text"))
+    val hof = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i =>
+        concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      FastText.wordNgrams(col("text"), 2).as("fast"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("LangScore equals the HOF bigram-profile argmax on every doc") {
     val profiles = Seq(
       "en" -> Seq("th", "he", "in", "er", "an"),
