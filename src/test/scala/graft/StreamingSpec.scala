@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("st01 streaming windowed agg equals the batch computation") {
+    val streamed = Registry.byName("st01_windowed_agg").fn(spark, sfDir)
+      .collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("total"))
+      .orderBy(col("w_start"), col("event_type"))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("st03 streaming dedup equals batch DISTINCT") {
+    val streamed = Registry.byName("st03_stateful_dedup").fn(spark, sfDir)
+      .collect().toSeq
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")).distinct()
+      .orderBy(col("user_id"), col("event_type"), col("ts"))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+}
