@@ -137,6 +137,47 @@ object TextOps {
           i -> string_split(text, ' ')[i] || ' ' ||
                string_split(text, ' ')[i+1])) AS ng
         FROM documents)
-      GROUP BY ng ORDER BY n DESC, ngram LIMIT 100"""))
+      GROUP BY ng ORDER BY n DESC, ngram LIMIT 100""")),
+
+    // ---------------------------------------------------------------- t06
+    // TF-IDF top terms per document. Ranking is by the deterministic
+    // integer key (tf DESC, df ASC, term) — identical ordering to
+    // tf·idf without depending on cross-engine ln() ulp agreement; the
+    // rounded score is carried as output. Scale: terms explode once,
+    // two keyed aggs (term df is |vocab|-sized), doc-count scalar
+    // broadcasts, final per-doc window over ≤|terms-per-doc| rows.
+    GQuery("t06_tfidf", (s, d) => {
+      val terms = T.documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0))
+            + 1.0), 4).as("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    }, Some("""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, rn, term, tf, df, score FROM (
+        SELECT doc_id, term, tf, df,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tf DESC, df ASC, term) AS rn,
+               ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      WHERE rn <= 3 ORDER BY doc_id, rn"""))
   )
 }
