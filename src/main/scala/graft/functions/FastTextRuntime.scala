@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static runtime for the FastText expressions: one JVM method per
+  * operation, shared verbatim by interpreted eval AND generated code
+  * (doGenCode emits a single static call, so whole-stage codegen spans
+  * stay unbroken). Top-level object → static forwarders callable from
+  * Janino-compiled Java.
+  */
+object FastTextRuntime {
+
+  private val P = TextHash.P
+  private val Seed = 42L
+
+  private def hash64(s: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, Seed)
+
+  /** Spark's split(text, " ") semantics: Java regex split, limit -1. */
+  private def tokens(text: UTF8String): Array[String] =
+    text.toString.split(" ", -1)
+
+  private def hash31OfShingles(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = java.lang.Math.floorMod(hash64(sb.toString), P)
+      i += 1
+    }
+    out
+  }
+
+  def minhashSig(text: UTF8String, shingleN: Int,
+      as: Array[Long], bs: Array[Long]): ArrayData = {
+    val hashes = hash31OfShingles(text, shingleN)
+    val sig = new Array[Long](as.length)
+    var i = 0
+    while (i < as.length) {
+      var best = P
+      val a = as(i); val b = bs(i)
+      var k = 0
+      while (k < hashes.length) {
+        val v = java.lang.Math.floorMod(a * hashes(k) + b, P)
+        if (v < best) best = v
+        k += 1
+      }
+      sig(i) = best; i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhash64(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val h = hash64(toks(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def rollingFp(text: UTF8String): Long = {
+    val toks = tokens(text)
+    var acc = 0L
+    var t = 0
+    while (t < toks.length) {
+      val h31 = java.lang.Math.floorMod(hash64(toks(t)), P)
+      acc = java.lang.Math.floorMod(acc * 31L + h31, P)
+      t += 1
+    }
+    acc
+  }
+
+  def shingleMin31(text: UTF8String, shingleN: Int): Long = {
+    val hashes = hash31OfShingles(text, shingleN)
+    var best = P
+    var i = 0
+    while (i < hashes.length) { if (hashes(i) < best) best = hashes(i); i += 1 }
+    best
+  }
+
+  def distinctShingles(text: UTF8String, shingleN: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < shingleN) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - shingleN) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < out.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** langs/profiles flattened: langs(i) owns profiles(i). Returns the
+    * argmax (score, lang) with array_max tie-break semantics
+    * (lexicographically larger lang wins equal scores).
+    */
+  def langScore(text: UTF8String, langs: Array[UTF8String],
+      profiles: Array[Array[String]]): InternalRow = {
+    val s = text.toString
+    val bigrams = new java.util.HashSet[String]()
+    val upper = math.max(s.length - 1, 1)
+    var i = 0
+    while (i < upper) {
+      bigrams.add(s.substring(i, math.min(i + 2, s.length)))
+      i += 1
+    }
+    var bestScore = -1.0
+    var bestLang: UTF8String = null
+    var p = 0
+    while (p < langs.length) {
+      val prof = profiles(p)
+      var hits = 0
+      var k = 0
+      while (k < prof.length) {
+        if (bigrams.contains(prof(k))) hits += 1
+        k += 1
+      }
+      val score = hits.toDouble / prof.length
+      if (score > bestScore ||
+          (score == bestScore && langs(p).compareTo(bestLang) > 0)) {
+        bestScore = score; bestLang = langs(p)
+      }
+      p += 1
+    }
+    InternalRow(bestScore, bestLang)
+  }
+}

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Glue
 import org.apache.spark.sql.types._
 
@@ -12,25 +12,23 @@ import org.apache.spark.sql.types._
   * for ANN queries that evaluate millions of 64-dim dot products the
   * boxing dominated the runtime. Values are identical (same
   * left-to-right double accumulation — asserted by FastTextSpec).
+  *
+  * All implement `doGenCode` as one static call into
+  * [[FastVectorRuntime]] so whole-stage codegen spans stay unbroken.
   */
 object FastVector {
 
-  private def toDoubles(a: ArrayData): Array[Double] = a.toDoubleArray()
+  private val RT = "graft.functions.FastVectorRuntime"
 
   /** Σ aᵢ·bᵢ over two array<double> columns, primitive loop. */
   case class Dot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
-    override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = toDoubles(l.asInstanceOf[ArrayData])
-      val b = toDoubles(r.asInstanceOf[ArrayData])
-      var acc = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      FastVectorRuntime.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $RT.dot($a, $b);")
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Dot = copy(left = l, right = r)
   }
@@ -41,32 +39,17 @@ object FastVector {
     * Bucket t equals VectorOps.hyperplaneBucket(vec, planes(t)).
     */
   case class HyperplaneBuckets(child: Expression,
-      planes: Seq[Seq[Seq[Double]]])
-      extends UnaryExpression with CodegenFallback {
-    private val flat: Array[Array[Array[Double]]] =
+      planes: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+    private lazy val flat: Array[Array[Array[Double]]] =
       planes.map(_.map(_.toArray).toArray).toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_hyperplane_buckets"
-    override protected def nullSafeEval(input: Any): Any = {
-      val v = toDoubles(input.asInstanceOf[ArrayData])
-      val out = new Array[Long](flat.length)
-      var t = 0
-      while (t < flat.length) {
-        val tbl = flat(t)
-        var bucket = 0L
-        var bit = 0
-        while (bit < tbl.length) {
-          val plane = tbl(bit)
-          var acc = 0.0
-          var i = 0
-          val n = math.min(v.length, plane.length)
-          while (i < n) { acc += v(i) * plane(i); i += 1 }
-          if (acc >= 0) bucket += (1L << bit)
-          bit += 1
-        }
-        out(t) = bucket; t += 1
-      }
-      new GenericArrayData(out)
+    override protected def nullSafeEval(input: Any): Any =
+      FastVectorRuntime.hyperplaneBuckets(input.asInstanceOf[ArrayData], flat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("planes", flat, "double[][][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $RT.hyperplaneBuckets($c, $pRef);")
     }
     override protected def withNewChildInternal(c: Expression): HyperplaneBuckets =
       copy(child = c)
@@ -75,27 +58,19 @@ object FastVector {
   /** L2-normalize an array<float|double> into array<double>; zero
     * vectors map to zeros. Equals VectorOps.normalize.
     */
-  case class NormalizeVec(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-    override def prettyName: String = "graft_normalize"
+  case class NormalizeVec(child: Expression) extends UnaryExpression {
     // lazy: the child's dataType resolves only after analysis
     private lazy val isFloat = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
     }
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val v = if (isFloat) arr.toFloatArray().map(_.toDouble)
-              else arr.toDoubleArray()
-      var ss = 0.0
-      var i = 0
-      while (i < v.length) { ss += v(i) * v(i); i += 1 }
-      val norm = math.sqrt(ss)
-      val out = new Array[Double](v.length)
-      if (norm > 0) { i = 0; while (i < v.length) { out(i) = v(i) / norm; i += 1 } }
-      new GenericArrayData(out)
-    }
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_normalize"
+    override protected def nullSafeEval(input: Any): Any =
+      FastVectorRuntime.normalize(input.asInstanceOf[ArrayData], isFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $RT.normalize($c, $isFloat);")
     override protected def withNewChildInternal(c: Expression): NormalizeVec =
       copy(child = c)
   }

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** Static runtime for the FastVector expressions — shared by
+  * interpreted eval and generated code (see [[FastTextRuntime]]).
+  */
+object FastVectorRuntime {
+
+  def dot(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toDoubleArray()
+    val b = r.toDoubleArray()
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  def hyperplaneBuckets(input: ArrayData,
+      planes: Array[Array[Array[Double]]]): ArrayData = {
+    val v = input.toDoubleArray()
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val tbl = planes(t)
+      var bucket = 0L
+      var bit = 0
+      while (bit < tbl.length) {
+        val plane = tbl(bit)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { acc += v(i) * plane(i); i += 1 }
+        if (acc >= 0) bucket += (1L << bit)
+        bit += 1
+      }
+      out(t) = bucket; t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def normalize(input: ArrayData, fromFloat: Boolean): ArrayData = {
+    val v = if (fromFloat) {
+      val f = input.toFloatArray()
+      val d = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { d(i) = f(i).toDouble; i += 1 }
+      d
+    } else input.toDoubleArray()
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](v.length)
+    if (norm > 0) { i = 0; while (i < v.length) { out(i) = v(i) / norm; i += 1 } }
+    new GenericArrayData(out)
+  }
+}
