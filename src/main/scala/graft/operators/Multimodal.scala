@@ -4,6 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 
+/** Typed rows for the batched-decode path (m03). */
+case class RawAsset(asset_id: Long, payload: Array[Byte])
+case class DecodedMeta(asset_id: Long, n_bytes: Long, byte_sum: Long,
+    width: Int, height: Int, codec: String)
+
+/** STUB decoder standing in for a real codec binding (libjpeg/ffmpeg…).
+  * The point of the shape: construction is EXPENSIVE for a real codec,
+  * so it happens once per partition (see m03), and rows stream through
+  * `decode` without materializing the whole partition.
+  */
+class StubDecoder extends Serializable {
+  def decode(payload: Array[Byte]): DecodedMeta = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    DecodedMeta(-1L, payload.length.toLong, sum,
+      (sum % 1280).toInt + 64, (sum % 720).toInt + 64, "stub")
+  }
+}
+
 /** Multimodal columns: image/audio/video handled as opaque `binary`
   * columns with typed metadata. The container has no codec libraries, so
   * the DECODE step is a clearly-marked deterministic fake
@@ -85,6 +105,26 @@ object Multimodal {
           length(col("frame_bytes")).cast("long").as("frame_len"),
           col("frame_hash"))
         .orderBy(col("asset_id"), col("frame_no"))
+    }, None),
+
+    // ---------------------------------------------------------------- m03
+    // Batched decode via typed mapPartitions — the integration shape
+    // for a real codec: the decoder is constructed ONCE per partition
+    // (codec/JNI init amortized over the batch), rows stream through it
+    // with no full-partition materialization, and the output is a typed
+    // Dataset whose schema downstream relational ops consume directly.
+    // This is the Scala analog of a batched pandas-UDF decode.
+    GQuery("m03_batch_decode", (s, d) => {
+      import s.implicits._
+      val raw = assets(s, d)
+        .repartition(col("asset_id")) // spread decode work across tasks
+        .select(col("asset_id"), col("payload"))
+        .as[RawAsset]
+      raw.mapPartitions { it =>
+        val decoder = new StubDecoder // once per partition, not per row
+        it.map(a => decoder.decode(a.payload).copy(asset_id = a.asset_id))
+      }.toDF()
+        .orderBy(col("asset_id"))
     }, None)
   )
 }
