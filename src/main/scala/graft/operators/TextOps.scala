@@ -105,7 +105,28 @@ object TextOps {
           round(best.getField("score"), 4).as("score"))
         .withColumn("agree", col("predicted") === col("true_lang"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(s"""
+      WITH profs(lang, prof) AS (VALUES ${LangProfiles.map { case (l, ps) =>
+        s"('$l', [${ps.map("'" + _ + "'").mkString(",")}])"
+      }.mkString(", ")}),
+      bg AS (SELECT doc_id, lang AS true_lang,
+               list_distinct(list_transform(
+                 range(1, greatest(length(text)-1, 1)+1),
+                 i -> substr(text, CAST(i AS INT), 2))) AS bigrams
+             FROM documents),
+      scored AS (
+        SELECT doc_id, true_lang, p.lang,
+               CAST(len(list_intersect(bigrams, p.prof)) AS DOUBLE)
+                 / len(p.prof) AS score
+        FROM bg CROSS JOIN profs p),
+      best AS (
+        SELECT doc_id, true_lang, lang AS predicted, ROUND(score, 4) AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang DESC) AS rn
+        FROM scored)
+      SELECT doc_id, true_lang, predicted, score,
+             (predicted = true_lang) AS agree
+      FROM best WHERE rn = 1 ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- t04
     // Document fingerprinting: Karp–Rabin rolling hash over the token

@@ -79,9 +79,9 @@ object Streaming {
 
     // --------------------------------------------------------------- st02
     // Gap-based sessionization: session_window(ts, 30 min) per user.
-    // Session identity depends on merge order only through the final
-    // merged extent, which is deterministic; engines disagree on session
-    // SQL so this is a rows-only check (SURVEY §2 marks it ◻).
+    // Oracle: the batch gaps-and-islands formulation — a session starts
+    // where the gap from the previous event is >= 30 min; session end is
+    // last event + gap (Spark's session_window end semantics).
     GQuery("st02_sessionize", (s, d) => {
       val sess = eventsStream(s, d)
         .withWatermark("ts", "1 day")
@@ -93,7 +93,28 @@ object Streaming {
           col("session_window.end").as("s_end"),
           col("user_id"), col("n_events"), col("session_value"))
         .orderBy(col("user_id"), col("s_start"))
-    }, None),
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                      - LAG(CAST(ts AS TIMESTAMP)) OVER
+                        (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE OR
+                    LAG(CAST(ts AS TIMESTAMP)) OVER
+                        (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      g AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM e)
+      SELECT MIN(ts) AS s_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+             user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS session_value
+      FROM g GROUP BY user_id, sess_id
+      ORDER BY user_id, s_start""")),
 
     // --------------------------------------------------------------- st03
     // Streaming dedup with watermark: dropDuplicates on the event key
