@@ -99,6 +99,29 @@ class FastTextSpec extends SparkSpec {
     }
   }
 
+  test("native expressions participate in whole-stage codegen") {
+    // Regression net: a parquet-scan projection of the native exprs must
+    // generate code containing the static runtime calls (CodegenFallback
+    // would not), and compile with codegen fallback disabled.
+    import org.apache.spark.sql.execution.debug._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Tables.documents(spark, sfDir).select(
+        FastText.simhash64(col("text")).as("sh"),
+        FastText.rollingFp(col("text")).as("fp"))
+      assert(docs.count() > 0)
+      assert(docs.queryExecution.debug.codegenToSeq().map(_._2).mkString
+        .contains("FastTextRuntime"))
+      val vecs = Tables.embeddings(spark, sfDir)
+        .select(FastVector.normalize(col("embedding")).as("nv"))
+        .select(FastVector.dot(col("nv"), col("nv")).as("d"))
+      assert(vecs.count() > 0)
+      assert(vecs.queryExecution.debug.codegenToSeq().map(_._2).mkString
+        .contains("FastVectorRuntime"))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("FastVector dot/normalize/buckets equal the VectorOps HOF forms") {
     val vecs = Seq(
       Seq(1.0f, -2.0f, 3.0f, 0.5f),
