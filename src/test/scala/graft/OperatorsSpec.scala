@@ -41,6 +41,36 @@ class OperatorsSpec extends SparkSpec {
     assert(ids == again && ids.nonEmpty)
   }
 
+  test("q34 hot-key salted join equals the plain join on skewed data") {
+    // 1000 rows of one hot key + scattered cold keys, joined to a dim
+    // of all keys: the salted formulation must be result-identical.
+    val probe = ((1 to 1000).map(i => (7L, i.toLong)) ++
+      (1 to 200).map(i => (i.toLong % 50 + 100, i.toLong)))
+      .toDF("k", "payload")
+    val build = (0L to 200L).map(k => (k, s"v$k")).toDF("bk", "tag") union
+      Seq((7L, "hot")).toDF("bk", "tag").limit(0) // keep 0..200 incl 7
+    val plain = probe.join(build, col("k") === col("bk"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // salted: detect hot keys (>=100 rows), explode build side for them
+    val hot = probe.groupBy(col("k").as("hk")).agg(count(lit(1)).as("hn"))
+      .filter(col("hn") >= 100).select(col("hk"))
+    val saltedBuild = build
+      .join(broadcast(hot), col("bk") === col("hk"), "left_outer")
+      .withColumn("salt", explode(when(col("hk").isNotNull,
+        sequence(lit(0), lit(7))).otherwise(array(lit(0)))))
+    val saltedProbe = probe
+      .join(broadcast(hot), col("k") === col("hk"), "left_outer")
+      .withColumn("salt", when(col("hk").isNotNull,
+        pmod(xxhash64(col("payload")), lit(8)).cast("int")).otherwise(lit(0)))
+    val salted = saltedProbe.join(saltedBuild,
+        saltedProbe("k") === saltedBuild("bk") &&
+          saltedProbe("salt") === saltedBuild("salt"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(plain.toSeq == salted.toSeq)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
