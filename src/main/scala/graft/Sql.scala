@@ -24,9 +24,14 @@ object Sql {
     */
   def open(spark: SparkSession, dir: String): Unit = {
     GraftExtensions.installInto(spark)
-    TableNames.foreach {
-      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
-      case t => Tables(spark, dir, t).createOrReplaceTempView(t)
+    TableNames.foreach { t =>
+      // Register whatever the lake dir actually has; a partial lake
+      // still gets a working session for its present tables.
+      if (new java.io.File(s"$dir/$t.parquet").exists()) t match {
+        case "events" =>
+          Tables.events(spark, dir).createOrReplaceTempView("events")
+        case _ => Tables(spark, dir, t).createOrReplaceTempView(t)
+      }
     }
   }
 

@@ -40,10 +40,12 @@ object Streaming {
   }
 
   /** Run a streaming transform to completion on a memory sink and hand
-    * back the final result. `complete` mode for aggregations (the final
-    * table IS the answer); `append` for row streams.
+    * back the final result — the batch-equivalence harness for bounded
+    * sources (public: useful for any bounded-stream verification).
+    * `complete` mode for aggregations (the final table IS the answer);
+    * `append` for row streams.
     */
-  private def runToEnd(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+  def runToEnd(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val q = df.writeStream
