@@ -9,6 +9,7 @@ object Registry {
     operators.RelationalQueries.all ++
       operators.AsOfJoin.queries ++
       operators.Dedup.all ++
+      operators.DupClusters.all ++
       operators.Similarity.all ++
       operators.TextOps.all ++
       operators.Multimodal.all ++

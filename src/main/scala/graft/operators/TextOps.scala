@@ -100,6 +100,24 @@ object TextOps {
     "zh" -> Seq("的", "是", "了", "在", "人", "有", "我", "他", "这", "中"),
     "ja" -> Seq("のに", "の", "に", "は", "を", "た", "が", "で", "て", "と"))
 
+  /** PII patterns (simple, RE2/Java-identical subsets). */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+  private val PhoneRe = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+
+  /** Append PII counts and a redacted text column — the scrub pass of a
+    * training-data pipeline: one scan, per-row regexes, no shuffle.
+    */
+  def withPiiScan(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailRe)).cast("long"))
+      .withColumn("n_urls", regexp_count(col(textCol), lit(UrlRe)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(col(textCol), lit(PhoneRe)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          EmailRe, "[EMAIL]"), UrlRe, "[URL]"), PhoneRe, "[PHONE]"))
+
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- t01
@@ -231,6 +249,29 @@ object TextOps {
                  ORDER BY tf DESC, df ASC, term) AS rn,
                ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
         FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-      WHERE rn <= 3 ORDER BY doc_id, rn"""))
+      WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ---------------------------------------------------------------- t07
+    // PII scan/redaction: per-doc counts of email/url/phone patterns and
+    // the redacted length. Patterns stay in the RE2∩Java-regex subset so
+    // both engines count identically.
+    GQuery("t07_pii_scan", (s, d) => {
+      withPiiScan(T.documents(s, d))
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          col("n_phones"), length(col("redacted")).cast("long")
+            .as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT)
+               AS n_urls,
+             CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+               AS n_phones,
+             CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+               '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g'),
+               '$PhoneRe', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -71,6 +71,16 @@ class OperatorsSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("connected components merges transitive chains to one cluster") {
+    import graft.operators.DupClusters
+    // planted chain 1-2, 2-3, plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = DupClusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
