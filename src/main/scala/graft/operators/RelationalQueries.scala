@@ -627,6 +627,27 @@ object RelationalQueries {
       SELECT o_orderpriority, COUNT(*) AS n,
              ${sMoneySum(sDec2("l_quantity"))} AS qty
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q35
+    // Keep-latest-version dedup: one row per customer — their most
+    // recent order (recency dedup, the "latest document version" shape
+    // of a training-data pipeline). Window row_number keyed by customer:
+    // one shuffle, no self-join.
+    GQuery("q35_latest_version", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+      WHERE rn = 1 ORDER BY o_custkey"""))
   )
 }

@@ -127,6 +127,29 @@ object Sources {
              ROUND(MAX(o_totalprice), 2) AS totalprice_max,
              COUNT(DISTINCT o_orderstatus) AS status_distinct,
              COUNT(DISTINCT o_custkey) AS custkey_distinct
-      FROM orders"""))
+      FROM orders""")),
+
+    // ---------------------------------------------------------------- s06
+    // Schema evolution: two parquet batches with different schemas (the
+    // second adds a column) read back with mergeSchema — the lake
+    // reality where files accrete columns over time. Old rows surface
+    // NULL for the new column; the merged schema is the union.
+    GQuery("s06_schema_evolution", (s, d) => {
+      val out = scratch("s06")
+      val n = T.nation(s, d)
+      n.filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$out/ev/batch=old")
+      n.filter(col("n_nationkey") >= 13)
+        .select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").as("region_added"))
+        .write.mode("overwrite").parquet(s"$out/ev/batch=new")
+      s.read.option("mergeSchema", "true").parquet(s"$out/ev")
+        .select(col("n_nationkey"), col("n_name"), col("region_added"))
+        .orderBy(col("n_nationkey"))
+    }, Some("""
+      SELECT n_nationkey, n_name,
+             CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS region_added
+      FROM nation ORDER BY n_nationkey"""))
   )
 }
