@@ -24,11 +24,17 @@ object DupClusters {
     * the iteration; convergence usually ends it earlier.
     */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    // Iterative plans grow lineage every round, and the per-round
+    // convergence count would re-execute the whole chain — so each
+    // round's labels are localCheckpoint'ed (materialized to executor
+    // storage, lineage truncated): the GraphX-style pattern every
+    // large-scale iterative Spark algorithm uses.
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
+      .localCheckpoint() // reused every round
     val vertices = sym.select(col("a").as("id")).distinct()
-    var labels = vertices.withColumn("cluster", col("id"))
+    var labels = vertices.withColumn("cluster", col("id")).localCheckpoint()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -42,6 +48,7 @@ object DupClusters {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
             .as("cluster"))
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"),
           Seq("id"))
         .filter(col("cluster") =!= col("old")).limit(1).count()
