@@ -132,6 +132,28 @@ object Streaming {
         .orderBy(col("user_id"), col("event_type"), col("ts"))
     }, Some("""
       SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-      FROM events ORDER BY user_id, event_type, ts"""))
+      FROM events ORDER BY user_id, event_type, ts""")),
+
+    // --------------------------------------------------------------- st04
+    // Stream–static join: the event stream enriched against the static
+    // customer dim (planner broadcasts the dim into every micro-batch),
+    // then aggregated per market segment. The canonical streaming
+    // enrichment shape: dim lookup costs no stream-side shuffle.
+    GQuery("st04_stream_static_join", (s, d) => {
+      val dim = T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double").as("total"))
+      runToEnd(s, joined, "complete")
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }, Some("""
+      SELECT c_mktsegment, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type
+      ORDER BY c_mktsegment, event_type"""))
   )
 }
