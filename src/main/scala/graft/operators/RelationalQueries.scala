@@ -648,6 +648,30 @@ object RelationalQueries {
         SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders)
-      WHERE rn = 1 ORDER BY o_custkey"""))
+      WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------------- q36
+    // Correlated aggregate filter (TPC-H Q17 shape): lineitems whose
+    // quantity is below 20% of their part's average. The correlated
+    // scalar subquery decorrelates to one per-part aggregate joined
+    // back — one extra scan + one keyed shuffle, never per-row
+    // subquery execution.
+    GQuery("q36_correlated_agg", (s, d) => {
+      val l = T.lineitem(s, d)
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
+          .as("qty_cut"))
+      l.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg(
+          moneySum(dec2(col("l_extendedprice"))).as("total_price"),
+          count(lit(1)).as("n"))
+    }, Some(s"""
+      SELECT ${sMoneySum(sDec2("l_extendedprice"))} AS total_price,
+             COUNT(*) AS n
+      FROM lineitem l
+      WHERE l_quantity < (
+        SELECT CAST(SUM(${sDec2("l_quantity")}) AS DOUBLE) / COUNT(*) * 0.2
+        FROM lineitem WHERE l_partkey = l.l_partkey)"""))
   )
 }

@@ -150,6 +150,32 @@ object Sources {
     }, Some("""
       SELECT n_nationkey, n_name,
              CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS region_added
-      FROM nation ORDER BY n_nationkey"""))
+      FROM nation ORDER BY n_nationkey""")),
+
+    // ---------------------------------------------------------------- s07
+    // Compression codecs: write the same table as zstd and snappy and
+    // read both back — codec choice is a file-level property, invisible
+    // to readers, and the lake knob that trades CPU for storage at
+    // 100 TB. Result: both copies union to exactly 2× the source rows.
+    GQuery("s07_codec_roundtrip", (s, d) => {
+      val out = scratch("s07")
+      val src = T.supplier(s, d)
+      src.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$out/zstd")
+      src.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$out/snappy")
+      s.read.parquet(s"$out/zstd")
+        .withColumn("codec", lit("zstd"))
+        .unionByName(s.read.parquet(s"$out/snappy")
+          .withColumn("codec", lit("snappy")))
+        .select(col("codec"), col("s_suppkey"), col("s_name"),
+          col("s_nationkey"))
+        .orderBy(col("codec"), col("s_suppkey"))
+    }, Some("""
+      SELECT codec, s_suppkey, s_name, s_nationkey FROM (
+        SELECT 'zstd' AS codec, * FROM supplier
+        UNION ALL
+        SELECT 'snappy' AS codec, * FROM supplier)
+      ORDER BY codec, s_suppkey"""))
   )
 }
