@@ -672,6 +672,72 @@ object RelationalQueries {
       FROM lineitem l
       WHERE l_quantity < (
         SELECT CAST(SUM(${sDec2("l_quantity")}) AS DOUBLE) / COUNT(*) * 0.2
-        FROM lineitem WHERE l_partkey = l.l_partkey)"""))
+        FROM lineitem WHERE l_partkey = l.l_partkey)""")),
+
+    // ---------------------------------------------------------------- q37
+    // Nested EXISTS + NOT EXISTS (TPC-H Q21 shape): suppliers whose
+    // lineitems belong to multi-supplier orders where no OTHER supplier
+    // shipped later. Both correlated subqueries decorrelate to semi/anti
+    // joins keyed on the order — shuffles on o_orderkey, no per-row
+    // subquery execution.
+    GQuery("q37_multi_exists", (s, d) => {
+      val l = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+        col("l_shipdate").as("d2"))
+      val base = l
+        .join(others,
+          col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+      val late = base
+        .join(others,
+          col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2") &&
+            col("d2") > col("l_shipdate"),
+          "left_anti")
+      late.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_waiting"))
+        .orderBy(col("n_waiting").desc, col("l_suppkey"))
+        .limit(20)
+    }, Some("""
+      SELECT l_suppkey, COUNT(*) AS n_waiting
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM lineitem x
+              WHERE x.l_orderkey = l.l_orderkey
+                AND x.l_suppkey <> l.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem y
+              WHERE y.l_orderkey = l.l_orderkey
+                AND y.l_suppkey <> l.l_suppkey
+                AND y.l_shipdate > l.l_shipdate)
+      GROUP BY l_suppkey ORDER BY n_waiting DESC, l_suppkey LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q38
+    // Scalar subquery + anti join (TPC-H Q22 shape): segment stats for
+    // above-average-balance customers with no orders. The global average
+    // is one tiny aggregate broadcast as a scalar; the NOT EXISTS is a
+    // left-anti join on the customer key.
+    GQuery("q38_global_avg_anti", (s, d) => {
+      val c = T.customer(s, d)
+      val avgBal = c.filter(col("c_acctbal") > 0.0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(T.orders(s, d)
+            .filter(col("o_orderdate") >= ts("2000-07-01 00:00:00")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          moneySum(dec2(col("c_acctbal"))).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             ${sMoneySum(sDec2("c_acctbal"))} AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(${sDec2("c_acctbal")}) AS DOUBLE) / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }
