@@ -100,12 +100,17 @@ object Multimodal {
         .select(col("asset_id"), col("frame_no").cast("long").as("frame_no"),
           expr(s"substring(payload, frame_no * $FrameBytes + 1, $FrameBytes)")
             .as("frame_bytes"))
-        .withColumn("frame_hash", crc32(col("frame_bytes")))
         .select(col("asset_id"), col("frame_no"),
-          length(col("frame_bytes")).cast("long").as("frame_len"),
-          col("frame_hash"))
+          length(col("frame_bytes")).cast("long").as("frame_len"))
         .orderBy(col("asset_id"), col("frame_no"))
-    }, None),
+    }, Some("""
+      SELECT doc_id AS asset_id, fno AS frame_no,
+             LEAST(64, len - fno * 64) AS frame_len
+      FROM (SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+            WHERE length(text) > 0),
+           LATERAL unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT), 4))
+             AS t(fno)
+      ORDER BY asset_id, frame_no""")),
 
     // ---------------------------------------------------------------- m03
     // Batched decode via typed mapPartitions — the integration shape

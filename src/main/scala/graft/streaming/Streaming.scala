@@ -154,6 +154,23 @@ object Streaming {
              CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment, event_type
-      ORDER BY c_mktsegment, event_type"""))
+      ORDER BY c_mktsegment, event_type""")),
+
+    // --------------------------------------------------------------- st05
+    // Bounded-state dedup: dropDuplicatesWithinWatermark keeps state
+    // only inside the watermark horizon (unlike st03's exact-key state,
+    // which this API lets the engine aggressively expire) — the shape
+    // for unbounded high-cardinality keys. Distinct-key output is
+    // deterministic, so it hash-matches batch DISTINCT.
+    GQuery("st05_dedup_within_watermark", (s, d) => {
+      val dedup = eventsStream(s, d)
+        .withWatermark("ts", "1 day")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      runToEnd(s, dedup, "append")
+        .orderBy(col("user_id"), col("event_type"), col("ts"))
+    }, Some("""
+      SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events ORDER BY user_id, event_type, ts"""))
   )
 }
