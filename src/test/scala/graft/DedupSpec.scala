@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Synthetic corpus with planted structure: 1↔2 near-dups (small edit),
+  // 3 = exact copy of 1, 4..40 unrelated docs.
+  private def corpus = {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 76).map(i => s"w$i") ++ Seq("x", "y", "z", "q"))
+      .mkString(" ")
+    val rows = Seq(1L -> base, 2L -> near, 3L -> base) ++
+      (4L to 40L).map(i => i -> (1 to 60).map(j => s"u${i}_$j").mkString(" "))
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair, not random pairs") {
+    val pairs = Dedup.minhashCandidatePairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact copy 1-3 must collide on every band; near pair 1-2 and its
+    // transitive 2-3 on most; nothing else shares a band.
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 3L)) == 16L)
+    assert(byPair.getOrElse((1L, 2L), 0L) >= 4L)
+    assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
+  }
+
+  test("ngram Jaccard ranks exact copy above near-dup, in [0,1]") {
+    val j = Dedup.ngramJaccard(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 3L)) == 1.0)
+    assert(j((1L, 2L)) > 0.8 && j((1L, 2L)) < 1.0)
+  }
+
+  test("exactDedup keeps min id and counts the copy group") {
+    val groups = Dedup.exactDedup(corpus)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(1L) == 2L) // docs 1 and 3 share content, keep id 1
+    assert(!groups.contains(3L))
+  }
+
+  test("simhashPairs hamming for the exact copy is zero") {
+    val pairs = Dedup.simhashPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 3L)) == 0L)
+    assert(pairs((1L, 2L)) <= 24L)
+  }
+}
