@@ -465,14 +465,18 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q24
     GQuery("q24_decimal_agg", (s, d) => {
       val li = T.lineitem(s, d)
+      // Arithmetic stays exact-decimal; final sums are cast to int64-backed
+      // DECIMAL(18,x) — precision-38 (int128-backed) outputs hash
+      // differently across engines even when values are bit-identical,
+      // and 18 digits holds these sums up to SF ~1e4.
       li.groupBy(col("l_returnflag"))
-        .agg(sum(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_qty"),
-          sum(revenue(li)).cast("decimal(38,4)").as("sum_rev"))
+        .agg(sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(revenue(li)).cast("decimal(18,4)").as("sum_rev"))
         .orderBy(col("l_returnflag"))
     }, Some(s"""
       SELECT l_returnflag,
-             CAST(SUM(${sDec2("l_quantity")}) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(SUM($sRevenue) AS DECIMAL(38,4)) AS sum_rev
+             CAST(SUM(${sDec2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM($sRevenue) AS DECIMAL(18,4)) AS sum_rev
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---------------------------------------------------------------- q25

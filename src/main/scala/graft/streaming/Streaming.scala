@@ -13,11 +13,21 @@ import graft.{GQuery, Tables => T}
   * final table. On a cluster the identical plan runs unbounded against a
   * live source — `readStream` is the only line that changes.
   *
-  * Scale notes (100 TB / unbounded): state is keyed and bounded —
-  * st01's window state is |event_type| × |open windows|; st02's session
-  * state expires via watermark; st03's dedup state holds only keys
-  * inside the watermark horizon. All three shuffle once on their state
-  * key, which is exactly the minimum for stateful streaming.
+  * Scale notes (100 TB / unbounded): every stateful query runs in
+  * `append` mode behind a watermark, so state is evicted as windows /
+  * sessions / dedup horizons close — nothing grows with stream length.
+  * st01's live state is |event_type| × |open windows|; st02's is open
+  * sessions only; st03/st05 hold keys inside the watermark horizon.
+  * `complete` mode survives only in st04, where the result itself is a
+  * bounded dim-sized table (|segment| × |event_type|) — the one shape
+  * where complete-mode state is legitimately O(result). All queries
+  * shuffle once on their state key, the minimum for stateful streaming.
+  *
+  * Append-mode batch equivalence: a bounded stream's append output is
+  * the set of windows CLOSED at end-of-stream (window end ≤ final
+  * watermark = max event time − delay). The oracles encode exactly that
+  * predicate, so the parity check verifies Spark's eviction semantics
+  * rather than papering over them with complete mode.
   */
 object Streaming {
 
@@ -63,34 +73,47 @@ object Streaming {
 
     // --------------------------------------------------------------- st01
     // Tumbling 1-hour window aggregation per event_type: the canonical
-    // streaming agg. Batch-equivalent oracle: date_trunc buckets.
+    // streaming agg, in append mode behind a 1-hour watermark — window
+    // state is evicted (and emitted) as the watermark passes each
+    // window's end, so state never grows with stream length. Oracle:
+    // date_trunc buckets restricted to windows closed at end-of-stream
+    // (window end ≤ max(ts) − 1 hour).
     GQuery("st01_windowed_agg", (s, d) => {
       val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("total"))
-      runToEnd(s, agg, "complete")
+      runToEnd(s, agg, "append")
         .select(col("window.start").as("w_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy(col("w_start"), col("event_type"))
     }, Some("""
-      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
-      FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+      SELECT * FROM (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2)
+      WHERE w_start + INTERVAL 1 HOUR
+              <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)
+      ORDER BY w_start, event_type""")),
 
     // --------------------------------------------------------------- st02
-    // Gap-based sessionization: session_window(ts, 30 min) per user.
-    // Oracle: the batch gaps-and-islands formulation — a session starts
-    // where the gap from the previous event is >= 30 min; session end is
-    // last event + gap (Spark's session_window end semantics).
+    // Gap-based sessionization: session_window(ts, 30 min) per user, in
+    // append mode behind a 1-hour watermark — a session is emitted (and
+    // its state dropped) once the watermark passes its end, so live
+    // state is open sessions only. Oracle: the batch gaps-and-islands
+    // formulation — a session starts where the gap from the previous
+    // event is >= 30 min; session end is last event + gap (Spark's
+    // session_window end semantics) — restricted to sessions closed at
+    // end-of-stream (session end ≤ max(ts) − 1 hour).
     GQuery("st02_sessionize", (s, d) => {
       val sess = eventsStream(s, d)
-        .withWatermark("ts", "1 day")
+        .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(20,6)")).cast("double").as("session_value"))
-      runToEnd(s, sess, "complete")
+      runToEnd(s, sess, "append")
         .select(col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"),
           col("user_id"), col("n_events"), col("session_value"))
@@ -111,11 +134,14 @@ object Streaming {
                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                  ROWS UNBOUNDED PRECEDING) AS sess_id
         FROM e)
-      SELECT MIN(ts) AS s_start,
-             MAX(ts) + INTERVAL 30 MINUTE AS s_end,
-             user_id, COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS session_value
-      FROM g GROUP BY user_id, sess_id
+      SELECT * FROM (
+        SELECT MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+               user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS session_value
+        FROM g GROUP BY user_id, sess_id)
+      WHERE s_end <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+                      FROM events)
       ORDER BY user_id, s_start""")),
 
     // --------------------------------------------------------------- st03
