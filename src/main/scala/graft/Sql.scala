@@ -19,18 +19,27 @@ object Sql {
   private val TableNames = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Which dir each session's views currently point at — open() is called
+  // on every run() and must not rebuild ten view definitions each time.
+  private val openedDirs =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
   /** Register every test table under its name as a temp view, plus the
-    * graft_* native functions (FunctionRegistry). Idempotent.
+    * graft_* native functions (FunctionRegistry). Idempotent: a repeat
+    * call with the session's current dir is a no-op; a DIFFERENT dir
+    * re-points the views at the new lake.
     */
   def open(spark: SparkSession, dir: String): Unit = {
-    GraftExtensions.installInto(spark)
-    TableNames.foreach { t =>
-      // Register whatever the lake dir actually has; a partial lake
-      // still gets a working session for its present tables.
-      if (new java.io.File(s"$dir/$t.parquet").exists()) t match {
-        case "events" =>
-          Tables.events(spark, dir).createOrReplaceTempView("events")
-        case _ => Tables(spark, dir, t).createOrReplaceTempView(t)
+    if (openedDirs.put(System.identityHashCode(spark), dir) != dir) {
+      GraftExtensions.installInto(spark)
+      TableNames.foreach { t =>
+        // Register whatever the lake dir actually has; a partial lake
+        // still gets a working session for its present tables.
+        if (new java.io.File(s"$dir/$t.parquet").exists()) t match {
+          case "events" =>
+            Tables.events(spark, dir).createOrReplaceTempView("events")
+          case _ => Tables(spark, dir, t).createOrReplaceTempView(t)
+        }
       }
     }
   }
@@ -73,7 +82,58 @@ object Sql {
                  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
           FROM orders)
-        WHERE rnk <= 2 ORDER BY o_custkey, rnk""")
+        WHERE rnk <= 2 ORDER BY o_custkey, rnk"""),
+
+      // -------------------------------------------------------------- x04
+      // Correlated scalar-aggregate subquery (TPC-H Q17 shape), handed
+      // to Spark AS TEXT: unlike q36 (hand-decorrelated DataFrame plan),
+      // here Spark's own analyzer must rewrite the per-row subquery into
+      // a per-part aggregate + join — the parser→binder→decorrelation
+      // path is the thing under test, against DuckDB running the same
+      // rewrite on the identical string.
+      passthrough("x04_sql_correlated_scalar", """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price,
+               COUNT(*) AS n
+        FROM lineitem l
+        WHERE l_quantity < (
+          SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(*) * 0.2
+          FROM lineitem WHERE l_partkey = l.l_partkey)"""),
+
+      // -------------------------------------------------------------- x05
+      // Nested EXISTS + NOT EXISTS (TPC-H Q21 shape) as text: Spark's
+      // analyzer turns both correlated predicates into semi/anti joins
+      // keyed on the order — no per-row subquery execution survives in
+      // the physical plan (asserted by SqlSpec).
+      passthrough("x05_sql_exists_anti", """
+        SELECT l_suppkey, COUNT(*) AS n_waiting
+        FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM lineitem x
+                WHERE x.l_orderkey = l.l_orderkey
+                  AND x.l_suppkey <> l.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem y
+                WHERE y.l_orderkey = l.l_orderkey
+                  AND y.l_suppkey <> l.l_suppkey
+                  AND y.l_shipdate > l.l_shipdate)
+        GROUP BY l_suppkey ORDER BY n_waiting DESC, l_suppkey LIMIT 20"""),
+
+      // -------------------------------------------------------------- x06
+      // Uncorrelated scalar subquery + correlated NOT EXISTS in one
+      // statement (TPC-H Q22 shape) as text: the scalar becomes a
+      // broadcast one-row join, the NOT EXISTS a left-anti join.
+      passthrough("x06_sql_scalar_anti", """
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     / COUNT(*)
+            FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     )
   }
 }

@@ -19,13 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  /** The conf key that lets the parquet reader surface TIMESTAMP(NANOS)
+    * columns as longs. This HAS to be a session conf: Spark's
+    * ParquetFileFormat.buildReaderWithPartitionValues re-sets this key
+    * into the scan's hadoop conf from the SESSION conf when it builds
+    * the per-file reader, clobbering any per-read `.option(...)` — a
+    * read option works for schema inference but fails at execution
+    * (PARQUET_TYPE_ILLEGAL).
+    */
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
     * natively (max precision: micros). Read nanos as long and truncate
     * to micros — exactly what DuckDB's read of the same file yields, so
-    * oracle comparisons stay bit-identical.
+    * oracle comparisons stay bit-identical. Setting the session conf
+    * here is unavoidable (see [[NanosAsLong]]); it is additive-only and
+    * idempotent, and production sessions should set it at build time.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set(NanosAsLong, "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

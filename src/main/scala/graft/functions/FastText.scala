@@ -131,6 +131,13 @@ object FastText {
     */
   case class LangScore(child: Expression, profiles: Seq[(String, Seq[String])])
       extends UnaryExpression {
+    // Guard at construction: an empty profile list would emit a null lang
+    // into a non-nullable struct field, and an empty n-gram profile would
+    // divide by zero into NaN scores.
+    require(profiles.nonEmpty, "graft_lang_score: profiles must be non-empty")
+    require(profiles.forall(_._2.nonEmpty),
+      s"graft_lang_score: every language profile needs >=1 n-gram " +
+        s"(empty: ${profiles.filter(_._2.isEmpty).map(_._1).mkString(",")})")
     private lazy val langsArr: Array[UTF8String] =
       profiles.map(p => UTF8String.fromString(p._1)).toArray
     private lazy val profArr: Array[Array[String]] =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Glue
@@ -20,9 +20,16 @@ object FastVector {
 
   private val RT = "graft.functions.FastVectorRuntime"
 
-  /** Σ aᵢ·bᵢ over two array<double> columns, primitive loop. */
+  /** Σ aᵢ·bᵢ over two array<double> columns, primitive loop. Mismatched
+    * lengths raise at runtime (silent min-length truncation would make a
+    * wrong similarity look plausible); non-array / non-double inputs are
+    * an analysis error — graft_dot is SQL-exposed via GraftExtensions,
+    * so type errors must surface at analysis, not as ClassCastException.
+    */
   case class Dot(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[Glue.AbstractType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
     override protected def nullSafeEval(l: Any, r: Any): Any =
@@ -39,7 +46,10 @@ object FastVector {
     * Bucket t equals VectorOps.hyperplaneBucket(vec, planes(t)).
     */
   case class HyperplaneBuckets(child: Expression,
-      planes: Seq[Seq[Seq[Double]]]) extends UnaryExpression {
+      planes: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[Glue.AbstractType] =
+      Seq(ArrayType(DoubleType))
     private lazy val flat: Array[Array[Array[Double]]] =
       planes.map(_.map(_.toArray).toArray).toArray
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -58,7 +68,10 @@ object FastVector {
   /** L2-normalize an array<float|double> into array<double>; zero
     * vectors map to zeros. Equals VectorOps.normalize.
     */
-  case class NormalizeVec(child: Expression) extends UnaryExpression {
+  case class NormalizeVec(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[Glue.AbstractType] =
+      Seq(Glue.typeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
     // lazy: the child's dataType resolves only after analysis
     private lazy val isFloat = child.dataType match {
       case ArrayType(FloatType, _) => true

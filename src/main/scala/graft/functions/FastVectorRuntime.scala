@@ -10,10 +10,12 @@ object FastVectorRuntime {
   def dot(l: ArrayData, r: ArrayData): Double = {
     val a = l.toDoubleArray()
     val b = r.toDoubleArray()
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch (${a.length} vs ${b.length})")
     var acc = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
     acc
   }
 

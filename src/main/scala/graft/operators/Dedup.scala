@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 import graft.functions.{FastText, FastVector, TextHash, VectorOps}
+import graft.util.Scale
 
 /** Deduplication for training-data pipelines.
   *
@@ -42,17 +43,14 @@ object Dedup {
   private def minhashBandTable(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val sig = FastText.minhashSig(col(textCol), ShingleN, permA, permB)
-    // Redistribute BEFORE the CPU-heavy signature: a low-parallelism
-    // scan (e.g. the single-row-group test file) must not serialize the
-    // hashing. At lake scale the scan is already many tasks and this
-    // exchange is one linear pass, dominated by the O(tokens×perms)
-    // hashing it unlocks.
+    // Scale.widen BEFORE the CPU-heavy signature: a low-parallelism scan
+    // (e.g. the single-row-group test file) must not serialize the
+    // hashing, but a well-split lake scan passes through with no exchange.
     // Two projections: band extraction references `sig` 16 times (once
     // per band slice); materializing the signature first keeps it ONE
     // evaluation per row instead of 16 (CollapseProject keeps multiply-
     // referenced non-cheap projections separate).
-    docs
-      .repartition(col(idCol))
+    Scale.widen(docs, col(idCol))
       .select(col(idCol).as("doc_id"), sig.as("sig"))
       .select(col("doc_id"),
         posexplode(TextHash.lshBands(col("sig"), NBands, BandRows))
@@ -82,8 +80,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 24): DataFrame = {
-    val sigs = docs
-      .repartition(col(idCol)) // parallelize hashing past low-task scans
+    val sigs = Scale.widen(docs, col(idCol)) // no-op on well-split scans
       .select(col(idCol).as("doc_id"),
         FastText.simhash64(col(textCol)).as("sim"))
     val bands = sigs.select(col("doc_id"), col("sim"),
@@ -107,8 +104,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sets = docs
-      .repartition(col(idCol)) // parallelize shingling past low-task scans
+    val sets = Scale.widen(docs, col(idCol)) // no-op on well-split scans
       .select(col(idCol).as("doc_id"),
         FastText.distinctShingles(col(textCol), ShingleN).as("sh"))
     minhashCandidatePairs(docs, idCol, textCol)
@@ -124,13 +120,19 @@ object Dedup {
   /** Pairs of embeddings with cosine > θ (the near-dup contract), found
     * via hyperplane-LSH candidate buckets — never all-pairs. `limit <= 0`
     * returns every qualifying pair.
+    *
+    * `dim` MUST cover the embedding dimensionality: planes are sampled
+    * in `dim` dimensions, and a vector longer than `dim` is bucketed on
+    * only its first `dim` components — silently degraded recall.
+    * `tables`×`nBits` is the recall/cost dial (more tables → higher
+    * recall, more candidate pairs), as in [[Similarity.lshTopK]].
     */
   def embeddingNearDup(embeddings: DataFrame, theta: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      limit: Int = 0): DataFrame = {
-    val tables = 4
+      limit: Int = 0, dim: Int = 64, tables: Int = 4,
+      nBits: Int = 8): DataFrame = {
     val planes = (0 until tables).map(t =>
-      VectorOps.makePlanes(seed = 100 + t, nBits = 8, dim = 64))
+      VectorOps.makePlanes(seed = 100 + t, nBits = nBits, dim = dim))
     val base = embeddings.select(col(idCol).as("vec_id"),
       FastVector.normalize(col(vecCol)).as("nv"))
     val bucketed = base.select(col("vec_id"), col("nv"),

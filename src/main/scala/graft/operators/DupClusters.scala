@@ -12,18 +12,22 @@ import graft.{GQuery, Tables => T}
   *
   * Algorithm: iterative min-label propagation (the join-based
   * large-scale connected-components formulation). Each round is one
-  * keyed join + one groupBy-min — both linear shuffles; rounds ≤
-  * O(log diameter) for real dup graphs (tiny diameters), with a
-  * fixpoint check per round (a scalar count — the standard driver-side
-  * convergence test for iterative algorithms; no data is collected).
+  * keyed join + one groupBy-min — both linear shuffles. The minimum
+  * label spreads one hop per round, so convergence needs O(graph
+  * diameter) rounds — real dup graphs have tiny diameters (stars and
+  * short chains), but the loop verifies the fixpoint (a scalar count,
+  * no data collected) and THROWS if the round budget runs out rather
+  * than silently returning a partially-merged labeling.
   */
 object DupClusters {
 
   /** Connected components over an (a, b) edge list; returns
     * (id, cluster) where cluster = min id reachable. `maxRounds` bounds
-    * the iteration; convergence usually ends it earlier.
+    * the iteration (propagation needs O(diameter) rounds); if the graph
+    * fails to converge within the budget this THROWS — an unconverged
+    * labeling splits one component into several with no other signal.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
     // Iterative plans grow lineage every round, and the per-round
     // convergence count would re-execute the whole chain — so each
     // round's labels are localCheckpoint'ed (materialized to executor
@@ -56,6 +60,10 @@ object DupClusters {
       converged = changed == 0
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxRounds rounds — " +
+          s"graph diameter exceeds the round budget; raise maxRounds")
     labels
   }
 

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
+import graft.util.Scale
 
 /** Typed rows for the batched-decode path (m03). */
 case class RawAsset(asset_id: Long, payload: Array[Byte])
@@ -121,8 +122,7 @@ object Multimodal {
     // This is the Scala analog of a batched pandas-UDF decode.
     GQuery("m03_batch_decode", (s, d) => {
       import s.implicits._
-      val raw = assets(s, d)
-        .repartition(col("asset_id")) // spread decode work across tasks
+      val raw = Scale.widen(assets(s, d), col("asset_id"))
         .select(col("asset_id"), col("payload"))
         .as[RawAsset]
       raw.mapPartitions { it =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 import graft.functions.{FastText, TextHash}
+import graft.util.Scale
 
 /** Text analysis for training-data pipelines: token counting, quality
   * scoring, language ID, fingerprinting, corpus n-gram stats, TF-IDF.
@@ -215,8 +216,7 @@ object TextOps {
     // shuffle is the final groupBy on the n-gram key — partial (map-side)
     // aggregation keeps reduce traffic ∝ |vocab²|, not |corpus|.
     GQuery("t05_ngram_stats", (s, d) => {
-      ngramStats(T.documents(s, d)
-          .repartition(col("doc_id"))) // parallelize past the 1-task scan
+      ngramStats(Scale.widen(T.documents(s, d), col("doc_id")))
         .orderBy(col("n").desc, col("ngram"))
         .limit(100)
     }, Some("""
@@ -235,7 +235,7 @@ object TextOps {
     // two keyed aggs (term df is |vocab|-sized), doc-count scalar
     // broadcasts, final per-doc window over ≤|terms-per-doc| rows.
     GQuery("t06_tfidf", (s, d) => {
-      tfidfTopTerms(T.documents(s, d).repartition(col("doc_id")))
+      tfidfTopTerms(Scale.widen(T.documents(s, d), col("doc_id")))
         .orderBy(col("doc_id"), col("rn"))
     }, Some("""
       WITH terms AS (

@@ -1,10 +1,9 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
+import graft.util.Scratch
 
 /** Sources / sinks: the lake-IO surface of the engine. The reference's
   * core capability is "an OLAP engine reading Parquet/CSV/JSON from a
@@ -24,9 +23,10 @@ import graft.{GQuery, Tables => T}
   */
 object Sources {
 
-  /** Fresh scratch dir per call; driver may invoke concurrently. */
-  private def scratch(tag: String): String =
-    Files.createTempDirectory(s"graft_$tag").toString
+  /** Fresh scratch dir per call (deleted at JVM exit — see
+    * [[graft.util.Scratch]]); driver may invoke concurrently.
+    */
+  private def scratch(tag: String): String = Scratch.dir(tag)
 
   val all: Seq[GQuery] = Seq(
 

@@ -1,10 +1,9 @@
 package graft.streaming
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
+import graft.util.Scratch
 
 /** Structured Streaming over the `events` table, with batch-equivalent
   * semantics so results are oracle-checkable: each query reads the same
@@ -36,7 +35,6 @@ object Streaming {
     * batch answers are comparable bit-for-bit.
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = T.events(s, d).schema // micros ts, post-truncation
     // File-stream sources list a directory; select just the events file
     // via glob (at production scale this is the events/ lake prefix).
@@ -44,6 +42,7 @@ object Streaming {
       .schema(schema.copy(fields = schema.fields.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
         else f)))
+      .option(T.NanosAsLong, "true") // per-read, not session-mutating
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -57,7 +56,7 @@ object Streaming {
     */
   def runToEnd(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val ckpt = Scratch.dir("ckpt") // deleted at JVM exit
     val q = df.writeStream
       .format("memory")
       .queryName(name)

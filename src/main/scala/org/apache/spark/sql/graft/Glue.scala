@@ -12,6 +12,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * bytecode tricks, just the documented classic converter).
   */
 object Glue {
+  /** Re-export of the `private[sql]` abstract-type lattice so graft
+    * expressions can declare `inputTypes` (ExpectsInputTypes) — Spark 4
+    * hides AbstractDataType/TypeCollection from library code.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  /** An input slot accepting any one of `types` (e.g. array<float> OR
+    * array<double>).
+    */
+  def typeCollection(types: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(types: _*)
+
   /** Wrap a Catalyst expression as a user-facing Column. */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
