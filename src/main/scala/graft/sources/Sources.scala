@@ -176,6 +176,47 @@ object Sources {
         SELECT 'zstd' AS codec, * FROM supplier
         UNION ALL
         SELECT 'snappy' AS codec, * FROM supplier)
-      ORDER BY codec, s_suppkey"""))
+      ORDER BY codec, s_suppkey""")),
+
+    // ---------------------------------------------------------------- s08
+    // Open-table-format round trip on the Delta log protocol
+    // (DeltaLite): create → append → copy-on-write DELETE, then read
+    // the live snapshot. The oracle computes the same final state from
+    // the source table, so the whole log-replay + file-pruning path is
+    // hash-checked.
+    GQuery("s08_delta_snapshot", (s, d) => {
+      val table = s"${scratch("s08")}/customer_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.filter(col("c_custkey") <= 750))
+      DeltaLite.append(s, table, c.filter(col("c_custkey") > 750))
+      DeltaLite.deleteWhere(s, table, col("c_mktsegment") === "BUILDING")
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_mktsegment <> 'BUILDING'
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s09
+    // Time travel: after the same create/append/delete history, read
+    // version 0 — the snapshot BEFORE the append and the delete. Replay
+    // stops at the requested commit, so later adds/removes are
+    // invisible: the defining read capability of a versioned lake table.
+    GQuery("s09_delta_time_travel", (s, d) => {
+      val table = s"${scratch("s09")}/customer_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.filter(col("c_custkey") <= 750))
+      DeltaLite.append(s, table, c.filter(col("c_custkey") > 750))
+      DeltaLite.deleteWhere(s, table, col("c_mktsegment") === "BUILDING")
+      DeltaLite.snapshot(s, table, version = 0L)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey <= 750
+      ORDER BY c_custkey"""))
   )
 }
