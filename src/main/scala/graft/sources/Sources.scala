@@ -217,6 +217,66 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey <= 750
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s10
+    // Copy-on-write MERGE (upsert): update keys ≤100 (balance doubled),
+    // insert keys >1000 — only the files holding matched keys are
+    // rewritten. Oracle reconstructs the post-merge state with a CASE.
+    GQuery("s10_delta_merge", (s, d) => {
+      val table = s"${scratch("s10")}/customer_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.filter(col("c_custkey") <= 1000))
+      val source = c.filter(col("c_custkey") <= 100)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(c.filter(col("c_custkey") > 1000))
+      DeltaLite.merge(s, table, source, Seq("c_custkey"))
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey <= 100 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s11
+    // OPTIMIZE/compaction: 8 small files bin-packed into 1, content
+    // unchanged (adds+removes carry dataChange=false per the protocol).
+    GQuery("s11_delta_compact", (s, d) => {
+      val table = s"${scratch("s11")}/customer_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.repartition(8))
+      DeltaLite.compact(s, table, targetFiles = 1)
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s12
+    // Stats-based data skipping: range-clustered files (disjoint
+    // c_custkey ranges via repartitionByRange), then a selective scan —
+    // files whose [min,max] misses the predicate are never opened
+    // (DeltaLiteSpec asserts kept < total). The answer must still be
+    // exact, which the oracle hash-checks.
+    GQuery("s12_delta_pruned_scan", (s, d) => {
+      val table = s"${scratch("s12")}/customer_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table,
+        c.repartitionByRange(4, col("c_custkey")))
+      DeltaLite.scan(s, table,
+          col("c_custkey") >= 400 && col("c_custkey") <= 600)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey BETWEEN 400 AND 600
       ORDER BY c_custkey"""))
   )
 }

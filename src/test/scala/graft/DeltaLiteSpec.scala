@@ -57,6 +57,67 @@ class DeltaLiteSpec extends SparkSpec {
       .count())
   }
 
+  test("merge updates matched rows, inserts unmatched, leaves " +
+      "untouched files alone") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 20).coalesce(1))
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 20 && col("c_custkey") <= 40).coalesce(1))
+    // Source: update key 1 (double balance), insert key 1000000.
+    val source = c.filter(col("c_custkey") === 1)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .unionByName(c.filter(col("c_custkey") === 1)
+        .withColumn("c_custkey", lit(1000000L)))
+    DeltaLite.merge(spark, t, source, Seq("c_custkey"))
+    val got = DeltaLite.snapshot(spark, t)
+    assert(got.count() == c.filter(col("c_custkey") <= 40).count() + 1)
+    val origBal = c.filter(col("c_custkey") === 1)
+      .head().getAs[Double]("c_acctbal")
+    assert(got.filter(col("c_custkey") === 1)
+      .head().getAs[Double]("c_acctbal") == origBal * 2)
+    assert(got.filter(col("c_custkey") === 1000000L).count() == 1)
+    // Only the file containing key 1 was rewritten: one remove action.
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(log.linesIterator.count(_.contains("\"remove\"")) == 1)
+  }
+
+  test("compact bin-packs files without changing content") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.repartition(6))
+    val before = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    DeltaLite.compact(spark, t, targetFiles = 1)
+    val after = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(after == before)
+    assert(DeltaLite.pruneInfo(spark, t, lit(true))._2 == 1) // 6 → 1 file
+  }
+
+  test("stats-based data skipping prunes non-overlapping files and " +
+      "stays exact") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.repartitionByRange(4, col("c_custkey")))
+    val pred = col("c_custkey") >= 10 && col("c_custkey") <= 20
+    val (kept, total) = DeltaLite.pruneInfo(spark, t, pred)
+    assert(total == 4 && kept < total,
+      s"expected pruning: kept=$kept total=$total")
+    val got = DeltaLite.scan(spark, t, pred)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val want = c.filter(pred).orderBy(col("c_custkey")).collect().toSeq
+    assert(got == want)
+    // String-column stats prune too (segment names don't overlap
+    // an impossible literal), and an un-prunable predicate keeps all.
+    assert(DeltaLite.pruneInfo(spark, t,
+      col("c_mktsegment") === "ZZZ_NO_SUCH")._1 == 0)
+    assert(DeltaLite.pruneInfo(spark, t,
+      col("c_name").contains("x"))._1 == total)
+  }
+
   test("commit creation is exclusive — a version conflict fails clean") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir).limit(5)
