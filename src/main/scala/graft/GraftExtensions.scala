@@ -52,7 +52,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => FastVector.Dot(args.head, args(1))),
     ("graft_normalize",
       "graft_normalize(vec) - L2-normalize a float/double array",
-      (args: Seq[Expression]) => FastVector.NormalizeVec(args.head)))
+      (args: Seq[Expression]) => FastVector.NormalizeVec(args.head)),
+    ("graft_vector_sum",
+      "graft_vector_sum(vec) - aggregate: elementwise sum of double " +
+        "arrays (centroid/mean building block)",
+      (args: Seq[Expression]) => FastVector.VectorSum(args.head)))
 
   /** Register every native function into an existing session (the
     * post-hoc equivalent of building withExtensions — same builders).

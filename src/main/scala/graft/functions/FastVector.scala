@@ -1,9 +1,13 @@
 package graft.functions
 
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Glue
 import org.apache.spark.sql.types._
 
@@ -88,6 +92,79 @@ object FastVector {
       copy(child = c)
   }
 
+  /** Elementwise sum of array<double> vectors as ONE typed aggregate —
+    * the centroid/mean building block. The alternative plan shape
+    * (posexplode to (id, dim, x) → groupBy(id, dim) → collect_list →
+    * array_sort) multiplies the shuffle by the vector dimension (64×
+    * the rows at dim 64); this aggregate keeps one partial-aggregated
+    * buffer of `dim` doubles per group — map-side combine works, and
+    * shuffle traffic is |groups| × dim, independent of corpus size.
+    */
+  case class VectorSum(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Double]]
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[Glue.AbstractType] =
+      Seq(ArrayType(DoubleType))
+    override def children: Seq[Expression] = Seq(child)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_vector_sum"
+
+    // Empty array = "no input yet"; sized lazily from the first vector.
+    override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+    override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+      val v = child.eval(input)
+      if (v == null) return buf
+      val arr = v.asInstanceOf[ArrayData].toDoubleArray()
+      if (buf.isEmpty) arr.clone()
+      else {
+        require(buf.length == arr.length,
+          s"graft_vector_sum: dim mismatch (${buf.length} vs ${arr.length})")
+        var i = 0
+        while (i < buf.length) { buf(i) += arr(i); i += 1 }
+        buf
+      }
+    }
+
+    override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+      if (b1.isEmpty) b2
+      else if (b2.isEmpty) b1
+      else {
+        require(b1.length == b2.length,
+          s"graft_vector_sum: dim mismatch (${b1.length} vs ${b2.length})")
+        var i = 0
+        while (i < b1.length) { b1(i) += b2(i); i += 1 }
+        b1
+      }
+
+    override def eval(buf: Array[Double]): Any =
+      if (buf.isEmpty) null else new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+      bb.putInt(buf.length)
+      buf.foreach(bb.putDouble)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Double] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val out = new Array[Double](bb.getInt())
+      var i = 0
+      while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): VectorSum =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): VectorSum =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): VectorSum = copy(child = c.head)
+  }
+
   // Column-facing wrappers.
   def dot(a: Column, b: Column): Column =
     Glue.column(Dot(Glue.expression(a), Glue.expression(b)))
@@ -95,4 +172,6 @@ object FastVector {
     Glue.column(HyperplaneBuckets(Glue.expression(vec), planes))
   def normalize(vec: Column): Column =
     Glue.column(NormalizeVec(Glue.expression(vec)))
+  def vectorSum(vec: Column): Column =
+    Glue.column(VectorSum(Glue.expression(vec)).toAggregateExpression())
 }

@@ -26,19 +26,28 @@ object DupClusters {
     * the iteration (propagation needs O(diameter) rounds); if the graph
     * fails to converge within the budget this THROWS — an unconverged
     * labeling splits one component into several with no other signal.
+    *
+    * `reliable = true` switches per-round materialization from
+    * `localCheckpoint` (executor block storage — fast, but an executor
+    * loss mid-run recomputes from nothing) to reliable `checkpoint`
+    * into the session's checkpoint dir (set
+    * `sparkContext.setCheckpointDir` to a lake path first) — the
+    * production setting for a multi-hour 100 TB run.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30,
+      reliable: Boolean = false): DataFrame = {
     // Iterative plans grow lineage every round, and the per-round
     // convergence count would re-execute the whole chain — so each
-    // round's labels are localCheckpoint'ed (materialized to executor
-    // storage, lineage truncated): the GraphX-style pattern every
-    // large-scale iterative Spark algorithm uses.
-    val sym = edges.select(col("a"), col("b"))
+    // round's labels are checkpointed (materialized, lineage
+    // truncated): the GraphX-style pattern every large-scale iterative
+    // Spark algorithm uses.
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val sym = mat(edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint() // reused every round
+      .distinct()) // reused every round
     val vertices = sym.select(col("a").as("id")).distinct()
-    var labels = vertices.withColumn("cluster", col("id")).localCheckpoint()
+    var labels = mat(vertices.withColumn("cluster", col("id")))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -48,11 +57,10 @@ object DupClusters {
         .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id"))
         .agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      val next = mat(labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
+            .as("cluster")))
       val changed = next.join(labels.withColumnRenamed("cluster", "old"),
           Seq("id"))
         .filter(col("cluster") =!= col("old")).limit(1).count()

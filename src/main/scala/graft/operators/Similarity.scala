@@ -111,16 +111,16 @@ object Similarity {
         .drop("rn", "csim")
     }
 
-    // Lloyd step: mean of member vectors per cluster, re-normalized.
+    // Lloyd step: mean of member vectors per cluster, re-normalized —
+    // normalize(Σv) == normalize(Σv / n), so the count divide drops out.
+    // One typed aggregate (FastVector.VectorSum) with map-side combine:
+    // shuffle traffic is |centroids| × dim buffers, not 64× the corpus
+    // rows the old posexplode formulation paid.
     val assign0 = nearest(corpus, seeds, "vec_id", "nv", "cid0", "cv0", 1)
     val cents = assign0
-      .select(col("cid0").as("cid"), posexplode(col("nv")).as(Seq("dim", "x")))
-      .groupBy(col("cid"), col("dim"))
-      .agg(avg(col("x")).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cid"), FastVector.normalize(
-        transform(col("dm"), e => e.getField("m"))).as("cv"))
+      .groupBy(col("cid0").as("cid"))
+      .agg(FastVector.vectorSum(col("nv")).as("vsum"))
+      .select(col("cid"), FastVector.normalize(col("vsum")).as("cv"))
 
     val assigned = nearest(corpus, cents, "vec_id", "nv", "cid", "cv", 1)
       .select(col("vec_id"), col("nv"), col("cid"))

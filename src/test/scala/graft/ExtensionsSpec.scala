@@ -24,4 +24,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql(1).getLong(1) == viaApi(1).getLong(1))
     assert(viaSql(0).getSeq[Long](2).size == 64)
   }
+
+  test("graft_vector_sum works as a SQL aggregate (GROUP BY + HAVING " +
+      "path through the analyzer)") {
+    GraftExtensions.installInto(spark)
+    import spark.implicits._
+    Seq((1L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)), (2L, Seq(5.0, 6.0)))
+      .toDF("g", "v").createOrReplaceTempView("ext_vecs")
+    val rows = spark.sql("""
+      SELECT g, graft_vector_sum(v) AS s FROM ext_vecs
+      GROUP BY g ORDER BY g""").collect()
+    assert(rows(0).getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(rows(1).getSeq[Double](1) == Seq(5.0, 6.0))
+  }
 }

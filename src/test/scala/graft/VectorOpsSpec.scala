@@ -40,6 +40,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(cs(2) == 0.0) // no NaN on zero vectors
   }
 
+  test("VectorSum aggregate equals the driver-side elementwise sum " +
+      "and ignores nulls") {
+    import graft.functions.FastVector
+    val vecs = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)), (1L, Seq(0.5, -1.0, 4.0)),
+      (2L, Seq(10.0, 0.0, -2.0)))
+    val withNull = vecs.map { case (g, v) => (g, Some(v)) } :+
+      ((1L, None: Option[Seq[Double]]))
+    val got = withNull.toDF("g", "v")
+      .repartition(3) // exercise partial buffers + merge
+      .groupBy(col("g"))
+      .agg(FastVector.vectorSum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(1.5, 1.0, 7.0))
+    assert(got(2L) == Seq(10.0, 0.0, -2.0))
+  }
+
   test("hyperplane bucket: deterministic and within [0, 2^nBits)") {
     val planes = typedLit(VectorOps.makePlanes(seed = 7L, nBits = 8, dim = 4))
     val df = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f), Seq(-1.0f, 2.0f, -0.5f, -3.0f))
