@@ -196,6 +196,35 @@ object Streaming {
         .orderBy(col("user_id"), col("event_type"), col("ts"))
     }, Some("""
       SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-      FROM events ORDER BY user_id, event_type, ts"""))
+      FROM events ORDER BY user_id, event_type, ts""")),
+
+    // --------------------------------------------------------------- st06
+    // Streaming ingest into the open-table-format layer: each
+    // micro-batch commits to a DeltaLite table via foreachBatch (create
+    // on the first batch, append after), and the final snapshot is
+    // hash-checked against the source. On a cluster this is the
+    // continuous lake-ingestion shape — exactly-once per batch via the
+    // streaming checkpoint + the log's atomic commit, with readers
+    // seeing only whole commits.
+    GQuery("st06_stream_delta_sink", (s, d) => {
+      import graft.sources.DeltaLite
+      val table = s"${graft.util.Scratch.dir("st06")}/events_delta"
+      val q = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (DeltaLite.latestVersion(s, table) < 0)
+            DeltaLite.create(s, table, batch.toDF())
+          else DeltaLite.append(s, table, batch.toDF())
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st06ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      DeltaLite.snapshot(s, table)
+        .orderBy(col("user_id"), col("event_type"), col("ts"), col("value"))
+    }, Some("""
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events ORDER BY user_id, event_type, ts, value"""))
   )
 }
