@@ -57,14 +57,17 @@ object DupClusters {
         .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id"))
         .agg(min(col("cluster")).as("nmin"))
+      // Carry the previous label through the checkpointed projection so
+      // the fixpoint check is a plain scan of materialized data — no
+      // extra join (+shuffle) per round just to compare generations.
       val next = mat(labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cluster")))
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"),
-          Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
+            .as("cluster"),
+          col("cluster").as("prev")))
+      val changed = next.filter(col("cluster") =!= col("prev"))
+        .limit(1).count()
+      labels = next.drop("prev")
       converged = changed == 0
       round += 1
     }

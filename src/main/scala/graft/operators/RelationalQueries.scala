@@ -742,6 +742,63 @@ object RelationalQueries {
           FROM customer WHERE c_acctbal > 0.0)
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
               AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
-      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- q39
+    // The remaining ranking-window family: ntile / percent_rank /
+    // cume_dist / first_value / last_value. The window order includes
+    // o_orderkey as a tiebreak — ntile buckets by row position, so a
+    // total order is what makes the result engine-deterministic. One
+    // shuffle on the partition key serves all five functions.
+    GQuery("q39_window_suite", (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      T.orders(s, d).filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_orderkey")).over(w).as("first_k"),
+          last_value(col("o_orderkey")).over(wAll).as("last_k"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderpriority,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd,
+             FIRST_VALUE(o_orderkey) OVER w AS first_k,
+             LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS last_k
+      FROM orders WHERE o_orderkey < 5000
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q40
+    // Stratified sampling with per-stratum rates, via the same
+    // content-hash Bernoulli trick as q31 (portable, rerun-stable,
+    // partitioning-independent): BUILDING at ~25%, everything else at
+    // ~12.5%. The per-row hash costs one md5; no shuffle at all.
+    GQuery("q40_stratified_sample", (s, d) => {
+      val h = substring(md5(col("c_custkey").cast("string")), 1, 1)
+      T.customer(s, d)
+        .filter(when(col("c_mktsegment") === "BUILDING",
+            h.isin("0", "1", "2", "3"))
+          .otherwise(h.isin("0", "1")))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE CASE WHEN c_mktsegment = 'BUILDING'
+                 THEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                        IN ('0','1','2','3')
+                 ELSE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+                        IN ('0','1') END
+      ORDER BY c_custkey"""))
   )
 }
