@@ -608,9 +608,15 @@ object RelationalQueries {
       val NSalt = 8
       val l0 = T.lineitem(s, d)
       // Heavy hitters: keys whose row count could overflow one reducer.
-      // Threshold is tiny here so the hot path actually exercises.
-      val hot = l0.groupBy(col("l_orderkey").as("hk"))
-        .agg(count(lit(1)).as("hn")).filter(col("hn") >= 6).select(col("hk"))
+      // Detection runs on a seeded 25% SAMPLE with the threshold scaled
+      // down — at 100 TB a full-fact count-per-key is itself a giant
+      // shuffle, and sampled detection is safe in both directions: a
+      // missed hot key just stays unsalted (correct, merely unsplit), a
+      // false positive replicates a few extra rows (correct, marginal
+      // cost). Threshold is tiny here so the hot path exercises.
+      val hot = l0.sample(withReplacement = false, 0.25, seed = 42)
+        .groupBy(col("l_orderkey").as("hk"))
+        .agg(count(lit(1)).as("hn")).filter(col("hn") >= 2).select(col("hk"))
       val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
         .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_outer")
         .withColumn("salts", when(col("hk").isNotNull,
