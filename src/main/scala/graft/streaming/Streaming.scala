@@ -225,6 +225,96 @@ object Streaming {
         .orderBy(col("user_id"), col("event_type"), col("ts"), col("value"))
     }, Some("""
       SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
-      FROM events ORDER BY user_id, event_type, ts, value"""))
+      FROM events ORDER BY user_id, event_type, ts, value""")),
+
+    // --------------------------------------------------------------- st07
+    // Stream-stream self-join: purchases within 30 minutes of a click
+    // by the same user. Both sides carry watermarks and the join
+    // condition bounds event time on both ends, so each side's buffered
+    // state is evicted once the other side's watermark passes the range
+    // — bounded state on an unbounded stream, the attribution-join
+    // shape. Inner joins emit matches as they form (no held-back
+    // output), so the bounded run emits exactly the batch self-join.
+    GQuery("st07_stream_stream_join", (s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("c_user"), col("c_ts"), col("p_ts"))
+      runToEnd(s, joined, "append")
+        .orderBy(col("c_user"), col("c_ts"), col("p_ts"))
+    }, Some("""
+      SELECT a.user_id AS c_user, CAST(a.ts AS TIMESTAMP) AS c_ts,
+             CAST(b.ts AS TIMESTAMP) AS p_ts
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      ORDER BY c_user, c_ts, p_ts""")),
+
+    // --------------------------------------------------------------- st08
+    // Custom state machine via flatMapGroupsWithState: per-user running
+    // (count, exact-decimal total, last event time) kept in an explicit
+    // GroupState. This is the escape hatch when windows/dedup built-ins
+    // can't express the state logic; state lives in the state store,
+    // keyed and incrementally checkpointed. On an unbounded stream each
+    // batch emits the updated running row per touched user (a
+    // changelog); the bounded harness reads the source in one batch, so
+    // the emitted rows ARE the final per-user aggregates — which the
+    // batch oracle checks. Decimal accumulation keeps the total
+    // independent of iterator order, like every money sum here.
+    GQuery("st08_custom_state", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val typed = eventsStream(s, d)
+        .select(col("user_id"),
+          col("value").cast("decimal(20,6)").as("value"), col("ts"))
+        .as[(Long, java.math.BigDecimal, java.sql.Timestamp)]
+      val out = typed.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long,
+           rows: Iterator[(Long, java.math.BigDecimal, java.sql.Timestamp)],
+           state: GroupState[UserRunning]) =>
+            val prev = state.getOption
+              .getOrElse(UserRunning(0L, java.math.BigDecimal.ZERO, 0L))
+            val next = rows.foldLeft(prev) { case (acc, (_, v, ts)) =>
+              UserRunning(acc.n + 1, acc.total.add(v),
+                math.max(acc.lastMicros, tsToMicros(ts)))
+            }
+            state.update(next)
+            Iterator.single((user, next.n,
+              next.total.doubleValue(), microsToTs(next.lastMicros)))
+        }
+      runToEnd(s, out.toDF("user_id", "n_events", "total_value", "last_ts"),
+        "append")
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+             MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id"""))
   )
+
+  /** Explicit state for st08: running count / exact-decimal total /
+    * max event time (micros) per user.
+    */
+  case class UserRunning(n: Long, total: java.math.BigDecimal,
+      lastMicros: Long)
+
+  // java.sql.Timestamp carries micros in its nanos field; getTime alone
+  // is millis and silently truncates.
+  private def tsToMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 }
