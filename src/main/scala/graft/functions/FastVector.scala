@@ -92,6 +92,25 @@ object FastVector {
       copy(child = c)
   }
 
+  /** Average-pool a binary payload to a fixed `cells`-wide grid of mean
+    * byte values — the resize/feature-extract primitive for multimodal
+    * columns (see [[graft.operators.Multimodal]]); codegen'd like the
+    * rest of the hot path.
+    */
+  case class BytePool(child: Expression, cells: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(cells > 0, s"graft_byte_pool: cells must be positive, got $cells")
+    override def inputTypes: Seq[Glue.AbstractType] = Seq(BinaryType)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_byte_pool"
+    override protected def nullSafeEval(input: Any): Any =
+      FastVectorRuntime.bytePool(input.asInstanceOf[Array[Byte]], cells)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $RT.bytePool($c, $cells);")
+    override protected def withNewChildInternal(c: Expression): BytePool =
+      copy(child = c)
+  }
+
   /** Elementwise sum of array<double> vectors as ONE typed aggregate —
     * the centroid/mean building block. The alternative plan shape
     * (posexplode to (id, dim, x) → groupBy(id, dim) → collect_list →
@@ -174,4 +193,6 @@ object FastVector {
     Glue.column(NormalizeVec(Glue.expression(vec)))
   def vectorSum(vec: Column): Column =
     Glue.column(VectorSum(Glue.expression(vec)).toAggregateExpression())
+  def bytePool(payload: Column, cells: Int): Column =
+    Glue.column(BytePool(Glue.expression(payload), cells))
 }

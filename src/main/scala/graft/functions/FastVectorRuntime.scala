@@ -42,6 +42,32 @@ object FastVectorRuntime {
     new GenericArrayData(out)
   }
 
+  /** Average-pool a byte payload onto a fixed grid of `cells`: byte p
+    * lands in cell p*cells/n; each cell's value is the mean of its
+    * bytes (0-255), empty cells (n < cells) are 0.0. The 1-D analog of
+    * resizing an image to a fixed thumbnail — deterministic integer
+    * binning, exact integer sums, one divide per cell.
+    */
+  def bytePool(payload: Array[Byte], cells: Int): ArrayData = {
+    val n = payload.length
+    val sums = new Array[Long](cells)
+    val counts = new Array[Long](cells)
+    var p = 0
+    while (p < n) {
+      val c = (p.toLong * cells / n).toInt
+      sums(c) += payload(p) & 0xff
+      counts(c) += 1
+      p += 1
+    }
+    val out = new Array[Double](cells)
+    var j = 0
+    while (j < cells) {
+      out(j) = if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def normalize(input: ArrayData, fromFloat: Boolean): ArrayData = {
     val v = if (fromFloat) {
       val f = input.toFloatArray()

@@ -130,6 +130,32 @@ object Multimodal {
         it.map(a => decoder.decode(a.payload).copy(asset_id = a.asset_id))
       }.toDF()
         .orderBy(col("asset_id"))
-    }, None)
+    }, None),
+
+    // ---------------------------------------------------------------- m04
+    // Feature-extract / resize: average-pool the payload onto a fixed
+    // 16-cell grid (the 1-D analog of thumbnailing an image) via the
+    // codegen'd BytePool expression — one pass per row, zero shuffle.
+    // The payload here is ASCII text bytes, so DuckDB can reproduce the
+    // exact per-cell means from character codes: a full hash oracle for
+    // the resize arithmetic, not just the plumbing.
+    GQuery("m04_feature_resize", (s, d) => {
+      val Cells = 16
+      assets(s, d)
+        .filter(length(col("payload")) >= Cells) // every cell non-empty
+        .select(col("asset_id"),
+          posexplode(graft.functions.FastVector.bytePool(col("payload"), Cells))
+            .as(Seq("cell", "avg_byte")))
+        .select(col("asset_id"), col("cell").cast("long").as("cell"),
+          round(col("avg_byte"), 6).as("avg_byte"))
+        .orderBy(col("asset_id"), col("cell"))
+    }, Some("""
+      SELECT doc_id AS asset_id, CAST(p * 16 // n AS BIGINT) AS cell,
+             ROUND(SUM(ord(substring(text, CAST(p + 1 AS INT), 1)))
+                     / COUNT(*), 6) AS avg_byte
+      FROM (SELECT doc_id, text, length(text) AS n FROM documents
+            WHERE length(text) >= 16),
+           LATERAL unnest(range(0, n)) t(p)
+      GROUP BY 1, 2 ORDER BY asset_id, cell"""))
   )
 }

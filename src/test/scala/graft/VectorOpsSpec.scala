@@ -57,6 +57,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(2L) == Seq(10.0, 0.0, -2.0))
   }
 
+  test("BytePool: exact means per cell, empty cells zero, one cell = " +
+      "whole-payload mean") {
+    import graft.functions.FastVector
+    val df = Seq(
+      Array[Byte](0, 10, 20, 30),   // 4 bytes over 2 cells → (5, 25)
+      Array[Byte](100),             // 1 byte over 2 cells → (100, 0)
+      Array[Byte]()                 // empty → (0, 0)
+    ).toDF("b")
+    val rows = df.select(FastVector.bytePool(col("b"), 2).as("p"))
+      .collect().map(_.getSeq[Double](0))
+    assert(rows(0) == Seq(5.0, 25.0))
+    assert(rows(1) == Seq(100.0, 0.0))
+    assert(rows(2) == Seq(0.0, 0.0))
+    val whole = df.limit(1)
+      .select(FastVector.bytePool(col("b"), 1).as("p"))
+      .head().getSeq[Double](0)
+    assert(whole == Seq(15.0))
+  }
+
   test("hyperplane bucket: deterministic and within [0, 2^nBits)") {
     val planes = typedLit(VectorOps.makePlanes(seed = 7L, nBits = 8, dim = 4))
     val df = Seq(Seq(1.0f, -2.0f, 0.5f, 3.0f), Seq(-1.0f, 2.0f, -0.5f, -3.0f))
