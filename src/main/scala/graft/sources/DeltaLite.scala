@@ -391,6 +391,37 @@ object DeltaLite {
     writeCommit(s, table, v + 1, stagedAdds(s, table, df, schema))
   }
 
+  /** Append under optimistic concurrency: data files are staged ONCE,
+    * then the commit races — on a version conflict (another writer won
+    * the put-if-absent on that commit file) we re-read the latest
+    * version and retry the commit alone. Blind retry is protocol-
+    * correct for appends because an append invalidates nobody's read
+    * set. delete/merge/compact deliberately have no auto-retry: their
+    * commits are built FROM the live file list, which the winning
+    * writer may have changed — the caller must re-run on the fresh
+    * snapshot. Returns the committed version.
+    */
+  def appendWithRetry(s: SparkSession, table: String, df: DataFrame,
+      maxAttempts: Int = 10): Long = {
+    val v0 = latestVersion(s, table)
+    require(v0 >= 0, s"no delta log at $table")
+    val schema = DataType.fromJson(replay(s, table, v0).schemaJson)
+      .asInstanceOf[StructType]
+    val adds = stagedAdds(s, table, df, schema)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = latestVersion(s, table) + 1
+      try {
+        writeCommit(s, table, v, adds)
+        return v
+      } catch {
+        case _: java.io.IOException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"appendWithRetry: lost the commit race $maxAttempts times at $table")
+  }
+
   /** Copy-on-write MERGE (upsert) on `keys`: source rows REPLACE
     * matching target rows and are INSERTED otherwise. Only target files
     * containing a matching key are rewritten — found by ONE semi-join

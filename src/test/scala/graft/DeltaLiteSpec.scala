@@ -118,6 +118,35 @@ class DeltaLiteSpec extends SparkSpec {
       col("c_name").contains("x"))._1 == total)
   }
 
+  test("two writers racing appendWithRetry both land; content is the " +
+      "union") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 10))
+    val lo = c.filter(col("c_custkey") > 10 && col("c_custkey") <= 20)
+    val hi = c.filter(col("c_custkey") > 20 && col("c_custkey") <= 30)
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq(lo, hi).map { df =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = {
+            latch.countDown()
+            latch.await() // maximize commit-race likelihood
+            DeltaLite.appendWithRetry(spark, t, df)
+          }
+        })
+      }
+      val versions = fs.map(_.get()).sorted
+      assert(versions == Seq(1L, 2L)) // both landed, distinct versions
+    } finally pool.shutdown()
+    val got = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val want = c.filter(col("c_custkey") <= 30)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(got == want)
+  }
+
   test("commit creation is exclusive — a version conflict fails clean") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir).limit(5)
