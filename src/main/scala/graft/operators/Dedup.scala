@@ -162,6 +162,33 @@ object Dedup {
     df.groupBy(keys: _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
+  /** Decontamination: (corpus doc, benchmark doc) pairs sharing at
+    * least `minShared` distinct word-n-grams — the benchmark-overlap
+    * check every training corpus needs before a model ships.
+    *
+    * Scale shape: the benchmark side is small by nature (eval sets are
+    * thousands of documents vs a multi-billion-document corpus), so its
+    * exploded n-gram table is BROADCAST — the corpus side streams map-
+    * side with no shuffle until the groupBy, whose input is only the
+    * matching (corpus, benchmark, gram) rows. Distinct-per-doc n-grams
+    * keep a repeated phrase from double-counting.
+    */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, minShared: Int = 3): DataFrame = {
+    def grams(df: DataFrame, as: String, gs: String) =
+      Scale.widen(df, col(idCol))
+        .select(col(idCol).as(as),
+          explode(array_distinct(FastText.wordNgrams(col(textCol), n)))
+            .as(gs))
+    grams(corpus, "corpus_id", "g")
+      .join(broadcast(grams(benchmark, "bench_id", "g2")),
+        col("g") === col("g2"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(countDistinct(col("g")).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- d01
@@ -213,6 +240,34 @@ object Dedup {
     }, Some("""
       SELECT lower(trim(source)) AS src_norm, lang,
              MIN(doc_id) AS keep_id, COUNT(*) AS n
-      FROM documents GROUP BY 1, 2 ORDER BY src_norm, lang"""))
+      FROM documents GROUP BY 1, 2 ORDER BY src_norm, lang""")),
+
+    // ---------------------------------------------------------------- d08
+    // Decontamination vs a demo "benchmark" slice (doc_id % 97 == 0):
+    // corpus docs sharing ≥2 distinct word-trigrams with any benchmark
+    // doc (the synthetic docs share short phrases, so trigrams give a
+    // non-trivial 12-pair answer at sf0.01). String n-grams (not
+    // hashes) so DuckDB reproduces the exact pair set — a full hash
+    // oracle for the overlap logic.
+    GQuery("d08_contamination", (s, d) => {
+      val docs = T.documents(s, d)
+      contaminationPairs(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          n = 3, minShared = 2)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+            FROM w WHERE len(ws) >= 3)
+      SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+             COUNT(DISTINCT c.g) AS shared
+      FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) c
+      JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b ON c.g = b.g
+      GROUP BY 1, 2 HAVING COUNT(DISTINCT c.g) >= 2
+      ORDER BY corpus_id, bench_id"""))
   )
 }
