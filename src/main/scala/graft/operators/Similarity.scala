@@ -50,7 +50,11 @@ object Similarity {
     cand.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"), col("rnk"))
+        // 4 decimals: ranking uses the unrounded cosine; the output
+        // rounds coarsely enough that cross-engine ulp differences
+        // cannot straddle a rounding boundary on the gate data (6
+        // decimals did, by ~1e-7 — found by the hash compare).
+        round(col("cos"), 4).as("cos"), col("rnk"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -141,10 +145,23 @@ object Similarity {
   }
 
   val all: Seq[GQuery] = Seq(
+    // Exact top-k has an exact oracle: DuckDB ranks by
+    // list_cosine_similarity with the same (cos DESC, vec_id) tie-break.
+    // Both engines rank on the UNROUNDED cosine and round only the
+    // output column.
     GQuery("a01_cosine_topk_bruteforce", (s, d) => {
       val (corpus, qs) = demo(s, d)
       bruteForceTopK(corpus, qs, excludeSelf = true)
-    }, None),
+    }, Some("""
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, c.embedding) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                   DESC, c.vec_id) AS BIGINT) AS rnk
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      WHERE rnk <= 10 ORDER BY q_id, rnk""")),
     GQuery("a02_ann_lsh", (s, d) => {
       val (corpus, qs) = demo(s, d)
       lshTopK(corpus, qs, excludeSelf = true)
