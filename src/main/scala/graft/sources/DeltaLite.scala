@@ -391,6 +391,37 @@ object DeltaLite {
     writeCommit(s, table, v + 1, stagedAdds(s, table, df, schema))
   }
 
+  /** Append with schema evolution: columns in `df` that the table lacks
+    * WIDEN the table schema — the commit carries a new metaData action
+    * with the merged schema alongside the adds, and files written
+    * before the evolution read with nulls for the added columns (the
+    * log's schema governs every read, not parquet inference). Existing
+    * columns must keep their types; drops/retypes are rejected —
+    * widening is the only evolution that never rewrites old data.
+    */
+  def appendEvolved(s: SparkSession, table: String, df: DataFrame): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val old = DataType.fromJson(replay(s, table, v).schemaJson)
+      .asInstanceOf[StructType]
+    old.fields.foreach { f =>
+      val incoming = df.schema.fields.find(_.name == f.name)
+      require(incoming.isDefined,
+        s"appendEvolved: column ${f.name} missing from incoming data " +
+          s"(drops require a rewrite, not an append)")
+      require(incoming.get.dataType == f.dataType,
+        s"appendEvolved: column ${f.name} retyped " +
+          s"(${f.dataType.simpleString} -> " +
+          s"${incoming.get.dataType.simpleString})")
+    }
+    val added = df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))
+    val merged = StructType(old.fields ++ added)
+    writeCommit(s, table, v + 1,
+      metaDataAction(table, merged.json) +:
+        stagedAdds(s, table, df.select(merged.fieldNames.map(col).toSeq: _*),
+          merged))
+  }
+
   /** Append under optimistic concurrency: data files are staged ONCE,
     * then the commit races — on a version conflict (another writer won
     * the put-if-absent on that commit file) we re-read the latest

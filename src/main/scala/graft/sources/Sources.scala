@@ -277,6 +277,31 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey BETWEEN 400 AND 600
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s13
+    // Table-format schema evolution: the table starts 2-column, a later
+    // append widens it with c_acctbal via a new metaData action in the
+    // same commit. The snapshot reads old files under the MERGED schema
+    // (log metaData governs reads, not parquet inference), so pre-
+    // evolution rows surface NULL for the added column — which the
+    // oracle reconstructs with a CASE.
+    GQuery("s13_delta_schema_evolution", (s, d) => {
+      val table = s"${scratch("s13")}/customer_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table,
+        c.filter(col("c_custkey") <= 750)
+          .select(col("c_custkey"), col("c_name")))
+      DeltaLite.appendEvolved(s, table,
+        c.filter(col("c_custkey") > 750)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey > 750 THEN c_acctbal ELSE NULL END
+               AS c_acctbal
+      FROM customer ORDER BY c_custkey"""))
   )
 }

@@ -147,6 +147,31 @@ class DeltaLiteSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("appendEvolved widens the schema; drops and retypes are rejected") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t,
+      c.filter(col("c_custkey") <= 20).select(col("c_custkey"), col("c_name")))
+    DeltaLite.appendEvolved(spark, t,
+      c.filter(col("c_custkey") > 20 && col("c_custkey") <= 40)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "c_acctbal"))
+    // Pre-evolution rows surface NULL for the added column.
+    assert(snap.filter(col("c_custkey") <= 20 && col("c_acctbal").isNull)
+      .count() == c.filter(col("c_custkey") <= 20).count())
+    intercept[IllegalArgumentException] { // drop
+      DeltaLite.appendEvolved(spark, t,
+        c.limit(1).select(col("c_custkey"), col("c_name")))
+    }
+    intercept[IllegalArgumentException] { // retype
+      DeltaLite.appendEvolved(spark, t,
+        c.limit(1).select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("string").as("c_acctbal")))
+    }
+  }
+
   test("commit creation is exclusive — a version conflict fails clean") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir).limit(5)
