@@ -119,6 +119,14 @@ class FastTextSpec extends SparkSpec {
       assert(vecs.count() > 0)
       assert(vecs.queryExecution.debug.codegenToSeq().map(_._2).mkString
         .contains("FastVectorRuntime"))
+      // BytePool (m04) joined the hot path in round 3 — same bar.
+      val pooled = Tables.documents(spark, sfDir)
+        .select(FastVector.bytePool(
+          org.apache.spark.sql.functions.encode(col("text"), "UTF-8"), 16)
+          .as("p"))
+      assert(pooled.count() > 0)
+      assert(pooled.queryExecution.debug.codegenToSeq().map(_._2).mkString
+        .contains("bytePool"))
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
