@@ -33,10 +33,16 @@ import org.apache.spark.sql.types._
   *    finds the files containing matching rows, and only those files
   *    are rewritten — a selective delete on a 100 TB table rewrites
   *    gigabytes, not the table.
-  *  - Log replay here is a driver-side loop over commit files: the log
-  *    is O(commits) small JSON, not data. A production implementation
-  *    adds checkpoint compaction once logs grow to thousands of
-  *    commits; out of scope for the read/write/DML surface shown here.
+  *  - Log replay is a driver-side loop over commit files: the log is
+  *    O(commits) small JSON, not data — and [[writeLogCheckpoint]]
+  *    compacts the replayed state into one parquet file so replay is
+  *    O(commits since checkpoint) and older JSON commits can age out,
+  *    keeping long-lived tables readable at constant cost.
+  *
+  * Remaining gap vs production Delta: stats are collected in a
+  * post-write pass over the new files (real writers collect inline in
+  * the parquet committer) — one extra linear read of new data per
+  * commit, irrelevant at gate scale.
   */
 object DeltaLite {
 
@@ -49,29 +55,74 @@ object DeltaLite {
   private def commitPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
-  /** Latest committed version; -1 if no table exists at `table`. */
+  /** Latest committed version; -1 if no table exists at `table`. A log
+    * checkpoint counts as a committed version — after pre-checkpoint
+    * JSON commits age out, the checkpoint itself anchors the version
+    * line.
+    */
   def latestVersion(s: SparkSession, table: String): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     if (!f.exists(ld)) -1L
     else f.listStatus(ld).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
+      .collect {
+        case n if n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit) =>
+          n.stripSuffix(".json").toLong
+        case n if n.endsWith(".checkpoint.parquet") =>
+          n.stripSuffix(".checkpoint.parquet").toLong
+      }
       .foldLeft(-1L)(math.max)
   }
 
   private case class State(schemaJson: String, files: Seq[String],
       stats: Map[String, JsonNode])
 
-  /** Replay commits 0..version into (schema, live relative file list,
-    * per-file stats where the add action carried them).
+  private def lastCheckpointPath(table: String) =
+    new Path(logDir(table), "_last_checkpoint")
+  private def checkpointFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.parquet")
+
+  /** Version of the newest log checkpoint at or below `atMost`, if any. */
+  private def checkpointVersion(s: SparkSession, table: String,
+      atMost: Long): Option[Long] = {
+    val p = lastCheckpointPath(table)
+    val f = fs(s, p)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val v = Json.readTree(txt).get("version").asLong()
+    if (v <= atMost && f.exists(checkpointFile(table, v))) Some(v) else None
+  }
+
+  /** Replay commits into (schema, live relative file list, per-file
+    * stats). Replay starts from the newest checkpoint ≤ `version` when
+    * one exists — O(commits since checkpoint), not O(table lifetime) —
+    * and walks only the JSON commits after it.
     */
   private def replay(s: SparkSession, table: String, version: Long): State = {
     val f = fs(s, new Path(table))
     val live = mutable.LinkedHashSet[String]()
     val stats = mutable.Map[String, JsonNode]()
     var schemaJson: String = null
-    (0L to version).foreach { v =>
+    val from = checkpointVersion(s, table, version) match {
+      case Some(cv) =>
+        s.read.parquet(checkpointFile(table, cv).toString).collect()
+          .foreach { r =>
+            r.getAs[String]("kind") match {
+              case "metaData" => schemaJson = r.getAs[String]("schemaString")
+              case "add" =>
+                val p = r.getAs[String]("path")
+                live += p
+                Option(r.getAs[String]("stats"))
+                  .foreach(st => stats(p) = Json.readTree(st))
+            }
+          }
+        cv + 1
+      case None => 0L
+    }
+    (from to version).foreach { v =>
       val in = f.open(commitPath(table, v))
       val txt =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -95,6 +146,45 @@ object DeltaLite {
     }
     require(schemaJson != null, s"delta log at $table has no metaData")
     State(schemaJson, live.toSeq, stats.toMap)
+  }
+
+  /** Write a log checkpoint at the current version: the fully-replayed
+    * state (metaData + every live add with its stats) lands in ONE
+    * parquet file, and `_last_checkpoint` points readers at it. After
+    * this, replay is O(commits since checkpoint) and JSON commits at or
+    * before the checkpoint may be aged out (the protocol's log-
+    * retention story for long-lived tables). Simplified column layout
+    * vs Delta's nested action structs; same role. Returns the
+    * checkpointed version.
+    */
+  def writeLogCheckpoint(s: SparkSession, table: String): Long = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] =
+      (Row("metaData", null, null, st.schemaJson) +:
+        st.files.map(p => Row("add", p,
+          st.stats.get(p).map(_.toString).orNull, null))).asJava
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("path", StringType, nullable = true),
+      StructField("stats", StringType, nullable = true),
+      StructField("schemaString", StringType, nullable = true)))
+    val stageDir = new Path(table, s"_stage_ckpt_${UUID.randomUUID()}")
+    s.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val f = fs(s, stageDir)
+    val part = f.listStatus(stageDir)
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint stage empty"))
+    require(f.rename(part, checkpointFile(table, v)),
+      "rename failed for checkpoint")
+    f.delete(stageDir, true)
+    val out = f.create(lastCheckpointPath(table), true) // pointer: overwrite
+    try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+    finally out.close()
+    v
   }
 
   /** Snapshot read; `version < 0` means latest. The schema comes from
@@ -353,17 +443,35 @@ object DeltaLite {
       m.put("createdTime", 0L)
     }
 
-  /** Atomic exclusive commit of version `v` — `create(overwrite=false)`
-    * makes concurrent writers race safely (one wins, one fails clean).
+  /** Atomic exclusive commit of version `v` — concurrent writers race
+    * safely (one wins, one fails with an IOException the retry paths
+    * catch). On local file:// paths Hadoop's `create(overwrite=false)`
+    * is CHECK-then-create (two racers can both "win", silently losing
+    * one commit — caught by the two-writer race spec), so the claim
+    * goes through `Files.createFile` (O_EXCL, kernel-atomic) instead;
+    * non-local stores keep the Hadoop create, whose put-if-absent is
+    * the store's own atomic primitive.
     */
   private def writeCommit(s: SparkSession, table: String, v: Long,
       actions: Seq[String]): Unit = {
     val p = commitPath(table, v)
-    val f = fs(s, p)
-    f.mkdirs(logDir(table))
-    val out = f.create(p, false)
-    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    val bytes = (actions.mkString("\n") + "\n").getBytes("UTF-8")
+    val scheme = p.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val jp = java.nio.file.Paths.get(p.toUri.getPath match {
+        case "" => p.toString
+        case path => path
+      })
+      java.nio.file.Files.createDirectories(jp.getParent)
+      java.nio.file.Files.createFile(jp) // atomic O_EXCL claim
+      java.nio.file.Files.write(jp, bytes)
+    } else {
+      val f = fs(s, p)
+      f.mkdirs(logDir(table))
+      val out = f.create(p, false)
+      try out.write(bytes)
+      finally out.close()
+    }
   }
 
   /** Stage `df`, collect per-file stats, and return the add actions. */

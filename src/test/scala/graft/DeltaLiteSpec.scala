@@ -172,6 +172,36 @@ class DeltaLiteSpec extends SparkSpec {
     }
   }
 
+  test("log checkpoint: replay works from the checkpoint alone after " +
+      "pre-checkpoint commits age out; later commits replay on top") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 10))
+    (1 to 4).foreach { i =>
+      DeltaLite.append(spark, t,
+        c.filter(col("c_custkey") > i * 10 && col("c_custkey") <= (i + 1) * 10))
+    }
+    DeltaLite.deleteWhere(spark, t, col("c_custkey") === 7)
+    val ckptV = DeltaLite.writeLogCheckpoint(spark, t)
+    assert(ckptV == 5L)
+    // Age out every JSON commit at or before the checkpoint — the
+    // protocol's log-retention move. Replay must not need them.
+    (0L to ckptV).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        t, "_delta_log", f"$v%020d.json"))
+    }
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 50 && col("c_custkey") <= 60))
+    val got = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val want = c.filter(col("c_custkey") <= 60 && col("c_custkey") =!= 7)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(got == want)
+    // Stats survived the checkpoint round trip: pruning still works.
+    assert(DeltaLite.pruneInfo(spark, t,
+      col("c_custkey") === -1)._1 == 0)
+  }
+
   test("commit creation is exclusive — a version conflict fails clean") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir).limit(5)
