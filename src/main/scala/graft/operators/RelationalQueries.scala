@@ -465,18 +465,20 @@ object RelationalQueries {
     // ---------------------------------------------------------------- q24
     GQuery("q24_decimal_agg", (s, d) => {
       val li = T.lineitem(s, d)
-      // Arithmetic stays exact-decimal; final sums are cast to int64-backed
-      // DECIMAL(18,x) — precision-38 (int128-backed) outputs hash
-      // differently across engines even when values are bit-identical,
-      // and 18 digits holds these sums up to SF ~1e4.
+      // Arithmetic stays exact-decimal (the point of this query: summation
+      // is order-independent because every partial is a DECIMAL); only the
+      // FINAL emitted value is DOUBLE. Decimal-typed *outputs* of any
+      // precision hash differently across engines even when the values are
+      // bit-identical, so — like every other money sum in this file — the
+      // exact sum is cast once at the end.
       li.groupBy(col("l_returnflag"))
-        .agg(sum(dec2(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(revenue(li)).cast("decimal(18,4)").as("sum_rev"))
+        .agg(moneySum(dec2(col("l_quantity"))).as("sum_qty"),
+          moneySum(revenue(li)).as("sum_rev"))
         .orderBy(col("l_returnflag"))
     }, Some(s"""
       SELECT l_returnflag,
-             CAST(SUM(${sDec2("l_quantity")}) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(SUM($sRevenue) AS DECIMAL(18,4)) AS sum_rev
+             ${sMoneySum(sDec2("l_quantity"))} AS sum_qty,
+             ${sMoneySum(sRevenue)} AS sum_rev
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---------------------------------------------------------------- q25
