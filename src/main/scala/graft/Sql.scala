@@ -21,8 +21,11 @@ object Sql {
 
   // Which dir each session's views currently point at — open() is called
   // on every run() and must not rebuild ten view definitions each time.
-  private val openedDirs =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  // Keyed by the session object itself (weakly, so a closed session's
+  // entry can be collected) — an identity-hash key could collide across
+  // live sessions or be reused after GC, silently skipping registration.
+  private val openedDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every test table under its name as a temp view, plus the
     * graft_* native functions (FunctionRegistry). Idempotent: a repeat
@@ -30,7 +33,7 @@ object Sql {
     * re-points the views at the new lake.
     */
   def open(spark: SparkSession, dir: String): Unit = {
-    if (openedDirs.put(System.identityHashCode(spark), dir) != dir) {
+    if (openedDirs.put(spark, dir) != dir) {
       GraftExtensions.installInto(spark)
       TableNames.foreach { t =>
         // Register whatever the lake dir actually has; a partial lake

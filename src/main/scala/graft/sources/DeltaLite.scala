@@ -3,9 +3,15 @@ package graft.sources
 import java.util.UUID
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -16,33 +22,37 @@ import org.apache.spark.sql.types._
   * transaction-log protocol: a table is a directory of immutable parquet
   * data files plus a `_delta_log/` of JSON commits, each a newline-
   * delimited list of actions (`protocol` / `metaData` / `add` /
-  * `remove`). The live snapshot at version v is the add-minus-remove
-  * file set after replaying commits 0..v — which also gives time travel
-  * for free (replay to an older v). Implemented from the published
-  * protocol spec against Spark + Hadoop FileSystem APIs only (the
-  * lake-metadata capability of reference:metadata:1-53).
+  * `remove` / `txn`). The live snapshot at version v is the
+  * add-minus-remove file set after replaying commits 0..v — which also
+  * gives time travel for free (replay to an older v). Implemented from
+  * the published protocol spec against Spark + Hadoop FileSystem APIs
+  * only (the lake-metadata capability of reference:metadata:1-53).
   *
   * Scale notes (100 TB):
   *  - Data-file IO is all distributed Spark parquet read/write; the
-  *    driver touches only metadata (the log) and file names.
-  *  - Commits are created with `FileSystem.create(path, overwrite =
-  *    false)` — atomic put-if-absent, the protocol's optimistic-
-  *    concurrency primitive: two racing writers of version v+1 get one
-  *    winner and one clean failure.
-  *  - [[deleteWhere]] is copy-on-write DML: ONE metadata-column scan
-  *    finds the files containing matching rows, and only those files
-  *    are rewritten — a selective delete on a 100 TB table rewrites
-  *    gigabytes, not the table.
+  *    driver touches only metadata (the log, file names, and parquet
+  *    FOOTERS — per-file stats come from the footers the committer
+  *    already wrote, never from re-reading data).
+  *  - A commit is a temp file hard-linked (local) or renamed (Hadoop
+  *    stores, the HDFSLogStore pattern) into its claimed name: the
+  *    payload appears atomically WITH the claim, so a concurrent reader
+  *    never replays a torn or empty commit, and two racing writers of
+  *    version v+1 get one winner and one clean IOException.
+  *  - Tables may be Hive-partitioned ([[create]]'s `partitionColumns`):
+  *    add actions carry real `partitionValues`, and [[scan]] /
+  *    [[deleteWhere]] / [[merge]] prune whole partitions from the
+  *    metadata BEFORE consulting per-file stats — the first pruning
+  *    lever of a lake table.
+  *  - [[deleteWhere]] is copy-on-write DML: partition+stats pruning
+  *    picks candidate files, ONE metadata-column scan of those finds
+  *    the files containing matching rows, and only those are rewritten.
   *  - Log replay is a driver-side loop over commit files: the log is
   *    O(commits) small JSON, not data — and [[writeLogCheckpoint]]
   *    compacts the replayed state into one parquet file so replay is
-  *    O(commits since checkpoint) and older JSON commits can age out,
-  *    keeping long-lived tables readable at constant cost.
-  *
-  * Remaining gap vs production Delta: stats are collected in a
-  * post-write pass over the new files (real writers collect inline in
-  * the parquet committer) — one extra linear read of new data per
-  * commit, irrelevant at gate scale.
+  *    O(commits since checkpoint) and older JSON commits can age out.
+  *  - `txn` actions give idempotent writes: [[appendOnce]] skips a
+  *    (appId, version) already in the log, making restart-prone
+  *    producers (e.g. a streaming foreachBatch sink) exactly-once.
   */
 object DeltaLite {
 
@@ -74,8 +84,17 @@ object DeltaLite {
       .foldLeft(-1L)(math.max)
   }
 
-  private case class State(schemaJson: String, files: Seq[String],
-      stats: Map[String, JsonNode])
+  /** One live data file: relative path, its partition values (None =
+    * null partition), and its stats JSON when collected.
+    */
+  private case class FileEntry(path: String,
+      partValues: Seq[(String, Option[String])], stats: Option[JsonNode])
+
+  private case class State(schemaJson: String, partCols: Seq[String],
+      entries: Seq[FileEntry], txns: Map[String, Long]) {
+    def schema: StructType =
+      DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
 
   private def lastCheckpointPath(table: String) =
     new Path(logDir(table), "_last_checkpoint")
@@ -96,81 +115,140 @@ object DeltaLite {
     if (v <= atMost && f.exists(checkpointFile(table, v))) Some(v) else None
   }
 
-  /** Replay commits into (schema, live relative file list, per-file
-    * stats). Replay starts from the newest checkpoint ≤ `version` when
+  private def partValuesOf(n: JsonNode): Seq[(String, Option[String])] =
+    Option(n).toSeq.flatMap(_.properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+    }.toSeq)
+
+  /** Commit text, treating a zero-length file as an in-progress writer
+    * (claimed but payload not yet linked — cannot happen with the local
+    * hard-link commit, but a remote store's claim+rename can expose the
+    * window): poll briefly, then fail loudly rather than replay an
+    * empty commit.
+    */
+  private def readCommit(f: FileSystem, p: Path): String = {
+    var tries = 0
+    while (f.getFileStatus(p).getLen == 0L) {
+      tries += 1
+      require(tries <= 100,
+        s"commit $p still zero-length after 2s — in-progress or torn writer")
+      Thread.sleep(20)
+    }
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Replay commits into the table state (schema, partition columns,
+    * live file entries with partition values + stats, txn high-water
+    * marks). Replay starts from the newest checkpoint ≤ `version` when
     * one exists — O(commits since checkpoint), not O(table lifetime) —
     * and walks only the JSON commits after it.
     */
   private def replay(s: SparkSession, table: String, version: Long): State = {
     val f = fs(s, new Path(table))
-    val live = mutable.LinkedHashSet[String]()
-    val stats = mutable.Map[String, JsonNode]()
+    val live = mutable.LinkedHashMap[String, FileEntry]()
+    val txns = mutable.Map[String, Long]()
     var schemaJson: String = null
+    var partCols: Seq[String] = Nil
     val from = checkpointVersion(s, table, version) match {
       case Some(cv) =>
         s.read.parquet(checkpointFile(table, cv).toString).collect()
           .foreach { r =>
             r.getAs[String]("kind") match {
-              case "metaData" => schemaJson = r.getAs[String]("schemaString")
+              case "metaData" =>
+                schemaJson = r.getAs[String]("schemaString")
+                partCols = Option(r.getAs[String]("partitionColumns"))
+                  .map(pc => Json.readTree(pc).elements().asScala
+                    .map(_.asText()).toSeq)
+                  .getOrElse(Nil)
               case "add" =>
                 val p = r.getAs[String]("path")
-                live += p
-                Option(r.getAs[String]("stats"))
-                  .foreach(st => stats(p) = Json.readTree(st))
+                live(p) = FileEntry(p,
+                  partValuesOf(Option(r.getAs[String]("partitionValues"))
+                    .map(Json.readTree).orNull),
+                  Option(r.getAs[String]("stats")).map(Json.readTree))
+              case "txn" =>
+                txns(r.getAs[String]("appId")) = r.getAs[Long]("txnVersion")
             }
           }
         cv + 1
       case None => 0L
     }
     (from to version).foreach { v =>
-      val in = f.open(commitPath(table, v))
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.split('\n').filter(_.nonEmpty).foreach { line =>
-        val n = Json.readTree(line)
-        if (n.has("metaData"))
-          schemaJson = n.get("metaData").get("schemaString").asText()
-        if (n.has("add")) {
-          val a = n.get("add")
-          val p = a.get("path").asText()
-          live += p
-          if (a.has("stats")) stats(p) = Json.readTree(a.get("stats").asText())
+      readCommit(f, commitPath(table, v))
+        .split('\n').filter(_.nonEmpty).foreach { line =>
+          val n = Json.readTree(line)
+          if (n.has("metaData")) {
+            val m = n.get("metaData")
+            schemaJson = m.get("schemaString").asText()
+            partCols = Option(m.get("partitionColumns")).toSeq
+              .flatMap(_.elements().asScala.map(_.asText())).toSeq
+          }
+          if (n.has("add")) {
+            val a = n.get("add")
+            val p = a.get("path").asText()
+            live(p) = FileEntry(p, partValuesOf(a.get("partitionValues")),
+              if (a.has("stats")) Some(Json.readTree(a.get("stats").asText()))
+              else None)
+          }
+          if (n.has("remove")) live -= n.get("remove").get("path").asText()
+          if (n.has("txn")) {
+            val t = n.get("txn")
+            val app = t.get("appId").asText()
+            val tv = t.get("version").asLong()
+            txns(app) = math.max(txns.getOrElse(app, Long.MinValue), tv)
+          }
         }
-        if (n.has("remove")) {
-          val p = n.get("remove").get("path").asText()
-          live -= p
-          stats -= p
-        }
-      }
     }
     require(schemaJson != null, s"delta log at $table has no metaData")
-    State(schemaJson, live.toSeq, stats.toMap)
+    State(schemaJson, partCols, live.values.toSeq, txns.toMap)
   }
 
   /** Write a log checkpoint at the current version: the fully-replayed
-    * state (metaData + every live add with its stats) lands in ONE
-    * parquet file, and `_last_checkpoint` points readers at it. After
-    * this, replay is O(commits since checkpoint) and JSON commits at or
-    * before the checkpoint may be aged out (the protocol's log-
-    * retention story for long-lived tables). Simplified column layout
-    * vs Delta's nested action structs; same role. Returns the
-    * checkpointed version.
+    * state (metaData + every live add with its partition values and
+    * stats + txn high-water marks) lands in ONE parquet file, and
+    * `_last_checkpoint` points readers at it. After this, replay is
+    * O(commits since checkpoint) and JSON commits at or before the
+    * checkpoint may be aged out (the protocol's log-retention story for
+    * long-lived tables). Simplified column layout vs Delta's nested
+    * action structs; same role. Returns the checkpointed version.
     */
   def writeLogCheckpoint(s: SparkSession, table: String): Long = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
-    import scala.jdk.CollectionConverters._
+    val partColsJson = {
+      val arr = Json.createArrayNode()
+      st.partCols.foreach(arr.add)
+      Json.writeValueAsString(arr)
+    }
+    def pvJson(e: FileEntry): String = {
+      val o = Json.createObjectNode()
+      e.partValues.foreach {
+        case (k, Some(x)) => o.put(k, x)
+        case (k, None) => o.putNull(k)
+      }
+      Json.writeValueAsString(o)
+    }
     val rows: java.util.List[Row] =
-      (Row("metaData", null, null, st.schemaJson) +:
-        st.files.map(p => Row("add", p,
-          st.stats.get(p).map(_.toString).orNull, null))).asJava
+      (Row("metaData", null, null, st.schemaJson, partColsJson, null, null,
+        null) +:
+        (st.entries.map(e => Row("add", e.path,
+          e.stats.map(_.toString).orNull, null, null, pvJson(e), null, null)) ++
+          st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+            Row("txn", null, null, null, null, null, app,
+              java.lang.Long.valueOf(tv))
+          })).asJava
     val schema = StructType(Seq(
       StructField("kind", StringType, nullable = false),
       StructField("path", StringType, nullable = true),
       StructField("stats", StringType, nullable = true),
-      StructField("schemaString", StringType, nullable = true)))
+      StructField("schemaString", StringType, nullable = true),
+      StructField("partitionColumns", StringType, nullable = true),
+      StructField("partitionValues", StringType, nullable = true),
+      StructField("appId", StringType, nullable = true),
+      StructField("txnVersion", LongType, nullable = true)))
     val stageDir = new Path(table, s"_stage_ckpt_${UUID.randomUUID()}")
     s.createDataFrame(rows, schema).coalesce(1)
       .write.mode("overwrite").parquet(stageDir.toString)
@@ -187,6 +265,20 @@ object DeltaLite {
     v
   }
 
+  /** Read the given live files under the log's schema. Partitioned
+    * tables read with `basePath` so the partition columns — absent from
+    * the data files, per Hive layout — are injected from the directory
+    * names with the types the log schema declares; the final projection
+    * restores the log's column order.
+    */
+  private def readFiles(s: SparkSession, table: String, schema: StructType,
+      rels: Seq[String]): DataFrame =
+    if (rels.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).option("basePath", table)
+      .parquet(rels.map(p => new Path(table, p).toString): _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
   /** Snapshot read; `version < 0` means latest. The schema comes from
     * the log's metaData (not parquet inference), as the protocol
     * requires — files written before a schema evolution still read
@@ -198,48 +290,87 @@ object DeltaLite {
     val v = if (version < 0) latest else version
     require(v <= latest, s"version $v > latest $latest at $table")
     val st = replay(s, table, v)
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    if (st.files.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else
-      s.read.schema(schema)
-        .parquet(st.files.map(p => new Path(table, p).toString): _*)
+    readFiles(s, table, st.schema, st.entries.map(_.path))
   }
 
-  /** Distributed-write `df` into the table dir; returns (relative path,
-    * size) per data file. Files are staged by the normal parquet
-    * committer, then renamed (a metadata op) to UUID names in the root.
+  private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Undo Hive's %XX escaping of special characters in partition-value
+    * directory names.
     */
-  private def stage(s: SparkSession, table: String,
-      df: DataFrame): Seq[(String, Long)] = {
-    val stageDir = new Path(table, s"_stage_${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(stageDir.toString)
-    val f = fs(s, stageDir)
-    val parts = f.listStatus(stageDir).filter { st =>
-      val n = st.getPath.getName
-      n.startsWith("part-") && n.endsWith(".parquet")
+  private def unescapeHive(raw: String): String =
+    if (!raw.contains('%')) raw
+    else {
+      val sb = new StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '%' && i + 2 < raw.length) {
+          sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
     }
-    val out = parts.map { st =>
+
+  /** Distributed-write `df` into the table dir (Hive-partitioned when
+    * `partCols` is non-empty); returns (relative path, partition
+    * values, size) per data file. Files are staged by the normal
+    * parquet committer, then renamed (a metadata op) to UUID names —
+    * keeping their `k=v` partition directories — under the root.
+    */
+  private def stage(s: SparkSession, table: String, df: DataFrame,
+      partCols: Seq[String]): Seq[(String, Seq[(String, Option[String])], Long)] = {
+    val stageDir = new Path(table, s"_stage_${UUID.randomUUID()}")
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(stageDir.toString)
+    val f = fs(s, stageDir)
+    val stagePrefix = f.makeQualified(stageDir).toString
+    val found = mutable.Buffer[(Path, String, Long)]() // (file, subdir, size)
+    val it = f.listFiles(stageDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (n.startsWith("part-") && n.endsWith(".parquet")) {
+        val sub = f.makeQualified(st.getPath.getParent).toString
+          .stripPrefix(stagePrefix).stripPrefix("/")
+        found += ((st.getPath, sub, st.getLen))
+      }
+    }
+    val out = found.map { case (src, sub, len) =>
       val name = s"part-${UUID.randomUUID()}.parquet"
-      require(f.rename(st.getPath, new Path(table, name)),
-        s"rename failed staging $name")
-      (name, st.getLen)
+      val rel = if (sub.isEmpty) name else s"$sub/$name"
+      if (sub.nonEmpty) f.mkdirs(new Path(table, sub))
+      require(f.rename(src, new Path(table, rel)),
+        s"rename failed staging $rel")
+      val pvs = sub.split('/').filter(_.contains('=')).toSeq.map { comp =>
+        val k = comp.substring(0, comp.indexOf('='))
+        val raw = comp.substring(comp.indexOf('=') + 1)
+        k -> (if (raw == NullPartition) None else Some(unescapeHive(raw)))
+      }
+      (rel, pvs, len)
     }.toSeq
     f.delete(stageDir, true)
     out
   }
 
-  private def obj(field: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+  private def obj(field: String)(fill: ObjectNode => Unit): String = {
     val root = Json.createObjectNode()
     fill(root.putObject(field))
     Json.writeValueAsString(root)
   }
 
-  private def addAction(path: String, size: Long, stats: Option[String],
+  private def addAction(path: String, size: Long,
+      partValues: Seq[(String, Option[String])], stats: Option[String],
       dataChange: Boolean = true): String =
     obj("add") { a =>
       a.put("path", path)
-      a.putObject("partitionValues")
+      val pv = a.putObject("partitionValues")
+      partValues.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
       a.put("size", size)
       a.put("modificationTime", 0L)
       a.put("dataChange", dataChange)
@@ -253,8 +384,14 @@ object DeltaLite {
       r.put("dataChange", dataChange)
     }
 
+  private def txnAction(appId: String, version: Long): String =
+    obj("txn") { t =>
+      t.put("appId", appId)
+      t.put("version", version)
+    }
+
   // ------------------------------------------------------------------
-  // Per-file stats + data skipping
+  // Per-file stats (from parquet footers) + data skipping
   // ------------------------------------------------------------------
 
   /** Columns eligible for min/max stats: atomic numerics and strings. */
@@ -264,43 +401,99 @@ object DeltaLite {
       case _ => false
     })
 
-  /** One distributed pass over freshly staged files computing
-    * Delta-style per-file stats (`numRecords` + min/max per eligible
-    * column), keyed by relative path. A production writer collects
-    * these inline inside the parquet committer; a post-write metadata
-    * pass keeps this implementation honest without a custom committer
-    * at the cost of one extra linear read of the NEW data only.
+  /** A parquet row-group statistics value decoded to the stats-JSON
+    * domain (Long / Double / BigDecimal / String) for the Spark type the
+    * log schema declares for the column. None = unusable (unknown
+    * physical form, or a non-ASCII string whose parquet byte ordering
+    * need not agree with the Java string ordering [[cmp]] uses) — the
+    * column's stats are dropped for that file, never guessed.
     */
-  private def fileStats(s: SparkSession, table: String,
-      files: Seq[(String, Long)], schema: StructType): Map[String, String] = {
-    if (files.isEmpty) return Map.empty
-    val cols = statCols(schema)
-    val aggs = count(lit(1)).as("_n") +:
-      cols.flatMap(f => Seq(min(col(f.name)).as(s"min_${f.name}"),
-        max(col(f.name)).as(s"max_${f.name}")))
-    val rows = s.read.schema(schema)
-      .parquet(files.map(p => new Path(table, p._1).toString): _*)
-      .groupBy(input_file_name().as("_gf"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    rows.flatMap { r =>
-      val uri = r.getString(0)
-      files.find(f => uri.endsWith("/" + f._1)).map { f =>
-        val root = Json.createObjectNode()
-        root.put("numRecords", r.getLong(1))
-        val mins = root.putObject("minValues")
-        val maxs = root.putObject("maxValues")
-        cols.zipWithIndex.foreach { case (c, i) =>
-          putVal(mins, c.name, r.get(2 + 2 * i))
-          putVal(maxs, c.name, r.get(3 + 2 * i))
+  private def decodeStat(v: AnyRef, dt: DataType): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (d: DecimalType, n: java.lang.Integer) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue(), d.scale))
+    case (d: DecimalType, n: java.lang.Long) =>
+      Some(java.math.BigDecimal.valueOf(n.longValue(), d.scale))
+    case (d: DecimalType, b: Binary) =>
+      Some(new java.math.BigDecimal(
+        new java.math.BigInteger(b.getBytes), d.scale))
+    case (ByteType | ShortType | IntegerType | LongType, n: java.lang.Number) =>
+      Some(java.lang.Long.valueOf(n.longValue()))
+    case (FloatType | DoubleType, n: java.lang.Number) =>
+      Some(java.lang.Double.valueOf(n.doubleValue()))
+    case (StringType, b: Binary) =>
+      val s = b.toStringUsingUTF8
+      if (s.forall(_ < 128)) Some(s) else None
+    case _ => None
+  }
+
+  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case _ => 0
+  }
+
+  /** Delta-style per-file stats (`numRecords` + min/max per eligible
+    * column) read from the parquet FOOTERS of freshly staged files —
+    * the committer already wrote row-group statistics, so stats
+    * collection is a metadata-only read of O(files) footers, not a
+    * second pass over the data. Columns whose footer stats are absent
+    * or unusable are omitted (omitted stats never prune). Driver-side:
+    * footers are KBs; at extreme file counts per commit the same loop
+    * distributes trivially over an RDD of file names.
+    */
+  private def footerStats(s: SparkSession, table: String, rels: Seq[String],
+      dataSchema: StructType): Map[String, String] = {
+    if (rels.isEmpty) return Map.empty
+    val conf = s.sparkContext.hadoopConfiguration
+    val byName = statCols(dataSchema).map(f => f.name -> f.dataType).toMap
+    rels.flatMap { rel =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(table, rel), conf))
+      try {
+        var numRecords = 0L
+        val mins = mutable.Map[String, Any]()
+        val maxs = mutable.Map[String, Any]()
+        val bad = mutable.Set[String]()
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          numRecords += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            val parts = c.getPath.toArray
+            if (parts.length == 1 && byName.contains(parts(0))) {
+              val name = parts(0)
+              val dt = byName(name)
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) bad += name
+              else if (st.hasNonNullValue) {
+                (decodeStat(st.genericGetMin.asInstanceOf[AnyRef], dt),
+                  decodeStat(st.genericGetMax.asInstanceOf[AnyRef], dt)) match {
+                  case (Some(lo), Some(hi)) =>
+                    mins(name) = mins.get(name)
+                      .filter(cmpVals(_, lo) <= 0).getOrElse(lo)
+                    maxs(name) = maxs.get(name)
+                      .filter(cmpVals(_, hi) >= 0).getOrElse(hi)
+                  case _ => bad += name
+                }
+              } // all-null chunk: contributes no bounds, stays valid
+            }
+          }
         }
-        f._1 -> Json.writeValueAsString(root)
-      }
+        val root = Json.createObjectNode()
+        root.put("numRecords", numRecords)
+        val minO = root.putObject("minValues")
+        val maxO = root.putObject("maxValues")
+        byName.keys.toSeq.sorted.filterNot(bad).foreach { name =>
+          mins.get(name).foreach(putVal(minO, name, _))
+          maxs.get(name).foreach(putVal(maxO, name, _))
+        }
+        Some(rel -> Json.writeValueAsString(root))
+      } finally reader.close()
     }.toMap
   }
 
-  private def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
-      name: String, v: Any): Unit = v match {
+  private def putVal(o: ObjectNode, name: String, v: Any): Unit = v match {
     case null => ()
     case s: String => o.put(name, s)
     case b: java.lang.Byte => o.put(name, b.longValue())
@@ -343,11 +536,21 @@ object DeltaLite {
     }.getOrElse(Literal(true))
   }
 
-  /** stat-vs-literal comparison; None = incomparable (never prune). */
+  /** stat-vs-literal comparison; None = incomparable (never prune).
+    * Integral stats against integral literals compare as exact longs
+    * and decimals as BigDecimal — a double rounding above 2^53 could
+    * otherwise make a strict bound look equal and wrongly prune a file.
+    */
   private def cmp(stat: JsonNode, v: Any): Option[Int] = v match {
     case s: org.apache.spark.unsafe.types.UTF8String =>
       Some(stat.asText().compareTo(s.toString))
-    case d: Decimal => Some(java.lang.Double.compare(stat.asDouble(), d.toDouble))
+    case d: Decimal =>
+      if (stat.isNumber) Some(stat.decimalValue().compareTo(d.toJavaBigDecimal))
+      else None
+    case n @ (_: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long) if stat.isIntegralNumber =>
+      Some(java.lang.Long.compare(stat.asLong(),
+        n.asInstanceOf[java.lang.Number].longValue()))
     case n: java.lang.Number =>
       Some(java.lang.Double.compare(stat.asDouble(), n.doubleValue()))
     case _ => None
@@ -393,35 +596,79 @@ object DeltaLite {
     }
   }
 
-  private def keptFiles(s: SparkSession, st: State,
-      schema: StructType, pred: Column): Seq[String] = {
+  /** A partition-column value parsed to the stats-JSON domain under the
+    * column's declared type; None = type we don't prune on.
+    */
+  private def typedPartVal(raw: String, dt: DataType): Option[Any] =
+    scala.util.Try[Any](dt match {
+      case StringType => raw
+      case ByteType | ShortType | IntegerType | LongType =>
+        java.lang.Long.valueOf(raw.toLong)
+      case FloatType | DoubleType => java.lang.Double.valueOf(raw.toDouble)
+      case _: DecimalType => new java.math.BigDecimal(raw)
+      case _ => null
+    }).toOption.filter(_ != null)
+
+  /** The pruning view of one file: its stats merged with its partition
+    * values as exact (min = max = value) bounds — so ONE evaluator,
+    * [[mayMatch]], prunes on partitions first-class alongside stats.
+    */
+  private def pruneNode(e: FileEntry,
+      partTypes: Map[String, DataType]): JsonNode = {
+    val root = Json.createObjectNode()
+    val mins = root.putObject("minValues")
+    val maxs = root.putObject("maxValues")
+    e.stats.foreach { st =>
+      Option(st.get("minValues")).foreach {
+        case o: ObjectNode => mins.setAll[ObjectNode](o)
+        case _ => ()
+      }
+      Option(st.get("maxValues")).foreach {
+        case o: ObjectNode => maxs.setAll[ObjectNode](o)
+        case _ => ()
+      }
+    }
+    e.partValues.foreach {
+      case (k, Some(raw)) =>
+        partTypes.get(k).flatMap(typedPartVal(raw, _)).foreach { v =>
+          putVal(mins, k, v)
+          putVal(maxs, k, v)
+        }
+      case _ => () // null partition: no bounds, never pruned
+    }
+    root
+  }
+
+  private def keptEntries(s: SparkSession, st: State,
+      pred: Column): Seq[FileEntry] = {
+    val schema = st.schema
     val e = resolvedPred(s, schema, pred)
-    st.files.filter(f => st.stats.get(f).forall(stats => mayMatch(e, stats)))
+    val partTypes = schema.fields
+      .filter(f => st.partCols.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+    st.entries.filter(fe => mayMatch(e, pruneNode(fe, partTypes)))
   }
 
   /** (kept, total) live-file counts for `pred` — the data-skipping
-    * effectiveness measure (asserted by DeltaLiteSpec).
+    * effectiveness measure (asserted by DeltaLiteSpec), covering both
+    * partition-level and stats-level pruning.
     */
   def pruneInfo(s: SparkSession, table: String, pred: Column): (Int, Int) = {
     val st = replay(s, table, latestVersion(s, table))
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    (keptFiles(s, st, schema, pred).size, st.files.size)
+    (keptEntries(s, st, pred).size, st.entries.size)
   }
 
-  /** Stats-pruned scan: files whose min/max cannot satisfy `pred` are
-    * never opened (file-level data skipping — the lake-metadata read
-    * optimization of reference:metadata:1-53); the surviving files are
-    * read and `pred` applied exactly. On a 100 TB table with range-
-    * clustered files, a selective scan touches only the overlapping
-    * fraction of files, on top of parquet's own row-group pruning.
+  /** Pruned scan: partitions whose values cannot satisfy `pred`, then
+    * files whose min/max cannot, are never opened (partition pruning +
+    * file-level data skipping — the lake-metadata read optimizations of
+    * reference:metadata:1-53); the surviving files are read and `pred`
+    * applied exactly. On a 100 TB table a selective scan touches only
+    * the matching partitions' overlapping files, on top of parquet's
+    * own row-group pruning.
     */
   def scan(s: SparkSession, table: String, pred: Column): DataFrame = {
     val st = replay(s, table, latestVersion(s, table))
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val keep = keptFiles(s, st, schema, pred)
-    if (keep.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema)
-      .parquet(keep.map(p => new Path(table, p).toString): _*)
+    readFiles(s, table, st.schema, keptEntries(s, st, pred).map(_.path))
       .filter(pred)
   }
 
@@ -431,26 +678,28 @@ object DeltaLite {
       p.put("minWriterVersion", 2)
     }
 
-  private def metaDataAction(table: String, schemaJson: String): String =
+  private def metaDataAction(table: String, schemaJson: String,
+      partCols: Seq[String]): String =
     obj("metaData") { m =>
       m.put("id", UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
       val fmt = m.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
       m.put("schemaString", schemaJson)
-      m.putArray("partitionColumns")
+      val pc = m.putArray("partitionColumns")
+      partCols.foreach(pc.add)
       m.putObject("configuration")
       m.put("createdTime", 0L)
     }
 
-  /** Atomic exclusive commit of version `v` — concurrent writers race
-    * safely (one wins, one fails with an IOException the retry paths
-    * catch). On local file:// paths Hadoop's `create(overwrite=false)`
-    * is CHECK-then-create (two racers can both "win", silently losing
-    * one commit — caught by the two-writer race spec), so the claim
-    * goes through `Files.createFile` (O_EXCL, kernel-atomic) instead;
-    * non-local stores keep the Hadoop create, whose put-if-absent is
-    * the store's own atomic primitive.
+  /** Atomic exclusive commit of version `v`: the payload is written to
+    * a temp file first, then CLAIMS the commit name atomically —
+    * `Files.createLink` (hard link, O_EXCL-like, kernel-atomic) on
+    * local paths, Hadoop `rename` (which refuses an existing
+    * destination) elsewhere, the HDFSLogStore pattern. Either way the
+    * payload appears whole with the claim: concurrent writers race
+    * safely (one wins, one gets a clean IOException the retry paths
+    * catch) and readers never observe a torn or empty commit.
     */
   private def writeCommit(s: SparkSession, table: String, v: Long,
       actions: Seq[String]): Unit = {
@@ -458,45 +707,111 @@ object DeltaLite {
     val bytes = (actions.mkString("\n") + "\n").getBytes("UTF-8")
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
-      val jp = java.nio.file.Paths.get(p.toUri.getPath match {
+      val target = java.nio.file.Paths.get(p.toUri.getPath match {
         case "" => p.toString
         case path => path
       })
-      java.nio.file.Files.createDirectories(jp.getParent)
-      java.nio.file.Files.createFile(jp) // atomic O_EXCL claim
-      java.nio.file.Files.write(jp, bytes)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, "._tmp_commit", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.createLink(target, tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.io.IOException(s"commit race lost for $target", e)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
       val f = fs(s, p)
       f.mkdirs(logDir(table))
-      val out = f.create(p, false)
+      val tmp = new Path(logDir(table), s"._tmp_${UUID.randomUUID()}.json")
+      val out = f.create(tmp, false)
       try out.write(bytes)
       finally out.close()
+      if (!f.rename(tmp, p)) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"commit race lost for $p")
+      }
     }
   }
 
-  /** Stage `df`, collect per-file stats, and return the add actions. */
+  /** Stage `df`, read back per-file footer stats, and return the add
+    * actions (with partition values for partitioned tables).
+    */
   private def stagedAdds(s: SparkSession, table: String, df: DataFrame,
-      schema: StructType, dataChange: Boolean = true): Seq[String] = {
-    val files = stage(s, table, df)
-    val stats = fileStats(s, table, files, schema)
-    files.map { case (p, sz) => addAction(p, sz, stats.get(p), dataChange) }
+      schema: StructType, partCols: Seq[String],
+      dataChange: Boolean = true): Seq[String] = {
+    val files = stage(s, table, df, partCols)
+    val dataSchema =
+      StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val stats = footerStats(s, table, files.map(_._1), dataSchema)
+    files.map { case (p, pvs, sz) =>
+      addAction(p, sz, pvs, stats.get(p), dataChange)
+    }
   }
 
-  /** Create the table (version 0) from `df`. */
-  def create(s: SparkSession, table: String, df: DataFrame): Unit = {
+  /** Create the table (version 0) from `df`, Hive-partitioned on
+    * `partitionColumns` when given (partition values live in the log's
+    * add actions and the directory layout, not the data files — and
+    * [[scan]]/[[deleteWhere]]/[[merge]] prune on them before stats).
+    * `txn` stamps the creating commit with an (appId, version)
+    * high-water mark for idempotent producers (see [[appendOnce]]).
+    */
+  def create(s: SparkSession, table: String, df: DataFrame,
+      partitionColumns: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Unit = {
     require(latestVersion(s, table) < 0, s"table already exists at $table")
+    partitionColumns.foreach(pc => require(df.schema.fieldNames.contains(pc),
+      s"partition column $pc not in data"))
     writeCommit(s, table, 0L,
-      protocolAction +: metaDataAction(table, df.schema.json) +:
-        stagedAdds(s, table, df, df.schema))
+      protocolAction +:
+        metaDataAction(table, df.schema.json, partitionColumns) +:
+        stagedAdds(s, table, df, df.schema, partitionColumns) ++:
+        txn.map { case (app, tv) => txnAction(app, tv) }.toSeq)
   }
 
   /** Append `df` as a new version. */
   def append(s: SparkSession, table: String, df: DataFrame): Unit = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
-    val schema = DataType.fromJson(replay(s, table, v).schemaJson)
-      .asInstanceOf[StructType]
-    writeCommit(s, table, v + 1, stagedAdds(s, table, df, schema))
+    val st = replay(s, table, v)
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, df, st.schema, st.partCols))
+  }
+
+  /** Idempotent append for restart-prone producers: commits `df` with a
+    * `txn` action recording (`appId`, `txnVersion`), and SKIPS the
+    * write — returning false — when the log already holds that version
+    * or later for the app. A producer that crashed after its commit but
+    * before its own checkpoint replays the batch into a no-op instead
+    * of a duplicate (the exactly-once story of the streaming Delta
+    * sink). Retries the commit race like [[appendWithRetry]],
+    * re-checking the txn mark before each attempt.
+    */
+  def appendOnce(s: SparkSession, table: String, df: DataFrame,
+      appId: String, txnVersion: Long, maxAttempts: Int = 10): Boolean = {
+    val v0 = latestVersion(s, table)
+    require(v0 >= 0, s"no delta log at $table")
+    val st0 = replay(s, table, v0)
+    if (st0.txns.getOrElse(appId, Long.MinValue) >= txnVersion) return false
+    val adds = stagedAdds(s, table, df, st0.schema, st0.partCols) :+
+      txnAction(appId, txnVersion)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val v = latestVersion(s, table)
+      if (v > v0 &&
+          replay(s, table, v).txns.getOrElse(appId, Long.MinValue) >= txnVersion)
+        return false // another producer instance won with this batch
+      try {
+        writeCommit(s, table, v + 1, adds)
+        return true
+      } catch {
+        case _: java.io.IOException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"appendOnce: lost the commit race $maxAttempts times at $table")
   }
 
   /** Append with schema evolution: columns in `df` that the table lacks
@@ -510,8 +825,8 @@ object DeltaLite {
   def appendEvolved(s: SparkSession, table: String, df: DataFrame): Unit = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
-    val old = DataType.fromJson(replay(s, table, v).schemaJson)
-      .asInstanceOf[StructType]
+    val st = replay(s, table, v)
+    val old = st.schema
     old.fields.foreach { f =>
       val incoming = df.schema.fields.find(_.name == f.name)
       require(incoming.isDefined,
@@ -525,17 +840,18 @@ object DeltaLite {
     val added = df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))
     val merged = StructType(old.fields ++ added)
     writeCommit(s, table, v + 1,
-      metaDataAction(table, merged.json) +:
-        stagedAdds(s, table, df.select(merged.fieldNames.map(col).toSeq: _*),
-          merged))
+      metaDataAction(table, merged.json, st.partCols) +:
+        stagedAdds(s, table,
+          df.select(merged.fieldNames.map(col).toSeq: _*), merged,
+          st.partCols))
   }
 
   /** Append under optimistic concurrency: data files are staged ONCE,
     * then the commit races — on a version conflict (another writer won
-    * the put-if-absent on that commit file) we re-read the latest
-    * version and retry the commit alone. Blind retry is protocol-
-    * correct for appends because an append invalidates nobody's read
-    * set. delete/merge/compact deliberately have no auto-retry: their
+    * the claim on that commit file) we re-read the latest version and
+    * retry the commit alone. Blind retry is protocol-correct for
+    * appends because an append invalidates nobody's read set.
+    * delete/merge/compact deliberately have no auto-retry: their
     * commits are built FROM the live file list, which the winning
     * writer may have changed — the caller must re-run on the fresh
     * snapshot. Returns the committed version.
@@ -544,9 +860,8 @@ object DeltaLite {
       maxAttempts: Int = 10): Long = {
     val v0 = latestVersion(s, table)
     require(v0 >= 0, s"no delta log at $table")
-    val schema = DataType.fromJson(replay(s, table, v0).schemaJson)
-      .asInstanceOf[StructType]
-    val adds = stagedAdds(s, table, df, schema)
+    val st = replay(s, table, v0)
+    val adds = stagedAdds(s, table, df, st.schema, st.partCols)
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = latestVersion(s, table) + 1
@@ -561,12 +876,17 @@ object DeltaLite {
       s"appendWithRetry: lost the commit race $maxAttempts times at $table")
   }
 
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
   /** Copy-on-write MERGE (upsert) on `keys`: source rows REPLACE
     * matching target rows and are INSERTED otherwise. Only target files
-    * containing a matching key are rewritten — found by ONE semi-join
-    * of the metadata-column scan against the source keys — so merging
+    * containing a matching key are rewritten — found by ONE
+    * metadata-column scan joined against the source keys — so merging
     * a small source into a 100 TB table rewrites the touched files,
-    * not the table. The rewrite itself is one anti-join (matched old
+    * not the table. Per Delta MERGE semantics, multiple source rows
+    * matching the same target row is an error (which copy would win is
+    * ambiguous); duplicate source keys that match nothing insert all
+    * their copies. The rewrite itself is one anti-join (matched old
     * rows drop out) plus a union of the source.
     */
   def merge(s: SparkSession, table: String, source: DataFrame,
@@ -574,73 +894,85 @@ object DeltaLite {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val abs = st.files.map(p => new Path(table, p).toString)
+    val schema = st.schema
     val srcCols = source.select(schema.fieldNames.map(col).toSeq: _*)
-    val srcKeys = source.select(keys.map(col): _*).distinct()
-    val hitAbs =
-      if (abs.isEmpty) Set.empty[String]
-      else s.read.schema(schema).parquet(abs: _*)
-        .withColumn("_gf", input_file_name())
-        .join(srcKeys, keys, "left_semi")
-        .select(col("_gf")).distinct()
-        .collect().map(_.getString(0)).toSet
-    val hitRel = st.files.filter(rel => hitAbs.exists(_.endsWith("/" + rel)))
+    val srcKeyCounts = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_src_n"))
+    val (hitNames, maxMatches) =
+      if (st.entries.isEmpty) (Set.empty[String], 0L)
+      else {
+        val row = readFiles(s, table, schema, st.entries.map(_.path))
+          .withColumn("_gf", input_file_name())
+          .join(srcKeyCounts, keys)
+          .agg(collect_set(col("_gf")).as("_files"), max(col("_src_n")))
+          .head()
+        (row.getSeq[String](0).map(fileName).toSet,
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
+    require(maxMatches <= 1L,
+      s"merge: $maxMatches source rows match the same target key — " +
+        "Delta MERGE forbids ambiguous multi-matches; dedup the source")
+    val hitRel = st.entries.map(_.path)
+      .filter(rel => hitNames.contains(fileName(rel)))
     val newData =
       if (hitRel.isEmpty) srcCols
-      else s.read.schema(schema)
-        .parquet(hitRel.map(p => new Path(table, p).toString): _*)
-        .join(srcKeys, keys, "left_anti")
+      else readFiles(s, table, schema, hitRel)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(srcCols)
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, newData, schema) ++ hitRel.map(p => removeAction(p)))
+      stagedAdds(s, table, newData, schema, st.partCols) ++
+        hitRel.map(p => removeAction(p)))
   }
 
-  /** Bin-pack the live files into `targetFiles` larger ones — the
-    * OPTIMIZE/compaction maintenance op. Content is unchanged, so both
-    * the adds and removes carry `dataChange = false` (per the protocol,
-    * streaming readers may skip this commit entirely).
+  /** Bin-pack the live files into `targetFiles` larger ones per
+    * partition — the OPTIMIZE/compaction maintenance op. Content is
+    * unchanged, so both the adds and removes carry `dataChange = false`
+    * (per the protocol, streaming readers may skip this commit
+    * entirely).
     */
   def compact(s: SparkSession, table: String, targetFiles: Int): Unit = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
-    if (st.files.isEmpty) return
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val df = s.read.schema(schema)
-      .parquet(st.files.map(p => new Path(table, p).toString): _*)
-      .repartition(targetFiles)
+    if (st.entries.isEmpty) return
+    val df = readFiles(s, table, st.schema, st.entries.map(_.path))
+    val packed =
+      if (st.partCols.isEmpty) df.repartition(targetFiles)
+      else df.repartition(targetFiles, st.partCols.map(col): _*)
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, df, schema, dataChange = false) ++
-        st.files.map(p => removeAction(p, dataChange = false)))
+      stagedAdds(s, table, packed, st.schema, st.partCols,
+        dataChange = false) ++
+        st.entries.map(e => removeAction(e.path, dataChange = false)))
   }
 
-  /** Copy-on-write DELETE WHERE `cond`: one metadata-column scan finds
-    * the files containing matching rows; only those files are rewritten
-    * (their surviving rows become new adds, the originals removes).
-    * Untouched files are untouched — the 100 TB-safe DML shape.
+  /** Copy-on-write DELETE WHERE `cond`: partition+stats pruning first
+    * narrows the candidates, then one metadata-column scan of those
+    * finds the files actually containing matching rows; only those are
+    * rewritten (their surviving rows become new adds, the originals
+    * removes). Untouched files are untouched — the 100 TB-safe DML
+    * shape.
     */
   def deleteWhere(s: SparkSession, table: String, cond: Column): Unit = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    val abs = st.files.map(p => new Path(table, p).toString)
-    if (abs.isEmpty) return
-    val hitAbs = s.read.schema(schema).parquet(abs: _*)
+    val schema = st.schema
+    val candidates = keptEntries(s, st, cond).map(_.path)
+    if (candidates.isEmpty) return
+    val hitNames = readFiles(s, table, schema, candidates)
       .withColumn("_gf", input_file_name())
       .filter(cond)
       .select(col("_gf")).distinct()
-      .collect().map(_.getString(0)).toSet
-    // input_file_name yields URIs; our flat UUID names are unique, so
-    // suffix-match recovers the relative paths.
-    val hitRel = st.files.filter(rel => hitAbs.exists(_.endsWith("/" + rel)))
+      .collect().map(r => fileName(r.getString(0))).toSet
+    // input_file_name yields URIs; our UUID file names are unique per
+    // table, so name-match recovers the relative paths regardless of
+    // partition-directory encoding.
+    val hitRel = candidates.filter(rel => hitNames.contains(fileName(rel)))
     if (hitRel.isEmpty) return
-    val survivors = s.read.schema(schema)
-      .parquet(hitRel.map(p => new Path(table, p).toString): _*)
+    val survivors = readFiles(s, table, schema, hitRel)
       .filter(!coalesce(cond, lit(false)))
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, survivors, schema) ++
+      stagedAdds(s, table, survivors, schema, st.partCols) ++
         hitRel.map(p => removeAction(p)))
   }
 }

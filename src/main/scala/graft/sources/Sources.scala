@@ -302,6 +302,32 @@ object Sources {
       SELECT c_custkey, c_name,
              CASE WHEN c_custkey > 750 THEN c_acctbal ELSE NULL END
                AS c_acctbal
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s14
+    // Partitioned table-format table: create Hive-partitioned on
+    // c_mktsegment (partition values live in the log's add actions and
+    // the directory layout, not the data files), then a scan whose
+    // predicate names one partition plus a key range — partition
+    // pruning drops every other segment's files from the metadata
+    // BEFORE per-file stats are even consulted, the first pruning lever
+    // of a real lake table. DeltaLiteSpec asserts the non-matching
+    // partitions' files are never listed; the oracle hash-checks the
+    // surviving scan is exact.
+    GQuery("s14_delta_partitioned", (s, d) => {
+      val table = s"${scratch("s14")}/customer_part_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c, partitionColumns = Seq("c_mktsegment"))
+      DeltaLite.append(s, table,
+        c.withColumn("c_custkey", col("c_custkey") + 1000000L))
+      DeltaLite.scan(s, table,
+          col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 1000000L)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      ORDER BY c_custkey"""))
   )
 }

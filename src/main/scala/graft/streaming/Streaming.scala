@@ -203,19 +203,24 @@ object Streaming {
     // micro-batch commits to a DeltaLite table via foreachBatch (create
     // on the first batch, append after), and the final snapshot is
     // hash-checked against the source. On a cluster this is the
-    // continuous lake-ingestion shape — exactly-once per batch via the
-    // streaming checkpoint + the log's atomic commit, with readers
-    // seeing only whole commits.
+    // continuous lake-ingestion shape — EXACTLY-once per batch: every
+    // commit carries a `txn` action recording (queryId, batchId), so a
+    // batch replayed after a crash between the Delta commit and the
+    // streaming checkpoint is recognized in the log and skipped
+    // (appendOnce), not re-appended. Readers see only whole commits
+    // (the log's atomic claim carries the payload with it).
     GQuery("st06_stream_delta_sink", (s, d) => {
       import graft.sources.DeltaLite
       val table = s"${graft.util.Scratch.dir("st06")}/events_delta"
       val q = eventsStream(s, d)
         .select(col("user_id"), col("event_type"), col("ts"), col("value"))
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val appId = "st06_delta_sink"
           if (DeltaLite.latestVersion(s, table) < 0)
-            DeltaLite.create(s, table, batch.toDF())
-          else DeltaLite.append(s, table, batch.toDF())
+            DeltaLite.create(s, table, batch.toDF(),
+              txn = Some((appId, batchId)))
+          else { DeltaLite.appendOnce(s, table, batch.toDF(), appId, batchId); () }
         }
         .option("checkpointLocation", graft.util.Scratch.dir("st06ckpt"))
         .start()

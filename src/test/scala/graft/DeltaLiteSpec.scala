@@ -210,4 +210,121 @@ class DeltaLiteSpec extends SparkSpec {
       DeltaLite.create(spark, t, c) // version 0 already exists
     }
   }
+
+  test("partitioned table: snapshot round-trips, partition pruning " +
+      "skips non-matching partitions' files entirely") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c, partitionColumns = Seq("c_mktsegment"))
+    // Round trip: partition values come back from the dir layout/log.
+    val got = DeltaLite.snapshot(spark, t)
+    assert(got.schema.fieldNames.toSeq == c.schema.fieldNames.toSeq)
+    assert(got.orderBy(col("c_custkey")).collect().toSeq ==
+      c.orderBy(col("c_custkey")).collect().toSeq)
+    // Partition pruning: a one-segment predicate keeps ONLY that
+    // partition's files — never listed, never opened.
+    val segs = c.select(col("c_mktsegment")).distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(segs.length >= 2, "need multiple partitions for the test")
+    val (kept, total) = DeltaLite.pruneInfo(spark, t,
+      col("c_mktsegment") === segs.head)
+    assert(kept < total && kept > 0, s"kept=$kept total=$total")
+    // The scan over the pruned set is still exact.
+    val want = c.filter(col("c_mktsegment") === segs.head)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(DeltaLite.scan(spark, t, col("c_mktsegment") === segs.head)
+      .orderBy(col("c_custkey")).collect().toSeq == want)
+    // Hive layout: the partition column is NOT in the data files.
+    val aFile = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      .filter(p => p.toString.endsWith(".parquet") &&
+        p.toString.contains("c_mktsegment="))
+      .findFirst().get()
+    assert(!spark.read.parquet(aFile.toString)
+      .schema.fieldNames.contains("c_mktsegment"))
+  }
+
+  test("partitioned deleteWhere on a partition predicate rewrites only " +
+      "that partition") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c, partitionColumns = Seq("c_mktsegment"))
+    val before = DeltaLite.pruneInfo(spark, t, lit(true))._2
+    val perPart = DeltaLite.pruneInfo(spark, t,
+      col("c_mktsegment") === "BUILDING")._1
+    DeltaLite.deleteWhere(spark, t,
+      col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 100)
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_delta_log",
+        "00000000000000000001.json")), "UTF-8")
+    // Only BUILDING's files were candidates, so at most that many
+    // removes — other partitions' files untouched.
+    assert(log.linesIterator.count(_.contains("\"remove\"")) <= perPart)
+    assert(perPart < before)
+    val got = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val want = c.filter(!(col("c_mktsegment") === "BUILDING" &&
+        col("c_custkey") <= 100))
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(got == want)
+  }
+
+  test("appendOnce is idempotent per (appId, version) — a replayed " +
+      "batch is a no-op") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 10),
+      txn = Some(("app1", 0L)))
+    assert(DeltaLite.appendOnce(spark, t,
+      c.filter(col("c_custkey") > 10 && col("c_custkey") <= 20), "app1", 1L))
+    // Crash-replay of batch 1: skipped, no duplicate rows.
+    assert(!DeltaLite.appendOnce(spark, t,
+      c.filter(col("c_custkey") > 10 && col("c_custkey") <= 20), "app1", 1L))
+    // Replay of the CREATING batch (0) is also a no-op.
+    assert(!DeltaLite.appendOnce(spark, t,
+      c.filter(col("c_custkey") <= 10), "app1", 0L))
+    assert(DeltaLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 20).count())
+    // A different app's version line is independent.
+    assert(DeltaLite.appendOnce(spark, t,
+      c.filter(col("c_custkey") > 20 && col("c_custkey") <= 25), "app2", 0L))
+    // txn marks survive a log checkpoint.
+    DeltaLite.writeLogCheckpoint(spark, t)
+    assert(!DeltaLite.appendOnce(spark, t,
+      c.filter(col("c_custkey") <= 10), "app1", 1L))
+  }
+
+  test("stats comparison is exact above 2^53 — no double-rounding prune") {
+    val t = freshTable()
+    import spark.implicits._
+    // 2^53 = 9007199254740992; 2^53 + 1 rounds DOWN to it as a double,
+    // so a double-based compare would prune the file for pred > 2^53.
+    val big = 9007199254740993L // 2^53 + 1
+    DeltaLite.create(spark, t, Seq(big).toDF("k").coalesce(1))
+    assert(DeltaLite.pruneInfo(spark, t, col("k") > 9007199254740992L)._1 == 1)
+    assert(DeltaLite.scan(spark, t, col("k") > 9007199254740992L)
+      .collect().map(_.getLong(0)).toSeq == Seq(big))
+    // And the bound still prunes when it truly excludes the file.
+    assert(DeltaLite.pruneInfo(spark, t, col("k") > big)._1 == 0)
+  }
+
+  test("merge rejects multiple source rows matching one target row " +
+      "(Delta semantics); unmatched duplicates insert") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 20))
+    val dupMatched = c.filter(col("c_custkey") === 1)
+      .unionByName(c.filter(col("c_custkey") === 1)
+        .withColumn("c_acctbal", col("c_acctbal") * 2))
+    intercept[IllegalArgumentException] {
+      DeltaLite.merge(spark, t, dupMatched, Seq("c_custkey"))
+    }
+    // Duplicate keys that match NO target row insert all copies.
+    val dupUnmatched = c.filter(col("c_custkey") === 1)
+      .withColumn("c_custkey", lit(777777L))
+      .unionByName(c.filter(col("c_custkey") === 1)
+        .withColumn("c_custkey", lit(777777L)))
+    DeltaLite.merge(spark, t, dupUnmatched, Seq("c_custkey"))
+    assert(DeltaLite.snapshot(spark, t)
+      .filter(col("c_custkey") === 777777L).count() == 2)
+  }
 }
