@@ -36,6 +36,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Noise sentinel: a fixed CPU-bound calibration task (no IO, no
+    // data dependence — sum of 400M hashed longs) whose cost on an idle
+    // host is a known constant (BASELINE.md records it). A contended
+    // host inflates the sentinel the same way it inflates every query,
+    // so a bad measurement run is self-evident FROM the artifact — no
+    // cross-referencing untouched queries needed.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      // pmod keeps the running sum far from long overflow (ANSI mode
+      // makes a raw sum of 64-bit hashes throw); cost stays hash-bound.
+      spark.range(0L, 400000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("id")),
+            org.apache.spark.sql.functions.lit(1000L))))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // warmup
+    val sentinel = (1 to 3).map(_ => sentinelOnce()).min
+
     // Warmup: every query once — codegen compilation, parquet footer
     // reads and JIT all land here.
     names.foreach(runOnce)
@@ -51,7 +73,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -136,7 +136,33 @@ object Sql {
             FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                 AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
-        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
+      // -------------------------------------------------------------- x07
+      // The engine's NATIVE functions driven from text SQL end-to-end
+      // (the extension surface of reference:duckdb:39-55 exercised the
+      // way a SQL-resident user would): graft_minhash_sig computes the
+      // 64-perm MinHash signature in SQL, the bands slice out in SQL,
+      // and the LSH candidate pairs come from a banded self-join — the
+      // same signature→band→bucket-join shape as the d02 DataFrame API,
+      // expressed entirely as a query string. MinHash values are
+      // engine-specific (no DuckDB equivalent) → rows-only check; the
+      // signature semantics are spec-verified (ExtensionsSpec,
+      // TextHashSpec).
+      GQuery("x07_sql_minhash_bands", (s, d) => run(s, d, """
+        WITH sig AS (
+          SELECT doc_id, graft_minhash_sig(text, 3) AS sig FROM documents
+        ),
+        bands AS (
+          SELECT doc_id, b, slice(sig, b * 4 + 1, 4) AS band
+          FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b
+        )
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               COUNT(DISTINCT x.b) AS n_bands
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+        ORDER BY doc_a, doc_b"""), None)
     )
   }
 }

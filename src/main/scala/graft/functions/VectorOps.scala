@@ -65,4 +65,18 @@ object VectorOps {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
+
+  /** Embedding dimensionality for plane sampling: the caller's explicit
+    * value when positive, otherwise measured from the data (length of
+    * the first vector — one limit-1 row-group read). A wrong explicit
+    * dim silently degrades LSH recall (vectors bucket on only their
+    * first `dim` components), so deriving is the safe default for the
+    * public APIs. Empty input falls back to 64 (the result is empty
+    * anyway — any plane dimensionality produces it).
+    */
+  def dimOf(df: org.apache.spark.sql.DataFrame, vecCol: String,
+      explicit: Int = -1): Int =
+    if (explicit > 0) explicit
+    else df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
 }

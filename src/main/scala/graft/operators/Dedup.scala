@@ -121,18 +121,20 @@ object Dedup {
     * via hyperplane-LSH candidate buckets — never all-pairs. `limit <= 0`
     * returns every qualifying pair.
     *
-    * `dim` MUST cover the embedding dimensionality: planes are sampled
-    * in `dim` dimensions, and a vector longer than `dim` is bucketed on
-    * only its first `dim` components — silently degraded recall.
+    * `dim <= 0` (the default) measures the embedding dimensionality
+    * from the data: planes are sampled in `dim` dimensions, and a
+    * vector longer than `dim` is bucketed on only its first `dim`
+    * components — an explicit undershoot silently degrades recall.
     * `tables`×`nBits` is the recall/cost dial (more tables → higher
     * recall, more candidate pairs), as in [[Similarity.lshTopK]].
     */
   def embeddingNearDup(embeddings: DataFrame, theta: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      limit: Int = 0, dim: Int = 64, tables: Int = 4,
+      limit: Int = 0, dim: Int = -1, tables: Int = 4,
       nBits: Int = 8): DataFrame = {
+    val d = VectorOps.dimOf(embeddings, vecCol, dim)
     val planes = (0 until tables).map(t =>
-      VectorOps.makePlanes(seed = 100 + t, nBits = nBits, dim = dim))
+      VectorOps.makePlanes(seed = 100 + t, nBits = nBits, dim = d))
     val base = embeddings.select(col(idCol).as("vec_id"),
       FastVector.normalize(col(vecCol)).as("nv"))
     val bucketed = base.select(col("vec_id"), col("nv"),

@@ -78,6 +78,68 @@ object DupClusters {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * rounds (the published two-phase MapReduce formulation): each round
+    * rewires every node's larger neighbors (large-star), then its
+    * smaller ones (small-star), onto the minimum of its closed
+    * neighborhood. The edge set contracts toward min-rooted stars in
+    * O(log n) rounds REGARDLESS of graph diameter — the scale-safe
+    * choice when components can be long chains, where min-label
+    * propagation ([[connectedComponents]]) would need O(diameter)
+    * rounds. Same contract: (id, cluster = min reachable id), THROWS
+    * if the round budget runs out.
+    */
+  def connectedComponentsStar(edges: DataFrame, maxRounds: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val vertices = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    // Canonical undirected edge set, self-loops dropped (a vertex whose
+    // only evidence is a self-loop is its own singleton cluster).
+    var e = mat(edges.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // Large-star: per node u, every STRICTLY LARGER neighbor v
+      // re-attaches to m = min(N(u) ∪ {u}).
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // Small-star: canonicalize (max, min); per node u every
+      // smaller-or-equal neighbor AND u itself attach to the min.
+      val canon = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val smins = canon.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = mat(canon.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+      // Fixpoint: the canonical edge set is unchanged. Both sides are
+      // distinct, so equal counts + empty one-sided difference prove
+      // set equality (one scan + one anti-join over materialized data).
+      converged = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0
+      e = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $maxRounds rounds; " +
+          "raise maxRounds")
+    // At the fixpoint e is min-rooted stars: u -> component min. Roots
+    // and isolated vertices label themselves.
+    vertices.join(e.withColumnRenamed("u", "id"), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster"))
+  }
+
   /** Duplicate edges for the documents table: exact content-hash star
     * edges (keep_id — doc_id within each md5 group: linear, never
     * pairwise) plus MinHash-LSH candidates agreeing on >= minBands

@@ -72,12 +72,16 @@ object Similarity {
 
   /** Hyperplane-LSH ANN top-k. `tables`×`nBits` is the recall/cost
     * dial; candidates come only from colliding (table, bucket) pairs.
+    * `dim <= 0` (the default) measures the embedding dimensionality
+    * from the corpus — an explicit value that undershoots the data
+    * would bucket on a prefix of each vector and silently lose recall.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = K,
-      tables: Int = 16, nBits: Int = 6, dim: Int = 64, seed: Int = 200,
+      tables: Int = 16, nBits: Int = 6, dim: Int = -1, seed: Int = 200,
       excludeSelf: Boolean = false): DataFrame = {
+    val d = VectorOps.dimOf(corpus, "nv", dim)
     val planes = (0 until tables).map(t =>
-      VectorOps.makePlanes(seed = seed + t, nBits = nBits, dim = dim))
+      VectorOps.makePlanes(seed = seed + t, nBits = nBits, dim = d))
     def bucketed(df: DataFrame, idc: String, nvc: String): DataFrame =
       df.select(col(idc), col(nvc),
         posexplode(FastVector.hyperplaneBuckets(col(nvc), planes))

@@ -444,7 +444,7 @@ object DeltaLite {
     * footers are KBs; at extreme file counts per commit the same loop
     * distributes trivially over an RDD of file names.
     */
-  private def footerStats(s: SparkSession, table: String, rels: Seq[String],
+  private[sources] def footerStats(s: SparkSession, table: String, rels: Seq[String],
       dataSchema: StructType): Map[String, String] = {
     if (rels.isEmpty) return Map.empty
     val conf = s.sparkContext.hadoopConfiguration
@@ -493,7 +493,7 @@ object DeltaLite {
     }.toMap
   }
 
-  private def putVal(o: ObjectNode, name: String, v: Any): Unit = v match {
+  private[sources] def putVal(o: ObjectNode, name: String, v: Any): Unit = v match {
     case null => ()
     case s: String => o.put(name, s)
     case b: java.lang.Byte => o.put(name, b.longValue())
@@ -528,7 +528,7 @@ object DeltaLite {
     * only analysis produces the concrete comparison nodes the stats
     * evaluator matches on). Driver-side, metadata-cheap.
     */
-  private def resolvedPred(s: SparkSession, schema: StructType,
+  private[sources] def resolvedPred(s: SparkSession, schema: StructType,
       pred: Column): Expression = {
     val empty = s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     empty.filter(pred).queryExecution.analyzed.collectFirst {
@@ -560,7 +560,7 @@ object DeltaLite {
     * min/max stats: false ONLY when the stats prove no row matches.
     * Unrecognized predicate shapes and missing stats never prune.
     */
-  private def mayMatch(e: Expression, st: JsonNode): Boolean = {
+  private[sources] def mayMatch(e: Expression, st: JsonNode): Boolean = {
     def stat(kind: String, name: String): Option[JsonNode] =
       Option(st.get(kind)).flatMap(o => Option(o.get(name)))
     def bound(name: String, v: Any)(

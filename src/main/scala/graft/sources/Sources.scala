@@ -328,6 +328,27 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_mktsegment = 'BUILDING'
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s15
+    // Second table format, Iceberg-style manifest tree (IcebergLite):
+    // create = snapshot 1, append = snapshot 2 whose manifest list
+    // REUSES snapshot 1's manifest and adds one for the new files —
+    // the read path walks version-hint → metadata JSON → manifest list
+    // → manifests → data files, never listing a directory. The final
+    // snapshot is hash-checked against the source; manifest reuse and
+    // stats pruning are spec-asserted (IcebergLiteSpec).
+    GQuery("s15_iceberg_manifests", (s, d) => {
+      val table = s"${scratch("s15")}/customer_iceberg"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, table, c.filter(col("c_custkey") <= 750))
+      IcebergLite.append(s, table, c.filter(col("c_custkey") > 750))
+      IcebergLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
   )
 }

@@ -81,6 +81,28 @@ class OperatorsSpec extends SparkSpec {
     assert(got(10L) == 10L && got(11L) == 10L)
   }
 
+  test("large-star/small-star components: a planted 1000-link chain " +
+      "converges in O(log n) rounds and matches propagation labels") {
+    import graft.operators.DupClusters
+    // A 1000-edge path graph has diameter 1000: min-label propagation
+    // would need ~1000 rounds; the alternating star algorithm must
+    // finish well inside 15 (O(log n) contraction).
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = DupClusters.connectedComponentsStar(chain, maxRounds = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 1001 && labels.forall(_._2 == 0L))
+    // Same contract as propagation on a branching multi-component graph
+    // (star + chain + isolated pair + self-loop singleton).
+    val edges = Seq((5L, 2L), (2L, 9L), (2L, 7L), (30L, 31L), (31L, 32L),
+      (40L, 41L), (50L, 50L)).toDF("a", "b")
+    val star = DupClusters.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DupClusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    assert(star(9L) == 2L && star(32L) == 30L && star(50L) == 50L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

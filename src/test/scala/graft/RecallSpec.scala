@@ -91,6 +91,36 @@ class RecallSpec extends SparkSpec {
     assert(ivfRecall >= 0.85, f"IVF clustered recall $ivfRecall%.3f")
   }
 
+  test("dim is derived from the data: 128-dim vectors with no explicit " +
+      "dim match explicit dim=128 exactly") {
+    val rnd = new Random(23)
+    val dim = 128
+    def unit128(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val bases = (0L until 30L).map(id => id -> unit128())
+    val dups = (0L until 5L).map(i =>
+      (100L + i) -> jitter(bases(i.toInt)._2, 0.005, rnd))
+    val corpus = embDf(bases ++ dups)
+    // d05 path: derived dim finds the planted pairs, identically to an
+    // explicit (correct) dim — a stale explicit 64 would bucket on half
+    // of each vector.
+    def pairs(d: Int) = Dedup.embeddingNearDup(corpus, theta = 0.95, dim = d)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(-1) == pairs(128))
+    assert(pairs(-1) == (0L until 5L).map(i => (i, 100L + i)).toSet)
+    // a02 path: lshTopK with derived dim equals explicit dim=128.
+    val prep = Similarity.prepared(corpus, "vec_id", "embedding")
+    val queries = Similarity.asQueries(prep.filter(col("vec_id") < 3))
+    def rows(d: Int) =
+      Similarity.lshTopK(prep, queries, dim = d, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(rows(-1) == rows(128) && rows(-1).nonEmpty)
+  }
+
   test("q29/q30 approximate aggregates stay inside their documented " +
       "error bounds vs the exact answers") {
     val li = Tables.lineitem(spark, sfDir)
