@@ -138,6 +138,41 @@ object Sql {
                 AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
 
+      // -------------------------------------------------------------- x08
+      // GROUPING SETS from text — the multi-granularity aggregate a
+      // SQL-resident user reaches for first; Spark expands it to a
+      // single Expand + one aggregate exchange, same as the q13
+      // DataFrame rollup.
+      passthrough("x08_sql_grouping_sets", """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY status, priority"""),
+
+      // -------------------------------------------------------------- x09
+      // The window-function suite from text (ntile / percent_rank /
+      // cume_dist / first_value / last_value with an explicit frame) —
+      // one partitionBy exchange serves all five, as in q39.
+      passthrough("x09_sql_window_suite", """
+        SELECT c_custkey, c_mktsegment,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               FIRST_VALUE(c_custkey) OVER w AS first_k,
+               LAST_VALUE(c_custkey) OVER
+                 (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING) AS last_k
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_mktsegment, c_acctbal, c_custkey"""),
+
       // -------------------------------------------------------------- x07
       // The engine's NATIVE functions driven from text SQL end-to-end
       // (the extension surface of reference:duckdb:39-55 exercised the

@@ -945,6 +945,45 @@ object DeltaLite {
         st.entries.map(e => removeAction(e.path, dataChange = false)))
   }
 
+  /** VACUUM: physically delete data files no longer referenced by the
+    * `retainVersions` newest log versions — the files left behind by
+    * copy-on-write DML/compaction rewrites, aborted stages, and
+    * [[appendOnce]]'s skipped-batch path. `olderThanMs` guards
+    * in-flight writers: a file younger than the horizon is never
+    * deleted even if unreferenced (the retention story of production
+    * Delta's VACUUM; pass 0 only when no writer can be active). Time
+    * travel to versions older than the retained window stops working —
+    * by design, as in Delta. Returns the number of deleted files.
+    */
+  def vacuum(s: SparkSession, table: String, retainVersions: Int = 1,
+      olderThanMs: Long = 0L): Int = {
+    require(retainVersions >= 1, "must retain at least the live version")
+    val latest = latestVersion(s, table)
+    require(latest >= 0, s"no delta log at $table")
+    val referenced = (math.max(0L, latest - retainVersions + 1) to latest)
+      .flatMap(v => replay(s, table, v).entries.map(_.path)).toSet
+    val root = new Path(table)
+    val f = fs(s, root)
+    val rootPrefix = f.makeQualified(root).toString
+    val horizon = System.currentTimeMillis() - olderThanMs
+    var deleted = 0
+    val it = f.listFiles(root, true)
+    val doomed = mutable.Buffer[Path]()
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = f.makeQualified(st.getPath).toString
+        .stripPrefix(rootPrefix).stripPrefix("/")
+      val isData = rel.endsWith(".parquet") && !rel.startsWith("_delta_log/")
+      if (isData && !referenced.contains(rel) &&
+          st.getModificationTime <= horizon)
+        doomed += st.getPath
+    }
+    doomed.foreach { p =>
+      if (f.delete(p, false)) deleted += 1
+    }
+    deleted
+  }
+
   /** Copy-on-write DELETE WHERE `cond`: partition+stats pruning first
     * narrows the candidates, then one metadata-column scan of those
     * finds the files actually containing matching rows; only those are

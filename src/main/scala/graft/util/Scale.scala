@@ -16,14 +16,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Scale {
 
+  /** Session conf key: "auto" (default) inspects the input's partition
+    * count per call; "never" passes through untouched (zero planning
+    * cost — set on clusters where every scan is known well-split);
+    * "always" exchanges unconditionally (debug/small-lake escape hatch).
+    */
+  val Mode = "spark.graft.scale.widen"
+
   /** Repartition `df` by `key` iff its current partition count is below
     * `target` (default: the cluster's scheduling parallelism). Inspecting
-    * the partition count forces physical planning of `df` (no job runs).
+    * the partition count forces an extra physical planning of `df` (no
+    * job runs) — at very high query rates set [[Mode]] to "never"
+    * instead of paying it per call.
     */
   def widen(df: DataFrame, key: Column, target: Int = 0): DataFrame = {
     val goal =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < goal) df.repartition(goal, key) else df
+    df.sparkSession.conf.get(Mode, "auto") match {
+      case "never" => df
+      case "always" => df.repartition(goal, key)
+      case _ =>
+        if (df.rdd.getNumPartitions < goal) df.repartition(goal, key) else df
+    }
   }
 }

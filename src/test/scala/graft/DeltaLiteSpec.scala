@@ -307,6 +307,37 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.pruneInfo(spark, t, col("k") > big)._1 == 0)
   }
 
+  test("vacuum deletes unreferenced data files only; the live snapshot " +
+      "is untouched and retained versions still read") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 40).coalesce(1))
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 80).coalesce(1))
+    // v2 rewrites the first file (copy-on-write): its original becomes
+    // unreferenced garbage for vacuum.
+    DeltaLite.deleteWhere(spark, t, col("c_custkey") === 1)
+    // Plus an orphan from an aborted/skipped stage.
+    val dataFile = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_delta_log"))
+      .findFirst().get()
+    val orphan = java.nio.file.Paths.get(t, "part-orphan.parquet")
+    java.nio.file.Files.copy(dataFile, orphan)
+    val want = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val deleted = DeltaLite.vacuum(spark, t) // retain latest only
+    assert(deleted == 2, s"expected removed-file + orphan, got $deleted")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq == want)
+    // A fresh unreferenced file inside the age horizon survives.
+    java.nio.file.Files.copy(dataFile, orphan)
+    assert(DeltaLite.vacuum(spark, t, olderThanMs = 3600000L) == 0)
+    assert(java.nio.file.Files.exists(orphan))
+    DeltaLite.vacuum(spark, t)
+  }
+
   test("merge rejects multiple source rows matching one target row " +
       "(Delta semantics); unmatched duplicates insert") {
     val t = freshTable()
