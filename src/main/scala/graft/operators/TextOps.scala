@@ -85,6 +85,39 @@ object TextOps {
           + 1.0), 4).as("score"))
   }
 
+  /** Per-document repetition/diversity metrics — the intra-document
+    * repetition filters a training pipeline runs before dedup (heavily
+    * repetitive documents are low-value even when globally unique):
+    * distinct-token fraction, top-token fraction, top-bigram fraction.
+    * Shape: one token explode + keyed aggs per doc (the t05/t06 shape —
+    * map-side partials, reduce traffic ∝ per-doc vocabulary, linear at
+    * any corpus size).
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val perDoc = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val bgTop = df.select(col(idCol).as("doc_id"),
+        explode(FastText.wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    perDoc.join(bgTop, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 4)
+          .as("top_token_frac"),
+        round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0.0)),
+          4).as("top_bigram_frac"))
+  }
+
   /** Stopword list used by the quality scorer (tiny, broadcast as a
     * literal into the plan).
     */
@@ -272,6 +305,44 @@ object TextOps {
              CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
                '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g'),
                '$PhoneRe', '[PHONE]', 'g')) AS BIGINT) AS redacted_len
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t08
+    // Repetition/diversity: the intra-document repetition signals
+    // (distinct-token fraction, top-token fraction, top-bigram
+    // fraction) a pipeline filters on before any cross-document dedup.
+    // Same tokenizer as t02/t05/t06 on both engines; ratios divided and
+    // 4dp-rounded identically.
+    GQuery("t08_repetition", (s, d) => {
+      repetitionStats(Scale.widen(T.documents(s, d), col("doc_id")))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        GROUP BY doc_id, tok),
+      pd AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c) AS top_c
+             FROM tc GROUP BY doc_id),
+      bc AS (
+        SELECT doc_id, bg, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1])) AS bg
+          FROM documents)
+        GROUP BY doc_id, bg),
+      bt AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg
+             FROM bc GROUP BY doc_id)
+      SELECT pd.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4)
+               AS distinct_frac,
+             ROUND(CAST(top_c AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+             ROUND(COALESCE(CAST(top_bg AS DOUBLE) / n_bg, 0.0), 4)
+               AS top_bigram_frac
+      FROM pd LEFT JOIN bt ON pd.doc_id = bt.doc_id
+      ORDER BY pd.doc_id"""))
   )
 }
