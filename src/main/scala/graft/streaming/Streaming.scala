@@ -304,8 +304,77 @@ object Streaming {
       SELECT user_id, COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
              MAX(CAST(ts AS TIMESTAMP)) AS last_ts
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- st09
+    // Spark 4's transformWithState — the successor API to
+    // flatMapGroupsWithState (st08): typed composite state (here a
+    // MapState of per-event-type counts under each user key) living in
+    // the RocksDB state store, with explicit state handles instead of a
+    // single GroupState value. Each batch emits the updated (user,
+    // type, count) entries it touched — a changelog; the bounded
+    // harness reads the source as one batch, so the emitted rows ARE
+    // the final counts, which the batch oracle checks. Count merging is
+    // commutative, so the undefined within-group iterator order cannot
+    // affect results.
+    GQuery("st09_transform_with_state", (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val typed = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+      // transformWithState requires the RocksDB state store provider;
+      // scope the session conf to this query and restore after.
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = typed.groupByKey(_._1)
+          .transformWithState(new TypeCountProcessor, TimeMode.None(),
+            OutputMode.Append())
+        runToEnd(s, out.toDF("user_id", "event_type", "n"), "append")
+          .orderBy(col("user_id"), col("event_type"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }, Some("""
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
   )
+
+  /** st09's stateful processor: per-user MapState[event_type → count].
+    * State handles are acquired in init (per the transformWithState
+    * lifecycle); handleInputRows folds the batch into the map and emits
+    * the updated entries.
+    */
+  private class TypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
+      rows.foreach { case (_, et) =>
+        val cur = touched.getOrElse(et,
+          if (counts.containsKey(et)) counts.getValue(et) else 0L)
+        touched(et) = cur + 1
+      }
+      touched.foreach { case (et, n) => counts.updateValue(et, n) }
+      touched.iterator.map { case (et, n) => (user, et, n) }
+    }
+  }
 
   /** Explicit state for st08: running count / exact-decimal total /
     * max event time (micros) per user.
