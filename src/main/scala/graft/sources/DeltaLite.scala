@@ -85,10 +85,13 @@ object DeltaLite {
   }
 
   /** One live data file: relative path, its partition values (None =
-    * null partition), and its stats JSON when collected.
+    * null partition), its stats JSON when collected, and the relative
+    * path of its deletion-vector sidecar when rows have been soft-
+    * deleted (merge-on-read).
     */
   private case class FileEntry(path: String,
-      partValues: Seq[(String, Option[String])], stats: Option[JsonNode])
+      partValues: Seq[(String, Option[String])], stats: Option[JsonNode],
+      dv: Option[String] = None)
 
   private case class State(schemaJson: String, partCols: Seq[String],
       entries: Seq[FileEntry], txns: Map[String, Long]) {
@@ -167,7 +170,8 @@ object DeltaLite {
                 live(p) = FileEntry(p,
                   partValuesOf(Option(r.getAs[String]("partitionValues"))
                     .map(Json.readTree).orNull),
-                  Option(r.getAs[String]("stats")).map(Json.readTree))
+                  Option(r.getAs[String]("stats")).map(Json.readTree),
+                  Option(r.getAs[String]("dvPath")))
               case "txn" =>
                 txns(r.getAs[String]("appId")) = r.getAs[Long]("txnVersion")
             }
@@ -190,6 +194,9 @@ object DeltaLite {
             val p = a.get("path").asText()
             live(p) = FileEntry(p, partValuesOf(a.get("partitionValues")),
               if (a.has("stats")) Some(Json.readTree(a.get("stats").asText()))
+              else None,
+              if (a.has("deletionVector"))
+                Some(a.get("deletionVector").get("pathOrInlineDv").asText())
               else None)
           }
           if (n.has("remove")) live -= n.get("remove").get("path").asText()
@@ -233,12 +240,13 @@ object DeltaLite {
     }
     val rows: java.util.List[Row] =
       (Row("metaData", null, null, st.schemaJson, partColsJson, null, null,
-        null) +:
+        null, null) +:
         (st.entries.map(e => Row("add", e.path,
-          e.stats.map(_.toString).orNull, null, null, pvJson(e), null, null)) ++
+          e.stats.map(_.toString).orNull, null, null, pvJson(e), null, null,
+          e.dv.orNull)) ++
           st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
             Row("txn", null, null, null, null, null, app,
-              java.lang.Long.valueOf(tv))
+              java.lang.Long.valueOf(tv), null)
           })).asJava
     val schema = StructType(Seq(
       StructField("kind", StringType, nullable = false),
@@ -248,7 +256,8 @@ object DeltaLite {
       StructField("partitionColumns", StringType, nullable = true),
       StructField("partitionValues", StringType, nullable = true),
       StructField("appId", StringType, nullable = true),
-      StructField("txnVersion", LongType, nullable = true)))
+      StructField("txnVersion", LongType, nullable = true),
+      StructField("dvPath", StringType, nullable = true)))
     val stageDir = new Path(table, s"_stage_ckpt_${UUID.randomUUID()}")
     s.createDataFrame(rows, schema).coalesce(1)
       .write.mode("overwrite").parquet(stageDir.toString)
@@ -279,10 +288,79 @@ object DeltaLite {
       .parquet(rels.map(p => new Path(table, p).toString): _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
 
+  private def dvPathNew(): String = s"_dv/dv-${UUID.randomUUID()}.json"
+
+  /** Write a deletion-vector sidecar (sorted row indexes as JSON) and
+    * return its relative path.
+    */
+  private def writeDv(s: SparkSession, table: String,
+      rids: Seq[Long]): String = {
+    val rel = dvPathNew()
+    val p = new Path(table, rel)
+    val f = fs(s, p)
+    f.mkdirs(p.getParent)
+    val root = Json.createObjectNode()
+    val arr = root.putArray("deletedRows")
+    rids.sorted.foreach(arr.add)
+    val out = f.create(p, false)
+    try out.write(Json.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    rel
+  }
+
+  private def readDv(s: SparkSession, table: String, rel: String): Seq[Long] = {
+    val p = new Path(table, rel)
+    val f = fs(s, p)
+    val in = f.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    Json.readTree(txt).get("deletedRows").elements().asScala
+      .map(_.asLong()).toSeq
+  }
+
+  /** Read live entries honoring deletion vectors: files without a DV
+    * read plain; files with one read with the parquet row index
+    * (`_metadata.row_index`) and anti-join their deleted positions
+    * (small, broadcast). `fileCol` additionally exposes each row's data
+    * file NAME (for the DML hit-detection scans).
+    */
+  private def readEntries(s: SparkSession, table: String,
+      schema: StructType, entries: Seq[FileEntry],
+      fileCol: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val outCols =
+      (schema.fieldNames.toSeq ++ fileCol.toSeq).map(col)
+    def withName(df: DataFrame): DataFrame = fileCol match {
+      case Some(c) => df.withColumn(c,
+        element_at(split(input_file_name(), "/"), -1))
+      case None => df
+    }
+    val (dvE, plain) = entries.partition(_.dv.isDefined)
+    val base = withName(readFiles(s, table, schema, plain.map(_.path)))
+      .select(outCols: _*)
+    if (dvE.isEmpty) return base
+    val deleted = dvE.flatMap(e => readDv(s, table, e.dv.get)
+      .map(rid => (fileName(e.path), rid)))
+      .toDF("_dv_fname", "_dv_rid")
+    val masked = s.read.schema(schema).option("basePath", table)
+      .parquet(dvE.map(e => new Path(table, e.path).toString): _*)
+      .withColumn("_dv_fname",
+        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_dv_rid", col("_metadata.row_index"))
+      .join(broadcast(deleted), Seq("_dv_fname", "_dv_rid"), "left_anti")
+    val maskedOut = (fileCol match {
+      case Some(c) => masked.withColumn(c, col("_dv_fname"))
+      case None => masked
+    }).select(outCols: _*)
+    base.unionByName(maskedOut)
+  }
+
   /** Snapshot read; `version < 0` means latest. The schema comes from
     * the log's metaData (not parquet inference), as the protocol
     * requires — files written before a schema evolution still read
-    * under the current schema.
+    * under the current schema, and rows soft-deleted by a deletion
+    * vector are filtered out.
     */
   def snapshot(s: SparkSession, table: String, version: Long = -1L): DataFrame = {
     val latest = latestVersion(s, table)
@@ -290,7 +368,7 @@ object DeltaLite {
     val v = if (version < 0) latest else version
     require(v <= latest, s"version $v > latest $latest at $table")
     val st = replay(s, table, v)
-    readFiles(s, table, st.schema, st.entries.map(_.path))
+    readEntries(s, table, st.schema, st.entries)
   }
 
   private val NullPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -363,7 +441,8 @@ object DeltaLite {
 
   private def addAction(path: String, size: Long,
       partValues: Seq[(String, Option[String])], stats: Option[String],
-      dataChange: Boolean = true): String =
+      dataChange: Boolean = true,
+      dv: Option[(String, Long)] = None): String =
     obj("add") { a =>
       a.put("path", path)
       val pv = a.putObject("partitionValues")
@@ -375,6 +454,14 @@ object DeltaLite {
       a.put("modificationTime", 0L)
       a.put("dataChange", dataChange)
       stats.foreach(st => a.put("stats", st))
+      dv.foreach { case (rel, cardinality) =>
+        val d = a.putObject("deletionVector")
+        // Simplified descriptor: a relative sidecar path (real Delta
+        // packs roaring bitmaps with storageType u/i/p encodings).
+        d.put("storageType", "path")
+        d.put("pathOrInlineDv", rel)
+        d.put("cardinality", cardinality)
+      }
     }
 
   private def removeAction(path: String, dataChange: Boolean = true): String =
@@ -668,7 +755,7 @@ object DeltaLite {
     */
   def scan(s: SparkSession, table: String, pred: Column): DataFrame = {
     val st = replay(s, table, latestVersion(s, table))
-    readFiles(s, table, st.schema, keptEntries(s, st, pred).map(_.path))
+    readEntries(s, table, st.schema, keptEntries(s, st, pred))
       .filter(pred)
   }
 
@@ -901,27 +988,27 @@ object DeltaLite {
     val (hitNames, maxMatches) =
       if (st.entries.isEmpty) (Set.empty[String], 0L)
       else {
-        val row = readFiles(s, table, schema, st.entries.map(_.path))
-          .withColumn("_gf", input_file_name())
+        val row = readEntries(s, table, schema, st.entries,
+            fileCol = Some("_gf"))
           .join(srcKeyCounts, keys)
           .agg(collect_set(col("_gf")).as("_files"), max(col("_src_n")))
           .head()
-        (row.getSeq[String](0).map(fileName).toSet,
+        (row.getSeq[String](0).toSet,
           if (row.isNullAt(1)) 0L else row.getLong(1))
       }
     require(maxMatches <= 1L,
       s"merge: $maxMatches source rows match the same target key — " +
         "Delta MERGE forbids ambiguous multi-matches; dedup the source")
-    val hitRel = st.entries.map(_.path)
-      .filter(rel => hitNames.contains(fileName(rel)))
+    val hitEntries = st.entries
+      .filter(e => hitNames.contains(fileName(e.path)))
     val newData =
-      if (hitRel.isEmpty) srcCols
-      else readFiles(s, table, schema, hitRel)
+      if (hitEntries.isEmpty) srcCols
+      else readEntries(s, table, schema, hitEntries)
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(srcCols)
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, newData, schema, st.partCols) ++
-        hitRel.map(p => removeAction(p)))
+        hitEntries.map(e => removeAction(e.path)))
   }
 
   /** Bin-pack the live files into `targetFiles` larger ones per
@@ -935,7 +1022,10 @@ object DeltaLite {
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
     if (st.entries.isEmpty) return
-    val df = readFiles(s, table, st.schema, st.entries.map(_.path))
+    // Reading through readEntries applies deletion vectors, so
+    // compaction also REBASES soft deletes into clean files (the DV
+    // maintenance story: accumulated sidecars disappear here).
+    val df = readEntries(s, table, st.schema, st.entries)
     val packed =
       if (st.partCols.isEmpty) df.repartition(targetFiles)
       else df.repartition(targetFiles, st.partCols.map(col): _*)
@@ -961,7 +1051,8 @@ object DeltaLite {
     val latest = latestVersion(s, table)
     require(latest >= 0, s"no delta log at $table")
     val referenced = (math.max(0L, latest - retainVersions + 1) to latest)
-      .flatMap(v => replay(s, table, v).entries.map(_.path)).toSet
+      .flatMap(v => replay(s, table, v).entries
+        .flatMap(e => e.path +: e.dv.toSeq)).toSet
     val root = new Path(table)
     val f = fs(s, root)
     val rootPrefix = f.makeQualified(root).toString
@@ -973,7 +1064,8 @@ object DeltaLite {
       val st = it.next()
       val rel = f.makeQualified(st.getPath).toString
         .stripPrefix(rootPrefix).stripPrefix("/")
-      val isData = rel.endsWith(".parquet") && !rel.startsWith("_delta_log/")
+      val isData = (rel.endsWith(".parquet") && !rel.startsWith("_delta_log/")) ||
+        (rel.startsWith("_dv/") && rel.endsWith(".json"))
       if (isData && !referenced.contains(rel) &&
           st.getModificationTime <= horizon)
         doomed += st.getPath
@@ -996,22 +1088,80 @@ object DeltaLite {
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
     val schema = st.schema
-    val candidates = keptEntries(s, st, cond).map(_.path)
+    val candidates = keptEntries(s, st, cond)
     if (candidates.isEmpty) return
-    val hitNames = readFiles(s, table, schema, candidates)
-      .withColumn("_gf", input_file_name())
+    // UUID file names are unique per table, so name-match recovers the
+    // entries regardless of partition-directory encoding.
+    val hitNames = readEntries(s, table, schema, candidates,
+        fileCol = Some("_gf"))
       .filter(cond)
       .select(col("_gf")).distinct()
-      .collect().map(r => fileName(r.getString(0))).toSet
-    // input_file_name yields URIs; our UUID file names are unique per
-    // table, so name-match recovers the relative paths regardless of
-    // partition-directory encoding.
-    val hitRel = candidates.filter(rel => hitNames.contains(fileName(rel)))
-    if (hitRel.isEmpty) return
-    val survivors = readFiles(s, table, schema, hitRel)
+      .collect().map(_.getString(0)).toSet
+    val hitEntries = candidates
+      .filter(e => hitNames.contains(fileName(e.path)))
+    if (hitEntries.isEmpty) return
+    val survivors = readEntries(s, table, schema, hitEntries)
       .filter(!coalesce(cond, lit(false)))
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, survivors, schema, st.partCols) ++
-        hitRel.map(p => removeAction(p)))
+        hitEntries.map(e => removeAction(e.path)))
+  }
+
+  /** Merge-on-read DELETE WHERE `cond` via deletion vectors: instead of
+    * rewriting every file containing a match (copy-on-write, O(touched
+    * data) write amplification), the matching ROW POSITIONS are
+    * recorded in a per-file sidecar and the file is re-added with a
+    * `deletionVector` descriptor — the commit writes only bitmap-sized
+    * sidecars, and every read path ([[snapshot]]/[[scan]]/DML scans)
+    * filters the marked rows. The 100 TB DELETE shape: a selective
+    * delete on a huge table writes kilobytes. Repeated deletes UNION
+    * into a fresh sidecar; [[compact]] rebases accumulated DVs into
+    * clean files, and [[vacuum]] collects orphaned sidecars. Intended
+    * for selective deletes — row positions pass through the driver
+    * (like the rest of the commit metadata), so a delete matching most
+    * of the table should use [[deleteWhere]] instead.
+    */
+  def deleteWhereDV(s: SparkSession, table: String, cond: Column): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val schema = st.schema
+    val candidates = keptEntries(s, st, cond)
+    if (candidates.isEmpty) return
+    // Live (file, row-position) hits only: readEntries-equivalent scan
+    // that keeps the row index, minus positions already soft-deleted.
+    val prior = candidates.flatMap(e => e.dv.toSeq.flatMap(rel =>
+      readDv(s, table, rel).map(rid => (fileName(e.path), rid))))
+    import s.implicits._
+    val hits = {
+      val scan0 = s.read.schema(schema).option("basePath", table)
+        .parquet(candidates.map(e => new Path(table, e.path).toString): _*)
+        .withColumn("_dv_fname",
+          element_at(split(input_file_name(), "/"), -1))
+        .withColumn("_dv_rid", col("_metadata.row_index"))
+      val live = if (prior.isEmpty) scan0
+        else scan0.join(
+          broadcast(prior.toDF("_dv_fname", "_dv_rid")),
+          Seq("_dv_fname", "_dv_rid"), "left_anti")
+      live.filter(cond)
+        .select(col("_dv_fname"), col("_dv_rid"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    if (hits.isEmpty) return
+    val byFile = hits.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
+    val priorByFile = prior.groupBy(_._1)
+      .map { case (f, rs) => f -> rs.map(_._2) }
+    val actions = candidates
+      .filter(e => byFile.contains(fileName(e.path)))
+      .flatMap { e =>
+        val name = fileName(e.path)
+        val merged =
+          (priorByFile.getOrElse(name, Seq.empty) ++ byFile(name)).distinct
+        val rel = writeDv(s, table, merged)
+        Seq(removeAction(e.path),
+          addAction(e.path, 0L, e.partValues, e.stats.map(_.toString),
+            dataChange = true, dv = Some((rel, merged.size.toLong))))
+      }
+    writeCommit(s, table, v + 1, actions)
   }
 }

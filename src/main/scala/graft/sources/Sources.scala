@@ -349,6 +349,31 @@ object Sources {
         .orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s16
+    // Merge-on-read DELETE via deletion vectors: two selective deletes
+    // write only per-file row-position sidecars — zero data files are
+    // rewritten (DeltaLiteSpec asserts the file set is untouched) — and
+    // the snapshot read filters the soft-deleted rows through the
+    // `deletionVector` descriptors. At 100 TB this is the difference
+    // between a DELETE costing kilobytes and one rewriting every
+    // touched gigabyte; compact() rebases accumulated DVs when read
+    // amplification warrants it.
+    GQuery("s16_delta_deletion_vectors", (s, d) => {
+      val table = s"${scratch("s16")}/customer_dv_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.repartitionByRange(4, col("c_custkey")))
+      DeltaLite.deleteWhereDV(s, table, col("c_mktsegment") === "BUILDING")
+      DeltaLite.deleteWhereDV(s, table, col("c_acctbal") < 0.0)
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      WHERE c_mktsegment <> 'BUILDING' AND c_acctbal >= 0.0
+      ORDER BY c_custkey"""))
   )
 }

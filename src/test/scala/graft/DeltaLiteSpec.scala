@@ -338,6 +338,53 @@ class DeltaLiteSpec extends SparkSpec {
     DeltaLite.vacuum(spark, t)
   }
 
+  test("deletion vectors: merge-on-read delete writes only sidecars, " +
+      "accumulates, composes with scan/merge, and compact rebases") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.repartitionByRange(3, col("c_custkey")))
+    def dataFiles(): Set[String] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      try walk.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_delta_log"))
+        .toSet
+      finally walk.close()
+    }
+    val before = dataFiles()
+    DeltaLite.deleteWhereDV(spark, t, col("c_custkey") === 7)
+    // No data file was written or removed — only a sidecar.
+    assert(dataFiles() == before)
+    def dvFiles(): Long = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(t, "_dv"))
+      try l.toArray.map(_.toString)
+        .count(p => p.endsWith(".json") && !p.contains(".crc")).toLong
+      finally l.close()
+    }
+    assert(dvFiles() == 1)
+    assert(DeltaLite.snapshot(spark, t)
+      .filter(col("c_custkey") === 7).count() == 0)
+    // Second DV delete accumulates; both rows stay gone.
+    DeltaLite.deleteWhereDV(spark, t, col("c_custkey") === 9)
+    assert(dataFiles() == before)
+    val want = c.filter(col("c_custkey") =!= 7 && col("c_custkey") =!= 9)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq == want)
+    // Pruned scan respects the DV too.
+    assert(DeltaLite.scan(spark, t, col("c_custkey") <= 10)
+      .collect().map(_.getAs[Long]("c_custkey")).toSet ==
+      c.filter(col("c_custkey") <= 10 && col("c_custkey") =!= 7 &&
+          col("c_custkey") =!= 9)
+        .collect().map(_.getAs[Long]("c_custkey")).toSet)
+    // Compact rebases the soft deletes into clean files...
+    DeltaLite.compact(spark, t, targetFiles = 1)
+    assert(DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq == want)
+    // ...and vacuum collects the orphaned sidecars + replaced files.
+    DeltaLite.vacuum(spark, t)
+    assert(dvFiles() == 0)
+  }
+
   test("merge rejects multiple source rows matching one target row " +
       "(Delta semantics); unmatched duplicates insert") {
     val t = freshTable()
