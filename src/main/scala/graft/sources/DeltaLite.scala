@@ -397,7 +397,7 @@ object DeltaLite {
     * parquet committer, then renamed (a metadata op) to UUID names —
     * keeping their `k=v` partition directories — under the root.
     */
-  private def stage(s: SparkSession, table: String, df: DataFrame,
+  private[sources] def stage(s: SparkSession, table: String, df: DataFrame,
       partCols: Seq[String]): Seq[(String, Seq[(String, Option[String])], Long)] = {
     val stageDir = new Path(table, s"_stage_${UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
@@ -514,7 +514,7 @@ object DeltaLite {
     case _ => None
   }
 
-  private def cmpVals(a: Any, b: Any): Int = (a, b) match {
+  private[sources] def cmpVals(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
     case (x: String, y: String) => x.compareTo(y)
@@ -686,7 +686,7 @@ object DeltaLite {
   /** A partition-column value parsed to the stats-JSON domain under the
     * column's declared type; None = type we don't prune on.
     */
-  private def typedPartVal(raw: String, dt: DataType): Option[Any] =
+  private[sources] def typedPartVal(raw: String, dt: DataType): Option[Any] =
     scala.util.Try[Any](dt match {
       case StringType => raw
       case ByteType | ShortType | IntegerType | LongType =>

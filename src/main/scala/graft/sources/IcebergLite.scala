@@ -16,31 +16,35 @@ import org.apache.spark.sql.types._
   * log-replay model:
   *
   *  - `metadata/v{N}.metadata.json` — immutable table metadata: schema,
-  *    the full snapshot list, and the CURRENT snapshot id. A
-  *    `version-hint.text` pointer names the latest metadata file (the
-  *    HadoopTables catalog convention).
+  *    the partition spec, the full snapshot list, and the CURRENT
+  *    snapshot id. A `version-hint.text` pointer names the latest
+  *    metadata file (the HadoopTables catalog convention).
   *  - each snapshot points at ONE manifest list
   *    (`metadata/snap-{id}.json`) naming its manifest files;
   *  - each manifest (`metadata/manifest-{uuid}.json`) lists data files
-  *    with per-file record counts and min/max column stats.
+  *    with partition values, per-file record counts and min/max column
+  *    stats, plus a manifest-level PARTITION SUMMARY — so a selective
+  *    scan can skip a whole manifest (thousands of files) from one
+  *    metadata read before ever looking at its entries.
   *
   * The structural consequences Iceberg is built around hold here:
   * reading NEVER lists directories (the manifest tree names every data
   * file — object-store-friendly at 100 TB); an append creates a new
   * snapshot whose manifest list REUSES the previous manifests and adds
-  * one for the new files (O(new data) metadata per commit, and
-  * manifest-level stats let a scan skip whole manifests before looking
-  * at files); time travel reads any retained snapshot id, and ALL
-  * snapshots stay reachable from the current metadata file.
+  * one for the new files (O(new data) metadata per commit); pruning is
+  * hierarchical (manifest partition summary → entry partition values →
+  * entry column stats); time travel reads any retained snapshot id.
   *
   * Simplifications vs Apache Iceberg, stated: manifests are JSON
   * (Iceberg serializes them as Avro — same tree, different encoding);
   * the schema is Spark's schema JSON (not Iceberg's field-id schema, so
-  * no column-rename evolution); single-writer (Iceberg's optimistic
-  * metadata swap is arbitrated by a catalog we don't have); data files
-  * are unpartitioned here (DeltaLite carries the partition story).
-  * Stats pruning reuses the same conservative evaluator as DeltaLite
-  * ([[DeltaLite.mayMatch]]) — footer-derived stats, exact comparisons.
+  * no column-rename evolution); the partition spec is identity-only (no
+  * bucket/truncate/day transforms); partition summaries are value SETS
+  * (Iceberg stores lower/upper bounds — equivalent pruning power at
+  * lake partition cardinalities); single-writer (Iceberg's optimistic
+  * metadata swap is arbitrated by a catalog we don't have). Stats
+  * pruning reuses DeltaLite's conservative evaluator — footer-derived
+  * stats, exact comparisons.
   */
 object IcebergLite {
 
@@ -75,8 +79,11 @@ object IcebergLite {
     else readText(f, versionHint(table)).trim.toLong
   }
 
-  private case class Meta(schemaJson: String, currentSnapshot: Long,
-      snapshots: Seq[(Long, String)]) // (snapshot-id, manifest-list rel path)
+  private case class Meta(schemaJson: String, partCols: Seq[String],
+      currentSnapshot: Long, snapshots: Seq[(Long, String)]) {
+    def schema: StructType =
+      DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
 
   private def readMeta(s: SparkSession, table: String): Meta = {
     val v = currentVersion(s, table)
@@ -84,58 +91,79 @@ object IcebergLite {
     val f = fs(s, metaDir(table))
     val n = Json.readTree(readText(f, metadataFile(table, v)))
     Meta(n.get("schema-json").asText(),
+      Option(n.get("partition-spec")).toSeq
+        .flatMap(_.elements().asScala.map(_.asText())).toSeq,
       n.get("current-snapshot-id").asLong(),
       n.get("snapshots").elements().asScala.map(sn =>
         sn.get("snapshot-id").asLong() -> sn.get("manifest-list").asText())
         .toSeq)
   }
 
-  /** (relative data-file path, numRecords, stats JSON) per manifest entry. */
-  private case class ManifestEntry(path: String, stats: Option[JsonNode])
+  private case class ManifestEntry(path: String,
+      partValues: Seq[(String, Option[String])], stats: Option[JsonNode])
+
+  private case class Manifest(path: String,
+      partSummary: Map[String, Seq[Option[String]]],
+      entries: Seq[ManifestEntry])
 
   private def readManifests(s: SparkSession, table: String,
-      manifestListRel: String): Seq[(String, Seq[ManifestEntry])] = {
+      manifestListRel: String): Seq[Manifest] = {
     val f = fs(s, metaDir(table))
     val list = Json.readTree(readText(f, new Path(table, manifestListRel)))
     list.get("manifests").elements().asScala.map(_.asText()).toSeq
       .map { mRel =>
         val m = Json.readTree(readText(f, new Path(table, mRel)))
-        mRel -> m.get("entries").elements().asScala.map { e =>
+        val summary = Option(m.get("partition-summary")).map(ps =>
+          ps.properties().asScala.map { e =>
+            e.getKey -> e.getValue.elements().asScala.map(v =>
+              if (v.isNull) None else Some(v.asText())).toSeq
+          }.toMap).getOrElse(Map.empty[String, Seq[Option[String]]])
+        val entries = m.get("entries").elements().asScala.map { e =>
           ManifestEntry(e.get("path").asText(),
+            Option(e.get("partitionValues")).toSeq.flatMap(pv =>
+              pv.properties().asScala.map { kv =>
+                kv.getKey -> (if (kv.getValue.isNull) None
+                  else Some(kv.getValue.asText()))
+              }.toSeq),
             Option(e.get("stats")).filterNot(_.isNull))
         }.toSeq
+        Manifest(mRel, summary, entries)
       }
   }
 
-  /** Stage `df` as parquet under `table/data/` and return one manifest's
-    * entries (path + footer-derived stats), written as
-    * `metadata/manifest-{uuid}.json`. Returns the manifest's relative
-    * path.
+  /** Stage `df` (Hive-partitioned under `data/` when `partCols`
+    * non-empty), collect footer stats, and write one manifest with the
+    * entries + the manifest-level partition summary. Returns the
+    * manifest's relative path.
     */
-  private def writeManifest(s: SparkSession, table: String,
-      df: DataFrame, schema: StructType): String = {
-    val stageDir = new Path(table, s"_stage_${UUID.randomUUID()}")
-    df.write.mode("overwrite").parquet(stageDir.toString)
-    val f = fs(s, stageDir)
-    val rels = f.listStatus(stageDir).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        n.startsWith("part-") && n.endsWith(".parquet")
-      }
-      .map { st =>
-        val rel = s"data/part-${UUID.randomUUID()}.parquet"
-        f.mkdirs(new Path(table, "data"))
-        require(f.rename(st.getPath, new Path(table, rel)),
-          s"rename failed staging $rel")
-        rel
-      }
-    f.delete(stageDir, true)
-    val stats = DeltaLite.footerStats(s, table, rels, schema)
+  private def writeManifest(s: SparkSession, table: String, df: DataFrame,
+      schema: StructType, partCols: Seq[String]): String = {
+    val f = fs(s, new Path(table))
+    f.mkdirs(new Path(table, "data"))
+    val staged = DeltaLite.stage(s, s"$table/data", df, partCols)
+      .map { case (rel, pvs, sz) => (s"data/$rel", pvs, sz) }
+    val dataSchema =
+      StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
+    val stats = DeltaLite.footerStats(s, table, staged.map(_._1), dataSchema)
     val root = Json.createObjectNode()
+    val summary = root.putObject("partition-summary")
+    partCols.foreach { pc =>
+      val arr = summary.putArray(pc)
+      staged.flatMap(_._2.collect { case (k, v) if k == pc => v })
+        .distinct.foreach {
+          case Some(v) => arr.add(v)
+          case None => arr.addNull()
+        }
+    }
     val entries = root.putArray("entries")
-    rels.foreach { rel =>
+    staged.foreach { case (rel, pvs, _) =>
       val e = entries.addObject()
       e.put("path", rel)
+      val pv = e.putObject("partitionValues")
+      pvs.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
       stats.get(rel).foreach(st => e.set[JsonNode]("stats", Json.readTree(st)))
     }
     val mRel = s"metadata/manifest-${UUID.randomUUID()}.json"
@@ -145,8 +173,8 @@ object IcebergLite {
   }
 
   private def commitSnapshot(s: SparkSession, table: String,
-      schemaJson: String, prevSnapshots: Seq[(Long, String)],
-      manifests: Seq[String]): Long = {
+      schemaJson: String, partCols: Seq[String],
+      prevSnapshots: Seq[(Long, String)], manifests: Seq[String]): Long = {
     val f = fs(s, metaDir(table))
     f.mkdirs(metaDir(table))
     val snapId = prevSnapshots.map(_._1).foldLeft(0L)(math.max) + 1
@@ -163,6 +191,8 @@ object IcebergLite {
       UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
     meta.put("location", table)
     meta.put("schema-json", schemaJson)
+    val spec = meta.putArray("partition-spec")
+    partCols.foreach(spec.add)
     meta.put("current-snapshot-id", snapId)
     val snaps = meta.putArray("snapshots")
     (prevSnapshots :+ (snapId, listRel)).foreach { case (id, rel) =>
@@ -179,12 +209,17 @@ object IcebergLite {
     snapId
   }
 
-  /** Create the table: snapshot 1 with one manifest. */
-  def create(s: SparkSession, table: String, df: DataFrame): Long = {
+  /** Create the table: snapshot 1 with one manifest, identity-
+    * partitioned on `partitionColumns` when given.
+    */
+  def create(s: SparkSession, table: String, df: DataFrame,
+      partitionColumns: Seq[String] = Nil): Long = {
     require(currentVersion(s, table) < 0, s"table already exists at $table")
+    partitionColumns.foreach(pc => require(df.schema.fieldNames.contains(pc),
+      s"partition column $pc not in data"))
     fs(s, metaDir(table)).mkdirs(metaDir(table))
-    val m = writeManifest(s, table, df, df.schema)
-    commitSnapshot(s, table, df.schema.json, Nil, Seq(m))
+    val m = writeManifest(s, table, df, df.schema, partitionColumns)
+    commitSnapshot(s, table, df.schema.json, partitionColumns, Nil, Seq(m))
   }
 
   /** Append as a NEW snapshot: its manifest list is the previous
@@ -194,12 +229,12 @@ object IcebergLite {
     */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val meta = readMeta(s, table)
-    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val schema = meta.schema
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
-    val prevManifests = readManifests(s, table, current).map(_._1)
+    val prevManifests = readManifests(s, table, current).map(_.path)
     val m = writeManifest(s, table,
-      df.select(schema.fieldNames.map(col).toSeq: _*), schema)
-    commitSnapshot(s, table, meta.schemaJson, meta.snapshots,
+      df.select(schema.fieldNames.map(col).toSeq: _*), schema, meta.partCols)
+    commitSnapshot(s, table, meta.schemaJson, meta.partCols, meta.snapshots,
       prevManifests :+ m)
   }
 
@@ -207,14 +242,27 @@ object IcebergLite {
   def snapshots(s: SparkSession, table: String): Seq[Long] =
     readMeta(s, table).snapshots.map(_._1).sorted
 
-  private def filesOf(s: SparkSession, table: String,
-      snapshotId: Long): (StructType, Seq[ManifestEntry]) = {
+  private def manifestsOf(s: SparkSession, table: String,
+      snapshotId: Long): (Meta, Seq[Manifest]) = {
     val meta = readMeta(s, table)
     val id = if (snapshotId < 0) meta.currentSnapshot else snapshotId
     val listRel = meta.snapshots.toMap.getOrElse(id,
       throw new IllegalArgumentException(s"no snapshot $id at $table"))
-    (DataType.fromJson(meta.schemaJson).asInstanceOf[StructType],
-      readManifests(s, table, listRel).flatMap(_._2))
+    (meta, readManifests(s, table, listRel))
+  }
+
+  /** Read entries under the table schema; partitioned tables read with
+    * basePath so partition columns are injected from the `data/k=v/`
+    * layout with the declared types.
+    */
+  private def readEntries(s: SparkSession, table: String, meta: Meta,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val schema = meta.schema
+    if (entries.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    else s.read.schema(schema).option("basePath", s"$table/data")
+      .parquet(entries.map(e => new Path(table, e.path).toString): _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Snapshot read; `snapshotId < 0` means current. Every data file
@@ -222,34 +270,92 @@ object IcebergLite {
     */
   def snapshot(s: SparkSession, table: String,
       snapshotId: Long = -1L): DataFrame = {
-    val (schema, entries) = filesOf(s, table, snapshotId)
-    if (entries.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema)
-      .parquet(entries.map(e => new Path(table, e.path).toString): _*)
+    val (meta, manifests) = manifestsOf(s, table, snapshotId)
+    readEntries(s, table, meta, manifests.flatMap(_.entries))
   }
 
-  /** Stats-pruned scan over the current snapshot: manifest entries whose
-    * min/max cannot satisfy `pred` are skipped (same conservative
-    * evaluator as DeltaLite), the survivors read + filtered exactly.
+  /** Pseudo-stats node for a value set / partition values: each present
+    * value contributes to min/max bounds under the column's declared
+    * type, so DeltaLite's conservative evaluator prunes on it directly.
+    * A null value (null partition) removes the column's bounds — such a
+    * manifest/file is never pruned on that column.
+    */
+  private def boundsNode(schema: StructType,
+      vals: Map[String, Seq[Option[String]]],
+      stats: Option[JsonNode]): JsonNode = {
+    val root = Json.createObjectNode()
+    val mins = root.putObject("minValues")
+    val maxs = root.putObject("maxValues")
+    stats.foreach { st =>
+      Option(st.get("minValues")).foreach {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          mins.setAll[JsonNode](o)
+        case _ => ()
+      }
+      Option(st.get("maxValues")).foreach {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+          maxs.setAll[JsonNode](o)
+        case _ => ()
+      }
+    }
+    vals.foreach { case (k, vs) =>
+      if (!vs.contains(None) && vs.nonEmpty) {
+        schema.fields.find(_.name == k).foreach { fd =>
+          val typed = vs.flatten.flatMap(DeltaLite.typedPartVal(_, fd.dataType))
+          if (typed.size == vs.size) {
+            DeltaLite.putVal(mins, k,
+              typed.reduceLeft((a, b) =>
+                if (DeltaLite.cmpVals(a, b) <= 0) a else b))
+            DeltaLite.putVal(maxs, k,
+              typed.reduceLeft((a, b) =>
+                if (DeltaLite.cmpVals(a, b) >= 0) a else b))
+          }
+        }
+      }
+    }
+    root
+  }
+
+  private def prunedEntries(s: SparkSession, meta: Meta,
+      manifests: Seq[Manifest], pred: Column)
+      : (Seq[Manifest], Seq[ManifestEntry]) = {
+    val schema = meta.schema
+    val cond = DeltaLite.resolvedPred(s, schema, pred)
+    // Level 1: whole manifests, from their partition summaries.
+    val keptManifests = manifests.filter(m =>
+      DeltaLite.mayMatch(cond, boundsNode(schema, m.partSummary, None)))
+    // Level 2: entries, from partition values + column stats.
+    val keptEntries = keptManifests.flatMap(_.entries).filter(e =>
+      DeltaLite.mayMatch(cond,
+        boundsNode(schema,
+          e.partValues.map { case (k, v) => k -> Seq(v) }.toMap, e.stats)))
+    (keptManifests, keptEntries)
+  }
+
+  /** Hierarchically pruned scan over the current snapshot: manifests
+    * whose partition summary cannot satisfy `pred` are skipped without
+    * reading their entries' files, then entries prune on partition
+    * values + min/max stats, and the survivors read + filter exactly.
     */
   def scan(s: SparkSession, table: String, pred: Column): DataFrame = {
-    val (schema, entries) = filesOf(s, table, -1L)
-    val cond = DeltaLite.resolvedPred(s, schema, pred)
-    val keep = entries.filter(e =>
-      e.stats.forall(st => DeltaLite.mayMatch(cond, st)))
-    (if (keep.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema)
-      .parquet(keep.map(e => new Path(table, e.path).toString): _*))
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    readEntries(s, table, meta, prunedEntries(s, meta, manifests, pred)._2)
       .filter(pred)
   }
 
   /** (kept, total) data-file counts for `pred` (spec assertion hook). */
   def pruneInfo(s: SparkSession, table: String, pred: Column): (Int, Int) = {
-    val (schema, entries) = filesOf(s, table, -1L)
-    val cond = DeltaLite.resolvedPred(s, schema, pred)
-    (entries.count(e => e.stats.forall(st => DeltaLite.mayMatch(cond, st))),
-      entries.size)
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    (prunedEntries(s, meta, manifests, pred)._2.size,
+      manifests.flatMap(_.entries).size)
+  }
+
+  /** (kept, total) MANIFEST counts for `pred` — proves a selective scan
+    * skips whole manifests from their partition summaries alone.
+    */
+  def manifestPruneInfo(s: SparkSession, table: String,
+      pred: Column): (Int, Int) = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    (prunedEntries(s, meta, manifests, pred)._1.size, manifests.size)
   }
 }

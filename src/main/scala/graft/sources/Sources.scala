@@ -374,6 +374,34 @@ object Sources {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer
       WHERE c_mktsegment <> 'BUILDING' AND c_acctbal >= 0.0
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s17
+    // Partitioned Iceberg-style table with HIERARCHICAL pruning: each
+    // per-segment append writes its own manifest whose partition
+    // summary names just that segment, so a one-segment scan skips the
+    // other manifests from ONE metadata read each — before partition
+    // values or file stats are even consulted (IcebergLiteSpec asserts
+    // the manifest-level skip). The surviving scan is hash-checked.
+    GQuery("s17_iceberg_partitioned", (s, d) => {
+      val table = s"${scratch("s17")}/customer_part_iceberg"
+      val c = T.customer(s, d)
+      val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+        "FURNITURE")
+      IcebergLite.create(s, table,
+        c.filter(col("c_mktsegment") === segs.head),
+        partitionColumns = Seq("c_mktsegment"))
+      segs.tail.foreach(seg =>
+        IcebergLite.append(s, table, c.filter(col("c_mktsegment") === seg)))
+      IcebergLite.scan(s, table,
+          col("c_mktsegment") === "MACHINERY" && col("c_custkey") <= 1000)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      WHERE c_mktsegment = 'MACHINERY' AND c_custkey <= 1000
       ORDER BY c_custkey"""))
   )
 }

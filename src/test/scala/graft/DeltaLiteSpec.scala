@@ -317,13 +317,20 @@ class DeltaLiteSpec extends SparkSpec {
     // v2 rewrites the first file (copy-on-write): its original becomes
     // unreferenced garbage for vacuum.
     DeltaLite.deleteWhere(spark, t, col("c_custkey") === 1)
-    // Plus an orphan from an aborted/skipped stage.
-    val dataFile = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
-      .filter(p => p.toString.endsWith(".parquet") &&
-        !p.toString.contains("_delta_log"))
-      .findFirst().get()
+    // Plus an orphan from an aborted/skipped stage. Walk order is
+    // filesystem-dependent and some found files are vacuum's own
+    // targets — always copy from a file that stays live.
+    def liveFile(): java.nio.file.Path = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      try walk.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_delta_log") &&
+          !p.toString.contains("orphan"))
+        .maxBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      finally walk.close()
+    }
     val orphan = java.nio.file.Paths.get(t, "part-orphan.parquet")
-    java.nio.file.Files.copy(dataFile, orphan)
+    java.nio.file.Files.copy(liveFile(), orphan)
     val want = DeltaLite.snapshot(spark, t)
       .orderBy(col("c_custkey")).collect().toSeq
     val deleted = DeltaLite.vacuum(spark, t) // retain latest only
@@ -332,7 +339,7 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.snapshot(spark, t)
       .orderBy(col("c_custkey")).collect().toSeq == want)
     // A fresh unreferenced file inside the age horizon survives.
-    java.nio.file.Files.copy(dataFile, orphan)
+    java.nio.file.Files.copy(liveFile(), orphan)
     assert(DeltaLite.vacuum(spark, t, olderThanMs = 3600000L) == 0)
     assert(java.nio.file.Files.exists(orphan))
     DeltaLite.vacuum(spark, t)

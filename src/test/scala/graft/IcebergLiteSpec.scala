@@ -61,6 +61,37 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.snapshot(spark, t).count() == c.count())
   }
 
+  test("partitioned table: hierarchical pruning skips whole manifests " +
+      "from their partition summaries, then entries, and stays exact") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    val segs = c.select(col("c_mktsegment")).distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(segs.length >= 3)
+    // One manifest per segment: create the first, append the rest.
+    IcebergLite.create(spark, t,
+      c.filter(col("c_mktsegment") === segs.head),
+      partitionColumns = Seq("c_mktsegment"))
+    segs.tail.foreach(seg =>
+      IcebergLite.append(spark, t, c.filter(col("c_mktsegment") === seg)))
+    // Level-1 pruning: a one-segment predicate keeps exactly ONE
+    // manifest out of |segs| — the others are skipped from their
+    // summaries without touching their entries.
+    val (keptM, totalM) = IcebergLite.manifestPruneInfo(spark, t,
+      col("c_mktsegment") === segs.head)
+    assert(totalM == segs.length && keptM == 1, s"$keptM of $totalM")
+    // Level-2: entry stats still prune within the surviving manifest.
+    val (keptF, totalF) = IcebergLite.pruneInfo(spark, t,
+      col("c_mktsegment") === segs.head && col("c_custkey") < -1)
+    assert(keptF == 0 && totalF > 0)
+    // Exactness + partition-column round trip via the dir layout.
+    val want = c.filter(col("c_mktsegment") === segs.head)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(IcebergLite.scan(spark, t, col("c_mktsegment") === segs.head)
+      .orderBy(col("c_custkey")).collect().toSeq == want)
+    assert(IcebergLite.snapshot(spark, t).count() == c.count())
+  }
+
   test("version conflict on the metadata file fails clean") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir).limit(5)
