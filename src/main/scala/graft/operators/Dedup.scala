@@ -158,6 +158,36 @@ object Dedup {
     if (limit > 0) pairs.limit(limit) else pairs
   }
 
+  /** SemDeDup-style semantic deduplication (the published embedding-
+    * clustering curation method): cluster the corpus with the IVF
+    * k-means-lite model, then compare pairs ONLY within each cluster
+    * and report those with cosine > θ (keep = the smaller id, the
+    * convention of every dedup here). All-pairs work is confined to a
+    * cluster's members — expected size ≈ `seedStride` — so the shape is
+    * one clustering pass (shuffle traffic ∝ |centroids| × dim) plus a
+    * per-cluster-bucketed self-join, never corpus-wide all-pairs: the
+    * semantic layer of a dedup stack, above exact (d01) and
+    * lexical-near (d02–d04) matching.
+    */
+  def semanticDedup(embeddings: DataFrame, theta: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seedStride: Int = 37, limit: Int = 0): DataFrame = {
+    val prep = embeddings.select(col(idCol).as("vec_id"),
+      FastVector.normalize(col(vecCol)).as("nv"))
+    val assigned = Similarity.ivfModel(prep, seedStride)._2
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("nv").as("nv_a"))
+    val b = assigned.select(col("cid").as("cid2"),
+      col("vec_id").as("vec_b"), col("nv").as("nv_b"))
+    val pairs = a.join(b,
+        col("cid") === col("cid2") && col("vec_a") < col("vec_b"))
+      .select(col("cid").as("cluster"), col("vec_a"), col("vec_b"),
+        round(FastVector.dot(col("nv_a"), col("nv_b")), 6).as("cos"))
+      .filter(col("cos") > theta)
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+    if (limit > 0) pairs.limit(limit) else pairs
+  }
+
   /** Normalized-key dedup keep-first over arbitrary key expressions. */
   def keyedDedup(df: DataFrame, idCol: String,
       keys: Seq[org.apache.spark.sql.Column]): DataFrame =
@@ -270,6 +300,16 @@ object Dedup {
       FROM (SELECT * FROM g WHERE doc_id % 97 <> 0) c
       JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b ON c.g = b.g
       GROUP BY 1, 2 HAVING COUNT(DISTINCT c.g) >= 2
-      ORDER BY corpus_id, bench_id"""))
+      ORDER BY corpus_id, bench_id""")),
+
+    // ---------------------------------------------------------------- d09
+    // SemDeDup semantic dedup: IVF clustering + within-cluster cosine
+    // pairs. Gate θ matches d05's 0.4 (synthetic embeddings are
+    // near-orthogonal; production θ ≈ 0.95, exercised by the planted-
+    // pair spec in RecallSpec). Clustering is engine-specific →
+    // rows-only check.
+    GQuery("d09_semantic_dedup", (s, d) =>
+      semanticDedup(T.embeddings(s, d), theta = 0.4)
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b")), None)
   )
 }

@@ -99,39 +99,49 @@ object Similarity {
     topK(cand, k)
   }
 
+  private def nearest(vecs: DataFrame, cents: DataFrame, idc: String,
+      vc: String, cidc: String, cvc: String, keep: Int): DataFrame = {
+    val scored = vecs.join(broadcast(cents))
+      .select(col(idc), col(vc), col(cidc),
+        FastVector.dot(col(vc), col(cvc)).as("csim"))
+    val w = Window.partitionBy(col(idc))
+      .orderBy(col("csim").desc, col(cidc))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+      .drop("rn", "csim")
+  }
+
+  /** IVF model over a prepared (vec_id, nv) corpus: centroid seeds
+    * every `seedStride`-th vector, ONE Lloyd refinement, corpus
+    * assigned to its nearest refined centroid. Returns (centroids
+    * (cid, cv), assignment (vec_id, nv, cid)).
+    *
+    * The Lloyd step is the mean of member vectors per cluster,
+    * re-normalized — normalize(Σv) == normalize(Σv / n), so the count
+    * divide drops out. One typed aggregate (FastVector.VectorSum) with
+    * map-side combine: shuffle traffic is |centroids| × dim buffers,
+    * not 64× the corpus rows the old posexplode formulation paid.
+    */
+  private[operators] def ivfModel(corpus: DataFrame,
+      seedStride: Int): (DataFrame, DataFrame) = {
+    val seeds = corpus.filter(col("vec_id") % seedStride === 0)
+      .select(col("vec_id").as("cid0"), col("nv").as("cv0"))
+    val assign0 = nearest(corpus, seeds, "vec_id", "nv", "cid0", "cv0", 1)
+    val cents = assign0
+      .groupBy(col("cid0").as("cid"))
+      .agg(FastVector.vectorSum(col("nv")).as("vsum"))
+      .select(col("cid"), FastVector.normalize(col("vsum")).as("cv"))
+    val assigned = nearest(corpus, cents, "vec_id", "nv", "cid", "cv", 1)
+      .select(col("vec_id"), col("nv"), col("cid"))
+    (cents, assigned)
+  }
+
   /** IVF ANN top-k: centroid seeds every `seedStride`-th corpus vector,
     * one Lloyd refinement, probe the `nprobe` nearest inverted lists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = K,
       seedStride: Int = 37, nprobe: Int = 6,
       excludeSelf: Boolean = false): DataFrame = {
-    val seeds = corpus.filter(col("vec_id") % seedStride === 0)
-      .select(col("vec_id").as("cid0"), col("nv").as("cv0"))
-
-    def nearest(vecs: DataFrame, cents: DataFrame, idc: String,
-        vc: String, cidc: String, cvc: String, keep: Int): DataFrame = {
-      val scored = vecs.join(broadcast(cents))
-        .select(col(idc), col(vc), col(cidc),
-          FastVector.dot(col(vc), col(cvc)).as("csim"))
-      val w = Window.partitionBy(col(idc))
-        .orderBy(col("csim").desc, col(cidc))
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-        .drop("rn", "csim")
-    }
-
-    // Lloyd step: mean of member vectors per cluster, re-normalized —
-    // normalize(Σv) == normalize(Σv / n), so the count divide drops out.
-    // One typed aggregate (FastVector.VectorSum) with map-side combine:
-    // shuffle traffic is |centroids| × dim buffers, not 64× the corpus
-    // rows the old posexplode formulation paid.
-    val assign0 = nearest(corpus, seeds, "vec_id", "nv", "cid0", "cv0", 1)
-    val cents = assign0
-      .groupBy(col("cid0").as("cid"))
-      .agg(FastVector.vectorSum(col("nv")).as("vsum"))
-      .select(col("cid"), FastVector.normalize(col("vsum")).as("cv"))
-
-    val assigned = nearest(corpus, cents, "vec_id", "nv", "cid", "cv", 1)
-      .select(col("vec_id"), col("nv"), col("cid"))
+    val (cents, assigned) = ivfModel(corpus, seedStride)
     // nprobe inverted lists per query — the recall/cost dial; see
     // docs/BENCH_NOTES.md for measurements.
     val probes = nearest(queries, cents, "q_id", "q_nv", "cid", "cv", nprobe)

@@ -91,6 +91,21 @@ class RecallSpec extends SparkSpec {
     assert(ivfRecall >= 0.85, f"IVF clustered recall $ivfRecall%.3f")
   }
 
+  test("d09 semanticDedup finds planted near-dups at θ=0.95 within " +
+      "clusters and nothing else") {
+    val rnd = new Random(31)
+    val bases = (0L until 120L).map(id => id -> unit(rnd))
+    // Tiny-noise copies of ids 0..4: same nearest centroid, cos≈0.999.
+    val dups = (0L until 5L).map(i =>
+      (500L + i) -> jitter(bases(i.toInt)._2, 0.005, rnd))
+    val corpus = embDf(bases ++ dups)
+    val got = Dedup.semanticDedup(corpus, theta = 0.95, seedStride = 11)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 5L).map(i => (i, 500L + i)).toSet,
+      s"expected exactly the planted pairs; got $got")
+  }
+
   test("dim is derived from the data: 128-dim vectors with no explicit " +
       "dim match explicit dim=128 exactly") {
     val rnd = new Random(23)
