@@ -174,7 +174,10 @@ object Dedup {
       seedStride: Int = 37, limit: Int = 0): DataFrame = {
     val prep = embeddings.select(col(idCol).as("vec_id"),
       FastVector.normalize(col(vecCol)).as("nv"))
-    val assigned = Similarity.ivfModel(prep, seedStride)._2
+    // Materialize the assignment once: both sides of the self-join
+    // consume it, and (measured) exchange reuse does NOT kick in across
+    // the aliased branches — without this the clustering runs twice.
+    val assigned = Similarity.ivfModel(prep, seedStride)._2.localCheckpoint()
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
       col("nv").as("nv_a"))
     val b = assigned.select(col("cid").as("cid2"),

@@ -7,10 +7,11 @@ import graft.functions.{FastText, TextHash}
 import graft.util.Scale
 
 /** Text analysis for training-data pipelines: token counting, quality
-  * scoring, language ID, fingerprinting, corpus n-gram stats, TF-IDF.
+  * scoring, language ID, fingerprinting, corpus n-gram stats, TF-IDF,
+  * PII scanning, repetition/diversity metrics.
   *
   * Public API: the `with*` / stats methods apply to ANY DataFrame with
-  * a text column; the registered t01–t06 queries are these APIs over
+  * a text column; the registered t01–t08 queries are these APIs over
   * the test `documents` table. Everything is native codegen'd
   * expressions (no UDFs), so each metric is a single scan with optional
   * aggregation: the shape that survives a 100 TB corpus unchanged.
