@@ -156,6 +156,40 @@ object Multimodal {
       FROM (SELECT doc_id, text, length(text) AS n FROM documents
             WHERE length(text) >= 16),
            LATERAL unnest(range(0, n)) t(p)
-      GROUP BY 1, 2 ORDER BY asset_id, cell"""))
+      GROUP BY 1, 2 ORDER BY asset_id, cell""")),
+
+    // ---------------------------------------------------------------- m05
+    // Modality corpus accounting — the "what is in my multimodal lake"
+    // pass a 100 TB pipeline runs first: per (source, modality) asset
+    // counts, byte totals, and projected frame volume. One scan, one
+    // keyed aggregation with map-side partials; output is
+    // |sources|×|modalities| rows regardless of corpus size. STUB: the
+    // modality sniff is a deterministic byte statistic standing in for
+    // a magic-bytes/container-header check (same shape: a per-row
+    // expression over the binary column).
+    GQuery("m05_modality_stats", (s, d) => {
+      val FrameBytes = 64
+      assets(s, d)
+        .withColumn("n_bytes", length(col("payload")).cast("long"))
+        .withColumn("modality",
+          expr("CASE pmod(n_bytes, 3) WHEN 0 THEN 'image' " +
+            "WHEN 1 THEN 'audio' ELSE 'video' END"))
+        .groupBy(col("source"), col("modality"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("n_bytes")), 4).as("avg_bytes"),
+          sum(ceil(col("n_bytes").cast("double") / FrameBytes).cast("long"))
+            .as("total_frames"))
+        .orderBy(col("source"), col("modality"))
+    }, Some("""
+      SELECT source,
+             CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+             COUNT(*) AS n_assets,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
+             CAST(SUM(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))
+               AS BIGINT) AS total_frames
+      FROM documents GROUP BY source, modality ORDER BY source, modality"""))
   )
 }
