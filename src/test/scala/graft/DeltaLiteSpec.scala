@@ -383,6 +383,15 @@ class DeltaLiteSpec extends SparkSpec {
       c.filter(col("c_custkey") <= 10 && col("c_custkey") =!= 7 &&
           col("c_custkey") =!= 9)
         .collect().map(_.getAs[Long]("c_custkey")).toSet)
+    // DVs survive a log checkpoint: replay from the compacted state
+    // alone (pre-checkpoint commits aged out) still filters them.
+    val ckptV = DeltaLite.writeLogCheckpoint(spark, t)
+    (0L to ckptV).foreach { v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(
+        t, "_delta_log", f"$v%020d.json"))
+    }
+    assert(DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq == want)
     // Compact rebases the soft deletes into clean files...
     DeltaLite.compact(spark, t, targetFiles = 1)
     assert(DeltaLite.snapshot(spark, t)
