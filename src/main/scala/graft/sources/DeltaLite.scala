@@ -1076,6 +1076,56 @@ object DeltaLite {
     deleted
   }
 
+  /** OPTIMIZE ZORDER BY: rewrite the live files clustered on the
+    * interleaved bit-order (Morton order) of `zCols` — the maintenance
+    * op that makes per-file min/max stats selective on EVERY listed
+    * column at once, where a plain sort helps only its leading column.
+    * Each column is bucketed into 16 approx-quantile buckets (one tiny
+    * driver-side quantile pass), bucket bits interleave into the
+    * z-value, and `repartitionByRange` on it range-clusters the
+    * rewrite. Like [[compact]], content is unchanged
+    * (`dataChange = false`) and deletion vectors are rebased away.
+    */
+  def compactZOrder(s: SparkSession, table: String, zCols: Seq[String],
+      targetFiles: Int): Unit = {
+    require(zCols.nonEmpty, "zorder needs at least one column")
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    if (st.entries.isEmpty) return
+    val Buckets = 16 // 4 bits per column
+    zCols.foreach(c => require(
+      st.schema(c).dataType.isInstanceOf[NumericType],
+      s"zorder column $c must be numeric (quantile-bucketed)"))
+    val df = readEntries(s, table, st.schema, st.entries)
+    // Approx-quantile bucket boundaries per column: metadata-sized
+    // (zCols × 15 doubles), one distributed sketch pass.
+    val cuts: Map[String, Array[Double]] = zCols.map { c =>
+      c -> df.stat.approxQuantile(c,
+        (1 until Buckets).map(_.toDouble / Buckets).toArray, 0.01)
+    }.toMap
+    def bucketOf(c: String): Column = {
+      // count of boundaries strictly below the value = bucket id 0..15
+      val boundaries = cuts(c).distinct
+      boundaries.foldLeft(lit(0))((acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0))
+    }
+    // Morton interleave: bit i of column j lands at position
+    // i * |zCols| + j, so all columns share the significant bits.
+    val zVal = (0 until 4).flatMap(bit => zCols.zipWithIndex.map {
+      case (c, j) =>
+        shiftleft(when(bucketOf(c).bitwiseAND(lit(1 << bit)) =!= 0, lit(1))
+          .otherwise(lit(0)), bit * zCols.size + j)
+    }).reduce(_ + _)
+    val packed = df.withColumn("_z", zVal)
+      .repartitionByRange(targetFiles, col("_z"))
+      .drop("_z")
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, packed, st.schema, st.partCols,
+        dataChange = false) ++
+        st.entries.map(e => removeAction(e.path, dataChange = false)))
+  }
+
   /** Copy-on-write DELETE WHERE `cond`: partition+stats pruning first
     * narrows the candidates, then one metadata-column scan of those
     * finds the files actually containing matching rows; only those are

@@ -402,6 +402,30 @@ object Sources {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer
       WHERE c_mktsegment = 'MACHINERY' AND c_custkey <= 1000
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s18
+    // OPTIMIZE ZORDER: hash-shuffled files span every column's full
+    // range (range predicates prune nothing); the Morton-order rewrite
+    // clusters on (c_custkey, c_acctbal) so per-file min/max stats
+    // become selective on BOTH columns at once (DeltaLiteSpec asserts
+    // the pruning counts drop on each). The post-zorder scan on the
+    // NON-leading column is hash-checked — clustering must never
+    // change results, only which files open.
+    GQuery("s18_delta_zorder", (s, d) => {
+      val table = s"${scratch("s18")}/customer_z_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.repartition(8))
+      DeltaLite.compactZOrder(s, table, Seq("c_custkey", "c_acctbal"),
+        targetFiles = 8)
+      DeltaLite.scan(s, table,
+          col("c_acctbal") >= 1000.0 && col("c_acctbal") <= 3000.0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
       ORDER BY c_custkey"""))
   )
 }

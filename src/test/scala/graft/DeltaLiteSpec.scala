@@ -401,6 +401,32 @@ class DeltaLiteSpec extends SparkSpec {
     assert(dvFiles() == 0)
   }
 
+  test("zorder compaction makes stats selective on BOTH clustered " +
+      "columns; content unchanged") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    // Hash-shuffled files: every file spans the full range of both
+    // columns, so range predicates prune nothing.
+    DeltaLite.create(spark, t, c.repartition(8))
+    val keyPred = col("c_custkey") >= 100 && col("c_custkey") <= 200
+    val balPred = col("c_acctbal") >= 1000.0 && col("c_acctbal") <= 2000.0
+    assert(DeltaLite.pruneInfo(spark, t, keyPred)._1 == 8)
+    val before = DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    DeltaLite.compactZOrder(spark, t, Seq("c_custkey", "c_acctbal"),
+      targetFiles = 8)
+    // Both columns' selective predicates now skip files.
+    val keptKey = DeltaLite.pruneInfo(spark, t, keyPred)._1
+    val keptBal = DeltaLite.pruneInfo(spark, t, balPred)._1
+    assert(keptKey < 8 && keptBal < 8, s"key=$keptKey bal=$keptBal")
+    // Content identical; scans stay exact.
+    assert(DeltaLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq == before)
+    assert(DeltaLite.scan(spark, t, balPred)
+      .orderBy(col("c_custkey")).collect().toSeq ==
+      c.filter(balPred).orderBy(col("c_custkey")).collect().toSeq)
+  }
+
   test("merge rejects multiple source rows matching one target row " +
       "(Delta semantics); unmatched duplicates insert") {
     val t = freshTable()
