@@ -1157,6 +1157,50 @@ object DeltaLite {
         hitEntries.map(e => removeAction(e.path)))
   }
 
+  /** Copy-on-write UPDATE WHERE `cond`: `assignments` maps column name
+    * → new-value expression (which may reference any current columns);
+    * matching rows are rewritten in place, non-matching rows in the
+    * same files carry over unchanged, and untouched files are
+    * untouched. Same pruned shape as [[deleteWhere]] — partition+stats
+    * pruning narrows candidates, one metadata-column scan finds the
+    * files that actually contain matches, only those rewrite.
+    * Assignments cast to the column's declared type; assigning an
+    * unknown column is an error (UPDATE never widens the schema — use
+    * [[appendEvolved]] for that).
+    */
+  def updateWhere(s: SparkSession, table: String, cond: Column,
+      assignments: Map[String, Column]): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val schema = st.schema
+    assignments.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"updateWhere: unknown column $k"))
+    val candidates = keptEntries(s, st, cond)
+    if (candidates.isEmpty) return
+    val hitNames = readEntries(s, table, schema, candidates,
+        fileCol = Some("_gf"))
+      .filter(cond)
+      .select(col("_gf")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hitEntries = candidates
+      .filter(e => hitNames.contains(fileName(e.path)))
+    if (hitEntries.isEmpty) return
+    val matched = coalesce(cond, lit(false))
+    val rewritten = readEntries(s, table, schema, hitEntries)
+      .select(schema.fields.toSeq.map { f =>
+        assignments.get(f.name) match {
+          case Some(e) =>
+            when(matched, e.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, rewritten, schema, st.partCols) ++
+        hitEntries.map(e => removeAction(e.path)))
+  }
+
   /** Merge-on-read DELETE WHERE `cond` via deletion vectors: instead of
     * rewriting every file containing a match (copy-on-write, O(touched
     * data) write amplification), the matching ROW POSITIONS are

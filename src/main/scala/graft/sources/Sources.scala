@@ -426,6 +426,33 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_acctbal BETWEEN 1000.0 AND 3000.0
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s19
+    // Copy-on-write UPDATE WHERE: the remaining DML verb. One segment's
+    // low-key rows get a 10% balance bump and a retagged segment; only
+    // files containing matches rewrite (the deleteWhere pruned shape);
+    // the oracle reconstructs the post-update state with a CASE —
+    // including that non-matching rows in REWRITTEN files carry over
+    // bit-identically.
+    GQuery("s19_delta_update", (s, d) => {
+      val table = s"${scratch("s19")}/customer_upd_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.repartitionByRange(4, col("c_custkey")))
+      DeltaLite.updateWhere(s, table,
+        col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 500,
+        Map("c_acctbal" -> (col("c_acctbal") * 1.1),
+          "c_mktsegment" -> lit("BUILDING_VIP")))
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey <= 500
+                  THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey <= 500
+                  THEN 'BUILDING_VIP' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
   )
 }

@@ -401,6 +401,33 @@ class DeltaLiteSpec extends SparkSpec {
     assert(dvFiles() == 0)
   }
 
+  test("updateWhere rewrites only match-containing files; unknown " +
+      "columns rejected") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 40).coalesce(1))
+    DeltaLite.append(spark, t, c.filter(col("c_custkey") > 40).coalesce(1))
+    DeltaLite.updateWhere(spark, t, col("c_custkey") === 5,
+      Map("c_acctbal" -> lit(9999.25)))
+    val got = DeltaLite.snapshot(spark, t)
+    assert(got.filter(col("c_custkey") === 5)
+      .head().getAs[Double]("c_acctbal") == 9999.25)
+    // Non-matching rows carried over; total row count unchanged.
+    assert(got.count() == c.count())
+    assert(got.filter(col("c_custkey") === 6)
+      .head().getAs[Double]("c_acctbal") ==
+      c.filter(col("c_custkey") === 6).head().getAs[Double]("c_acctbal"))
+    // Only the file containing key 5 was rewritten.
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_delta_log",
+        "00000000000000000002.json")), "UTF-8")
+    assert(log.linesIterator.count(_.contains("\"remove\"")) == 1)
+    intercept[IllegalArgumentException] {
+      DeltaLite.updateWhere(spark, t, lit(true),
+        Map("no_such_col" -> lit(1)))
+    }
+  }
+
   test("zorder compaction makes stats selective on BOTH clustered " +
       "columns; content unchanged") {
     val t = freshTable()
