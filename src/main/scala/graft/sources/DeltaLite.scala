@@ -1157,6 +1157,51 @@ object DeltaLite {
         hitEntries.map(e => removeAction(e.path)))
   }
 
+  /** Row-level changes between two versions — the change-data-feed
+    * read: every output row carries `_change_type` ('insert' or
+    * 'delete'; an update surfaces as its delete+insert pair), under
+    * the TO-version's schema (pre-evolution rows read with nulls for
+    * added columns, as on any snapshot read). Two paths:
+    *
+    *  - appends-only window (the streaming-ingest common case, detected
+    *    from the log alone: the from-version's file set carries over
+    *    intact): reads ONLY the files added in the window — O(new
+    *    data), no diff.
+    *  - general window (DML/compaction happened): multiset difference
+    *    of the two snapshots (`exceptAll` both ways) — always correct,
+    *    costs two snapshot scans; real CDF avoids this by writing
+    *    change files at DML time, the r5+ path.
+    */
+  def tableChanges(s: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val latest = latestVersion(s, table)
+    require(latest >= 0, s"no delta log at $table")
+    val to = if (toVersion < 0) latest else toVersion
+    require(fromVersion >= 0 && fromVersion <= to && to <= latest,
+      s"bad change window [$fromVersion, $to] (latest $latest)")
+    val stTo = replay(s, table, to)
+    val schema = stTo.schema
+    if (fromVersion == to)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+        .withColumn("_change_type", lit("insert")).limit(0)
+    val stFrom = replay(s, table, fromVersion)
+    val fromSet = stFrom.entries.map(e => (e.path, e.dv)).toSet
+    val toSet = stTo.entries.map(e => (e.path, e.dv)).toSet
+    if (fromSet.subsetOf(toSet)) {
+      // Appends only: every pre-existing file (and its deletion state)
+      // survived, so the delta IS the new files.
+      val added = stTo.entries.filterNot(e => fromSet.contains((e.path, e.dv)))
+      readEntries(s, table, schema, added)
+        .withColumn("_change_type", lit("insert"))
+    } else {
+      val now = readEntries(s, table, schema, stTo.entries)
+      val before = readEntries(s, table, schema, stFrom.entries)
+      now.exceptAll(before).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          before.exceptAll(now).withColumn("_change_type", lit("delete")))
+    }
+  }
+
   /** Copy-on-write UPDATE WHERE `cond`: `assignments` maps column name
     * → new-value expression (which may reference any current columns);
     * matching rows are rewritten in place, non-matching rows in the

@@ -453,6 +453,35 @@ object Sources {
                   THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal,
              CASE WHEN c_mktsegment = 'BUILDING' AND c_custkey <= 500
                   THEN 'BUILDING_VIP' ELSE c_mktsegment END AS c_mktsegment
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s20
+    // Change data feed: row-level changes across a create → append →
+    // delete history. The window spans a copy-on-write delete, so the
+    // reader takes the general diff path; the oracle reconstructs the
+    // exact insert/delete sets from the same history. (The appends-only
+    // window reads just the added files — asserted by DeltaLiteSpec.)
+    GQuery("s20_delta_cdf", (s, d) => {
+      val table = s"${scratch("s20")}/customer_cdf_delta"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.filter(col("c_custkey") <= 750))
+      DeltaLite.append(s, table, c.filter(col("c_custkey") > 750))
+      DeltaLite.deleteWhere(s, table, col("c_mktsegment") === "BUILDING")
+      DeltaLite.tableChanges(s, table, fromVersion = 0L)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("_change_type"))
+        .orderBy(col("c_custkey"), col("_change_type"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment, _change_type FROM (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               'insert' AS _change_type
+        FROM customer
+        WHERE c_custkey > 750 AND c_mktsegment <> 'BUILDING'
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+               'delete' AS _change_type
+        FROM customer
+        WHERE c_custkey <= 750 AND c_mktsegment = 'BUILDING')
+      ORDER BY c_custkey, _change_type"""))
   )
 }

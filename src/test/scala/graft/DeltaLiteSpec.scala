@@ -428,6 +428,35 @@ class DeltaLiteSpec extends SparkSpec {
     }
   }
 
+  test("tableChanges: appends-only windows read just the added files; " +
+      "updates surface as delete+insert pairs") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 40))
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 80))
+    // Appends-only window [0,1]: changes == the appended rows, all
+    // inserts.
+    val ch01 = DeltaLite.tableChanges(spark, t, 0L, 1L)
+    assert(ch01.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(ch01.select(col("c_custkey")).collect().map(_.getLong(0)).sorted
+      .toSeq ==
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 80)
+        .collect().map(_.getAs[Long]("c_custkey")).sorted.toSeq)
+    // An update in window [1,2]: its row appears as delete+insert.
+    DeltaLite.updateWhere(spark, t, col("c_custkey") === 7,
+      Map("c_acctbal" -> lit(1234.5)))
+    val ch12 = DeltaLite.tableChanges(spark, t, 1L, 2L)
+      .filter(col("c_custkey") === 7)
+      .select(col("_change_type"), col("c_acctbal"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val origBal = c.filter(col("c_custkey") === 7)
+      .head().getAs[Double]("c_acctbal")
+    assert(ch12 == Set(("delete", origBal), ("insert", 1234.5)))
+    // Empty window.
+    assert(DeltaLite.tableChanges(spark, t, 2L, 2L).count() == 0)
+  }
+
   test("zorder compaction makes stats selective on BOTH clustered " +
       "columns; content unchanged") {
     val t = freshTable()
