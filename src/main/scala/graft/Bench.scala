@@ -70,10 +70,15 @@ object Bench {
       val ts = (1 to 3).map(_ => runOnce(n))
       n -> (if (ts.forall(_ >= 0)) ts.min else -1.0)
     }
+    // Second probe AFTER the query loop: contention that arrives
+    // mid-run (invisible to the opening probe) shows up as a
+    // start/end sentinel gap — bracketing, not a single sample.
+    val sentinelEnd = (1 to 3).map(_ => sentinelOnce()).min
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
