@@ -807,6 +807,81 @@ object RelationalQueries {
                         IN ('0','1','2','3')
                  ELSE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
                         IN ('0','1') END
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- q41
+    // JSON path surface (DuckDB ships a JSON extension as a core
+    // capability; Spark's equivalents are from_json — schema-driven
+    // parse to a typed struct, codegen'd — and get_json_object for
+    // ad-hoc path extraction). The document is assembled from table
+    // columns identically in both engines so the parse itself is what
+    // the oracle checks. Row-level, no shuffle; the filter on an
+    // extracted field collapses to a plain predicate after parsing.
+    GQuery("q41_json_funcs", (s, d) => {
+      val js = concat(
+        lit("{\"cust\":"), col("o_custkey").cast("string"),
+        lit(",\"ord\":{\"st\":\""), col("o_orderstatus"),
+        lit("\",\"pri\":\""), col("o_orderpriority"), lit("\"}}"))
+      T.orders(s, d)
+        .filter(col("o_orderkey") < 5000)
+        .withColumn("js", js)
+        .withColumn("j", from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "cust BIGINT, ord STRUCT<st: STRING, pri: STRING>")))
+        .select(
+          col("o_orderkey"),
+          col("j.cust").as("cust"),
+          col("j.ord.st").as("st"),
+          get_json_object(col("js"), "$.ord.pri").as("pri2"))
+        .filter(col("st") === "F")
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH j AS (
+        SELECT o_orderkey,
+               '{"cust":' || CAST(o_custkey AS VARCHAR) ||
+               ',"ord":{"st":"' || o_orderstatus ||
+               '","pri":"' || o_orderpriority || '"}}' AS js
+        FROM orders WHERE o_orderkey < 5000)
+      SELECT o_orderkey,
+             CAST(json_extract(js, '$.cust') AS BIGINT) AS cust,
+             json_extract_string(js, '$.ord.st') AS st,
+             json_extract_string(js, '$.ord.pri') AS pri2
+      FROM j
+      WHERE json_extract_string(js, '$.ord.st') = 'F'
+      ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- q42
+    // Array / complex-type surface (DuckDB LIST functions): tokenize,
+    // distinct, sort, slice, membership, indexing — all native Spark
+    // array functions (codegen'd, no HOF lambdas in the plan). Per-row
+    // arrays stay inside the projection; nothing shuffles.
+    GQuery("q42_array_funcs", (s, d) => {
+      val toks = array_remove(split(col("text"), " "), "")
+      T.documents(s, d)
+        .withColumn("toks", toks)
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          array_join(
+            slice(sort_array(array_distinct(col("toks"))), 1, 3), "|")
+            .as("first3"),
+          array_contains(col("toks"), "the").as("has_the"),
+          element_at(col("toks"), 1).as("head"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             array_to_string(
+               list_slice(list_sort(list_distinct(toks)), 1, 3), '|')
+               AS first3,
+             list_contains(toks, 'the') AS has_the,
+             toks[1] AS head
+      FROM a ORDER BY doc_id"""))
   )
 }
