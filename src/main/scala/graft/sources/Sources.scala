@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 import graft.util.Scratch
+import graft.util.Par._
 
 /** Sources / sinks: the lake-IO surface of the engine. The reference's
   * core capability is "an OLAP engine reading Parquet/CSV/JSON from a
@@ -482,6 +483,52 @@ object Sources {
                'delete' AS _change_type
         FROM customer
         WHERE c_custkey <= 750 AND c_mktsegment = 'BUILDING')
-      ORDER BY c_custkey, _change_type"""))
+      ORDER BY c_custkey, _change_type""")),
+
+    // ---------------------------------------------------------------- s21
+    // Bucketed tables + co-located join: both fact tables are written
+    // bucketed on the join key (hash(key) % 8 decides the file), so the
+    // join reads matching buckets pair-wise and needs NO Exchange on
+    // either side — the physical plan's only shuffle is the 5-row
+    // group-by after the join (SourcesSpec asserts the join's Exchange
+    // count). At 100 TB this is THE lever for repeated fact⋈fact joins:
+    // pay the partitioning once at write time, never again at read
+    // time. Table names are UUID-suffixed because the driver shares one
+    // session across concurrent query invocations.
+    GQuery("s21_bucketed_join", (s, d) => {
+      val out = scratch("s21")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val ot = s"orders_bkt_$tag"
+      val lt = s"lineitem_bkt_$tag"
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$out/$ot")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$out/$lt")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+      val o = s.table(ot)
+      val l = s.table(lt)
+      // MERGE hint: the 100 TB fact⋈fact shape is a sort-merge join —
+      // exactly what the bucket layout feeds exchange-free. (Without it
+      // the planner broadcasts at gate SF and skips the bucketed read.)
+      o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          moneySum(dec2(col("l_extendedprice")) * oneMinus(col("l_discount")))
+            .as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }, Some(s"""
+      SELECT o_orderpriority,
+             ${sMoneySum(s"${sDec2("l_extendedprice")} * ${sOneMinus("l_discount")}")} AS rev,
+             COUNT(*) AS n
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

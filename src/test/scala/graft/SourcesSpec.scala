@@ -42,4 +42,35 @@ class SourcesSpec extends SparkSpec {
     // Column pruning: scan schema must not include unused columns.
     assert(plan.contains("ReadSchema") && !plan.contains("l_comment"))
   }
+
+  test("bucketed tables join with no exchange on either side") {
+    val out = Files.createTempDirectory("graft_bkt").toString
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$out/ob").bucketBy(4, "o_orderkey")
+      .saveAsTable("ob_spec")
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$out/lb").bucketBy(4, "l_orderkey")
+      .saveAsTable("lb_spec")
+    val o = spark.table("ob_spec")
+    val l = spark.table("lb_spec")
+    // MERGE hint: at test SF the planner would broadcast (bucketing
+    // then rightly disabled as useless); the 100 TB fact⋈fact shape is
+    // a sort-merge join, which is what the bucket layout feeds.
+    val joined = o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+    // Both scans report their bucket count and the join consumes the
+    // bucketed distribution directly: zero Exchange in the whole plan
+    // (the pay-once-at-write-time co-located join s21 demonstrates).
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // And it is the same result a plain join produces.
+    val expected = Tables.orders(spark, sfDir).join(
+      Tables.lineitem(spark, sfDir),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(joined.count() == expected && expected > 0)
+  }
 }
