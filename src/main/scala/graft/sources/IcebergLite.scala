@@ -102,7 +102,11 @@ object IcebergLite {
   private case class ManifestEntry(path: String,
       partValues: Seq[(String, Option[String])], stats: Option[JsonNode])
 
-  private case class Manifest(path: String,
+  /** `content` is "data" or "deletes" — Iceberg v2's manifest content
+    * field: a deletes manifest's entries are position-delete files, not
+    * data files.
+    */
+  private case class Manifest(path: String, content: String,
       partSummary: Map[String, Seq[Option[String]]],
       entries: Seq[ManifestEntry])
 
@@ -127,7 +131,9 @@ object IcebergLite {
               }.toSeq),
             Option(e.get("stats")).filterNot(_.isNull))
         }.toSeq
-        Manifest(mRel, summary, entries)
+        Manifest(mRel,
+          Option(m.get("content")).map(_.asText()).getOrElse("data"),
+          summary, entries)
       }
   }
 
@@ -251,27 +257,56 @@ object IcebergLite {
     (meta, readManifests(s, table, listRel))
   }
 
+  /** Position-delete file paths referenced by a snapshot's deletes
+    * manifests.
+    */
+  private def deleteFilesOf(manifests: Seq[Manifest]): Seq[String] =
+    manifests.filter(_.content == "deletes").flatMap(_.entries).map(_.path)
+
+  private def dataManifests(manifests: Seq[Manifest]): Seq[Manifest] =
+    manifests.filter(_.content == "data")
+
   /** Read entries under the table schema; partitioned tables read with
     * basePath so partition columns are injected from the `data/k=v/`
-    * layout with the declared types.
+    * layout with the declared types. When the snapshot carries
+    * position-delete files, each data row's (file name, row position)
+    * is anti-joined against the merged delete set — the Iceberg v2
+    * merge-on-read contract. The delete side is a normal parquet scan,
+    * so a huge delete set streams through the join (AQE broadcasts it
+    * when it is small) — nothing passes through the driver.
     */
   private def readEntries(s: SparkSession, table: String, meta: Meta,
-      entries: Seq[ManifestEntry]): DataFrame = {
+      entries: Seq[ManifestEntry],
+      deleteFiles: Seq[String] = Nil): DataFrame = {
     val schema = meta.schema
     if (entries.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).option("basePath", s"$table/data")
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+    val base = s.read.schema(schema).option("basePath", s"$table/data")
       .parquet(entries.map(e => new Path(table, e.path).toString): _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val live =
+      if (deleteFiles.isEmpty) base
+      else {
+        val dels = s.read
+          .parquet(deleteFiles.map(p => new Path(table, p).toString): _*)
+          .select(col("file_path").as("_del_fname"), col("pos").as("_del_pos"))
+        base
+          .withColumn("_del_fname",
+            element_at(split(input_file_name(), "/"), -1))
+          .withColumn("_del_pos", col("_metadata.row_index"))
+          .join(dels, Seq("_del_fname", "_del_pos"), "left_anti")
+      }
+    live.select(schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Snapshot read; `snapshotId < 0` means current. Every data file
-    * comes from the manifest tree — no directory listing.
+    * comes from the manifest tree — no directory listing — and
+    * position-delete files recorded by [[deleteWhere]] mask their rows.
     */
   def snapshot(s: SparkSession, table: String,
       snapshotId: Long = -1L): DataFrame = {
     val (meta, manifests) = manifestsOf(s, table, snapshotId)
-    readEntries(s, table, meta, manifests.flatMap(_.entries))
+    readEntries(s, table, meta, dataManifests(manifests).flatMap(_.entries),
+      deleteFilesOf(manifests))
   }
 
   /** Pseudo-stats node for a value set / partition values: each present
@@ -339,23 +374,102 @@ object IcebergLite {
     */
   def scan(s: SparkSession, table: String, pred: Column): DataFrame = {
     val (meta, manifests) = manifestsOf(s, table, -1L)
-    readEntries(s, table, meta, prunedEntries(s, meta, manifests, pred)._2)
+    readEntries(s, table, meta,
+      prunedEntries(s, meta, dataManifests(manifests), pred)._2,
+      deleteFilesOf(manifests))
       .filter(pred)
   }
 
   /** (kept, total) data-file counts for `pred` (spec assertion hook). */
   def pruneInfo(s: SparkSession, table: String, pred: Column): (Int, Int) = {
     val (meta, manifests) = manifestsOf(s, table, -1L)
-    (prunedEntries(s, meta, manifests, pred)._2.size,
-      manifests.flatMap(_.entries).size)
+    val dms = dataManifests(manifests)
+    (prunedEntries(s, meta, dms, pred)._2.size,
+      dms.flatMap(_.entries).size)
   }
 
-  /** (kept, total) MANIFEST counts for `pred` — proves a selective scan
-    * skips whole manifests from their partition summaries alone.
+  /** (kept, total) data-MANIFEST counts for `pred` — proves a selective
+    * scan skips whole manifests from their partition summaries alone.
     */
   def manifestPruneInfo(s: SparkSession, table: String,
       pred: Column): (Int, Int) = {
     val (meta, manifests) = manifestsOf(s, table, -1L)
-    (prunedEntries(s, meta, manifests, pred)._1.size, manifests.size)
+    val dms = dataManifests(manifests)
+    (prunedEntries(s, meta, dms, pred)._1.size, dms.size)
+  }
+
+  /** Data-file paths of the current snapshot (spec assertion hook: a
+    * merge-on-read delete must leave this set untouched).
+    */
+  def dataFiles(s: SparkSession, table: String): Seq[String] = {
+    val (_, manifests) = manifestsOf(s, table, -1L)
+    dataManifests(manifests).flatMap(_.entries).map(_.path).sorted
+  }
+
+  /** Position-delete file paths of the current snapshot. */
+  def deleteFiles(s: SparkSession, table: String): Seq[String] = {
+    val (_, manifests) = manifestsOf(s, table, -1L)
+    deleteFilesOf(manifests).sorted
+  }
+
+  /** Merge-on-read DELETE via Iceberg v2 position-delete files: the
+    * matching rows' (file name, row position) pairs are computed with a
+    * pruned distributed scan and written DIRECTLY as parquet delete
+    * files — one per non-empty task, row positions never pass through
+    * the driver (unlike DeltaLite's driver-collected DV sidecars; at
+    * 100 TB a delete matching billions of rows still commits in one
+    * metadata write). The new snapshot reuses every previous manifest
+    * and adds one deletes manifest; NO data file is rewritten. Delete
+    * files use Iceberg's position-delete schema (`file_path`, `pos`);
+    * `file_path` holds the data file's NAME (UUID part names are
+    * globally unique here — stated simplification vs full URIs).
+    * Returns the new snapshot id, or the current one when nothing
+    * matched.
+    */
+  def deleteWhere(s: SparkSession, table: String, pred: Column): Long = {
+    val meta0 = readMeta(s, table)
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val candidates =
+      prunedEntries(s, meta, dataManifests(manifests), pred)._2
+    if (candidates.isEmpty) return meta0.currentSnapshot
+    val priorDeletes = deleteFilesOf(manifests)
+    // Live hits only: rows already masked by an earlier delete file
+    // must not be re-recorded (idempotent position sets).
+    val scan0 = s.read.schema(meta.schema).option("basePath", s"$table/data")
+      .parquet(candidates.map(e => new Path(table, e.path).toString): _*)
+      .withColumn("file_path", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("pos", col("_metadata.row_index"))
+    val live =
+      if (priorDeletes.isEmpty) scan0
+      else scan0.join(
+        s.read.parquet(priorDeletes.map(p => new Path(table, p).toString): _*)
+          .select(col("file_path"), col("pos")),
+        Seq("file_path", "pos"), "left_anti")
+    val f = fs(s, new Path(table))
+    val stageDir = new Path(table, s"_stage-del-${UUID.randomUUID()}")
+    live.filter(pred).select(col("file_path"), col("pos"))
+      .write.parquet(stageDir.toString)
+    val parts = f.listStatus(stageDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && st.getLen > 0)
+    val rels = parts.map { st =>
+      val rel = s"data/delete-${UUID.randomUUID()}.parquet"
+      require(f.rename(st.getPath, new Path(table, rel)),
+        s"rename failed for ${st.getPath}")
+      rel
+    }
+    f.delete(stageDir, true)
+    if (rels.isEmpty) return meta0.currentSnapshot
+    // Deletes manifest: entries are delete files; no partition summary
+    // (position deletes are pruned by their data files, not by value).
+    val root = Json.createObjectNode()
+    root.put("content", "deletes")
+    val entries = root.putArray("entries")
+    rels.foreach(r => entries.addObject().put("path", r))
+    val mRel = s"metadata/manifest-${UUID.randomUUID()}.json"
+    writeFile(f, new Path(table, mRel), Json.writeValueAsString(root),
+      overwrite = false)
+    commitSnapshot(s, table, meta.schemaJson, meta.partCols, meta.snapshots,
+      manifests.map(_.path) :+ mRel)
   }
 }

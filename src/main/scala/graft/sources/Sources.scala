@@ -529,6 +529,30 @@ object Sources {
              ${sMoneySum(s"${sDec2("l_extendedprice")} * ${sOneMinus("l_discount")}")} AS rev,
              COUNT(*) AS n
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- s22
+    // Iceberg v2 merge-on-read DELETE: position-delete files. The
+    // delete writes parquet (file_path, pos) files — computed and
+    // written fully distributed, never through the driver — plus one
+    // deletes manifest; ZERO data files are rewritten (asserted by
+    // IcebergLiteSpec), and every read merges the delete set back in.
+    // Two stacked deletes prove position sets compose.
+    GQuery("s22_iceberg_position_deletes", (s, d) => {
+      val t = s"${scratch("s22")}/customer_iceberg_mor"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, t, c.repartitionByRange(4, col("c_custkey")))
+      IcebergLite.deleteWhere(s, t,
+        col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 5000)
+      IcebergLite.deleteWhere(s, t, col("c_custkey") % 100 === 0)
+      IcebergLite.snapshot(s, t)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 5000)
+        AND NOT (c_custkey % 100 = 0)
+      ORDER BY c_custkey"""))
   )
 }

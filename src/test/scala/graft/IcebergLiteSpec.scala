@@ -100,4 +100,41 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.create(spark, t, c)
     }
   }
+
+  test("position-delete files: merge-on-read delete rewrites NO data " +
+      "file, stacked deletes compose, pre-delete snapshots still full") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    val s1 = IcebergLite.create(spark, t,
+      c.repartitionByRange(4, col("c_custkey")))
+    val filesBefore = IcebergLite.dataFiles(spark, t)
+    val p1 = col("c_mktsegment") === "BUILDING"
+    IcebergLite.deleteWhere(spark, t, p1)
+    // Merge-on-read: the data-file set is byte-identical; only delete
+    // files + one deletes manifest were added.
+    assert(IcebergLite.dataFiles(spark, t) == filesBefore)
+    assert(IcebergLite.deleteFiles(spark, t).nonEmpty)
+    val want1 = c.filter(!p1)
+    assert(IcebergLite.snapshot(spark, t).orderBy(col("c_custkey"))
+      .collect().toSeq ==
+      want1.orderBy(col("c_custkey")).collect().toSeq)
+    // Second delete stacks (and must not re-record already-dead rows).
+    val p2 = col("c_custkey") % 7 === 0
+    IcebergLite.deleteWhere(spark, t, p2)
+    assert(IcebergLite.dataFiles(spark, t) == filesBefore)
+    assert(IcebergLite.snapshot(spark, t).count() ==
+      c.filter(!p1 && !(p2)).count())
+    // Scan path merges deletes too, and still prunes by stats.
+    val pred = col("c_custkey") >= 10 && col("c_custkey") <= 60
+    assert(IcebergLite.scan(spark, t, pred)
+      .orderBy(col("c_custkey")).collect().toSeq ==
+      c.filter(pred && !p1 && !p2)
+        .orderBy(col("c_custkey")).collect().toSeq)
+    // Time travel to the pre-delete snapshot sees every row.
+    assert(IcebergLite.snapshot(spark, t, s1).count() == c.count())
+    // A delete matching nothing is a no-op commit-wise.
+    val before = IcebergLite.snapshots(spark, t).size
+    IcebergLite.deleteWhere(spark, t, col("c_custkey") < -1)
+    assert(IcebergLite.snapshots(spark, t).size == before)
+  }
 }
