@@ -553,6 +553,37 @@ object Sources {
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
       WHERE NOT (c_mktsegment = 'BUILDING' AND c_acctbal < 5000)
         AND NOT (c_custkey % 100 = 0)
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s23
+    // Incremental materialized-view maintenance over the change data
+    // feed: the view is built once, then the base table takes an append
+    // AND a delete, and each refresh folds ONLY the changed rows into
+    // the stored aggregate (MatViewSpec asserts a refresh equals a full
+    // recompute and that a current view refuses to rescan). The oracle
+    // aggregates the base's final logical state directly.
+    GQuery("s23_incremental_matview", (s, d) => {
+      val root = scratch("s23")
+      val t = s"$root/orders_delta"
+      val mv = s"$root/mv"
+      val o = T.orders(s, d)
+      DeltaLite.create(s, t, o.filter(col("o_custkey") % 2 === 0))
+      MatView.create(s, t, mv, Seq("o_orderpriority"), "o_totalprice")
+      DeltaLite.append(s, t, o.filter(col("o_custkey") % 2 === 1))
+      MatView.refresh(s, mv)
+      DeltaLite.deleteWhere(s, t,
+        col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 10 === 3)
+      MatView.refresh(s, mv)
+      MatView.read(s, mv)
+        .select(col("o_orderpriority"),
+          col("sum_val").cast("double").as("total"), col("n"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+             COUNT(*) AS n
+      FROM orders
+      WHERE NOT (o_orderpriority = '1-URGENT' AND o_custkey % 10 = 3)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
