@@ -197,7 +197,38 @@ object Sql {
         FROM bands x JOIN bands y
           ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
-        ORDER BY doc_a, doc_b"""), None)
+        ORDER BY doc_a, doc_b"""), None),
+
+      // -------------------------------------------------------------- x10
+      // SQL DML on the lake table format: INSERT / UPDATE / DELETE
+      // statements parsed by Spark's own parser and executed against a
+      // DeltaLite table via LakeSql — the reference's text-query path
+      // extended to writes. The oracle replays the same three
+      // statements' net effect over the raw table.
+      GQuery("x10_sql_lake_dml", (s, d) => {
+        open(s, d)
+        val t = s"${graft.util.Scratch.dir("x10")}/cust_delta"
+        sources.DeltaLite.create(s, t,
+          Tables.customer(s, d).filter(
+            org.apache.spark.sql.functions.col("c_custkey") % 2 === 0))
+        val lake = Map("cust_lake" -> t)
+        LakeSql.execute(s, lake,
+          "INSERT INTO cust_lake SELECT * FROM customer WHERE c_custkey % 2 = 1")
+        LakeSql.execute(s, lake,
+          "UPDATE cust_lake SET c_acctbal = c_acctbal * 1.1 " +
+            "WHERE c_mktsegment = 'BUILDING'")
+        LakeSql.execute(s, lake,
+          "DELETE FROM cust_lake WHERE c_custkey % 10 = 7")
+        sources.DeltaLite.snapshot(s, t)
+          .orderBy(org.apache.spark.sql.functions.col("c_custkey"))
+      }, Some("""
+        SELECT c_custkey, c_name, c_nationkey,
+               CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN c_acctbal * 1.1 ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE NOT (c_custkey % 10 = 7)
+        ORDER BY c_custkey"""))
     )
   }
 }

@@ -30,6 +30,16 @@ object Glue {
   /** Unwrap a Column to its analyzed-input Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Execute a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — used to run the source query of a parsed INSERT
+    * statement through the normal analyzer/optimizer.
+    */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a native function into an ALREADY-RUNNING session (the
     * with-extensions path only works at session build time).
     */
