@@ -759,6 +759,28 @@ object DeltaLite {
       .filter(pred)
   }
 
+  /** Relative paths of the current snapshot's live data files — hook
+    * for auxiliary per-file indexes (see [[BloomIndex]]).
+    */
+  def liveFiles(s: SparkSession, table: String): Seq[String] = {
+    val st = replay(s, table, latestVersion(s, table))
+    st.entries.map(_.path).sorted
+  }
+
+  /** Read a SUBSET of the current snapshot's files under the table
+    * schema, honoring deletion vectors; `fileCol`, when set, adds each
+    * row's data-file NAME. Auxiliary-index hook: an index that maps
+    * file → summary (e.g. a bloom filter) scans exactly the files it
+    * kept through here.
+    */
+  def readSubset(s: SparkSession, table: String, rels: Seq[String],
+      fileCol: Option[String] = None): DataFrame = {
+    val st = replay(s, table, latestVersion(s, table))
+    val want = rels.toSet
+    readEntries(s, table, st.schema,
+      st.entries.filter(e => want.contains(e.path)), fileCol)
+  }
+
   private def protocolAction: String =
     obj("protocol") { p =>
       p.put("minReaderVersion", 1)

@@ -584,6 +584,29 @@ object Sources {
              COUNT(*) AS n
       FROM orders
       WHERE NOT (o_orderpriority = '1-URGENT' AND o_custkey % 10 = 3)
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- s24
+    // Per-file bloom-filter index: the table is hash-distributed on an
+    // unrelated column, so every file spans the full c_custkey range
+    // and min/max stats keep ALL files for a point lookup — the bloom
+    // keeps only the files that actually (probably) contain the probed
+    // keys (SourcesSpec asserts kept < total while stats-pruning keeps
+    // everything). The lookup re-applies the exact predicate, so bloom
+    // false positives never surface.
+    GQuery("s24_bloom_point_lookup", (s, d) => {
+      val t = s"${scratch("s24")}/cust_bloom_delta"
+      DeltaLite.create(s, t,
+        T.customer(s, d).repartition(8, col("c_name")))
+      BloomIndex.build(s, t, "c_custkey", expectedPerFile = 20000L)
+      BloomIndex.lookupScan(s, t, "c_custkey",
+          Seq(11L, 411L, 911L, 1311L))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey IN (11, 411, 911, 1311)
+      ORDER BY c_custkey"""))
   )
 }

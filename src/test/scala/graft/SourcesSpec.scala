@@ -73,4 +73,37 @@ class SourcesSpec extends SparkSpec {
       col("o_orderkey") === col("l_orderkey")).count()
     assert(joined.count() == expected && expected > 0)
   }
+
+  test("bloom index prunes point lookups that min/max stats cannot; " +
+      "post-build files are kept conservatively") {
+    import graft.sources.{BloomIndex, DeltaLite}
+    val t = s"${graft.util.Scratch.dir("bloomspec")}/t"
+    val c = Tables.customer(spark, sfDir)
+    // Hash-distribute on name: every file spans the full custkey range.
+    DeltaLite.create(spark, t, c.repartition(6, col("c_name")))
+    BloomIndex.build(spark, t, "c_custkey", expectedPerFile = 1000L)
+    val keys = Seq(7L, 23L)
+    // Stats keep everything (overlapping ranges)…
+    val (statsKept, total) =
+      DeltaLite.pruneInfo(spark, t, col("c_custkey").isin(keys: _*))
+    assert(statsKept == total, s"stats should not prune: $statsKept/$total")
+    // …the bloom does not.
+    val (bloomKept, bloomTotal) =
+      BloomIndex.pruneInfo(spark, t, "c_custkey", keys)
+    assert(bloomTotal == total && bloomKept < total,
+      s"bloom kept $bloomKept of $bloomTotal")
+    // Exactness: same rows as the brute filter.
+    assert(BloomIndex.lookupScan(spark, t, "c_custkey", keys)
+      .orderBy(col("c_custkey")).collect().toSeq ==
+      c.filter(col("c_custkey").isin(keys: _*))
+        .orderBy(col("c_custkey")).collect().toSeq)
+    // Staleness: an appended file has no bloom → always kept, lookup
+    // still exact.
+    DeltaLite.append(spark, t,
+      c.limit(1).withColumn("c_custkey", lit(999999L)))
+    val (k2, t2) = BloomIndex.pruneInfo(spark, t, "c_custkey", Seq(999999L))
+    assert(t2 == total + 1 && k2 >= 1)
+    assert(BloomIndex.lookupScan(spark, t, "c_custkey", Seq(999999L))
+      .count() == 1)
+  }
 }
