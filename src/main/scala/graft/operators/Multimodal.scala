@@ -190,6 +190,60 @@ object Multimodal {
              ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes,
              CAST(SUM(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))
                AS BIGINT) AS total_frames
-      FROM documents GROUP BY source, modality ORDER BY source, modality"""))
+      FROM documents GROUP BY source, modality ORDER BY source, modality""")),
+
+    // ---------------------------------------------------------------- m06
+    // Perceptual-hash near-duplicates: each payload's 16-cell pooled
+    // grid (the m04 BytePool expression) thresholds against its own
+    // mean to a 16-bit pHash — the aHash algorithm over the byte-grid
+    // stand-in — and assets bucket by exact pHash (the group size is
+    // the near-dup signal). The mean comparison runs in exact DECIMAL
+    // (v·16 vs Σv — no division, no float summation order), so the
+    // bit pattern is engine-identical and the oracle checks the FULL
+    // hash arithmetic. Scale: one scan + one 16-rows-per-asset window;
+    // near-dup candidates come from a hash equi-bucket, never pairwise.
+    GQuery("m06_phash_neardup", (s, d) => {
+      val Cells = 16
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("asset_id")
+      val cells = assets(s, d)
+        .filter(length(col("payload")) >= Cells)
+        .select(col("asset_id"),
+          posexplode(graft.functions.FastVector.bytePool(col("payload"), Cells))
+            .as(Seq("cell", "v0")))
+        .select(col("asset_id"), col("cell"),
+          round(col("v0"), 6).cast("decimal(18,6)").as("v"))
+      val ph = cells
+        .withColumn("s", sum(col("v")).over(w))
+        .withColumn("bit",
+          when(col("v") * Cells > col("s"),
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(cell AS INT)) AS BIGINT)"))
+            .otherwise(lit(0L)))
+        .groupBy(col("asset_id"))
+        .agg(sum(col("bit")).cast("long").as("phash"))
+      ph.withColumn("n_dups",
+          count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("phash"))
+            .cast("long"))
+        .orderBy(col("asset_id"))
+    }, Some("""
+      WITH cells AS (
+        SELECT doc_id AS asset_id, CAST(p * 16 // n AS BIGINT) AS cell,
+               CAST(ROUND(SUM(ord(substring(text, CAST(p + 1 AS INT), 1)))
+                      / COUNT(*), 6) AS DECIMAL(18,6)) AS v
+        FROM (SELECT doc_id, text, length(text) AS n FROM documents
+              WHERE length(text) >= 16),
+             LATERAL unnest(range(0, n)) t(p)
+        GROUP BY 1, 2),
+      wm AS (SELECT asset_id, cell, v,
+               SUM(v) OVER (PARTITION BY asset_id) AS s FROM cells),
+      ph AS (
+        SELECT asset_id,
+               CAST(SUM(CASE WHEN v * 16 > s
+                 THEN CAST(POW(2, cell) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS phash
+        FROM wm GROUP BY asset_id)
+      SELECT asset_id, phash,
+             COUNT(*) OVER (PARTITION BY phash) AS n_dups
+      FROM ph ORDER BY asset_id"""))
   )
 }

@@ -344,6 +344,30 @@ object TextOps {
              ROUND(COALESCE(CAST(top_bg AS DOUBLE) / n_bg, 0.0), 4)
                AS top_bigram_frac
       FROM pd LEFT JOIN bt ON pd.doc_id = bt.doc_id
-      ORDER BY pd.doc_id"""))
+      ORDER BY pd.doc_id""")),
+
+    // ---------------------------------------------------------------- t09
+    // Canonical text normalization — the first pass of every training
+    // pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    // whitespace, trim. Pure per-row codegen'd string expressions (one
+    // scan, zero shuffle); the regexes stay in the POSIX-class subset
+    // Java and RE2 interpret identically, oracle-checked per character.
+    GQuery("t09_normalize", (s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      T.documents(s, d)
+        .select(col("doc_id"), norm.as("norm"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(norm).cast("long").as("len_norm"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+             CAST(LENGTH(text) AS BIGINT) AS len_raw,
+             CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+               AS len_norm
+      FROM documents ORDER BY doc_id"""))
   )
 }
