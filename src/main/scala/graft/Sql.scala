@@ -228,7 +228,78 @@ object Sql {
                c_mktsegment
         FROM customer
         WHERE NOT (c_custkey % 10 = 7)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+      // ---------------------------------------------------------- x11-x14
+      // The classic TPC-H shapes on DuckDB's home turf, run as verbatim
+      // text by both engines (adapted to the test schema's columns;
+      // money in exact DECIMAL, emitted DOUBLE). Q3: shipping priority.
+      passthrough("x11_sql_tpch_q3", """
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                   AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""),
+
+      // Q5: local supplier volume — the 6-way snowflake with the
+      // customer-and-supplier-in-same-nation twist.
+      passthrough("x12_sql_tpch_q5", """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                   AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+
+      // Q10: returned-item reporting — revenue lost to returns per
+      // customer.
+      passthrough("x13_sql_tpch_q10", """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                   AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+               n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""),
+
+      // Q18: large-volume customers — IN over a HAVING subquery, the
+      // aggregate-then-semijoin decorrelation shape.
+      passthrough("x14_sql_tpch_q18", """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20""")
     )
   }
 }
