@@ -5,8 +5,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.util.Par
-
 /** Incrementally-maintained materialized aggregate over a DeltaLite
   * table, driven by the change data feed — the view-maintenance
   * capability a warehouse builds on top of a table format's CDC stream
@@ -29,13 +27,13 @@ import graft.util.Par
   * `state.json` pointer (current data dir, base version, spec). A
   * refresh writes the next snapshot dir then swaps the pointer, so
   * concurrent readers of the previous snapshot are never disturbed.
-  * The running SUM is held as DECIMAL(30,2) — exact, order-independent,
+  * The running SUM is held as an exact DECIMAL of the caller-declared
+  * value scale (precision widened to 32) — order-independent and
   * merge-safe across refreshes.
   */
 object MatView {
 
   private val Json = new ObjectMapper()
-  private val SumType = "decimal(30,2)"
 
   private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -43,7 +41,13 @@ object MatView {
   private def statePath(mvDir: String) = new Path(mvDir, "state.json")
 
   private case class State(baseTable: String, baseVersion: Long,
-      keys: Seq[String], valueCol: String, dataRel: String)
+      keys: Seq[String], valueCol: String, dataRel: String,
+      prec: Int, scale: Int) {
+    def valueType: String = s"decimal($prec,$scale)"
+    // Accumulator widened to precision 32: room for ~10^(32-prec)
+    // summed rows before overflow could matter.
+    def sumType: String = s"decimal(32,$scale)"
+  }
 
   private def writeState(s: SparkSession, mvDir: String, st: State): Unit = {
     val root = Json.createObjectNode()
@@ -53,6 +57,8 @@ object MatView {
     st.keys.foreach(ks.add)
     root.put("valueCol", st.valueCol)
     root.put("dataRel", st.dataRel)
+    root.put("prec", st.prec)
+    root.put("scale", st.scale)
     val f = fs(s, statePath(mvDir))
     val out = f.create(statePath(mvDir), true)
     try out.write(Json.writeValueAsString(root).getBytes("UTF-8"))
@@ -73,29 +79,34 @@ object MatView {
         import scala.jdk.CollectionConverters._
         n.get("keys").elements().asScala.map(_.asText()).toSeq
       },
-      n.get("valueCol").asText(), n.get("dataRel").asText())
+      n.get("valueCol").asText(), n.get("dataRel").asText(),
+      n.get("prec").asInt(), n.get("scale").asInt())
   }
 
   /** Signed aggregate of `rows` (weight +1 insert / −1 delete). */
-  private def aggregate(rows: DataFrame, keys: Seq[String], valueCol: String,
+  private def aggregate(rows: DataFrame, st: State,
       weight: org.apache.spark.sql.Column): DataFrame =
-    rows.groupBy(keys.map(col): _*)
+    rows.groupBy(st.keys.map(col): _*)
       .agg(
-        sum(Par.dec2(col(valueCol)) * weight).cast(SumType).as("sum_val"),
+        sum(col(st.valueCol).cast(st.valueType) * weight).cast(st.sumType)
+          .as("sum_val"),
         sum(weight).cast("long").as("n"))
 
   /** Build the view with one full scan of the base table's current
     * snapshot and record the snapshot's version as the refresh floor.
     */
   def create(s: SparkSession, baseTable: String, mvDir: String,
-      keys: Seq[String], valueCol: String): Unit = {
+      keys: Seq[String], valueCol: String,
+      valueDecimal: (Int, Int) = (12, 2)): Unit = {
     require(!fs(s, statePath(mvDir)).exists(statePath(mvDir)),
       s"materialized view already exists at $mvDir")
     val v = DeltaLite.latestVersion(s, baseTable)
     require(v >= 0, s"no delta log at $baseTable")
-    aggregate(DeltaLite.snapshot(s, baseTable, v), keys, valueCol, lit(1))
+    val st = State(baseTable, v, keys, valueCol, "v0",
+      valueDecimal._1, valueDecimal._2)
+    aggregate(DeltaLite.snapshot(s, baseTable, v), st, lit(1))
       .write.parquet(s"$mvDir/v0")
-    writeState(s, mvDir, State(baseTable, v, keys, valueCol, "v0"))
+    writeState(s, mvDir, st)
   }
 
   /** Current view contents: keys, `sum_val` (exact DECIMAL), `n`. */
@@ -114,10 +125,10 @@ object MatView {
     if (cur == st.baseVersion) return cur
     val changes = DeltaLite.tableChanges(s, st.baseTable, st.baseVersion, cur)
     val w = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
-    val delta = aggregate(changes, st.keys, st.valueCol, w)
+    val delta = aggregate(changes, st, w)
     val merged = read(s, mvDir).unionByName(delta)
       .groupBy(st.keys.map(col): _*)
-      .agg(sum(col("sum_val")).cast(SumType).as("sum_val"),
+      .agg(sum(col("sum_val")).cast(st.sumType).as("sum_val"),
         sum(col("n")).cast("long").as("n"))
       .filter(col("n") > 0)
     val nextRel = s"v${st.dataRel.stripPrefix("v").toLong + 1}"

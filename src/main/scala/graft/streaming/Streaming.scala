@@ -341,7 +341,53 @@ object Streaming {
       }
     }, Some("""
       SELECT user_id, event_type, COUNT(*) AS n FROM events
-      GROUP BY user_id, event_type ORDER BY user_id, event_type"""))
+      GROUP BY user_id, event_type ORDER BY user_id, event_type""")),
+
+    // --------------------------------------------------------------- st10
+    // Streaming ingest DRIVING downstream incremental view maintenance:
+    // each micro-batch commits to the lake table exactly-once (st06's
+    // txn idempotence), then the materialized aggregate folds in just
+    // that batch's change-data-feed window (appends-only → it reads
+    // only the new files). The continuous-pipeline shape at 100 TB:
+    // stream → table format → O(batch)-cost derived views, no view
+    // rebuild anywhere. The final view is hash-checked against a plain
+    // batch aggregate of the whole source.
+    GQuery("st10_stream_matview", (s, d) => {
+      import graft.sources.{DeltaLite, MatView}
+      val root = graft.util.Scratch.dir("st10")
+      val table = s"$root/events_delta"
+      val mv = s"$root/mv"
+      val q = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val appId = "st10_matview"
+          if (DeltaLite.latestVersion(s, table) < 0) {
+            DeltaLite.create(s, table, batch.toDF(),
+              txn = Some((appId, batchId)))
+            MatView.create(s, table, mv, Seq("event_type"), "value",
+              valueDecimal = (20, 6))
+          } else {
+            DeltaLite.appendOnce(s, table, batch.toDF(), appId, batchId)
+            MatView.refresh(s, mv)
+            ()
+          }
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st10ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      MatView.refresh(s, mv) // fold any final batch committed above
+      MatView.read(s, mv)
+        .select(col("event_type"),
+          col("sum_val").cast("double").as("total_value"), col("n"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+               AS total_value,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
