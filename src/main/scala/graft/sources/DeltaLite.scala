@@ -288,26 +288,6 @@ object DeltaLite {
       .parquet(rels.map(p => new Path(table, p).toString): _*)
       .select(schema.fieldNames.map(col).toSeq: _*)
 
-  private def dvPathNew(): String = s"_dv/dv-${UUID.randomUUID()}.json"
-
-  /** Write a deletion-vector sidecar (sorted row indexes as JSON) and
-    * return its relative path.
-    */
-  private def writeDv(s: SparkSession, table: String,
-      rids: Seq[Long]): String = {
-    val rel = dvPathNew()
-    val p = new Path(table, rel)
-    val f = fs(s, p)
-    f.mkdirs(p.getParent)
-    val root = Json.createObjectNode()
-    val arr = root.putArray("deletedRows")
-    rids.sorted.foreach(arr.add)
-    val out = f.create(p, false)
-    try out.write(Json.writeValueAsString(root).getBytes("UTF-8"))
-    finally out.close()
-    rel
-  }
-
   private def readDv(s: SparkSession, table: String, rel: String): Seq[Long] = {
     val p = new Path(table, rel)
     val f = fs(s, p)
@@ -1289,39 +1269,72 @@ object DeltaLite {
     val schema = st.schema
     val candidates = keptEntries(s, st, cond)
     if (candidates.isEmpty) return
-    // Live (file, row-position) hits only: readEntries-equivalent scan
-    // that keeps the row index, minus positions already soft-deleted.
+    // Prior soft-deleted positions ride along so each file's NEW
+    // sidecar is the full merged set (sidecars are replaced, not
+    // chained). They were driver-written metadata; re-distributing
+    // them is a small parallelize.
     val prior = candidates.flatMap(e => e.dv.toSeq.flatMap(rel =>
       readDv(s, table, rel).map(rid => (fileName(e.path), rid))))
     import s.implicits._
-    val hits = {
-      val scan0 = s.read.schema(schema).option("basePath", table)
-        .parquet(candidates.map(e => new Path(table, e.path).toString): _*)
-        .withColumn("_dv_fname",
-          element_at(split(input_file_name(), "/"), -1))
-        .withColumn("_dv_rid", col("_metadata.row_index"))
-      val live = if (prior.isEmpty) scan0
-        else scan0.join(
-          broadcast(prior.toDF("_dv_fname", "_dv_rid")),
-          Seq("_dv_fname", "_dv_rid"), "left_anti")
-      live.filter(cond)
-        .select(col("_dv_fname"), col("_dv_rid"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    }
-    if (hits.isEmpty) return
-    val byFile = hits.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2) }
-    val priorByFile = prior.groupBy(_._1)
-      .map { case (f, rs) => f -> rs.map(_._2) }
+    val scan0 = s.read.schema(schema).option("basePath", table)
+      .parquet(candidates.map(e => new Path(table, e.path).toString): _*)
+      .withColumn("_dv_fname",
+        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_dv_rid", col("_metadata.row_index"))
+    val live = if (prior.isEmpty) scan0
+      else scan0.join(
+        broadcast(prior.toDF("_dv_fname", "_dv_rid")),
+        Seq("_dv_fname", "_dv_rid"), "left_anti")
+    // Distributed sidecar write: rows group by their data file and each
+    // group's EXECUTOR writes the merged sidecar; only (file, sidecar
+    // path, count) — metadata, not positions — returns to the driver.
+    // At 100 TB a delete matching billions of rows therefore never
+    // funnels row ids through the driver (the Iceberg position-delete
+    // path in IcebergLite.deleteWhere shares this shape).
+    val hadoopConf = new org.apache.spark.SerializableWritable(
+      s.sparkContext.hadoopConfiguration)
+    val newPos = live.filter(cond)
+      .select(col("_dv_fname"), col("_dv_rid"))
+      .as[(String, Long)]
+      .map(t => (t._1, t._2, true))
+    val priorDs = prior.toDS().map(t => (t._1, t._2, false))
+    val dvMeta: Array[(String, String, Long)] = newPos.union(priorDs)
+      .groupByKey(_._1)
+      .flatMapGroups { (fname, it) =>
+        val rows = it.toArray
+        // A file whose only positions are prior ones took no new hit:
+        // leave its existing sidecar (and log entry) untouched.
+        if (!rows.exists(_._3)) Iterator.empty
+        else {
+          val rids = rows.map(_._2).distinct.sorted
+          val rel = s"_dv/dv-${UUID.randomUUID()}.json"
+          val p = new Path(table, rel)
+          val f = p.getFileSystem(hadoopConf.value)
+          f.mkdirs(p.getParent)
+          val sb = new StringBuilder("{\"deletedRows\":[")
+          var i = 0
+          while (i < rids.length) {
+            if (i > 0) sb.append(',')
+            sb.append(rids(i))
+            i += 1
+          }
+          sb.append("]}")
+          val out = f.create(p, false)
+          try out.write(sb.toString.getBytes("UTF-8"))
+          finally out.close()
+          Iterator.single((fname, rel, rids.length.toLong))
+        }
+      }
+      .collect()
+    if (dvMeta.isEmpty) return
+    val byFile = dvMeta.map(m => m._1 -> (m._2, m._3)).toMap
     val actions = candidates
       .filter(e => byFile.contains(fileName(e.path)))
       .flatMap { e =>
-        val name = fileName(e.path)
-        val merged =
-          (priorByFile.getOrElse(name, Seq.empty) ++ byFile(name)).distinct
-        val rel = writeDv(s, table, merged)
+        val (rel, n) = byFile(fileName(e.path))
         Seq(removeAction(e.path),
           addAction(e.path, 0L, e.partValues, e.stats.map(_.toString),
-            dataChange = true, dv = Some((rel, merged.size.toLong))))
+            dataChange = true, dv = Some((rel, n))))
       }
     writeCommit(s, table, v + 1, actions)
   }
