@@ -882,6 +882,61 @@ object RelationalQueries {
                AS first3,
              list_contains(toks, 'the') AS has_the,
              toks[1] AS head
-      FROM a ORDER BY doc_id"""))
+      FROM a ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- q43
+    // Date-spine gap filling (generate_series surface): a literal
+    // monthly spine left-joins the fact aggregate so empty months
+    // surface as zeros — the time-series reporting shape. The spine is
+    // rows-from-nothing (sequence + explode), broadcast to the join;
+    // the fact side aggregates BEFORE joining, so the join is
+    // |months| × |months|, corpus-size-independent.
+    GQuery("q43_date_spine", (s, d) => {
+      val spine = s.range(1).select(explode(expr(
+        "sequence(timestamp'1995-01-01 00:00:00', " +
+          "timestamp'2001-12-01 00:00:00', interval 1 month)")).as("m"))
+      val monthly = T.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n0"),
+          moneySum(dec2(col("o_totalprice"))).as("total0"))
+      spine.join(monthly, Seq("m"), "left_outer")
+        .select(col("m"),
+          coalesce(col("n0"), lit(0L)).as("n"),
+          coalesce(col("total0"), lit(0.0)).as("total"))
+        .orderBy(col("m"))
+    }, Some("""
+      WITH spine AS (
+        SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+          TIMESTAMP '2001-12-01', INTERVAL 1 MONTH)) AS m),
+      monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n0,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total0
+        FROM orders GROUP BY 1)
+      SELECT s.m AS m, COALESCE(n0, 0) AS n, COALESCE(total0, 0.0) AS total
+      FROM spine s LEFT JOIN monthly USING (m) ORDER BY m""")),
+
+    // ---------------------------------------------------------------- q44
+    // EXACT percentiles per group (DuckDB's quantile_cont surface;
+    // Spark's sort-based `percentile` aggregate) — the exact complement
+    // of q29's approx sketch. Exact quantiles hold each group's values:
+    // right at dim-group cardinality, and q29 is the 100 TB default
+    // when groups are huge. Interpolated values round to 4dp (the two
+    // engines' a+(b−a)·f vs (1−f)·a+f·b differ only in ulps).
+    GQuery("q44_exact_percentiles", (s, d) => {
+      T.orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
