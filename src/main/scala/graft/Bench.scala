@@ -75,10 +75,38 @@ object Bench {
     // start/end sentinel gap — bracketing, not a single sample.
     val sentinelEnd = (1 to 3).map(_ => sentinelOnce()).min
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-resolution, full-name timings: an earlier stdout line plus a
+    // committed file. The driver stores only the LAST ~2000 chars of
+    // output, so the FINAL line below must stay small — with 100+
+    // queries a full-name, full-precision map is ~5 KB and the driver
+    // recorded `parsed: null` for rounds 3 and 4. Detail goes here;
+    // the headline line stays parseable.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"queries":$fullQs,"sf":"$sfDir"}"""
+    println(s"BENCH_FULL $fullLine")
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "docs/BENCH_FULL.json"))
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // bench never fails on bookkeeping
+
+    // Headline line: query keys abbreviated to their unique prefix
+    // ("q01_pricing_summary" → "q01" — BASELINE.md documents the
+    // scheme), seconds at millisecond resolution. ~1.5 KB at the
+    // current surface, inside the driver's tail window with margin.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "query-name prefixes must stay unique — the compact bench line keys on them")
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sentinel":${f3(sentinel)},"sentinel_end":${f3(sentinelEnd)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
