@@ -105,5 +105,33 @@ class SourcesSpec extends SparkSpec {
     assert(t2 == total + 1 && k2 >= 1)
     assert(BloomIndex.lookupScan(spark, t, "c_custkey", Seq(999999L))
       .count() == 1)
+    // Scale shape: the driver-side manifest holds only POINTERS to
+    // executor-written sidecars, never serialized bloom bytes. Each
+    // entry must be a short rel path to an existing .bloom file (a
+    // base64 bloom at these settings is ~2 KB+; paths are < 200 chars).
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_index/bloom-c_custkey.json")), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(manifest)
+    assert(node.get("format").asText() == "sidecar-v1")
+    val entries = node.get("files").properties()
+    assert(!entries.isEmpty)
+    entries.forEach { e =>
+      val v = e.getValue.asText()
+      assert(v.startsWith("_index/bloom-c_custkey/") &&
+        v.endsWith(".bloom") && v.length < 200, v.take(250))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(t, v)), v)
+    }
+    // Rebuild GCs the sidecars it orphans: file count in the sidecar
+    // dir equals the manifest entry count, not 2×.
+    BloomIndex.build(spark, t, "c_custkey", expectedPerFile = 1000L)
+    val node2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "_index/bloom-c_custkey.json")), "UTF-8"))
+    val onDisk = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t, "_index/bloom-c_custkey"))
+      .filter(p => p.getFileName.toString.endsWith(".bloom")).count()
+    assert(onDisk == node2.get("files").size().toLong,
+      s"orphaned sidecars: $onDisk on disk vs ${node2.get("files").size()}")
   }
 }
