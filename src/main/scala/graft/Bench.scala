@@ -27,6 +27,11 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("st"))
+    // Fail fast, BEFORE any query executes: the compact headline line
+    // keys on name prefixes, so a future collision must abort here, not
+    // after the full warmup + 3 measured passes have run.
+    require(names.map(_.takeWhile(_ != '_')).distinct.size == names.size,
+      "query-name prefixes must stay unique — the compact bench line keys on them")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -94,15 +99,16 @@ object Bench {
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // bench never fails on bookkeeping
+    } catch { // bench never fails on bookkeeping, but say what happened
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH_FULL write failed: $e")
+    }
 
     // Headline line: query keys abbreviated to their unique prefix
     // ("q01_pricing_summary" → "q01" — BASELINE.md documents the
     // scheme), seconds at millisecond resolution. ~1.5 KB at the
     // current surface, inside the driver's tail window with margin.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
-      "query-name prefixes must stay unique — the compact bench line keys on them")
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
