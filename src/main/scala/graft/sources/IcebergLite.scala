@@ -5,6 +5,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -15,17 +16,30 @@ import org.apache.spark.sql.types._
   * Iceberg-vs-Delta comparative surface), distinct from DeltaLite's
   * log-replay model:
   *
-  *  - `metadata/v{N}.metadata.json` — immutable table metadata: schema,
-  *    the partition spec, the full snapshot list, and the CURRENT
-  *    snapshot id. A `version-hint.text` pointer names the latest
-  *    metadata file (the HadoopTables catalog convention).
+  *  - `metadata/v{N}.metadata.json` — immutable table metadata: the
+  *    SCHEMA LIST (each schema a set of fields with STABLE FIELD IDS —
+  *    Iceberg's core evolution mechanism), the current schema id, the
+  *    partition spec, the full snapshot list, and the CURRENT snapshot
+  *    id. A `version-hint.text` pointer names the latest metadata file
+  *    (the HadoopTables catalog convention).
   *  - each snapshot points at ONE manifest list
   *    (`metadata/snap-{id}.json`) naming its manifest files;
-  *  - each manifest (`metadata/manifest-{uuid}.json`) lists data files
+  *  - each manifest (`metadata/manifest-{uuid}.json`) records the
+  *    SCHEMA ID its files were written under, and lists data files
   *    with partition values, per-file record counts and min/max column
   *    stats, plus a manifest-level PARTITION SUMMARY — so a selective
   *    scan can skip a whole manifest (thousands of files) from one
   *    metadata read before ever looking at its entries.
+  *
+  * Field ids are assigned once at create (1..n) and never reused: a
+  * RENAME keeps the id (a metadata-only commit — zero data IO at any
+  * scale), an ADD COLUMN takes a fresh id. Data files are written with
+  * the real `parquet.field.id` attribute in their parquet schema (the
+  * Spark StructField metadata key Spark's parquet writer emits — the
+  * same attribute Apache Iceberg requires of its data files), and
+  * reads resolve columns BY ID: files written before a rename are read
+  * under their write-time names and re-mapped to the current names
+  * through the id, so old data files never need rewriting.
   *
   * The structural consequences Iceberg is built around hold here:
   * reading NEVER lists directories (the manifest tree names every data
@@ -34,17 +48,21 @@ import org.apache.spark.sql.types._
   * one for the new files (O(new data) metadata per commit); pruning is
   * hierarchical (manifest partition summary → entry partition values →
   * entry column stats); time travel reads any retained snapshot id.
+  * Copy-on-write [[updateWhere]] and [[merge]] rewrite only the files
+  * that contain affected rows, and the untouched entries of an
+  * affected manifest survive through a rewritten manifest (Iceberg's
+  * manifest-rewrite shape) — a merge into a 100 TB table rewrites the
+  * touched files, not the table.
   *
   * Simplifications vs Apache Iceberg, stated: manifests are JSON
   * (Iceberg serializes them as Avro — same tree, different encoding);
-  * the schema is Spark's schema JSON (not Iceberg's field-id schema, so
-  * no column-rename evolution); the partition spec is identity-only (no
-  * bucket/truncate/day transforms); partition summaries are value SETS
-  * (Iceberg stores lower/upper bounds — equivalent pruning power at
-  * lake partition cardinalities); single-writer (Iceberg's optimistic
-  * metadata swap is arbitrated by a catalog we don't have). Stats
-  * pruning reuses DeltaLite's conservative evaluator — footer-derived
-  * stats, exact comparisons.
+  * the partition spec is identity-only (no bucket/truncate/day
+  * transforms) and partition columns cannot be renamed; partition
+  * summaries are value SETS (Iceberg stores lower/upper bounds —
+  * equivalent pruning power at lake partition cardinalities);
+  * single-writer (Iceberg's optimistic metadata swap is arbitrated by
+  * a catalog we don't have). Stats pruning reuses DeltaLite's
+  * conservative evaluator — footer-derived stats, exact comparisons.
   */
 object IcebergLite {
 
@@ -79,18 +97,85 @@ object IcebergLite {
     else readText(f, versionHint(table)).trim.toLong
   }
 
-  private case class Meta(schemaJson: String, partCols: Seq[String],
-      currentSnapshot: Long, snapshots: Seq[(Long, String)]) {
-    def schema: StructType =
-      DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  // ------------------------------------------------------------ schema
+
+  /** One field of an Iceberg schema: the id is the column's identity
+    * forever; the name is just its current label.
+    */
+  private[sources] case class IceField(id: Int, name: String,
+      required: Boolean, dataType: DataType)
+
+  private[sources] case class IceSchema(schemaId: Int, fields: Seq[IceField]) {
+    /** Spark StructType carrying `parquet.field.id` per field, so
+      * parquet writes emit real field ids and the struct is the single
+      * source of truth for reads.
+      */
+    def struct: StructType = StructType(fields.map { fd =>
+      StructField(fd.name, fd.dataType, nullable = !fd.required,
+        metadata = new MetadataBuilder()
+          .putLong("parquet.field.id", fd.id.toLong).build())
+    })
+    def fieldById(id: Int): Option[IceField] = fields.find(_.id == id)
   }
+
+  private def schemaFromStruct(schemaId: Int, st: StructType,
+      startId: Int = 1): IceSchema =
+    IceSchema(schemaId, st.fields.zipWithIndex.map { case (fd, i) =>
+      IceField(startId + i, fd.name, required = !fd.nullable, fd.dataType)
+    }.toSeq)
+
+  private case class Meta(schemas: Seq[IceSchema], currentSchemaId: Int,
+      partCols: Seq[String], currentSnapshot: Long,
+      snapshots: Seq[(Long, String)]) {
+    def currentSchema: IceSchema =
+      schemas.find(_.schemaId == currentSchemaId).get
+    def schemaById(id: Int): IceSchema =
+      schemas.find(_.schemaId == id).getOrElse(currentSchema)
+    def schema: StructType = currentSchema.struct
+    def maxFieldId: Int =
+      schemas.flatMap(_.fields.map(_.id)).foldLeft(0)(math.max)
+  }
+
+  private def schemaNode(sc: IceSchema): ObjectNode = {
+    val o = Json.createObjectNode()
+    o.put("schema-id", sc.schemaId)
+    val arr = o.putArray("fields")
+    sc.fields.foreach { fd =>
+      val fo = arr.addObject()
+      fo.put("id", fd.id)
+      fo.put("name", fd.name)
+      fo.put("required", fd.required)
+      fo.put("spark-type", fd.dataType.json)
+    }
+    o
+  }
+
+  private def schemaFromNode(n: JsonNode): IceSchema =
+    IceSchema(n.get("schema-id").asInt(),
+      n.get("fields").elements().asScala.map { fo =>
+        IceField(fo.get("id").asInt(), fo.get("name").asText(),
+          fo.get("required").asBoolean(),
+          DataType.fromJson(fo.get("spark-type").asText()))
+      }.toSeq)
 
   private def readMeta(s: SparkSession, table: String): Meta = {
     val v = currentVersion(s, table)
     require(v >= 0, s"no iceberg table at $table")
     val f = fs(s, metaDir(table))
     val n = Json.readTree(readText(f, metadataFile(table, v)))
-    Meta(n.get("schema-json").asText(),
+    val schemas =
+      if (n.has("schemas"))
+        n.get("schemas").elements().asScala.map(schemaFromNode).toSeq
+      else {
+        // Pre-field-id table: synthesize ids 1..n from the Spark schema.
+        val st = DataType.fromJson(n.get("schema-json").asText())
+          .asInstanceOf[StructType]
+        Seq(schemaFromStruct(1, st))
+      }
+    val curId =
+      if (n.has("current-schema-id")) n.get("current-schema-id").asInt()
+      else schemas.head.schemaId
+    Meta(schemas, curId,
       Option(n.get("partition-spec")).toSeq
         .flatMap(_.elements().asScala.map(_.asText())).toSeq,
       n.get("current-snapshot-id").asLong(),
@@ -99,19 +184,23 @@ object IcebergLite {
         .toSeq)
   }
 
+  // --------------------------------------------------------- manifests
+
   private case class ManifestEntry(path: String,
-      partValues: Seq[(String, Option[String])], stats: Option[JsonNode])
+      partValues: Seq[(String, Option[String])], stats: Option[JsonNode],
+      raw: JsonNode)
 
   /** `content` is "data" or "deletes" — Iceberg v2's manifest content
     * field: a deletes manifest's entries are position-delete files, not
-    * data files.
+    * data files. `schemaId` is the schema the manifest's files were
+    * written under (id-based read resolution keys on it).
     */
-  private case class Manifest(path: String, content: String,
+  private case class Manifest(path: String, content: String, schemaId: Int,
       partSummary: Map[String, Seq[Option[String]]],
       entries: Seq[ManifestEntry])
 
   private def readManifests(s: SparkSession, table: String,
-      manifestListRel: String): Seq[Manifest] = {
+      manifestListRel: String, meta: Meta): Seq[Manifest] = {
     val f = fs(s, metaDir(table))
     val list = Json.readTree(readText(f, new Path(table, manifestListRel)))
     list.get("manifests").elements().asScala.map(_.asText()).toSeq
@@ -129,94 +218,136 @@ object IcebergLite {
                 kv.getKey -> (if (kv.getValue.isNull) None
                   else Some(kv.getValue.asText()))
               }.toSeq),
-            Option(e.get("stats")).filterNot(_.isNull))
+            Option(e.get("stats")).filterNot(_.isNull),
+            e)
         }.toSeq
         Manifest(mRel,
           Option(m.get("content")).map(_.asText()).getOrElse("data"),
+          Option(m.get("schema-id")).map(_.asInt())
+            .getOrElse(meta.currentSchemaId),
           summary, entries)
       }
   }
 
-  /** Stage `df` (Hive-partitioned under `data/` when `partCols`
-    * non-empty), collect footer stats, and write one manifest with the
-    * entries + the manifest-level partition summary. Returns the
-    * manifest's relative path.
+  /** Serialize + write a data manifest from (entry raw nodes ride along
+    * verbatim so manifest rewrites preserve stats bit-exactly).
     */
-  private def writeManifest(s: SparkSession, table: String, df: DataFrame,
-      schema: StructType, partCols: Seq[String]): String = {
-    val f = fs(s, new Path(table))
-    f.mkdirs(new Path(table, "data"))
-    val staged = DeltaLite.stage(s, s"$table/data", df, partCols)
-      .map { case (rel, pvs, sz) => (s"data/$rel", pvs, sz) }
-    val dataSchema =
-      StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
-    val stats = DeltaLite.footerStats(s, table, staged.map(_._1), dataSchema)
+  private def writeManifestFile(f: FileSystem, table: String, schemaId: Int,
+      partCols: Seq[String], entries: Seq[ManifestEntry]): String = {
     val root = Json.createObjectNode()
+    root.put("schema-id", schemaId)
     val summary = root.putObject("partition-summary")
     partCols.foreach { pc =>
       val arr = summary.putArray(pc)
-      staged.flatMap(_._2.collect { case (k, v) if k == pc => v })
+      entries.flatMap(_.partValues.collect { case (k, v) if k == pc => v })
         .distinct.foreach {
           case Some(v) => arr.add(v)
           case None => arr.addNull()
         }
     }
-    val entries = root.putArray("entries")
-    staged.foreach { case (rel, pvs, _) =>
-      val e = entries.addObject()
-      e.put("path", rel)
-      val pv = e.putObject("partitionValues")
-      pvs.foreach {
-        case (k, Some(v)) => pv.put(k, v)
-        case (k, None) => pv.putNull(k)
-      }
-      stats.get(rel).foreach(st => e.set[JsonNode]("stats", Json.readTree(st)))
-    }
+    val arr = root.putArray("entries")
+    entries.foreach(e => arr.add(e.raw))
     val mRel = s"metadata/manifest-${UUID.randomUUID()}.json"
     writeFile(f, new Path(table, mRel), Json.writeValueAsString(root),
       overwrite = false)
     mRel
   }
 
-  private def commitSnapshot(s: SparkSession, table: String,
-      schemaJson: String, partCols: Seq[String],
-      prevSnapshots: Seq[(Long, String)], manifests: Seq[String]): Long = {
+  /** Stage `df` (Hive-partitioned under `data/` when `partCols`
+    * non-empty) under the schema's field-id-annotated struct — the
+    * written parquet carries `field_id` on every column — collect
+    * footer stats, and write one manifest recording the schema id.
+    * Returns the manifest's relative path.
+    */
+  private def writeManifest(s: SparkSession, table: String, df: DataFrame,
+      schema: IceSchema, partCols: Seq[String]): String = {
+    val f = fs(s, new Path(table))
+    f.mkdirs(new Path(table, "data"))
+    val st = schema.struct
+    // Re-alias every column with its field-id metadata: Spark's parquet
+    // writer (spark.sql.parquet.fieldId.write.enabled, default true)
+    // emits it as the parquet schema's field_id.
+    val annotated = df.select(st.fields.map(fd =>
+      col(fd.name).cast(fd.dataType).as(fd.name, fd.metadata)).toSeq: _*)
+    val staged = DeltaLite.stage(s, s"$table/data", annotated, partCols)
+      .map { case (rel, pvs, sz) => (s"data/$rel", pvs, sz) }
+    val dataSchema =
+      StructType(st.fields.filterNot(fd => partCols.contains(fd.name)))
+    val stats = DeltaLite.footerStats(s, table, staged.map(_._1), dataSchema)
+    val entries = staged.map { case (rel, pvs, _) =>
+      val e = Json.createObjectNode()
+      e.put("path", rel)
+      val pv = e.putObject("partitionValues")
+      pvs.foreach {
+        case (k, Some(v)) => pv.put(k, v)
+        case (k, None) => pv.putNull(k)
+      }
+      stats.get(rel).foreach(x => e.set[JsonNode]("stats", Json.readTree(x)))
+      ManifestEntry(rel, pvs,
+        Option(e.get("stats")).filterNot(_.isNull), e)
+    }
+    writeManifestFile(f, table, schema.schemaId, partCols, entries)
+  }
+
+  private def metadataNode(table: String, meta: Meta): ObjectNode = {
+    val n = Json.createObjectNode()
+    n.put("format-version", 2)
+    n.put("table-uuid",
+      UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
+    n.put("location", table)
+    val scs = n.putArray("schemas")
+    meta.schemas.foreach(sc => scs.add(schemaNode(sc)))
+    n.put("current-schema-id", meta.currentSchemaId)
+    // Kept for readers of the pre-field-id layout (and as the plain
+    // Spark rendering of the current schema).
+    n.put("schema-json", meta.schema.json)
+    val spec = n.putArray("partition-spec")
+    meta.partCols.foreach(spec.add)
+    n.put("current-snapshot-id", meta.currentSnapshot)
+    val snaps = n.putArray("snapshots")
+    meta.snapshots.foreach { case (id, rel) =>
+      val o = snaps.addObject()
+      o.put("snapshot-id", id)
+      o.put("timestamp-ms", 0L)
+      o.put("manifest-list", rel)
+    }
+    n
+  }
+
+  /** Exclusive metadata-version claim (single-writer; a real catalog
+    * arbitrates the swap).
+    */
+  private def writeMetadata(s: SparkSession, table: String,
+      meta: Meta): Unit = {
     val f = fs(s, metaDir(table))
     f.mkdirs(metaDir(table))
-    val snapId = prevSnapshots.map(_._1).foldLeft(0L)(math.max) + 1
+    val v = currentVersion(s, table) + 1
+    writeFile(f, metadataFile(table, v),
+      Json.writeValueAsString(metadataNode(table, meta)), overwrite = false)
+    writeFile(f, versionHint(table), v.toString, overwrite = true)
+  }
+
+  private def commitSnapshot(s: SparkSession, table: String, meta: Meta,
+      manifests: Seq[String]): Long = {
+    val f = fs(s, metaDir(table))
+    f.mkdirs(metaDir(table))
+    val snapId = meta.snapshots.map(_._1).foldLeft(0L)(math.max) + 1
     val listRel = s"metadata/snap-$snapId.json"
     val listRoot = Json.createObjectNode()
     val arr = listRoot.putArray("manifests")
     manifests.foreach(arr.add)
     writeFile(f, new Path(table, listRel), Json.writeValueAsString(listRoot),
       overwrite = false)
-    val v = currentVersion(s, table) + 1
-    val meta = Json.createObjectNode()
-    meta.put("format-version", 2)
-    meta.put("table-uuid",
-      UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
-    meta.put("location", table)
-    meta.put("schema-json", schemaJson)
-    val spec = meta.putArray("partition-spec")
-    partCols.foreach(spec.add)
-    meta.put("current-snapshot-id", snapId)
-    val snaps = meta.putArray("snapshots")
-    (prevSnapshots :+ (snapId, listRel)).foreach { case (id, rel) =>
-      val o = snaps.addObject()
-      o.put("snapshot-id", id)
-      o.put("timestamp-ms", 0L)
-      o.put("manifest-list", rel)
-    }
-    // Exclusive metadata-version claim (single-writer; a real catalog
-    // arbitrates the swap).
-    writeFile(f, metadataFile(table, v), Json.writeValueAsString(meta),
-      overwrite = false)
-    writeFile(f, versionHint(table), v.toString, overwrite = true)
+    writeMetadata(s, table, meta.copy(currentSnapshot = snapId,
+      snapshots = meta.snapshots :+ (snapId, listRel)))
     snapId
   }
 
+  // ----------------------------------------------------------- surface
+
   /** Create the table: snapshot 1 with one manifest, identity-
-    * partitioned on `partitionColumns` when given.
+    * partitioned on `partitionColumns` when given. Field ids 1..n are
+    * assigned in schema order and never change afterwards.
     */
   def create(s: SparkSession, table: String, df: DataFrame,
       partitionColumns: Seq[String] = Nil): Long = {
@@ -224,8 +355,10 @@ object IcebergLite {
     partitionColumns.foreach(pc => require(df.schema.fieldNames.contains(pc),
       s"partition column $pc not in data"))
     fs(s, metaDir(table)).mkdirs(metaDir(table))
-    val m = writeManifest(s, table, df, df.schema, partitionColumns)
-    commitSnapshot(s, table, df.schema.json, partitionColumns, Nil, Seq(m))
+    val schema = schemaFromStruct(1, df.schema)
+    val m = writeManifest(s, table, df, schema, partitionColumns)
+    commitSnapshot(s, table,
+      Meta(Seq(schema), 1, partitionColumns, 0L, Nil), Seq(m))
   }
 
   /** Append as a NEW snapshot: its manifest list is the previous
@@ -235,13 +368,48 @@ object IcebergLite {
     */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val meta = readMeta(s, table)
-    val schema = meta.schema
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
-    val prevManifests = readManifests(s, table, current).map(_.path)
-    val m = writeManifest(s, table,
-      df.select(schema.fieldNames.map(col).toSeq: _*), schema, meta.partCols)
-    commitSnapshot(s, table, meta.schemaJson, meta.partCols, meta.snapshots,
-      prevManifests :+ m)
+    val prevManifests = readManifests(s, table, current, meta).map(_.path)
+    val m = writeManifest(s, table, df, meta.currentSchema, meta.partCols)
+    commitSnapshot(s, table, meta, prevManifests :+ m)
+  }
+
+  /** RENAME a column: a metadata-only commit — the field keeps its id,
+    * so every existing data file (written under the old name, carrying
+    * the id in its parquet schema) keeps resolving. Zero data IO at any
+    * table size; this is what field ids BUY. Partition columns cannot
+    * be renamed (their name is baked into the `data/k=v/` layout —
+    * stated simplification).
+    */
+  def renameColumn(s: SparkSession, table: String, from: String,
+      to: String): Unit = {
+    val meta = readMeta(s, table)
+    val cur = meta.currentSchema
+    require(cur.fields.exists(_.name == from), s"no column $from")
+    require(!cur.fields.exists(_.name == to), s"column $to already exists")
+    require(!meta.partCols.contains(from),
+      s"cannot rename partition column $from (identity layout)")
+    val next = IceSchema(meta.schemas.map(_.schemaId).max + 1,
+      cur.fields.map(fd => if (fd.name == from) fd.copy(name = to) else fd))
+    writeMetadata(s, table, meta.copy(schemas = meta.schemas :+ next,
+      currentSchemaId = next.schemaId))
+  }
+
+  /** ADD a nullable column: metadata-only; the new field takes a FRESH
+    * id (ids are never reused — Iceberg's guard against a dropped
+    * column's old data resurrecting under a new column of the same
+    * name). Files written before the add read as null for it.
+    */
+  def addColumn(s: SparkSession, table: String, name: String,
+      dataType: DataType): Unit = {
+    val meta = readMeta(s, table)
+    val cur = meta.currentSchema
+    require(!cur.fields.exists(_.name == name), s"column $name already exists")
+    val next = IceSchema(meta.schemas.map(_.schemaId).max + 1,
+      cur.fields :+ IceField(meta.maxFieldId + 1, name, required = false,
+        dataType))
+    writeMetadata(s, table, meta.copy(schemas = meta.schemas :+ next,
+      currentSchemaId = next.schemaId))
   }
 
   /** All snapshot ids, oldest first. */
@@ -254,7 +422,7 @@ object IcebergLite {
     val id = if (snapshotId < 0) meta.currentSnapshot else snapshotId
     val listRel = meta.snapshots.toMap.getOrElse(id,
       throw new IllegalArgumentException(s"no snapshot $id at $table"))
-    (meta, readManifests(s, table, listRel))
+    (meta, readManifests(s, table, listRel, meta))
   }
 
   /** Position-delete file paths referenced by a snapshot's deletes
@@ -266,37 +434,73 @@ object IcebergLite {
   private def dataManifests(manifests: Seq[Manifest]): Seq[Manifest] =
     manifests.filter(_.content == "data")
 
-  /** Read entries under the table schema; partitioned tables read with
-    * basePath so partition columns are injected from the `data/k=v/`
-    * layout with the declared types. When the snapshot carries
-    * position-delete files, each data row's (file name, row position)
-    * is anti-joined against the merged delete set — the Iceberg v2
-    * merge-on-read contract. The delete side is a normal parquet scan,
-    * so a huge delete set streams through the join (AQE broadcasts it
-    * when it is small) — nothing passes through the driver.
+  /** Read (schemaId, entries) groups under the CURRENT schema with
+    * ID-BASED column resolution: each group reads under the struct its
+    * files were WRITTEN with (so names match the parquet), then maps to
+    * the current schema by field id — renamed columns re-label, added
+    * columns materialize as null. Partitioned tables read with basePath
+    * so partition columns are injected from the `data/k=v/` layout with
+    * the declared types. When the snapshot carries position-delete
+    * files, each data row's (file name, row position) is anti-joined
+    * against the merged delete set — the Iceberg v2 merge-on-read
+    * contract. The delete side is a normal parquet scan, so a huge
+    * delete set streams through the join (AQE broadcasts it when it is
+    * small) — nothing passes through the driver.
     */
   private def readEntries(s: SparkSession, table: String, meta: Meta,
-      entries: Seq[ManifestEntry],
-      deleteFiles: Seq[String] = Nil): DataFrame = {
-    val schema = meta.schema
-    if (entries.isEmpty)
-      return s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    val base = s.read.schema(schema).option("basePath", s"$table/data")
-      .parquet(entries.map(e => new Path(table, e.path).toString): _*)
-    val live =
-      if (deleteFiles.isEmpty) base
-      else {
-        val dels = s.read
-          .parquet(deleteFiles.map(p => new Path(table, p).toString): _*)
-          .select(col("file_path").as("_del_fname"), col("pos").as("_del_pos"))
-        base
-          .withColumn("_del_fname",
-            element_at(split(input_file_name(), "/"), -1))
-          .withColumn("_del_pos", col("_metadata.row_index"))
-          .join(dels, Seq("_del_fname", "_del_pos"), "left_anti")
-      }
-    live.select(schema.fieldNames.map(col).toSeq: _*)
+      groups: Seq[(Int, Seq[ManifestEntry])],
+      deleteFiles: Seq[String] = Nil,
+      fileCol: Option[String] = None,
+      posCol: Option[String] = None): DataFrame = {
+    val cur = meta.currentSchema
+    val curStruct = cur.struct
+    val outCols = curStruct.fieldNames.toSeq ++ fileCol.toSeq ++ posCol.toSeq
+    val nonEmpty = groups.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) {
+      val st = (fileCol.map(fc => StructField(fc, StringType)) ++
+        posCol.map(pc => StructField(pc, LongType)))
+        .foldLeft(curStruct)((acc, fd) => StructType(acc.fields :+ fd))
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
+    }
+    val needPos = posCol.isDefined || deleteFiles.nonEmpty
+    val parts = nonEmpty.map { case (schemaId, entries) =>
+      val writeSchema = meta.schemaById(schemaId)
+      val base0 = s.read.schema(writeSchema.struct)
+        .option("basePath", s"$table/data")
+        .parquet(entries.map(e => new Path(table, e.path).toString): _*)
+        .withColumn("_ice_fname",
+          element_at(split(input_file_name(), "/"), -1))
+      // _metadata is only reachable on the scan relation itself —
+      // capture the row position here, before any join/projection.
+      val base = if (needPos)
+        base0.withColumn("_ice_pos", col("_metadata.row_index"))
+      else base0
+      val live =
+        if (deleteFiles.isEmpty) base
+        else {
+          val dels = s.read
+            .parquet(deleteFiles.map(p => new Path(table, p).toString): _*)
+            .select(col("file_path").as("_ice_fname"),
+              col("pos").as("_ice_pos"))
+          base.join(dels, Seq("_ice_fname", "_ice_pos"), "left_anti")
+        }
+      // Id-based projection onto the current schema.
+      val projected = cur.fields.map { fd =>
+        writeSchema.fieldById(fd.id) match {
+          case Some(w) => col(w.name).as(fd.name)
+          case None => lit(null).cast(fd.dataType).as(fd.name)
+        }
+      } ++ fileCol.map(fc => col("_ice_fname").as(fc)).toSeq ++
+        posCol.map(pc => col("_ice_pos").as(pc)).toSeq
+      live.select(projected.toSeq: _*)
+    }
+    parts.reduceLeft(_.unionByName(_)).select(outCols.map(col): _*)
   }
+
+  private def entryGroups(
+      manifests: Seq[Manifest]): Seq[(Int, Seq[ManifestEntry])] =
+    dataManifests(manifests).groupBy(_.schemaId).view
+      .mapValues(_.flatMap(_.entries)).toSeq
 
   /** Snapshot read; `snapshotId < 0` means current. Every data file
     * comes from the manifest tree — no directory listing — and
@@ -305,7 +509,7 @@ object IcebergLite {
   def snapshot(s: SparkSession, table: String,
       snapshotId: Long = -1L): DataFrame = {
     val (meta, manifests) = manifestsOf(s, table, snapshotId)
-    readEntries(s, table, meta, dataManifests(manifests).flatMap(_.entries),
+    readEntries(s, table, meta, entryGroups(manifests),
       deleteFilesOf(manifests))
   }
 
@@ -323,13 +527,11 @@ object IcebergLite {
     val maxs = root.putObject("maxValues")
     stats.foreach { st =>
       Option(st.get("minValues")).foreach {
-        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
-          mins.setAll[JsonNode](o)
+        case o: ObjectNode => mins.setAll[JsonNode](o)
         case _ => ()
       }
       Option(st.get("maxValues")).foreach {
-        case o: com.fasterxml.jackson.databind.node.ObjectNode =>
-          maxs.setAll[JsonNode](o)
+        case o: ObjectNode => maxs.setAll[JsonNode](o)
         case _ => ()
       }
     }
@@ -351,20 +553,52 @@ object IcebergLite {
     root
   }
 
+  /** Stats/partition pruning works on WRITE-TIME names: the predicate
+    * resolves ONCE against the current schema, then its attribute
+    * references re-label per manifest through the field id before
+    * consulting that manifest's stats (old manifests' stats are keyed
+    * by old names). The id is what makes pruning survive renames.
+    */
+  private def condForSchema(meta: Meta, schemaId: Int,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val cur = meta.currentSchema
+    val w = meta.schemaById(schemaId)
+    val renames = cur.fields.flatMap(fd =>
+      w.fieldById(fd.id).collect {
+        case wf if wf.name != fd.name => fd.name -> wf.name
+      }).toMap
+    if (renames.isEmpty) resolved
+    else resolved.transformUp {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if renames.contains(a.name) =>
+        a.withName(renames(a.name))
+    }
+  }
+
   private def prunedEntries(s: SparkSession, meta: Meta,
       manifests: Seq[Manifest], pred: Column)
-      : (Seq[Manifest], Seq[ManifestEntry]) = {
-    val schema = meta.schema
-    val cond = DeltaLite.resolvedPred(s, schema, pred)
-    // Level 1: whole manifests, from their partition summaries.
-    val keptManifests = manifests.filter(m =>
-      DeltaLite.mayMatch(cond, boundsNode(schema, m.partSummary, None)))
-    // Level 2: entries, from partition values + column stats.
-    val keptEntries = keptManifests.flatMap(_.entries).filter(e =>
-      DeltaLite.mayMatch(cond,
-        boundsNode(schema,
-          e.partValues.map { case (k, v) => k -> Seq(v) }.toMap, e.stats)))
-    (keptManifests, keptEntries)
+      : (Seq[Manifest], Seq[(Int, Seq[ManifestEntry])]) = {
+    val resolved = DeltaLite.resolvedPred(s, meta.schema, pred)
+    val keptManifests = manifests.flatMap { m =>
+      val schema = meta.schemaById(m.schemaId).struct
+      val cond = condForSchema(meta, m.schemaId, resolved)
+      // Level 1: the whole manifest, from its partition summary.
+      if (!DeltaLite.mayMatch(cond, boundsNode(schema, m.partSummary, None)))
+        None
+      else {
+        // Level 2: entries, from partition values + column stats.
+        val kept = m.entries.filter(e =>
+          DeltaLite.mayMatch(cond,
+            boundsNode(schema,
+              e.partValues.map { case (k, v) => k -> Seq(v) }.toMap,
+              e.stats)))
+        Some((m, kept))
+      }
+    }
+    (keptManifests.map(_._1),
+      keptManifests.groupBy(_._1.schemaId).view
+        .mapValues(_.flatMap(_._2)).toSeq)
   }
 
   /** Hierarchically pruned scan over the current snapshot: manifests
@@ -384,7 +618,7 @@ object IcebergLite {
   def pruneInfo(s: SparkSession, table: String, pred: Column): (Int, Int) = {
     val (meta, manifests) = manifestsOf(s, table, -1L)
     val dms = dataManifests(manifests)
-    (prunedEntries(s, meta, dms, pred)._2.size,
+    (prunedEntries(s, meta, dms, pred)._2.map(_._2.size).sum,
       dms.flatMap(_.entries).size)
   }
 
@@ -416,39 +650,32 @@ object IcebergLite {
     * matching rows' (file name, row position) pairs are computed with a
     * pruned distributed scan and written DIRECTLY as parquet delete
     * files — one per non-empty task, row positions never pass through
-    * the driver (unlike DeltaLite's driver-collected DV sidecars; at
-    * 100 TB a delete matching billions of rows still commits in one
-    * metadata write). The new snapshot reuses every previous manifest
-    * and adds one deletes manifest; NO data file is rewritten. Delete
-    * files use Iceberg's position-delete schema (`file_path`, `pos`);
-    * `file_path` holds the data file's NAME (UUID part names are
-    * globally unique here — stated simplification vs full URIs).
-    * Returns the new snapshot id, or the current one when nothing
-    * matched.
+    * the driver (at 100 TB a delete matching billions of rows still
+    * commits in one metadata write). The new snapshot reuses every
+    * previous manifest and adds one deletes manifest; NO data file is
+    * rewritten. Delete files use Iceberg's position-delete schema
+    * (`file_path`, `pos`); `file_path` holds the data file's NAME (UUID
+    * part names are globally unique here — stated simplification vs
+    * full URIs). Returns the new snapshot id, or the current one when
+    * nothing matched.
     */
   def deleteWhere(s: SparkSession, table: String, pred: Column): Long = {
-    val meta0 = readMeta(s, table)
     val (meta, manifests) = manifestsOf(s, table, -1L)
     val candidates =
       prunedEntries(s, meta, dataManifests(manifests), pred)._2
-    if (candidates.isEmpty) return meta0.currentSnapshot
+    if (candidates.forall(_._2.isEmpty)) return meta.currentSnapshot
     val priorDeletes = deleteFilesOf(manifests)
     // Live hits only: rows already masked by an earlier delete file
-    // must not be re-recorded (idempotent position sets).
-    val scan0 = s.read.schema(meta.schema).option("basePath", s"$table/data")
-      .parquet(candidates.map(e => new Path(table, e.path).toString): _*)
-      .withColumn("file_path", element_at(split(input_file_name(), "/"), -1))
-      .withColumn("pos", col("_metadata.row_index"))
-    val live =
-      if (priorDeletes.isEmpty) scan0
-      else scan0.join(
-        s.read.parquet(priorDeletes.map(p => new Path(table, p).toString): _*)
-          .select(col("file_path"), col("pos")),
-        Seq("file_path", "pos"), "left_anti")
+    // must not be re-recorded (idempotent position sets). The read is
+    // id-resolved, so `pred` is over CURRENT names regardless of when
+    // each candidate file was written.
+    val hits = readEntries(s, table, meta, candidates, priorDeletes,
+        fileCol = Some("file_path"), posCol = Some("pos"))
+      .filter(pred)
+      .select(col("file_path"), col("pos"))
     val f = fs(s, new Path(table))
     val stageDir = new Path(table, s"_stage-del-${UUID.randomUUID()}")
-    live.filter(pred).select(col("file_path"), col("pos"))
-      .write.parquet(stageDir.toString)
+    hits.write.parquet(stageDir.toString)
     val parts = f.listStatus(stageDir).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
         && st.getLen > 0)
@@ -459,7 +686,7 @@ object IcebergLite {
       rel
     }
     f.delete(stageDir, true)
-    if (rels.isEmpty) return meta0.currentSnapshot
+    if (rels.isEmpty) return meta.currentSnapshot
     // Deletes manifest: entries are delete files; no partition summary
     // (position deletes are pruned by their data files, not by value).
     val root = Json.createObjectNode()
@@ -469,7 +696,113 @@ object IcebergLite {
     val mRel = s"metadata/manifest-${UUID.randomUUID()}.json"
     writeFile(f, new Path(table, mRel), Json.writeValueAsString(root),
       overwrite = false)
-    commitSnapshot(s, table, meta.schemaJson, meta.partCols, meta.snapshots,
-      manifests.map(_.path) :+ mRel)
+    commitSnapshot(s, table, meta, manifests.map(_.path) :+ mRel)
+  }
+
+  /** New manifest list after removing `removedPaths` data entries:
+    * untouched manifests survive BY REFERENCE (zero metadata rewritten
+    * for them), affected ones are rewritten with their remaining
+    * entries (Iceberg's manifest-rewrite shape), and emptied ones drop
+    * out. Deletes manifests pass through — their entries reference
+    * old file NAMES that no longer resolve, which is dead weight until
+    * the next compaction but never wrong.
+    */
+  private def survivingManifests(s: SparkSession, table: String, meta: Meta,
+      manifests: Seq[Manifest], removedPaths: Set[String]): Seq[String] = {
+    val f = fs(s, new Path(table))
+    manifests.flatMap { m =>
+      if (m.content != "data" || !m.entries.exists(e => removedPaths(e.path)))
+        Some(m.path)
+      else {
+        val kept = m.entries.filterNot(e => removedPaths(e.path))
+        if (kept.isEmpty) None
+        else Some(writeManifestFile(f, table, m.schemaId, meta.partCols,
+          kept))
+      }
+    }
+  }
+
+  /** Copy-on-write UPDATE … WHERE: only files that may contain matching
+    * rows (hierarchically pruned) are rewritten; each survivor file's
+    * rows rewrite with `assignments` applied to the matching rows and
+    * everything else byte-identical. Prior position deletes are folded
+    * in during the rewrite (the rewritten files are clean). Returns the
+    * new snapshot id.
+    */
+  def updateWhere(s: SparkSession, table: String, pred: Column,
+      assignments: Map[String, Column]): Long = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val cur = meta.currentSchema
+    assignments.keys.foreach(k =>
+      require(cur.fields.exists(_.name == k), s"no column $k"))
+    val candidates =
+      prunedEntries(s, meta, dataManifests(manifests), pred)._2
+    if (candidates.forall(_._2.isEmpty)) return meta.currentSnapshot
+    val rewritten = readEntries(s, table, meta, candidates,
+      deleteFilesOf(manifests))
+      .select(cur.fields.map { fd =>
+        assignments.get(fd.name) match {
+          case Some(set) =>
+            when(pred, set.cast(fd.dataType)).otherwise(col(fd.name))
+              .as(fd.name)
+          case None => col(fd.name)
+        }
+      }.toSeq: _*)
+    val newManifest = writeManifest(s, table, rewritten, cur, meta.partCols)
+    val removed = candidates.flatMap(_._2.map(_.path)).toSet
+    commitSnapshot(s, table, meta,
+      survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
+  }
+
+  /** Copy-on-write MERGE (upsert) on `keys`: source rows REPLACE
+    * matching target rows and are INSERTED otherwise. Only target files
+    * containing a matching key are rewritten — found by ONE
+    * file-name-column scan joined against the source keys — so merging
+    * a small source into a 100 TB table rewrites the touched files, not
+    * the table. Per MERGE semantics (same contract as DeltaLite.merge),
+    * multiple source rows matching the same target row is an error
+    * (which copy would win is ambiguous); duplicate source keys that
+    * match nothing insert all their copies. Returns the new snapshot id.
+    */
+  def merge(s: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val cur = meta.currentSchema
+    keys.foreach(k => require(cur.fields.exists(_.name == k),
+      s"merge key $k not in schema"))
+    val srcCols = source.select(cur.fields.map(fd =>
+      col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
+    val srcKeyCounts = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_src_n"))
+    val groups = entryGroups(manifests)
+    val deletes = deleteFilesOf(manifests)
+    val (hitNames, maxMatches) =
+      if (groups.forall(_._2.isEmpty)) (Set.empty[String], 0L)
+      else {
+        val row = readEntries(s, table, meta, groups, deletes,
+            fileCol = Some("_ice_hit"))
+          .join(srcKeyCounts, keys)
+          .agg(collect_set(col("_ice_hit")).as("_files"),
+            max(col("_src_n")))
+          .head()
+        (row.getSeq[String](0).toSet,
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
+    require(maxMatches <= 1L,
+      s"merge: $maxMatches source rows match the same target key — " +
+        "MERGE forbids ambiguous multi-matches; dedup the source")
+    def fileName(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val hitGroups = groups.map { case (sid, es) =>
+      sid -> es.filter(e => hitNames.contains(fileName(e.path)))
+    }.filter(_._2.nonEmpty)
+    val newData =
+      if (hitGroups.isEmpty) srcCols
+      else readEntries(s, table, meta, hitGroups, deletes)
+        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(srcCols)
+    val newManifest = writeManifest(s, table, newData, cur, meta.partCols)
+    val removed = hitGroups.flatMap(_._2.map(_.path)).toSet
+    commitSnapshot(s, table, meta,
+      survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
   }
 }

@@ -623,6 +623,80 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
       WHERE c_custkey IN (11, 411, 911, 1311)
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s25
+    // Iceberg schema evolution on STABLE FIELD IDS: a rename is a
+    // metadata-only commit (the field keeps its id; files written under
+    // the old name keep resolving — zero data IO at any table size),
+    // and an added column takes a fresh id, reading as null from
+    // pre-add files. Data files carry real parquet field_id attributes
+    // (IcebergLiteSpec asserts the footers), the Iceberg requirement
+    // that makes id-based resolution portable to external readers.
+    GQuery("s25_iceberg_schema_evolution", (s, d) => {
+      val t = s"${scratch("s25")}/cust_ice_evo"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, t,
+        c.filter(col("c_custkey") <= 750)
+          .repartitionByRange(3, col("c_custkey")))
+      IcebergLite.renameColumn(s, t, "c_name", "cust_name")
+      IcebergLite.addColumn(s, t, "segment_code",
+        org.apache.spark.sql.types.StringType)
+      // Post-evolution append arrives under the CURRENT schema.
+      IcebergLite.append(s, t,
+        c.filter(col("c_custkey") > 750)
+          .withColumnRenamed("c_name", "cust_name")
+          .withColumn("segment_code", substring(col("c_mktsegment"), 1, 3)))
+      IcebergLite.snapshot(s, t)
+        .select(col("c_custkey"), col("cust_name"), col("c_acctbal"),
+          col("segment_code"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name AS cust_name, c_acctbal,
+             CAST(NULL AS VARCHAR) AS segment_code
+      FROM customer WHERE c_custkey <= 750
+      UNION ALL
+      SELECT c_custkey, c_name AS cust_name, c_acctbal,
+             substr(c_mktsegment, 1, 3) AS segment_code
+      FROM customer WHERE c_custkey > 750
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s26
+    // Iceberg copy-on-write MERGE + UPDATE WHERE — DML parity with the
+    // Delta path. Only files containing a matching key/row are
+    // rewritten (found by ONE file-name scan joined to the source
+    // keys); untouched entries of an affected manifest survive through
+    // a rewritten manifest, every other manifest by reference. Merging
+    // a small source into a 100 TB table rewrites the touched files,
+    // not the table. Ambiguous multi-matches are rejected exactly as
+    // in DeltaLite.merge (IcebergLiteSpec asserts).
+    GQuery("s26_iceberg_merge", (s, d) => {
+      val t = s"${scratch("s26")}/orders_ice_merge"
+      val o = T.orders(s, d)
+      IcebergLite.create(s, t,
+        o.filter(col("o_custkey") % 2 === 0)
+          .repartitionByRange(6, col("o_orderkey")))
+      // Upsert: custkey%4=0 rows UPDATE (doubled price), odd-custkey
+      // rows INSERT.
+      IcebergLite.merge(s, t,
+        o.filter(col("o_custkey") % 4 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(o.filter(col("o_custkey") % 2 === 1)),
+        Seq("o_orderkey"))
+      IcebergLite.updateWhere(s, t, col("o_orderpriority") === "1-URGENT",
+        Map("o_orderstatus" -> lit("U")))
+      IcebergLite.snapshot(s, t)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_custkey % 4 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders
+      ORDER BY o_orderkey"""))
   )
 }

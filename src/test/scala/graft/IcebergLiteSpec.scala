@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.sources.IcebergLite
 import graft.util.Scratch
@@ -136,5 +138,145 @@ class IcebergLiteSpec extends SparkSpec {
     val before = IcebergLite.snapshots(spark, t).size
     IcebergLite.deleteWhere(spark, t, col("c_custkey") < -1)
     assert(IcebergLite.snapshots(spark, t).size == before)
+  }
+
+  test("data files carry real parquet field_id attributes (the Iceberg " +
+      "data-file requirement external readers resolve by)") {
+    val t = freshTable()
+    IcebergLite.create(spark, t, Tables.customer(spark, sfDir).limit(100))
+    val dataFile = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t, "data"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dataFile.toString), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg =
+      try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    val ids = msg.getFields.asScala.map(f =>
+      f.getName -> Option(f.getId).map(_.intValue())).toMap
+    // create() assigns 1..n in schema order.
+    assert(ids("c_custkey").contains(1) && ids("c_name").contains(2) &&
+      ids("c_mktsegment").contains(5), ids.toString)
+  }
+
+  test("rename is metadata-only: field keeps its id, old files resolve " +
+      "under the new name, stats pruning still works, data untouched") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    IcebergLite.create(spark, t, c.repartitionByRange(4, col("c_custkey")))
+    val filesBefore = IcebergLite.dataFiles(spark, t)
+    IcebergLite.renameColumn(spark, t, "c_name", "cust_name")
+    // Zero data IO: the data-file set is identical.
+    assert(IcebergLite.dataFiles(spark, t) == filesBefore)
+    // Old files read under the new name, by id.
+    val got = IcebergLite.snapshot(spark, t)
+    assert(got.schema.fieldNames.contains("cust_name") &&
+      !got.schema.fieldNames.contains("c_name"))
+    assert(got.select(col("c_custkey"), col("cust_name"))
+      .orderBy(col("c_custkey")).collect().toSeq ==
+      c.select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")).collect().toSeq)
+    // Stats pruning on a RENAMED KEY column: predicate arrives under
+    // the current name, stats live under the write-time name — the id
+    // bridges them.
+    IcebergLite.renameColumn(spark, t, "c_custkey", "cust_id")
+    val (kept, total) = IcebergLite.pruneInfo(spark, t,
+      col("cust_id") >= 10 && col("cust_id") <= 20)
+    assert(total == 4 && kept < total, s"kept=$kept of $total")
+    assert(IcebergLite.scan(spark, t, col("cust_id") <= 20).count() ==
+      c.filter(col("c_custkey") <= 20).count())
+    // Rename collision / partition-column rename rejected.
+    intercept[Exception] {
+      IcebergLite.renameColumn(spark, t, "cust_name", "c_acctbal")
+    }
+  }
+
+  test("addColumn takes a fresh never-reused id; pre-add files read " +
+      "null; post-add appends round-trip") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    IcebergLite.create(spark, t, c.filter(col("c_custkey") <= 40))
+    IcebergLite.addColumn(spark, t, "tier",
+      org.apache.spark.sql.types.StringType)
+    IcebergLite.append(spark, t, c.filter(col("c_custkey") > 40)
+      .withColumn("tier", lit("new")))
+    val got = IcebergLite.snapshot(spark, t)
+    assert(got.filter(col("c_custkey") <= 40 && col("tier").isNull)
+      .count() == c.filter(col("c_custkey") <= 40).count())
+    assert(got.filter(col("c_custkey") > 40 && col("tier") === "new")
+      .count() == c.filter(col("c_custkey") > 40).count())
+    // The new field's id is beyond the create-time range (never reuses).
+    val metaTxt = {
+      val hint = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "metadata", "version-hint.text")),
+        "UTF-8").trim
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t, "metadata", s"v$hint.metadata.json")),
+        "UTF-8")
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(metaTxt)
+    val curId = node.get("current-schema-id").asInt()
+    val cur = node.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curId).get
+    val tierId = cur.get("fields").elements().asScala
+      .find(_.get("name").asText() == "tier").get.get("id").asInt()
+    assert(tierId == 6, s"tier id $tierId (5 create-time fields)")
+  }
+
+  test("copy-on-write updateWhere rewrites only files that may match; " +
+      "untouched manifests survive by reference") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    // 4 range files in snapshot 1, then an append manifest of 1 file.
+    IcebergLite.create(spark, t, c.filter(col("c_custkey") <= 1200)
+      .repartitionByRange(4, col("c_custkey")))
+    IcebergLite.append(spark, t,
+      c.filter(col("c_custkey") > 1200).coalesce(1))
+    val filesBefore = IcebergLite.dataFiles(spark, t).toSet
+    // Predicate confined to low keys: only the low-range file(s) rewrite.
+    IcebergLite.updateWhere(spark, t, col("c_custkey") <= 100,
+      Map("c_mktsegment" -> lit("VIP")))
+    val filesAfter = IcebergLite.dataFiles(spark, t).toSet
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.nonEmpty && filesAfter != filesBefore,
+      s"expected partial rewrite: before=${filesBefore.size} " +
+        s"after=${filesAfter.size} untouched=${untouched.size}")
+    val got = IcebergLite.snapshot(spark, t)
+    assert(got.filter(col("c_custkey") <= 100).select(col("c_mktsegment"))
+      .distinct().collect().map(_.getString(0)).toSeq == Seq("VIP"))
+    assert(got.filter(col("c_custkey") > 100 &&
+      col("c_mktsegment") === "VIP").count() == 0)
+    assert(got.count() == c.count())
+  }
+
+  test("merge upserts by key, folds prior position deletes, and " +
+      "rejects ambiguous multi-matches") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    IcebergLite.create(spark, t, c.repartitionByRange(4, col("c_custkey")))
+    // A prior merge-on-read delete: merged-over rows must not resurrect.
+    IcebergLite.deleteWhere(spark, t, col("c_custkey") % 10 === 9)
+    val src = c.filter(col("c_custkey") % 10 <= 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+    IcebergLite.merge(spark, t, src, Seq("c_custkey"))
+    val got = IcebergLite.snapshot(spark, t)
+    // %10==9 rows were deleted, then %10<=1 re-inserted via merge → only
+    // 9-enders stay gone; 0/1-enders carry the bumped balance.
+    assert(got.filter(col("c_custkey") % 10 === 9).count() == 0)
+    assert(got.count() == c.filter(col("c_custkey") % 10 =!= 9).count())
+    val want = c.filter(col("c_custkey") % 10 <= 1)
+      .select(col("c_custkey"), (col("c_acctbal") + 1000.0).as("b"))
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(got.filter(col("c_custkey") % 10 <= 1)
+      .select(col("c_custkey"), col("c_acctbal").as("b"))
+      .orderBy(col("c_custkey")).collect().toSeq == want)
+    // Ambiguous multi-match rejected.
+    val dup = src.limit(1).unionByName(src.limit(1))
+    intercept[Exception] {
+      IcebergLite.merge(spark, t, dup, Seq("c_custkey"))
+    }
   }
 }
