@@ -161,9 +161,12 @@ object DupClusters {
   val all: Seq[GQuery] = Seq(
     // ---------------------------------------------------------------- d07
     // Engine-specific minhash edges → rows-only check; the spec proves
-    // transitivity on a planted chain.
+    // transitivity on a planted chain. Uses the large/small-star
+    // variant: O(log n) rounds regardless of component diameter — dup
+    // graphs are usually shallow stars, but one pathological long
+    // chain in 100 TB of docs shouldn't dictate the round count.
     GQuery("d07_dup_clusters", (s, d) => {
-      connectedComponents(dupEdges(T.documents(s, d)))
+      connectedComponentsStar(dupEdges(T.documents(s, d)))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"),
           sort_array(collect_list(col("id"))).as("members"))
