@@ -7,31 +7,47 @@ import graft.util.Scale
 
 /** Typed rows for the batched-decode path (m03). */
 case class RawAsset(asset_id: Long, payload: Array[Byte])
-case class DecodedMeta(asset_id: Long, n_bytes: Long, byte_sum: Long,
-    width: Int, height: Int, codec: String)
+case class WavMeta(asset_id: Long, n_bytes: Long, channels: Long,
+    sample_rate: Long, bits_per_sample: Long, data_bytes: Long,
+    duration_ms: Long)
 
-/** STUB decoder standing in for a real codec binding (libjpeg/ffmpeg…).
-  * The point of the shape: construction is EXPENSIVE for a real codec,
-  * so it happens once per partition (see m03), and rows stream through
-  * `decode` without materializing the whole partition.
+/** REAL RIFF/WAVE header parser (the canonical 44-byte PCM layout) —
+  * this is the JVM-side decoder for the batched path. The shape it
+  * demonstrates: construction may be expensive for a heavier codec
+  * (JNI bindings, model weights), so it happens once per partition
+  * (see m03), and rows stream through `decode` without materializing
+  * the whole partition.
   */
-class StubDecoder extends Serializable {
-  def decode(payload: Array[Byte]): DecodedMeta = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-    DecodedMeta(-1L, payload.length.toLong, sum,
-      (sum % 1280).toInt + 64, (sum % 720).toInt + 64, "stub")
+class WavDecoder extends Serializable {
+  def decode(payload: Array[Byte]): WavMeta = {
+    require(payload.length >= 44, s"truncated payload: ${payload.length}B")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, n: Int) = new String(payload, off, n, "US-ASCII")
+    require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE" &&
+      ascii(12, 4) == "fmt ", "not a RIFF/WAVE payload")
+    def u16(off: Int): Long = (bb.getShort(off) & 0xffff).toLong
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    val channels = u16(22)
+    val rate = u32(24)
+    val blockAlign = u16(32)
+    val bits = u16(34)
+    val dataBytes = u32(40)
+    WavMeta(-1L, payload.length.toLong, channels, rate, bits, dataBytes,
+      dataBytes / blockAlign * 1000L / rate)
   }
 }
 
 /** Multimodal columns: image/audio/video handled as opaque `binary`
-  * columns with typed metadata. The container has no codec libraries, so
-  * the DECODE step is a clearly-marked deterministic fake
-  * ([[fakeDecodeMeta]]); everything Spark-side — binary schema, batch
-  * shape, per-frame sampling plan, partitioning — is real and tested.
-  * Swapping the fake for a real codec keeps every plan unchanged: it is
-  * one expression over the same `binary` column.
+  * columns with typed metadata. The decode step is a REAL container
+  * parse — the RIFF/WAVE (PCM wav) header, a public format needing no
+  * codec library — implemented twice on purpose: as codegen'd built-in
+  * expressions over the binary column ([[wavMeta]], m01) and as a
+  * per-partition JVM decoder ([[WavDecoder]], m03), the integration
+  * shape a libjpeg/ffmpeg binding would use (payload DECOMPRESSION
+  * stays out of scope — headers parse; sample data rides opaque).
+  * The asset table wraps each document's bytes in a valid WAV container
+  * ([[wavAssets]]) so both parsers run against real headers end-to-end.
   *
   * Scale notes: binary payloads ride the normal columnar path (parquet
   * BYTE_ARRAY); metadata extraction is per-row and codegen'd (zero
@@ -51,34 +67,104 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       col("source"))
 
-  /** STUB — deterministic fake decode. A real implementation would parse
-    * the container header (e.g. PNG IHDR / WAV fmt chunk); here width,
-    * height and channels are derived from stable byte statistics so the
-    * pipeline shape and schema are exercised end-to-end without codecs.
+  /** Little-endian encoders/decoders over binary columns — built-ins
+    * only (hex/unhex/conv/substring), all inside whole-stage codegen.
     */
-  private def fakeDecodeMeta(payload: Column): Column = struct(
-    length(payload).cast("long").as("n_bytes"),
-    crc32(payload).as("checksum"),
-    (pmod(crc32(payload), lit(1280)) + 64).cast("int").as("width"),
-    (pmod(crc32(reverse(payload)), lit(720)) + 64).cast("int").as("height"),
-    lit(3).as("channels"))
+  private def le(x: Column, nBytes: Int): Column = {
+    val h = lpad(hex(x), nBytes * 2, "0")
+    unhex(concat((nBytes to 1 by -1).map(i =>
+      substring(h, (i - 1) * 2 + 1, 2)): _*))
+  }
+
+  /** Unsigned little-endian integer at 1-based `offset` in a binary
+    * column.
+    */
+  private def leUint(payload: Column, offset: Int, nBytes: Int): Column = {
+    val h = hex(substring(payload, offset, nBytes))
+    conv(concat((nBytes to 1 by -1).map(i =>
+      substring(h, (i - 1) * 2 + 1, 2)): _*), 16, 10).cast("long")
+  }
+
+  private def asciiLit(sl: String): Column = lit(sl.getBytes("US-ASCII"))
+
+  /** Assets wrapped in a VALID canonical 44-byte-header PCM WAV
+    * container: 8-bit samples (= the text bytes), channel count and
+    * sample rate derived deterministically from the asset id. Every
+    * field a RIFF parser reads (chunk sizes, byte rate, block align)
+    * is genuinely consistent — any external WAV reader accepts these
+    * payloads.
+    */
+  private def wavAssets(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d)
+      .withColumn("_ch", (pmod(col("asset_id"), lit(2)) + 1).cast("long"))
+      .withColumn("_rate", ((pmod(col("asset_id"), lit(3)) + 1) * 8000)
+        .cast("long"))
+      .withColumn("_ds", length(col("payload")).cast("long"))
+    base.select(col("asset_id"), col("source"),
+      concat(
+        asciiLit("RIFF"), le(col("_ds") + 36, 4), asciiLit("WAVE"),
+        asciiLit("fmt "), le(lit(16L), 4), le(lit(1L), 2),
+        le(col("_ch"), 2), le(col("_rate"), 4),
+        le(col("_rate") * col("_ch"), 4), // byte rate (8-bit samples)
+        le(col("_ch"), 2), // block align
+        le(lit(8L), 2), // bits per sample
+        asciiLit("data"), le(col("_ds"), 4),
+        col("payload")).as("payload"))
+  }
+
+  /** REAL decode: parse the RIFF/WAVE header fields out of the binary
+    * column with codegen'd built-ins. Works on any canonical-layout
+    * PCM WAV, not just [[wavAssets]]' output.
+    */
+  def wavMeta(payload: Column): Column = {
+    val isWav = substring(payload, 1, 4) === asciiLit("RIFF") &&
+      substring(payload, 9, 4) === asciiLit("WAVE") &&
+      substring(payload, 13, 4) === asciiLit("fmt ")
+    val blockAlign = leUint(payload, 33, 2)
+    val rate = leUint(payload, 25, 4)
+    val dataBytes = leUint(payload, 41, 4)
+    struct(
+      length(payload).cast("long").as("n_bytes"),
+      when(isWav, lit("wav")).otherwise(lit("unknown")).as("format"),
+      leUint(payload, 23, 2).as("channels"),
+      rate.as("sample_rate"),
+      leUint(payload, 35, 2).as("bits_per_sample"),
+      dataBytes.as("data_bytes"),
+      floor(floor(dataBytes / blockAlign) * 1000L / rate)
+        .cast("long").as("duration_ms"))
+  }
 
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- m01
-    // Binary column + typed metadata extraction. One scan, per-row
-    // expressions only.
+    // Binary column + typed metadata extraction: a REAL RIFF/WAVE
+    // header parse over the binary column, one scan, per-row codegen'd
+    // expressions only. The oracle reproduces every parsed field from
+    // the deterministic container construction — so a parser bug
+    // (wrong offset, wrong endianness) hash-fails the gate.
     GQuery("m01_binary_meta", (s, d) => {
-      assets(s, d)
-        .withColumn("meta", fakeDecodeMeta(col("payload")))
+      wavAssets(s, d)
+        .withColumn("meta", wavMeta(col("payload")))
         .select(col("asset_id"), col("source"),
           col("meta.n_bytes").as("n_bytes"),
-          col("meta.checksum").as("checksum"),
-          col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          col("meta.channels").as("channels"))
+          col("meta.format").as("format"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.bits_per_sample").as("bits_per_sample"),
+          col("meta.data_bytes").as("data_bytes"),
+          col("meta.duration_ms").as("duration_ms"))
         .orderBy(col("asset_id"))
-    }, None),
+    }, Some("""
+      SELECT doc_id AS asset_id, source,
+             CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             'wav' AS format,
+             CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+             CAST(8 AS BIGINT) AS bits_per_sample,
+             CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+             CAST((octet_length(encode(text)) // (1 + doc_id % 2)) * 1000
+                  // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+      FROM documents ORDER BY asset_id""")),
 
     // ---------------------------------------------------------------- m02
     // Frame sampling: treat the payload as fixed-size frames (FrameBytes
@@ -115,22 +201,34 @@ object Multimodal {
 
     // ---------------------------------------------------------------- m03
     // Batched decode via typed mapPartitions — the integration shape
-    // for a real codec: the decoder is constructed ONCE per partition
-    // (codec/JNI init amortized over the batch), rows stream through it
-    // with no full-partition materialization, and the output is a typed
-    // Dataset whose schema downstream relational ops consume directly.
-    // This is the Scala analog of a batched pandas-UDF decode.
+    // for a heavier codec: the decoder is constructed ONCE per
+    // partition (codec/JNI init amortized over the batch), rows stream
+    // through it with no full-partition materialization, and the
+    // output is a typed Dataset downstream relational ops consume
+    // directly. The decoder is the REAL ByteBuffer RIFF parser — an
+    // implementation independent of m01's expression parser; the two
+    // cross-check in MultimodalSpec — and the oracle checks the parsed
+    // values. This is the Scala analog of a batched pandas-UDF decode.
     GQuery("m03_batch_decode", (s, d) => {
       import s.implicits._
-      val raw = Scale.widen(assets(s, d), col("asset_id"))
+      val raw = Scale.widen(wavAssets(s, d), col("asset_id"))
         .select(col("asset_id"), col("payload"))
         .as[RawAsset]
       raw.mapPartitions { it =>
-        val decoder = new StubDecoder // once per partition, not per row
+        val decoder = new WavDecoder // once per partition, not per row
         it.map(a => decoder.decode(a.payload).copy(asset_id = a.asset_id))
       }.toDF()
         .orderBy(col("asset_id"))
-    }, None),
+    }, Some("""
+      SELECT doc_id AS asset_id,
+             CAST(44 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+             CAST(8 AS BIGINT) AS bits_per_sample,
+             CAST(octet_length(encode(text)) AS BIGINT) AS data_bytes,
+             CAST((octet_length(encode(text)) // (1 + doc_id % 2)) * 1000
+                  // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+      FROM documents ORDER BY asset_id""")),
 
     // ---------------------------------------------------------------- m04
     // Feature-extract / resize: average-pool the payload onto a fixed

@@ -1,26 +1,67 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.StubDecoder
+import graft.operators.{Multimodal, WavDecoder}
 
 class MultimodalSpec extends SparkSpec {
 
-  test("m03 batched decode matches a direct per-row decode") {
-    val got = Registry.byName("m03_batch_decode").fn(spark, sfDir).collect()
-    assert(got.nonEmpty)
-    // Independent check: decode the same payloads driver-side.
-    val decoder = new StubDecoder
-    val expected = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("p"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        decoder.decode(r.getAs[Array[Byte]](1)))
-      .toMap
-    got.foreach { r =>
-      val e = expected(r.getLong(0))
-      assert(r.getLong(1) == e.n_bytes && r.getLong(2) == e.byte_sum &&
-        r.getInt(3) == e.width && r.getInt(4) == e.height)
+  /** Canonical 44-byte-header PCM WAV built INDEPENDENTLY of both
+    * parsers (direct ByteBuffer writes): 2ch, 44100 Hz, 8-bit, 10
+    * sample bytes.
+    */
+  private def goldenWav(): Array[Byte] = {
+    val data = Array.tabulate[Byte](10)(i => (i * 7).toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 2)
+      .putShort(2).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  test("both WAV parsers are real RIFF parsers: a hand-built canonical " +
+      "header parses to the right fields through each") {
+    val wav = goldenWav()
+    // JVM decoder (m03 path).
+    val m = new WavDecoder().decode(wav)
+    assert(m.n_bytes == 54 && m.channels == 2 && m.sample_rate == 44100 &&
+      m.bits_per_sample == 8 && m.data_bytes == 10 && m.duration_ms == 0, m)
+    // Expression parser (m01 path) on a one-row frame.
+    import spark.implicits._
+    val row = Seq(wav).toDF("payload")
+      .select(Multimodal.wavMeta(col("payload")).as("meta"))
+      .select(col("meta.format"), col("meta.channels"),
+        col("meta.sample_rate"), col("meta.bits_per_sample"),
+        col("meta.data_bytes"), col("meta.n_bytes"))
+      .head()
+    assert(row.getString(0) == "wav" && row.getLong(1) == 2 &&
+      row.getLong(2) == 44100 && row.getLong(3) == 8 &&
+      row.getLong(4) == 10 && row.getLong(5) == 54, row)
+    // A non-WAV payload reports format=unknown rather than garbage.
+    val junk = Seq(Array.fill[Byte](64)(42)).toDF("payload")
+      .select(Multimodal.wavMeta(col("payload")).as("meta"))
+      .select(col("meta.format")).head()
+    assert(junk.getString(0) == "unknown")
+    // And the JVM decoder refuses it loudly.
+    intercept[IllegalArgumentException] {
+      new WavDecoder().decode(Array.fill[Byte](64)(42))
     }
+  }
+
+  test("m01 (expression parse) and m03 (batched JVM parse) agree on " +
+      "every asset — two independent decoders cross-check") {
+    val m01 = Registry.byName("m01_binary_meta").fn(spark, sfDir)
+      .select(col("asset_id"), col("channels"), col("sample_rate"),
+        col("data_bytes"), col("duration_ms"))
+    val m03 = Registry.byName("m03_batch_decode").fn(spark, sfDir)
+      .select(col("asset_id"), col("channels"), col("sample_rate"),
+        col("data_bytes"), col("duration_ms"))
+    assert(m01.count() > 0)
+    assert(m01.exceptAll(m03).isEmpty && m03.exceptAll(m01).isEmpty)
   }
 
   test("m02 frame sampling emits ceil(n_frames/stride) rows per asset") {
