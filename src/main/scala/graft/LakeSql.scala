@@ -1,22 +1,25 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, LogicalPlan, TableSpec, UpdateTable}
 import org.apache.spark.sql.graft.Glue
 
-import graft.sources.DeltaLite
+import graft.sources.{DeltaLite, IcebergLite}
 
-/** SQL DML against the lake table format — the reference's
+/** SQL DDL + DML against the lake table formats — the reference's
   * `Connection::Query` path (reference:duckdb:24-35) extended from
-  * SELECT to DML: the statement goes through Spark's OWN parser
-  * (`sqlParser.parsePlan`), yielding the standard Catalyst DML plans
-  * (`DeleteFromTable` / `UpdateTable` / `InsertIntoStatement`), and this
-  * front-end binds the named table to a DeltaLite path and executes the
-  * plan via the table format's pruned copy-on-write operations. No
-  * bespoke SQL parsing anywhere — the grammar, precedence, literals and
-  * expression tree are all Spark's, exactly how Delta Lake's own SQL
-  * support hooks the parsed plan.
+  * SELECT to writes: every statement goes through Spark's OWN parser
+  * (`sqlParser.parsePlan`), yielding the standard Catalyst plans
+  * (`CreateTableAsSelect` / `DropTable` / `DeleteFromTable` /
+  * `UpdateTable` / `InsertIntoStatement`), and this front-end binds
+  * named tables — via the session [[catalog]] the DDL maintains, the
+  * binder step of the reference entry path (reference:duckdb:36-38) —
+  * to DeltaLite or IcebergLite paths and executes through the table
+  * format's pruned copy-on-write operations. No bespoke SQL parsing
+  * anywhere — the grammar, precedence, literals and expression tree
+  * are all Spark's, exactly how Delta Lake's own SQL support hooks the
+  * parsed plan.
   *
   * INSERT source queries run through the session's registered views
   * ([[Sql.open]]) with full Catalyst optimization; conditions and
@@ -32,20 +35,142 @@ object LakeSql {
       throw new IllegalArgumentException(s"unsupported DML target: $other")
   }
 
+  // ----------------------------------------------------------- catalog
+
+  /** Session-scoped lake catalog: table name → (provider, path). The
+    * binder step of the reference entry path (reference:duckdb:36-38):
+    * once `CREATE TABLE … USING … LOCATION …` registers a name, DML and
+    * SELECT statements address the table by name alone. Weakly keyed by
+    * session so a closed session's entries collect; the inner map is
+    * concurrent because the driver shares one session across query
+    * invocations.
+    */
+  private val catalogs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]())
+
+  private def catalog(s: SparkSession) = catalogs.synchronized {
+    var m = catalogs.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty
+      catalogs.put(s, m)
+    }
+    m
+  }
+
+  /** Register `name` → (provider, path) without DDL (API-side entry). */
+  def register(s: SparkSession, name: String, provider: String,
+      path: String): Unit = {
+    require(Set("deltalite", "iceberglite").contains(provider),
+      s"unknown provider $provider")
+    catalog(s).put(name, (provider, path))
+  }
+
+  /** Current snapshot of a cataloged table. */
+  def table(s: SparkSession, name: String): DataFrame =
+    catalog(s).get(name) match {
+      case Some(("deltalite", p)) => DeltaLite.snapshot(s, p)
+      case Some(("iceberglite", p)) => IcebergLite.snapshot(s, p)
+      case Some((other, _)) =>
+        throw new IllegalStateException(s"unknown provider $other")
+      case None =>
+        throw new IllegalArgumentException(s"table $name not in catalog")
+    }
+
+  /** One text statement, any kind — the `Connection::Query` analog.
+    * CREATE TABLE … USING {deltalite|iceberglite} [LOCATION …]
+    * [PARTITIONED BY …] AS SELECT … creates + registers; DROP TABLE
+    * deregisters (data stays — external-table semantics); INSERT/
+    * UPDATE/DELETE run the table format's pruned copy-on-write DML;
+    * anything else (SELECT) runs through `spark.sql` with every
+    * cataloged name it references bound to the table's CURRENT
+    * snapshot. Returns the result rows for queries, an empty frame for
+    * DDL/DML.
+    */
+  def sql(s: SparkSession, statement: String): DataFrame =
+    s.sessionState.sqlParser.parsePlan(statement) match {
+      case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
+          partitioning, query, spec, _, ignoreIfExists, _) =>
+        val name = nameParts.last
+        // The parser hands an UnresolvedTableSpec; both spec shapes
+        // expose provider/location.
+        val (specProvider, specLocation) = spec match {
+          case t: TableSpec => (t.provider, t.location)
+          case t: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+            (t.provider, t.location)
+          case other => throw new IllegalArgumentException(
+            s"unsupported table spec: $other")
+        }
+        if (!(catalog(s).contains(name) && ignoreIfExists)) {
+          val provider = specProvider.map(_.toLowerCase)
+            .getOrElse("deltalite")
+          require(Set("deltalite", "iceberglite").contains(provider),
+            s"unsupported provider $provider")
+          val loc = specLocation.getOrElse(
+            s"${s.sessionState.conf.warehousePath.stripSuffix("/")}/$name")
+          val partCols = partitioning.map {
+            case t if t.name == "identity" && t.references.length == 1 =>
+              t.references.head.fieldNames.mkString(".")
+            case t => throw new IllegalArgumentException(
+              s"only identity partitioning supported, got $t")
+          }
+          val df = Glue.dataFrame(s, query)
+          if (provider == "deltalite") DeltaLite.create(s, loc, df, partCols)
+          else IcebergLite.create(s, loc, df, partCols)
+          register(s, name, provider, loc)
+        }
+        s.emptyDataFrame
+      case DropTable(child, ifExists, _) =>
+        val name = child match {
+          case u: UnresolvedIdentifier => u.nameParts.last
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+            u.multipartIdentifier.last
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP target: $other")
+        }
+        if (catalog(s).remove(name).isEmpty && !ifExists)
+          throw new IllegalArgumentException(s"table $name not in catalog")
+        s.emptyDataFrame
+      case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement =>
+        execute(s, Map.empty, statement)
+        s.emptyDataFrame
+      case plan =>
+        // Query path: bind every cataloged name the plan references to
+        // the table's current snapshot, then hand the ORIGINAL text to
+        // spark.sql (full Catalyst optimization).
+        plan.collect { case r: UnresolvedRelation =>
+          r.multipartIdentifier.last
+        }.distinct.foreach { n =>
+          catalog(s).get(n).foreach(_ =>
+            table(s, n).createOrReplaceTempView(n))
+        }
+        s.sql(statement)
+    }
+
   /** Execute one DML statement. `tables` maps statement table names to
-    * DeltaLite paths. Returns the affected table's path.
+    * DeltaLite paths; names not in the map resolve through the session
+    * catalog (CREATE TABLE-registered — either provider). Returns the
+    * affected table's path.
     */
   def execute(s: SparkSession, tables: Map[String, String],
       sql: String): String = {
     def pathOf(rel: LogicalPlan): String = {
       val n = nameOf(rel)
-      tables.getOrElse(n,
-        throw new IllegalArgumentException(s"unknown lake table $n"))
+      tables.getOrElse(n, catalog(s).get(n) match {
+        case Some((_, p)) => p
+        case None =>
+          throw new IllegalArgumentException(s"unknown lake table $n")
+      })
+    }
+    def isIceberg(rel: LogicalPlan): Boolean = {
+      val n = nameOf(rel)
+      !tables.contains(n) && catalog(s).get(n).exists(_._1 == "iceberglite")
     }
     s.sessionState.sqlParser.parsePlan(sql) match {
       case DeleteFromTable(rel, cond) =>
         val p = pathOf(rel)
-        DeltaLite.deleteWhere(s, p, Glue.column(cond))
+        if (isIceberg(rel)) IcebergLite.deleteWhere(s, p, Glue.column(cond))
+        else DeltaLite.deleteWhere(s, p, Glue.column(cond))
         p
       case UpdateTable(rel, assignments, cond) =>
         val p = pathOf(rel)
@@ -55,13 +180,16 @@ object LakeSql {
           case a =>
             throw new IllegalArgumentException(s"unsupported assignment $a")
         }.toMap
-        DeltaLite.updateWhere(s, p,
-          cond.map(Glue.column).getOrElse(
-            org.apache.spark.sql.functions.lit(true)), asg)
+        val pred = cond.map(Glue.column).getOrElse(
+          org.apache.spark.sql.functions.lit(true))
+        if (isIceberg(rel)) IcebergLite.updateWhere(s, p, pred, asg)
+        else DeltaLite.updateWhere(s, p, pred, asg)
         p
       case ins: InsertIntoStatement if !ins.overwrite =>
         val p = pathOf(ins.table)
-        DeltaLite.append(s, p, Glue.dataFrame(s, ins.query))
+        if (isIceberg(ins.table))
+          IcebergLite.append(s, p, Glue.dataFrame(s, ins.query))
+        else DeltaLite.append(s, p, Glue.dataFrame(s, ins.query))
         p
       case other =>
         throw new IllegalArgumentException(

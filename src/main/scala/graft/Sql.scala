@@ -230,6 +230,43 @@ object Sql {
         WHERE NOT (c_custkey % 10 = 7)
         ORDER BY c_custkey""")),
 
+      // -------------------------------------------------------------- x15
+      // Catalog DDL → DML → query, all as text through one entry point
+      // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS
+      // SELECT registers the name in the session catalog (the binder
+      // step of the reference entry path); INSERT/UPDATE/DELETE then
+      // address it BY NAME; the final SELECT binds the name to the
+      // table's current snapshot and runs through Catalyst. The table
+      // name is tag-suffixed because the driver shares one session
+      // across concurrent invocations.
+      GQuery("x15_sql_catalog_ddl", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val name = s"cust_cat_$tag"
+        val loc = s"${graft.util.Scratch.dir("x15")}/$name"
+        LakeSql.sql(s, s"""CREATE TABLE $name USING deltalite
+          LOCATION '$loc'
+          AS SELECT * FROM customer WHERE c_custkey % 2 = 0""")
+        LakeSql.sql(s,
+          s"INSERT INTO $name SELECT * FROM customer WHERE c_custkey % 2 = 1")
+        LakeSql.sql(s, s"UPDATE $name SET c_acctbal = c_acctbal + 100 " +
+          "WHERE c_nationkey = 3")
+        LakeSql.sql(s, s"DELETE FROM $name WHERE c_custkey % 10 = 4")
+        val out = LakeSql.sql(s, s"""
+          SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+          FROM $name ORDER BY c_custkey""")
+        LakeSql.sql(s, s"DROP TABLE $name")
+        out
+      }, Some("""
+        SELECT c_custkey, c_name,
+               CASE WHEN c_nationkey = 3 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer
+        WHERE NOT (c_custkey % 10 = 4)
+        ORDER BY c_custkey""")),
+
       // ---------------------------------------------------------- x11-x14
       // The classic TPC-H shapes on DuckDB's home turf, run as verbatim
       // text by both engines (adapted to the test schema's columns;

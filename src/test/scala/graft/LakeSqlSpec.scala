@@ -51,4 +51,41 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.execute(spark, Map("t" -> t), "DROP TABLE t")
     }
   }
+
+  test("catalog DDL round trip on the ICEBERG provider: CTAS registers, " +
+      "DML addresses by name, SELECT reads the current snapshot, DROP " +
+      "deregisters but keeps data (external semantics)") {
+    import graft.sources.IcebergLite
+    Sql.open(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val name = s"ice_cat_$tag"
+    val loc = s"${graft.util.Scratch.dir("lakesqlspec")}/$name"
+    LakeSql.sql(spark, s"""CREATE TABLE $name USING iceberglite
+      LOCATION '$loc'
+      AS SELECT * FROM customer WHERE c_custkey <= 100""")
+    // It is a REAL IcebergLite table on disk.
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(loc, "metadata", "version-hint.text")))
+    LakeSql.sql(spark, s"INSERT INTO $name SELECT * FROM customer " +
+      "WHERE c_custkey > 100 AND c_custkey <= 150")
+    LakeSql.sql(spark, s"UPDATE $name SET c_acctbal = 0 WHERE c_custkey <= 10")
+    LakeSql.sql(spark, s"DELETE FROM $name WHERE c_custkey % 5 = 0")
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 150 && col("c_custkey") % 5 =!= 0)
+    val got = LakeSql.sql(spark, s"""
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN c_acctbal = 0 THEN 1 ELSE 0 END) AS z
+      FROM $name""").head()
+    assert(got.getLong(0) == c.count(), got.toString)
+    assert(got.getLong(1) == c.filter(col("c_custkey") <= 10).count(),
+      got.toString)
+    LakeSql.sql(spark, s"DROP TABLE $name")
+    intercept[IllegalArgumentException] { LakeSql.table(spark, name) }
+    // Data survives the drop; re-dropping needs IF EXISTS.
+    assert(IcebergLite.snapshot(spark, loc).count() == c.count())
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"DROP TABLE $name")
+    }
+    LakeSql.sql(spark, s"DROP TABLE IF EXISTS $name") // quiet
+  }
 }
