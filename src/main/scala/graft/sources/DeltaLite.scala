@@ -85,13 +85,15 @@ object DeltaLite {
   }
 
   /** One live data file: relative path, its partition values (None =
-    * null partition), its stats JSON when collected, and the relative
+    * null partition), its stats JSON when collected, the relative
     * path of its deletion-vector sidecar when rows have been soft-
-    * deleted (merge-on-read).
+    * deleted (merge-on-read), plus the size and DV cardinality the
+    * commit recorded (carried so checkpoints can re-emit the spec's
+    * required add-action fields).
     */
   private case class FileEntry(path: String,
       partValues: Seq[(String, Option[String])], stats: Option[JsonNode],
-      dv: Option[String] = None)
+      dv: Option[String] = None, size: Long = 0L, dvCardinality: Long = 0L)
 
   private case class State(schemaJson: String, partCols: Seq[String],
       entries: Seq[FileEntry], txns: Map[String, Long]) {
@@ -156,24 +158,40 @@ object DeltaLite {
     var partCols: Seq[String] = Nil
     val from = checkpointVersion(s, table, version) match {
       case Some(cv) =>
+        // Spec checkpoint layout: one action per row in nested structs
+        // (metaData / add / txn / protocol), exactly the Delta protocol
+        // checkpoint schema.
         s.read.parquet(checkpointFile(table, cv).toString).collect()
           .foreach { r =>
-            r.getAs[String]("kind") match {
-              case "metaData" =>
-                schemaJson = r.getAs[String]("schemaString")
-                partCols = Option(r.getAs[String]("partitionColumns"))
-                  .map(pc => Json.readTree(pc).elements().asScala
-                    .map(_.asText()).toSeq)
-                  .getOrElse(Nil)
-              case "add" =>
-                val p = r.getAs[String]("path")
-                live(p) = FileEntry(p,
-                  partValuesOf(Option(r.getAs[String]("partitionValues"))
-                    .map(Json.readTree).orNull),
-                  Option(r.getAs[String]("stats")).map(Json.readTree),
-                  Option(r.getAs[String]("dvPath")))
-              case "txn" =>
-                txns(r.getAs[String]("appId")) = r.getAs[Long]("txnVersion")
+            if (!r.isNullAt(r.fieldIndex("metaData"))) {
+              val m = r.getStruct(r.fieldIndex("metaData"))
+              schemaJson = m.getAs[String]("schemaString")
+              partCols = Option(
+                m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+                .map(_.toSeq).getOrElse(Nil)
+            }
+            if (!r.isNullAt(r.fieldIndex("add"))) {
+              val a = r.getStruct(r.fieldIndex("add"))
+              val p = a.getAs[String]("path")
+              val pvs = Option(a.getAs[scala.collection.Map[String, String]](
+                  "partitionValues"))
+                .getOrElse(scala.collection.Map.empty[String, String])
+                .toSeq.map { case (k, v) => k -> Option(v) }
+              val dvStruct = a.fieldIndex("deletionVector")
+              val (dvPath, dvCard) =
+                if (a.isNullAt(dvStruct)) (None, 0L)
+                else {
+                  val d = a.getStruct(dvStruct)
+                  (Option(d.getAs[String]("pathOrInlineDv")),
+                    d.getAs[Long]("cardinality"))
+                }
+              live(p) = FileEntry(p, pvs,
+                Option(a.getAs[String]("stats")).map(Json.readTree),
+                dvPath, a.getAs[Long]("size"), dvCard)
+            }
+            if (!r.isNullAt(r.fieldIndex("txn"))) {
+              val t = r.getStruct(r.fieldIndex("txn"))
+              txns(t.getAs[String]("appId")) = t.getAs[Long]("version")
             }
           }
         cv + 1
@@ -197,7 +215,11 @@ object DeltaLite {
               else None,
               if (a.has("deletionVector"))
                 Some(a.get("deletionVector").get("pathOrInlineDv").asText())
-              else None)
+              else None,
+              if (a.has("size")) a.get("size").asLong() else 0L,
+              if (a.has("deletionVector"))
+                a.get("deletionVector").get("cardinality").asLong()
+              else 0L)
           }
           if (n.has("remove")) live -= n.get("remove").get("path").asText()
           if (n.has("txn")) {
@@ -218,46 +240,66 @@ object DeltaLite {
     * `_last_checkpoint` points readers at it. After this, replay is
     * O(commits since checkpoint) and JSON commits at or before the
     * checkpoint may be aged out (the protocol's log-retention story for
-    * long-lived tables). Simplified column layout vs Delta's nested
-    * action structs; same role. Returns the checkpointed version.
+    * long-lived tables).
+    *
+    * The file uses the Delta PROTOCOL's checkpoint schema: one action
+    * per row in nested structs (`protocol` / `metaData` / `add` /
+    * `txn`), adds carrying path, partitionValues map, size,
+    * modificationTime, dataChange=false, stats JSON and the
+    * deletionVector descriptor; `_last_checkpoint` carries
+    * `{"version", "size"}`. Protocol versions are (1,2) — or (3,7)
+    * once deletion vectors are present, as the spec requires readers/
+    * writers to understand DVs then. Returns the checkpointed version.
     */
   def writeLogCheckpoint(s: SparkSession, table: String): Long = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
-    val partColsJson = {
-      val arr = Json.createArrayNode()
-      st.partCols.foreach(arr.add)
-      Json.writeValueAsString(arr)
+    val hasDv = st.entries.exists(_.dv.isDefined)
+    val protocolRow = Row(
+      Row(if (hasDv) 3 else 1, if (hasDv) 7 else 2), null, null, null)
+    val metaRow = Row(null,
+      Row(UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
+        Row("parquet"), st.schemaJson, st.partCols),
+      null, null)
+    val addRows = st.entries.map { e =>
+      Row(null, null,
+        Row(e.path,
+          e.partValues.map { case (k, ov) => k -> ov.orNull }.toMap,
+          e.size, 0L, false, e.stats.map(_.toString).orNull,
+          e.dv.map(rel => Row("path", rel, e.dvCardinality)).orNull),
+        null)
     }
-    def pvJson(e: FileEntry): String = {
-      val o = Json.createObjectNode()
-      e.partValues.foreach {
-        case (k, Some(x)) => o.put(k, x)
-        case (k, None) => o.putNull(k)
-      }
-      Json.writeValueAsString(o)
+    val txnRows = st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+      Row(null, null, null, Row(app, tv))
     }
-    val rows: java.util.List[Row] =
-      (Row("metaData", null, null, st.schemaJson, partColsJson, null, null,
-        null, null) +:
-        (st.entries.map(e => Row("add", e.path,
-          e.stats.map(_.toString).orNull, null, null, pvJson(e), null, null,
-          e.dv.orNull)) ++
-          st.txns.toSeq.sortBy(_._1).map { case (app, tv) =>
-            Row("txn", null, null, null, null, null, app,
-              java.lang.Long.valueOf(tv), null)
-          })).asJava
     val schema = StructType(Seq(
-      StructField("kind", StringType, nullable = false),
-      StructField("path", StringType, nullable = true),
-      StructField("stats", StringType, nullable = true),
-      StructField("schemaString", StringType, nullable = true),
-      StructField("partitionColumns", StringType, nullable = true),
-      StructField("partitionValues", StringType, nullable = true),
-      StructField("appId", StringType, nullable = true),
-      StructField("txnVersion", LongType, nullable = true),
-      StructField("dvPath", StringType, nullable = true)))
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType, nullable = false),
+        StructField("minWriterVersion", IntegerType, nullable = false)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType, nullable = false)))),
+        StructField("schemaString", StringType, nullable = false),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType, nullable = false),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType, nullable = false),
+        StructField("modificationTime", LongType, nullable = false),
+        StructField("dataChange", BooleanType, nullable = false),
+        StructField("stats", StringType, nullable = true),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType, nullable = false),
+          StructField("pathOrInlineDv", StringType, nullable = false),
+          StructField("cardinality", LongType, nullable = false))))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType, nullable = false),
+        StructField("version", LongType, nullable = false))))))
+    val rows: java.util.List[Row] =
+      ((protocolRow +: metaRow +: addRows) ++ txnRows).asJava
     val stageDir = new Path(table, s"_stage_ckpt_${UUID.randomUUID()}")
     s.createDataFrame(rows, schema).coalesce(1)
       .write.mode("overwrite").parquet(stageDir.toString)
@@ -269,7 +311,8 @@ object DeltaLite {
       "rename failed for checkpoint")
     f.delete(stageDir, true)
     val out = f.create(lastCheckpointPath(table), true) // pointer: overwrite
-    try out.write(s"""{"version":$v}""".getBytes("UTF-8"))
+    try out.write(s"""{"version":$v,"size":${rows.size()}}"""
+      .getBytes("UTF-8"))
     finally out.close()
     v
   }
@@ -1333,7 +1376,7 @@ object DeltaLite {
       .flatMap { e =>
         val (rel, n) = byFile(fileName(e.path))
         Seq(removeAction(e.path),
-          addAction(e.path, 0L, e.partValues, e.stats.map(_.toString),
+          addAction(e.path, e.size, e.partValues, e.stats.map(_.toString),
             dataChange = true, dv = Some((rel, n))))
       }
     writeCommit(s, table, v + 1, actions)

@@ -202,6 +202,50 @@ class DeltaLiteSpec extends SparkSpec {
       col("c_custkey") === -1)._1 == 0)
   }
 
+  test("the log checkpoint speaks the Delta protocol's schema: nested " +
+      "action structs, one action per row, _last_checkpoint version+size") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.repartition(3, col("c_name")))
+    // A DV delete first, so the checkpoint must carry the deletionVector
+    // descriptor and raise the protocol to (3,7) per the spec.
+    DeltaLite.deleteWhereDV(spark, t, col("c_custkey") % 11 === 0)
+    val ckptV = DeltaLite.writeLogCheckpoint(spark, t)
+    val ck = spark.read.parquet(
+      s"$t/_delta_log/" + f"$ckptV%020d.checkpoint.parquet")
+    assert(ck.columns.sorted.toSeq ==
+      Seq("add", "metaData", "protocol", "txn"), ck.columns.toSeq)
+    // Exactly one action per row.
+    val perRow = ck.select(
+      (when(col("protocol").isNotNull, 1).otherwise(0) +
+        when(col("metaData").isNotNull, 1).otherwise(0) +
+        when(col("add").isNotNull, 1).otherwise(0) +
+        when(col("txn").isNotNull, 1).otherwise(0)).as("n"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(perRow == Seq(1), perRow)
+    // Protocol says DV-aware (3,7); metaData names the parquet format;
+    // adds carry real sizes, dataChange=false, and DV descriptors.
+    val proto = ck.filter(col("protocol").isNotNull)
+      .select(col("protocol.minReaderVersion"),
+        col("protocol.minWriterVersion")).head()
+    assert(proto.getInt(0) == 3 && proto.getInt(1) == 7)
+    assert(ck.filter(col("metaData").isNotNull)
+      .select(col("metaData.format.provider")).head().getString(0)
+      == "parquet")
+    val adds = ck.filter(col("add").isNotNull)
+    assert(adds.count() == 3)
+    assert(adds.filter(col("add.size") <= 0 || col("add.dataChange"))
+      .count() == 0)
+    assert(adds.filter(col("add.deletionVector").isNotNull &&
+      col("add.deletionVector.cardinality") > 0).count() > 0)
+    // _last_checkpoint: {"version", "size" = action row count}.
+    val lc = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        t, "_delta_log", "_last_checkpoint")), "UTF-8"))
+    assert(lc.get("version").asLong() == ckptV)
+    assert(lc.get("size").asLong() == ck.count())
+  }
+
   test("commit creation is exclusive — a version conflict fails clean") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir).limit(5)
