@@ -754,6 +754,73 @@ object IcebergLite {
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
   }
 
+  /** Compaction (the OPTIMIZE / rewrite-data-files maintenance op):
+    * bin-pack the live rows into `targetFiles` files per partition,
+    * FOLDING IN accumulated position deletes — the merge-on-read
+    * maintenance story: delete files disappear here, reads stop paying
+    * the anti-join. Content is unchanged; the new snapshot carries one
+    * fresh manifest (and no deletes manifests). Schema evolution rides
+    * along: rewritten files are written under the CURRENT schema, so
+    * compaction also retires old-schema files.
+    */
+  def compact(s: SparkSession, table: String, targetFiles: Int): Long = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val groups = entryGroups(manifests)
+    if (groups.forall(_._2.isEmpty)) return meta.currentSnapshot
+    val df = readEntries(s, table, meta, groups, deleteFilesOf(manifests))
+    val packed =
+      if (meta.partCols.isEmpty) df.repartition(targetFiles)
+      else df.repartition(targetFiles, meta.partCols.map(col): _*)
+    val m = writeManifest(s, table, packed, meta.currentSchema,
+      meta.partCols)
+    commitSnapshot(s, table, meta, Seq(m))
+  }
+
+  /** Expire all snapshots except the newest `retain`, then delete every
+    * data/delete file and manifest no retained snapshot references —
+    * Iceberg's expire-snapshots + orphan-file cleanup in one pass. Time
+    * travel to expired ids stops working, by design. File enumeration
+    * is manifest-driven (referenced set) plus ONE directory walk for
+    * orphans (stage leftovers); deletes are per-path. Returns the
+    * number of deleted data/delete files.
+    */
+  def expireSnapshots(s: SparkSession, table: String,
+      retain: Int = 1): Int = {
+    require(retain >= 1, "must retain at least the current snapshot")
+    val meta = readMeta(s, table)
+    val keepIds = meta.snapshots.map(_._1).sorted.takeRight(retain).toSet
+    val kept = meta.snapshots.filter(t => keepIds(t._1))
+    val f = fs(s, new Path(table))
+    val referenced: Set[String] = kept.flatMap { case (_, listRel) =>
+      readManifests(s, table, listRel, meta).flatMap(m =>
+        m.path +: m.entries.map(_.path))
+    }.toSet ++ kept.map(_._2)
+    var deletedData = 0
+    // Drop expired manifest lists + manifests (under metadata/) and
+    // unreferenced data/delete files (under data/).
+    val metaIt = f.listStatus(metaDir(table)).iterator
+    while (metaIt.hasNext) {
+      val st = metaIt.next()
+      val n = st.getPath.getName
+      val rel = s"metadata/$n"
+      if ((n.startsWith("snap-") || n.startsWith("manifest-")) &&
+          !referenced.contains(rel))
+        f.delete(st.getPath, false)
+    }
+    val dataIt = f.listFiles(new Path(table, "data"), true)
+    val rootPrefix = f.makeQualified(new Path(table)).toString
+    while (dataIt.hasNext) {
+      val st = dataIt.next()
+      val rel = f.makeQualified(st.getPath).toString
+        .stripPrefix(rootPrefix).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !referenced.contains(rel)) {
+        if (f.delete(st.getPath, false)) deletedData += 1
+      }
+    }
+    writeMetadata(s, table, meta.copy(snapshots = kept))
+    deletedData
+  }
+
   /** Copy-on-write MERGE (upsert) on `keys`: source rows REPLACE
     * matching target rows and are INSERTED otherwise. Only target files
     * containing a matching key are rewritten — found by ONE

@@ -697,6 +697,34 @@ object Sources {
                   ELSE o_totalprice END AS o_totalprice,
              o_orderpriority
       FROM orders
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- s27
+    // Iceberg maintenance: compaction bin-packs the live rows and FOLDS
+    // IN accumulated position deletes (reads stop paying the merge-on-
+    // read anti-join), then expire-snapshots drops expired metadata and
+    // physically deletes every file no retained snapshot references.
+    // The read after both is the same logical state — maintenance never
+    // changes content, only layout (IcebergLiteSpec asserts the file
+    // counts and the orphan cleanup).
+    GQuery("s27_iceberg_compact_expire", (s, d) => {
+      val t = s"${scratch("s27")}/cust_ice_maint"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, t,
+        c.filter(col("c_custkey") <= 1000)
+          .repartitionByRange(4, col("c_custkey")))
+      IcebergLite.append(s, t,
+        c.filter(col("c_custkey") > 1000).repartition(3))
+      IcebergLite.deleteWhere(s, t, col("c_custkey") % 9 === 2)
+      IcebergLite.compact(s, t, targetFiles = 2)
+      IcebergLite.expireSnapshots(s, t, retain = 1)
+      IcebergLite.snapshot(s, t)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE NOT (c_custkey % 9 = 2)
+      ORDER BY c_custkey"""))
   )
 }

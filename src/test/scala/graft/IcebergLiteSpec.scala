@@ -279,4 +279,37 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.merge(spark, t, dup, Seq("c_custkey"))
     }
   }
+
+  test("compact folds position deletes into bin-packed files; " +
+      "expireSnapshots deletes everything unreferenced, reads survive") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    val s1 = IcebergLite.create(spark, t,
+      c.repartitionByRange(5, col("c_custkey")))
+    IcebergLite.deleteWhere(spark, t, col("c_custkey") % 4 === 1)
+    assert(IcebergLite.deleteFiles(spark, t).nonEmpty)
+    val want = c.filter(col("c_custkey") % 4 =!= 1)
+    IcebergLite.compact(spark, t, targetFiles = 2)
+    // Deletes folded in: no delete files, 2 data files, content equal.
+    assert(IcebergLite.deleteFiles(spark, t).isEmpty)
+    assert(IcebergLite.dataFiles(spark, t).size == 2)
+    assert(IcebergLite.snapshot(spark, t).orderBy(col("c_custkey"))
+      .collect().toSeq ==
+      want.orderBy(col("c_custkey")).collect().toSeq)
+    // Old snapshots still readable pre-expiry…
+    assert(IcebergLite.snapshot(spark, t, s1).count() == c.count())
+    val parquetsBefore = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t, "data"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val deleted = IcebergLite.expireSnapshots(spark, t, retain = 1)
+    // …and physically gone after: only the 2 compacted files remain.
+    assert(deleted > 0 && deleted == parquetsBefore - 2, s"deleted=$deleted")
+    assert(java.nio.file.Files.walk(java.nio.file.Paths.get(t, "data"))
+      .filter(_.toString.endsWith(".parquet")).count() == 2)
+    assert(IcebergLite.snapshots(spark, t).size == 1)
+    intercept[Exception] { IcebergLite.snapshot(spark, t, s1).count() }
+    assert(IcebergLite.snapshot(spark, t).orderBy(col("c_custkey"))
+      .collect().toSeq ==
+      want.orderBy(col("c_custkey")).collect().toSeq)
+  }
 }
