@@ -937,6 +937,83 @@ object RelationalQueries {
              ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
              ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
              COUNT(*) AS n
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q45
+    // Ordered event funnel (view → click → purchase): a user converts a
+    // stage only by an event strictly AFTER their entry into the prior
+    // stage. One shuffle on user_id; the three stage timestamps are
+    // sequential window mins over that SAME partitioning, so Catalyst
+    // plans a single Exchange followed by Window operators — per-user
+    // state never leaves its partition, which is exactly the 100 TB
+    // shape (the oracle uses the equivalent join-chain formulation).
+    GQuery("q45_funnel", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val staged = T.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" &&
+            col("ts") > col("t_view"), col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).over(w))
+      staged.select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase")).distinct()
+        .agg(
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+    }, Some("""
+      WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+        GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             (SELECT COUNT(*) FROM c) AS n_click,
+             (SELECT COUNT(*) FROM p) AS n_purchase""")),
+
+    // ---------------------------------------------------------------- q46
+    // Weekly cohort retention: cohort = week of a user's first event;
+    // each (cohort, week_offset) cell counts users still active that
+    // week. Both the first-event aggregate and the distinct activity
+    // set hash on user_id, so the join is co-partitioned off one
+    // logical shuffle; the final cell aggregate is |weeks²|-bounded —
+    // corpus-size-independent output, the property that matters at
+    // 100 TB.
+    GQuery("q46_cohort_retention", (s, d) => {
+      val e = T.events(s, d).select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("w"))
+      val firsts = e.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+      e.distinct().join(firsts, Seq("user_id"))
+        .select(col("cohort"),
+          (datediff(col("w"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }, Some("""
+      WITH f AS (
+        SELECT user_id,
+               MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+                 AS cohort
+        FROM events GROUP BY 1),
+      a AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+        FROM events)
+      SELECT cohort, CAST(datediff('day', cohort, w) / 7 AS INT) AS week_offset,
+             COUNT(*) AS n_users
+      FROM a JOIN f ON a.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

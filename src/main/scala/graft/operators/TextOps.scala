@@ -43,6 +43,39 @@ object TextOps {
         round(alphaRatio * 0.5 + (lit(1.0) - stopRatio) * 0.5, 4))
   }
 
+  /** Gopher-style hard-rule filter (Rae et al. 2021, public): word-count
+    * bounds, mean-word-length bounds, alphabetic-word fraction, and a
+    * minimum count of distinct must-have stopwords. Appends the metric
+    * columns, one boolean per rule, and the final `keep` decision.
+    * Pure per-row expressions — one scan, zero shuffle at any corpus
+    * size; `keep` is the predicate a pipeline pushes into its next
+    * stage's scan.
+    */
+  def withGopherRules(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWl: Double = 3.0, maxMeanWl: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nWords = size(toks)
+    val meanWl = length(regexp_replace(col(textCol), " ", ""))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      array(GopherStops.map(lit): _*)))
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_wl", round(meanWl, 4))
+      .withColumn("alpha_frac", round(alphaFrac, 4))
+      .withColumn("stop_hits", stopHits.cast("long"))
+      .withColumn("r_words",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("r_wordlen", meanWl >= minMeanWl && meanWl <= maxMeanWl)
+      .withColumn("r_alpha", alphaFrac >= minAlphaFrac)
+      .withColumn("r_stops", stopHits >= minStopHits)
+      .withColumn("keep",
+        col("r_words") && col("r_wordlen") && col("r_alpha") && col("r_stops"))
+  }
+
   /** Append predicted / score language-ID columns. */
   def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val best = FastText.langScore(col(textCol), LangProfiles)
@@ -123,6 +156,10 @@ object TextOps {
     * literal into the plan).
     */
   private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Gopher's must-contain word list (Rae et al. 2021 §A1.1). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Per-language character-bigram profiles for the n-gram language-ID
     * heuristic (public-knowledge frequency tables, trimmed).
@@ -368,6 +405,42 @@ object TextOps {
              CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
                AS len_norm
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t10
+    // Gopher-style hard-rule quality filter — the go/no-go document
+    // decision (distinct from t02's blended score and t08's repetition
+    // stats): word-count bounds, mean-word-length bounds, alphabetic-
+    // word fraction, must-have stopword count. Every metric is integer
+    // arithmetic double-divided identically in both engines.
+    GQuery("t10_gopher_quality", (s, d) => {
+      withGopherRules(T.documents(s, d))
+        .select(col("doc_id"), col("n_words"), col("mean_wl"),
+          col("alpha_frac"), col("stop_hits"), col("r_words"),
+          col("r_wordlen"), col("r_alpha"), col("r_stops"), col("keep"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_wl0,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS alpha_frac0,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                 [${GopherStops.map("'" + _ + "'").mkString(",")}]))
+                 AS BIGINT) AS stop_hits
+        FROM documents)
+      SELECT doc_id, n_words, ROUND(mean_wl0, 4) AS mean_wl,
+             ROUND(alpha_frac0, 4) AS alpha_frac, stop_hits,
+             (n_words >= 50 AND n_words <= 100000) AS r_words,
+             (mean_wl0 >= 3.0 AND mean_wl0 <= 10.0) AS r_wordlen,
+             (alpha_frac0 >= 0.8) AS r_alpha,
+             (stop_hits >= 2) AS r_stops,
+             ((n_words >= 50 AND n_words <= 100000)
+               AND (mean_wl0 >= 3.0 AND mean_wl0 <= 10.0)
+               AND (alpha_frac0 >= 0.8) AND (stop_hits >= 2)) AS keep
+      FROM m ORDER BY doc_id"""))
   )
 }
