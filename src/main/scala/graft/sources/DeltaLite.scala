@@ -1121,6 +1121,47 @@ object DeltaLite {
     deleted
   }
 
+  /** RESTORE TABLE to `toVersion`: one new commit whose actions flip the
+    * CURRENT state back to the target version's state — remove the
+    * files added since, re-add the files (and their deletion-vector
+    * descriptors) removed since, and revert the metaData when the
+    * schema evolved in between. Like production Delta's RESTORE this is
+    * metadata-only (zero data-file IO — the old files are still on
+    * disk) and moves the log FORWARD, so the restore itself is
+    * time-travelable and concurrent-writer-safe under the usual commit
+    * race rules. Fails loudly when a needed file was already vacuumed.
+    * Driver memory is O(live files) — the same bound replay already
+    * holds.
+    */
+  def restore(s: SparkSession, table: String, toVersion: Long): Unit = {
+    val latest = latestVersion(s, table)
+    require(latest >= 0, s"no delta log at $table")
+    require(toVersion >= 0 && toVersion <= latest,
+      s"restore target $toVersion outside [0, $latest] at $table")
+    if (toVersion == latest) return
+    val cur = replay(s, table, latest)
+    val tgt = replay(s, table, toVersion)
+    def key(e: FileEntry) = (e.path, e.dv)
+    val curKeys = cur.entries.map(key).toSet
+    val tgtKeys = tgt.entries.map(key).toSet
+    val readds = tgt.entries.filterNot(e => curKeys.contains(key(e)))
+    val removes = cur.entries.filterNot(e => tgtKeys.contains(key(e)))
+    val f = fs(s, new Path(table))
+    readds.foreach { e =>
+      require(f.exists(new Path(table, e.path)),
+        s"cannot restore $table to $toVersion: ${e.path} was vacuumed")
+    }
+    val meta =
+      if (cur.schemaJson != tgt.schemaJson || cur.partCols != tgt.partCols)
+        Seq(metaDataAction(table, tgt.schemaJson, tgt.partCols))
+      else Nil
+    writeCommit(s, table, latest + 1,
+      meta ++ removes.map(e => removeAction(e.path)) ++
+        readds.map(e => addAction(e.path, e.size, e.partValues,
+          e.stats.map(_.toString), dataChange = true,
+          e.dv.map(p => (p, e.dvCardinality)))))
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the live files clustered on the
     * interleaved bit-order (Morton order) of `zCols` — the maintenance
     * op that makes per-file min/max stats selective on EVERY listed

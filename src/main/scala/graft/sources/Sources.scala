@@ -725,6 +725,67 @@ object Sources {
     }, Some("""
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
       WHERE NOT (c_custkey % 9 = 2)
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s28
+    // RESTORE TABLE: create → append → copy-on-write DELETE → restore
+    // to the pre-delete version (a metadata-only forward commit that
+    // re-adds the deleted files and removes the rewrites) → one more
+    // append on top. The oracle sees the delete fully undone AND the
+    // post-restore append present — wrong restore arithmetic in either
+    // direction breaks the hash.
+    GQuery("s28_delta_restore", (s, d) => {
+      val t = s"${scratch("s28")}/cust_delta_restore"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, t, c.filter(col("c_custkey") <= 500))
+      DeltaLite.append(s, t,
+        c.filter(col("c_custkey") > 500 && col("c_custkey") <= 1000))
+      DeltaLite.deleteWhere(s, t, col("c_mktsegment") === "BUILDING")
+      DeltaLite.restore(s, t, 1L)
+      DeltaLite.append(s, t,
+        c.filter(col("c_custkey") > 1000 &&
+          col("c_mktsegment") === "MACHINERY"))
+      DeltaLite.snapshot(s, t)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey <= 1000
+         OR (c_custkey > 1000 AND c_mktsegment = 'MACHINERY')
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s29
+    // Iceberg time travel: read the FIRST snapshot (by id — ids are
+    // monotone) next to the current one after an append and a
+    // merge-on-read DELETE. Both reads come purely from each
+    // snapshot's manifest tree (no directory listing), so the union
+    // hash-checks that historical manifests stay intact and that
+    // position deletes apply only to the snapshot that recorded them.
+    GQuery("s29_iceberg_time_travel", (s, d) => {
+      val t = s"${scratch("s29")}/orders_ice_tt"
+      val o = T.orders(s, d)
+      IcebergLite.create(s, t,
+        o.filter(col("o_orderstatus") === "F")
+          .repartitionByRange(4, col("o_orderkey")))
+      IcebergLite.append(s, t, o.filter(col("o_orderstatus") =!= "F"))
+      IcebergLite.deleteWhere(s, t, col("o_orderpriority") === "1-URGENT")
+      val first = IcebergLite.snapshots(s, t).head
+      IcebergLite.snapshot(s, t, first).withColumn("at", lit("first"))
+        .unionByName(
+          IcebergLite.snapshot(s, t).withColumn("at", lit("current")))
+        .select(col("at"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("at"), col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'first' AS at, o_orderkey, o_orderstatus, o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'current' AS at, o_orderkey, o_orderstatus, o_orderpriority,
+               o_totalprice
+        FROM orders WHERE o_orderpriority <> '1-URGENT')
+      ORDER BY at, o_orderkey"""))
   )
 }

@@ -45,6 +45,32 @@ class DeltaLiteSpec extends SparkSpec {
     assert(log.linesIterator.count(_.contains("\"remove\"")) == 1)
   }
 
+  test("restore moves the log FORWARD to a past state; pre-restore " +
+      "versions stay time-travelable; vacuumed targets fail loudly") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 40)) // v0
+    DeltaLite.deleteWhere(spark, t, col("c_custkey") <= 10)      // v1
+    DeltaLite.restore(spark, t, 0L)                              // v2
+    assert(DeltaLite.latestVersion(spark, t) == 2L)
+    // Current state == v0 state, and v1 still reads as the deleted view.
+    assert(DeltaLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 40).count())
+    assert(DeltaLite.snapshot(spark, t, version = 1L).count() ==
+      c.filter(col("c_custkey") > 10 && col("c_custkey") <= 40).count())
+    // Restore-to-current is a no-op commit-wise.
+    DeltaLite.restore(spark, t, 2L)
+    assert(DeltaLite.latestVersion(spark, t) == 2L)
+    // Vacuum away the v1 rewrites, then restoring to v1 must fail
+    // (its files are gone), while the live v2 state stays readable.
+    DeltaLite.vacuum(spark, t, retainVersions = 1)
+    intercept[IllegalArgumentException] {
+      DeltaLite.restore(spark, t, 1L)
+    }
+    assert(DeltaLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 40).count())
+  }
+
   test("time travel reads a past version; later commits invisible") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir)
