@@ -387,7 +387,70 @@ object Streaming {
              CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
                AS total_value,
              COUNT(*) AS n
-      FROM events GROUP BY event_type ORDER BY event_type"""))
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --------------------------------------------------------------- st11
+    // Streaming UPSERT into the lake: foreachBatch MERGE maintaining a
+    // latest-event-per-user table. The source is staged as three
+    // time-ranged files streamed one per micro-batch
+    // (maxFilesPerTrigger=1), so the create + two real merges all
+    // execute. DeltaLite.merge replaces matched rows, so the
+    // whenMatched(newer-wins) condition is resolved first: the batch's
+    // per-user argmax unions the CURRENT rows of the touched keys
+    // (left-semi restricted — a keyed lookup, not a table copy) and
+    // re-argmaxes on the unique (ts, event_id) order. Batch-order-
+    // independent by construction, hence oracle-checkable; per-batch
+    // cost is O(batch + touched rows), the streaming-CDC-into-lake
+    // shape at any scale.
+    GQuery("st11_stream_lake_upsert", (s, d) => {
+      import graft.sources.DeltaLite
+      val root = graft.util.Scratch.dir("st11")
+      val table = s"$root/latest_delta"
+      val stage = s"$root/staged_events"
+      def latestPerUser(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"),
+            col("m.value").as("value"))
+      val src = T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      src.repartitionByRange(3, col("ts")).write.mode("overwrite")
+        .parquet(stage)
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val up = latestPerUser(batch.toDF())
+          if (DeltaLite.latestVersion(s, table) < 0)
+            DeltaLite.create(s, table, up)
+          else {
+            val touched = DeltaLite.snapshot(s, table)
+              .join(up.select(col("user_id")), Seq("user_id"), "left_semi")
+            DeltaLite.merge(s, table, latestPerUser(up.unionByName(touched)),
+              Seq("user_id"))
+          }
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st11ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      DeltaLite.snapshot(s, table)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             value
+      FROM (
+        SELECT user_id, event_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
