@@ -336,7 +336,57 @@ object Sql {
           GROUP BY l_orderkey
           HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
-        ORDER BY total_qty DESC, o_orderkey LIMIT 20""")
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20"""),
+
+      // Q7: volume shipping — the two-nation bidirectional trade query;
+      // nation joins twice (supplier side and customer side), year
+      // extracted from the ship date (CAST AS BIGINT pins the one type
+      // the engines disagree on).
+      passthrough("x16_sql_tpch_q7", """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                     AS DECIMAL(12,2)) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""),
+
+      // Q9: product type profit (adapted: no partsupp table in the test
+      // schema, so supply cost is proxied by p_retailprice × quantity —
+      // the join topology and aggregate shape are Q9's).
+      passthrough("x17_sql_tpch_q9", """
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                     AS DECIMAL(12,2))
+                 - CAST(p_retailprice AS DECIMAL(12,2)) *
+                     CAST(l_quantity AS DECIMAL(12,2)) AS amount
+          FROM part
+          JOIN lineitem ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%widget%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC""")
     )
   }
 }
