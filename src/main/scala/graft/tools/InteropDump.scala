@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables => T}
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** Build representative DeltaLite / IcebergLite tables and dump graft's
+  * own snapshot read of each as plain parquet — the fixture side of the
+  * real-reader interop check (`tools/interop_check.py` replays the table
+  * METADATA with an independent Python implementation and diffs against
+  * the dump). Exercises every protocol feature a foreign reader must
+  * understand: partitioned adds, copy-on-write rewrites, deletion-vector
+  * sidecars, a parquet log checkpoint + `_last_checkpoint`, post-
+  * checkpoint commits; Iceberg field-id schema evolution (rename + add),
+  * position-delete files, manifest rewrites.
+  *
+  * Usage: runMain graft.tools.InteropDump <sfDir> <outDir>
+  */
+object InteropDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark: SparkSession =
+      GraftSession.builder("local[8]", shufflePartitions = 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- Delta: partitioned create → append → DV delete → COW update
+    //      → checkpoint → post-checkpoint append
+    val dt = s"$outDir/delta_table"
+    val c = T.customer(spark, sfDir)
+    DeltaLite.create(spark, dt,
+      c.filter(col("c_custkey") <= 900), Seq("c_mktsegment"))
+    DeltaLite.append(spark, dt,
+      c.filter(col("c_custkey") > 900 && col("c_custkey") <= 1200))
+    DeltaLite.deleteWhereDV(spark, dt, col("c_custkey") % 7 === 3)
+    DeltaLite.updateWhere(spark, dt, col("c_nationkey") === 5,
+      Map("c_acctbal" -> (col("c_acctbal") + 100)))
+    DeltaLite.writeLogCheckpoint(spark, dt)
+    DeltaLite.append(spark, dt, c.filter(col("c_custkey") > 1200))
+    DeltaLite.snapshot(spark, dt)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/delta_expected")
+
+    // ---- Iceberg: create → rename + add column → evolved append →
+    //      position-delete
+    val it = s"$outDir/iceberg_table"
+    val o = T.orders(spark, sfDir)
+    IcebergLite.create(spark, it,
+      o.filter(col("o_orderkey") <= 6000)
+        .repartitionByRange(3, col("o_orderkey")))
+    IcebergLite.renameColumn(spark, it, "o_orderpriority", "priority")
+    IcebergLite.addColumn(spark, it, "note",
+      org.apache.spark.sql.types.StringType)
+    IcebergLite.append(spark, it,
+      o.filter(col("o_orderkey") > 6000)
+        .withColumnRenamed("o_orderpriority", "priority")
+        .withColumn("note", lit("late")))
+    IcebergLite.deleteWhere(spark, it, col("o_custkey") % 5 === 2)
+    IcebergLite.snapshot(spark, it)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/iceberg_expected")
+
+    spark.stop()
+  }
+}
