@@ -323,13 +323,24 @@ object DeltaLite {
     * names with the types the log schema declares; the final projection
     * restores the log's column order.
     */
+  /** Shallow-cloned tables record ABSOLUTE add paths (the real Delta
+    * CLONE design: the data stays in the source table). Such paths
+    * resolve as-is, and the partition-discovery basePath must be
+    * omitted for them (they live outside this table's root).
+    */
+  private def isAbsPath(p: String): Boolean =
+    p.startsWith("/") || p.contains("://")
+
   private def readFiles(s: SparkSession, table: String, schema: StructType,
       rels: Seq[String]): DataFrame =
     if (rels.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).option("basePath", table)
-      .parquet(rels.map(p => new Path(table, p).toString): _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    else {
+      val r0 = s.read.schema(schema)
+      val r = if (rels.exists(isAbsPath)) r0 else r0.option("basePath", table)
+      r.parquet(rels.map(p => new Path(table, p).toString): _*)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
 
   private def readDv(s: SparkSession, table: String, rel: String): Seq[Long] = {
     val p = new Path(table, rel)
@@ -366,7 +377,12 @@ object DeltaLite {
     val deleted = dvE.flatMap(e => readDv(s, table, e.dv.get)
       .map(rid => (fileName(e.path), rid)))
       .toDF("_dv_fname", "_dv_rid")
-    val masked = s.read.schema(schema).option("basePath", table)
+    val maskedReader = {
+      val r0 = s.read.schema(schema)
+      if (dvE.exists(e => isAbsPath(e.path))) r0
+      else r0.option("basePath", table)
+    }
+    val masked = maskedReader
       .parquet(dvE.map(e => new Path(table, e.path).toString): _*)
       .withColumn("_dv_fname",
         element_at(split(input_file_name(), "/"), -1))
@@ -1162,6 +1178,39 @@ object DeltaLite {
           e.dv.map(p => (p, e.dvCardinality)))))
   }
 
+  /** Shallow CLONE: create `dst` as a new table whose version-0 commit
+    * references the SOURCE's data files (and deletion-vector sidecars)
+    * by absolute path — zero data copied, stats carried over, O(files)
+    * metadata, exactly production Delta's CLONE. The clone then
+    * diverges independently: DML rewrites stage new files under `dst`
+    * and drop the absolute references; VACUUM on the clone never
+    * touches source files (they live outside its root). The standard
+    * CLONE caveat applies equally here: vacuuming the SOURCE can drop
+    * files a shallow clone still references. Restricted to
+    * unpartitioned sources — partition values are directory-derived at
+    * read (stated simplification; a partitioned clone needs
+    * log-sourced partition values).
+    */
+  def cloneShallow(s: SparkSession, src: String, dst: String,
+      version: Long = -1L): Unit = {
+    require(latestVersion(s, dst) < 0, s"table already exists at $dst")
+    val latest = latestVersion(s, src)
+    require(latest >= 0, s"no delta log at $src")
+    val v = if (version < 0) latest else version
+    val st = replay(s, src, v)
+    require(st.partCols.isEmpty,
+      "shallow clone supports unpartitioned sources only")
+    val f = fs(s, new Path(src))
+    def abs(rel: String): String =
+      f.makeQualified(new Path(src, rel)).toUri.getPath
+    writeCommit(s, dst, 0L,
+      protocolAction +:
+        metaDataAction(dst, st.schemaJson, st.partCols) +:
+        st.entries.map(e => addAction(abs(e.path), e.size, e.partValues,
+          e.stats.map(_.toString), dataChange = true,
+          e.dv.map(p => (abs(p), e.dvCardinality)))))
+  }
+
   /** OPTIMIZE ZORDER BY: rewrite the live files clustered on the
     * interleaved bit-order (Morton order) of `zCols` — the maintenance
     * op that makes per-file min/max stats selective on EVERY listed
@@ -1360,7 +1409,12 @@ object DeltaLite {
     val prior = candidates.flatMap(e => e.dv.toSeq.flatMap(rel =>
       readDv(s, table, rel).map(rid => (fileName(e.path), rid))))
     import s.implicits._
-    val scan0 = s.read.schema(schema).option("basePath", table)
+    val scanReader = {
+      val r0 = s.read.schema(schema)
+      if (candidates.exists(e => isAbsPath(e.path))) r0
+      else r0.option("basePath", table)
+    }
+    val scan0 = scanReader
       .parquet(candidates.map(e => new Path(table, e.path).toString): _*)
       .withColumn("_dv_fname",
         element_at(split(input_file_name(), "/"), -1))

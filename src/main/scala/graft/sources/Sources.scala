@@ -786,6 +786,38 @@ object Sources {
         SELECT 'current' AS at, o_orderkey, o_orderstatus, o_orderpriority,
                o_totalprice
         FROM orders WHERE o_orderpriority <> '1-URGENT')
-      ORDER BY at, o_orderkey"""))
+      ORDER BY at, o_orderkey""")),
+
+    // ---------------------------------------------------------------- s30
+    // Shallow CLONE: the clone's v0 references the source's files (and
+    // its deletion-vector sidecars) by absolute path — zero data
+    // copied. The clone then diverges with a copy-on-write DELETE
+    // (reads through the absolute references + DV, stages rewrites
+    // under its own root) while the source stays untouched; both
+    // snapshots union into the oracle check.
+    GQuery("s30_delta_clone", (s, d) => {
+      val root = scratch("s30")
+      val src = s"$root/cust_src"
+      val dst = s"$root/cust_clone"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, src, c)
+      DeltaLite.deleteWhereDV(s, src, col("c_custkey") % 7 === 0)
+      DeltaLite.cloneShallow(s, src, dst)
+      DeltaLite.deleteWhere(s, dst, col("c_mktsegment") === "BUILDING")
+      DeltaLite.snapshot(s, src).withColumn("side", lit("src"))
+        .unionByName(
+          DeltaLite.snapshot(s, dst).withColumn("side", lit("clone")))
+        .select(col("side"), col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("side"), col("c_custkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'src' AS side, c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE NOT (c_custkey % 7 = 0)
+        UNION ALL
+        SELECT 'clone' AS side, c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        WHERE NOT (c_custkey % 7 = 0) AND c_mktsegment <> 'BUILDING')
+      ORDER BY side, c_custkey"""))
   )
 }

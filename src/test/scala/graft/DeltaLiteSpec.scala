@@ -71,6 +71,32 @@ class DeltaLiteSpec extends SparkSpec {
       c.filter(col("c_custkey") <= 40).count())
   }
 
+  test("shallow clone copies no data files; clone DML leaves the " +
+      "source untouched") {
+    val t = freshTable()
+    val dst = s"${Scratch.dir("deltaspec")}/clone"
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 60))
+    DeltaLite.cloneShallow(spark, t, dst)
+    // Zero-copy: the clone dir holds a log and nothing else.
+    val cloneFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dst))
+      .iterator()
+    var dataFiles = 0
+    while (cloneFiles.hasNext) {
+      val p = cloneFiles.next().toString
+      if (p.endsWith(".parquet") && !p.contains("_delta_log")) dataFiles += 1
+    }
+    assert(dataFiles == 0, "shallow clone must not copy data files")
+    // Clone reads the source's rows; divergent DML only touches dst.
+    assert(DeltaLite.snapshot(spark, dst).count() ==
+      c.filter(col("c_custkey") <= 60).count())
+    DeltaLite.deleteWhere(spark, dst, col("c_custkey") <= 30)
+    assert(DeltaLite.snapshot(spark, dst).count() ==
+      c.filter(col("c_custkey") > 30 && col("c_custkey") <= 60).count())
+    assert(DeltaLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 60).count())
+  }
+
   test("time travel reads a past version; later commits invisible") {
     val t = freshTable()
     val c = Tables.customer(spark, sfDir)
