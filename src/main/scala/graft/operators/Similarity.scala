@@ -153,6 +153,106 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** IVF-PQ ANN top-k — the memory-compression tier that makes ANN fit
+    * at 100 TB: each corpus vector quantizes to `m` sub-codes (product
+    * quantization: per-block codebooks trained seed+one-Lloyd like
+    * [[ivfModel]], L2 assignment), so a 64-dim double vector (512 B)
+    * scans as `m` small ints. Candidate scoring is the classic ADC
+    * (asymmetric distance computation): per query a lookup table of
+    * dot(query-block, centroid) values broadcasts as ONE flat array,
+    * and each candidate's approximate cosine is a codegen'd
+    * `aggregate(transform(codes, …element_at(lut)…))` — a per-row
+    * array fold, no join explosion, no UDF. The `rerankFactor`·k ADC
+    * shortlist then pays the exact dot (IVF-PQ+rerank, the standard
+    * recall repair).
+    *
+    * Coarse routing reuses [[ivfModel]]: only `nprobe` inverted lists
+    * are scanned at all. Scale: codebooks and per-query LUTs are
+    * KB-sized broadcasts; the corpus shuffles once on cid (shared with
+    * a03); everything per-candidate is a projected expression.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = K,
+      seedStride: Int = 37, nprobe: Int = 6, m: Int = 4,
+      codeStride: Int = 29, rerankFactor: Int = 8,
+      excludeSelf: Boolean = false): DataFrame = {
+    val d = VectorOps.dimOf(corpus, "nv", -1)
+    require(d % m == 0, s"dim $d not divisible by m=$m blocks")
+    val sub = d / m
+
+    // (id, b, sv): the m sub-vectors of each vector.
+    def blocks(df: DataFrame, idc: String, vc: String): DataFrame =
+      df.select(col(idc), posexplode(array((0 until m).map(b =>
+          slice(col(vc), b * sub + 1, sub)): _*)).as(Seq("b", "sv")))
+
+    // --- per-block codebooks: seeds -> one Lloyd (mean) refinement.
+    // L2 argmin over candidates c == argmax of (x·c − ‖c‖²/2): the ‖x‖²
+    // term is constant per row and drops out.
+    val cblocks = blocks(corpus, "vec_id", "nv")
+    val seedW = Window.partitionBy(col("b")).orderBy(col("vec_id"))
+    val seeds0 = cblocks.filter(col("vec_id") % codeStride === 0)
+      .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("b"), col("code"), col("sv").as("cv"))
+    def withNorm(cb: DataFrame): DataFrame = cb.withColumn("chalf",
+      FastVector.dot(col("cv"), col("cv")) / 2)
+    def encode(vecs: DataFrame, cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("b"))
+        .orderBy(col("score").desc, col("code"))
+      vecs.join(broadcast(withNorm(cb)), Seq("b"))
+        .withColumn("score",
+          FastVector.dot(col("sv"), col("cv")) - col("chalf"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("b"), col("code"))
+    }
+    val lloyd = encode(cblocks, seeds0)
+      .join(cblocks, Seq("vec_id", "b"))
+      .groupBy(col("b"), col("code"))
+      .agg(FastVector.vectorSum(col("sv")).as("vsum"),
+        count(lit(1)).as("cnt"))
+      .select(col("b"), col("code"),
+        transform(col("vsum"), x => x / col("cnt")).as("cv"))
+    val ksub = lloyd.select(max(col("code"))).head().getInt(0) + 1
+
+    // --- corpus codes as ONE array per vector, ordered by block.
+    val codes = encode(cblocks, lloyd)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("b"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+    // --- coarse IVF routing (shared model with a03).
+    val (cents, assigned) = ivfModel(corpus, seedStride)
+    val probes = nearest(queries, cents, "q_id", "q_nv", "cid", "cv", nprobe)
+      .select(col("q_id"), col("q_nv"), col("cid"))
+
+    // --- per-query flat LUT: index b*ksub+code -> dot(q_b, cv_{b,code}).
+    val lut = blocks(queries, "q_id", "q_nv")
+      .join(broadcast(lloyd), Seq("b"))
+      .select(col("q_id"), (col("b") * ksub + col("code")).as("i"),
+        FastVector.dot(col("sv"), col("cv")).as("v"))
+      .groupBy(col("q_id"))
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v")).as("lut"))
+
+    // --- ADC scan: probed lists only; score = fold over the codes array.
+    val shortW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(notSelf(excludeSelf))
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id"))
+      .withColumn("adc", aggregate(
+        transform(col("codes"), (c, b) =>
+          element_at(col("lut"), (b * ksub + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= k * rerankFactor)
+
+    // --- exact rerank of the shortlist (nv rides along from the
+    // assignment; no second corpus join).
+    val cand = shortlist.select(col("q_id"), col("vec_id"),
+      FastVector.dot(col("q_nv"), col("nv")).as("cos"))
+    topK(cand, k)
+  }
+
   private def demo(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val corpus = prepared(T.embeddings(s, d), "vec_id", "embedding")
     (corpus, asQueries(corpus.filter(col("vec_id") < NQueries)))
@@ -183,6 +283,12 @@ object Similarity {
     GQuery("a03_ivf_ann", (s, d) => {
       val (corpus, qs) = demo(s, d)
       ivfTopK(corpus, qs, excludeSelf = true)
+    }, None),
+    // Approximate by construction (PQ quantization error) → rows-only
+    // check; RecallSpec bounds the recall on clustered data.
+    GQuery("a04_ivfpq_ann", (s, d) => {
+      val (corpus, qs) = demo(s, d)
+      ivfPqTopK(corpus, qs, excludeSelf = true)
     }, None)
   )
 }

@@ -84,11 +84,17 @@ class RecallSpec extends SparkSpec {
       Similarity.lshTopK(prep, queries, excludeSelf = true)))
     val ivfRecall = recall(resultSet(
       Similarity.ivfTopK(prep, queries, excludeSelf = true)))
-    info(f"clustered recall: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    val pqRecall = recall(resultSet(
+      Similarity.ivfPqTopK(prep, queries, excludeSelf = true)))
+    info(f"clustered recall: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f " +
+      f"ivfpq=$pqRecall%.3f")
     // On clustered data bucket pruning should keep most true neighbors:
     // far above the ~0.6-0.7 measured on near-orthogonal vectors.
     assert(lshRecall >= 0.85, f"LSH clustered recall $lshRecall%.3f")
     assert(ivfRecall >= 0.85, f"IVF clustered recall $ivfRecall%.3f")
+    // PQ quantizes (lossy) but the exact-dot rerank of the 4k ADC
+    // shortlist repairs most of it.
+    assert(pqRecall >= 0.80, f"IVF-PQ clustered recall $pqRecall%.3f")
   }
 
   test("d09 semanticDedup finds planted near-dups at θ=0.95 within " +
