@@ -224,6 +224,35 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** Per-doc span-dedup accounting — the n-gram approximation of exact
+    * substring dedup: a span (word-`n`-gram occurrence) is duplicated
+    * when the same n-gram appears in ≥2 distinct docs. Returns
+    * (id, n_spans, n_dup_spans, dup_frac) for every input doc. Cost at
+    * any corpus size: one explode, one gram-keyed aggregate (map-side
+    * partials), one semijoin back — all keyed shuffles, nothing
+    * quadratic.
+    */
+  def spanDedupStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    val base = Scale.widen(docs, col(idCol))
+    val spans = base.select(col(idCol),
+      explode(FastText.wordNgrams(col(textCol), n)).as("ng"))
+    val shared = spans.groupBy(col("ng"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("ng"))
+    val per = spans.join(shared, Seq("ng"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup0"))
+    val toks = split(col(textCol), " ")
+    base.select(col(idCol),
+        greatest(size(toks) - lit(n - 1), lit(0)).cast("long").as("n_spans"))
+      .join(per, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup0"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup0"), lit(0L)).cast("double") /
+          greatest(col("n_spans"), lit(1L)), 4).as("dup_frac"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- d01
@@ -313,6 +342,38 @@ object Dedup {
     // rows-only check.
     GQuery("d09_semantic_dedup", (s, d) =>
       semanticDedup(T.embeddings(s, d), theta = 0.4)
-        .orderBy(col("cos").desc, col("vec_a"), col("vec_b")), None)
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b")), None),
+
+    // ---------------------------------------------------------------- d10
+    // Span-level dedup accounting (the n-gram approximation of exact
+    // substring dedup à la "Deduplicating Training Data" suffix-array
+    // work): a doc's span is duplicated when its word-8-gram occurs in
+    // ≥2 distinct docs. Per doc: span count, duplicated-span count,
+    // duplicated fraction — the signal a pipeline uses to trim
+    // boilerplate-heavy documents. Two keyed shuffles (gram agg + the
+    // semijoin back), both linear in corpus n-grams; string grams (not
+    // hashes) so the oracle reproduces the exact counts.
+    GQuery("d10_span_dedup", (s, d) => {
+      spanDedupStats(T.documents(s, d), n = 8).orderBy(col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      s AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws) - 6, 1)),
+                     i -> array_to_string(list_slice(ws, i, i + 7), ' ')))
+                     AS ng
+            FROM w WHERE len(ws) >= 8),
+      shared AS (SELECT ng FROM (
+          SELECT ng, COUNT(DISTINCT doc_id) AS nd FROM s GROUP BY ng)
+        WHERE nd > 1),
+      per AS (SELECT doc_id, COUNT(*) AS n_dup FROM s
+              WHERE ng IN (SELECT ng FROM shared) GROUP BY doc_id)
+      SELECT w.doc_id,
+             CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_spans,
+             CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+             ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE)
+               / greatest(len(ws) - 7, 1), 4) AS dup_frac
+      FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+      ORDER BY w.doc_id"""))
   )
 }
