@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, LogicalPlan, TableSpec, UpdateTable}
 import org.apache.spark.sql.graft.Glue
 
@@ -77,6 +77,19 @@ object LakeSql {
         throw new IllegalArgumentException(s"table $name not in catalog")
     }
 
+  /** Versioned snapshot of a cataloged table (`VERSION AS OF`): the log
+    * version for DeltaLite, the snapshot id for IcebergLite.
+    */
+  def tableAt(s: SparkSession, name: String, version: Long): DataFrame =
+    catalog(s).get(name) match {
+      case Some(("deltalite", p)) => DeltaLite.snapshot(s, p, version)
+      case Some(("iceberglite", p)) => IcebergLite.snapshot(s, p, version)
+      case Some((other, _)) =>
+        throw new IllegalStateException(s"unknown provider $other")
+      case None =>
+        throw new IllegalArgumentException(s"table $name not in catalog")
+    }
+
   /** One text statement, any kind — the `Connection::Query` analog.
     * CREATE TABLE … USING {deltalite|iceberglite} [LOCATION …]
     * [PARTITIONED BY …] AS SELECT … creates + registers; DROP TABLE
@@ -134,6 +147,30 @@ object LakeSql {
       case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement =>
         execute(s, Map.empty, statement)
         s.emptyDataFrame
+      case plan if plan.collectWithSubqueries {
+          case _: RelationTimeTravel => () }.nonEmpty =>
+        // Time-travel query path: `name VERSION AS OF v` cannot bind
+        // through a temp view (views reject time travel), so the
+        // versioned snapshot's analyzed subtree substitutes directly
+        // into the parsed plan — Spark's own grammar, graft's binder —
+        // and the substituted plan runs through the normal
+        // analyzer/optimizer. Plain cataloged names in the same
+        // statement bind to the current snapshot.
+        // transformUpWithSubqueries: time-traveled names inside scalar/
+        // IN/EXISTS subqueries substitute too, not just plan children.
+        val bound = plan.transformUpWithSubqueries {
+          case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
+              if catalog(s).contains(r.multipartIdentifier.last) =>
+            require(ts.isEmpty, "TIMESTAMP AS OF is not supported " +
+              "(graft commits are not wall-clock stamped); use VERSION AS OF")
+            val v = ver.getOrElse(throw new IllegalArgumentException(
+              "VERSION AS OF <n> required")).toLong
+            tableAt(s, r.multipartIdentifier.last, v).queryExecution.analyzed
+          case r: UnresolvedRelation
+              if catalog(s).contains(r.multipartIdentifier.last) =>
+            table(s, r.multipartIdentifier.last).queryExecution.analyzed
+        }
+        Glue.dataFrame(s, bound)
       case plan =>
         // Query path: bind every cataloged name the plan references to
         // the table's current snapshot, then hand the ORIGINAL text to

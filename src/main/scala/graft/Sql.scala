@@ -230,6 +230,42 @@ object Sql {
         WHERE NOT (c_custkey % 10 = 7)
         ORDER BY c_custkey""")),
 
+      // -------------------------------------------------------------- x18
+      // SQL time travel: `VERSION AS OF` parsed by Spark's own grammar
+      // (RelationTimeTravel), bound by LakeSql to the versioned
+      // snapshot — a v0 read and the current read of the same table in
+      // ONE statement, after an INSERT and a DELETE moved the log.
+      GQuery("x18_sql_time_travel", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val name = s"ord_tt_$tag"
+        val loc = s"${graft.util.Scratch.dir("x18")}/$name"
+        LakeSql.sql(s, s"""CREATE TABLE $name USING deltalite
+          LOCATION '$loc'
+          AS SELECT * FROM orders WHERE o_orderstatus = 'F'""")
+        LakeSql.sql(s,
+          s"INSERT INTO $name SELECT * FROM orders WHERE o_orderstatus <> 'F'")
+        LakeSql.sql(s, s"DELETE FROM $name WHERE o_orderpriority = '1-URGENT'")
+        val out = LakeSql.sql(s, s"""
+          SELECT * FROM (
+            SELECT 'v0' AS at, o_orderkey, o_orderstatus, o_totalprice
+            FROM $name VERSION AS OF 0
+            UNION ALL
+            SELECT 'now' AS at, o_orderkey, o_orderstatus, o_totalprice
+            FROM $name)
+          ORDER BY at, o_orderkey""")
+        LakeSql.sql(s, s"DROP TABLE $name")
+        out
+      }, Some("""
+        SELECT * FROM (
+          SELECT 'v0' AS at, o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT 'now' AS at, o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderpriority <> '1-URGENT')
+        ORDER BY at, o_orderkey""")),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS

@@ -88,4 +88,42 @@ class LakeSqlSpec extends SparkSpec {
     }
     LakeSql.sql(spark, s"DROP TABLE IF EXISTS $name") // quiet
   }
+
+  test("SQL time travel: VERSION AS OF binds a versioned snapshot on " +
+      "both providers; TIMESTAMP AS OF is rejected") {
+    import graft.sources.IcebergLite
+    Sql.open(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = graft.util.Scratch.dir("lakesqltt")
+    val c = Tables.customer(spark, sfDir)
+
+    val dn = s"tt_delta_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $dn USING deltalite
+      LOCATION '$root/$dn' AS SELECT * FROM customer WHERE c_custkey <= 50""")
+    LakeSql.sql(spark, s"DELETE FROM $dn WHERE c_custkey <= 20")
+    assert(LakeSql.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $dn VERSION AS OF 0").head().getLong(0) ==
+      c.filter(col("c_custkey") <= 50).count())
+    // Past + current in ONE statement.
+    val both = LakeSql.sql(spark, s"""
+      SELECT (SELECT COUNT(*) FROM $dn VERSION AS OF 0) AS v0,
+             (SELECT COUNT(*) FROM $dn) AS now""").head()
+    assert(both.getLong(0) == c.filter(col("c_custkey") <= 50).count())
+    assert(both.getLong(1) ==
+      c.filter(col("c_custkey") > 20 && col("c_custkey") <= 50).count())
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        s"SELECT * FROM $dn TIMESTAMP AS OF '2024-01-01'").collect()
+    }
+
+    val in = s"tt_ice_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $in USING iceberglite
+      LOCATION '$root/$in' AS SELECT * FROM customer WHERE c_custkey <= 50""")
+    LakeSql.sql(spark, s"DELETE FROM $in WHERE c_custkey <= 20")
+    val firstSnap = IcebergLite.snapshots(spark, s"$root/$in").head
+    assert(LakeSql.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $in VERSION AS OF $firstSnap")
+        .head().getLong(0) ==
+      c.filter(col("c_custkey") <= 50).count())
+  }
 }
