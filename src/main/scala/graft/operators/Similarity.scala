@@ -194,15 +194,20 @@ object Similarity {
       .select(col("b"), col("code"), col("sv").as("cv"))
     def withNorm(cb: DataFrame): DataFrame = cb.withColumn("chalf",
       FastVector.dot(col("cv"), col("cv")) / 2)
-    def encode(vecs: DataFrame, cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("b"))
-        .orderBy(col("score").desc, col("code"))
+    // Argmax as a hash aggregate over a (score, −code) struct — ties
+    // break to the smallest code, no window sort, map-side combine.
+    def encode(vecs: DataFrame, cb: DataFrame): DataFrame =
       vecs.join(broadcast(withNorm(cb)), Seq("b"))
-        .withColumn("score",
-          FastVector.dot(col("sv"), col("cv")) - col("chalf"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("b"), col("code"))
-    }
+        .groupBy(col("vec_id"), col("b"))
+        .agg(max(struct(
+          (FastVector.dot(col("sv"), col("cv")) - col("chalf")).as("s"),
+          (-col("code")).as("nc"))).as("best"))
+        .select(col("vec_id"), col("b"),
+          (-col("best.nc")).cast("int").as("code"))
+    // localCheckpoint: the codebook feeds three consumers (corpus
+    // encoding, the query LUT, and the ksub bound) — materialize the
+    // KB-sized result once instead of re-running the training DAG per
+    // consumer (the d09 pattern).
     val lloyd = encode(cblocks, seeds0)
       .join(cblocks, Seq("vec_id", "b"))
       .groupBy(col("b"), col("code"))
@@ -210,6 +215,7 @@ object Similarity {
         count(lit(1)).as("cnt"))
       .select(col("b"), col("code"),
         transform(col("vsum"), x => x / col("cnt")).as("cv"))
+      .localCheckpoint()
     val ksub = lloyd.select(max(col("code"))).head().getInt(0) + 1
 
     // --- corpus codes as ONE array per vector, ordered by block.
