@@ -1014,6 +1014,34 @@ object RelationalQueries {
       SELECT cohort, CAST(datediff('day', cohort, w) / 7 AS INT) AS week_offset,
              COUNT(*) AS n_users
       FROM a JOIN f ON a.user_id = f.user_id
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---------------------------------------------------------------- q47
+    // Time-RANGE window frame (vs q15/q39's ROWS frames): per customer,
+    // the trailing-90-day order count and exact-decimal total at each
+    // order. RANGE frames include date peers identically in both
+    // engines; Spark expresses the interval as an epoch-seconds range
+    // over the same one exchange + one sort a ROWS frame pays.
+    GQuery("q47_range_frame", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        // o_orderdate is TIMESTAMP_NTZ (no direct long cast); hop via
+        // TIMESTAMP — the session zone is pinned UTC, so it's exact.
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90L * 86400L, 0L)
+      T.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          count(lit(1)).over(w).as("n_90d"),
+          sum(dec2(col("o_totalprice"))).over(w)
+            .cast("double").as("total_90d"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             COUNT(*) OVER w AS n_90d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+               AS DOUBLE) AS total_90d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
   )
 }
