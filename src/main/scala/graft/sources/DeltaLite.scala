@@ -1178,6 +1178,51 @@ object DeltaLite {
           e.dv.map(p => (p, e.dvCardinality)))))
   }
 
+  /** Streaming-source contract: the current log schema + latest
+    * version. Restricted to unpartitioned tables (the stream reader
+    * emits data-file rows; partition-value injection is a stated
+    * non-goal of the source).
+    */
+  def streamInfo(s: SparkSession, table: String): (StructType, Long) = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    require(st.partCols.isEmpty,
+      "streaming source supports unpartitioned tables")
+    (st.schema, v)
+  }
+
+  /** Data files ADDED by versions (fromV, toV] — the incremental read
+    * behind the DSv2 streaming source. Appends-only contract, enforced
+    * exactly like production Delta's source default: a data-changing
+    * REMOVE in the window (DELETE/UPDATE/MERGE rewrites) fails loudly
+    * rather than silently re-emitting rewritten rows; compaction
+    * commits (`dataChange=false`) are correctly invisible. Returns
+    * (absolute path, size) pairs; cost is O(new commits), never a
+    * snapshot replay.
+    */
+  def addedFilesBetween(s: SparkSession, table: String, fromV: Long,
+      toV: Long): Seq[(String, Long)] = {
+    val f = fs(s, new Path(table))
+    val rootQ = f.makeQualified(new Path(table))
+    ((fromV + 1) to toV).flatMap { v =>
+      readCommit(f, commitPath(table, v))
+        .split('\n').filter(_.nonEmpty).flatMap { line =>
+          val n = Json.readTree(line)
+          if (n.has("remove") &&
+              n.get("remove").get("dataChange").asBoolean(true))
+            throw new UnsupportedOperationException(
+              s"version $v of $table is not an append; the streaming " +
+                "source reads appends only (compact/zorder are fine)")
+          if (n.has("add") && n.get("add").get("dataChange").asBoolean(true)) {
+            val a = n.get("add")
+            Some((new Path(rootQ, a.get("path").asText()).toString,
+              a.get("size").asLong()))
+          } else None
+        }
+    }
+  }
+
   /** Shallow CLONE: create `dst` as a new table whose version-0 commit
     * references the SOURCE's data files (and deletion-vector sidecars)
     * by absolute path — zero data copied, stats carried over, O(files)

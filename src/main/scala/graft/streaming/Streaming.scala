@@ -450,7 +450,32 @@ object Streaming {
                ROW_NUMBER() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn
         FROM events)
-      WHERE rn = 1 ORDER BY user_id"""))
+      WHERE rn = 1 ORDER BY user_id""")),
+
+    // --------------------------------------------------------------- st12
+    // The LAKE as a streaming source: a custom DSv2 MicroBatchStream
+    // (DeltaLiteStreamSource.scala) tails the transaction log — offsets
+    // are log versions, each micro-batch reads exactly the files the
+    // new commits added, maxVersionsPerTrigger=1 forces one version per
+    // batch so three commits replay as three batches. The memory-sink
+    // union equals the table's full content (append-only source), which
+    // the oracle checks against the raw table.
+    GQuery("st12_stream_from_lake", (s, d) => {
+      import graft.sources.DeltaLite
+      val t = s"${graft.util.Scratch.dir("st12")}/orders_src"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") % 3 === 2))
+      val stream = s.readStream
+        .format(classOf[DeltaLiteStreamProvider].getName)
+        .option("path", t).option("maxVersionsPerTrigger", "1")
+        .load()
+      runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

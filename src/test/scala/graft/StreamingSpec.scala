@@ -31,4 +31,46 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(streamed == batch)
   }
+
+  test("DSv2 lake source replays one log version per trigger and " +
+      "rejects non-append changes") {
+    import graft.sources.DeltaLite
+    import graft.streaming.DeltaLiteStreamProvider
+    val root = graft.util.Scratch.dir("st12spec")
+    val t = s"$root/t"
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 30))
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 30 && col("c_custkey") <= 60))
+    val ckpt = s"$root/ckpt"
+    val q = spark.readStream
+      .format(classOf[DeltaLiteStreamProvider].getName)
+      .option("path", t).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("st12spec")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("st12spec").count() ==
+      c.filter(col("c_custkey") <= 60).count())
+    // One offset file per replayed version (v0, v1) — the batches were
+    // genuinely incremental, not one catch-all read.
+    val offsets = new java.io.File(s"$ckpt/offsets").list()
+      .count(!_.startsWith("."))
+    assert(offsets >= 2, s"expected >=2 micro-batches, saw $offsets")
+    // A copy-on-write DELETE breaks the appends-only contract loudly.
+    DeltaLite.deleteWhere(spark, t, col("c_custkey") <= 10)
+    val q2 = spark.readStream
+      .format(classOf[DeltaLiteStreamProvider].getName)
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("st12spec2")
+      .option("checkpointLocation", s"$root/ckpt2").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    q2.stop()
+    assert(e.getCause.toString.contains("appends only"),
+      s"unexpected cause: ${e.getCause}")
+  }
 }
