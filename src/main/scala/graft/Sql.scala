@@ -230,6 +230,20 @@ object Sql {
         WHERE NOT (c_custkey % 10 = 7)
         ORDER BY c_custkey""")),
 
+      // -------------------------------------------------------------- x19
+      // Correlated LATERAL join with per-row ORDER BY + LIMIT — the
+      // top-N-per-group shape written the SQL-standard way. Both
+      // engines decorrelate it (Spark rewrites the correlated LIMIT to
+      // a ranked window join); identical text runs on both.
+      passthrough("x19_sql_lateral", """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""),
+
       // -------------------------------------------------------------- x18
       // SQL time travel: `VERSION AS OF` parsed by Spark's own grammar
       // (RelationTimeTravel), bound by LakeSql to the versioned

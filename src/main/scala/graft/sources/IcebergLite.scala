@@ -328,7 +328,7 @@ object IcebergLite {
   }
 
   private def commitSnapshot(s: SparkSession, table: String, meta: Meta,
-      manifests: Seq[String]): Long = {
+      manifests: Seq[String], advance: Boolean = true): Long = {
     val f = fs(s, metaDir(table))
     f.mkdirs(metaDir(table))
     val snapId = meta.snapshots.map(_._1).foldLeft(0L)(math.max) + 1
@@ -338,7 +338,8 @@ object IcebergLite {
     manifests.foreach(arr.add)
     writeFile(f, new Path(table, listRel), Json.writeValueAsString(listRoot),
       overwrite = false)
-    writeMetadata(s, table, meta.copy(currentSnapshot = snapId,
+    writeMetadata(s, table, meta.copy(
+      currentSnapshot = if (advance) snapId else meta.currentSnapshot,
       snapshots = meta.snapshots :+ (snapId, listRel)))
     snapId
   }
@@ -372,6 +373,32 @@ object IcebergLite {
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
     val m = writeManifest(s, table, df, meta.currentSchema, meta.partCols)
     commitSnapshot(s, table, meta, prevManifests :+ m)
+  }
+
+  /** Write-audit-publish, stage half: append `df` as a NEW snapshot
+    * WITHOUT advancing the current pointer — readers keep seeing the
+    * old state while the staged snapshot is audited by id
+    * ([[snapshot]](table, stagedId)). Returns the staged snapshot id
+    * for [[publish]]. Single-writer WAP (a staged snapshot bases on
+    * the current state at stage time).
+    */
+  def stageAppend(s: SparkSession, table: String, df: DataFrame): Long = {
+    val meta = readMeta(s, table)
+    val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
+    val prevManifests = readManifests(s, table, current, meta).map(_.path)
+    val m = writeManifest(s, table, df, meta.currentSchema, meta.partCols)
+    commitSnapshot(s, table, meta, prevManifests :+ m, advance = false)
+  }
+
+  /** Write-audit-publish, publish half: a metadata-only pointer flip to
+    * an already-staged (audited) snapshot — zero data IO, the atomic
+    * go-live step.
+    */
+  def publish(s: SparkSession, table: String, snapshotId: Long): Unit = {
+    val meta = readMeta(s, table)
+    require(meta.snapshots.exists(_._1 == snapshotId),
+      s"no snapshot $snapshotId at $table")
+    writeMetadata(s, table, meta.copy(currentSnapshot = snapshotId))
   }
 
   /** RENAME a column: a metadata-only commit — the field keeps its id,

@@ -818,6 +818,40 @@ object Sources {
         SELECT 'clone' AS side, c_custkey, c_name, c_acctbal, c_mktsegment
         FROM customer
         WHERE NOT (c_custkey % 7 = 0) AND c_mktsegment <> 'BUILDING')
-      ORDER BY side, c_custkey"""))
+      ORDER BY side, c_custkey""")),
+
+    // ---------------------------------------------------------------- s31
+    // Write-audit-publish: the append stages as a snapshot WITHOUT
+    // moving the current pointer — the pre-publish read (pinned at call
+    // time) still sees the old state — then publish is a metadata-only
+    // pointer flip. The union hash-checks both phases, so a staging
+    // write that leaked into the live view, or a publish that lost
+    // rows, breaks the oracle.
+    GQuery("s31_iceberg_wap", (s, d) => {
+      val t = s"${scratch("s31")}/part_wap"
+      val p = T.part(s, d)
+      IcebergLite.create(s, t,
+        p.filter(col("p_partkey") <= 600)
+          .repartitionByRange(3, col("p_partkey")))
+      val staged = IcebergLite.stageAppend(s, t,
+        p.filter(col("p_partkey") > 600))
+      val before = IcebergLite.snapshot(s, t)
+        .withColumn("phase", lit("staged"))
+      // Audit gate: the staged snapshot is readable BY ID pre-publish.
+      require(IcebergLite.snapshot(s, t, staged).columns.nonEmpty)
+      IcebergLite.publish(s, t, staged)
+      before.unionByName(
+          IcebergLite.snapshot(s, t).withColumn("phase", lit("published")))
+        .select(col("phase"), col("p_partkey"), col("p_name"),
+          col("p_retailprice"))
+        .orderBy(col("phase"), col("p_partkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'staged' AS phase, p_partkey, p_name, p_retailprice
+        FROM part WHERE p_partkey <= 600
+        UNION ALL
+        SELECT 'published' AS phase, p_partkey, p_name, p_retailprice
+        FROM part)
+      ORDER BY phase, p_partkey"""))
   )
 }

@@ -312,4 +312,27 @@ class IcebergLiteSpec extends SparkSpec {
       .collect().toSeq ==
       want.orderBy(col("c_custkey")).collect().toSeq)
   }
+
+  test("write-audit-publish: staging never moves the current pointer; " +
+      "publish is a metadata-only flip; bad stages can be abandoned") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    IcebergLite.create(spark, t, c.filter(col("c_custkey") <= 40))
+    val liveCount = c.filter(col("c_custkey") <= 40).count()
+    val staged = IcebergLite.stageAppend(spark, t,
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 80))
+    // Live view unchanged; staged view audits by id.
+    assert(IcebergLite.snapshot(spark, t).count() == liveCount)
+    assert(IcebergLite.snapshot(spark, t, staged).count() ==
+      c.filter(col("c_custkey") <= 80).count())
+    // A second (bad) stage is simply never published — no cleanup
+    // needed for the live view.
+    IcebergLite.stageAppend(spark, t, c.filter(col("c_custkey") > 80))
+    IcebergLite.publish(spark, t, staged)
+    assert(IcebergLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 80).count())
+    intercept[IllegalArgumentException] {
+      IcebergLite.publish(spark, t, 999L)
+    }
+  }
 }
