@@ -388,6 +388,36 @@ object Sql {
         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
         ORDER BY total_qty DESC, o_orderkey LIMIT 20"""),
 
+      // Q1: the pricing-summary flagship as verbatim TEXT (q01 is its
+      // DataFrame form) — exact-decimal sums, averages as
+      // decimal-sum/count (identical text on both engines keeps the
+      // division deterministic).
+      passthrough("x20_sql_tpch_q1", """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                   AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                   AS DECIMAL(12,2)) *
+                 CAST(1 + CAST(l_tax AS DECIMAL(12,2))
+                   AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+
       // Q7: volume shipping — the two-nation bidirectional trade query;
       // nation joins twice (supplier side and customer side), year
       // extracted from the ship date (CAST AS BIGINT pins the one type

@@ -1042,6 +1042,35 @@ object RelationalQueries {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
-      ORDER BY o_custkey, o_orderdate, o_orderkey"""))
+      ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q48
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL — q20's
+    // DISTINCT complement): multiplicities are preserved per the
+    // standard min/difference rules, which both engines implement
+    // identically; the hash compare is multiset equality after its row
+    // sort, so a wrong multiplicity anywhere breaks it.
+    GQuery("q48_set_ops_all", (s, d) => {
+      val o = T.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      urgent.intersectAll(fin).withColumn("op", lit("intersect_all"))
+        .unionByName(
+          urgent.exceptAll(fin).withColumn("op", lit("except_all")))
+        .select(col("op"), col("o_custkey"))
+        .orderBy(col("op"), col("o_custkey"))
+    }, Some("""
+      WITH u AS (SELECT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT'),
+           f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      SELECT * FROM (
+        SELECT 'intersect_all' AS op, o_custkey FROM (
+          SELECT o_custkey FROM u INTERSECT ALL SELECT o_custkey FROM f)
+        UNION ALL
+        SELECT 'except_all' AS op, o_custkey FROM (
+          SELECT o_custkey FROM u EXCEPT ALL SELECT o_custkey FROM f))
+      ORDER BY op, o_custkey"""))
   )
 }
