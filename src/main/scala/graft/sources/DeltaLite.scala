@@ -1178,18 +1178,14 @@ object DeltaLite {
           e.dv.map(p => (p, e.dvCardinality)))))
   }
 
-  /** Streaming-source contract: the current log schema + latest
-    * version. Restricted to unpartitioned tables (the stream reader
-    * emits data-file rows; partition-value injection is a stated
-    * non-goal of the source).
+  /** Streaming-source contract: the current log schema, its partition
+    * columns, and the latest version.
     */
-  def streamInfo(s: SparkSession, table: String): (StructType, Long) = {
+  def streamInfo(s: SparkSession, table: String): (StructType, Seq[String], Long) = {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
-    require(st.partCols.isEmpty,
-      "streaming source supports unpartitioned tables")
-    (st.schema, v)
+    (st.schema, st.partCols, v)
   }
 
   /** Data files ADDED by versions (fromV, toV] — the incremental read
@@ -1198,11 +1194,11 @@ object DeltaLite {
     * REMOVE in the window (DELETE/UPDATE/MERGE rewrites) fails loudly
     * rather than silently re-emitting rewritten rows; compaction
     * commits (`dataChange=false`) are correctly invisible. Returns
-    * (absolute path, size) pairs; cost is O(new commits), never a
-    * snapshot replay.
+    * (absolute path, size, partition values) triples; cost is O(new
+    * commits), never a snapshot replay.
     */
   def addedFilesBetween(s: SparkSession, table: String, fromV: Long,
-      toV: Long): Seq[(String, Long)] = {
+      toV: Long): Seq[(String, Long, Seq[(String, Option[String])])] = {
     val f = fs(s, new Path(table))
     val rootQ = f.makeQualified(new Path(table))
     ((fromV + 1) to toV).flatMap { v =>
@@ -1217,7 +1213,8 @@ object DeltaLite {
           if (n.has("add") && n.get("add").get("dataChange").asBoolean(true)) {
             val a = n.get("add")
             Some((new Path(rootQ, a.get("path").asText()).toString,
-              a.get("size").asLong()))
+              a.get("size").asLong(),
+              partValuesOf(a.get("partitionValues"))))
           } else None
         }
     }

@@ -88,18 +88,39 @@ private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
     VersionOffset(next)
   }
 
+  // Partition-aware split: the reader reads data columns from the file
+  // and appends partition columns from the log's per-file values; when
+  // partition columns don't trail the declared schema, a reorder
+  // projection restores the table's column order.
+  private val partCols = DeltaLite.streamInfo(spark, table)._2
+  private val partitionSchema = StructType(
+    schema.fields.filter(f => partCols.contains(f.name)))
+  private val dataSchema = StructType(
+    schema.fields.filterNot(f => partCols.contains(f.name)))
+  private val combined = StructType(dataSchema.fields ++ partitionSchema.fields)
+  private val reorder: Option[Array[Int]] =
+    if (combined.fieldNames.sameElements(schema.fieldNames)) None
+    else Some(schema.fieldNames.map(combined.fieldIndex))
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val (s0, e0) = (start.asInstanceOf[VersionOffset].v,
       end.asInstanceOf[VersionOffset].v)
     current = math.max(current, e0)
     DeltaLite.addedFilesBetween(spark, table, s0, e0)
-      .map { case (p, sz) => GraftFileInput(p, sz): InputPartition }
+      .map { case (p, sz, pvs) =>
+        val pvMap = pvs.toMap
+        GraftFileInput(p, sz,
+          partitionSchema.fieldNames.toSeq.map(n =>
+            pvMap.getOrElse(n, None))): InputPartition
+      }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory(ParquetRead.readerFor(spark, schema))
+    new GraftParquetReaderFactory(
+      ParquetRead.readerFor(spark, dataSchema, partitionSchema),
+      partitionSchema, combined, reorder)
 
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toLong)

@@ -73,4 +73,33 @@ class StreamingSpec extends SparkSpec {
     assert(e.getCause.toString.contains("appends only"),
       s"unexpected cause: ${e.getCause}")
   }
+
+  test("DSv2 lake source streams PARTITIONED tables: partition values " +
+      "injected from the log, declared column order preserved") {
+    import graft.sources.DeltaLite
+    import graft.streaming.DeltaLiteStreamProvider
+    val root = graft.util.Scratch.dir("st12part")
+    val t = s"$root/t"
+    // Partition column mid-schema → exercises the reorder projection.
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") <= 40),
+      Seq("c_mktsegment"))
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 80))
+    val q = spark.readStream
+      .format(classOf[DeltaLiteStreamProvider].getName)
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("st12part")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st12part")
+    assert(got.columns.toSeq ==
+      Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal"))
+    assert(got.orderBy(col("c_custkey")).collect().toSeq ==
+      c.filter(col("c_custkey") <= 80).orderBy(col("c_custkey"))
+        .collect().toSeq)
+  }
 }
