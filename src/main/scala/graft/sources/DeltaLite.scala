@@ -1194,11 +1194,11 @@ object DeltaLite {
     * REMOVE in the window (DELETE/UPDATE/MERGE rewrites) fails loudly
     * rather than silently re-emitting rewritten rows; compaction
     * commits (`dataChange=false`) are correctly invisible. Returns
-    * (absolute path, size, partition values) triples; cost is O(new
-    * commits), never a snapshot replay.
+    * (version, absolute path, size, partition values) tuples; cost is
+    * O(new commits), never a snapshot replay.
     */
   def addedFilesBetween(s: SparkSession, table: String, fromV: Long,
-      toV: Long): Seq[(String, Long, Seq[(String, Option[String])])] = {
+      toV: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
     val f = fs(s, new Path(table))
     val rootQ = f.makeQualified(new Path(table))
     ((fromV + 1) to toV).flatMap { v =>
@@ -1212,7 +1212,7 @@ object DeltaLite {
                 "source reads appends only (compact/zorder are fine)")
           if (n.has("add") && n.get("add").get("dataChange").asBoolean(true)) {
             val a = n.get("add")
-            Some((new Path(rootQ, a.get("path").asText()).toString,
+            Some((v, new Path(rootQ, a.get("path").asText()).toString,
               a.get("size").asLong(),
               partValuesOf(a.get("partitionValues"))))
           } else None

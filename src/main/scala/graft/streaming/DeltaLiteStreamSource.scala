@@ -36,12 +36,26 @@ class DeltaLiteStreamProvider extends TableProvider {
     Option(m.get("path")).getOrElse(
       throw new IllegalArgumentException("option 'path' is required"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DeltaLite.streamInfo(SparkSession.active, pathOf(options))._1
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = DeltaLite.streamInfo(SparkSession.active, pathOf(options))._1
+    if (java.lang.Boolean.parseBoolean(options.get("readChangeFeed")))
+      StructType(base.fields ++ DeltaLiteStreamSource.CdfFields)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new DeltaLiteStreamTable(pathOf(properties), schema)
+}
+
+private[streaming] object DeltaLiteStreamSource {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  /** CDF metadata columns (the public Delta change-feed read schema's
+    * streaming subset — appends are `insert` changes).
+    */
+  val CdfFields: Array[StructField] = Array(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false))
 }
 
 private[streaming] class DeltaLiteStreamTable(path: String,
@@ -60,7 +74,8 @@ private[streaming] class DeltaLiteStreamTable(path: String,
             : MicroBatchStream =
           new DeltaLiteMicroBatchStream(SparkSession.active, path, schema0,
             Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
-              .getOrElse(Long.MaxValue))
+              .getOrElse(Long.MaxValue),
+            java.lang.Boolean.parseBoolean(options.get("readChangeFeed")))
       }
     }
 }
@@ -70,7 +85,8 @@ private[streaming] case class VersionOffset(v: Long) extends Offset {
 }
 
 private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
-    table: String, schema: StructType, maxVersionsPerTrigger: Long)
+    table: String, schema: StructType, maxVersionsPerTrigger: Long,
+    readChangeFeed: Boolean = false)
     extends MicroBatchStream {
 
   // Admission high-water mark: advanced by latestOffset, re-anchored by
@@ -91,8 +107,13 @@ private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
   // Partition-aware split: the reader reads data columns from the file
   // and appends partition columns from the log's per-file values; when
   // partition columns don't trail the declared schema, a reorder
-  // projection restores the table's column order.
-  private val partCols = DeltaLite.streamInfo(spark, table)._2
+  // projection restores the table's column order. In CDF mode the
+  // `_change_type`/`_commit_version` metadata columns ride the same
+  // per-file injection (every appended file is one version's inserts).
+  private val partCols = DeltaLite.streamInfo(spark, table)._2 ++
+    (if (readChangeFeed)
+      DeltaLiteStreamSource.CdfFields.map(_.name).toSeq
+    else Nil)
   private val partitionSchema = StructType(
     schema.fields.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(
@@ -108,8 +129,11 @@ private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
       end.asInstanceOf[VersionOffset].v)
     current = math.max(current, e0)
     DeltaLite.addedFilesBetween(spark, table, s0, e0)
-      .map { case (p, sz, pvs) =>
-        val pvMap = pvs.toMap
+      .map { case (v, p, sz, pvs) =>
+        val pvMap = pvs.toMap ++ (if (readChangeFeed)
+          Map("_change_type" -> Some("insert"),
+            "_commit_version" -> Some(v.toString))
+        else Map.empty)
         GraftFileInput(p, sz,
           partitionSchema.fieldNames.toSeq.map(n =>
             pvMap.getOrElse(n, None))): InputPartition

@@ -475,6 +475,34 @@ object Streaming {
       runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- st13
+    // Streaming CHANGE DATA FEED from the lake (s20's batch CDF as a
+    // stream): readChangeFeed mode emits each appended row tagged with
+    // `_change_type`/`_commit_version`, injected per file by the DSv2
+    // source (a file belongs to exactly one commit). The three commits
+    // are keyed o_orderkey % 3 == version, so the oracle reconstructs
+    // the full change feed — wrong version attribution anywhere breaks
+    // the hash.
+    GQuery("st13_stream_lake_cdf", (s, d) => {
+      import graft.sources.DeltaLite
+      val t = s"${graft.util.Scratch.dir("st13")}/orders_cdf"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      DeltaLite.create(s, t, o.filter(col("o_orderkey") % 3 === 0))
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") % 3 === 2))
+      val stream = s.readStream
+        .format(classOf[DeltaLiteStreamProvider].getName)
+        .option("path", t).option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+      runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             'insert' AS _change_type,
+             CAST(o_orderkey % 3 AS BIGINT) AS _commit_version
       FROM orders ORDER BY o_orderkey"""))
   )
 
