@@ -1071,6 +1071,31 @@ object RelationalQueries {
         UNION ALL
         SELECT 'except_all' AS op, o_custkey FROM (
           SELECT o_custkey FROM u EXCEPT ALL SELECT o_custkey FROM f))
-      ORDER BY op, o_custkey"""))
+      ORDER BY op, o_custkey""")),
+
+    // ---------------------------------------------------------------- q49
+    // Ordered string aggregation (LISTAGG WITHIN GROUP — DuckDB's
+    // string_agg): the one aggregate whose result is order-sensitive,
+    // pinned deterministic by the in-group ORDER BY (equal values are
+    // interchangeable in the concatenation). Output is group-sized, so
+    // the input is filtered the way any real LISTAGG query bounds its
+    // groups.
+    GQuery("q49_listagg", (s, d) => {
+      T.orders(s, d).filter(col("o_orderkey") <= 3000)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("listagg(o_orderstatus, '|') WITHIN GROUP " +
+            "(ORDER BY o_orderstatus)").as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             string_agg(o_orderstatus, '|' ORDER BY o_orderstatus)
+               AS statuses,
+             COUNT(DISTINCT o_orderstatus) AS n_status,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey <= 3000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
