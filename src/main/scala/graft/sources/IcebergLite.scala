@@ -375,6 +375,61 @@ object IcebergLite {
     commitSnapshot(s, table, meta, prevManifests :+ m)
   }
 
+  /** Streaming-source contract: current schema struct, partition
+    * columns, current snapshot id. Restricted to un-evolved schemas —
+    * the stream reader matches parquet columns by NAME; rename/add
+    * histories need the batch path's field-id resolution (stated
+    * restriction, enforced loudly).
+    */
+  def streamInfo(s: SparkSession, table: String)
+      : (StructType, Seq[String], Long) = {
+    val meta = readMeta(s, table)
+    require(meta.schemas.size == 1,
+      "streaming source requires an un-evolved schema (field-id " +
+        "resolution is the batch read path)")
+    (meta.currentSchema.struct, meta.partCols, meta.currentSnapshot)
+  }
+
+  /** Data files ADDED by snapshots (fromSnap, toSnap] — the Iceberg
+    * incremental read behind the DSv2 streaming source. Appends-only:
+    * a snapshot that drops or rewrites a prior manifest (DELETE/
+    * UPDATE/MERGE/compaction) fails loudly; fresh manifests must be
+    * data manifests. Cost is O(new manifests) metadata reads plus one
+    * file-status call per new file. Returns (snapshot id, absolute
+    * path, size, partition values).
+    */
+  def addedFilesBetween(s: SparkSession, table: String, fromSnap: Long,
+      toSnap: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
+    val meta = readMeta(s, table)
+    val byId = meta.snapshots.toMap
+    val ids = meta.snapshots.map(_._1).sorted
+    val f = fs(s, new Path(table))
+    ids.filter(id => id > fromSnap && id <= toSnap).flatMap { id =>
+      val cur = readManifests(s, table, byId(id), meta)
+      val prevPaths: Set[String] = ids.filter(_ < id).lastOption match {
+        case Some(p) => readManifests(s, table, byId(p), meta)
+          .map(_.path).toSet
+        case None => Set.empty
+      }
+      val curPaths = cur.map(_.path).toSet
+      val lost = prevPaths -- curPaths
+      if (lost.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"snapshot $id of $table rewrites or drops manifests; the " +
+            "streaming source reads appends only")
+      val fresh = cur.filterNot(m => prevPaths.contains(m.path))
+      if (fresh.exists(_.content == "deletes"))
+        throw new UnsupportedOperationException(
+          s"snapshot $id of $table adds position deletes; the " +
+            "streaming source reads appends only")
+      fresh.flatMap(_.entries).map { e =>
+        val p = new Path(table, e.path)
+        (id, f.makeQualified(p).toString, f.getFileStatus(p).getLen,
+          e.partValues)
+      }
+    }
+  }
+
   /** Write-audit-publish, stage half: append `df` as a NEW snapshot
     * WITHOUT advancing the current pointer — readers keep seeing the
     * old state while the staged snapshot is audited by id

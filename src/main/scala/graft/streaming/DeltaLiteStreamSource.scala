@@ -11,20 +11,22 @@ import org.apache.spark.sql.graft.{GraftFileInput, GraftParquetReaderFactory, Pa
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.sources.DeltaLite
+import graft.sources.{DeltaLite, IcebergLite}
 
-/** DSv2 streaming SOURCE over a DeltaLite table — `spark.readStream
-  * .format(classOf[DeltaLiteStreamProvider].getName).option("path", t)
-  * .load()` tails the transaction log: each micro-batch is exactly the
-  * data files ADDED by the log versions in (start, end], read by
-  * Spark's own parquet reader on executors. Offsets are log versions
-  * (exactly-once replay across restarts via the checkpointed offset),
-  * compaction commits (`dataChange=false`) are invisible, and a
+/** DSv2 streaming SOURCES over the lake table formats — `spark
+  * .readStream.format(classOf[DeltaLiteStreamProvider].getName)
+  * .option("path", t).load()` (and the IcebergLite twin) tail the
+  * table's commit metadata: each micro-batch is exactly the data files
+  * ADDED by the log versions / snapshots in (start, end], read by
+  * Spark's own parquet reader on executors. Offsets are version /
+  * snapshot ids (exactly-once replay across restarts via the
+  * checkpointed offset), maintenance commits are invisible, and a
   * non-append change fails loudly — production Delta's source
-  * semantics. `maxVersionsPerTrigger` bounds each batch's admission
-  * (the per-trigger rate knob).
+  * semantics. `maxVersionsPerTrigger` bounds each batch's admission;
+  * the Delta provider additionally supports `readChangeFeed` (rows
+  * tagged `_change_type`/`_commit_version`).
   *
-  * Scale: planning reads only the NEW commit files (O(new versions)
+  * Scale: planning reads only the NEW commit metadata (O(new versions)
   * driver work, never a snapshot replay); file reads are the standard
   * per-file executor scan, so an unbounded ingest stream costs the
   * same as batch-reading each increment once.
@@ -32,61 +34,99 @@ import graft.sources.DeltaLite
 class DeltaLiteStreamProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
-  private def pathOf(m: java.util.Map[String, String]): String =
-    Option(m.get("path")).getOrElse(
-      throw new IllegalArgumentException("option 'path' is required"))
-
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val base = DeltaLite.streamInfo(SparkSession.active, pathOf(options))._1
+    val base = DeltaLite.streamInfo(SparkSession.active,
+      LakeStream.pathOf(options))._1
     if (java.lang.Boolean.parseBoolean(options.get("readChangeFeed")))
-      StructType(base.fields ++ DeltaLiteStreamSource.CdfFields)
+      StructType(base.fields ++ LakeStream.CdfFields)
     else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new DeltaLiteStreamTable(pathOf(properties), schema)
+    LakeStream.table(LakeStream.pathOf(properties), schema,
+      s => DeltaLite.streamInfo(s, LakeStream.pathOf(properties))._2,
+      s => DeltaLite.latestVersion(s, LakeStream.pathOf(properties)),
+      DeltaLite.addedFilesBetween, cdfCapable = true)
 }
 
-private[streaming] object DeltaLiteStreamSource {
+/** IcebergLite twin: offsets are snapshot ids; appends-only manifests
+  * enforced by [[IcebergLite.addedFilesBetween]]. No CDF mode.
+  */
+class IcebergLiteStreamProvider extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    IcebergLite.streamInfo(SparkSession.active,
+      LakeStream.pathOf(options))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    LakeStream.table(LakeStream.pathOf(properties), schema,
+      s => IcebergLite.streamInfo(s, LakeStream.pathOf(properties))._2,
+      s => IcebergLite.streamInfo(s, LakeStream.pathOf(properties))._3,
+      IcebergLite.addedFilesBetween, cdfCapable = false)
+}
+
+private[streaming] object LakeStream {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
   /** CDF metadata columns (the public Delta change-feed read schema's
     * streaming subset — appends are `insert` changes).
     */
   val CdfFields: Array[StructField] = Array(
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false))
-}
 
-private[streaming] class DeltaLiteStreamTable(path: String,
-    schema0: StructType) extends Table with SupportsRead {
-  override def name(): String = s"deltalite:$path"
-  override def schema(): StructType = schema0
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  def pathOf(m: java.util.Map[String, String]): String =
+    Option(m.get("path")).getOrElse(
+      throw new IllegalArgumentException("option 'path' is required"))
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema0
-        override def description(): String = s"graft-deltalite-stream $path"
-        override def toMicroBatchStream(checkpointLoc: String)
-            : MicroBatchStream =
-          new DeltaLiteMicroBatchStream(SparkSession.active, path, schema0,
-            Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
-              .getOrElse(Long.MaxValue),
-            java.lang.Boolean.parseBoolean(options.get("readChangeFeed")))
+  type AddedFiles =
+    (SparkSession, String, Long, Long) =>
+      Seq[(Long, String, Long, Seq[(String, Option[String])])]
+
+  def table(path: String, schema0: StructType,
+      partColsOf: SparkSession => Seq[String],
+      latestOf: SparkSession => Long, added: AddedFiles,
+      cdfCapable: Boolean): Table = new Table with SupportsRead {
+    override def name(): String = s"lake:$path"
+    override def schema(): StructType = schema0
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new Scan {
+          override def readSchema(): StructType = schema0
+          override def description(): String = s"graft-lake-stream $path"
+          override def toMicroBatchStream(checkpointLoc: String)
+              : MicroBatchStream = {
+            val cdf =
+              java.lang.Boolean.parseBoolean(options.get("readChangeFeed"))
+            require(!cdf || cdfCapable,
+              "readChangeFeed is only supported on the DeltaLite source")
+            new LakeMicroBatchStream(SparkSession.active, path, schema0,
+              Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+                .getOrElse(Long.MaxValue),
+              cdf, partColsOf, latestOf, added)
+          }
+        }
       }
-    }
+  }
 }
 
 private[streaming] case class VersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
+private[streaming] class LakeMicroBatchStream(spark: SparkSession,
     table: String, schema: StructType, maxVersionsPerTrigger: Long,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean,
+    partColsOf: SparkSession => Seq[String],
+    latestOf: SparkSession => Long,
+    added: LakeStream.AddedFiles)
     extends MicroBatchStream {
 
   // Admission high-water mark: advanced by latestOffset, re-anchored by
@@ -96,7 +136,7 @@ private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
   override def initialOffset(): Offset = VersionOffset(-1L)
 
   override def latestOffset(): Offset = {
-    val latest = DeltaLite.latestVersion(spark, table)
+    val latest = latestOf(spark)
     val next =
       if (maxVersionsPerTrigger == Long.MaxValue) latest
       else math.min(latest, current + maxVersionsPerTrigger)
@@ -110,10 +150,8 @@ private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
   // projection restores the table's column order. In CDF mode the
   // `_change_type`/`_commit_version` metadata columns ride the same
   // per-file injection (every appended file is one version's inserts).
-  private val partCols = DeltaLite.streamInfo(spark, table)._2 ++
-    (if (readChangeFeed)
-      DeltaLiteStreamSource.CdfFields.map(_.name).toSeq
-    else Nil)
+  private val partCols = partColsOf(spark) ++
+    (if (readChangeFeed) LakeStream.CdfFields.map(_.name).toSeq else Nil)
   private val partitionSchema = StructType(
     schema.fields.filter(f => partCols.contains(f.name)))
   private val dataSchema = StructType(
@@ -128,7 +166,7 @@ private[streaming] class DeltaLiteMicroBatchStream(spark: SparkSession,
     val (s0, e0) = (start.asInstanceOf[VersionOffset].v,
       end.asInstanceOf[VersionOffset].v)
     current = math.max(current, e0)
-    DeltaLite.addedFilesBetween(spark, table, s0, e0)
+    added(spark, table, s0, e0)
       .map { case (v, p, sz, pvs) =>
         val pvMap = pvs.toMap ++ (if (readChangeFeed)
           Map("_change_type" -> Some("insert"),

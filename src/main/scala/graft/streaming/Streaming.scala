@@ -503,7 +503,29 @@ object Streaming {
       SELECT o_orderkey, o_custkey, o_totalprice,
              'insert' AS _change_type,
              CAST(o_orderkey % 3 AS BIGINT) AS _commit_version
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- st14
+    // The ICEBERG table as a streaming source — same DSv2 machinery,
+    // offsets are snapshot ids, each batch reads only the manifests the
+    // new snapshot added (appends-only enforced at the manifest level).
+    // Three snapshots stream as three per-snapshot batches.
+    GQuery("st14_stream_from_iceberg", (s, d) => {
+      import graft.sources.IcebergLite
+      val t = s"${graft.util.Scratch.dir("st14")}/cust_src"
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      IcebergLite.create(s, t, c.filter(col("c_custkey") % 3 === 0))
+      IcebergLite.append(s, t, c.filter(col("c_custkey") % 3 === 1))
+      IcebergLite.append(s, t, c.filter(col("c_custkey") % 3 === 2))
+      val stream = s.readStream
+        .format(classOf[IcebergLiteStreamProvider].getName)
+        .option("path", t).option("maxVersionsPerTrigger", "1")
+        .load()
+      runToEnd(s, stream, "append").orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
