@@ -41,6 +41,18 @@ object InteropDump {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/delta_expected")
 
+    // ---- Delta shallow clone: absolute-path references into an
+    //      unpartitioned source + divergent DML on the clone
+    val src = s"$outDir/delta_clone_src"
+    val dst = s"$outDir/delta_clone"
+    DeltaLite.create(spark, src, c.filter(col("c_custkey") <= 800))
+    DeltaLite.deleteWhereDV(spark, src, col("c_custkey") % 11 === 4)
+    DeltaLite.cloneShallow(spark, src, dst)
+    DeltaLite.deleteWhere(spark, dst, col("c_mktsegment") === "AUTOMOBILE")
+    DeltaLite.snapshot(spark, dst)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/delta_clone_expected")
+
     // ---- Iceberg: create → rename + add column → evolved append →
     //      position-delete
     val it = s"$outDir/iceberg_table"

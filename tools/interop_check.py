@@ -223,10 +223,15 @@ def check(name, got_df, expected_dir):
 def main(root):
     read = read_delta(os.path.join(root, "delta_table"))
     check("delta", read, os.path.join(root, "delta_expected"))
+    # Shallow clone: add paths are ABSOLUTE (into the source table);
+    # os.path.join drops the clone root for them, per POSIX — exactly
+    # the resolution the protocol intends.
+    read = read_delta(os.path.join(root, "delta_clone"))
+    check("delta_clone", read, os.path.join(root, "delta_clone_expected"))
     read = read_iceberg(os.path.join(root, "iceberg_table"))
     check("iceberg", read, os.path.join(root, "iceberg_expected"))
-    print("\nOK: both table formats reconstruct identically from their "
-          "on-disk protocol alone")
+    print("\nOK: both table formats (and clones) reconstruct identically "
+          "from their on-disk protocol alone")
 
 
 if __name__ == "__main__":
