@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 import graft.functions.{FastText, TextHash}
@@ -441,6 +442,40 @@ object TextOps {
              ((n_words >= 50 AND n_words <= 100000)
                AND (mean_wl0 >= 3.0 AND mean_wl0 <= 10.0)
                AND (alpha_frac0 >= 0.8) AND (stop_hits >= 2)) AS keep
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t11
+    // Sequence packing for pretraining batches: documents pack
+    // greedily in id order into fixed token-budget bins (budget 2048),
+    // per source — the shard key that makes packing parallel at scale
+    // (one exchange on source, a running-sum window inside each
+    // shard). bin = floor((cumsum − own tokens) / budget) is the
+    // classic greedy-by-order approximation; the output is the packing
+    // manifest (bin sizes and token fill), fully oracle-checked.
+    GQuery("t11_seq_packing", (s, d) => {
+      val budget = 2048
+      val toks = size(split(col("text"), " ")).cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      T.documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")) / budget).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t)
+      SELECT source, CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+      FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
   )
 }
