@@ -466,7 +466,33 @@ object Sql {
           WHERE p_name LIKE '%widget%'
         ) profit
         GROUP BY nation, o_year
-        ORDER BY nation, o_year DESC""")
+        ORDER BY nation, o_year DESC"""),
+
+      // ------------------------------------------------------------ x21
+      // Recursive CTE (iterative fixpoint — the one relational shape
+      // plain SELECT cannot express): ancestor closure of the implicit
+      // binary tree parent(k) = floor((k-1)/2) over nation keys. Spark
+      // 4 executes WITH RECURSIVE as repeated UnionLoop steps (bounded
+      // by spark.sql.cteRecursionLevelLimit); DuckDB runs its native
+      // recurring-CTE operator on the same text. Depth is O(log n) in
+      // the key space, so each step's frontier shrinks — the scale
+      // shape a 100 TB hierarchy walk needs (per-step joins, no
+      // driver loop). Every type the engines could disagree on is
+      // pinned (INT keys, BIGINT sum).
+      passthrough("x21_sql_recursive_cte", """
+        WITH RECURSIVE anc(node, anc_key, depth) AS (
+          SELECT CAST(n_nationkey AS INT), CAST(n_nationkey AS INT), 0
+          FROM nation
+          UNION ALL
+          SELECT node, CAST(FLOOR((anc_key - 1) / 2.0) AS INT), depth + 1
+          FROM anc WHERE anc_key > 0
+        )
+        SELECT node AS n_nationkey, COUNT(*) AS n_ancestors,
+               MAX(depth) AS root_depth,
+               CAST(SUM(anc_key) AS BIGINT) AS anc_key_sum
+        FROM anc
+        GROUP BY node
+        ORDER BY n_nationkey""")
     )
   }
 }

@@ -374,6 +374,58 @@ object Dedup {
              ROUND(CAST(COALESCE(n_dup, 0) AS DOUBLE)
                / greatest(len(ws) - 7, 1), 4) AS dup_frac
       FROM w LEFT JOIN per ON w.doc_id = per.doc_id
-      ORDER BY w.doc_id"""))
+      ORDER BY w.doc_id""")),
+
+    // ---------------------------------------------------------------- d11
+    // Corpus mixture resampling: downsample each source to a target
+    // rate (100/75/50/25%) with a hash-threshold keep rule — the
+    // standard way pretraining pipelines hit a data mixture without a
+    // shuffle or an RNG. Keeping iff the first 4 md5 hex chars of the
+    // doc key sort below a per-source threshold is a deterministic,
+    // seedless Bernoulli draw: the same doc gets the same verdict on
+    // every executor, every retry, every engine — no RNG state to
+    // coordinate at 100 TB. Output is the per-source mixture manifest
+    // (rows in/kept, achieved rate, kept-id checksum), fully
+    // oracle-checked because md5 is md5 in every engine. One exchange
+    // (the groupBy); the keep predicate itself is map-side codegen.
+    GQuery("d11_mixture_sample", (s, d) => {
+      val keyHex = substring(
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))),
+        1, 4)
+      val keep = keyHex < expr(mixtureCase)
+      T.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("doc_id"))).as("kept_id_sum"),
+          round(sum(when(keep, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+            .as("rate"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH k AS (
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4)
+                 < $mixtureCase AS keep
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN keep THEN doc_id END) AS BIGINT)
+               AS kept_id_sum,
+             ROUND(SUM(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
+               AS rate
+      FROM k GROUP BY source ORDER BY source"""))
   )
+
+  /** Per-source keep threshold (hex prefix of md5) for d11: the target
+    * corpus mixture, expressed so "keep" is a pure per-row predicate
+    * shared verbatim by the Spark plan and the oracle SQL.
+    */
+  private[graft] def mixtureCase: String =
+    """CASE WHEN source IN ('src0','src4','src8','src12','src16')
+            THEN 'ffff'
+            WHEN source IN ('src1','src5','src9','src13','src17')
+            THEN 'c000'
+            WHEN source IN ('src2','src6','src10','src14','src18')
+            THEN '8000'
+            ELSE '4000' END"""
 }

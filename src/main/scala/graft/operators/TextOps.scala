@@ -476,6 +476,46 @@ object TextOps {
         FROM t)
       SELECT source, CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
              COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
-      FROM c GROUP BY 1, 2 ORDER BY source, bin"""))
+      FROM c GROUP BY 1, 2 ORDER BY source, bin""")),
+
+    // ---------------------------------------------------------------- t12
+    // RAG / context-window chunking: split each document into
+    // overlapping token windows (chunk 32, stride 24 → 8-token
+    // overlap) and emit the actual chunk text, not just boundaries.
+    // Pure per-row explode — no shuffle at all until the final ORDER
+    // BY (which a pipeline sink would drop), so at 100 TB this is an
+    // embarrassingly-parallel map stage. Chunk count per doc is
+    // 1 + max(0, ceil((n-32)/24)); the last window is the short one.
+    // Fully oracle-checked down to the chunk text bytes.
+    GQuery("t12_chunking", (s, d) => {
+      val chunk = 32; val stride = 24
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("chunk_id", explode(sequence(lit(0),
+          greatest(ceil((col("n") - chunk) / stride.toDouble).cast("int"),
+            lit(0)))))
+        .select(col("doc_id"), col("chunk_id"),
+          least(lit(chunk), col("n") - col("chunk_id") * stride)
+            .as("chunk_tokens"),
+          array_join(slice(col("ws"), col("chunk_id") * stride + 1,
+            least(lit(chunk), col("n") - col("chunk_id") * stride)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s AS (SELECT doc_id, ws, CAST(len(ws) AS INT) AS n FROM w),
+      c AS (SELECT doc_id, ws, n,
+                   CAST(unnest(range(0, greatest(
+                     CAST(ceil((n - 32) / 24.0) AS INT), 0) + 1)) AS INT)
+                     AS chunk_id
+            FROM s)
+      SELECT doc_id, chunk_id,
+             CAST(LEAST(32, n - chunk_id * 24) AS INT) AS chunk_tokens,
+             array_to_string(list_slice(ws, chunk_id * 24 + 1,
+               chunk_id * 24 + LEAST(32, n - chunk_id * 24)), ' ')
+               AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id"""))
   )
 }
