@@ -1096,6 +1096,50 @@ object RelationalQueries {
              COUNT(DISTINCT o_orderstatus) AS n_status,
              COUNT(*) AS n
       FROM orders WHERE o_orderkey <= 3000
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q50
+    // Statistical aggregates: sample/population dispersion plus the
+    // bivariate family (corr, covariance, least-squares slope and
+    // intercept). All are one-pass streaming aggregates (Welford-style
+    // partial merge) — a single exchange on the group key at any data
+    // size, same as SUM. Values rounded to 4 places: both engines run
+    // the numerically-stable one-pass formulas, but the last float
+    // bits are not contractual. DOUBLE inputs via an explicit cast so
+    // neither engine aggregates in DECIMAL.
+    GQuery("q50_stats_agg", (s, d) => {
+      val q = col("l_quantity").cast("double")
+      val p = col("l_extendedprice").cast("double")
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(q), 4).as("sd_qty"),
+          round(stddev_pop(q), 4).as("sdp_qty"),
+          round(var_samp(q), 4).as("var_qty"),
+          round(corr(q, p), 4).as("corr_qp"),
+          round(covar_samp(q, p), 4).as("cov_qp"),
+          round(covar_pop(q, p), 4).as("covp_qp"),
+          round(regr_slope(p, q), 4).as("slope_pq"),
+          round(regr_intercept(p, q), 4).as("icept_pq"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+             ROUND(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd_qty,
+             ROUND(stddev_pop(CAST(l_quantity AS DOUBLE)), 4) AS sdp_qty,
+             ROUND(var_samp(CAST(l_quantity AS DOUBLE)), 4) AS var_qty,
+             ROUND(corr(CAST(l_quantity AS DOUBLE),
+                        CAST(l_extendedprice AS DOUBLE)), 4) AS corr_qp,
+             ROUND(covar_samp(CAST(l_quantity AS DOUBLE),
+                              CAST(l_extendedprice AS DOUBLE)), 4) AS cov_qp,
+             ROUND(covar_pop(CAST(l_quantity AS DOUBLE),
+                             CAST(l_extendedprice AS DOUBLE)), 4) AS covp_qp,
+             ROUND(regr_slope(CAST(l_extendedprice AS DOUBLE),
+                              CAST(l_quantity AS DOUBLE)), 4) AS slope_pq,
+             ROUND(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+                                  CAST(l_quantity AS DOUBLE)), 4) AS icept_pq,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

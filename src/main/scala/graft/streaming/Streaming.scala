@@ -525,7 +525,61 @@ object Streaming {
       runToEnd(s, stream, "append").orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // --------------------------------------------------------------- st15
+    // Stream-stream LEFT OUTER join: st07's attribution join, but
+    // clicks with NO purchase inside the 30-minute window must still
+    // emit (with nulls) — the row only materializes when the watermark
+    // proves no match can ever arrive, i.e. at state eviction. Matches
+    // emit immediately; null-rows emit as the watermark passes each
+    // click's window end, so state stays bounded exactly as in the
+    // inner join. Batch equivalence needs care at the stream's end:
+    // clicks whose window is NOT yet closed by the final watermark
+    // (min of both sides' max ts − 1 h) have emitted their matches but
+    // not their verdict, so BOTH the stream result and the oracle
+    // restrict to confidently-closed clicks — the same end-of-stream
+    // closure predicate every append-mode oracle here encodes.
+    GQuery("st15_stream_outer_join", (s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("c_user"), col("c_ts"), col("p_ts"))
+      // Final global watermark of the bounded run: each side's max
+      // event time − 1 h, min across sides (computed from the batch
+      // table — same file, same values).
+      val wmDf = T.events(s, d).agg(
+        (least(max(when(col("event_type") === "click", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          - expr("INTERVAL 1 HOUR")).as("wm"))
+      runToEnd(s, joined, "append")
+        .crossJoin(broadcast(wmDf))
+        .filter(col("c_ts") + expr("INTERVAL 30 MINUTES") < col("wm"))
+        .select(col("c_user"), col("c_ts"), col("p_ts"))
+        .orderBy(col("c_user"), col("c_ts"), col("p_ts"))
+    }, Some("""
+      WITH c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT LEAST((SELECT MAX(c_ts) FROM c),
+                          (SELECT MAX(p_ts) FROM p))
+                    - INTERVAL 1 HOUR AS w)
+      SELECT c_user, c_ts, p_ts
+      FROM c LEFT JOIN p
+        ON c_user = p_user AND p_ts > c_ts
+       AND p_ts <= c_ts + INTERVAL 30 MINUTE
+      WHERE c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      ORDER BY c_user, c_ts, p_ts"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
