@@ -328,7 +328,7 @@ object DeltaLite {
     * resolve as-is, and the partition-discovery basePath must be
     * omitted for them (they live outside this table's root).
     */
-  private def isAbsPath(p: String): Boolean =
+  private[sources] def isAbsPath(p: String): Boolean =
     p.startsWith("/") || p.contains("://")
 
   private def readFiles(s: SparkSession, table: String, schema: StructType,
@@ -1251,6 +1251,57 @@ object DeltaLite {
         st.entries.map(e => addAction(abs(e.path), e.size, e.partValues,
           e.stats.map(_.toString), dataChange = true,
           e.dv.map(p => (abs(p), e.dvCardinality)))))
+  }
+
+  /** Absolute paths of the current live data files (spec assertion
+    * hook, matching [[IcebergLite.dataFiles]]): conversion and clone
+    * invariants are stated as equalities over this set.
+    */
+  def dataFiles(s: SparkSession, table: String): Seq[String] =
+    liveFileState(s, table)._3.map(_._1).sorted
+
+  /** Live add-file state for format conversion (LakeConvert): schema
+    * JSON, partition columns, and one (absolute path, size, partition
+    * values, stats JSON) tuple per live file. Deletion-vector tables
+    * are rejected loudly — a DV row mask has no lossless expression as
+    * a bare file reference (rewrite with [[compact]] first).
+    */
+  private[sources] def liveFileState(s: SparkSession, table: String)
+      : (String, Seq[String],
+         Seq[(String, Long, Seq[(String, Option[String])], Option[String])]) = {
+    val latest = latestVersion(s, table)
+    require(latest >= 0, s"no delta log at $table")
+    val st = replay(s, table, latest)
+    val f = fs(s, new Path(table))
+    def abs(rel: String): String =
+      if (isAbsPath(rel)) rel
+      else f.makeQualified(new Path(table, rel)).toUri.getPath
+    (st.schemaJson, st.partCols, st.entries.map { e =>
+      require(e.dv.isEmpty,
+        s"$table carries deletion vectors; compact before converting")
+      (abs(e.path), e.size, e.partValues, e.stats.map(_.toString))
+    })
+  }
+
+  /** Create a table whose version-0 commit references EXISTING parquet
+    * files by absolute path (stats carried verbatim) — the write half
+    * of a metadata-only format conversion; the read path treats the
+    * references exactly like a shallow clone's. Unpartitioned only
+    * (partition values are directory-derived at read here, and
+    * foreign-layout directories prove nothing).
+    */
+  private[sources] def createFromFiles(s: SparkSession, dst: String,
+      schemaJson: String,
+      files: Seq[(String, Long, Seq[(String, Option[String])], Option[String])])
+      : Unit = {
+    require(latestVersion(s, dst) < 0, s"table already exists at $dst")
+    writeCommit(s, dst, 0L,
+      protocolAction +:
+        metaDataAction(dst, schemaJson, Nil) +:
+        files.map { case (p, sz, _, stats) =>
+          require(isAbsPath(p), s"conversion references must be absolute: $p")
+          addAction(p, sz, Nil, stats, dataChange = true)
+        })
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the live files clustered on the

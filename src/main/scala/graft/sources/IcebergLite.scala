@@ -274,9 +274,10 @@ object IcebergLite {
     val dataSchema =
       StructType(st.fields.filterNot(fd => partCols.contains(fd.name)))
     val stats = DeltaLite.footerStats(s, table, staged.map(_._1), dataSchema)
-    val entries = staged.map { case (rel, pvs, _) =>
+    val entries = staged.map { case (rel, pvs, sz) =>
       val e = Json.createObjectNode()
       e.put("path", rel)
+      e.put("size", sz) // file length, carried for format conversion
       val pv = e.putObject("partitionValues")
       pvs.foreach {
         case (k, Some(v)) => pv.put(k, v)
@@ -547,8 +548,23 @@ object IcebergLite {
     val needPos = posCol.isDefined || deleteFiles.nonEmpty
     val parts = nonEmpty.map { case (schemaId, entries) =>
       val writeSchema = meta.schemaById(schemaId)
-      val base0 = s.read.schema(writeSchema.struct)
-        .option("basePath", s"$table/data")
+      // Converted tables (LakeConvert) reference foreign files by
+      // absolute path; those live outside data/ (so the partition-
+      // discovery basePath must be omitted — convert is unpartitioned
+      // by contract) and were not written by this table's writer (so
+      // they carry no Iceberg field ids: resolve their columns by
+      // NAME, i.e. read under the schema stripped of its field-id
+      // annotations, which otherwise make Spark demand ids).
+      val foreign = entries.exists(e => DeltaLite.isAbsPath(e.path))
+      val readStruct =
+        if (foreign) StructType(writeSchema.struct.fields.map(
+          _.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+        else writeSchema.struct
+      val reader0 = s.read.schema(readStruct)
+      val reader =
+        if (foreign) reader0
+        else reader0.option("basePath", s"$table/data")
+      val base0 = reader
         .parquet(entries.map(e => new Path(table, e.path).toString): _*)
         .withColumn("_ice_fname",
           element_at(split(input_file_name(), "/"), -1))
@@ -726,6 +742,66 @@ object IcebergLite {
   def deleteFiles(s: SparkSession, table: String): Seq[String] = {
     val (_, manifests) = manifestsOf(s, table, -1L)
     deleteFilesOf(manifests).sorted
+  }
+
+  /** Live data-file state for format conversion (LakeConvert): current
+    * schema, partition columns, and one (absolute path, size, partition
+    * values, stats JSON) tuple per live file. Rejects tables with
+    * position-delete files (a row mask has no lossless bare-file
+    * expression — [[compact]] folds deletes in first) and evolved
+    * schemas (foreign readers match columns by name; [[compact]] also
+    * rewrites everything under the current schema).
+    */
+  private[sources] def liveFileState(s: SparkSession, table: String)
+      : (StructType, Seq[String],
+         Seq[(String, Long, Seq[(String, Option[String])], Option[String])]) = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    require(deleteFilesOf(manifests).isEmpty,
+      s"$table carries position deletes; compact before converting")
+    val dms = dataManifests(manifests)
+    require(dms.forall(_.schemaId == meta.currentSchemaId),
+      s"$table has manifests under evolved schemas; compact before " +
+        "converting (foreign readers resolve columns by name)")
+    val f = fs(s, new Path(table))
+    val entries = dms.flatMap(_.entries).map { e =>
+      val abs =
+        if (DeltaLite.isAbsPath(e.path)) e.path
+        else f.makeQualified(new Path(table, e.path)).toUri.getPath
+      val size = Option(e.raw.get("size")).map(_.asLong())
+        .getOrElse(f.getFileStatus(new Path(table, e.path)).getLen)
+      (abs, size, e.partValues, e.stats.map(_.toString))
+    }
+    (meta.schema, meta.partCols, entries)
+  }
+
+  /** Create a table whose first snapshot references EXISTING parquet
+    * files by absolute path (stats carried verbatim, so manifest/stats
+    * pruning works from day one) — the write half of a metadata-only
+    * format conversion. Unpartitioned only; field ids are assigned
+    * fresh 1..n in schema order, which is safe exactly because the
+    * referenced files are resolved by name until the first native
+    * rewrite re-stamps them.
+    */
+  private[sources] def createFromFiles(s: SparkSession, table: String,
+      schema: StructType,
+      files: Seq[(String, Long, Seq[(String, Option[String])], Option[String])])
+      : Long = {
+    require(currentVersion(s, table) < 0, s"table already exists at $table")
+    val f = fs(s, metaDir(table))
+    f.mkdirs(metaDir(table))
+    val iceSchema = schemaFromStruct(1, schema)
+    val entries = files.map { case (p, sz, _, stats) =>
+      require(DeltaLite.isAbsPath(p),
+        s"conversion references must be absolute: $p")
+      val e = Json.createObjectNode()
+      e.put("path", p)
+      e.put("size", sz)
+      e.putObject("partitionValues")
+      stats.foreach(x => e.set[JsonNode]("stats", Json.readTree(x)))
+      ManifestEntry(p, Nil, Option(e.get("stats")).filterNot(_.isNull), e)
+    }
+    val m = writeManifestFile(f, table, 1, Nil, entries)
+    commitSnapshot(s, table, Meta(Seq(iceSchema), 1, Nil, 0L, Nil), Seq(m))
   }
 
   /** Merge-on-read DELETE via Iceberg v2 position-delete files: the

@@ -852,6 +852,49 @@ object Sources {
         UNION ALL
         SELECT 'published' AS phase, p_partkey, p_name, p_retailprice
         FROM part)
-      ORDER BY phase, p_partkey"""))
+      ORDER BY phase, p_partkey""")),
+
+    // ---------------------------------------------------------------- s32
+    // Metadata-only format conversion (LakeConvert): a Delta table —
+    // built across two commits plus a rewriting DELETE, so the live
+    // set is a real mix of original and rewritten files — converts to
+    // Iceberg, then that Iceberg table converts BACK to a second Delta
+    // table. Zero data bytes move in either direction: both conversions
+    // write one metadata commit referencing the same parquet by
+    // absolute path, stats carried. The query reads through BOTH
+    // converted tables and the oracle hash-checks each against the
+    // source-of-truth SQL — a conversion that dropped a file, leaked a
+    // deleted row, or mangled the schema breaks the hash.
+    GQuery("s32_convert_format", (s, d) => {
+      val base = scratch("s32")
+      val src = s"$base/orders_delta"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .filter(col("o_orderkey") <= 3000)
+      DeltaLite.create(s, src, o.filter(col("o_orderkey") % 2 === 0)
+        .repartitionByRange(3, col("o_orderkey")))
+      DeltaLite.append(s, src, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLite.deleteWhere(s, src, col("o_custkey") % 10 === 3)
+      val ice = s"$base/orders_ice"
+      LakeConvert.deltaToIceberg(s, src, ice)
+      val back = s"$base/orders_back"
+      LakeConvert.icebergToDelta(s, ice, back)
+      IcebergLite.snapshot(s, ice).withColumn("phase", lit("ice"))
+        .unionByName(
+          DeltaLite.snapshot(s, back).withColumn("phase", lit("back")))
+        .select(col("phase"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("phase"), col("o_orderkey"))
+    }, Some("""
+      SELECT phase, o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM (
+        SELECT 'ice' AS phase, o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey <= 3000 AND NOT (o_custkey % 10 = 3)
+        UNION ALL
+        SELECT 'back' AS phase, o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey <= 3000 AND NOT (o_custkey % 10 = 3))
+      ORDER BY phase, o_orderkey"""))
   )
 }
