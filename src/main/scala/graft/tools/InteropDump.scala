@@ -72,6 +72,37 @@ object InteropDump {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/iceberg_expected")
 
+    // ---- Format conversion, both directions (LakeConvert): the
+    //      converted table's metadata references FOREIGN files by
+    //      absolute path — an Iceberg manifest over id-less
+    //      Delta-written parquet (name resolution), and a Delta log
+    //      over field-id-stamped Iceberg-written parquet.
+    val cds = s"$outDir/conv_delta_src"
+    DeltaLite.create(spark, cds,
+      o.filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartitionByRange(3, col("o_orderkey")))
+    DeltaLite.deleteWhere(spark, cds, col("o_custkey") % 9 === 1)
+    graft.sources.LakeConvert.deltaToIceberg(spark, cds,
+      s"$outDir/conv_iceberg")
+    IcebergLite.snapshot(spark, s"$outDir/conv_iceberg")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/conv_iceberg_expected")
+
+    val cis = s"$outDir/conv_ice_src"
+    IcebergLite.create(spark, cis,
+      c.filter(col("c_custkey") <= 600)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .repartitionByRange(3, col("c_custkey")))
+    IcebergLite.append(spark, cis,
+      c.filter(col("c_custkey") > 600 && col("c_custkey") <= 900)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")))
+    graft.sources.LakeConvert.icebergToDelta(spark, cis,
+      s"$outDir/conv_delta")
+    DeltaLite.snapshot(spark, s"$outDir/conv_delta")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/conv_delta_expected")
+
     spark.stop()
   }
 }

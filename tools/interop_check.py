@@ -184,7 +184,8 @@ def read_iceberg(table):
     for path, sid in data_files:
         full = os.path.join(table, path)
         fids = field_id_map(full)
-        if not fids:
+        foreign = os.path.isabs(path)
+        if not fids and not foreign:
             missing_fid += 1
         tb = pq.read_table(full)
         fname = os.path.basename(path)
@@ -195,13 +196,18 @@ def read_iceberg(table):
         df = tb.to_pandas()
         # Resolve to the CURRENT schema by field id (renames re-label,
         # added columns materialize as null) — the Iceberg contract.
+        # Converted tables (absolute-path references to files another
+        # writer produced) carry no field ids; those resolve by NAME,
+        # which is sound exactly because conversion pins a single
+        # un-evolved schema.
         out = {}
         for fd in cur["fields"]:
-            src = fids.get(fd["id"])
+            src = fd["name"] if (foreign and not fids) \
+                else fids.get(fd["id"])
             out[fd["name"]] = df[src] if src in df.columns else None
         frames.append(pd.DataFrame(out))
     if missing_fid:
-        fail(f"{missing_fid} data files carry no parquet field_ids")
+        fail(f"{missing_fid} native data files carry no parquet field_ids")
     return pd.concat(frames, ignore_index=True)
 
 
@@ -230,8 +236,15 @@ def main(root):
     check("delta_clone", read, os.path.join(root, "delta_clone_expected"))
     read = read_iceberg(os.path.join(root, "iceberg_table"))
     check("iceberg", read, os.path.join(root, "iceberg_expected"))
-    print("\nOK: both table formats (and clones) reconstruct identically "
-          "from their on-disk protocol alone")
+    # Converted tables (LakeConvert): an Iceberg metadata tree over
+    # id-less Delta-written parquet, and a Delta log over Iceberg-
+    # written parquet — both referenced by absolute path, zero copy.
+    read = read_iceberg(os.path.join(root, "conv_iceberg"))
+    check("conv_iceberg", read, os.path.join(root, "conv_iceberg_expected"))
+    read = read_delta(os.path.join(root, "conv_delta"))
+    check("conv_delta", read, os.path.join(root, "conv_delta_expected"))
+    print("\nOK: both table formats (clones and conversions included) "
+          "reconstruct identically from their on-disk protocol alone")
 
 
 if __name__ == "__main__":
