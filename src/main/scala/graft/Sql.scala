@@ -492,7 +492,20 @@ object Sql {
                CAST(SUM(anc_key) AS BIGINT) AS anc_key_sum
         FROM anc
         GROUP BY node
-        ORDER BY n_nationkey""")
+        ORDER BY n_nationkey"""),
+
+      // ------------------------------------------------------------ x22
+      // GROUP BY ALL (the modern-dialect shorthand both engines parse:
+      // every non-aggregate select item becomes a grouping key) — a
+      // dialect-parity proof on byte-identical text, planned as the
+      // ordinary partial/final hash aggregate.
+      passthrough("x22_sql_group_by_all", """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderpriority, o_orderstatus""")
     )
   }
 }
