@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, LogicalPlan, TableSpec, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, LogicalPlan, RenameColumn, TableSpec, UpdateTable}
 import org.apache.spark.sql.graft.Glue
 
 import graft.sources.{DeltaLite, IcebergLite}
@@ -147,6 +147,30 @@ object LakeSql {
       case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement =>
         execute(s, Map.empty, statement)
         s.emptyDataFrame
+      // ALTER TABLE … ADD COLUMNS / RENAME COLUMN: metadata-only
+      // schema evolution on either provider — zero data IO at any
+      // table size. RENAME needs stable field ids to keep existing
+      // files resolving, so it is IcebergLite-only (Delta would need
+      // the protocol's column-mapping feature — rejected loudly).
+      case AddColumns(tbl, colsToAdd) =>
+        val (provider, path) = lookupAlterTarget(s, tbl)
+        colsToAdd.foreach { c =>
+          require(c.path.isEmpty,
+            s"only top-level columns can be added, got ${c.name}")
+          if (provider == "deltalite")
+            DeltaLite.addColumn(s, path, c.colName, c.dataType)
+          else IcebergLite.addColumn(s, path, c.colName, c.dataType)
+        }
+        s.emptyDataFrame
+      case RenameColumn(tbl, column, newName) =>
+        val (provider, path) = lookupAlterTarget(s, tbl)
+        require(provider == "iceberglite",
+          "RENAME COLUMN requires stable field ids (iceberglite); " +
+            "deltalite tables would orphan existing files' columns")
+        require(column.name.length == 1,
+          s"only top-level columns can be renamed, got ${column.name}")
+        IcebergLite.renameColumn(s, path, column.name.head, newName)
+        s.emptyDataFrame
       case plan if plan.collectWithSubqueries {
           case _: RelationTimeTravel => () }.nonEmpty =>
         // Time-travel query path: `name VERSION AS OF v` cannot bind
@@ -183,6 +207,24 @@ object LakeSql {
         }
         s.sql(statement)
     }
+
+  /** Resolve an ALTER TABLE target plan to (provider, path) through the
+    * session catalog.
+    */
+  private def lookupAlterTarget(s: SparkSession,
+      tbl: LogicalPlan): (String, String) = {
+    val name = tbl match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        u.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"unsupported ALTER target: $other")
+    }
+    catalog(s).get(name) match {
+      case Some(pp) => pp
+      case None =>
+        throw new IllegalArgumentException(s"table $name not in catalog")
+    }
+  }
 
   /** Execute one DML statement. `tables` maps statement table names to
     * DeltaLite paths; names not in the map resolve through the session

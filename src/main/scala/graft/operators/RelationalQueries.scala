@@ -1140,6 +1140,37 @@ object RelationalQueries {
                                   CAST(l_quantity AS DOUBLE)), 4) AS icept_pq,
              COUNT(*) AS n
       FROM lineitem
-      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q51
+    // Argument extremes (DuckDB's arg_max/arg_min; Spark's max_by/
+    // min_by) plus exact interpolated MEDIAN — "which row holds the
+    // extreme", the lookup that otherwise costs a ranked window. All
+    // three are single-pass aggregates with tiny partial state (one
+    // candidate per partition / a per-group sort for median), so the
+    // plan is the same one-exchange partial/final shape as SUM at any
+    // scale. max_by ties are nondeterministic in BOTH engines, so the
+    // ordering value packs the price with the order key as a tiebreak:
+    // FLOOR(price*1e4) buckets (floor is exact on doubles — no
+    // rounding-mode divergence), key disambiguates within a bucket.
+    // The packed value stays unique and < 2^63 while orderkey < 1e7.
+    GQuery("q51_arg_extremes", (s, d) => {
+      val ord = floor(col("o_totalprice") * lit(10000)).cast("long") *
+        lit(10000000L) + col("o_orderkey")
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), ord).as("top_order"),
+          min_by(col("o_orderkey"), ord).as("bottom_order"),
+          round(median(col("o_totalprice")), 4).as("median_price"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+             MAX_BY(o_orderkey, CAST(FLOOR(o_totalprice * 10000) AS BIGINT)
+               * 10000000 + o_orderkey) AS top_order,
+             MIN_BY(o_orderkey, CAST(FLOOR(o_totalprice * 10000) AS BIGINT)
+               * 10000000 + o_orderkey) AS bottom_order,
+             ROUND(MEDIAN(o_totalprice), 4) AS median_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

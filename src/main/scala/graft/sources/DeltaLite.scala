@@ -994,6 +994,28 @@ object DeltaLite {
           st.partCols))
   }
 
+  /** ADD a nullable column without touching data: one commit carrying
+    * only the widened-schema metaData action (the ALTER TABLE ADD
+    * COLUMNS path). Zero data IO at any table size; files written
+    * before the change read as null for the new column — the same
+    * fill-missing-with-null read rule [[appendEvolved]] relies on.
+    * Delta has no field ids, so RENAME would orphan existing files'
+    * columns (it needs the protocol's column-mapping feature) — only
+    * ADD is offered here; renames are IcebergLite's field-id win.
+    */
+  def addColumn(s: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    require(!st.schema.fieldNames.contains(name),
+      s"column $name already exists")
+    val widened = StructType(st.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    writeCommit(s, table, v + 1,
+      Seq(metaDataAction(table, widened.json, st.partCols)))
+  }
+
   /** Append under optimistic concurrency: data files are staged ONCE,
     * then the commit races — on a version conflict (another writer won
     * the claim on that commit file) we re-read the latest version and

@@ -126,4 +126,59 @@ class LakeSqlSpec extends SparkSpec {
         .head().getLong(0) ==
       c.filter(col("c_custkey") <= 50).count())
   }
+
+  test("ALTER TABLE: ADD COLUMNS is metadata-only on both providers; " +
+      "RENAME COLUMN works on iceberg field-ids and is rejected on delta") {
+    import graft.sources.IcebergLite
+    Sql.open(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = Scratch.dir("lakesql-alter")
+
+    val dn = s"alter_d_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $dn USING deltalite
+      LOCATION '$root/$dn'
+      AS SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 30""")
+    val dataFilesBefore = new java.io.File(s"$root/$dn")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    LakeSql.sql(spark, s"ALTER TABLE $dn ADD COLUMNS (score DOUBLE)")
+    // Metadata-only: no data file was written or rewritten.
+    assert(new java.io.File(s"$root/$dn")
+      .listFiles().count(_.getName.endsWith(".parquet")) == dataFilesBefore)
+    // Old files read null for the new column; DML can fill it.
+    val snap = LakeSql.sql(spark, s"SELECT * FROM $dn")
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "score"))
+    assert(snap.filter(col("score").isNotNull).count() == 0)
+    LakeSql.sql(spark, s"UPDATE $dn SET score = 1.5 WHERE c_custkey <= 10")
+    assert(LakeSql.sql(spark, s"SELECT * FROM $dn")
+      .filter(col("score") === 1.5).count() ==
+      Tables.customer(spark, sfDir).filter(col("c_custkey") <= 10).count())
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"ALTER TABLE $dn RENAME COLUMN c_name TO nm")
+    }
+
+    val in = s"alter_i_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $in USING iceberglite
+      LOCATION '$root/$in'
+      AS SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 30""")
+    LakeSql.sql(spark, s"ALTER TABLE $in ADD COLUMNS (score DOUBLE)")
+    LakeSql.sql(spark, s"ALTER TABLE $in RENAME COLUMN c_name TO nm")
+    // Files written pre-rename resolve through field ids under the new
+    // name; the added column reads null.
+    val isnap = LakeSql.sql(spark, s"SELECT * FROM $in")
+    assert(isnap.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "nm", "score"))
+    assert(isnap.filter(col("nm").isNull).count() == 0)
+    assert(isnap.filter(col("score").isNotNull).count() == 0)
+    // Writes after the evolution land under the new schema.
+    LakeSql.sql(spark, s"""INSERT INTO $in
+      SELECT c_custkey, c_name AS nm, CAST(2.5 AS DOUBLE) AS score
+      FROM customer WHERE c_custkey > 30 AND c_custkey <= 40""")
+    assert(LakeSql.sql(spark, s"SELECT * FROM $in")
+      .filter(col("score") === 2.5).count() == 10)
+    // Unknown-table ALTER fails loudly.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"ALTER TABLE nope_$tag ADD COLUMNS (x INT)")
+    }
+  }
 }
