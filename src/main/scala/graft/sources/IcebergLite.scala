@@ -124,9 +124,19 @@ object IcebergLite {
       IceField(startId + i, fd.name, required = !fd.nullable, fd.dataType)
     }.toSeq)
 
+  /** `partSpecs` is the table's partition-spec history (Iceberg's
+    * `partition-specs` list, identity transforms only): spec ids are
+    * assigned once and never reused; `defaultSpecId` names the spec NEW
+    * data files are written under. Old manifests keep the spec they
+    * were written with — evolving the spec is a metadata-only commit
+    * that rewrites nothing.
+    */
   private case class Meta(schemas: Seq[IceSchema], currentSchemaId: Int,
-      partCols: Seq[String], currentSnapshot: Long,
-      snapshots: Seq[(Long, String)]) {
+      partSpecs: Seq[(Int, Seq[String])], defaultSpecId: Int,
+      currentSnapshot: Long, snapshots: Seq[(Long, String)]) {
+    def partCols: Seq[String] = colsOfSpec(defaultSpecId)
+    def colsOfSpec(specId: Int): Seq[String] =
+      partSpecs.find(_._1 == specId).map(_._2).getOrElse(Nil)
     def currentSchema: IceSchema =
       schemas.find(_.schemaId == currentSchemaId).get
     def schemaById(id: Int): IceSchema =
@@ -175,9 +185,19 @@ object IcebergLite {
     val curId =
       if (n.has("current-schema-id")) n.get("current-schema-id").asInt()
       else schemas.head.schemaId
-    Meta(schemas, curId,
-      Option(n.get("partition-spec")).toSeq
-        .flatMap(_.elements().asScala.map(_.asText())).toSeq,
+    val specs =
+      if (n.has("partition-specs"))
+        n.get("partition-specs").elements().asScala.map { sp =>
+          sp.get("spec-id").asInt() ->
+            sp.get("cols").elements().asScala.map(_.asText()).toSeq
+        }.toSeq
+      else
+        // Pre-evolution table: its one spec is spec 0.
+        Seq(0 -> Option(n.get("partition-spec")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText())).toSeq)
+    val defSpec =
+      if (n.has("default-spec-id")) n.get("default-spec-id").asInt() else 0
+    Meta(schemas, curId, specs, defSpec,
       n.get("current-snapshot-id").asLong(),
       n.get("snapshots").elements().asScala.map(sn =>
         sn.get("snapshot-id").asLong() -> sn.get("manifest-list").asText())
@@ -196,7 +216,7 @@ object IcebergLite {
     * written under (id-based read resolution keys on it).
     */
   private case class Manifest(path: String, content: String, schemaId: Int,
-      partSummary: Map[String, Seq[Option[String]]],
+      specId: Int, partSummary: Map[String, Seq[Option[String]]],
       entries: Seq[ManifestEntry])
 
   private def readManifests(s: SparkSession, table: String,
@@ -225,6 +245,8 @@ object IcebergLite {
           Option(m.get("content")).map(_.asText()).getOrElse("data"),
           Option(m.get("schema-id")).map(_.asInt())
             .getOrElse(meta.currentSchemaId),
+          // Pre-evolution manifests were all written under spec 0.
+          Option(m.get("spec-id")).map(_.asInt()).getOrElse(0),
           summary, entries)
       }
   }
@@ -233,9 +255,11 @@ object IcebergLite {
     * verbatim so manifest rewrites preserve stats bit-exactly).
     */
   private def writeManifestFile(f: FileSystem, table: String, schemaId: Int,
-      partCols: Seq[String], entries: Seq[ManifestEntry]): String = {
+      specId: Int, partCols: Seq[String],
+      entries: Seq[ManifestEntry]): String = {
     val root = Json.createObjectNode()
     root.put("schema-id", schemaId)
+    root.put("spec-id", specId)
     val summary = root.putObject("partition-summary")
     partCols.foreach { pc =>
       val arr = summary.putArray(pc)
@@ -260,7 +284,7 @@ object IcebergLite {
     * Returns the manifest's relative path.
     */
   private def writeManifest(s: SparkSession, table: String, df: DataFrame,
-      schema: IceSchema, partCols: Seq[String]): String = {
+      schema: IceSchema, specId: Int, partCols: Seq[String]): String = {
     val f = fs(s, new Path(table))
     f.mkdirs(new Path(table, "data"))
     val st = schema.struct
@@ -287,7 +311,7 @@ object IcebergLite {
       ManifestEntry(rel, pvs,
         Option(e.get("stats")).filterNot(_.isNull), e)
     }
-    writeManifestFile(f, table, schema.schemaId, partCols, entries)
+    writeManifestFile(f, table, schema.schemaId, specId, partCols, entries)
   }
 
   private def metadataNode(table: String, meta: Meta): ObjectNode = {
@@ -302,8 +326,18 @@ object IcebergLite {
     // Kept for readers of the pre-field-id layout (and as the plain
     // Spark rendering of the current schema).
     n.put("schema-json", meta.schema.json)
+    // The default spec under the legacy single-spec key (kept for
+    // pre-evolution readers), plus the full spec history.
     val spec = n.putArray("partition-spec")
     meta.partCols.foreach(spec.add)
+    val specsArr = n.putArray("partition-specs")
+    meta.partSpecs.foreach { case (id, cols) =>
+      val o = specsArr.addObject()
+      o.put("spec-id", id)
+      val ca = o.putArray("cols")
+      cols.foreach(ca.add)
+    }
+    n.put("default-spec-id", meta.defaultSpecId)
     n.put("current-snapshot-id", meta.currentSnapshot)
     val snaps = n.putArray("snapshots")
     meta.snapshots.foreach { case (id, rel) =>
@@ -358,9 +392,9 @@ object IcebergLite {
       s"partition column $pc not in data"))
     fs(s, metaDir(table)).mkdirs(metaDir(table))
     val schema = schemaFromStruct(1, df.schema)
-    val m = writeManifest(s, table, df, schema, partitionColumns)
+    val m = writeManifest(s, table, df, schema, 0, partitionColumns)
     commitSnapshot(s, table,
-      Meta(Seq(schema), 1, partitionColumns, 0L, Nil), Seq(m))
+      Meta(Seq(schema), 1, Seq(0 -> partitionColumns), 0, 0L, Nil), Seq(m))
   }
 
   /** Append as a NEW snapshot: its manifest list is the previous
@@ -372,7 +406,8 @@ object IcebergLite {
     val meta = readMeta(s, table)
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
-    val m = writeManifest(s, table, df, meta.currentSchema, meta.partCols)
+    val m = writeManifest(s, table, df, meta.currentSchema,
+      meta.defaultSpecId, meta.partCols)
     commitSnapshot(s, table, meta, prevManifests :+ m)
   }
 
@@ -388,6 +423,9 @@ object IcebergLite {
     require(meta.schemas.size == 1,
       "streaming source requires an un-evolved schema (field-id " +
         "resolution is the batch read path)")
+    require(meta.partSpecs.size == 1,
+      "streaming source requires an un-evolved partition spec (the " +
+        "stream projects one fixed partition-column set)")
     (meta.currentSchema.struct, meta.partCols, meta.currentSnapshot)
   }
 
@@ -442,7 +480,8 @@ object IcebergLite {
     val meta = readMeta(s, table)
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
-    val m = writeManifest(s, table, df, meta.currentSchema, meta.partCols)
+    val m = writeManifest(s, table, df, meta.currentSchema,
+      meta.defaultSpecId, meta.partCols)
     commitSnapshot(s, table, meta, prevManifests :+ m, advance = false)
   }
 
@@ -470,8 +509,9 @@ object IcebergLite {
     val cur = meta.currentSchema
     require(cur.fields.exists(_.name == from), s"no column $from")
     require(!cur.fields.exists(_.name == to), s"column $to already exists")
-    require(!meta.partCols.contains(from),
-      s"cannot rename partition column $from (identity layout)")
+    require(!meta.partSpecs.exists(_._2.contains(from)),
+      s"cannot rename partition column $from (its name is baked into " +
+        "some spec's data/k=v/ layout)")
     val next = IceSchema(meta.schemas.map(_.schemaId).max + 1,
       cur.fields.map(fd => if (fd.name == from) fd.copy(name = to) else fd))
     writeMetadata(s, table, meta.copy(schemas = meta.schemas :+ next,
@@ -493,6 +533,33 @@ object IcebergLite {
         dataType))
     writeMetadata(s, table, meta.copy(schemas = meta.schemas :+ next,
       currentSchemaId = next.schemaId))
+  }
+
+  /** EVOLVE the partition spec (identity columns only): a metadata-only
+    * commit registering a NEW spec id and making it the default for
+    * future writes. Nothing is rewritten — existing manifests keep
+    * their spec, their files stay in their old layout, and reads union
+    * the layouts per spec group. This is Iceberg's headline answer to
+    * "we partitioned a 100 TB table wrong": re-partitioning costs one
+    * metadata file, not a table rewrite; [[compact]] migrates old
+    * layouts to the new spec incrementally if wanted. Old-spec
+    * manifests cannot prune on the new spec's columns (their summaries
+    * never saw them) — they are scanned conservatively, which is
+    * correct and exactly Iceberg's behavior. Returns the new spec id.
+    */
+  def evolvePartitionSpec(s: SparkSession, table: String,
+      partitionColumns: Seq[String]): Int = {
+    val meta = readMeta(s, table)
+    val cur = meta.currentSchema
+    partitionColumns.foreach(pc => require(
+      cur.fields.exists(_.name == pc), s"no column $pc in schema"))
+    require(partitionColumns != meta.partCols,
+      "partition spec unchanged")
+    val id = meta.partSpecs.map(_._1).max + 1
+    writeMetadata(s, table, meta.copy(
+      partSpecs = meta.partSpecs :+ (id -> partitionColumns),
+      defaultSpecId = id))
+    id
   }
 
   /** All snapshot ids, oldest first. */
@@ -517,13 +584,14 @@ object IcebergLite {
   private def dataManifests(manifests: Seq[Manifest]): Seq[Manifest] =
     manifests.filter(_.content == "data")
 
-  /** Read (schemaId, entries) groups under the CURRENT schema with
-    * ID-BASED column resolution: each group reads under the struct its
-    * files were WRITTEN with (so names match the parquet), then maps to
-    * the current schema by field id — renamed columns re-label, added
+  /** Read ((schemaId, specId), entries) groups under the CURRENT schema
+    * with ID-BASED column resolution: each group reads under the struct
+    * its files were WRITTEN with (so names match the parquet), then maps
+    * to the current schema by field id — renamed columns re-label, added
     * columns materialize as null. Partitioned tables read with basePath
     * so partition columns are injected from the `data/k=v/` layout with
-    * the declared types. When the snapshot carries position-delete
+    * the declared types; grouping by spec id keeps each reader call on
+    * ONE layout, which is what lets specs evolve without rewrites. When the snapshot carries position-delete
     * files, each data row's (file name, row position) is anti-joined
     * against the merged delete set — the Iceberg v2 merge-on-read
     * contract. The delete side is a normal parquet scan, so a huge
@@ -531,7 +599,7 @@ object IcebergLite {
     * small) — nothing passes through the driver.
     */
   private def readEntries(s: SparkSession, table: String, meta: Meta,
-      groups: Seq[(Int, Seq[ManifestEntry])],
+      groups: Seq[((Int, Int), Seq[ManifestEntry])],
       deleteFiles: Seq[String] = Nil,
       fileCol: Option[String] = None,
       posCol: Option[String] = None): DataFrame = {
@@ -546,7 +614,7 @@ object IcebergLite {
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
     }
     val needPos = posCol.isDefined || deleteFiles.nonEmpty
-    val parts = nonEmpty.map { case (schemaId, entries) =>
+    val parts = nonEmpty.map { case ((schemaId, _), entries) =>
       val writeSchema = meta.schemaById(schemaId)
       // Converted tables (LakeConvert) reference foreign files by
       // absolute path; those live outside data/ (so the partition-
@@ -595,9 +663,15 @@ object IcebergLite {
     parts.reduceLeft(_.unionByName(_)).select(outCols.map(col): _*)
   }
 
+  /** Group data entries by (schema id, spec id): one reader call per
+    * group — mixing files laid out under DIFFERENT partition specs in
+    * one parquet read would trip Spark's partition discovery
+    * ("conflicting directory structures"), and mixing write schemas
+    * would break id-based projection.
+    */
   private def entryGroups(
-      manifests: Seq[Manifest]): Seq[(Int, Seq[ManifestEntry])] =
-    dataManifests(manifests).groupBy(_.schemaId).view
+      manifests: Seq[Manifest]): Seq[((Int, Int), Seq[ManifestEntry])] =
+    dataManifests(manifests).groupBy(m => (m.schemaId, m.specId)).view
       .mapValues(_.flatMap(_.entries)).toSeq
 
   /** Snapshot read; `snapshotId < 0` means current. Every data file
@@ -676,7 +750,7 @@ object IcebergLite {
 
   private def prunedEntries(s: SparkSession, meta: Meta,
       manifests: Seq[Manifest], pred: Column)
-      : (Seq[Manifest], Seq[(Int, Seq[ManifestEntry])]) = {
+      : (Seq[Manifest], Seq[((Int, Int), Seq[ManifestEntry])]) = {
     val resolved = DeltaLite.resolvedPred(s, meta.schema, pred)
     val keptManifests = manifests.flatMap { m =>
       val schema = meta.schemaById(m.schemaId).struct
@@ -695,7 +769,7 @@ object IcebergLite {
       }
     }
     (keptManifests.map(_._1),
-      keptManifests.groupBy(_._1.schemaId).view
+      keptManifests.groupBy(t => (t._1.schemaId, t._1.specId)).view
         .mapValues(_.flatMap(_._2)).toSeq)
   }
 
@@ -762,6 +836,9 @@ object IcebergLite {
     require(dms.forall(_.schemaId == meta.currentSchemaId),
       s"$table has manifests under evolved schemas; compact before " +
         "converting (foreign readers resolve columns by name)")
+    require(dms.forall(_.specId == meta.defaultSpecId),
+      s"$table has manifests under evolved partition specs; compact " +
+        "before converting")
     val f = fs(s, new Path(table))
     val entries = dms.flatMap(_.entries).map { e =>
       val abs =
@@ -800,8 +877,9 @@ object IcebergLite {
       stats.foreach(x => e.set[JsonNode]("stats", Json.readTree(x)))
       ManifestEntry(p, Nil, Option(e.get("stats")).filterNot(_.isNull), e)
     }
-    val m = writeManifestFile(f, table, 1, Nil, entries)
-    commitSnapshot(s, table, Meta(Seq(iceSchema), 1, Nil, 0L, Nil), Seq(m))
+    val m = writeManifestFile(f, table, 1, 0, Nil, entries)
+    commitSnapshot(s, table,
+      Meta(Seq(iceSchema), 1, Seq(0 -> Nil), 0, 0L, Nil), Seq(m))
   }
 
   /** Merge-on-read DELETE via Iceberg v2 position-delete files: the
@@ -874,8 +952,10 @@ object IcebergLite {
       else {
         val kept = m.entries.filterNot(e => removedPaths(e.path))
         if (kept.isEmpty) None
-        else Some(writeManifestFile(f, table, m.schemaId, meta.partCols,
-          kept))
+        // A rewritten manifest keeps ITS OWN schema + spec: the
+        // surviving entries' files and partition values are unchanged.
+        else Some(writeManifestFile(f, table, m.schemaId, m.specId,
+          meta.colsOfSpec(m.specId), kept))
       }
     }
   }
@@ -906,7 +986,8 @@ object IcebergLite {
           case None => col(fd.name)
         }
       }.toSeq: _*)
-    val newManifest = writeManifest(s, table, rewritten, cur, meta.partCols)
+    val newManifest = writeManifest(s, table, rewritten, cur,
+      meta.defaultSpecId, meta.partCols)
     val removed = candidates.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
@@ -929,8 +1010,10 @@ object IcebergLite {
     val packed =
       if (meta.partCols.isEmpty) df.repartition(targetFiles)
       else df.repartition(targetFiles, meta.partCols.map(col): _*)
+    // Rewritten files land under the CURRENT schema AND the DEFAULT
+    // spec — compaction also retires old-spec layouts.
     val m = writeManifest(s, table, packed, meta.currentSchema,
-      meta.partCols)
+      meta.defaultSpecId, meta.partCols)
     commitSnapshot(s, table, meta, Seq(m))
   }
 
@@ -1025,7 +1108,8 @@ object IcebergLite {
       else readEntries(s, table, meta, hitGroups, deletes)
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(srcCols)
-    val newManifest = writeManifest(s, table, newData, cur, meta.partCols)
+    val newManifest = writeManifest(s, table, newData, cur,
+      meta.defaultSpecId, meta.partCols)
     val removed = hitGroups.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)

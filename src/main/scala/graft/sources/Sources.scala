@@ -896,5 +896,31 @@ object Sources {
                o_totalprice
         FROM orders WHERE o_orderkey <= 3000 AND NOT (o_custkey % 10 = 3))
       ORDER BY phase, o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s33
+    // Iceberg partition-spec EVOLUTION: the table starts unpartitioned,
+    // then one metadata-only commit re-partitions it on o_orderstatus —
+    // nothing is rewritten ("we partitioned a 100 TB table wrong" costs
+    // one metadata file). The next append lays out under the NEW
+    // data/o_orderstatus=X/ spec while the old files stay in place; the
+    // filtered read below prunes new-spec manifests by partition
+    // summary and scans old-spec manifests conservatively (their
+    // summaries never saw the column) — both layouts union into one
+    // result the oracle hash-checks.
+    GQuery("s33_iceberg_partition_evolution", (s, d) => {
+      val t = s"${scratch("s33")}/orders_ice"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      IcebergLite.create(s, t, o.filter(col("o_orderkey") <= 5000))
+      IcebergLite.evolvePartitionSpec(s, t, Seq("o_orderstatus"))
+      IcebergLite.append(s, t,
+        o.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 10000))
+      IcebergLite.scan(s, t, col("o_orderstatus") === "F")
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey <= 10000 AND o_orderstatus = 'F'
+      ORDER BY o_orderkey"""))
   )
 }

@@ -335,4 +335,61 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.publish(spark, t, 999L)
     }
   }
+
+  test("partition-spec evolution is metadata-only: old files stay in " +
+      "place, new appends lay out under the new spec, reads union both " +
+      "layouts, compaction migrates to the default spec") {
+    val t = freshTable()
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    IcebergLite.create(spark, t, o.filter(col("o_orderkey") <= 600))
+    val dataDir = new java.io.File(s"$t/data")
+    def looseFiles() = dataDir.listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+    val before = looseFiles()
+
+    IcebergLite.evolvePartitionSpec(spark, t, Seq("o_orderstatus"))
+    // Metadata-only: not a single data file written or moved.
+    assert(looseFiles() == before)
+
+    IcebergLite.append(spark, t,
+      o.filter(col("o_orderkey") > 600 && col("o_orderkey") <= 1200))
+    // The append landed under the NEW data/o_orderstatus=X/ layout;
+    // the old unpartitioned files are untouched.
+    assert(dataDir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("o_orderstatus=")))
+    assert(looseFiles() == before)
+
+    // Reads union both layouts into the one current schema.
+    val expect = o.filter(col("o_orderkey") <= 1200)
+    assert(IcebergLite.snapshot(spark, t)
+      .orderBy(col("o_orderkey")).collect().toSeq ==
+      expect.orderBy(col("o_orderkey")).collect().toSeq)
+
+    // A status filter prunes new-spec files by partition summary (and
+    // old-spec files at most by column stats — never wrongly).
+    val (kept, total) = IcebergLite.pruneInfo(spark, t,
+      col("o_orderstatus") === "F")
+    assert(kept < total)
+    assert(IcebergLite.scan(spark, t, col("o_orderstatus") === "F")
+      .count() == expect.filter(col("o_orderstatus") === "F").count())
+
+    // Compaction rewrites everything under the DEFAULT spec — the
+    // incremental layout-migration path: loose old-spec files drop out
+    // of the live set.
+    IcebergLite.compact(spark, t, 2)
+    assert(IcebergLite.snapshot(spark, t).count() == expect.count())
+    assert(IcebergLite.scan(spark, t, col("o_orderstatus") === "F")
+      .count() == expect.filter(col("o_orderstatus") === "F").count())
+
+    // Columns named by ANY spec (past or present) cannot be renamed;
+    // re-declaring the current spec is rejected.
+    intercept[IllegalArgumentException] {
+      IcebergLite.renameColumn(spark, t, "o_orderstatus", "status")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.evolvePartitionSpec(spark, t, Seq("o_orderstatus"))
+    }
+  }
 }
