@@ -413,7 +413,58 @@ object Dedup {
                AS kept_id_sum,
              ROUND(SUM(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
                AS rate
-      FROM k GROUP BY source ORDER BY source"""))
+      FROM k GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- d12
+    // INCREMENTAL dedup: the growing-corpus shape — a new crawl batch
+    // lands in the lake and only the INCREMENT is deduped, against
+    // itself and against everything already ingested. Entirely
+    // lake-driven: time travel (version 0) supplies the base corpus's
+    // hash set, the change feed supplies the increment without
+    // rescanning the base (the appends-only CDF path is O(new data)).
+    // The increment is re-crawls (same text, new doc_id) mixed with
+    // genuinely-new docs; survivors are increment rows whose hash is
+    // absent from the base, first-id-wins within the increment. At
+    // 100 TB the anti-join is one exchange keyed by the content hash —
+    // the increment side is small by construction, so AQE broadcasts
+    // it; the base side ships only (hash) columns.
+    GQuery("d12_incremental_dedup", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = s"${graft.util.Scratch.dir("d12")}/docs_delta"
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val recrawls = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      val inc = docs.filter(col("doc_id") % 3 === 0).unionByName(recrawls)
+      graft.sources.DeltaLite.create(s, t, base)
+      graft.sources.DeltaLite.append(s, t, inc)
+      val delta = graft.sources.DeltaLite.tableChanges(s, t, fromVersion = 0L)
+        .filter(col("_change_type") === "insert")
+        .withColumn("h", md5(col("text")))
+      val baseHashes = graft.sources.DeltaLite.snapshot(s, t, 0L)
+        .select(md5(col("text")).as("h")).distinct()
+      delta.join(baseHashes, Seq("h"), "left_anti")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"), col("h"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH base AS (
+        SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+      inc AS (
+        SELECT doc_id, source, md5(text) AS h
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 100000, source, md5(text) AS h
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+      fresh AS (
+        SELECT i.doc_id, i.source, i.h,
+               ROW_NUMBER() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+        FROM inc i WHERE i.h NOT IN (SELECT h FROM base))
+      SELECT doc_id, source, h FROM fresh WHERE rn = 1
+      ORDER BY doc_id"""))
   )
 
   /** Per-source keep threshold (hex prefix of md5) for d11: the target
