@@ -343,5 +343,65 @@ object Multimodal {
       SELECT asset_id, phash,
              COUNT(*) OVER (PARTITION BY phash) AS n_dups
       FROM ph ORDER BY asset_id"""))
+    ,
+
+    // ---------------------------------------------------------------- m07
+    // Audio windowing: slice each WAV's data section into overlapping
+    // fixed-duration windows (20 ms windows, 10 ms stride — the
+    // speech-frame shape every audio feature extractor consumes),
+    // computed ENTIRELY from the parsed header: the REAL wavMeta
+    // decode supplies channels / sample rate / data size, and window
+    // byte ranges follow from block-align arithmetic. The plan is one
+    // scan → sequence+explode → byte slices; embarrassingly parallel,
+    // no shuffle but the presentation sort. Chunk content is
+    // hash-checked (md5 of the exact byte slice), so an off-by-one in
+    // the offset math fails the gate, not just the counts.
+    GQuery("m07_audio_windows", (s, d) => {
+      val parsed = wavAssets(s, d)
+        .withColumn("m", wavMeta(col("payload")))
+        .withColumn("ch", col("m.channels"))
+        .withColumn("rate", col("m.sample_rate"))
+        .withColumn("db", col("m.data_bytes"))
+        .filter(col("db") > 0)
+        // 10 ms stride / 20 ms window, in bytes (8-bit samples):
+        // rate*ch/100 is integral for all supported rates.
+        .withColumn("stride", (col("rate") * col("ch") / 100).cast("long"))
+        .withColumn("win", (col("rate") * col("ch") / 50).cast("long"))
+      parsed
+        .withColumn("k", explode(sequence(lit(0L),
+          floor((col("db") - 1) / col("stride")).cast("long"))))
+        .withColumn("off", col("k") * col("stride"))
+        .withColumn("len", least(col("win"), col("db") - col("off")))
+        .select(col("asset_id"), col("source"),
+          col("k").as("chunk_no"),
+          col("off").as("off_bytes"),
+          col("len").as("chunk_bytes"),
+          floor(floor(col("len") / col("ch")) * 1000 / col("rate"))
+            .cast("long").as("chunk_ms"),
+          md5(expr("substring(payload, CAST(45 + off AS INT), " +
+            "CAST(len AS INT))")).as("chunk_md5"))
+        .orderBy(col("asset_id"), col("chunk_no"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, source, text,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS rate,
+               CAST(octet_length(encode(text)) AS BIGINT) AS db
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      c AS (
+        SELECT asset_id, source, text, ch, rate, db,
+               CAST(rate * ch / 100 AS BIGINT) AS stride,
+               CAST(rate * ch / 50 AS BIGINT) AS win,
+               unnest(range(0, CAST(FLOOR((db - 1)
+                 / CAST(rate * ch / 100 AS BIGINT)) AS BIGINT) + 1)) AS k
+        FROM a)
+      SELECT asset_id, source, CAST(k AS BIGINT) AS chunk_no,
+             CAST(k * stride AS BIGINT) AS off_bytes,
+             CAST(LEAST(win, db - k * stride) AS BIGINT) AS chunk_bytes,
+             CAST(FLOOR(FLOOR(LEAST(win, db - k * stride) / ch) * 1000
+               / rate) AS BIGINT) AS chunk_ms,
+             md5(substring(text, CAST(k * stride + 1 AS INT),
+               CAST(LEAST(win, db - k * stride) AS INT))) AS chunk_md5
+      FROM c ORDER BY asset_id, chunk_no"""))
   )
 }
