@@ -516,6 +516,48 @@ object TextOps {
              array_to_string(list_slice(ws, chunk_id * 24 + 1,
                chunk_id * 24 + LEAST(32, n - chunk_id * 24)), ' ')
                AS chunk_text
-      FROM c ORDER BY doc_id, chunk_id"""))
+      FROM c ORDER BY doc_id, chunk_id""")),
+
+    // ---------------------------------------------------------------- t13
+    // Corpus-LM surprisal scoring (the KenLM-style quality filter,
+    // unigram order): every token's -ln p(token) under the corpus's
+    // own unigram distribution, averaged per document — low = boilerplate
+    // made of ubiquitous tokens, high = rare-token soup; pipelines cut
+    // both tails. Determinism: each token's surprisal is floored to
+    // integer MILLI-NATS before summing, so the per-doc sum is exact
+    // integer arithmetic — no float-summation-order dependence between
+    // partial aggregates, partitionings, or engines (the one ln() per
+    // DISTINCT token value is boundary-safe at the 1e-3 grid). Scale:
+    // one explode, a vocabulary-keyed count (|vocab| exchange), the
+    // token-total as a broadcast scalar, one doc-keyed agg.
+    GQuery("t13_unigram_surprisal", (s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      toks.join(cnt, "tok").crossJoin(broadcast(tot))
+        .withColumn("mn",
+          floor(-log(col("c").cast("double") / col("n")) * lit(1000))
+            .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("mn")).cast("double") / count(lit(1)) / 1000.0, 4)
+            .as("avg_surprisal"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+      sc AS (
+        SELECT doc_id,
+               CAST(FLOOR(-LN(CAST(c AS DOUBLE) / n) * 1000) AS BIGINT)
+                 AS mn
+        FROM toks JOIN cnt USING (tok) CROSS JOIN tot)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(SUM(mn) AS DOUBLE) / COUNT(*) / 1000.0, 4)
+               AS avg_surprisal
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

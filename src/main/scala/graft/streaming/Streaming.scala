@@ -579,7 +579,61 @@ object Streaming {
         ON c_user = p_user AND p_ts > c_ts
        AND p_ts <= c_ts + INTERVAL 30 MINUTE
       WHERE c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
-      ORDER BY c_user, c_ts, p_ts"""))
+      ORDER BY c_user, c_ts, p_ts""")),
+
+    // --------------------------------------------------------------- st16
+    // Stream-stream FULL OUTER join: both sides get eviction-time null
+    // verdicts — clicks that never converted AND purchases no click
+    // preceded (organic buys), in one operator with one shared state
+    // store. The end-of-stream closure is per SIDE: a click's verdict
+    // is final when the watermark passes its 30-minute window's end; an
+    // unmatched purchase's when the watermark passes its own timestamp
+    // (any qualifying click would carry an earlier time, which the
+    // watermark excludes). Stream and oracle restrict to the same
+    // confidently-closed set — rows the bounded run's final watermark
+    // has provably finished.
+    GQuery("st16_stream_full_outer_join", (s, d) => {
+      val ev = eventsStream(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+        .select(col("c_user"), col("c_ts"), col("p_user"), col("p_ts"))
+      val wmDf = T.events(s, d).agg(
+        (least(max(when(col("event_type") === "click", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          - expr("INTERVAL 1 HOUR")).as("wm"))
+      runToEnd(s, joined, "append")
+        .crossJoin(broadcast(wmDf))
+        .filter(
+          (col("c_ts").isNotNull &&
+            col("c_ts") + expr("INTERVAL 30 MINUTES") < col("wm")) ||
+          (col("c_ts").isNull && col("p_ts") < col("wm")))
+        .select(col("c_user"), col("c_ts"), col("p_user"), col("p_ts"))
+        .orderBy(col("c_user"), col("c_ts"), col("p_user"), col("p_ts"))
+    }, Some("""
+      WITH c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts
+            FROM events WHERE event_type = 'purchase'),
+      wm AS (SELECT LEAST((SELECT MAX(c_ts) FROM c),
+                          (SELECT MAX(p_ts) FROM p))
+                    - INTERVAL 1 HOUR AS w)
+      SELECT c_user, c_ts, p_user, p_ts
+      FROM c FULL OUTER JOIN p
+        ON c_user = p_user AND p_ts > c_ts
+       AND p_ts <= c_ts + INTERVAL 30 MINUTE
+      WHERE (c_ts IS NOT NULL
+             AND c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
+         OR (c_ts IS NULL AND p_ts < (SELECT w FROM wm))
+      ORDER BY c_user, c_ts, p_user, p_ts"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
