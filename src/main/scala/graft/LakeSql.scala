@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, LogicalPlan, RenameColumn, TableSpec, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.Glue
 
 import graft.sources.{DeltaLite, IcebergLite}
@@ -31,6 +32,7 @@ object LakeSql {
 
   private def nameOf(rel: LogicalPlan): String = rel match {
     case r: UnresolvedRelation => r.multipartIdentifier.last
+    case SubqueryAlias(_, child) => nameOf(child)
     case other =>
       throw new IllegalArgumentException(s"unsupported DML target: $other")
   }
@@ -144,7 +146,8 @@ object LakeSql {
         if (catalog(s).remove(name).isEmpty && !ifExists)
           throw new IllegalArgumentException(s"table $name not in catalog")
         s.emptyDataFrame
-      case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement =>
+      case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
+          _: MergeIntoTable =>
         execute(s, Map.empty, statement)
         s.emptyDataFrame
       // ALTER TABLE … ADD COLUMNS / RENAME COLUMN: metadata-only
@@ -269,6 +272,40 @@ object LakeSql {
         if (isIceberg(ins.table))
           IcebergLite.append(s, p, Glue.dataFrame(s, ins.query))
         else DeltaLite.append(s, p, Glue.dataFrame(s, ins.query))
+        p
+      // MERGE INTO … USING … ON <key equalities> WHEN MATCHED THEN
+      // UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the upsert form,
+      // bound to the table format's keyed merge (pruned copy-on-write:
+      // a small source into a 100 TB table rewrites touched files
+      // only). Conditional/partial-assignment actions and
+      // not-matched-by-source clauses are rejected loudly; the ON
+      // clause must be a conjunction of same-name column equalities
+      // (the keys), which is what gives merge its well-defined
+      // one-source-row-per-target-row contract.
+      case m: MergeIntoTable =>
+        val p = pathOf(m.targetTable)
+        def eqKeys(e: Expression): Seq[String] = e match {
+          case And(l, r) => eqKeys(l) ++ eqKeys(r)
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+            require(a.nameParts.last == b.nameParts.last,
+              s"merge ON must equate the SAME column on both sides, " +
+                s"got ${a.name} = ${b.name}")
+            Seq(a.nameParts.last)
+          case other => throw new IllegalArgumentException(
+            s"merge ON must be a conjunction of column equalities: $other")
+        }
+        val keys = eqKeys(m.mergeCondition).distinct
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+          case _ => throw new IllegalArgumentException(
+            "only WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
+              "INSERT * is supported (unconditional upsert form)")
+        }
+        require(m.notMatchedBySourceActions.isEmpty,
+          "WHEN NOT MATCHED BY SOURCE is not supported")
+        val src = Glue.dataFrame(s, m.sourceTable)
+        if (isIceberg(m.targetTable)) IcebergLite.merge(s, p, src, keys)
+        else DeltaLite.merge(s, p, src, keys)
         p
       case other =>
         throw new IllegalArgumentException(

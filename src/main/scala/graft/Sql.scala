@@ -841,7 +841,57 @@ object Sql {
                CASE WHEN c_custkey > 700 THEN CAST(7 AS INT) END
                  AS segment_code
         FROM customer WHERE c_custkey <= 900
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+      // ------------------------------------------------------------ x39
+      // MERGE INTO through Spark's own parser, on BOTH lake formats —
+      // the upsert statement real lake users write constantly. The ON
+      // clause's key equalities bind to the format's keyed merge
+      // (pruned copy-on-write), UPDATE SET * / INSERT * map to the
+      // upsert contract, and the source is an arbitrary subquery run
+      // through the session views. Matched rows (500–1000) update to
+      // the +50 balance; unmatched source rows (1001–1200) insert.
+      GQuery("x39_sql_lake_merge", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val root = graft.util.Scratch.dir("x39")
+        def build(provider: String): String = {
+          val name = s"merge_${provider.take(4)}_$tag"
+          LakeSql.sql(s, s"""CREATE TABLE $name USING $provider
+            LOCATION '$root/$name'
+            AS SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey <= 1000""")
+          LakeSql.sql(s, s"""MERGE INTO $name USING (
+              SELECT c_custkey, c_name, c_acctbal + 50 AS c_acctbal
+              FROM customer
+              WHERE c_custkey >= 500 AND c_custkey <= 1200) AS src
+            ON $name.c_custkey = src.c_custkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+          name
+        }
+        val dn = build("deltalite")
+        val in = build("iceberglite")
+        val out = LakeSql.sql(s, s"""
+          SELECT 'delta' AS phase, c_custkey, c_name, c_acctbal FROM $dn
+          UNION ALL
+          SELECT 'ice' AS phase, c_custkey, c_name, c_acctbal FROM $in
+          ORDER BY phase, c_custkey""")
+        LakeSql.sql(s, s"DROP TABLE $dn")
+        LakeSql.sql(s, s"DROP TABLE $in")
+        out
+      }, Some("""
+        WITH merged AS (
+          SELECT c_custkey, c_name,
+                 CASE WHEN c_custkey >= 500 THEN c_acctbal + 50
+                      ELSE c_acctbal END AS c_acctbal
+          FROM customer WHERE c_custkey <= 1200)
+        SELECT phase, c_custkey, c_name, c_acctbal FROM (
+          SELECT 'delta' AS phase, * FROM merged
+          UNION ALL
+          SELECT 'ice' AS phase, * FROM merged)
+        ORDER BY phase, c_custkey"""))
     )
   }
 }

@@ -181,4 +181,48 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark, s"ALTER TABLE nope_$tag ADD COLUMNS (x INT)")
     }
   }
+
+  test("SQL MERGE INTO: the upsert form executes; partial assignments, " +
+      "mismatched ON columns, and NOT MATCHED BY SOURCE are rejected") {
+    Sql.open(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = Scratch.dir("lakesql-merge")
+    val t = s"m_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $t USING deltalite
+      LOCATION '$root/$t'
+      AS SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey <= 40""")
+    LakeSql.sql(spark, s"""MERGE INTO $t USING (
+        SELECT c_custkey, c_name, CAST(0.0 AS DOUBLE) AS c_acctbal
+        FROM customer WHERE c_custkey >= 30 AND c_custkey <= 50) AS src
+      ON $t.c_custkey = src.c_custkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val out = LakeSql.sql(spark, s"SELECT * FROM $t")
+    val c = Tables.customer(spark, sfDir)
+    assert(out.count() == c.filter(col("c_custkey") <= 50).count())
+    assert(out.filter(col("c_acctbal") === 0.0).count() ==
+      c.filter(col("c_custkey") >= 30 && col("c_custkey") <= 50).count())
+    // Partial-assignment matched action: not the upsert contract.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""MERGE INTO $t USING customer AS src
+        ON $t.c_custkey = src.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_acctbal = 1.0""")
+    }
+    // ON equating DIFFERENT columns: no well-defined key.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""MERGE INTO $t USING customer AS src
+        ON $t.c_custkey = src.c_nationkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    // NOT MATCHED BY SOURCE: unsupported.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""MERGE INTO $t USING customer AS src
+        ON $t.c_custkey = src.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+  }
 }
