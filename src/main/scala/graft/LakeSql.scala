@@ -267,11 +267,20 @@ object LakeSql {
         if (isIceberg(rel)) IcebergLite.updateWhere(s, p, pred, asg)
         else DeltaLite.updateWhere(s, p, pred, asg)
         p
-      case ins: InsertIntoStatement if !ins.overwrite =>
+      case ins: InsertIntoStatement =>
         val p = pathOf(ins.table)
-        if (isIceberg(ins.table))
-          IcebergLite.append(s, p, Glue.dataFrame(s, ins.query))
-        else DeltaLite.append(s, p, Glue.dataFrame(s, ins.query))
+        // INSERT OVERWRITE replaces the whole table atomically (static
+        // full-table overwrite); per-partition overwrite specs are not
+        // bound — rejected loudly rather than silently widened.
+        require(ins.partitionSpec.isEmpty,
+          "partition-spec INSERT is not supported (full-table only)")
+        val df = Glue.dataFrame(s, ins.query)
+        (isIceberg(ins.table), ins.overwrite) match {
+          case (true, false) => IcebergLite.append(s, p, df)
+          case (true, true) => IcebergLite.overwrite(s, p, df)
+          case (false, false) => DeltaLite.append(s, p, df)
+          case (false, true) => DeltaLite.overwrite(s, p, df)
+        }
         p
       // MERGE INTO … USING … ON <key equalities> WHEN MATCHED THEN
       // UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the upsert form,

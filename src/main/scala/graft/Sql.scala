@@ -891,6 +891,65 @@ object Sql {
           SELECT 'delta' AS phase, * FROM merged
           UNION ALL
           SELECT 'ice' AS phase, * FROM merged)
+        ORDER BY phase, c_custkey""")),
+
+      // ------------------------------------------------------------ x40
+      // INSERT OVERWRITE on both lake formats: one atomic commit
+      // replaces the whole table (Delta: adds + removes in one commit;
+      // Iceberg: a snapshot whose manifest list holds only the new
+      // manifest) — readers see old or new, never a mix, and the
+      // pre-overwrite state stays time-travelable. The query reads the
+      // replaced contents AND version 0 through `VERSION AS OF`,
+      // proving the overwrite was a new version, not a rewrite of
+      // history.
+      GQuery("x40_sql_insert_overwrite", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val root = graft.util.Scratch.dir("x40")
+        def build(provider: String): String = {
+          val name = s"ovr_${provider.take(4)}_$tag"
+          LakeSql.sql(s, s"""CREATE TABLE $name USING $provider
+            LOCATION '$root/$name'
+            AS SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_custkey <= 800""")
+          LakeSql.sql(s, s"""INSERT OVERWRITE TABLE $name
+            SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal
+            FROM customer WHERE c_custkey <= 300""")
+          name
+        }
+        val dn = build("deltalite")
+        val in = build("iceberglite")
+        val v0 = graft.sources.IcebergLite.snapshots(s, s"$root/$in").head
+        val out = LakeSql.sql(s, s"""
+          SELECT 'delta' AS phase, c_custkey, c_acctbal FROM $dn
+          UNION ALL
+          SELECT 'ice' AS phase, c_custkey, c_acctbal FROM $in
+          UNION ALL
+          SELECT 'delta_v0' AS phase, c_custkey, c_acctbal
+          FROM $dn VERSION AS OF 0
+          UNION ALL
+          SELECT 'ice_v0' AS phase, c_custkey, c_acctbal
+          FROM $in VERSION AS OF $v0
+          ORDER BY phase, c_custkey""")
+        LakeSql.sql(s, s"DROP TABLE $dn")
+        LakeSql.sql(s, s"DROP TABLE $in")
+        out
+      }, Some("""
+        WITH next AS (
+          SELECT c_custkey, c_acctbal * 2 AS c_acctbal
+          FROM customer WHERE c_custkey <= 300),
+        orig AS (
+          SELECT c_custkey, c_acctbal
+          FROM customer WHERE c_custkey <= 800)
+        SELECT phase, c_custkey, c_acctbal FROM (
+          SELECT 'delta' AS phase, * FROM next
+          UNION ALL
+          SELECT 'ice' AS phase, * FROM next
+          UNION ALL
+          SELECT 'delta_v0' AS phase, * FROM orig
+          UNION ALL
+          SELECT 'ice_v0' AS phase, * FROM orig)
         ORDER BY phase, c_custkey"""))
     )
   }

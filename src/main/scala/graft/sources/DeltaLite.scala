@@ -928,6 +928,20 @@ object DeltaLite {
       stagedAdds(s, table, df, st.schema, st.partCols))
   }
 
+  /** REPLACE the table's contents in one atomic commit (INSERT
+    * OVERWRITE): the new files' add actions plus a remove for every
+    * live file — readers see the old or the new state, never a mix.
+    * Old files stay on disk for time travel until [[vacuum]].
+    */
+  def overwrite(s: SparkSession, table: String, df: DataFrame): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, df, st.schema, st.partCols) ++
+        st.entries.map(e => removeAction(e.path)))
+  }
+
   /** Idempotent append for restart-prone producers: commits `df` with a
     * `txn` action recording (`appId`, `txnVersion`), and SKIPS the
     * write — returning false — when the log already holds that version

@@ -411,6 +411,20 @@ object IcebergLite {
     commitSnapshot(s, table, meta, prevManifests :+ m)
   }
 
+  /** REPLACE the table's contents in one new snapshot (INSERT
+    * OVERWRITE): the snapshot's manifest list carries ONLY the new
+    * manifest, so prior files drop out of the live set atomically but
+    * stay reachable through earlier snapshots until
+    * [[expireSnapshots]]. Written under the current schema and the
+    * default partition spec.
+    */
+  def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
+    val meta = readMeta(s, table)
+    val m = writeManifest(s, table, df, meta.currentSchema,
+      meta.defaultSpecId, meta.partCols)
+    commitSnapshot(s, table, meta, Seq(m))
+  }
+
   /** Streaming-source contract: current schema struct, partition
     * columns, current snapshot id. Restricted to un-evolved schemas —
     * the stream reader matches parquet columns by NAME; rename/add
