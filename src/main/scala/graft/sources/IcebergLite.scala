@@ -133,10 +133,14 @@ object IcebergLite {
     */
   private case class Meta(schemas: Seq[IceSchema], currentSchemaId: Int,
       partSpecs: Seq[(Int, Seq[String])], defaultSpecId: Int,
-      currentSnapshot: Long, snapshots: Seq[(Long, String)]) {
+      currentSnapshot: Long, snapshots: Seq[(Long, String)],
+      sortOrders: Seq[(Int, Seq[String])] = Seq(0 -> Nil),
+      defaultSortOrderId: Int = 0) {
     def partCols: Seq[String] = colsOfSpec(defaultSpecId)
     def colsOfSpec(specId: Int): Seq[String] =
       partSpecs.find(_._1 == specId).map(_._2).getOrElse(Nil)
+    def sortCols: Seq[String] =
+      sortOrders.find(_._1 == defaultSortOrderId).map(_._2).getOrElse(Nil)
     def currentSchema: IceSchema =
       schemas.find(_.schemaId == currentSchemaId).get
     def schemaById(id: Int): IceSchema =
@@ -197,11 +201,23 @@ object IcebergLite {
           .flatMap(_.elements().asScala.map(_.asText())).toSeq)
     val defSpec =
       if (n.has("default-spec-id")) n.get("default-spec-id").asInt() else 0
+    val orders =
+      if (n.has("sort-orders"))
+        n.get("sort-orders").elements().asScala.map { so =>
+          so.get("order-id").asInt() ->
+            so.get("cols").elements().asScala.map(_.asText()).toSeq
+        }.toSeq
+      else Seq(0 -> Seq.empty[String]) // pre-sort-order table: unsorted
+    val defOrder =
+      if (n.has("default-sort-order-id"))
+        n.get("default-sort-order-id").asInt()
+      else 0
     Meta(schemas, curId, specs, defSpec,
       n.get("current-snapshot-id").asLong(),
       n.get("snapshots").elements().asScala.map(sn =>
         sn.get("snapshot-id").asLong() -> sn.get("manifest-list").asText())
-        .toSeq)
+        .toSeq,
+      orders, defOrder)
   }
 
   // --------------------------------------------------------- manifests
@@ -284,7 +300,8 @@ object IcebergLite {
     * Returns the manifest's relative path.
     */
   private def writeManifest(s: SparkSession, table: String, df: DataFrame,
-      schema: IceSchema, specId: Int, partCols: Seq[String]): String = {
+      schema: IceSchema, specId: Int, partCols: Seq[String],
+      sortCols: Seq[String] = Nil): String = {
     val f = fs(s, new Path(table))
     f.mkdirs(new Path(table, "data"))
     val st = schema.struct
@@ -293,7 +310,18 @@ object IcebergLite {
     // emits it as the parquet schema's field_id.
     val annotated = df.select(st.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name, fd.metadata)).toSeq: _*)
-    val staged = DeltaLite.stage(s, s"$table/data", annotated, partCols)
+    // The table's sort order: range-partition then sort within, so
+    // each written file covers a DISJOINT range of the sort key and
+    // its footer min/max stats prune like an index. The incoming
+    // partition count is preserved (compact's targetFiles contract and
+    // an append's natural parallelism both survive the range shuffle).
+    val arranged =
+      if (sortCols.isEmpty) annotated
+      else annotated.repartitionByRange(
+          math.max(1, annotated.rdd.getNumPartitions),
+          sortCols.map(col).toSeq: _*)
+        .sortWithinPartitions(sortCols.map(col).toSeq: _*)
+    val staged = DeltaLite.stage(s, s"$table/data", arranged, partCols)
       .map { case (rel, pvs, sz) => (s"data/$rel", pvs, sz) }
     val dataSchema =
       StructType(st.fields.filterNot(fd => partCols.contains(fd.name)))
@@ -338,6 +366,14 @@ object IcebergLite {
       cols.foreach(ca.add)
     }
     n.put("default-spec-id", meta.defaultSpecId)
+    val ordersArr = n.putArray("sort-orders")
+    meta.sortOrders.foreach { case (id, cols) =>
+      val o = ordersArr.addObject()
+      o.put("order-id", id)
+      val ca = o.putArray("cols")
+      cols.foreach(ca.add)
+    }
+    n.put("default-sort-order-id", meta.defaultSortOrderId)
     n.put("current-snapshot-id", meta.currentSnapshot)
     val snaps = n.putArray("snapshots")
     meta.snapshots.foreach { case (id, rel) =>
@@ -407,7 +443,7 @@ object IcebergLite {
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
     val m = writeManifest(s, table, df, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols)
     commitSnapshot(s, table, meta, prevManifests :+ m)
   }
 
@@ -421,7 +457,7 @@ object IcebergLite {
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val meta = readMeta(s, table)
     val m = writeManifest(s, table, df, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols)
     commitSnapshot(s, table, meta, Seq(m))
   }
 
@@ -495,7 +531,7 @@ object IcebergLite {
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
     val m = writeManifest(s, table, df, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols)
     commitSnapshot(s, table, meta, prevManifests :+ m, advance = false)
   }
 
@@ -573,6 +609,30 @@ object IcebergLite {
     writeMetadata(s, table, meta.copy(
       partSpecs = meta.partSpecs :+ (id -> partitionColumns),
       defaultSpecId = id))
+    id
+  }
+
+  /** SET the table's sort order (identity ascending columns): a
+    * metadata-only commit registering a new order id and making it the
+    * default for future writes. Data written afterwards (appends,
+    * overwrites, COW rewrites, compaction) is range-partitioned on the
+    * sort key and sorted within partitions, so each file covers a
+    * DISJOINT key range and footer min/max stats prune like a coarse
+    * index — Iceberg's sort-order answer to Delta's z-order, at zero
+    * rewrite cost to existing data ([[compact]] migrates old files).
+    * Returns the new order id.
+    */
+  def setSortOrder(s: SparkSession, table: String,
+      sortColumns: Seq[String]): Int = {
+    val meta = readMeta(s, table)
+    val cur = meta.currentSchema
+    sortColumns.foreach(c => require(
+      cur.fields.exists(_.name == c), s"no column $c in schema"))
+    require(sortColumns != meta.sortCols, "sort order unchanged")
+    val id = meta.sortOrders.map(_._1).max + 1
+    writeMetadata(s, table, meta.copy(
+      sortOrders = meta.sortOrders :+ (id -> sortColumns),
+      defaultSortOrderId = id))
     id
   }
 
@@ -1001,7 +1061,7 @@ object IcebergLite {
         }
       }.toSeq: _*)
     val newManifest = writeManifest(s, table, rewritten, cur,
-      meta.defaultSpecId, meta.partCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols)
     val removed = candidates.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
@@ -1027,7 +1087,7 @@ object IcebergLite {
     // Rewritten files land under the CURRENT schema AND the DEFAULT
     // spec — compaction also retires old-spec layouts.
     val m = writeManifest(s, table, packed, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols)
     commitSnapshot(s, table, meta, Seq(m))
   }
 
@@ -1123,7 +1183,7 @@ object IcebergLite {
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(srcCols)
     val newManifest = writeManifest(s, table, newData, cur,
-      meta.defaultSpecId, meta.partCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols)
     val removed = hitGroups.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)

@@ -922,5 +922,29 @@ object Sources {
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       FROM orders WHERE o_orderkey <= 10000 AND o_orderstatus = 'F'
       ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s34
+    // Iceberg SORT ORDER: one metadata-only commit declares the order;
+    // data written afterwards is range-partitioned + sorted on the key,
+    // so files cover disjoint key ranges and a point/range predicate
+    // prunes by footer stats like a coarse index — Delta z-order's
+    // one-dimensional cousin, at zero rewrite cost to existing data.
+    // The query compacts through the order (migrating the unsorted
+    // create) and range-scans; the spec asserts the pruning ratio.
+    GQuery("s34_iceberg_sort_order", (s, d) => {
+      val t = s"${scratch("s34")}/orders_sorted_ice"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      IcebergLite.create(s, t, o)
+      IcebergLite.setSortOrder(s, t, Seq("o_orderkey"))
+      IcebergLite.compact(s, t, targetFiles = 8)
+      IcebergLite.scan(s, t,
+          col("o_orderkey") >= 4000 && col("o_orderkey") < 5000)
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 5000
+      ORDER BY o_orderkey"""))
   )
 }

@@ -392,4 +392,32 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.evolvePartitionSpec(spark, t, Seq("o_orderstatus"))
     }
   }
+
+  test("sort order: metadata-only declare, sorted+range-partitioned " +
+      "writes give disjoint per-file key ranges that stats-prune") {
+    val t = freshTable()
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"))
+    IcebergLite.create(spark, t, o.limit(0))
+    IcebergLite.setSortOrder(spark, t, Seq("o_orderkey"))
+    IcebergLite.append(spark, t, o.repartition(8))
+    // Contents survive the rearrangement exactly.
+    assert(IcebergLite.snapshot(spark, t)
+      .orderBy(col("o_orderkey")).collect().toSeq ==
+      o.orderBy(col("o_orderkey")).collect().toSeq)
+    // A narrow key-range predicate keeps a strict subset of files —
+    // files cover disjoint ranges, so most cannot match.
+    val (kept, total) = IcebergLite.pruneInfo(spark, t,
+      col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+    assert(total >= 4, s"expected several files, got $total")
+    assert(kept * 2 <= total,
+      s"sorted files should mostly prune: kept $kept of $total")
+    // Unknown column and unchanged order are rejected.
+    intercept[IllegalArgumentException] {
+      IcebergLite.setSortOrder(spark, t, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.setSortOrder(spark, t, Seq("o_orderkey"))
+    }
+  }
 }
