@@ -72,6 +72,25 @@ object InteropDump {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/iceberg_expected")
 
+    // ---- Iceberg partition-spec evolution + sort order: files live
+    //      under TWO layouts (loose pre-evolution files; sorted
+    //      data/o_orderstatus=X/ files after), and a foreign reader
+    //      must inject partition values from the manifest entries for
+    //      the evolved-spec files.
+    val ev = s"$outDir/iceberg_evolved"
+    val oe = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    IcebergLite.create(spark, ev,
+      oe.filter(col("o_orderkey") <= 5000)
+        .repartitionByRange(2, col("o_orderkey")))
+    IcebergLite.evolvePartitionSpec(spark, ev, Seq("o_orderstatus"))
+    IcebergLite.setSortOrder(spark, ev, Seq("o_orderkey"))
+    IcebergLite.append(spark, ev,
+      oe.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 9000))
+    IcebergLite.snapshot(spark, ev)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/iceberg_evolved_expected")
+
     // ---- Format conversion, both directions (LakeConvert): the
     //      converted table's metadata references FOREIGN files by
     //      absolute path — an Iceberg manifest over id-less

@@ -170,7 +170,9 @@ def read_iceberg(table):
         if m.get("content", "data") == "deletes":
             delete_files += [e["path"] for e in m["entries"]]
         else:
-            data_files += [(e["path"], m["schema-id"]) for e in m["entries"]]
+            data_files += [(e["path"], m["schema-id"],
+                            e.get("partitionValues") or {})
+                           for e in m["entries"]]
     dead = set()
     for dp in delete_files:
         t = pq.read_table(os.path.join(table, dp))
@@ -179,9 +181,20 @@ def read_iceberg(table):
             dead.add((fp, pos))
     print(f"  iceberg: metadata v{v}, snapshot {snap}, "
           f"{len(data_files)} data files, {len(dead)} deleted positions")
+    def typed_pv(fd, v):
+        """Partition value string -> the field's declared type."""
+        if v is None:
+            return None
+        t = json.loads(fd["spark-type"])
+        if t in ("long", "integer", "short", "byte"):
+            return int(v)
+        if t in ("double", "float"):
+            return float(v)
+        return v
+
     frames = []
     missing_fid = 0
-    for path, sid in data_files:
+    for path, sid, pv in data_files:
         full = os.path.join(table, path)
         fids = field_id_map(full)
         foreign = os.path.isabs(path)
@@ -196,15 +209,27 @@ def read_iceberg(table):
         df = tb.to_pandas()
         # Resolve to the CURRENT schema by field id (renames re-label,
         # added columns materialize as null) — the Iceberg contract.
-        # Converted tables (absolute-path references to files another
-        # writer produced) carry no field ids; those resolve by NAME,
-        # which is sound exactly because conversion pins a single
-        # un-evolved schema.
+        # Partition columns are NOT in the data files: their values are
+        # injected from the manifest entry's partitionValues (keyed by
+        # the column's write-time name under the entry's schema), which
+        # is how evolved-spec layouts stay readable. Converted tables
+        # (absolute-path references to files another writer produced)
+        # carry no field ids; those resolve by NAME, which is sound
+        # exactly because conversion pins a single un-evolved schema.
+        wnames = {f["id"]: f["name"]
+                  for f in schemas.get(sid, cur)["fields"]}
         out = {}
         for fd in cur["fields"]:
             src = fd["name"] if (foreign and not fids) \
                 else fids.get(fd["id"])
-            out[fd["name"]] = df[src] if src in df.columns else None
+            wname = wnames.get(fd["id"], fd["name"])
+            if src in df.columns:
+                out[fd["name"]] = df[src]
+            elif wname in pv:
+                out[fd["name"]] = pd.Series(
+                    [typed_pv(fd, pv[wname])] * len(df))
+            else:
+                out[fd["name"]] = None
         frames.append(pd.DataFrame(out))
     if missing_fid:
         fail(f"{missing_fid} native data files carry no parquet field_ids")
@@ -236,6 +261,14 @@ def main(root):
     check("delta_clone", read, os.path.join(root, "delta_clone_expected"))
     read = read_iceberg(os.path.join(root, "iceberg_table"))
     check("iceberg", read, os.path.join(root, "iceberg_expected"))
+    # Partition-spec evolution + sort order: pre-evolution loose files
+    # and post-evolution data/k=v/ files coexist; the evolved-spec
+    # files' partition column is injected from manifest entries.
+    p = os.path.join(root, "iceberg_evolved")
+    if os.path.isdir(p):
+        read = read_iceberg(p)
+        check("iceberg_evolved", read,
+              os.path.join(root, "iceberg_evolved_expected"))
     # Converted tables (LakeConvert): an Iceberg metadata tree over
     # id-less Delta-written parquet, and a Delta log over Iceberg-
     # written parquet — both referenced by absolute path, zero copy.
