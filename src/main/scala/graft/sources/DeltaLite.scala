@@ -84,6 +84,42 @@ object DeltaLite {
       .foldLeft(-1L)(math.max)
   }
 
+  /** DESCRIBE HISTORY: one row per surviving JSON commit — version,
+    * the commitInfo operation name (null for commits written before
+    * operations were recorded), and the commit's add/remove action
+    * counts. Driver-side metadata read only (the log is what a Delta
+    * driver already holds; commits aged out behind a checkpoint are
+    * simply absent, as in Delta itself after log cleanup).
+    */
+  def history(s: SparkSession, table: String): DataFrame = {
+    val ld = logDir(table)
+    val f = fs(s, ld)
+    require(f.exists(ld), s"no delta table at $table")
+    val versions = f.listStatus(ld).map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith(".json") &&
+            n.stripSuffix(".json").forall(_.isDigit) =>
+          n.stripSuffix(".json").toLong
+      }.sorted.toSeq
+    val rows = versions.map { v =>
+      var op: Option[String] = None
+      var adds = 0L
+      var removes = 0L
+      readCommit(f, commitPath(table, v)).split('\n')
+        .filter(_.nonEmpty).foreach { line =>
+          val n = Json.readTree(line)
+          if (n.has("commitInfo"))
+            op = Option(n.get("commitInfo").get("operation")).map(_.asText())
+          if (n.has("add")) adds += 1
+          if (n.has("remove")) removes += 1
+        }
+      (v, op.orNull, adds, removes)
+    }
+    import s.implicits._
+    rows.toDF("version", "operation", "num_added_files",
+      "num_removed_files")
+  }
+
   /** One live data file: relative path, its partition values (None =
     * null partition), its stats JSON when collected, the relative
     * path of its deletion-vector sidecar when rows have been soft-
@@ -850,9 +886,20 @@ object DeltaLite {
     * catch) and readers never observe a torn or empty commit.
     */
   private def writeCommit(s: SparkSession, table: String, v: Long,
-      actions: Seq[String]): Unit = {
+      actions: Seq[String], operation: String = "WRITE"): Unit = {
     val p = commitPath(table, v)
-    val bytes = (actions.mkString("\n") + "\n").getBytes("UTF-8")
+    // Every commit leads with a commitInfo action naming its operation
+    // (the Delta protocol's DESCRIBE HISTORY source). Timestamp is
+    // pinned to 0 for determinism (stated simplification); replay
+    // paths skip commitInfo by their has("add")/has("remove") guards.
+    val info = {
+      val n = Json.createObjectNode()
+      val ci = n.putObject("commitInfo")
+      ci.put("operation", operation)
+      ci.put("timestamp", 0L)
+      Json.writeValueAsString(n)
+    }
+    val bytes = ((info +: actions).mkString("\n") + "\n").getBytes("UTF-8")
     val scheme = p.toUri.getScheme
     if (scheme == null || scheme == "file") {
       val target = java.nio.file.Paths.get(p.toUri.getPath match {
@@ -916,7 +963,8 @@ object DeltaLite {
       protocolAction +:
         metaDataAction(table, df.schema.json, partitionColumns) +:
         stagedAdds(s, table, df, df.schema, partitionColumns) ++:
-        txn.map { case (app, tv) => txnAction(app, tv) }.toSeq)
+        txn.map { case (app, tv) => txnAction(app, tv) }.toSeq,
+      operation = "CREATE TABLE")
   }
 
   /** Append `df` as a new version. */
@@ -966,7 +1014,8 @@ object DeltaLite {
           replay(s, table, v).txns.getOrElse(appId, Long.MinValue) >= txnVersion)
         return false // another producer instance won with this batch
       try {
-        writeCommit(s, table, v + 1, adds)
+        writeCommit(s, table, v + 1, adds,
+          operation = "STREAMING UPDATE")
         return true
       } catch {
         case _: java.io.IOException => attempt += 1
@@ -1027,7 +1076,8 @@ object DeltaLite {
     val widened = StructType(st.schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     writeCommit(s, table, v + 1,
-      Seq(metaDataAction(table, widened.json, st.partCols)))
+      Seq(metaDataAction(table, widened.json, st.partCols)),
+      operation = "ADD COLUMNS")
   }
 
   /** Append under optimistic concurrency: data files are staged ONCE,
@@ -1105,7 +1155,8 @@ object DeltaLite {
         .unionByName(srcCols)
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, newData, schema, st.partCols) ++
-        hitEntries.map(e => removeAction(e.path)))
+        hitEntries.map(e => removeAction(e.path)),
+      operation = "MERGE")
   }
 
   /** Bin-pack the live files into `targetFiles` larger ones per
@@ -1129,7 +1180,8 @@ object DeltaLite {
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, packed, st.schema, st.partCols,
         dataChange = false) ++
-        st.entries.map(e => removeAction(e.path, dataChange = false)))
+        st.entries.map(e => removeAction(e.path, dataChange = false)),
+      operation = "OPTIMIZE")
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
@@ -1211,7 +1263,8 @@ object DeltaLite {
       meta ++ removes.map(e => removeAction(e.path)) ++
         readds.map(e => addAction(e.path, e.size, e.partValues,
           e.stats.map(_.toString), dataChange = true,
-          e.dv.map(p => (p, e.dvCardinality)))))
+          e.dv.map(p => (p, e.dvCardinality)))),
+      operation = "RESTORE")
   }
 
   /** Streaming-source contract: the current log schema, its partition
@@ -1286,7 +1339,8 @@ object DeltaLite {
         metaDataAction(dst, st.schemaJson, st.partCols) +:
         st.entries.map(e => addAction(abs(e.path), e.size, e.partValues,
           e.stats.map(_.toString), dataChange = true,
-          e.dv.map(p => (abs(p), e.dvCardinality)))))
+          e.dv.map(p => (abs(p), e.dvCardinality)))),
+      operation = "CLONE")
   }
 
   /** Absolute paths of the current live data files (spec assertion
@@ -1337,7 +1391,8 @@ object DeltaLite {
         files.map { case (p, sz, _, stats) =>
           require(isAbsPath(p), s"conversion references must be absolute: $p")
           addAction(p, sz, Nil, stats, dataChange = true)
-        })
+        },
+      operation = "CONVERT")
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the live files clustered on the
@@ -1387,7 +1442,8 @@ object DeltaLite {
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, packed, st.schema, st.partCols,
         dataChange = false) ++
-        st.entries.map(e => removeAction(e.path, dataChange = false)))
+        st.entries.map(e => removeAction(e.path, dataChange = false)),
+      operation = "OPTIMIZE")
   }
 
   /** Copy-on-write DELETE WHERE `cond`: partition+stats pruning first
@@ -1418,7 +1474,8 @@ object DeltaLite {
       .filter(!coalesce(cond, lit(false)))
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, survivors, schema, st.partCols) ++
-        hitEntries.map(e => removeAction(e.path)))
+        hitEntries.map(e => removeAction(e.path)),
+      operation = "DELETE")
   }
 
   /** Row-level changes between two versions — the change-data-feed
@@ -1507,7 +1564,8 @@ object DeltaLite {
       }: _*)
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, rewritten, schema, st.partCols) ++
-        hitEntries.map(e => removeAction(e.path)))
+        hitEntries.map(e => removeAction(e.path)),
+      operation = "UPDATE")
   }
 
   /** Merge-on-read DELETE WHERE `cond` via deletion vectors: instead of
@@ -1603,6 +1661,6 @@ object DeltaLite {
           addAction(e.path, e.size, e.partValues, e.stats.map(_.toString),
             dataChange = true, dv = Some((rel, n))))
       }
-    writeCommit(s, table, v + 1, actions)
+    writeCommit(s, table, v + 1, actions, operation = "DELETE")
   }
 }

@@ -227,13 +227,19 @@ object IcebergLite {
       raw: JsonNode)
 
   /** `content` is "data" or "deletes" — Iceberg v2's manifest content
-    * field: a deletes manifest's entries are position-delete files, not
-    * data files. `schemaId` is the schema the manifest's files were
-    * written under (id-based read resolution keys on it).
+    * field: a deletes manifest's entries are position-delete files (or,
+    * when `equalityIds` is non-empty, EQUALITY-delete files keyed on
+    * those field ids), not data files. `schemaId` is the schema the
+    * manifest's files were written under (id-based read resolution keys
+    * on it). `seq` is the manifest's DATA SEQUENCE NUMBER — the Iceberg
+    * v2 ordering that scopes equality deletes: an equality delete
+    * applies only to data files with a STRICTLY SMALLER sequence
+    * number, so a key re-inserted after the delete survives.
     */
   private case class Manifest(path: String, content: String, schemaId: Int,
       specId: Int, partSummary: Map[String, Seq[Option[String]]],
-      entries: Seq[ManifestEntry])
+      entries: Seq[ManifestEntry], seq: Long = 0L,
+      equalityIds: Seq[Int] = Nil)
 
   private def readManifests(s: SparkSession, table: String,
       manifestListRel: String, meta: Meta): Seq[Manifest] = {
@@ -263,7 +269,13 @@ object IcebergLite {
             .getOrElse(meta.currentSchemaId),
           // Pre-evolution manifests were all written under spec 0.
           Option(m.get("spec-id")).map(_.asInt()).getOrElse(0),
-          summary, entries)
+          summary, entries,
+          // Pre-sequence-number manifests sort before every equality
+          // delete (seq 0), which is the correct retrofit: their files
+          // predate any delete.
+          Option(m.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          Option(m.get("equality-ids")).toSeq.flatMap(
+            _.elements().asScala.map(_.asInt()).toSeq))
       }
   }
 
@@ -272,10 +284,17 @@ object IcebergLite {
     */
   private def writeManifestFile(f: FileSystem, table: String, schemaId: Int,
       specId: Int, partCols: Seq[String],
-      entries: Seq[ManifestEntry]): String = {
+      entries: Seq[ManifestEntry], seq: Long = 0L,
+      equalityIds: Seq[Int] = Nil): String = {
     val root = Json.createObjectNode()
     root.put("schema-id", schemaId)
     root.put("spec-id", specId)
+    root.put("sequence-number", seq)
+    if (equalityIds.nonEmpty) {
+      root.put("content", "deletes")
+      val ids = root.putArray("equality-ids")
+      equalityIds.foreach(ids.add)
+    }
     val summary = root.putObject("partition-summary")
     partCols.foreach { pc =>
       val arr = summary.putArray(pc)
@@ -301,7 +320,7 @@ object IcebergLite {
     */
   private def writeManifest(s: SparkSession, table: String, df: DataFrame,
       schema: IceSchema, specId: Int, partCols: Seq[String],
-      sortCols: Seq[String] = Nil): String = {
+      sortCols: Seq[String] = Nil, seq: Long = 0L): String = {
     val f = fs(s, new Path(table))
     f.mkdirs(new Path(table, "data"))
     val st = schema.struct
@@ -339,8 +358,18 @@ object IcebergLite {
       ManifestEntry(rel, pvs,
         Option(e.get("stats")).filterNot(_.isNull), e)
     }
-    writeManifestFile(f, table, schema.schemaId, specId, partCols, entries)
+    writeManifestFile(f, table, schema.schemaId, specId, partCols, entries,
+      seq)
   }
+
+  /** The data sequence number the NEXT commit will carry — snapshot ids
+    * are monotonic (max + 1, never reused even across
+    * [[expireSnapshots]]), so the upcoming snapshot id doubles as the
+    * Iceberg v2 sequence number and every manifest's `seq` records the
+    * commit that created it.
+    */
+  private def nextSeq(meta: Meta): Long =
+    meta.snapshots.map(_._1).foldLeft(0L)(math.max) + 1
 
   private def metadataNode(table: String, meta: Meta): ObjectNode = {
     val n = Json.createObjectNode()
@@ -428,7 +457,8 @@ object IcebergLite {
       s"partition column $pc not in data"))
     fs(s, metaDir(table)).mkdirs(metaDir(table))
     val schema = schemaFromStruct(1, df.schema)
-    val m = writeManifest(s, table, df, schema, 0, partitionColumns)
+    val m = writeManifest(s, table, df, schema, 0, partitionColumns,
+      seq = 1L)
     commitSnapshot(s, table,
       Meta(Seq(schema), 1, Seq(0 -> partitionColumns), 0, 0L, Nil), Seq(m))
   }
@@ -443,7 +473,7 @@ object IcebergLite {
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
     val m = writeManifest(s, table, df, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols, meta.sortCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     commitSnapshot(s, table, meta, prevManifests :+ m)
   }
 
@@ -457,7 +487,7 @@ object IcebergLite {
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val meta = readMeta(s, table)
     val m = writeManifest(s, table, df, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols, meta.sortCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     commitSnapshot(s, table, meta, Seq(m))
   }
 
@@ -509,7 +539,7 @@ object IcebergLite {
       val fresh = cur.filterNot(m => prevPaths.contains(m.path))
       if (fresh.exists(_.content == "deletes"))
         throw new UnsupportedOperationException(
-          s"snapshot $id of $table adds position deletes; the " +
+          s"snapshot $id of $table adds delete files; the " +
             "streaming source reads appends only")
       fresh.flatMap(_.entries).map { e =>
         val p = new Path(table, e.path)
@@ -531,7 +561,7 @@ object IcebergLite {
     val current = meta.snapshots.toMap.apply(meta.currentSnapshot)
     val prevManifests = readManifests(s, table, current, meta).map(_.path)
     val m = writeManifest(s, table, df, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols, meta.sortCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     commitSnapshot(s, table, meta, prevManifests :+ m, advance = false)
   }
 
@@ -649,14 +679,47 @@ object IcebergLite {
     (meta, readManifests(s, table, listRel, meta))
   }
 
-  /** Position-delete file paths referenced by a snapshot's deletes
-    * manifests.
+  /** Every delete file (position AND equality) referenced by a
+    * snapshot's deletes manifests — the guard/listing view.
     */
   private def deleteFilesOf(manifests: Seq[Manifest]): Seq[String] =
     manifests.filter(_.content == "deletes").flatMap(_.entries).map(_.path)
 
   private def dataManifests(manifests: Seq[Manifest]): Seq[Manifest] =
     manifests.filter(_.content == "data")
+
+  private def fileName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  /** One equality-delete manifest's application unit: delete files
+    * holding key ROWS (columns = the schema's fields with ids `keyIds`,
+    * written under schema `schemaId`'s names) that mask every data row
+    * with an equal key in any data file of sequence number < `seq`.
+    */
+  private case class EqDel(schemaId: Int, keyIds: Seq[Int], seq: Long,
+      paths: Seq[String])
+
+  /** Everything a read needs to mask deleted rows: position-delete
+    * file paths, equality-delete groups, and each live data file's
+    * sequence number (name-keyed; metadata-sized — it mirrors what the
+    * manifests already hold).
+    */
+  private case class DelCtx(pos: Seq[String], eq: Seq[EqDel],
+      fileSeq: Seq[(String, Long)]) {
+    def isEmpty: Boolean = pos.isEmpty && eq.isEmpty
+  }
+
+  private def delCtxOf(manifests: Seq[Manifest]): DelCtx = {
+    val dels = manifests.filter(_.content == "deletes")
+    val (eqMs, posMs) = dels.partition(_.equalityIds.nonEmpty)
+    DelCtx(
+      posMs.flatMap(_.entries).map(_.path),
+      eqMs.map(m => EqDel(m.schemaId, m.equalityIds, m.seq,
+        m.entries.map(_.path))),
+      if (eqMs.isEmpty) Nil
+      else dataManifests(manifests).flatMap(m =>
+        m.entries.map(e => fileName(e.path) -> m.seq)))
+  }
 
   /** Read ((schemaId, specId), entries) groups under the CURRENT schema
     * with ID-BASED column resolution: each group reads under the struct
@@ -674,7 +737,7 @@ object IcebergLite {
     */
   private def readEntries(s: SparkSession, table: String, meta: Meta,
       groups: Seq[((Int, Int), Seq[ManifestEntry])],
-      deleteFiles: Seq[String] = Nil,
+      dels: DelCtx = DelCtx(Nil, Nil, Nil),
       fileCol: Option[String] = None,
       posCol: Option[String] = None): DataFrame = {
     val cur = meta.currentSchema
@@ -687,7 +750,16 @@ object IcebergLite {
         .foldLeft(curStruct)((acc, fd) => StructType(acc.fields :+ fd))
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], st)
     }
+    val deleteFiles = dels.pos
     val needPos = posCol.isDefined || deleteFiles.nonEmpty
+    // File-name → data sequence number, for scoping equality deletes.
+    // Driver-built from manifest metadata (never row data) and
+    // broadcast: at 800k files this is megabytes, same order as the
+    // manifests a reader already holds.
+    lazy val seqDf = {
+      import s.implicits._
+      dels.fileSeq.toDF("_ice_fname", "_ice_seq")
+    }
     val parts = nonEmpty.map { case ((schemaId, _), entries) =>
       val writeSchema = meta.schemaById(schemaId)
       // Converted tables (LakeConvert) reference foreign files by
@@ -718,11 +790,60 @@ object IcebergLite {
       val live =
         if (deleteFiles.isEmpty) base
         else {
-          val dels = s.read
+          val posDels = s.read
             .parquet(deleteFiles.map(p => new Path(table, p).toString): _*)
             .select(col("file_path").as("_ice_fname"),
               col("pos").as("_ice_pos"))
-          base.join(dels, Seq("_ice_fname", "_ice_pos"), "left_anti")
+          base.join(posDels, Seq("_ice_fname", "_ice_pos"), "left_anti")
+        }
+      // Equality deletes (Iceberg v2 merge-on-read): anti-join the key
+      // columns against each delete group's key rows, scoped by
+      // sequence number — a delete masks only rows of data files with
+      // seq < the delete's seq, so keys re-inserted later survive.
+      // Null keys match null delete keys (<=>), the spec's equality.
+      // The delete side is a plain parquet scan (AQE broadcasts small
+      // sets); key resolution is BY FIELD ID on both sides, so renames
+      // never detach a delete from its column.
+      val masked =
+        if (dels.eq.isEmpty) live
+        else {
+          val withSeq =
+            live.join(broadcast(seqDf), Seq("_ice_fname"), "left")
+          dels.eq.groupBy(_.keyIds).foldLeft(withSeq) {
+            case (acc, (keyIds, gs)) =>
+              val delDf = gs.map { g =>
+                val w = meta.schemaById(g.schemaId)
+                val keyFields = g.keyIds.map(id => w.fieldById(id)
+                  .getOrElse(sys.error(
+                    s"equality-delete field id $id not in schema " +
+                      s"${g.schemaId}")))
+                s.read
+                  .schema(StructType(keyFields.map(kf =>
+                    StructField(kf.name, kf.dataType))))
+                  .parquet(g.paths.map(p =>
+                    new Path(table, p).toString): _*)
+                  .select(g.keyIds.map { id =>
+                    val wn = w.fieldById(id).get.name
+                    val cn = cur.fieldById(id).getOrElse(sys.error(
+                      s"equality-delete key field $id was dropped")).name
+                    col(wn).as(s"_eqk_$cn")
+                  }.toSeq: _*)
+                  .withColumn("_eq_seq", lit(g.seq))
+              }.reduceLeft(_.unionByName(_))
+              val cond = keyIds.map { id =>
+                val cn = cur.fieldById(id).get.name
+                // A file written before the key column existed reads
+                // the key as null (and null <=> null deletes it —
+                // matching the projection such files expose).
+                val dataKey = writeSchema.fieldById(id) match {
+                  case Some(wf) => col(wf.name)
+                  case None =>
+                    lit(null).cast(cur.fieldById(id).get.dataType)
+                }
+                dataKey <=> col(s"_eqk_$cn")
+              }.reduce(_ && _) && col("_ice_seq") < col("_eq_seq")
+              acc.join(delDf, cond, "left_anti")
+          }
         }
       // Id-based projection onto the current schema.
       val projected = cur.fields.map { fd =>
@@ -732,7 +853,7 @@ object IcebergLite {
         }
       } ++ fileCol.map(fc => col("_ice_fname").as(fc)).toSeq ++
         posCol.map(pc => col("_ice_pos").as(pc)).toSeq
-      live.select(projected.toSeq: _*)
+      masked.select(projected.toSeq: _*)
     }
     parts.reduceLeft(_.unionByName(_)).select(outCols.map(col): _*)
   }
@@ -756,7 +877,7 @@ object IcebergLite {
       snapshotId: Long = -1L): DataFrame = {
     val (meta, manifests) = manifestsOf(s, table, snapshotId)
     readEntries(s, table, meta, entryGroups(manifests),
-      deleteFilesOf(manifests))
+      delCtxOf(manifests))
   }
 
   /** Pseudo-stats node for a value set / partition values: each present
@@ -856,7 +977,7 @@ object IcebergLite {
     val (meta, manifests) = manifestsOf(s, table, -1L)
     readEntries(s, table, meta,
       prunedEntries(s, meta, dataManifests(manifests), pred)._2,
-      deleteFilesOf(manifests))
+      delCtxOf(manifests))
       .filter(pred)
   }
 
@@ -884,6 +1005,49 @@ object IcebergLite {
   def dataFiles(s: SparkSession, table: String): Seq[String] = {
     val (_, manifests) = manifestsOf(s, table, -1L)
     dataManifests(manifests).flatMap(_.entries).map(_.path).sorted
+  }
+
+  /** Iceberg `files` metadata table: one row per data file of the
+    * current snapshot — path, data sequence number, partition values,
+    * record count and byte size from MANIFEST stats. Metadata-only:
+    * built from the manifest tree a reader already holds, so
+    * per-partition row counts (the classic `SELECT count(*)` shortcut)
+    * cost zero data IO at any table size. Record counts are file-level
+    * (unmasked by outstanding delete files, as in Iceberg's own
+    * metadata table).
+    */
+  def filesMeta(s: SparkSession, table: String): DataFrame = {
+    val (_, manifests) = manifestsOf(s, table, -1L)
+    val rows = dataManifests(manifests).flatMap { m =>
+      m.entries.map { e =>
+        val rc = e.stats.flatMap(st =>
+          Option(st.get("numRecords")).map(_.asLong())).getOrElse(-1L)
+        val size = Option(e.raw.get("size")).map(_.asLong()).getOrElse(-1L)
+        (e.path, m.seq,
+          e.partValues.map { case (k, v) => k -> v.orNull }.toMap,
+          rc, size)
+      }
+    }
+    import s.implicits._
+    rows.toDF("file_path", "sequence_number", "partition",
+      "record_count", "size_bytes")
+  }
+
+  /** Iceberg `snapshots` metadata table: snapshot id, its manifest
+    * count, and data/delete file counts — one metadata read per
+    * snapshot, no data IO.
+    */
+  def snapshotsMeta(s: SparkSession, table: String): DataFrame = {
+    val meta = readMeta(s, table)
+    val rows = meta.snapshots.map { case (id, listRel) =>
+      val ms = readManifests(s, table, listRel, meta)
+      (id, ms.size.toLong,
+        dataManifests(ms).map(_.entries.size).sum.toLong,
+        ms.filter(_.content == "deletes").map(_.entries.size).sum.toLong)
+    }
+    import s.implicits._
+    rows.toDF("snapshot_id", "manifest_count", "data_file_count",
+      "delete_file_count")
   }
 
   /** Position-delete file paths of the current snapshot. */
@@ -951,7 +1115,7 @@ object IcebergLite {
       stats.foreach(x => e.set[JsonNode]("stats", Json.readTree(x)))
       ManifestEntry(p, Nil, Option(e.get("stats")).filterNot(_.isNull), e)
     }
-    val m = writeManifestFile(f, table, 1, 0, Nil, entries)
+    val m = writeManifestFile(f, table, 1, 0, Nil, entries, seq = 1L)
     commitSnapshot(s, table,
       Meta(Seq(iceSchema), 1, Seq(0 -> Nil), 0, 0L, Nil), Seq(m))
   }
@@ -974,7 +1138,7 @@ object IcebergLite {
     val candidates =
       prunedEntries(s, meta, dataManifests(manifests), pred)._2
     if (candidates.forall(_._2.isEmpty)) return meta.currentSnapshot
-    val priorDeletes = deleteFilesOf(manifests)
+    val priorDeletes = delCtxOf(manifests)
     // Live hits only: rows already masked by an earlier delete file
     // must not be re-recorded (idempotent position sets). The read is
     // id-resolved, so `pred` is over CURRENT names regardless of when
@@ -1001,11 +1165,61 @@ object IcebergLite {
     // (position deletes are pruned by their data files, not by value).
     val root = Json.createObjectNode()
     root.put("content", "deletes")
+    root.put("sequence-number", nextSeq(meta))
     val entries = root.putArray("entries")
     rels.foreach(r => entries.addObject().put("path", r))
     val mRel = s"metadata/manifest-${UUID.randomUUID()}.json"
     writeFile(f, new Path(table, mRel), Json.writeValueAsString(root),
       overwrite = false)
+    commitSnapshot(s, table, meta, manifests.map(_.path) :+ mRel)
+  }
+
+  /** Merge-on-read DELETE via Iceberg v2 EQUALITY-delete files — the
+    * path CDC/streaming writers take: `keyRows`' distinct values of
+    * `keys` are written AS THE DELETE (parquet files holding key rows,
+    * one deletes manifest tagged with the keys' FIELD IDS and this
+    * commit's data sequence number) and the commit NEVER READS A DATA
+    * FILE — cost is O(delete keys) regardless of table size, where
+    * [[deleteWhere]]'s position deletes must first scan candidates to
+    * find row positions. The trade moves to readers: every scan
+    * anti-joins key columns against the accumulated delete rows until
+    * [[compact]] folds them in. Sequence-number semantics scope the
+    * mask — only data files written BEFORE the delete (seq strictly
+    * smaller) are affected, so re-inserting a deleted key works.
+    * Equality keys resolve by field id, surviving renames on either
+    * side. Null key values delete null-keyed rows (Iceberg's equality).
+    * Returns the new snapshot id.
+    */
+  def equalityDelete(s: SparkSession, table: String, keys: Seq[String],
+      keyRows: DataFrame): Long = {
+    require(keys.nonEmpty, "equality delete needs at least one key")
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val cur = meta.currentSchema
+    val keyFields = keys.map(k => cur.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"no column $k in $table")))
+    val rows = keyRows.select(keyFields.map(kf =>
+      col(kf.name).cast(kf.dataType).as(kf.name)).toSeq: _*).distinct()
+    val f = fs(s, new Path(table))
+    val stageDir = new Path(table, s"_stage-eqdel-${UUID.randomUUID()}")
+    rows.write.parquet(stageDir.toString)
+    val parts = f.listStatus(stageDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && st.getLen > 0)
+    val rels = parts.map { st =>
+      val rel = s"data/eqdelete-${UUID.randomUUID()}.parquet"
+      require(f.rename(st.getPath, new Path(table, rel)),
+        s"rename failed for ${st.getPath}")
+      rel
+    }
+    f.delete(stageDir, true)
+    if (rels.isEmpty) return meta.currentSnapshot
+    val entries = rels.map { rel =>
+      val e = Json.createObjectNode()
+      e.put("path", rel)
+      ManifestEntry(rel, Nil, None, e)
+    }
+    val mRel = writeManifestFile(f, table, cur.schemaId, meta.defaultSpecId,
+      Nil, entries, nextSeq(meta), keyFields.map(_.id))
     commitSnapshot(s, table, meta, manifests.map(_.path) :+ mRel)
   }
 
@@ -1028,8 +1242,11 @@ object IcebergLite {
         if (kept.isEmpty) None
         // A rewritten manifest keeps ITS OWN schema + spec: the
         // surviving entries' files and partition values are unchanged.
+        // A rewritten manifest also keeps its SEQUENCE NUMBER: its
+        // surviving files' write order is unchanged, so their equality-
+        // delete scoping must not move.
         else Some(writeManifestFile(f, table, m.schemaId, m.specId,
-          meta.colsOfSpec(m.specId), kept))
+          meta.colsOfSpec(m.specId), kept, m.seq))
       }
     }
   }
@@ -1051,7 +1268,7 @@ object IcebergLite {
       prunedEntries(s, meta, dataManifests(manifests), pred)._2
     if (candidates.forall(_._2.isEmpty)) return meta.currentSnapshot
     val rewritten = readEntries(s, table, meta, candidates,
-      deleteFilesOf(manifests))
+      delCtxOf(manifests))
       .select(cur.fields.map { fd =>
         assignments.get(fd.name) match {
           case Some(set) =>
@@ -1061,7 +1278,7 @@ object IcebergLite {
         }
       }.toSeq: _*)
     val newManifest = writeManifest(s, table, rewritten, cur,
-      meta.defaultSpecId, meta.partCols, meta.sortCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     val removed = candidates.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
@@ -1080,14 +1297,14 @@ object IcebergLite {
     val (meta, manifests) = manifestsOf(s, table, -1L)
     val groups = entryGroups(manifests)
     if (groups.forall(_._2.isEmpty)) return meta.currentSnapshot
-    val df = readEntries(s, table, meta, groups, deleteFilesOf(manifests))
+    val df = readEntries(s, table, meta, groups, delCtxOf(manifests))
     val packed =
       if (meta.partCols.isEmpty) df.repartition(targetFiles)
       else df.repartition(targetFiles, meta.partCols.map(col): _*)
     // Rewritten files land under the CURRENT schema AND the DEFAULT
     // spec — compaction also retires old-spec layouts.
     val m = writeManifest(s, table, packed, meta.currentSchema,
-      meta.defaultSpecId, meta.partCols, meta.sortCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     commitSnapshot(s, table, meta, Seq(m))
   }
 
@@ -1157,7 +1374,7 @@ object IcebergLite {
     val srcKeyCounts = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_src_n"))
     val groups = entryGroups(manifests)
-    val deletes = deleteFilesOf(manifests)
+    val deletes = delCtxOf(manifests)
     val (hitNames, maxMatches) =
       if (groups.forall(_._2.isEmpty)) (Set.empty[String], 0L)
       else {
@@ -1173,7 +1390,6 @@ object IcebergLite {
     require(maxMatches <= 1L,
       s"merge: $maxMatches source rows match the same target key — " +
         "MERGE forbids ambiguous multi-matches; dedup the source")
-    def fileName(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val hitGroups = groups.map { case (sid, es) =>
       sid -> es.filter(e => hitNames.contains(fileName(e.path)))
     }.filter(_._2.nonEmpty)
@@ -1183,7 +1399,7 @@ object IcebergLite {
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(srcCols)
     val newManifest = writeManifest(s, table, newData, cur,
-      meta.defaultSpecId, meta.partCols, meta.sortCols)
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     val removed = hitGroups.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)

@@ -946,5 +946,106 @@ object Sources {
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 5000
       ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s35
+    // Iceberg v2 EQUALITY deletes — the CDC/streaming-writer delete
+    // path: the commit writes the KEY VALUES as parquet and never reads
+    // a data file (O(keys) at any table size; position deletes must
+    // scan candidates first). Reads anti-join keys under SEQUENCE-
+    // NUMBER scoping: the second append re-inserts a third of the
+    // deleted custkeys and those rows SURVIVE (their files are newer
+    // than the delete), while a later segment-keyed delete masks rows
+    // of both earlier batches. IcebergLiteSpec asserts the no-data-IO
+    // commit shape, rename interplay, and compaction fold-in.
+    GQuery("s35_iceberg_equality_deletes", (s, d) => {
+      val t = s"${scratch("s35")}/customer_ice_eqdel"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, t,
+        c.filter(col("c_custkey") <= 1000)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+          .repartitionByRange(4, col("c_custkey")))
+      // CDC-shaped delete: drop every negative-balance customer by key.
+      IcebergLite.equalityDelete(s, t, Seq("c_custkey"),
+        c.filter(col("c_custkey") <= 1000 && col("c_acctbal") < 0)
+          .select(col("c_custkey")))
+      // Re-insert a third of the deleted keys: newer sequence number →
+      // they survive the earlier delete.
+      IcebergLite.append(s, t,
+        c.filter(col("c_custkey") <= 1000 && col("c_acctbal") < 0 &&
+            col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment")))
+      // Second delete on a DIFFERENT key set (segment): masks matching
+      // rows of BOTH earlier batches, proving key sets compose.
+      IcebergLite.equalityDelete(s, t, Seq("c_mktsegment"), {
+        import s.implicits._
+        Seq("AUTOMOBILE").toDF("c_mktsegment")
+      })
+      IcebergLite.snapshot(s, t).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey <= 1000 AND c_acctbal >= 0
+        AND c_mktsegment <> 'AUTOMOBILE'
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      WHERE c_custkey <= 1000 AND c_acctbal < 0 AND c_custkey % 3 = 0
+        AND c_mktsegment <> 'AUTOMOBILE'
+      ORDER BY c_custkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s36
+    // Iceberg `files` metadata table: per-partition row counts answered
+    // ENTIRELY from manifest record-count stats — zero data-file IO at
+    // any table size (the metadata-table shortcut real Iceberg users
+    // lean on for `SELECT count(*)`). The oracle recomputes the same
+    // counts from the raw rows, proving the manifest stats are exact
+    // across both the partitioned create and a later append.
+    GQuery("s36_iceberg_files_meta", (s, d) => {
+      val t = s"${scratch("s36")}/cust_ice_filesmeta"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, t,
+        c.filter(col("c_custkey") <= 1000),
+        partitionColumns = Seq("c_mktsegment"))
+      IcebergLite.append(s, t, c.filter(col("c_custkey") > 1000))
+      IcebergLite.filesMeta(s, t)
+        .groupBy(col("partition")("c_mktsegment").as("c_mktsegment"))
+        .agg(sum(col("record_count")).as("n_rows"),
+          count(lit(1)).as("n_files"))
+        .select(col("c_mktsegment"), col("n_rows"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_rows FROM customer
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- s37
+    // Delta DESCRIBE HISTORY: every commit leads with a commitInfo
+    // action naming its operation (the protocol's audit surface), and
+    // history() reads it back from the log alone — a driver-side
+    // metadata read, no data IO. The oracle pins the exact
+    // version→operation ledger the five DML steps must produce.
+    GQuery("s37_delta_history", (s, d) => {
+      val t = s"${scratch("s37")}/orders_delta_history"
+      val o = T.orders(s, d)
+      DeltaLite.create(s, t,
+        o.filter(col("o_custkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")))
+      DeltaLite.append(s, t, o.filter(col("o_custkey") % 2 === 1))
+      DeltaLite.updateWhere(s, t, col("o_orderpriority") === "1-URGENT",
+        Map("o_orderstatus" -> lit("U")))
+      DeltaLite.deleteWhere(s, t, col("o_orderkey") % 10 === 7)
+      DeltaLite.compact(s, t, targetFiles = 4)
+      DeltaLite.history(s, t)
+        .select(col("version"), col("operation"))
+        .orderBy(col("version"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'CREATE TABLE'),
+        (CAST(1 AS BIGINT), 'WRITE'),
+        (CAST(2 AS BIGINT), 'UPDATE'),
+        (CAST(3 AS BIGINT), 'DELETE'),
+        (CAST(4 AS BIGINT), 'OPTIMIZE')) AS t(version, operation)
+      ORDER BY version"""))
   )
 }

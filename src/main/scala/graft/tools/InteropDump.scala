@@ -72,6 +72,29 @@ object InteropDump {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/iceberg_expected")
 
+    // ---- Iceberg equality deletes: two key sets (a column-keyed CDC
+    //      delete, then a segment-keyed one) + a position delete on
+    //      top; sequence numbers scope each equality delete to the
+    //      data files written before it — a foreign reader must apply
+    //      all three kinds together.
+    val eq = s"$outDir/iceberg_eqdel"
+    IcebergLite.create(spark, eq,
+      c.filter(col("c_custkey") <= 800)
+        .repartitionByRange(3, col("c_custkey")))
+    IcebergLite.equalityDelete(spark, eq, Seq("c_custkey"),
+      c.filter(col("c_custkey") <= 800 && col("c_acctbal") < 0)
+        .select(col("c_custkey")))
+    IcebergLite.append(spark, eq,
+      c.filter(col("c_custkey") > 800 && col("c_custkey") <= 1000))
+    IcebergLite.equalityDelete(spark, eq, Seq("c_mktsegment"), {
+      import spark.implicits._
+      Seq("MACHINERY").toDF("c_mktsegment")
+    })
+    IcebergLite.deleteWhere(spark, eq, col("c_custkey") % 13 === 6)
+    IcebergLite.snapshot(spark, eq)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/iceberg_eqdel_expected")
+
     // ---- Iceberg partition-spec evolution + sort order: files live
     //      under TWO layouts (loose pre-evolution files; sorted
     //      data/o_orderstatus=X/ files after), and a foreign reader

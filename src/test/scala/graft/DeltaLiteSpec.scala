@@ -599,4 +599,28 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.snapshot(spark, t)
       .filter(col("c_custkey") === 777777L).count() == 2)
   }
+
+  test("history reads each commit's operation from its commitInfo " +
+      "action — a metadata-only DESCRIBE HISTORY") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir).limit(200)
+    DeltaLite.create(spark, t, c.repartition(2))
+    DeltaLite.append(spark, t, c.limit(50))
+    DeltaLite.merge(spark, t,
+      c.limit(10).withColumn("c_acctbal", col("c_acctbal") + 1),
+      Seq("c_custkey"))
+    DeltaLite.compact(spark, t, targetFiles = 1)
+    DeltaLite.addColumn(spark, t, "flag",
+      org.apache.spark.sql.types.StringType)
+    val h = DeltaLite.history(spark, t).orderBy(col("version"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(h == Seq(0L -> "CREATE TABLE", 1L -> "WRITE", 2L -> "MERGE",
+      3L -> "OPTIMIZE", 4L -> "ADD COLUMNS"), h.toString)
+    // Action counts ride along: the create added files, the metadata-
+    // only ADD COLUMNS touched none.
+    val byV = DeltaLite.history(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byV(0L)._1 > 0 && byV(0L)._2 == 0)
+    assert(byV(4L) == (0L, 0L))
+  }
 }

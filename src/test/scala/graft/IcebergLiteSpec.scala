@@ -140,6 +140,88 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.snapshots(spark, t).size == before)
   }
 
+  test("equality-delete files: the commit writes key rows only (no " +
+      "data-file IO), sequence numbers let re-inserted keys survive, " +
+      "deletes survive renames by field id, compaction folds them in") {
+    import spark.implicits._
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    IcebergLite.create(spark, t,
+      c.filter(col("c_custkey") <= 100)
+        .repartitionByRange(2, col("c_custkey")))
+    val filesBefore = IcebergLite.dataFiles(spark, t)
+    IcebergLite.equalityDelete(spark, t, Seq("c_custkey"),
+      (1L to 20L).toDF("c_custkey"))
+    // Merge-on-read: the data-file set is untouched; the delete is key
+    // rows in delete files (the commit's only Spark job ran over the
+    // 20-key DataFrame, never the table).
+    assert(IcebergLite.dataFiles(spark, t) == filesBefore)
+    assert(IcebergLite.deleteFiles(spark, t).nonEmpty)
+    assert(IcebergLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 100 &&
+        !col("c_custkey").between(1, 20)).count())
+    // Keys 1..10 re-inserted AFTER the delete: their files carry a
+    // larger sequence number, so the delete does not touch them.
+    IcebergLite.append(spark, t, c.filter(col("c_custkey").between(1, 10)))
+    val reborn = IcebergLite.snapshot(spark, t)
+    assert(reborn.filter(col("c_custkey").between(1, 10)).count() ==
+      c.filter(col("c_custkey").between(1, 10)).count())
+    assert(reborn.filter(
+      col("c_custkey") > 10 && col("c_custkey") <= 20).count() == 0)
+    // Rename the key column: the stored delete stays attached through
+    // the FIELD ID, and a fresh delete under the new name also works.
+    IcebergLite.renameColumn(spark, t, "c_custkey", "cust_id")
+    assert(IcebergLite.snapshot(spark, t).filter(
+      col("cust_id") > 10 && col("cust_id") <= 20).count() == 0)
+    IcebergLite.equalityDelete(spark, t, Seq("cust_id"),
+      Seq(5L).toDF("cust_id"))
+    assert(IcebergLite.snapshot(spark, t)
+      .filter(col("cust_id") === 5).count() == 0)
+    // Compaction folds every accumulated delete in: delete files
+    // disappear, content is unchanged, reads stop paying the anti-join.
+    val want = IcebergLite.snapshot(spark, t)
+      .orderBy(col("cust_id")).collect().toSeq
+    IcebergLite.compact(spark, t, targetFiles = 2)
+    assert(IcebergLite.deleteFiles(spark, t).isEmpty)
+    assert(IcebergLite.snapshot(spark, t)
+      .orderBy(col("cust_id")).collect().toSeq == want)
+  }
+
+  test("files/snapshots metadata tables serve counts from manifest " +
+      "stats alone — record counts exact, sequence numbers monotonic") {
+    import spark.implicits._
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    IcebergLite.create(spark, t, c.filter(col("c_custkey") <= 75),
+      partitionColumns = Seq("c_mktsegment"))
+    IcebergLite.append(spark, t, c.filter(col("c_custkey") > 75))
+    val fm = IcebergLite.filesMeta(spark, t)
+    // Manifest record counts reproduce the exact table count without
+    // touching a data file.
+    assert(fm.agg(sum(col("record_count"))).head().getLong(0) == c.count())
+    // Append files carry a larger sequence number than create files.
+    val seqs = fm.select(col("sequence_number")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(1L, 2L), seqs.toString)
+    // Partition values are real: per-partition sums match the data.
+    val bySeg = fm.groupBy(col("partition")("c_mktsegment").as("seg"))
+      .agg(sum(col("record_count")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = c.groupBy(col("c_mktsegment")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySeg == want)
+    // snapshots table: the second snapshot references more data files
+    // and no delete files; an equality delete adds a delete-file count.
+    IcebergLite.equalityDelete(spark, t, Seq("c_custkey"),
+      Seq(1L, 2L).toDF("c_custkey"))
+    val sm = IcebergLite.snapshotsMeta(spark, t)
+      .orderBy(col("snapshot_id")).collect()
+    assert(sm.length == 3)
+    assert(sm(0).getLong(2) < sm(1).getLong(2))
+    assert(sm(2).getLong(3) > 0 &&
+      sm(2).getLong(2) == sm(1).getLong(2))
+  }
+
   test("data files carry real parquet field_id attributes (the Iceberg " +
       "data-file requirement external readers resolve by)") {
     val t = freshTable()

@@ -164,14 +164,22 @@ def read_iceberg(table):
     list_rel = {s["snapshot-id"]: s["manifest-list"]
                 for s in meta["snapshots"]}[snap]
     manifests = json.load(open(os.path.join(table, list_rel)))["manifests"]
-    data_files, delete_files = [], []
+    data_files, delete_files, eq_dels = [], [], []
     for mrel in manifests:
         m = json.load(open(os.path.join(table, mrel)))
         if m.get("content", "data") == "deletes":
-            delete_files += [e["path"] for e in m["entries"]]
+            if m.get("equality-ids"):
+                eq_dels.append((m["equality-ids"],
+                                m.get("sequence-number", 0),
+                                m.get("schema-id",
+                                      meta["current-schema-id"]),
+                                [e["path"] for e in m["entries"]]))
+            else:
+                delete_files += [e["path"] for e in m["entries"]]
         else:
             data_files += [(e["path"], m["schema-id"],
-                            e.get("partitionValues") or {})
+                            e.get("partitionValues") or {},
+                            m.get("sequence-number", 0))
                            for e in m["entries"]]
     dead = set()
     for dp in delete_files:
@@ -179,8 +187,24 @@ def read_iceberg(table):
         for fp, pos in zip(t.column("file_path").to_pylist(),
                            t.column("pos").to_pylist()):
             dead.add((fp, pos))
+    # Equality deletes: key rows resolved to CURRENT column names by
+    # field id (the delete file is written under its manifest's schema),
+    # applied below only to data files with a STRICTLY SMALLER sequence
+    # number — the Iceberg v2 scoping that lets re-inserted keys live.
+    eq_groups = []
+    for ids, dseq, dsid, paths in eq_dels:
+        wnames = {f["id"]: f["name"]
+                  for f in schemas.get(dsid, cur)["fields"]}
+        curnames = {f["id"]: f["name"] for f in cur["fields"]}
+        keys = set()
+        for p in paths:
+            t = pq.read_table(os.path.join(table, p))
+            cols = [t.column(wnames[i]).to_pylist() for i in ids]
+            keys |= set(zip(*cols))
+        eq_groups.append(([curnames[i] for i in ids], dseq, keys))
     print(f"  iceberg: metadata v{v}, snapshot {snap}, "
-          f"{len(data_files)} data files, {len(dead)} deleted positions")
+          f"{len(data_files)} data files, {len(dead)} deleted positions, "
+          f"{len(eq_groups)} equality-delete groups")
     def typed_pv(fd, v):
         """Partition value string -> the field's declared type."""
         if v is None:
@@ -194,7 +218,7 @@ def read_iceberg(table):
 
     frames = []
     missing_fid = 0
-    for path, sid, pv in data_files:
+    for path, sid, pv, fseq in data_files:
         full = os.path.join(table, path)
         fids = field_id_map(full)
         foreign = os.path.isabs(path)
@@ -230,7 +254,12 @@ def read_iceberg(table):
                     [typed_pv(fd, pv[wname])] * len(df))
             else:
                 out[fd["name"]] = None
-        frames.append(pd.DataFrame(out))
+        pdf = pd.DataFrame(out)
+        for names, dseq, keys in eq_groups:
+            if fseq < dseq and len(pdf):
+                tuples = list(zip(*[pdf[n] for n in names]))
+                pdf = pdf[[t not in keys for t in tuples]]
+        frames.append(pdf)
     if missing_fid:
         fail(f"{missing_fid} native data files carry no parquet field_ids")
     return pd.concat(frames, ignore_index=True)
@@ -261,6 +290,13 @@ def main(root):
     check("delta_clone", read, os.path.join(root, "delta_clone_expected"))
     read = read_iceberg(os.path.join(root, "iceberg_table"))
     check("iceberg", read, os.path.join(root, "iceberg_expected"))
+    # Equality deletes: two key sets + a position delete coexisting,
+    # scoped by data sequence numbers.
+    p = os.path.join(root, "iceberg_eqdel")
+    if os.path.isdir(p):
+        read = read_iceberg(p)
+        check("iceberg_eqdel", read,
+              os.path.join(root, "iceberg_eqdel_expected"))
     # Partition-spec evolution + sort order: pre-evolution loose files
     # and post-evolution data/k=v/ files coexist; the evolved-spec
     # files' partition column is injected from manifest entries.
