@@ -152,9 +152,9 @@ object LakeSql {
         s.emptyDataFrame
       // ALTER TABLE … ADD COLUMNS / RENAME COLUMN: metadata-only
       // schema evolution on either provider — zero data IO at any
-      // table size. RENAME needs stable field ids to keep existing
-      // files resolving, so it is IcebergLite-only (Delta would need
-      // the protocol's column-mapping feature — rejected loudly).
+      // table size. RENAME keeps existing files resolving through
+      // stable field ids (iceberglite) or column mapping's physical
+      // names (deltalite).
       case AddColumns(tbl, colsToAdd) =>
         val (provider, path) = lookupAlterTarget(s, tbl)
         colsToAdd.foreach { c =>
@@ -167,12 +167,11 @@ object LakeSql {
         s.emptyDataFrame
       case RenameColumn(tbl, column, newName) =>
         val (provider, path) = lookupAlterTarget(s, tbl)
-        require(provider == "iceberglite",
-          "RENAME COLUMN requires stable field ids (iceberglite); " +
-            "deltalite tables would orphan existing files' columns")
         require(column.name.length == 1,
           s"only top-level columns can be renamed, got ${column.name}")
-        IcebergLite.renameColumn(s, path, column.name.head, newName)
+        if (provider == "deltalite")
+          DeltaLite.renameColumn(s, path, column.name.head, newName)
+        else IcebergLite.renameColumn(s, path, column.name.head, newName)
         s.emptyDataFrame
       case plan if plan.collectWithSubqueries {
           case _: RelationTimeTravel => () }.nonEmpty =>

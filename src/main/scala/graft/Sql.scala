@@ -795,14 +795,15 @@ object Sql {
       // ------------------------------------------------------------ x38
       // ALTER TABLE through Spark's own parser on BOTH lake formats:
       // ADD COLUMNS is a metadata-only commit everywhere (old files
-      // read null for the new column); RENAME COLUMN additionally
-      // needs stable field ids to keep existing files resolving, so it
-      // runs on the iceberglite table (deltalite rejects it loudly —
-      // that asymmetry IS the two protocols' design difference). The
-      // evolved tables then take DML (UPDATE the new Delta column,
-      // INSERT under the renamed Iceberg schema) and a cross-format
-      // join reads both back. Oracle reconstructs the final state from
-      // the raw customer table.
+      // read null for the new column), and RENAME COLUMN is
+      // metadata-only on both too — through stable field ids on the
+      // iceberglite table and column mapping's physical names on the
+      // deltalite one (the two protocols' different answers to the
+      // same problem). The evolved tables then take DML (UPDATE the
+      // new Delta column under its renamed sibling, INSERT under the
+      // renamed Iceberg schema) and a cross-format join reads both
+      // back. Oracle reconstructs the final state from the raw
+      // customer table.
       GQuery("x38_sql_lake_alter", (s, d) => {
         open(s, d)
         val tag = java.util.UUID.randomUUID().toString
@@ -814,6 +815,7 @@ object Sql {
           AS SELECT c_custkey, c_name, c_acctbal FROM customer
           WHERE c_custkey <= 900""")
         LakeSql.sql(s, s"ALTER TABLE $dn ADD COLUMNS (bonus DOUBLE)")
+        LakeSql.sql(s, s"ALTER TABLE $dn RENAME COLUMN c_name TO cust_name")
         LakeSql.sql(s, s"UPDATE $dn SET bonus = c_acctbal * 0.1 " +
           "WHERE c_custkey <= 100")
         LakeSql.sql(s, s"""CREATE TABLE $in USING iceberglite
@@ -827,7 +829,7 @@ object Sql {
                  CAST(7 AS INT) AS segment_code
           FROM customer WHERE c_custkey > 700 AND c_custkey <= 900""")
         val out = LakeSql.sql(s, s"""
-          SELECT d.c_custkey, d.c_name, d.c_acctbal, d.bonus,
+          SELECT d.c_custkey, d.cust_name, d.c_acctbal, d.bonus,
                  i.segment, i.segment_code
           FROM $dn d JOIN $in i ON d.c_custkey = i.c_custkey
           ORDER BY d.c_custkey""")
@@ -835,7 +837,7 @@ object Sql {
         LakeSql.sql(s, s"DROP TABLE $in")
         out
       }, Some("""
-        SELECT c_custkey, c_name, c_acctbal,
+        SELECT c_custkey, c_name AS cust_name, c_acctbal,
                CASE WHEN c_custkey <= 100 THEN c_acctbal * 0.1 END AS bonus,
                c_mktsegment AS segment,
                CASE WHEN c_custkey > 700 THEN CAST(7 AS INT) END

@@ -137,6 +137,36 @@ object DeltaLite {
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
   }
 
+  // ------------------------------------------------- column mapping
+  // Delta's column-mapping (name mode): each field's METADATA carries
+  // its immutable PHYSICAL name (the parquet column name); the field's
+  // own name is just the current logical label. Enabled lazily by the
+  // first RENAME, which stamps physicalName = current name on every
+  // field (so all existing files keep resolving) and then relabels.
+  // Readers read parquet under physical names and alias to logical;
+  // writers do the reverse; stats and partitionValues are keyed by
+  // physical names (the protocol's rule). Partition columns cannot be
+  // renamed (their name is baked into the k=v layout — the same stated
+  // simplification as IcebergLite).
+
+  private val PhysKey = "delta.columnMapping.physicalName"
+
+  private def physName(fd: StructField): String =
+    if (fd.metadata.contains(PhysKey)) fd.metadata.getString(PhysKey)
+    else fd.name
+
+  /** The schema as parquet files spell it (physical names, bare). */
+  private def physStruct(schema: StructType): StructType =
+    StructType(schema.fields.map(fd =>
+      StructField(physName(fd), fd.dataType, fd.nullable)))
+
+  private def hasMapping(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysKey))
+
+  /** logical name -> physical name, for predicate/stats remapping. */
+  private def physNames(schema: StructType): Map[String, String] =
+    schema.fields.map(fd => fd.name -> physName(fd)).toMap
+
   private def lastCheckpointPath(table: String) =
     new Path(logDir(table), "_last_checkpoint")
   private def checkpointFile(table: String, v: Long) =
@@ -372,10 +402,13 @@ object DeltaLite {
     if (rels.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else {
-      val r0 = s.read.schema(schema)
+      // Parquet speaks PHYSICAL names; the projection relabels to the
+      // current logical names (identity when mapping is off).
+      val r0 = s.read.schema(physStruct(schema))
       val r = if (rels.exists(isAbsPath)) r0 else r0.option("basePath", table)
       r.parquet(rels.map(p => new Path(table, p).toString): _*)
-        .select(schema.fieldNames.map(col).toSeq: _*)
+        .select(schema.fields.map(fd =>
+          col(physName(fd)).as(fd.name)).toSeq: _*)
     }
 
   private def readDv(s: SparkSession, table: String, rel: String): Seq[Long] = {
@@ -414,7 +447,7 @@ object DeltaLite {
       .map(rid => (fileName(e.path), rid)))
       .toDF("_dv_fname", "_dv_rid")
     val maskedReader = {
-      val r0 = s.read.schema(schema)
+      val r0 = s.read.schema(physStruct(schema))
       if (dvE.exists(e => isAbsPath(e.path))) r0
       else r0.option("basePath", table)
     }
@@ -423,6 +456,9 @@ object DeltaLite {
       .withColumn("_dv_fname",
         element_at(split(input_file_name(), "/"), -1))
       .withColumn("_dv_rid", col("_metadata.row_index"))
+      .select(schema.fields.map(fd =>
+        col(physName(fd)).as(fd.name)).toSeq ++
+        Seq(col("_dv_fname"), col("_dv_rid")): _*)
       .join(broadcast(deleted), Seq("_dv_fname", "_dv_rid"), "left_anti")
     val maskedOut = (fileCol match {
       case Some(c) => masked.withColumn(c, col("_dv_fname"))
@@ -804,7 +840,18 @@ object DeltaLite {
   private def keptEntries(s: SparkSession, st: State,
       pred: Column): Seq[FileEntry] = {
     val schema = st.schema
-    val e = resolvedPred(s, schema, pred)
+    val e0 = resolvedPred(s, schema, pred)
+    // Stats and partitionValues are keyed by PHYSICAL names: re-label
+    // the predicate's attribute references before consulting them
+    // (no-op unless a rename enabled column mapping).
+    val toPhys = physNames(schema)
+    val e =
+      if (!hasMapping(schema)) e0
+      else e0.transformUp {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if toPhys.contains(a.name) && toPhys(a.name) != a.name =>
+          a.withName(toPhys(a.name))
+      }
     val partTypes = schema.fields
       .filter(f => st.partCols.contains(f.name))
       .map(f => f.name -> f.dataType).toMap
@@ -872,7 +919,12 @@ object DeltaLite {
       m.put("schemaString", schemaJson)
       val pc = m.putArray("partitionColumns")
       partCols.foreach(pc.add)
-      m.putObject("configuration")
+      val conf = m.putObject("configuration")
+      // Column mapping is declared in table configuration (the
+      // protocol's switch) whenever the schema carries physical names.
+      if (hasMapping(
+          DataType.fromJson(schemaJson).asInstanceOf[StructType]))
+        conf.put("delta.columnMapping.mode", "name")
       m.put("createdTime", 0L)
     }
 
@@ -937,9 +989,16 @@ object DeltaLite {
   private def stagedAdds(s: SparkSession, table: String, df: DataFrame,
       schema: StructType, partCols: Seq[String],
       dataChange: Boolean = true): Seq[String] = {
-    val files = stage(s, table, df, partCols)
-    val dataSchema =
-      StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // Files are written under PHYSICAL column names (identity unless a
+    // rename enabled column mapping), so every file of the table —
+    // before or after any rename — spells columns the same way, and
+    // stats stay keyed consistently. Partition columns can't be
+    // renamed, so the k=v layout and partitionValues keys are stable.
+    val physDf = df.select(schema.fields.map(fd =>
+      col(fd.name).as(physName(fd))).toSeq: _*)
+    val files = stage(s, table, physDf, partCols)
+    val dataSchema = physStruct(
+      StructType(schema.fields.filterNot(f => partCols.contains(f.name))))
     val stats = footerStats(s, table, files.map(_._1), dataSchema)
     files.map { case (p, pvs, sz) =>
       addAction(p, sz, pvs, stats.get(p), dataChange)
@@ -1062,9 +1121,6 @@ object DeltaLite {
     * COLUMNS path). Zero data IO at any table size; files written
     * before the change read as null for the new column — the same
     * fill-missing-with-null read rule [[appendEvolved]] relies on.
-    * Delta has no field ids, so RENAME would orphan existing files'
-    * columns (it needs the protocol's column-mapping feature) — only
-    * ADD is offered here; renames are IcebergLite's field-id win.
     */
   def addColumn(s: SparkSession, table: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Unit = {
@@ -1078,6 +1134,42 @@ object DeltaLite {
     writeCommit(s, table, v + 1,
       Seq(metaDataAction(table, widened.json, st.partCols)),
       operation = "ADD COLUMNS")
+  }
+
+  /** RENAME a column via the protocol's COLUMN-MAPPING (name mode):
+    * one metadata-only commit, zero data IO at any table size. The
+    * first rename UPGRADES the table — every field is stamped with
+    * `delta.columnMapping.physicalName` = its current name, so every
+    * existing file keeps resolving — and from then on parquet files
+    * spell the PHYSICAL name while the schema's field name is just the
+    * logical label (reads/writes/stats/pruning all translate at the
+    * file boundary). Partition columns cannot be renamed (their name
+    * is baked into the `k=v` layout — same stated simplification as
+    * IcebergLite); a column-mapped table refuses format conversion and
+    * the streaming source (foreign/name-based readers), matching the
+    * guards on evolved Iceberg schemas.
+    */
+  def renameColumn(s: SparkSession, table: String, from: String,
+      to: String): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val schema = st.schema
+    require(schema.fieldNames.contains(from), s"no column $from")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    require(!st.partCols.contains(from),
+      s"cannot rename partition column $from (its name is the " +
+        "directory layout — stated simplification)")
+    val upgraded = StructType(schema.fields.map { fd =>
+      if (fd.metadata.contains(PhysKey)) fd
+      else fd.copy(metadata = new MetadataBuilder()
+        .withMetadata(fd.metadata).putString(PhysKey, fd.name).build())
+    })
+    val renamed = StructType(upgraded.fields.map(fd =>
+      if (fd.name == from) fd.copy(name = to) else fd))
+    writeCommit(s, table, v + 1,
+      Seq(metaDataAction(table, renamed.json, st.partCols)),
+      operation = "RENAME COLUMN")
   }
 
   /** Append under optimistic concurrency: data files are staged ONCE,
@@ -1274,6 +1366,10 @@ object DeltaLite {
     val v = latestVersion(s, table)
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
+    require(!hasMapping(st.schema),
+      "streaming source requires a table without column mapping (the " +
+        "stream reader matches parquet columns by NAME; renames need " +
+        "the batch path's physical-name resolution)")
     (st.schema, st.partCols, v)
   }
 
@@ -1362,6 +1458,9 @@ object DeltaLite {
     val latest = latestVersion(s, table)
     require(latest >= 0, s"no delta log at $table")
     val st = replay(s, table, latest)
+    require(st.schema.fields.forall(fd => physName(fd) == fd.name),
+      s"$table has renamed (column-mapped) fields; foreign readers " +
+        "resolve by name — rewrite under the current names first")
     val f = fs(s, new Path(table))
     def abs(rel: String): String =
       if (isAbsPath(rel)) rel
@@ -1597,7 +1696,7 @@ object DeltaLite {
       readDv(s, table, rel).map(rid => (fileName(e.path), rid))))
     import s.implicits._
     val scanReader = {
-      val r0 = s.read.schema(schema)
+      val r0 = s.read.schema(physStruct(schema))
       if (candidates.exists(e => isAbsPath(e.path))) r0
       else r0.option("basePath", table)
     }
@@ -1606,6 +1705,9 @@ object DeltaLite {
       .withColumn("_dv_fname",
         element_at(split(input_file_name(), "/"), -1))
       .withColumn("_dv_rid", col("_metadata.row_index"))
+      .select(schema.fields.map(fd =>
+        col(physName(fd)).as(fd.name)).toSeq ++
+        Seq(col("_dv_fname"), col("_dv_rid")): _*)
     val live = if (prior.isEmpty) scan0
       else scan0.join(
         broadcast(prior.toDF("_dv_fname", "_dv_rid")),

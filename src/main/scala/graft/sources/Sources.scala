@@ -1047,5 +1047,46 @@ object Sources {
         (CAST(3 AS BIGINT), 'DELETE'),
         (CAST(4 AS BIGINT), 'OPTIMIZE')) AS t(version, operation)
       ORDER BY version"""))
+    ,
+
+    // ---------------------------------------------------------------- s38
+    // Delta COLUMN MAPPING (name mode) — the protocol's answer to
+    // RENAME, the exact mirror of s25's Iceberg field-id version: the
+    // first rename stamps every field's physical name and relabels
+    // (one metadata-only commit, zero data IO at any size); files
+    // written before AND after keep spelling the physical name while
+    // reads/writes/stats translate at the file boundary. Same oracle
+    // as s25 — the two protocols produce identical query semantics.
+    GQuery("s38_delta_column_mapping", (s, d) => {
+      val t = s"${scratch("s38")}/cust_delta_cm"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, t,
+        c.filter(col("c_custkey") <= 750)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+          .repartitionByRange(3, col("c_custkey")))
+      DeltaLite.renameColumn(s, t, "c_name", "cust_name")
+      DeltaLite.addColumn(s, t, "segment_code",
+        org.apache.spark.sql.types.StringType)
+      // Post-evolution append arrives under the CURRENT schema.
+      DeltaLite.append(s, t,
+        c.filter(col("c_custkey") > 750)
+          .withColumnRenamed("c_name", "cust_name")
+          .withColumn("segment_code", substring(col("c_mktsegment"), 1, 3))
+          .select(col("c_custkey"), col("cust_name"), col("c_acctbal"),
+            col("c_mktsegment"), col("segment_code")))
+      DeltaLite.snapshot(s, t)
+        .select(col("c_custkey"), col("cust_name"), col("c_acctbal"),
+          col("segment_code"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name AS cust_name, c_acctbal,
+             CAST(NULL AS VARCHAR) AS segment_code
+      FROM customer WHERE c_custkey <= 750
+      UNION ALL
+      SELECT c_custkey, c_name AS cust_name, c_acctbal,
+             substr(c_mktsegment, 1, 3) AS segment_code
+      FROM customer WHERE c_custkey > 750
+      ORDER BY c_custkey"""))
   )
 }

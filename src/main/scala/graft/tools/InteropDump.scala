@@ -53,6 +53,26 @@ object InteropDump {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/delta_clone_expected")
 
+    // ---- Delta column mapping: rename (upgrade + relabel) → add
+    //      column → evolved append → DV delete on top. A foreign
+    //      reader must translate physical parquet names to logical
+    //      ones from the schemaString's field metadata.
+    val cm = s"$outDir/delta_cm"
+    DeltaLite.create(spark, cm,
+      c.filter(col("c_custkey") <= 900)
+        .repartitionByRange(3, col("c_custkey")))
+    DeltaLite.renameColumn(spark, cm, "c_name", "cust_name")
+    DeltaLite.addColumn(spark, cm, "flag",
+      org.apache.spark.sql.types.StringType)
+    DeltaLite.append(spark, cm,
+      c.filter(col("c_custkey") > 900 && col("c_custkey") <= 1100)
+        .withColumnRenamed("c_name", "cust_name")
+        .withColumn("flag", lit("late")))
+    DeltaLite.deleteWhereDV(spark, cm, col("c_custkey") % 7 === 3)
+    DeltaLite.snapshot(spark, cm)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/delta_cm_expected")
+
     // ---- Iceberg: create → rename + add column → evolved append →
     //      position-delete
     val it = s"$outDir/iceberg_table"

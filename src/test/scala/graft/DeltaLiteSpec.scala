@@ -623,4 +623,78 @@ class DeltaLiteSpec extends SparkSpec {
     assert(byV(0L)._1 > 0 && byV(0L)._2 == 0)
     assert(byV(4L) == (0L, 0L))
   }
+
+  test("column mapping: rename is a metadata-only commit; old and new " +
+      "files both resolve; stats pruning and DML follow the rename; " +
+      "partition renames and conversion are refused") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.repartitionByRange(3, col("c_name")))
+    DeltaLite.renameColumn(spark, t, "c_name", "cust_name")
+    // Metadata-only: the RENAME COLUMN commit adds/removes no files.
+    val h = DeltaLite.history(spark, t).orderBy(col("version")).collect()
+    assert(h.last.getString(1) == "RENAME COLUMN" &&
+      h.last.getLong(2) == 0 && h.last.getLong(3) == 0)
+    // Files written BEFORE the rename resolve under the new name.
+    val want = c.orderBy(col("c_custkey"))
+      .select(col("c_name").as("cust_name"), col("c_acctbal"))
+      .collect().toSeq
+    assert(DeltaLite.snapshot(spark, t).orderBy(col("c_custkey"))
+      .select(col("cust_name"), col("c_acctbal")).collect().toSeq == want)
+    // Time travel to the pre-rename version still shows the old name.
+    assert(DeltaLite.snapshot(spark, t, 0L).columns.contains("c_name"))
+    // An append under the NEW schema writes the PHYSICAL (original)
+    // column name into parquet — every file of the table spells
+    // columns identically.
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey").between(1, 5))
+        .withColumnRenamed("c_name", "cust_name"))
+    import scala.jdk.CollectionConverters._
+    val newest = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .maxBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    val cols = pq.read_schema_names(newest.toString)
+    assert(cols.contains("c_name") && !cols.contains("cust_name"),
+      cols.toString)
+    // Stats pruning follows the rename: the table is range-laid-out on
+    // the renamed column, and a point predicate on the NEW name prunes
+    // via stats keyed by the PHYSICAL name.
+    val probe = c.orderBy(col("c_custkey")).select(col("c_name"))
+      .head().getString(0)
+    val (kept, total) =
+      DeltaLite.pruneInfo(spark, t, col("cust_name") === probe)
+    assert(total >= 4 && kept < total, s"kept=$kept total=$total")
+    // DML through the new name.
+    DeltaLite.updateWhere(spark, t, col("cust_name") === probe,
+      Map("c_acctbal" -> lit(0.0)))
+    assert(DeltaLite.snapshot(spark, t)
+      .filter(col("cust_name") === probe &&
+        col("c_acctbal") =!= 0.0).count() == 0)
+    // Partition columns cannot be renamed; renamed tables refuse
+    // name-based format conversion.
+    val tp = freshTable()
+    DeltaLite.create(spark, tp, c, Seq("c_mktsegment"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.renameColumn(spark, tp, "c_mktsegment", "seg")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.LakeConvert.deltaToIceberg(spark, t,
+        s"${Scratch.dir("cmconv")}/ice")
+    }
+  }
+
+  private object pq {
+    def read_schema_names(path: String): Seq[String] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSeq
+      } finally r.close()
+    }
+  }
 }

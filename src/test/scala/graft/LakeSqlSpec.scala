@@ -128,7 +128,8 @@ class LakeSqlSpec extends SparkSpec {
   }
 
   test("ALTER TABLE: ADD COLUMNS is metadata-only on both providers; " +
-      "RENAME COLUMN works on iceberg field-ids and is rejected on delta") {
+      "RENAME COLUMN works on iceberg field-ids and delta column " +
+      "mapping alike") {
     import graft.sources.IcebergLite
     Sql.open(spark, sfDir)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
@@ -153,9 +154,18 @@ class LakeSqlSpec extends SparkSpec {
     assert(LakeSql.sql(spark, s"SELECT * FROM $dn")
       .filter(col("score") === 1.5).count() ==
       Tables.customer(spark, sfDir).filter(col("c_custkey") <= 10).count())
-    intercept[IllegalArgumentException] {
-      LakeSql.sql(spark, s"ALTER TABLE $dn RENAME COLUMN c_name TO nm")
-    }
+    // RENAME on delta goes through column mapping: metadata-only,
+    // old files resolve under the new name, filled values survive.
+    val filesAtRename = new java.io.File(s"$root/$dn")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    LakeSql.sql(spark, s"ALTER TABLE $dn RENAME COLUMN c_name TO nm")
+    assert(new java.io.File(s"$root/$dn")
+      .listFiles().count(_.getName.endsWith(".parquet")) == filesAtRename)
+    val dsnap = LakeSql.sql(spark, s"SELECT * FROM $dn")
+    assert(dsnap.schema.fieldNames.toSeq == Seq("c_custkey", "nm", "score"))
+    assert(dsnap.filter(col("nm").isNull).count() == 0)
+    assert(dsnap.filter(col("score") === 1.5).count() ==
+      Tables.customer(spark, sfDir).filter(col("c_custkey") <= 10).count())
 
     val in = s"alter_i_$tag"
     LakeSql.sql(spark, s"""CREATE TABLE $in USING iceberglite

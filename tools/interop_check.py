@@ -123,6 +123,16 @@ def read_delta(table):
     import pandas as pd
     schema_str, part_cols, live = replay_delta(table)
     types = spark_schema_types(schema_str)
+    # Column mapping (name mode): parquet files spell each field's
+    # PHYSICAL name (field metadata delta.columnMapping.physicalName);
+    # the logical name is just the label. Identity when mapping is off.
+    fields = json.loads(schema_str)["fields"]
+    to_logical = {}
+    for f in fields:
+        p = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+        if p != f["name"]:
+            to_logical[p] = f["name"]
     frames = []
     for path, info in sorted(live.items()):
         tb = pq.read_table(os.path.join(table, path))
@@ -132,11 +142,17 @@ def read_delta(table):
             mask = pa.array(i not in dead for i in range(tb.num_rows))
             tb = tb.filter(mask)
         df = tb.to_pandas()
+        if to_logical:
+            df = df.rename(columns=to_logical)
         for pc in part_cols:
             df[pc] = typed_part_value(info["pv"].get(pc), types.get(pc))
         frames.append(df)
-    cols = [f["name"] for f in json.loads(schema_str)["fields"]]
-    return pd.concat(frames, ignore_index=True)[cols]
+    cols = [f["name"] for f in fields]
+    out = pd.concat(frames, ignore_index=True)
+    for c in cols:  # columns added after a file was written read null
+        if c not in out.columns:
+            out[c] = None
+    return out[cols]
 
 
 # -------------------------------------------------------------- Iceberg
@@ -288,6 +304,12 @@ def main(root):
     # the resolution the protocol intends.
     read = read_delta(os.path.join(root, "delta_clone"))
     check("delta_clone", read, os.path.join(root, "delta_clone_expected"))
+    # Column mapping: renamed logical names resolve through each
+    # field's physicalName metadata; post-rename appends + DVs ride.
+    p = os.path.join(root, "delta_cm")
+    if os.path.isdir(p):
+        read = read_delta(p)
+        check("delta_cm", read, os.path.join(root, "delta_cm_expected"))
     read = read_iceberg(os.path.join(root, "iceberg_table"))
     check("iceberg", read, os.path.join(root, "iceberg_expected"))
     # Equality deletes: two key sets + a position delete coexisting,
