@@ -132,9 +132,17 @@ object DeltaLite {
       dv: Option[String] = None, size: Long = 0L, dvCardinality: Long = 0L)
 
   private case class State(schemaJson: String, partCols: Seq[String],
-      entries: Seq[FileEntry], txns: Map[String, Long]) {
+      entries: Seq[FileEntry], txns: Map[String, Long],
+      config: Map[String, String] = Map.empty) {
     def schema: StructType =
       DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    /** CHECK constraints from table configuration (the protocol's
+      * `delta.constraints.<name>` keys), as (name, SQL condition). */
+    def constraints: Seq[(String, String)] =
+      config.toSeq.collect {
+        case (k, v) if k.startsWith("delta.constraints.") =>
+          k.stripPrefix("delta.constraints.") -> v
+      }.sortBy(_._1)
   }
 
   // ------------------------------------------------- column mapping
@@ -222,6 +230,7 @@ object DeltaLite {
     val txns = mutable.Map[String, Long]()
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
     val from = checkpointVersion(s, table, version) match {
       case Some(cv) =>
         // Spec checkpoint layout: one action per row in nested structs
@@ -235,6 +244,12 @@ object DeltaLite {
               partCols = Option(
                 m.getAs[scala.collection.Seq[String]]("partitionColumns"))
                 .map(_.toSeq).getOrElse(Nil)
+              // Pre-configuration checkpoints lack the field.
+              config =
+                if (m.schema.fieldNames.contains("configuration"))
+                  Option(m.getAs[scala.collection.Map[String, String]](
+                    "configuration")).map(_.toMap).getOrElse(Map.empty)
+                else Map.empty
             }
             if (!r.isNullAt(r.fieldIndex("add"))) {
               val a = r.getStruct(r.fieldIndex("add"))
@@ -272,6 +287,10 @@ object DeltaLite {
             schemaJson = m.get("schemaString").asText()
             partCols = Option(m.get("partitionColumns")).toSeq
               .flatMap(_.elements().asScala.map(_.asText())).toSeq
+            config = Option(m.get("configuration")).map(c =>
+              c.properties().asScala.map(e =>
+                e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty)
           }
           if (n.has("add")) {
             val a = n.get("add")
@@ -297,7 +316,7 @@ object DeltaLite {
         }
     }
     require(schemaJson != null, s"delta log at $table has no metaData")
-    State(schemaJson, partCols, live.values.toSeq, txns.toMap)
+    State(schemaJson, partCols, live.values.toSeq, txns.toMap, config)
   }
 
   /** Write a log checkpoint at the current version: the fully-replayed
@@ -322,11 +341,19 @@ object DeltaLite {
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
     val hasDv = st.entries.exists(_.dv.isDefined)
+    val mapped = hasMapping(st.schema)
+    // The checkpoint re-emits the protocol floor the table's features
+    // require: DVs push both versions up; column mapping needs
+    // reader 2 / writer 5.
     val protocolRow = Row(
-      Row(if (hasDv) 3 else 1, if (hasDv) 7 else 2), null, null, null)
+      Row(if (hasDv) 3 else if (mapped) 2 else 1,
+        if (hasDv) 7 else if (mapped) 5 else 2), null, null, null)
     val metaRow = Row(null,
       Row(UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString,
-        Row("parquet"), st.schemaJson, st.partCols),
+        Row("parquet"), st.schemaJson, st.partCols,
+        (st.config ++ (if (mapped)
+          Map("delta.columnMapping.mode" -> "name") else Map.empty))
+          .asInstanceOf[Map[String, String]]),
       null, null)
     val addRows = st.entries.map { e =>
       Row(null, null,
@@ -348,7 +375,9 @@ object DeltaLite {
         StructField("format", StructType(Seq(
           StructField("provider", StringType, nullable = false)))),
         StructField("schemaString", StringType, nullable = false),
-        StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType, valueContainsNull = false))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType, nullable = false),
         StructField("partitionValues",
@@ -909,8 +938,20 @@ object DeltaLite {
       p.put("minWriterVersion", 2)
     }
 
+  /** The protocol bump column mapping requires (Delta's gate for the
+    * feature): readers below v2 would resolve columns by logical name
+    * and mis-read renamed tables, so the upgrade commit must raise the
+    * floor alongside the stamped schema.
+    */
+  private def columnMappingProtocolAction: String =
+    obj("protocol") { p =>
+      p.put("minReaderVersion", 2)
+      p.put("minWriterVersion", 5)
+    }
+
   private def metaDataAction(table: String, schemaJson: String,
-      partCols: Seq[String]): String =
+      partCols: Seq[String],
+      config: Map[String, String] = Map.empty): String =
     obj("metaData") { m =>
       m.put("id", UUID.nameUUIDFromBytes(table.getBytes("UTF-8")).toString)
       val fmt = m.putObject("format")
@@ -920,6 +961,7 @@ object DeltaLite {
       val pc = m.putArray("partitionColumns")
       partCols.foreach(pc.add)
       val conf = m.putObject("configuration")
+      config.toSeq.sortBy(_._1).foreach { case (k, v) => conf.put(k, v) }
       // Column mapping is declared in table configuration (the
       // protocol's switch) whenever the schema carries physical names.
       if (hasMapping(
@@ -988,7 +1030,20 @@ object DeltaLite {
     */
   private def stagedAdds(s: SparkSession, table: String, df: DataFrame,
       schema: StructType, partCols: Seq[String],
-      dataChange: Boolean = true): Seq[String] = {
+      dataChange: Boolean = true,
+      constraints: Seq[(String, String)] = Nil): Seq[String] = {
+    // CHECK constraints validate the INCOMING rows before anything is
+    // staged (one extra pass per constraint over the write's input —
+    // stated cost; Delta folds this into write metrics). A violation
+    // is a row where the condition evaluates FALSE; NULL passes, per
+    // the SQL standard. Rewrites that only carry unchanged rows
+    // (DELETE survivors, compaction) skip validation by passing none.
+    constraints.foreach { case (cname, cond) =>
+      val bad = df.filter(!coalesce(expr(cond).cast(BooleanType), lit(true)))
+        .limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint $cname ($cond) violated by this write")
+    }
     // Files are written under PHYSICAL column names (identity unless a
     // rename enabled column mapping), so every file of the table —
     // before or after any rename — spells columns the same way, and
@@ -1032,7 +1087,8 @@ object DeltaLite {
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, df, st.schema, st.partCols))
+      stagedAdds(s, table, df, st.schema, st.partCols,
+        constraints = st.constraints))
   }
 
   /** REPLACE the table's contents in one atomic commit (INSERT
@@ -1045,7 +1101,8 @@ object DeltaLite {
     require(v >= 0, s"no delta log at $table")
     val st = replay(s, table, v)
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, df, st.schema, st.partCols) ++
+      stagedAdds(s, table, df, st.schema, st.partCols,
+        constraints = st.constraints) ++
         st.entries.map(e => removeAction(e.path)))
   }
 
@@ -1064,7 +1121,8 @@ object DeltaLite {
     require(v0 >= 0, s"no delta log at $table")
     val st0 = replay(s, table, v0)
     if (st0.txns.getOrElse(appId, Long.MinValue) >= txnVersion) return false
-    val adds = stagedAdds(s, table, df, st0.schema, st0.partCols) :+
+    val adds = stagedAdds(s, table, df, st0.schema, st0.partCols,
+      constraints = st0.constraints) :+
       txnAction(appId, txnVersion)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1110,10 +1168,10 @@ object DeltaLite {
     val added = df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))
     val merged = StructType(old.fields ++ added)
     writeCommit(s, table, v + 1,
-      metaDataAction(table, merged.json, st.partCols) +:
+      metaDataAction(table, merged.json, st.partCols, st.config) +:
         stagedAdds(s, table,
           df.select(merged.fieldNames.map(col).toSeq: _*), merged,
-          st.partCols))
+          st.partCols, constraints = st.constraints))
   }
 
   /** ADD a nullable column without touching data: one commit carrying
@@ -1132,7 +1190,7 @@ object DeltaLite {
     val widened = StructType(st.schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     writeCommit(s, table, v + 1,
-      Seq(metaDataAction(table, widened.json, st.partCols)),
+      Seq(metaDataAction(table, widened.json, st.partCols, st.config)),
       operation = "ADD COLUMNS")
   }
 
@@ -1167,9 +1225,64 @@ object DeltaLite {
     })
     val renamed = StructType(upgraded.fields.map(fd =>
       if (fd.name == from) fd.copy(name = to) else fd))
+    val upgrade =
+      if (hasMapping(schema)) Nil // already upgraded by a prior rename
+      else Seq(columnMappingProtocolAction)
     writeCommit(s, table, v + 1,
-      Seq(metaDataAction(table, renamed.json, st.partCols)),
+      upgrade :+ metaDataAction(table, renamed.json, st.partCols,
+        st.config),
       operation = "RENAME COLUMN")
+  }
+
+  /** ADD a CHECK constraint (the protocol's `delta.constraints.<name>`
+    * configuration key): one metadata-only commit after validating the
+    * EXISTING rows satisfy the condition (one scan — the same rule as
+    * ALTER TABLE ADD CONSTRAINT). From then on every data-adding
+    * commit (append/merge/update/overwrite) validates its incoming
+    * rows and refuses the write on a violation; a row violates when
+    * the condition evaluates FALSE — NULL passes, per the SQL
+    * standard. The condition is SQL text over the table's (logical)
+    * columns, resolved by Spark's own parser.
+    */
+  def addCheckConstraint(s: SparkSession, table: String, name: String,
+      condition: String): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(!st.config.contains(key), s"constraint $name already exists")
+    val bad = readEntries(s, table, st.schema, st.entries)
+      .filter(!coalesce(expr(condition).cast(BooleanType), lit(true)))
+      .limit(1).count()
+    require(bad == 0,
+      s"cannot add CHECK constraint $name ($condition): existing rows " +
+        "violate it")
+    writeCommit(s, table, v + 1,
+      Seq(metaDataAction(table, st.schemaJson, st.partCols,
+        st.config + (key -> condition))),
+      operation = "ADD CONSTRAINT")
+  }
+
+  /** DROP a CHECK constraint: one metadata-only commit. */
+  def dropCheckConstraint(s: SparkSession, table: String,
+      name: String): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(st.config.contains(key), s"no constraint $name on $table")
+    writeCommit(s, table, v + 1,
+      Seq(metaDataAction(table, st.schemaJson, st.partCols,
+        st.config - key)),
+      operation = "DROP CONSTRAINT")
+  }
+
+  /** The table's CHECK constraints, as (name, condition). */
+  def checkConstraints(s: SparkSession, table: String)
+      : Seq[(String, String)] = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    replay(s, table, v).constraints
   }
 
   /** Append under optimistic concurrency: data files are staged ONCE,
@@ -1187,7 +1300,8 @@ object DeltaLite {
     val v0 = latestVersion(s, table)
     require(v0 >= 0, s"no delta log at $table")
     val st = replay(s, table, v0)
-    val adds = stagedAdds(s, table, df, st.schema, st.partCols)
+    val adds = stagedAdds(s, table, df, st.schema, st.partCols,
+      constraints = st.constraints)
     var attempt = 0
     while (attempt < maxAttempts) {
       val v = latestVersion(s, table) + 1
@@ -1246,7 +1360,8 @@ object DeltaLite {
         .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(srcCols)
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, newData, schema, st.partCols) ++
+      stagedAdds(s, table, newData, schema, st.partCols,
+        constraints = st.constraints) ++
         hitEntries.map(e => removeAction(e.path)),
       operation = "MERGE")
   }
@@ -1348,8 +1463,9 @@ object DeltaLite {
         s"cannot restore $table to $toVersion: ${e.path} was vacuumed")
     }
     val meta =
-      if (cur.schemaJson != tgt.schemaJson || cur.partCols != tgt.partCols)
-        Seq(metaDataAction(table, tgt.schemaJson, tgt.partCols))
+      if (cur.schemaJson != tgt.schemaJson || cur.partCols != tgt.partCols
+          || cur.config != tgt.config)
+        Seq(metaDataAction(table, tgt.schemaJson, tgt.partCols, tgt.config))
       else Nil
     writeCommit(s, table, latest + 1,
       meta ++ removes.map(e => removeAction(e.path)) ++
@@ -1432,7 +1548,7 @@ object DeltaLite {
       f.makeQualified(new Path(src, rel)).toUri.getPath
     writeCommit(s, dst, 0L,
       protocolAction +:
-        metaDataAction(dst, st.schemaJson, st.partCols) +:
+        metaDataAction(dst, st.schemaJson, st.partCols, st.config) +:
         st.entries.map(e => addAction(abs(e.path), e.size, e.partValues,
           e.stats.map(_.toString), dataChange = true,
           e.dv.map(p => (abs(p), e.dvCardinality)))),
@@ -1662,7 +1778,8 @@ object DeltaLite {
         }
       }: _*)
     writeCommit(s, table, v + 1,
-      stagedAdds(s, table, rewritten, schema, st.partCols) ++
+      stagedAdds(s, table, rewritten, schema, st.partCols,
+        constraints = st.constraints) ++
         hitEntries.map(e => removeAction(e.path)),
       operation = "UPDATE")
   }

@@ -1088,5 +1088,43 @@ object Sources {
              substr(c_mktsegment, 1, 3) AS segment_code
       FROM customer WHERE c_custkey > 750
       ORDER BY c_custkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s39
+    // Delta CHECK constraints (`delta.constraints.*` configuration):
+    // ADD CONSTRAINT is metadata-only after a one-scan validation of
+    // existing rows; every subsequent data-adding commit validates its
+    // incoming rows and REFUSES the write on a violation (NULL passes,
+    // the SQL rule). The query adds two constraints, takes a valid
+    // append, and proves a violating append was rejected wholesale —
+    // the oracle's row set only matches if the bad write left no
+    // trace. DeltaLiteSpec covers update/merge rejection, drop, and
+    // checkpoint survival.
+    GQuery("s39_delta_constraints", (s, d) => {
+      val t = s"${scratch("s39")}/orders_constrained"
+      val o = T.orders(s, d)
+      DeltaLite.create(s, t,
+        o.filter(col("o_orderkey") <= 10000)
+          .repartitionByRange(4, col("o_orderkey")))
+      DeltaLite.addCheckConstraint(s, t, "positive_price",
+        "o_totalprice > 0")
+      DeltaLite.addCheckConstraint(s, t, "valid_status",
+        "o_orderstatus IN ('F', 'O', 'P')")
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") > 10000))
+      val rejected =
+        try {
+          DeltaLite.append(s, t,
+            o.filter(col("o_orderkey") <= 100)
+              .withColumn("o_totalprice", col("o_totalprice") * -1))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(rejected, "constraint violation must reject the write")
+      DeltaLite.snapshot(s, t)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      ORDER BY o_orderkey"""))
   )
 }

@@ -684,6 +684,58 @@ class DeltaLiteSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: metadata-only add after validating existing " +
+      "rows; append/update/merge refuse violating writes; NULL passes; " +
+      "drop lifts enforcement; constraints survive a checkpoint") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.repartition(2))
+    // Existing rows must satisfy the condition being added.
+    intercept[IllegalArgumentException] {
+      DeltaLite.addCheckConstraint(spark, t, "impossible", "c_custkey < 0")
+    }
+    DeltaLite.addCheckConstraint(spark, t, "balanced", "c_acctbal > -1000")
+    val h = DeltaLite.history(spark, t).orderBy(col("version")).collect()
+    assert(h.last.getString(1) == "ADD CONSTRAINT" &&
+      h.last.getLong(2) == 0 && h.last.getLong(3) == 0)
+    // Violating writes refuse — append, update, merge alike — and the
+    // table is untouched.
+    val before = DeltaLite.snapshot(spark, t).count()
+    intercept[IllegalArgumentException] {
+      DeltaLite.append(spark, t,
+        c.limit(3).withColumn("c_acctbal", lit(-5000.0)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.updateWhere(spark, t, col("c_custkey") === 1,
+        Map("c_acctbal" -> lit(-5000.0)))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.merge(spark, t,
+        c.filter(col("c_custkey") === 1)
+          .withColumn("c_acctbal", lit(-5000.0)),
+        Seq("c_custkey"))
+    }
+    assert(DeltaLite.snapshot(spark, t).count() == before)
+    // NULL passes (the SQL standard's CHECK rule).
+    DeltaLite.append(spark, t,
+      c.limit(2).withColumn("c_acctbal",
+        lit(null).cast(c.schema("c_acctbal").dataType)))
+    // Constraints survive a log checkpoint.
+    DeltaLite.writeLogCheckpoint(spark, t)
+    assert(DeltaLite.checkConstraints(spark, t) ==
+      Seq("balanced" -> "c_acctbal > -1000"))
+    intercept[IllegalArgumentException] {
+      DeltaLite.append(spark, t,
+        c.limit(1).withColumn("c_acctbal", lit(-5000.0)))
+    }
+    // DROP lifts enforcement.
+    DeltaLite.dropCheckConstraint(spark, t, "balanced")
+    DeltaLite.append(spark, t,
+      c.limit(1).withColumn("c_acctbal", lit(-5000.0)))
+    assert(DeltaLite.snapshot(spark, t)
+      .filter(col("c_acctbal") === -5000.0).count() == 1)
+  }
+
   private object pq {
     def read_schema_names(path: String): Seq[String] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
