@@ -259,6 +259,57 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** Exact cosine RANGE search: every (query, corpus) pair with
+    * cosine >= `theta` — the radius-query sibling of top-k (dedup
+    * candidate generation and contamination sweeps want "everything
+    * this close", not "the 10 closest"). One corpus scan with the
+    * query set broadcast; membership filters on the UNROUNDED cosine
+    * (the output rounds for display), so the result is exact.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, theta: Double,
+      excludeSelf: Boolean = false): DataFrame =
+    corpus.join(broadcast(queries), notSelf(excludeSelf))
+      .select(col("q_id"), col("vec_id"),
+        FastVector.dot(col("q_nv"), col("nv")).as("cos"))
+      .filter(col("cos") >= theta)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+
+  /** LSH-accelerated range search — the 100 TB path: hyperplane
+    * buckets confine candidate generation exactly as [[lshTopK]], and
+    * the exact cosine predicate re-verifies every candidate, so the
+    * only loss vs [[rangeSearch]] is a bucket MISS (bounded by
+    * RecallSpec on clustered data); nothing below `theta` ever
+    * surfaces.
+    */
+  def rangeSearchLsh(corpus: DataFrame, queries: DataFrame, theta: Double,
+      tables: Int = 16, nBits: Int = 6, dim: Int = -1, seed: Int = 200,
+      excludeSelf: Boolean = false): DataFrame = {
+    val d = VectorOps.dimOf(corpus, "nv", dim)
+    val planes = (0 until tables).map(t =>
+      VectorOps.makePlanes(seed = seed + t, nBits = nBits, dim = d))
+    def bucketed(df: DataFrame, idc: String, nvc: String): DataFrame =
+      df.select(col(idc), col(nvc),
+        posexplode(FastVector.hyperplaneBuckets(col(nvc), planes))
+          .as(Seq("tbl", "bucket")))
+    val corpusB = bucketed(corpus, "vec_id", "nv")
+    val qs = bucketed(queries, "q_id", "q_nv")
+      .withColumnRenamed("tbl", "qtbl")
+      .withColumnRenamed("bucket", "qbucket")
+    corpusB.join(broadcast(qs),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          notSelf(excludeSelf))
+      .select(col("q_id"), col("vec_id"), col("q_nv"), col("nv"))
+      .distinct()
+      .select(col("q_id"), col("vec_id"),
+        FastVector.dot(col("q_nv"), col("nv")).as("cos"))
+      .filter(col("cos") >= theta)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("neighbor_id"))
+  }
+
   private def demo(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val corpus = prepared(T.embeddings(s, d), "vec_id", "embedding")
     (corpus, asQueries(corpus.filter(col("vec_id") < NQueries)))
@@ -295,6 +346,26 @@ object Similarity {
     GQuery("a04_ivfpq_ann", (s, d) => {
       val (corpus, qs) = demo(s, d)
       ivfPqTopK(corpus, qs, excludeSelf = true)
+    }, None),
+    // Exact range search has an exact oracle (θ = 0.30 sits > 1e-3
+    // from every pair cosine on the gate data, so float ulp noise
+    // cannot flip membership; both engines filter the unrounded value).
+    GQuery("a05_range_search", (s, d) => {
+      val (corpus, qs) = demo(s, d)
+      rangeSearch(corpus, qs, theta = 0.30, excludeSelf = true)
+    }, Some("""
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, c.embedding) AS cos
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      WHERE cos >= 0.30 ORDER BY q_id, neighbor_id""")),
+    // Bucket-confined candidates + exact re-verify → no false
+    // positives by construction; bucket-miss recall bounded by
+    // RecallSpec. Rows-only (approximate by design).
+    GQuery("a06_range_search_lsh", (s, d) => {
+      val (corpus, qs) = demo(s, d)
+      rangeSearchLsh(corpus, qs, theta = 0.30, excludeSelf = true)
     }, None)
   )
 }

@@ -95,6 +95,41 @@ class RecallSpec extends SparkSpec {
     // PQ quantizes (lossy) but the exact-dot rerank of the 4k ADC
     // shortlist repairs most of it.
     assert(pqRecall >= 0.80, f"IVF-PQ clustered recall $pqRecall%.3f")
+
+    // Range search (a05/a06): within a cluster (jitter 0.1 around a
+    // unit center) cosines sit high, across clusters near 0 — θ=0.5
+    // separates them. The exact path must return precisely the
+    // brute-force membership; the LSH path may only MISS (no false
+    // positives — every candidate is re-verified exactly), and on
+    // clustered data misses are rare.
+    def rangeSet(df: DataFrame): Map[Long, Set[Long]] = resultSet(df)
+    val exactRange = rangeSet(
+      Similarity.rangeSearch(prep, queries, theta = 0.5,
+        excludeSelf = true))
+    val truthRange = rangeSet(
+      prep.crossJoin(queries.withColumnRenamed("q_nv", "qv"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.FastVector.dot(col("qv"), col("nv")).as("cos"))
+        .filter(col("cos") >= 0.5))
+    assert(exactRange == truthRange, "exact range search must be exact")
+    val lshRange = rangeSet(
+      Similarity.rangeSearchLsh(prep, queries, theta = 0.5,
+        excludeSelf = true))
+    val falsePos = lshRange.exists { case (q, ns) =>
+      (ns -- truthRange.getOrElse(q, Set.empty)).nonEmpty
+    }
+    assert(!falsePos, "LSH range search must never return a pair " +
+      "below the threshold")
+    val rr = {
+      val per = truthRange.map { case (q, t) =>
+        lshRange.getOrElse(q, Set.empty).intersect(t).size.toDouble /
+          math.max(1, t.size)
+      }
+      per.sum / per.size
+    }
+    info(f"clustered range recall: lsh=$rr%.3f")
+    assert(rr >= 0.85, f"LSH range recall $rr%.3f")
   }
 
   test("d09 semanticDedup finds planted near-dups at θ=0.95 within " +
