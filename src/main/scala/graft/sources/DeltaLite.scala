@@ -739,13 +739,17 @@ object DeltaLite {
     case _ => None
   }
 
-  /** Literal value, looking through the casts the analyzer inserts for
-    * type coercion (e.g. int literal vs bigint column).
+  /** Literal value, FOLDING the casts the analyzer inserts for type
+    * coercion (e.g. int literal vs bigint column, string literal vs
+    * timestamp column): the cast is evaluated so the value lands in
+    * the COLUMN's comparison domain — looking through it instead
+    * would hand a string to a timestamp comparison and break pruning.
     */
   private object Lit {
     def unapply(e: Expression): Option[Any] = e match {
       case Literal(v, _) if v != null => Some(v)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast => unapply(c.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.foldable => Option(c.eval(null))
       case _ => None
     }
   }

@@ -124,20 +124,51 @@ object IcebergLite {
       IceField(startId + i, fd.name, required = !fd.nullable, fd.dataType)
     }.toSeq)
 
+  /** One field of a partition spec: `name` keys the `k=v` directory
+    * layout and partition values; `transform` is "identity" (value =
+    * the column itself, which is then NOT stored in data files) or
+    * "day" (value = the UTC date of the `source` TIMESTAMP column —
+    * Iceberg's HIDDEN partitioning: the source column stays in the
+    * data files, queries filter on IT, and pruning maps day values to
+    * source-column bounds). bucket/truncate transforms remain stated
+    * simplifications.
+    */
+  case class PartitionField(name: String, transform: String,
+      source: String) {
+    require(transform == "identity" || transform == "day",
+      s"unsupported partition transform $transform")
+  }
+
+  /** Identity partition field for a plain column. */
+  def identityField(name: String): PartitionField =
+    PartitionField(name, "identity", name)
+
+  /** Day-transform field over a timestamp column (hidden partitioning). */
+  def dayField(source: String, name: String = ""): PartitionField =
+    PartitionField(if (name.isEmpty) s"${source}_day" else name,
+      "day", source)
+
+  /** The staging expression producing a field's partition value. */
+  private def partExpr(pc: PartitionField): Column = pc.transform match {
+    case "identity" => col(pc.name)
+    case "day" => date_format(col(pc.source), "yyyy-MM-dd") // UTC session
+  }
+
   /** `partSpecs` is the table's partition-spec history (Iceberg's
-    * `partition-specs` list, identity transforms only): spec ids are
+    * `partition-specs` list, identity + day transforms): spec ids are
     * assigned once and never reused; `defaultSpecId` names the spec NEW
     * data files are written under. Old manifests keep the spec they
     * were written with — evolving the spec is a metadata-only commit
     * that rewrites nothing.
     */
   private case class Meta(schemas: Seq[IceSchema], currentSchemaId: Int,
-      partSpecs: Seq[(Int, Seq[String])], defaultSpecId: Int,
+      partSpecs: Seq[(Int, Seq[PartitionField])], defaultSpecId: Int,
       currentSnapshot: Long, snapshots: Seq[(Long, String)],
       sortOrders: Seq[(Int, Seq[String])] = Seq(0 -> Nil),
       defaultSortOrderId: Int = 0) {
-    def partCols: Seq[String] = colsOfSpec(defaultSpecId)
-    def colsOfSpec(specId: Int): Seq[String] =
+    def partCols: Seq[PartitionField] = colsOfSpec(defaultSpecId)
+    def partColNames: Seq[String] = partCols.map(_.name)
+    def colsOfSpec(specId: Int): Seq[PartitionField] =
       partSpecs.find(_._1 == specId).map(_._2).getOrElse(Nil)
     def sortCols: Seq[String] =
       sortOrders.find(_._1 == defaultSortOrderId).map(_._2).getOrElse(Nil)
@@ -189,16 +220,20 @@ object IcebergLite {
     val curId =
       if (n.has("current-schema-id")) n.get("current-schema-id").asInt()
       else schemas.head.schemaId
+    def fieldOf(e: JsonNode): PartitionField =
+      if (e.isTextual) identityField(e.asText()) // pre-transform layout
+      else PartitionField(e.get("name").asText(),
+        e.get("transform").asText(), e.get("source").asText())
     val specs =
       if (n.has("partition-specs"))
         n.get("partition-specs").elements().asScala.map { sp =>
           sp.get("spec-id").asInt() ->
-            sp.get("cols").elements().asScala.map(_.asText()).toSeq
+            sp.get("cols").elements().asScala.map(fieldOf).toSeq
         }.toSeq
       else
         // Pre-evolution table: its one spec is spec 0.
         Seq(0 -> Option(n.get("partition-spec")).toSeq
-          .flatMap(_.elements().asScala.map(_.asText())).toSeq)
+          .flatMap(_.elements().asScala.map(fieldOf)).toSeq)
     val defSpec =
       if (n.has("default-spec-id")) n.get("default-spec-id").asInt() else 0
     val orders =
@@ -319,7 +354,7 @@ object IcebergLite {
     * Returns the manifest's relative path.
     */
   private def writeManifest(s: SparkSession, table: String, df: DataFrame,
-      schema: IceSchema, specId: Int, partCols: Seq[String],
+      schema: IceSchema, specId: Int, partCols: Seq[PartitionField],
       sortCols: Seq[String] = Nil, seq: Long = 0L): String = {
     val f = fs(s, new Path(table))
     f.mkdirs(new Path(table, "data"))
@@ -340,10 +375,19 @@ object IcebergLite {
           math.max(1, annotated.rdd.getNumPartitions),
           sortCols.map(col).toSeq: _*)
         .sortWithinPartitions(sortCols.map(col).toSeq: _*)
-    val staged = DeltaLite.stage(s, s"$table/data", arranged, partCols)
+    // Transform fields (hidden partitioning) materialize their derived
+    // value just for the directory layout: partitionBy moves it into
+    // `k=v` dirs, so it never lands inside a data file — while the
+    // SOURCE column stays in the files, unlike identity fields.
+    val withDerived = partCols.filter(_.transform != "identity")
+      .foldLeft(arranged)((d, pc) => d.withColumn(pc.name, partExpr(pc)))
+    val staged = DeltaLite.stage(s, s"$table/data", withDerived,
+        partCols.map(_.name))
       .map { case (rel, pvs, sz) => (s"data/$rel", pvs, sz) }
+    val identityNames =
+      partCols.filter(_.transform == "identity").map(_.name).toSet
     val dataSchema =
-      StructType(st.fields.filterNot(fd => partCols.contains(fd.name)))
+      StructType(st.fields.filterNot(fd => identityNames.contains(fd.name)))
     val stats = DeltaLite.footerStats(s, table, staged.map(_._1), dataSchema)
     val entries = staged.map { case (rel, pvs, sz) =>
       val e = Json.createObjectNode()
@@ -358,8 +402,8 @@ object IcebergLite {
       ManifestEntry(rel, pvs,
         Option(e.get("stats")).filterNot(_.isNull), e)
     }
-    writeManifestFile(f, table, schema.schemaId, specId, partCols, entries,
-      seq)
+    writeManifestFile(f, table, schema.schemaId, specId,
+      partCols.map(_.name), entries, seq)
   }
 
   /** The data sequence number the NEXT commit will carry — snapshot ids
@@ -386,13 +430,23 @@ object IcebergLite {
     // The default spec under the legacy single-spec key (kept for
     // pre-evolution readers), plus the full spec history.
     val spec = n.putArray("partition-spec")
-    meta.partCols.foreach(spec.add)
+    meta.partColNames.foreach(spec.add)
     val specsArr = n.putArray("partition-specs")
     meta.partSpecs.foreach { case (id, cols) =>
       val o = specsArr.addObject()
       o.put("spec-id", id)
       val ca = o.putArray("cols")
-      cols.foreach(ca.add)
+      cols.foreach { pc =>
+        // Identity fields keep the legacy string shape (older readers
+        // of this table's own history); transforms serialize in full.
+        if (pc.transform == "identity") ca.add(pc.name)
+        else {
+          val po = ca.addObject()
+          po.put("name", pc.name)
+          po.put("transform", pc.transform)
+          po.put("source", pc.source)
+        }
+      }
     }
     n.put("default-spec-id", meta.defaultSpecId)
     val ordersArr = n.putArray("sort-orders")
@@ -451,16 +505,33 @@ object IcebergLite {
     * assigned in schema order and never change afterwards.
     */
   def create(s: SparkSession, table: String, df: DataFrame,
-      partitionColumns: Seq[String] = Nil): Long = {
+      partitionColumns: Seq[String] = Nil): Long =
+    createWithSpec(s, table, df, partitionColumns.map(identityField))
+
+  /** Create with an explicit partition spec — the entry point for
+    * HIDDEN partitioning ([[dayField]]): e.g.
+    * `createWithSpec(s, t, df, Seq(dayField("ts")))` lays data out by
+    * the UTC day of `ts` while queries keep filtering on `ts` itself.
+    */
+  def createWithSpec(s: SparkSession, table: String, df: DataFrame,
+      spec: Seq[PartitionField]): Long = {
     require(currentVersion(s, table) < 0, s"table already exists at $table")
-    partitionColumns.foreach(pc => require(df.schema.fieldNames.contains(pc),
-      s"partition column $pc not in data"))
+    spec.foreach { pc =>
+      require(df.schema.fieldNames.contains(pc.source),
+        s"partition source column ${pc.source} not in data")
+      if (pc.transform == "day") {
+        require(df.schema(pc.source).dataType == TimestampType,
+          s"day() needs a TIMESTAMP source, got " +
+            df.schema(pc.source).dataType.simpleString)
+        require(!df.schema.fieldNames.contains(pc.name),
+          s"derived partition name ${pc.name} collides with a column")
+      }
+    }
     fs(s, metaDir(table)).mkdirs(metaDir(table))
     val schema = schemaFromStruct(1, df.schema)
-    val m = writeManifest(s, table, df, schema, 0, partitionColumns,
-      seq = 1L)
+    val m = writeManifest(s, table, df, schema, 0, spec, seq = 1L)
     commitSnapshot(s, table,
-      Meta(Seq(schema), 1, Seq(0 -> partitionColumns), 0, 0L, Nil), Seq(m))
+      Meta(Seq(schema), 1, Seq(0 -> spec), 0, 0L, Nil), Seq(m))
   }
 
   /** Append as a NEW snapshot: its manifest list is the previous
@@ -506,7 +577,10 @@ object IcebergLite {
     require(meta.partSpecs.size == 1,
       "streaming source requires an un-evolved partition spec (the " +
         "stream projects one fixed partition-column set)")
-    (meta.currentSchema.struct, meta.partCols, meta.currentSnapshot)
+    require(meta.partCols.forall(_.transform == "identity"),
+      "streaming source requires identity partitioning (transform " +
+        "values live only in the directory layout)")
+    (meta.currentSchema.struct, meta.partColNames, meta.currentSnapshot)
   }
 
   /** Data files ADDED by snapshots (fromSnap, toSnap] — the Iceberg
@@ -589,7 +663,8 @@ object IcebergLite {
     val cur = meta.currentSchema
     require(cur.fields.exists(_.name == from), s"no column $from")
     require(!cur.fields.exists(_.name == to), s"column $to already exists")
-    require(!meta.partSpecs.exists(_._2.contains(from)),
+    require(!meta.partSpecs.exists(_._2.exists(pc =>
+      pc.name == from || pc.source == from)),
       s"cannot rename partition column $from (its name is baked into " +
         "some spec's data/k=v/ layout)")
     val next = IceSchema(meta.schemas.map(_.schemaId).max + 1,
@@ -633,11 +708,12 @@ object IcebergLite {
     val cur = meta.currentSchema
     partitionColumns.foreach(pc => require(
       cur.fields.exists(_.name == pc), s"no column $pc in schema"))
-    require(partitionColumns != meta.partCols,
+    require(partitionColumns.map(identityField) != meta.partCols,
       "partition spec unchanged")
     val id = meta.partSpecs.map(_._1).max + 1
     writeMetadata(s, table, meta.copy(
-      partSpecs = meta.partSpecs :+ (id -> partitionColumns),
+      partSpecs = meta.partSpecs :+
+        (id -> partitionColumns.map(identityField)),
       defaultSpecId = id))
     id
   }
@@ -888,7 +964,8 @@ object IcebergLite {
     */
   private def boundsNode(schema: StructType,
       vals: Map[String, Seq[Option[String]]],
-      stats: Option[JsonNode]): JsonNode = {
+      stats: Option[JsonNode],
+      spec: Seq[PartitionField] = Nil): JsonNode = {
     val root = Json.createObjectNode()
     val mins = root.putObject("minValues")
     val maxs = root.putObject("maxValues")
@@ -902,19 +979,40 @@ object IcebergLite {
         case _ => ()
       }
     }
+    val byName = spec.map(pc => pc.name -> pc).toMap
     vals.foreach { case (k, vs) =>
-      if (!vs.contains(None) && vs.nonEmpty) {
-        schema.fields.find(_.name == k).foreach { fd =>
-          val typed = vs.flatten.flatMap(DeltaLite.typedPartVal(_, fd.dataType))
-          if (typed.size == vs.size) {
-            DeltaLite.putVal(mins, k,
-              typed.reduceLeft((a, b) =>
-                if (DeltaLite.cmpVals(a, b) <= 0) a else b))
-            DeltaLite.putVal(maxs, k,
-              typed.reduceLeft((a, b) =>
-                if (DeltaLite.cmpVals(a, b) >= 0) a else b))
+      if (!vs.contains(None) && vs.nonEmpty) byName.get(k) match {
+        // HIDDEN partitioning: a day value "yyyy-MM-dd" bounds the
+        // SOURCE timestamp column over [day 00:00, next-day 00:00]
+        // UTC, in MICROSECONDS — the domain Catalyst timestamp
+        // literals compare in — so a predicate on the source column
+        // prunes without the query ever naming the partition field.
+        // (The closed upper bound is conservative by one instant.)
+        case Some(pc) if pc.transform == "day" =>
+          val days = vs.flatten.flatMap(v =>
+            scala.util.Try(java.time.LocalDate.parse(v)).toOption)
+          if (days.size == vs.size) {
+            val micros = days.map(_.toEpochDay * 86400000000L)
+            DeltaLite.putVal(mins, pc.source,
+              java.lang.Long.valueOf(micros.min))
+            // Last instant INSIDE the newest day: timestamps of a day
+            // partition are strictly below the next midnight.
+            DeltaLite.putVal(maxs, pc.source,
+              java.lang.Long.valueOf(micros.max + 86400000000L - 1L))
           }
-        }
+        case _ =>
+          schema.fields.find(_.name == k).foreach { fd =>
+            val typed =
+              vs.flatten.flatMap(DeltaLite.typedPartVal(_, fd.dataType))
+            if (typed.size == vs.size) {
+              DeltaLite.putVal(mins, k,
+                typed.reduceLeft((a, b) =>
+                  if (DeltaLite.cmpVals(a, b) <= 0) a else b))
+              DeltaLite.putVal(maxs, k,
+                typed.reduceLeft((a, b) =>
+                  if (DeltaLite.cmpVals(a, b) >= 0) a else b))
+            }
+          }
       }
     }
     root
@@ -950,8 +1048,10 @@ object IcebergLite {
     val keptManifests = manifests.flatMap { m =>
       val schema = meta.schemaById(m.schemaId).struct
       val cond = condForSchema(meta, m.schemaId, resolved)
+      val spec = meta.colsOfSpec(m.specId)
       // Level 1: the whole manifest, from its partition summary.
-      if (!DeltaLite.mayMatch(cond, boundsNode(schema, m.partSummary, None)))
+      if (!DeltaLite.mayMatch(cond,
+          boundsNode(schema, m.partSummary, None, spec)))
         None
       else {
         // Level 2: entries, from partition values + column stats.
@@ -959,7 +1059,7 @@ object IcebergLite {
           DeltaLite.mayMatch(cond,
             boundsNode(schema,
               e.partValues.map { case (k, v) => k -> Seq(v) }.toMap,
-              e.stats)))
+              e.stats, spec)))
         Some((m, kept))
       }
     }
@@ -1086,7 +1186,10 @@ object IcebergLite {
         .getOrElse(f.getFileStatus(new Path(table, e.path)).getLen)
       (abs, size, e.partValues, e.stats.map(_.toString))
     }
-    (meta.schema, meta.partCols, entries)
+    require(meta.partCols.forall(_.transform == "identity"),
+      s"$table uses transform partitioning; foreign readers resolve " +
+        "identity layouts only — compact under an identity spec first")
+    (meta.schema, meta.partColNames, entries)
   }
 
   /** Create a table whose first snapshot references EXISTING parquet
@@ -1246,7 +1349,7 @@ object IcebergLite {
         // surviving files' write order is unchanged, so their equality-
         // delete scoping must not move.
         else Some(writeManifestFile(f, table, m.schemaId, m.specId,
-          meta.colsOfSpec(m.specId), kept, m.seq))
+          meta.colsOfSpec(m.specId).map(_.name), kept, m.seq))
       }
     }
   }
@@ -1300,7 +1403,7 @@ object IcebergLite {
     val df = readEntries(s, table, meta, groups, delCtxOf(manifests))
     val packed =
       if (meta.partCols.isEmpty) df.repartition(targetFiles)
-      else df.repartition(targetFiles, meta.partCols.map(col): _*)
+      else df.repartition(targetFiles, meta.partCols.map(partExpr): _*)
     // Rewritten files land under the CURRENT schema AND the DEFAULT
     // spec — compaction also retires old-spec layouts.
     val m = writeManifest(s, table, packed, meta.currentSchema,

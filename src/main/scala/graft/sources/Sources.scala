@@ -1126,5 +1126,37 @@ object Sources {
     }, Some("""
       SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
       ORDER BY o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s40
+    // Iceberg HIDDEN partitioning: the table is laid out by day(ts) —
+    // a derived value living only in the directory layout and
+    // manifests, never in the data files or schema — and the query
+    // filters on ts ITSELF: pruning maps each day value to source-
+    // column bounds (IcebergLiteSpec asserts 2 of 30 day partitions
+    // survive this predicate), which is the Iceberg feature that kills
+    // the "forgot the partition column in the WHERE clause" full scan.
+    // Appends land under the spec automatically.
+    GQuery("s40_iceberg_hidden_partitioning", (s, d) => {
+      val t = s"${scratch("s40")}/events_ice_hidden"
+      val e = T.events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      IcebergLite.createWithSpec(s, t,
+        e.filter(col("event_id") % 2 === 0),
+        Seq(IcebergLite.dayField("ts")))
+      IcebergLite.append(s, t, e.filter(col("event_id") % 2 === 1))
+      IcebergLite.scan(s, t,
+          col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+             event_type, value
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
+        AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-12 00:00:00'
+      ORDER BY event_id"""))
   )
 }

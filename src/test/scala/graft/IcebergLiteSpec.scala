@@ -187,6 +187,51 @@ class IcebergLiteSpec extends SparkSpec {
       .orderBy(col("cust_id")).collect().toSeq == want)
   }
 
+  test("hidden partitioning: day(ts) lives only in the layout and " +
+      "manifests; queries on ts itself prune; appends + compaction " +
+      "keep the spec; guards refuse transforms where names resolve") {
+    val t = freshTable()
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    IcebergLite.createWithSpec(spark, t,
+      e.filter(col("event_id") % 2 === 0),
+      Seq(IcebergLite.dayField("ts")))
+    IcebergLite.append(spark, t, e.filter(col("event_id") % 2 === 1))
+    // The derived value is in the k=v layout, NOT in schema or files.
+    assert(new java.io.File(s"$t/data").list().toSeq
+      .count(_.startsWith("ts_day=")) > 5)
+    val snap = IcebergLite.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value"))
+    assert(snap.count() == e.count())
+    assert(snap.filter(col("ts").isNull).count() == 0)
+    // Pruning on the SOURCE column: a 2-day window keeps 2 of the ~30
+    // day partitions (x2 manifests), and the scan stays exact.
+    val pred =
+      col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-07 00:00:00").cast("timestamp")
+    val (kept, total) = IcebergLite.pruneInfo(spark, t, pred)
+    assert(total >= 20 && kept <= 4, s"kept=$kept total=$total")
+    assert(IcebergLite.scan(spark, t, pred)
+      .orderBy(col("event_id")).collect().toSeq ==
+      e.filter(pred).orderBy(col("event_id")).collect().toSeq)
+    // Compaction keeps the day layout and the content.
+    IcebergLite.compact(spark, t, targetFiles = 1)
+    assert(IcebergLite.scan(spark, t, pred).count() ==
+      e.filter(pred).count())
+    val (kept2, _) = IcebergLite.pruneInfo(spark, t, pred)
+    assert(kept2 <= 4, s"post-compact kept=$kept2")
+    // Renaming the transform's source column would detach the spec.
+    intercept[IllegalArgumentException] {
+      IcebergLite.renameColumn(spark, t, "ts", "event_ts")
+    }
+    // Name-resolving consumers refuse transform layouts loudly.
+    intercept[Exception] {
+      IcebergLite.streamInfo(spark, t)
+    }
+  }
+
   test("files/snapshots metadata tables serve counts from manifest " +
       "stats alone — record counts exact, sequence numbers monotonic") {
     import spark.implicits._
