@@ -464,7 +464,41 @@ object Dedup {
                ROW_NUMBER() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
         FROM inc i WHERE i.h NOT IN (SELECT h FROM base))
       SELECT doc_id, source, h FROM fresh WHERE rn = 1
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d13
+    // Deterministic train/val/test split: the assignment is a pure
+    // per-row function of a content-stable key's md5 (here the doc id;
+    // a URL or content hash in production) — no global sort, no RNG
+    // state, reproducible across engines, runs, and cluster sizes, and
+    // adding documents never moves an existing document's split. Hex
+    // prefixes compare lexicographically, so the thresholds are plain
+    // string comparisons: 'cd'/'e6' ≈ 80/10/10. At 100 TB this is a
+    // map-only pass followed by a 3-key aggregate.
+    GQuery("d13_hash_split", (s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+      T.documents(s, d)
+        .withColumn("split",
+          when(h < "cd", "train").when(h < "e6", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }, Some("""
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM (
+        SELECT *,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      GROUP BY split ORDER BY split"""))
   )
 
   /** Per-source keep threshold (hex prefix of md5) for d11: the target

@@ -402,6 +402,76 @@ object Multimodal {
                / rate) AS BIGINT) AS chunk_ms,
              md5(substring(text, CAST(k * stride + 1 AS INT),
                CAST(LEAST(win, db - k * stride) AS INT))) AS chunk_md5
-      FROM c ORDER BY asset_id, chunk_no"""))
+      FROM c ORDER BY asset_id, chunk_no""")),
+
+    // ---------------------------------------------------------------- m08
+    // Second REAL container format: BMP (BITMAPFILEHEADER +
+    // BITMAPINFOHEADER, 24-bit uncompressed). Assets are built as
+    // fully-valid BMPs — magic, little-endian sizes, the 4-byte row
+    // padding rule — then parsed back field by field with the same
+    // codegen'd byte readers the WAV path uses. The pixel block is
+    // md5-checked against the oracle's reconstruction, so a wrong
+    // stride (the classic BMP bug) fails the hash, not just a count.
+    // One scan, zero shuffle beyond the presentation sort.
+    GQuery("m08_bmp_decode", (s, d) => {
+      val built = T.documents(s, d)
+        .withColumn("_w", (pmod(col("doc_id"), lit(13)) + 4).cast("long"))
+        .withColumn("_h", (pmod(col("doc_id"), lit(5)) + 3).cast("long"))
+        // 24 bpp: rows pad to 4 bytes — floor((24w+31)/32)*4.
+        .withColumn("_stride",
+          (floor((col("_w") * 24 + 31) / 32) * 4).cast("long"))
+        .withColumn("_img", col("_stride") * col("_h"))
+        // Pixel bytes: the doc text tiled to the image size (ASCII, so
+        // chars == bytes — m07 relies on the same property).
+        .withColumn("_px", expr(
+          "encode(substring(repeat(text, CAST(_img / length(text) + 1 " +
+            "AS INT)), 1, CAST(_img AS INT)), 'UTF-8')"))
+      val bmp = built.select(col("doc_id").as("asset_id"),
+        concat(
+          asciiLit("BM"), le(col("_img") + 54, 4), le(lit(0L), 4),
+          le(lit(54L), 4), // pixel-data offset
+          le(lit(40L), 4), le(col("_w"), 4), le(col("_h"), 4),
+          le(lit(1L), 2), le(lit(24L), 2), // planes, bpp
+          le(lit(0L), 4), le(col("_img"), 4), // BI_RGB, image size
+          le(lit(2835L), 4), le(lit(2835L), 4), // 72 dpi
+          le(lit(0L), 4), le(lit(0L), 4),
+          col("_px")).as("payload"))
+      val isBmp = substring(col("payload"), 1, 2) === asciiLit("BM") &&
+        leUint(col("payload"), 15, 4) === 40L
+      val w = leUint(col("payload"), 19, 4)
+      val h = leUint(col("payload"), 23, 4)
+      val bpp = leUint(col("payload"), 29, 2)
+      val stride = (floor((bpp * w + 31) / 32) * 4).cast("long")
+      val off = leUint(col("payload"), 11, 4)
+      bmp
+        .withColumn("off_", off + 1) // 1-based slice start of pixel data
+        .withColumn("img_", stride * h)
+        .select(col("asset_id"),
+          when(isBmp, lit("bmp")).otherwise(lit("unknown")).as("format"),
+          w.as("width"), h.as("height"), bpp.as("bpp"),
+          stride.as("row_stride"),
+          col("img_").as("img_bytes"),
+          (leUint(col("payload"), 3, 4) ===
+            length(col("payload")).cast("long")).as("size_ok"),
+          md5(expr("substring(payload, CAST(off_ AS INT), " +
+            "CAST(img_ AS INT))")).as("pixel_md5"))
+        .orderBy(col("asset_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(4 + doc_id % 13 AS BIGINT) AS w,
+               CAST(3 + doc_id % 5 AS BIGINT) AS h
+        FROM documents),
+      b AS (
+        SELECT *, CAST(FLOOR((24 * w + 31) / 32) * 4 AS BIGINT) AS stride
+        FROM a)
+      SELECT asset_id, 'bmp' AS format, w AS width, h AS height,
+             CAST(24 AS BIGINT) AS bpp, stride AS row_stride,
+             CAST(stride * h AS BIGINT) AS img_bytes,
+             TRUE AS size_ok,
+             md5(substring(repeat(text,
+                   CAST(stride * h / length(text) + 1 AS INT)),
+                 1, CAST(stride * h AS INT))) AS pixel_md5
+      FROM b ORDER BY asset_id"""))
   )
 }

@@ -1171,6 +1171,88 @@ object RelationalQueries {
              MIN_BY(o_orderkey, CAST(FLOOR(o_totalprice * 10000) AS BIGINT)
                * 10000000 + o_orderkey) AS bottom_order,
              ROUND(MEDIAN(o_totalprice), 4) AS median_price
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q52
+    // Equi-width histogram: one linear scan, one small-keyed exchange
+    // (bucket count = 12 regardless of table size) — the profile/
+    // distribution primitive. Bucketing is explicit floor arithmetic
+    // (not width_bucket) so the same expression runs on both engines;
+    // the share column shows a window-over-aggregate composition.
+    GQuery("q52_histogram", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucket = least(floor(col("o_totalprice") / lit(50000.0)),
+        lit(11.0)).cast("long")
+      T.orders(s, d)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .withColumn("share",
+          round(col("n") / sum(col("n")).over(Window.partitionBy()), 4))
+        .orderBy(col("bucket"))
+    }, Some("""
+      SELECT bucket, n, sum_price,
+             ROUND(n / SUM(n) OVER (), 4) AS share
+      FROM (
+        SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS BIGINT)
+                 AS bucket,
+               COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY 1)
+      ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- q53
+    // Gap-filled time series with LOCF: per-user daily rollup joined to
+    // a generated (user × day) spine, missing days carrying the last
+    // observed value forward (`last(_, ignoreNulls)` over an
+    // unbounded-preceding frame — the sequence primitive behind feature
+    // backfills). The spine is a broadcast-sized dim (keys × days); the
+    // only data-sized exchange is the daily aggregate, and the LOCF
+    // window shuffles the spine-sized frame, not the events. Daily sums
+    // quantize to a 1e-3 grid (floor to long) before summing so the
+    // compare is order-independent across engines.
+    GQuery("q53_gap_fill", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d).filter(col("user_id") < 15)
+      val daily = ev.groupBy(col("user_id"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n0"),
+          sum(floor(col("value") * 1000).cast("long")).as("mv0"))
+      val spine = ev.select(col("user_id")).distinct()
+        .crossJoin(s.range(1).select(explode(expr(
+          "sequence(timestamp'2024-01-01 00:00:00', " +
+            "timestamp'2024-01-30 00:00:00', interval 1 day)")).as("day")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("n", coalesce(col("n0"), lit(0L)))
+        .withColumn("filled_mv", last(col("mv0"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("n"),
+          round(col("filled_mv").cast("double") / 1000.0, 3).as("filled_sum"))
+        .orderBy(col("user_id"), col("day"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE user_id < 15),
+      daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n0,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS mv0
+        FROM ev GROUP BY 1, 2),
+      spine AS (
+        SELECT user_id, day FROM (SELECT DISTINCT user_id FROM ev)
+        CROSS JOIN (SELECT unnest(generate_series(
+          TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+          INTERVAL 1 DAY)) AS day)),
+      joined AS (
+        SELECT s.user_id, s.day, COALESCE(n0, 0) AS n,
+               LAST_VALUE(mv0 IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS filled_mv
+        FROM spine s LEFT JOIN daily USING (user_id, day))
+      SELECT user_id, day, n,
+             ROUND(CAST(filled_mv AS DOUBLE) / 1000.0, 3) AS filled_sum
+      FROM joined ORDER BY user_id, day"""))
   )
 }

@@ -558,6 +558,73 @@ object TextOps {
       SELECT doc_id, COUNT(*) AS n_tokens,
              ROUND(CAST(SUM(mn) AS DOUBLE) / COUNT(*) / 1000.0, 4)
                AS avg_surprisal
-      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t14
+    // BM25 retrieval: score every document against a fixed term set and
+    // keep the top 15. Corpus stats (N, avgdl, per-term df) are
+    // broadcast scalars/tiny dims; the per-doc work is one tf aggregate
+    // keyed by (doc, term) — |terms| ≤ a handful, so the exchange
+    // carries at most |terms| rows per doc. The final top-k is
+    // TakeOrderedAndProject (orderBy+limit), never a global window.
+    // Per-term scores quantize to a 1e-4 grid (floor to long) before
+    // the cross-term sum, so the compare is order-independent and
+    // engine-exact — the same trick t13 uses.
+    GQuery("t14_bm25", (s, d) => {
+      val terms = Seq("vector", "hash", "merge")
+      val k1 = 1.2
+      val b = 0.75
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("dl"))
+      val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val termScore = idf * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("mn", floor(termScore * lit(10000)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("mn")).as("smn"))
+        .withColumn("score", round(col("smn").cast("double") / 10000.0, 4))
+        .orderBy(col("smn").desc, col("doc_id"))
+        .limit(15)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        FROM toks GROUP BY doc_id),
+      corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE tok IN ('vector', 'hash', 'merge')
+        GROUP BY doc_id, tok),
+      df AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+      per_term AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                 LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000)
+                 AS BIGINT) AS mn
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN corpus)
+      SELECT doc_id, COUNT(*) AS n_terms,
+             ROUND(CAST(SUM(mn) AS DOUBLE) / 10000.0, 4) AS score
+      FROM per_term GROUP BY doc_id
+      ORDER BY SUM(mn) DESC, doc_id LIMIT 15"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{GQuery, Tables => T}
 import graft.util.Scratch
@@ -1157,6 +1157,76 @@ object Sources {
       FROM events
       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05 00:00:00'
         AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-12 00:00:00'
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // ---------------------------------------------------------------- s41
+    // SUMMARIZE-style table profile: one row per column with row/
+    // non-null/distinct counts and min/max, computed in a SINGLE scan —
+    // all per-column aggregates ride one aggregate node (the exact
+    // count-distincts expand the row 6× map-side, the price of exact
+    // cardinalities; at 100 TB swap in approx_count_distinct and keep
+    // the same shape), then stack() pivots the one result row into the
+    // per-column report. Values render as strings so one schema fits
+    // every column type; doubles go through DECIMAL(12,2) so both
+    // engines print identically.
+    GQuery("s41_summarize", (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def render(c: String, agg: Column): Column =
+        if (c == "o_totalprice")
+          agg.cast("decimal(12,2)").cast("string")
+        else agg.cast("string")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_nn"),
+        countDistinct(col(c)).as(s"${c}_nd"),
+        render(c, min(col(c))).as(s"${c}_min"),
+        render(c, max(col(c))).as(s"${c}_max")))
+      val one = T.orders(s, d).agg(aggs.head, aggs.tail: _*)
+      one.selectExpr("n_rows",
+          "stack(6, " + cols.map(c =>
+            s"'$c', ${c}_nn, ${c}_nd, ${c}_min, ${c}_max")
+            .mkString(", ") +
+            ") as (col_name, n_nonnull, n_distinct, min_v, max_v)")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+        .orderBy(col("col_name"))
+    }, Some("""
+      WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+      SELECT 'o_orderkey' AS col_name, n_rows, COUNT(o_orderkey) AS n_nonnull,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+      FROM orders CROSS JOIN n GROUP BY n_rows
+      UNION ALL
+      SELECT 'o_custkey', n_rows, COUNT(o_custkey),
+             COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders CROSS JOIN n GROUP BY n_rows
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             CAST(MIN(o_orderstatus) AS VARCHAR),
+             CAST(MAX(o_orderstatus) AS VARCHAR)
+      FROM orders CROSS JOIN n GROUP BY n_rows
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, COUNT(o_totalprice),
+             COUNT(DISTINCT o_totalprice),
+             CAST(CAST(MIN(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR),
+             CAST(CAST(MAX(o_totalprice) AS DECIMAL(12,2)) AS VARCHAR)
+      FROM orders CROSS JOIN n GROUP BY n_rows
+      UNION ALL
+      SELECT 'o_orderdate', n_rows, COUNT(o_orderdate),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR),
+             CAST(MAX(o_orderdate) AS VARCHAR)
+      FROM orders CROSS JOIN n GROUP BY n_rows
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders CROSS JOIN n GROUP BY n_rows
+      ORDER BY col_name"""))
   )
 }
