@@ -1253,6 +1253,64 @@ object RelationalQueries {
         FROM spine s LEFT JOIN daily USING (user_id, day))
       SELECT user_id, day, n,
              ROUND(CAST(filled_mv AS DOUBLE) / 1000.0, 3) AS filled_sum
-      FROM joined ORDER BY user_id, day"""))
+      FROM joined ORDER BY user_id, day""")),
+
+    // ---------------------------------------------------------------- q54
+    // Batch sessionization, the gap-rule (6 h) twin of streaming st02:
+    // lag → new-session flag → running sum assigns session numbers,
+    // then one per-(user, session) rollup. The lag window, running-sum
+    // window, and final aggregate all key on user_id, so the plan is
+    // ONE user-keyed exchange feeding two window passes and an
+    // aggregate — the events stream never shuffles twice. Gap
+    // arithmetic is microsecond-exact integers (unix_micros /
+    // epoch_us), value sums ride the 1e-3 integer grid, and the
+    // (ts, event_id) ordering pins ties, so the session assignment is
+    // deterministic on both engines.
+    GQuery("q54_sessionize", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val GapUs = 21600L * 1000000L // 6 hours
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          (max(col("us")) - min(col("us"))).as("duration_us"),
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("mv"))
+        .withColumn("sum_value", round(col("mv").cast("double") / 1000.0, 3))
+        .select(col("user_id"), col("sess_no"), col("session_start"),
+          col("session_end"), col("duration_us"), col("n_events"),
+          col("sum_value"))
+        .orderBy(col("user_id"), col("sess_no"))
+    }, Some("""
+      WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, user_id, value
+        FROM events),
+      f AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM (SELECT *, LAG(us) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS prev_us FROM e)),
+      g AS (
+        SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS sess_no
+        FROM f)
+      SELECT user_id, sess_no, MIN(ts) AS session_start,
+             MAX(ts) AS session_end,
+             CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+             COUNT(*) AS n_events,
+             ROUND(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
+                   / 1000.0, 3) AS sum_value
+      FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
   )
 }

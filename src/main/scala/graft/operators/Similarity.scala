@@ -366,6 +366,108 @@ object Similarity {
     GQuery("a06_range_search_lsh", (s, d) => {
       val (corpus, qs) = demo(s, d)
       rangeSearchLsh(corpus, qs, theta = 0.30, excludeSelf = true)
-    }, None)
+    }, None),
+
+    // ---------------------------------------------------------------- a07
+    // Hybrid retrieval: BM25 lexical ranking (the t14 pipeline — same
+    // integer-grid stabilization) fused with an embedding cosine
+    // ranking by Reciprocal Rank Fusion (rrf = Σ 1/(60 + rank), the
+    // standard k=60). Each system keeps only its top 50 via
+    // TakeOrderedAndProject — per-partition heaps, no global sort —
+    // and the single-partition rank window runs over ≤50 rows
+    // (metadata-sized at any corpus scale). Fusion is a full outer
+    // join of two 50-row sets; contributions use exact integer
+    // division on a micro grid so the cross-system sum is
+    // engine-exact. The expensive parts (token aggregate, one corpus
+    // scan per ranking) are the t14 / a01 shapes already audited.
+    GQuery("a07_hybrid_rrf", (s, d) => {
+      val terms = Seq("vector", "hash", "merge")
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("double").as("dl")).localCheckpoint()
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).cast("double").as("tf")).localCheckpoint()
+      val dfT = tf.groupBy(col("tok"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val termScore = idf * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val bm = tf.join(broadcast(dfT), "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("mn", floor(termScore * lit(10000)).cast("long"))
+        .groupBy(col("doc_id")).agg(sum(col("mn")).as("smn"))
+      val bmTop = bm.orderBy(col("smn").desc, col("doc_id")).limit(50)
+        .withColumn("rnk_t", row_number()
+          .over(Window.orderBy(col("smn").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rnk_t"))
+      val corpus = prepared(T.embeddings(s, d), "vec_id", "embedding")
+      val q0 = corpus.filter(col("vec_id") === 0).select(col("nv").as("q_nv"))
+      val scored = corpus.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(col("vec_id"),
+          FastVector.dot(col("q_nv"), col("nv")).as("cos"))
+      val vecTop = scored.orderBy(col("cos").desc, col("vec_id")).limit(50)
+        .withColumn("rnk_v", row_number()
+          .over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id"), col("rnk_v"))
+      bmTop.join(vecTop, bmTop("doc_id") === vecTop("vec_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          col("rnk_t").as("bm25_rank"), col("rnk_v").as("vec_rank"),
+          (coalesce(expr("1000000 DIV (60 + rnk_t)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + rnk_v)"), lit(0L)))
+            .as("rrf_micro"))
+        .withColumn("rrf", round(col("rrf_micro").cast("double") / 1000000.0, 6))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("bm25_rank"), col("vec_rank"), col("rrf"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        FROM toks GROUP BY doc_id),
+      corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE tok IN ('vector', 'hash', 'merge')
+        GROUP BY doc_id, tok),
+      df AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+      bm AS (
+        SELECT tf.doc_id,
+               SUM(CAST(FLOOR(
+                 LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000)
+                 AS BIGINT)) AS smn
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN corpus GROUP BY tf.doc_id),
+      bm_top AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY smn DESC, doc_id)
+                 AS BIGINT) AS rnk_t
+        FROM (SELECT * FROM bm ORDER BY smn DESC, doc_id LIMIT 50)),
+      vec AS (
+        SELECT c.vec_id, list_cosine_similarity(q.embedding, c.embedding)
+                 AS cos
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id = 0 AND c.vec_id <> 0),
+      vec_top AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id)
+                 AS BIGINT) AS rnk_v
+        FROM (SELECT * FROM vec ORDER BY cos DESC, vec_id LIMIT 50)),
+      fused AS (
+        SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id,
+               t.rnk_t AS bm25_rank, v.rnk_v AS vec_rank,
+               COALESCE(1000000 // (60 + t.rnk_t), 0) +
+                 COALESCE(1000000 // (60 + v.rnk_v), 0) AS rrf_micro
+        FROM bm_top t FULL JOIN vec_top v ON t.doc_id = v.vec_id)
+      SELECT doc_id, bm25_rank, vec_rank,
+             ROUND(rrf_micro / 1000000.0, 6) AS rrf
+      FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20"""))
   )
 }

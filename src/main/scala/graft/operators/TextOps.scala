@@ -576,13 +576,21 @@ object TextOps {
       val b = 0.75
       val toks = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // dl and tf each feed TWO consumers (dl → corpus + the score join;
+      // tf → df + the score join); without a checkpoint Spark re-expands
+      // the lineage and scans + re-explodes the corpus four times. One
+      // localCheckpoint per aggregate pins each to a single corpus scan
+      // — the aggregates are doc-sized (tiny vs the token stream), the
+      // standard persist point for a 100 TB corpus too.
       val dl = toks.groupBy(col("doc_id"))
         .agg(count(lit(1)).cast("double").as("dl"))
+        .localCheckpoint()
       val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
       val tf = toks.filter(col("tok").isin(terms: _*))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).cast("double").as("tf"))
+        .localCheckpoint()
       val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).cast("double").as("df"))
       val idf = log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

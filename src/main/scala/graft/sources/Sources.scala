@@ -1227,6 +1227,42 @@ object Sources {
              CAST(MIN(o_orderpriority) AS VARCHAR),
              CAST(MAX(o_orderpriority) AS VARCHAR)
       FROM orders CROSS JOIN n GROUP BY n_rows
-      ORDER BY col_name"""))
+      ORDER BY col_name""")),
+
+    // ---------------------------------------------------------------- s42
+    // Delta VACUUM end-to-end: copy-on-write DELETE + OPTIMIZE leave
+    // the pre-rewrite files on disk for time travel; VACUUM
+    // (retainVersions=1, horizon 0 — no concurrent writers at the
+    // gate) physically deletes every unreferenced file. The result
+    // hashes the LIVE snapshot read AFTER the vacuum — a wrongly
+    // deleted referenced file fails the read, not just a count — plus
+    // two driver-verified flags: garbage was actually reclaimed, and
+    // time travel past the horizon now fails loudly (the retention
+    // contract). At 100 TB the referenced-set is O(live files) driver
+    // memory (same bound as log replay) and the delete fan-out is
+    // embarrassingly parallel filesystem calls.
+    GQuery("s42_delta_vacuum", (s, d) => {
+      val t = s"${scratch("s42")}/cust_delta_vacuum"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, t, c.filter(col("c_custkey") <= 800))
+      DeltaLite.append(s, t,
+        c.filter(col("c_custkey") > 800 && col("c_custkey") <= 1500))
+      DeltaLite.deleteWhere(s, t, col("c_mktsegment") === "AUTOMOBILE")
+      DeltaLite.compact(s, t, targetFiles = 2)
+      val nDel = DeltaLite.vacuum(s, t, retainVersions = 1)
+      val oldGone = scala.util.Try(
+        DeltaLite.snapshot(s, t, version = 0L).count()).isFailure
+      DeltaLite.snapshot(s, t)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+        .withColumn("reclaimed", lit(nDel > 0))
+        .withColumn("old_version_gone", lit(oldGone))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             TRUE AS reclaimed, TRUE AS old_version_gone
+      FROM customer
+      WHERE c_custkey <= 1500 AND c_mktsegment <> 'AUTOMOBILE'
+      ORDER BY c_custkey"""))
   )
 }
