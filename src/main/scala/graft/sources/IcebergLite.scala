@@ -165,7 +165,10 @@ object IcebergLite {
       partSpecs: Seq[(Int, Seq[PartitionField])], defaultSpecId: Int,
       currentSnapshot: Long, snapshots: Seq[(Long, String)],
       sortOrders: Seq[(Int, Seq[String])] = Seq(0 -> Nil),
-      defaultSortOrderId: Int = 0) {
+      defaultSortOrderId: Int = 0,
+      // Named refs (Iceberg spec `refs` map): name → (snapshot-id,
+      // "branch"|"tag"). `main` always tracks currentSnapshot.
+      refs: Seq[(String, (Long, String))] = Nil) {
     def partCols: Seq[PartitionField] = colsOfSpec(defaultSpecId)
     def partColNames: Seq[String] = partCols.map(_.name)
     def colsOfSpec(specId: Int): Seq[PartitionField] =
@@ -247,12 +250,19 @@ object IcebergLite {
       if (n.has("default-sort-order-id"))
         n.get("default-sort-order-id").asInt()
       else 0
-    Meta(schemas, curId, specs, defSpec,
-      n.get("current-snapshot-id").asLong(),
+    val curSnap = n.get("current-snapshot-id").asLong()
+    val refs =
+      if (n.has("refs"))
+        n.get("refs").fields().asScala.map { e =>
+          e.getKey -> (e.getValue.get("snapshot-id").asLong(),
+            e.getValue.get("type").asText())
+        }.toSeq
+      else Seq("main" -> (curSnap, "branch")) // pre-refs table
+    Meta(schemas, curId, specs, defSpec, curSnap,
       n.get("snapshots").elements().asScala.map(sn =>
         sn.get("snapshot-id").asLong() -> sn.get("manifest-list").asText())
         .toSeq,
-      orders, defOrder)
+      orders, defOrder, refs)
   }
 
   // --------------------------------------------------------- manifests
@@ -458,6 +468,16 @@ object IcebergLite {
     }
     n.put("default-sort-order-id", meta.defaultSortOrderId)
     n.put("current-snapshot-id", meta.currentSnapshot)
+    // `main` always tracks the current snapshot (the Iceberg-spec
+    // invariant); other refs carry their own pinned/advanced heads.
+    val refsNode = n.putObject("refs")
+    (("main" -> (meta.currentSnapshot, "branch")) +:
+        meta.refs.filterNot(_._1 == "main")).foreach {
+      case (name, (snap, tpe)) =>
+        val r = refsNode.putObject(name)
+        r.put("snapshot-id", snap)
+        r.put("type", tpe)
+    }
     val snaps = n.putArray("snapshots")
     meta.snapshots.foreach { case (id, rel) =>
       val o = snaps.addObject()
@@ -648,6 +668,105 @@ object IcebergLite {
     require(meta.snapshots.exists(_._1 == snapshotId),
       s"no snapshot $snapshotId at $table")
     writeMetadata(s, table, meta.copy(currentSnapshot = snapshotId))
+  }
+
+  // ----------------------------------------------------------- refs
+  // Branches and tags (the Iceberg-spec `refs` map in table metadata):
+  // a TAG pins a snapshot immutably (audit/release pointers); a BRANCH
+  // is an independently-advancing head sharing the table's file store
+  // — the engineering branch / WAP-at-scale primitive. Every ref
+  // operation is metadata-only (one new metadata JSON, zero data IO)
+  // at any table size.
+
+  /** Create a tag (immutable) or branch (advanceable) at `snapshotId`
+    * (< 0 = the current snapshot). Refuses to move an existing tag —
+    * tags are immutable by spec; drop + recreate to force.
+    */
+  def createRef(s: SparkSession, table: String, name: String,
+      refType: String, snapshotId: Long = -1L): Unit = {
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be branch|tag, got $refType")
+    require(name != "main", "main is managed by the table itself")
+    val meta = readMeta(s, table)
+    val target =
+      if (snapshotId < 0) meta.currentSnapshot else snapshotId
+    require(meta.snapshots.exists(_._1 == target),
+      s"no snapshot $target at $table")
+    require(!meta.refs.exists(r => r._1 == name && r._2._2 == "tag"),
+      s"tag $name already exists at $table (tags are immutable)")
+    writeMetadata(s, table, meta.copy(
+      refs = meta.refs.filterNot(_._1 == name) :+
+        (name -> (target, refType))))
+  }
+
+  def createTag(s: SparkSession, table: String, name: String,
+      snapshotId: Long = -1L): Unit =
+    createRef(s, table, name, "tag", snapshotId)
+
+  def createBranch(s: SparkSession, table: String, name: String,
+      snapshotId: Long = -1L): Unit =
+    createRef(s, table, name, "branch", snapshotId)
+
+  /** All refs: (name, snapshot-id, type), `main` first. */
+  def listRefs(s: SparkSession, table: String): Seq[(String, Long, String)] = {
+    val meta = readMeta(s, table)
+    ("main", meta.currentSnapshot, "branch") +:
+      meta.refs.filterNot(_._1 == "main")
+        .map { case (n, (id, t)) => (n, id, t) }.sortBy(_._1)
+  }
+
+  /** Read the table as of a ref — tag or branch head. */
+  def snapshotByRef(s: SparkSession, table: String, name: String): DataFrame = {
+    val meta = readMeta(s, table)
+    val id =
+      if (name == "main") meta.currentSnapshot
+      else meta.refs.find(_._1 == name)
+        .getOrElse(sys.error(s"no ref $name at $table"))._2._1
+    snapshot(s, table, id)
+  }
+
+  /** Append to a BRANCH: a new snapshot whose base is the branch head
+    * (not main), then the branch ref advances — main and every other
+    * ref are untouched. Tags refuse (immutable).
+    */
+  def appendToBranch(s: SparkSession, table: String, branch: String,
+      df: DataFrame): Long = {
+    val meta = readMeta(s, table)
+    val (head, tpe) = meta.refs.find(_._1 == branch)
+      .getOrElse(sys.error(s"no ref $branch at $table"))._2
+    require(tpe == "branch", s"$branch is a tag — tags are immutable")
+    val base = meta.snapshots.toMap.apply(head)
+    val prevManifests = readManifests(s, table, base, meta).map(_.path)
+    val m = writeManifest(s, table, df, meta.currentSchema,
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
+    val snapId = commitSnapshot(s, table, meta, prevManifests :+ m,
+      advance = false)
+    val after = readMeta(s, table)
+    writeMetadata(s, table, after.copy(
+      refs = after.refs.filterNot(_._1 == branch) :+
+        (branch -> (snapId, "branch"))))
+    snapId
+  }
+
+  /** Fast-forward main to a branch's head — the branch-merge publish
+    * step (metadata-only pointer flip, like [[publish]] but resolved
+    * through the ref).
+    */
+  def fastForward(s: SparkSession, table: String, branch: String): Unit = {
+    val meta = readMeta(s, table)
+    val (head, tpe) = meta.refs.find(_._1 == branch)
+      .getOrElse(sys.error(s"no ref $branch at $table"))._2
+    require(tpe == "branch", s"cannot fast-forward to tag $branch")
+    writeMetadata(s, table, meta.copy(currentSnapshot = head))
+  }
+
+  /** Drop a ref. `main` cannot be dropped. */
+  def dropRef(s: SparkSession, table: String, name: String): Unit = {
+    require(name != "main", "cannot drop main")
+    val meta = readMeta(s, table)
+    require(meta.refs.exists(_._1 == name), s"no ref $name at $table")
+    writeMetadata(s, table, meta.copy(
+      refs = meta.refs.filterNot(_._1 == name)))
   }
 
   /** RENAME a column: a metadata-only commit — the field keeps its id,
@@ -1423,7 +1542,12 @@ object IcebergLite {
       retain: Int = 1): Int = {
     require(retain >= 1, "must retain at least the current snapshot")
     val meta = readMeta(s, table)
-    val keepIds = meta.snapshots.map(_._1).sorted.takeRight(retain).toSet
+    // Refs protect their targets: a tagged/branched snapshot never
+    // expires while the ref lives (the Iceberg retention rule), nor
+    // does the current snapshot even when newer unpublished (WAP)
+    // snapshots outnumber `retain`.
+    val keepIds = meta.snapshots.map(_._1).sorted.takeRight(retain).toSet ++
+      meta.refs.map(_._2._1) + meta.currentSnapshot
     val kept = meta.snapshots.filter(t => keepIds(t._1))
     val f = fs(s, new Path(table))
     val referenced: Set[String] = kept.flatMap { case (_, listRel) =>

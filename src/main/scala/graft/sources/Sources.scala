@@ -1263,6 +1263,52 @@ object Sources {
              TRUE AS reclaimed, TRUE AS old_version_gone
       FROM customer
       WHERE c_custkey <= 1500 AND c_mktsegment <> 'AUTOMOBILE'
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s43
+    // Iceberg branches + tags (the spec's `refs` map): a tag pins the
+    // release snapshot immutably; a branch advances through its own
+    // appends while main is untouched (verified by a driver count
+    // before the merge); fast-forward publishes the branch with a
+    // metadata-only pointer flip; snapshot expiration then reclaims
+    // the un-ref'd middle snapshot while the TAG PROTECTS its target —
+    // the tag still reads after expire, the expired id refuses. Every
+    // ref operation is one metadata JSON at any table size; the result
+    // hashes the tag read and the post-merge main read side by side.
+    GQuery("s43_iceberg_refs", (s, d) => {
+      val t = s"${scratch("s43")}/orders_ice_refs"
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val o = T.orders(s, d).select(cols.map(col): _*)
+      IcebergLite.create(s, t, o.filter(col("o_orderkey") <= 3000))
+      IcebergLite.createTag(s, t, "v1")
+      IcebergLite.createBranch(s, t, "audit")
+      IcebergLite.appendToBranch(s, t, "audit",
+        o.filter(col("o_orderkey") > 3000 && col("o_orderkey") <= 6000))
+      IcebergLite.appendToBranch(s, t, "audit",
+        o.filter(col("o_orderkey") > 6000 && col("o_orderkey") <= 9000))
+      val isolated = // branch appends never moved main
+        IcebergLite.snapshot(s, t).count() ==
+          o.filter(col("o_orderkey") <= 3000).count()
+      IcebergLite.fastForward(s, t, "audit")
+      IcebergLite.expireSnapshots(s, t, retain = 1)
+      val midGone = scala.util.Try(
+        IcebergLite.snapshot(s, t, snapshotId = 2L).count()).isFailure
+      IcebergLite.snapshotByRef(s, t, "v1")
+        .withColumn("ref", lit("v1"))
+        .unionByName(IcebergLite.snapshot(s, t).withColumn("ref", lit("main")))
+        .withColumn("branch_isolated", lit(isolated))
+        .withColumn("mid_expired", lit(midGone))
+        .orderBy(col("ref"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, 'main' AS ref,
+             TRUE AS branch_isolated, TRUE AS mid_expired
+      FROM orders WHERE o_orderkey <= 9000
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority, 'v1', TRUE, TRUE
+      FROM orders WHERE o_orderkey <= 3000
+      ORDER BY ref, o_orderkey"""))
   )
 }

@@ -547,4 +547,60 @@ class IcebergLiteSpec extends SparkSpec {
       IcebergLite.setSortOrder(spark, t, Seq("o_orderkey"))
     }
   }
+
+  test("refs: tags are immutable, branches advance in isolation, " +
+      "expire protects ref targets, and pre-refs metadata still reads") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    val base = c.filter(col("c_custkey") <= 40)
+    IcebergLite.create(spark, t, base)
+    IcebergLite.createTag(spark, t, "rel")
+    IcebergLite.createBranch(spark, t, "dev")
+    // Tag re-creation refuses; branch append to a tag refuses.
+    intercept[IllegalArgumentException] {
+      IcebergLite.createTag(spark, t, "rel")
+    }
+    intercept[IllegalArgumentException] {
+      IcebergLite.appendToBranch(spark, t, "rel",
+        c.filter(col("c_custkey") > 40))
+    }
+    // Branch appends leave main untouched...
+    IcebergLite.appendToBranch(spark, t, "dev",
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 80))
+    assert(IcebergLite.snapshot(spark, t).count() == base.count())
+    assert(IcebergLite.snapshotByRef(spark, t, "dev").count() ==
+      c.filter(col("c_custkey") <= 80).count())
+    // ...until fast-forward publishes the branch head.
+    IcebergLite.fastForward(spark, t, "dev")
+    assert(IcebergLite.snapshot(spark, t).count() ==
+      c.filter(col("c_custkey") <= 80).count())
+    // Expire keeps the tag's target alive; the tag still reads.
+    IcebergLite.expireSnapshots(spark, t, retain = 1)
+    assert(IcebergLite.snapshotByRef(spark, t, "rel").count() == base.count())
+    assert(IcebergLite.listRefs(spark, t).map(_._1) ==
+      Seq("main", "dev", "rel"))
+    // Drop is metadata-only; main refuses.
+    IcebergLite.dropRef(spark, t, "dev")
+    assert(!IcebergLite.listRefs(spark, t).exists(_._1 == "dev"))
+    intercept[IllegalArgumentException] {
+      IcebergLite.dropRef(spark, t, "main")
+    }
+    // Back-compat: a metadata file with no refs key (pre-refs layout)
+    // resolves main to the current snapshot.
+    val t2 = freshTable()
+    IcebergLite.create(spark, t2, base)
+    val metaPath = java.nio.file.Paths.get(t2, "metadata", "v0.metadata.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    assert(txt.contains("\"refs\""))
+    val stripped = txt.replaceAll(
+      "\"refs\"\\s*:\\s*\\{[^}]*\\{[^}]*\\}[^}]*\\}\\s*,", "")
+    assert(!stripped.contains("\"refs\""))
+    java.nio.file.Files.write(metaPath, stripped.getBytes("UTF-8"))
+    // The out-of-band rewrite invalidates Hadoop LocalFileSystem's
+    // checksum sidecar — remove it so the read sees the edited bytes.
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t2, "metadata", ".v0.metadata.json.crc"))
+    assert(IcebergLite.snapshotByRef(spark, t2, "main").count() ==
+      base.count())
+  }
 }
