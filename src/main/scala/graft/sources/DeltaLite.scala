@@ -823,6 +823,15 @@ object DeltaLite {
         stat("maxValues", attrName(a).get).flatMap(cmp(_, v)).forall(_ > 0)
       case LessThanOrEqual(Lit(v), a) if attrName(a).isDefined =>
         stat("maxValues", attrName(a).get).flatMap(cmp(_, v)).forall(_ >= 0)
+      // IN (v1, …, vn) over all-literal values: the file may match iff
+      // ANY value sits inside its bounds — the disjunction of the
+      // per-value equality checks. Non-literal elements → conservative.
+      case org.apache.spark.sql.catalyst.expressions.In(a, list)
+          if attrName(a).isDefined &&
+            list.forall(Lit.unapply(_).isDefined) =>
+        list.exists { case Lit(v) =>
+          bound(attrName(a).get, v)(_ <= 0, _ >= 0)
+        }
       case _ => true
     }
   }
@@ -1032,10 +1041,30 @@ object DeltaLite {
   /** Stage `df`, read back per-file footer stats, and return the add
     * actions (with partition values for partitioned tables).
     */
-  private def stagedAdds(s: SparkSession, table: String, df: DataFrame,
+  private def stagedAdds(s: SparkSession, table: String, df0: DataFrame,
       schema: StructType, partCols: Seq[String],
       dataChange: Boolean = true,
       constraints: Seq[(String, String)] = Nil): Seq[String] = {
+    // Generated columns (the protocol's `delta.generationExpression`
+    // field metadata): a write that OMITS a generated column gets it
+    // computed from its expression; a write that PROVIDES one is
+    // validated against the expression and refused on any mismatch —
+    // Delta's rule, so the column's invariant can never be corrupted
+    // by any writer. Both are one extra projection/predicate pass over
+    // the write's input (write-sized, never table-sized).
+    val genCols = generatedColsOf(schema)
+    val df = genCols.foldLeft(df0) { case (acc, (n, g, dt)) =>
+      if (acc.columns.contains(n)) acc
+      else acc.withColumn(n, expr(g).cast(dt))
+    }
+    genCols.foreach { case (n, g, dt) =>
+      if (df0.columns.contains(n)) {
+        val bad = df.filter(!(col(n) <=> expr(g).cast(dt)))
+          .limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"generated column $n does not satisfy $g in this write")
+      }
+    }
     // CHECK constraints validate the INCOMING rows before anything is
     // staged (one extra pass per constraint over the write's input —
     // stated cost; Delta folds this into write metrics). A violation
@@ -1071,6 +1100,104 @@ object DeltaLite {
     * `txn` stamps the creating commit with an (appId, version)
     * high-water mark for idempotent producers (see [[appendOnce]]).
     */
+  // ------------------------------------------------ generated columns
+  // Delta generated columns: a column whose value is ALWAYS a declared
+  // expression of other columns, recorded as `delta.generationExpression`
+  // in the field's schema metadata (the protocol's representation).
+  // Writers compute it when omitted and are validated when they provide
+  // it (see stagedAdds). Partitioning on a generated column gives the
+  // classic date-derived layout (`o_month=3/`) whose values no writer
+  // can get wrong — the Delta cousin of Iceberg hidden partitioning
+  // (s40), except the column is real and queryable.
+
+  private val GenKey = "delta.generationExpression"
+
+  /** (name, expression, type) of every generated column in `schema`. */
+  private def generatedColsOf(schema: StructType)
+      : Seq[(String, String, DataType)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains(GenKey) =>
+        (f.name, f.metadata.getString(GenKey), f.dataType)
+    }
+
+  /** The table's generated columns, as (name, expression). */
+  def generatedColumns(s: SparkSession, table: String)
+      : Seq[(String, String)] = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    generatedColsOf(replay(s, table, v).schema).map(t => (t._1, t._2))
+  }
+
+  /** Create a table with generated columns: `generated` maps new column
+    * names to SQL expressions over `df`'s columns. The generated fields
+    * are appended to the schema with their expression in field metadata;
+    * `partitionColumns` may name them — the usual reason they exist.
+    */
+  def createWithGenerated(s: SparkSession, table: String, df: DataFrame,
+      generated: Seq[(String, String)],
+      partitionColumns: Seq[String] = Nil): Unit = {
+    require(latestVersion(s, table) < 0, s"table already exists at $table")
+    generated.foreach { case (n, _) =>
+      require(!df.columns.contains(n), s"generated column $n already in data")
+    }
+    val full = generated.foldLeft(df) { case (acc, (n, g)) =>
+      acc.withColumn(n, expr(g))
+    }
+    val schema = StructType(full.schema.fields.map { f =>
+      generated.find(_._1 == f.name) match {
+        case Some((_, g)) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putString(GenKey, g).build())
+        case None => f
+      }
+    })
+    partitionColumns.foreach(pc => require(schema.fieldNames.contains(pc),
+      s"partition column $pc not in schema"))
+    writeCommit(s, table, 0L,
+      protocolAction +:
+        metaDataAction(table, schema.json, partitionColumns) +:
+        stagedAdds(s, table, full, schema, partitionColumns),
+      operation = "CREATE TABLE")
+  }
+
+  /** Pruned scan driven by a date/timestamp RANGE on the SOURCE column
+    * of generated partition columns — Delta's "partition filter
+    * generation": the caller filters on `srcCol`, never mentioning the
+    * derived layout. Candidate partition values come from evaluating
+    * each generation expression over the day-granular date sequence
+    * spanning [lo, hi] (a driver-sized job: one row per day), so ANY
+    * day-granular expression — month(x), year(x), date_trunc — works
+    * without an expression analyzer. The derived IN-set is a SUPERSET
+    * of the matching partitions (sequence endpoints included), which
+    * is always safe: pruning drops only what cannot match, and the
+    * exact source predicate still applies to every surviving row.
+    */
+  def scanGenerated(s: SparkSession, table: String, srcCol: String,
+      loInclusive: String, hiExclusive: String): DataFrame = {
+    val st = replay(s, table, latestVersion(s, table))
+    val srcType = st.schema(srcCol).dataType
+    val lo = lit(loInclusive).cast(srcType)
+    val hi = lit(hiExclusive).cast(srcType)
+    val gens = generatedColsOf(st.schema).filter { case (n, g, _) =>
+      st.partCols.contains(n) &&
+        g.toLowerCase.contains(srcCol.toLowerCase)
+    }
+    val partPred = gens.flatMap { case (n, g, dt) =>
+      // An expression referencing columns beyond srcCol cannot be
+      // enumerated from the date spine — skip it (no pruning from that
+      // column; the scan stays correct, just less selective).
+      scala.util.Try {
+        val vals = s.range(1)
+          .select(explode(sequence(lit(loInclusive).cast(DateType),
+            lit(hiExclusive).cast(DateType),
+            expr("interval 1 day"))).as(srcCol))
+          .select(expr(g).cast(dt).as("v")).distinct().collect()
+          .map(_.get(0)).toSeq
+        col(n).isin(vals: _*)
+      }.toOption
+    }.foldLeft(col(srcCol) >= lo && col(srcCol) < hi)(_ && _)
+    scan(s, table, partPred)
+  }
+
   def create(s: SparkSession, table: String, df: DataFrame,
       partitionColumns: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Unit = {

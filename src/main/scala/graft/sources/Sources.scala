@@ -1310,5 +1310,39 @@ object Sources {
              o_orderpriority, 'v1', TRUE, TRUE
       FROM orders WHERE o_orderkey <= 3000
       ORDER BY ref, o_orderkey"""))
+    ,
+
+    // ---------------------------------------------------------------- s44
+    // Delta generated columns (`delta.generationExpression` field
+    // metadata), partitioned on the derived value: the create declares
+    // o_month = month(o_orderdate) and partitions on it; the append
+    // OMITS the column and the writer computes it (no writer can get
+    // the layout wrong — the Delta cousin of s40's hidden
+    // partitioning, except the column is real and queryable). The read
+    // filters ONLY on the source date range; scanGenerated derives the
+    // candidate months from the range and prunes partitions before
+    // stats. DeltaLiteSpec asserts the pruning counts and the
+    // wrong-value write refusal.
+    GQuery("s44_delta_generated", (s, d) => {
+      val t = s"${scratch("s44")}/orders_delta_gen"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      DeltaLite.createWithGenerated(s, t,
+        o.filter(col("o_orderkey") % 2 === 0),
+        generated = Seq("o_month" -> "month(o_orderdate)"),
+        partitionColumns = Seq("o_month"))
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLite.scanGenerated(s, t, "o_orderdate",
+          "1996-03-01", "1996-06-01")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_month"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_orderdate,
+             CAST(month(o_orderdate) AS INTEGER) AS o_month, o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      ORDER BY o_orderkey"""))
   )
 }

@@ -403,6 +403,45 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.pruneInfo(spark, t, col("k") > big)._1 == 0)
   }
 
+  test("generated columns: computed when omitted, refused when wrong, " +
+      "and the source-range scan prunes the derived partitions") {
+    val t = s"${graft.util.Scratch.dir("deltagen")}/t"
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    DeltaLite.createWithGenerated(spark, t,
+      o.filter(col("o_orderkey") % 2 === 0),
+      generated = Seq("o_month" -> "month(o_orderdate)"),
+      partitionColumns = Seq("o_month"))
+    assert(DeltaLite.generatedColumns(spark, t) ==
+      Seq("o_month" -> "month(o_orderdate)"))
+    // Append WITHOUT the column: computed by the writer.
+    DeltaLite.append(spark, t, o.filter(col("o_orderkey") % 2 === 1))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.filter(col("o_month") =!= month(col("o_orderdate")))
+      .count() == 0)
+    assert(snap.count() == o.count())
+    // Append WITH a wrong value: refused wholesale.
+    intercept[IllegalArgumentException] {
+      DeltaLite.append(spark, t,
+        o.limit(5).withColumn("o_month", lit(99)))
+    }
+    // Append WITH the correct value: accepted (validated, not blind).
+    DeltaLite.append(spark, t, o.limit(5)
+      .withColumn("o_month", month(col("o_orderdate"))))
+    // A 3-month source range keeps at most 4 of the 12 month
+    // partitions (the derived IN-set may include the exclusive
+    // endpoint's month — a documented superset).
+    val (kept, total) = DeltaLite.pruneInfo(spark, t,
+      col("o_month").isin(3, 4, 5, 6))
+    assert(total > kept, s"expected pruning, kept $kept of $total")
+    val pruned = DeltaLite.scanGenerated(spark, t, "o_orderdate",
+      "1996-03-01", "1996-06-01")
+    val expected = DeltaLite.snapshot(spark, t)
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+    assert(pruned.count() == expected.count())
+  }
+
   test("vacuum deletes unreferenced data files only; the live snapshot " +
       "is untouched and retained versions still read") {
     val t = freshTable()
