@@ -165,6 +165,46 @@ object InteropDump {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/conv_delta_expected")
 
+    // ---- Iceberg refs: a tag pinning snapshot 1 and a branch two
+    //      appends ahead of main — a foreign reader must resolve the
+    //      metadata `refs` map to read either, while the plain read
+    //      stays on current-snapshot-id.
+    val rf = s"$outDir/iceberg_refs"
+    val or2 = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"))
+    IcebergLite.create(spark, rf, or2.filter(col("o_orderkey") <= 3000))
+    IcebergLite.createTag(spark, rf, "v1")
+    IcebergLite.createBranch(spark, rf, "dev")
+    IcebergLite.appendToBranch(spark, rf, "dev",
+      or2.filter(col("o_orderkey") > 3000 && col("o_orderkey") <= 6000))
+    IcebergLite.appendToBranch(spark, rf, "dev",
+      or2.filter(col("o_orderkey") > 6000 && col("o_orderkey") <= 9000))
+    IcebergLite.snapshot(spark, rf)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/iceberg_refs_main_expected")
+    IcebergLite.snapshotByRef(spark, rf, "dev")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/iceberg_refs_dev_expected")
+
+    // ---- Delta generated columns: o_month = month(o_orderdate) as a
+    //      partition column, second append written WITHOUT the column
+    //      (writer-computed). A foreign reader reconstructs o_month
+    //      purely from add-action partitionValues under the
+    //      schemaString type — and can SEE the generation rule in the
+    //      field's metadata.
+    val dg = s"$outDir/delta_gen"
+    DeltaLite.createWithGenerated(spark, dg,
+      o.filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      generated = Seq("o_month" -> "month(o_orderdate)"),
+      partitionColumns = Seq("o_month"))
+    DeltaLite.append(spark, dg,
+      o.filter(col("o_orderkey") > 5000 && col("o_orderkey") <= 9000)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")))
+    DeltaLite.snapshot(spark, dg)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/delta_gen_expected")
+
     spark.stop()
   }
 }

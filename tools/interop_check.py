@@ -167,7 +167,7 @@ def field_id_map(path):
     return out
 
 
-def read_iceberg(table):
+def read_iceberg(table, ref=None):
     import pandas as pd
     hint = os.path.join(table, "metadata", "version-hint.text")
     v = int(open(hint).read().strip())
@@ -176,7 +176,14 @@ def read_iceberg(table):
     assert meta["format-version"] == 2
     schemas = {s["schema-id"]: s for s in meta["schemas"]}
     cur = schemas[meta["current-schema-id"]]
-    snap = meta["current-snapshot-id"]
+    if ref is None:
+        snap = meta["current-snapshot-id"]
+    else:
+        # Ref resolution per the spec's `refs` map: name -> snapshot-id.
+        r = meta.get("refs", {}).get(ref)
+        if r is None:
+            fail(f"no ref {ref} in {table}")
+        snap = r["snapshot-id"]
     list_rel = {s["snapshot-id"]: s["manifest-list"]
                 for s in meta["snapshots"]}[snap]
     manifests = json.load(open(os.path.join(table, list_rel)))["manifests"]
@@ -334,8 +341,44 @@ def main(root):
     check("conv_iceberg", read, os.path.join(root, "conv_iceberg_expected"))
     read = read_delta(os.path.join(root, "conv_delta"))
     check("conv_delta", read, os.path.join(root, "conv_delta_expected"))
-    print("\nOK: both table formats (clones and conversions included) "
-          "reconstruct identically from their on-disk protocol alone")
+    # Refs: the plain read stays on current-snapshot-id while the
+    # branch resolves through the metadata `refs` map; the tag must be
+    # recorded immutable ("tag") and pin the first snapshot.
+    p = os.path.join(root, "iceberg_refs")
+    if os.path.isdir(p):
+        read = read_iceberg(p)
+        check("iceberg_refs_main", read,
+              os.path.join(root, "iceberg_refs_main_expected"))
+        read = read_iceberg(p, ref="dev")
+        check("iceberg_refs_dev", read,
+              os.path.join(root, "iceberg_refs_dev_expected"))
+        hint = os.path.join(p, "metadata", "version-hint.text")
+        v = int(open(hint).read().strip())
+        meta = json.load(open(os.path.join(p, "metadata",
+                                           f"v{v}.metadata.json")))
+        refs = meta.get("refs", {})
+        if refs.get("v1", {}).get("type") != "tag":
+            fail("iceberg_refs: v1 not recorded as a tag")
+        if refs["v1"]["snapshot-id"] != 1:
+            fail("iceberg_refs: tag v1 must pin snapshot 1")
+        print("PASS iceberg_refs metadata (tag pinned, branch ahead)")
+    # Generated columns: the partition column reconstructs from
+    # add-action partitionValues alone (it is in no data file), and the
+    # generation rule is visible in the schemaString field metadata.
+    p = os.path.join(root, "delta_gen")
+    if os.path.isdir(p):
+        read = read_delta(p)
+        check("delta_gen", read, os.path.join(root, "delta_gen_expected"))
+        schema_str, _, _ = replay_delta(p)
+        fields = json.loads(schema_str)["fields"]
+        gen = [f for f in fields
+               if "delta.generationExpression" in (f.get("metadata") or {})]
+        if not gen or gen[0]["name"] != "o_month":
+            fail("delta_gen: generationExpression metadata missing")
+        print("PASS delta_gen metadata (generationExpression recorded)")
+    print("\nOK: both table formats (clones, conversions, refs and "
+          "generated columns included) reconstruct identically from "
+          "their on-disk protocol alone")
 
 
 if __name__ == "__main__":
