@@ -310,6 +310,58 @@ object Similarity {
       .orderBy(col("q_id"), col("neighbor_id"))
   }
 
+  /** Maximal Marginal Relevance rerank: from a relevance-ranked
+    * candidate POOL (size `poolSize`, produced distributed via
+    * TakeOrderedAndProject), greedily pick `k` documents maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — the standard
+    * diversity/relevance trade-off for retrieval results and diverse
+    * training-data sampling. The greedy step is inherently sequential,
+    * so it runs driver-side over the POOL ONLY — poolSize² dot
+    * products on ≤ poolSize rows, metadata-sized by construction at
+    * any corpus scale (the corpus-sized work is the distributed
+    * candidate generation). Ties break on vec_id; the empty-set score
+    * is the plain relevance, so the first pick is the top-1.
+    */
+  def mmrRerank(corpus: DataFrame, qNv: DataFrame, k: Int = 10,
+      poolSize: Int = 50, lambda: Double = 0.7): DataFrame = {
+    val s = corpus.sparkSession
+    val pool = corpus.crossJoin(broadcast(qNv))
+      .select(col("vec_id"), col("nv"),
+        FastVector.dot(col("q_nv"), col("nv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(poolSize)
+      .collect() // pool-sized, never corpus-sized
+      .map(r => (r.getLong(0), r.getAs[Seq[Double]](1).toArray,
+        r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val selected = scala.collection.mutable.Buffer[(Long, Double, Double)]()
+    val chosen = scala.collection.mutable.Buffer[Array[Double]]()
+    val remaining = scala.collection.mutable.Buffer(pool: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, nv, rel) =>
+        val score =
+          if (chosen.isEmpty) rel
+          else lambda * rel - (1 - lambda) * chosen.map(dot(nv, _)).max
+        (id, nv, rel, score)
+      }.minBy { case (id, _, _, score) => (-score, id) }
+      selected += ((best._1, best._3, best._4))
+      chosen += best._2
+      val idx = remaining.indexWhere(_._1 == best._1)
+      remaining.remove(idx)
+    }
+    import s.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, rel, score), i) =>
+        (i + 1L, id, math.rint(rel * 10000) / 10000.0,
+          math.rint(score * 10000) / 10000.0)
+      }
+      .toDF("rank", "doc_id", "rel", "mmr_score")
+  }
+
   private def demo(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val corpus = prepared(T.embeddings(s, d), "vec_id", "embedding")
     (corpus, asQueries(corpus.filter(col("vec_id") < NQueries)))
@@ -468,6 +520,19 @@ object Similarity {
         FROM bm_top t FULL JOIN vec_top v ON t.doc_id = v.vec_id)
       SELECT doc_id, bm25_rank, vec_rank,
              ROUND(rrf_micro / 1000000.0, 6) AS rrf
-      FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20"""))
+      FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20""")),
+
+    // ---------------------------------------------------------------- a08
+    // MMR diversified rerank over the a07 query's candidate pool.
+    // Approximation-free but inherently sequential → rows-only check;
+    // RetrievalSessionSpec asserts the top-1-first, determinism, and
+    // diversity-vs-plain-top-k invariants.
+    GQuery("a08_mmr_rerank", (s, d) => {
+      val corpus = prepared(T.embeddings(s, d), "vec_id", "embedding")
+      val q0 = corpus.filter(col("vec_id") === 0)
+        .select(col("nv").as("q_nv"))
+      mmrRerank(corpus.filter(col("vec_id") =!= 0), q0,
+        k = 10, poolSize = 50, lambda = 0.7)
+    }, None)
   )
 }

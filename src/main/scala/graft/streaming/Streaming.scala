@@ -633,7 +633,56 @@ object Streaming {
       WHERE (c_ts IS NOT NULL
              AND c_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm))
          OR (c_ts IS NULL AND p_ts < (SELECT w FROM wm))
-      ORDER BY c_user, c_ts, p_user, p_ts"""))
+      ORDER BY c_user, c_ts, p_user, p_ts""")),
+
+    // --------------------------------------------------------------- st17
+    // Streaming write-audit-publish onto an Iceberg BRANCH: every
+    // micro-batch lands as a branch append (s43's isolated-head
+    // machinery), so the production `main` read NEVER sees a partial
+    // stream — the driver verifies main stayed at the base snapshot
+    // after the whole stream ran, then fast-forward publishes the
+    // audited branch in one metadata-only pointer flip. This is the
+    // streaming-scale WAP story: per-batch commit cost is O(batch)
+    // manifest work, the publish is O(1) metadata, and a mid-stream
+    // failure leaves main untouched (re-run lands on the branch again;
+    // per-batch idempotence would ride a txn mark as in the Delta
+    // sink's appendOnce — stated simplification here).
+    GQuery("st17_stream_iceberg_branch_wap", (s, d) => {
+      import graft.sources.IcebergLite
+      val root = graft.util.Scratch.dir("st17")
+      val t = s"$root/events_ice_wap"
+      val stage = s"$root/staged"
+      val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      val base = ev.filter(col("event_id") % 4 === 0)
+      val rest = ev.filter(col("event_id") % 4 =!= 0)
+      IcebergLite.create(s, t, base)
+      IcebergLite.createBranch(s, t, "ingest")
+      rest.repartitionByRange(3, col("event_id")).write.mode("overwrite")
+        .parquet(stage)
+      val q = s.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            IcebergLite.appendToBranch(s, t, "ingest", batch.toDF())
+            ()
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st17ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val mainIsolated = // the whole stream ran; main never moved
+        IcebergLite.snapshot(s, t).count() == base.count()
+      IcebergLite.fastForward(s, t, "ingest")
+      IcebergLite.snapshot(s, t)
+        .withColumn("main_isolated_during_stream", lit(mainIsolated))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, event_type, value,
+             TRUE AS main_isolated_during_stream
+      FROM events ORDER BY event_id"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

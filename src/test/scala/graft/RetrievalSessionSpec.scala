@@ -59,6 +59,37 @@ class RetrievalSessionSpec extends SparkSpec {
     }
   }
 
+  test("a08 MMR rerank: top-1 first, deterministic, and no less " +
+      "diverse than the plain top-k") {
+    import org.apache.spark.sql.functions._
+    val a = run("a08_mmr_rerank").collect()
+    val b = run("a08_mmr_rerank").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 10)
+    assert(a.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+    // Pairwise-similarity comparison vs the plain cosine top-10.
+    val corpus = operators.Similarity.prepared(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val nvOf = corpus.collect()
+      .map(r => r.getLong(0) -> r.getAs[Seq[Double]](1).toArray).toMap
+    val q0 = nvOf(0L)
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val top10 = nvOf.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, nv) => (-dot(q0, nv), id) }.take(10)
+    // first MMR pick IS the top-1 by relevance
+    assert(a.head.getAs[Long]("doc_id") == top10.head._1)
+    def avgPairSim(ids: Seq[Long]): Double = {
+      val pairs = for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield dot(nvOf(ids(i)), nvOf(ids(j)))
+      pairs.sum / pairs.length
+    }
+    val mmrIds = a.map(_.getAs[Long]("doc_id")).toSeq
+    assert(avgPairSim(mmrIds) <= avgPairSim(top10.map(_._1)) + 1e-9,
+      "MMR must not be less diverse than the plain top-k")
+  }
+
   test("s42 vacuum reclaims unreferenced files, keeps the live snapshot " +
       "readable, and kills pre-horizon time travel") {
     val rows = run("s42_delta_vacuum").collect()
