@@ -92,6 +92,22 @@ object LakeSql {
         throw new IllegalArgumentException(s"table $name not in catalog")
     }
 
+  /** Snapshot of a cataloged table as of a NAMED REF (`VERSION AS OF
+    * 'branch-or-tag'`) — IcebergLite refs only; DeltaLite has no named
+    * refs in the protocol.
+    */
+  def tableAtRef(s: SparkSession, name: String, ref: String): DataFrame =
+    catalog(s).get(name) match {
+      case Some(("iceberglite", p)) => IcebergLite.snapshotByRef(s, p, ref)
+      case Some(("deltalite", _)) =>
+        throw new IllegalArgumentException(
+          s"deltalite tables have no named refs; use VERSION AS OF <n>")
+      case Some((other, _)) =>
+        throw new IllegalStateException(s"unknown provider $other")
+      case None =>
+        throw new IllegalArgumentException(s"table $name not in catalog")
+    }
+
   /** One text statement, any kind — the `Connection::Query` analog.
     * CREATE TABLE … USING {deltalite|iceberglite} [LOCATION …]
     * [PARTITIONED BY …] AS SELECT … creates + registers; DROP TABLE
@@ -189,9 +205,18 @@ object LakeSql {
               if catalog(s).contains(r.multipartIdentifier.last) =>
             require(ts.isEmpty, "TIMESTAMP AS OF is not supported " +
               "(graft commits are not wall-clock stamped); use VERSION AS OF")
-            val v = ver.getOrElse(throw new IllegalArgumentException(
-              "VERSION AS OF <n> required")).toLong
-            tableAt(s, r.multipartIdentifier.last, v).queryExecution.analyzed
+            val raw = ver.getOrElse(throw new IllegalArgumentException(
+              "VERSION AS OF <n | 'ref'> required"))
+            // Numeric → log version / snapshot id; anything else → a
+            // named ref (Iceberg branch or tag), the Spark+Iceberg
+            // `VERSION AS OF 'branch'` form.
+            val df = scala.util.Try(raw.toLong) match {
+              case scala.util.Success(v) =>
+                tableAt(s, r.multipartIdentifier.last, v)
+              case scala.util.Failure(_) =>
+                tableAtRef(s, r.multipartIdentifier.last, raw)
+            }
+            df.queryExecution.analyzed
           case r: UnresolvedRelation
               if catalog(s).contains(r.multipartIdentifier.last) =>
             table(s, r.multipartIdentifier.last).queryExecution.analyzed

@@ -952,7 +952,52 @@ object Sql {
           SELECT 'delta_v0' AS phase, * FROM orig
           UNION ALL
           SELECT 'ice_v0' AS phase, * FROM orig)
-        ORDER BY phase, c_custkey"""))
+        ORDER BY phase, c_custkey""")),
+
+      // ------------------------------------------------------------- x41
+      // `VERSION AS OF 'ref'` — time travel by NAMED REF through
+      // Spark's own grammar (the Spark+Iceberg branch/tag read form):
+      // the string version resolves through the metadata refs map
+      // (s43) while numeric versions keep meaning snapshot ids. The
+      // branch is two appends ahead of main; the tag pins creation.
+      GQuery("x41_sql_ref_read", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val name = s"cust_ref_$tag"
+        val loc = s"${graft.util.Scratch.dir("x41")}/$name"
+        LakeSql.sql(s, s"""CREATE TABLE $name USING iceberglite
+          LOCATION '$loc'
+          AS SELECT c_custkey, c_name, c_acctbal FROM customer
+          WHERE c_custkey <= 500""")
+        graft.sources.IcebergLite.createTag(s, loc, "rel")
+        graft.sources.IcebergLite.createBranch(s, loc, "dev")
+        graft.sources.IcebergLite.appendToBranch(s, loc, "dev",
+          LakeSql.sql(s, s"""SELECT c_custkey, c_name, c_acctbal
+            FROM customer WHERE c_custkey > 500 AND c_custkey <= 900"""))
+        val out = LakeSql.sql(s, s"""
+          SELECT * FROM (
+            SELECT 'dev' AS ref, c_custkey, c_acctbal
+            FROM $name VERSION AS OF 'dev'
+            UNION ALL
+            SELECT 'main' AS ref, c_custkey, c_acctbal FROM $name
+            UNION ALL
+            SELECT 'rel' AS ref, c_custkey, c_acctbal
+            FROM $name VERSION AS OF 'rel')
+          ORDER BY ref, c_custkey""")
+        LakeSql.sql(s, s"DROP TABLE $name")
+        out
+      }, Some("""
+        SELECT * FROM (
+          SELECT 'dev' AS ref, c_custkey, c_acctbal
+          FROM customer WHERE c_custkey <= 900
+          UNION ALL
+          SELECT 'main' AS ref, c_custkey, c_acctbal
+          FROM customer WHERE c_custkey <= 500
+          UNION ALL
+          SELECT 'rel' AS ref, c_custkey, c_acctbal
+          FROM customer WHERE c_custkey <= 500)
+        ORDER BY ref, c_custkey"""))
     )
   }
 }

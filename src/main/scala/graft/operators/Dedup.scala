@@ -192,6 +192,36 @@ object Dedup {
   }
 
   /** Normalized-key dedup keep-first over arbitrary key expressions. */
+  /** END-TO-END near-dedup in one call — the pipeline a corpus curator
+    * actually runs: MinHash-LSH candidate pairs → EXACT n-gram Jaccard
+    * verification at `theta` (LSH false positives die here) → exact
+    * content-hash duplicate edges unioned in → connected components
+    * (large/small-star, O(log n) rounds) → min-id winner per cluster →
+    * the surviving corpus. Every stage is bucket- or cluster-local:
+    * candidates never go all-pairs, the keeper window runs over the
+    * DUP-GRAPH rows only (not the corpus), and survivors emerge from
+    * one anti-join. Returns `docs` rows minus the near-dup losers.
+    */
+  def dedupPipeline(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", theta: Double = 0.5): DataFrame = {
+    val verified = ngramJaccard(docs, idCol, textCol)
+      .filter(col("jaccard") >= theta)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val exact = docs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+      .withColumn("keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("keep").as("a"), col("doc_id").as("b"))
+    val clusters = DupClusters.connectedComponentsStar(verified.union(exact))
+    val losers = clusters
+      .withColumn("keep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   def keyedDedup(df: DataFrame, idCol: String,
       keys: Seq[org.apache.spark.sql.Column]): DataFrame =
     df.groupBy(keys: _*)
@@ -498,7 +528,19 @@ object Dedup {
                     THEN 'val'
                     ELSE 'test' END AS split
         FROM documents)
-      GROUP BY split ORDER BY split"""))
+      GROUP BY split ORDER BY split""")),
+
+    // ---------------------------------------------------------------- d14
+    // The one-call curation pipeline (LSH → exact-Jaccard verify →
+    // CC → keep-min-id). MinHash banding is engine-specific →
+    // rows-only; DedupSpec proves the keep-set invariants (subset,
+    // unique content, every loser's cluster keeper survives,
+    // deterministic).
+    GQuery("d14_dedup_pipeline", (s, d) => {
+      dedupPipeline(T.documents(s, d), theta = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, None)
   )
 
   /** Per-source keep threshold (hex prefix of md5) for d11: the target

@@ -48,4 +48,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) == 0L)
     assert(pairs((1L, 2L)) <= 24L)
   }
+
+  test("dedupPipeline keeps exactly one of each planted dup group " +
+      "(min id), all unrelated docs, and is deterministic") {
+    val kept = Dedup.dedupPipeline(corpus, theta = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 ↔ 2 near-dups and 3 an exact copy of 1 → one survivor: min id 1.
+    assert(ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
+    // Every unrelated doc survives.
+    assert((4L to 40L).forall(ids.contains))
+    // Survivor content is unique.
+    val nMd5 = kept.select(md5(col("text"))).distinct().count()
+    assert(nMd5 == ids.size)
+    // Deterministic across runs.
+    val again = Dedup.dedupPipeline(corpus, theta = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
 }
