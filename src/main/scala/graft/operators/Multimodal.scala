@@ -87,6 +87,37 @@ object Multimodal {
 
   private def asciiLit(sl: String): Column = lit(sl.getBytes("US-ASCII"))
 
+  /** Fully-valid 24-bit BMPs built from the documents table (one per
+    * doc; width/height derived from the id, pixel bytes the doc text
+    * tiled to size). Shared by m08 (parse + verify) and m09 (scanline
+    * extraction). All little-endian fields and the 4-byte row-padding
+    * stride rule are real — a wrong stride breaks the content hashes.
+    */
+  private def bmpAssets(s: SparkSession, d: String): DataFrame = {
+    val built = T.documents(s, d)
+      .withColumn("_w", (pmod(col("doc_id"), lit(13)) + 4).cast("long"))
+      .withColumn("_h", (pmod(col("doc_id"), lit(5)) + 3).cast("long"))
+      // 24 bpp: rows pad to 4 bytes — floor((24w+31)/32)*4.
+      .withColumn("_stride",
+        (floor((col("_w") * 24 + 31) / 32) * 4).cast("long"))
+      .withColumn("_img", col("_stride") * col("_h"))
+      // Pixel bytes: the doc text tiled to the image size (ASCII, so
+      // chars == bytes — m07 relies on the same property).
+      .withColumn("_px", expr(
+        "encode(substring(repeat(text, CAST(_img / length(text) + 1 " +
+          "AS INT)), 1, CAST(_img AS INT)), 'UTF-8')"))
+    built.select(col("doc_id").as("asset_id"),
+      concat(
+        asciiLit("BM"), le(col("_img") + 54, 4), le(lit(0L), 4),
+        le(lit(54L), 4), // pixel-data offset
+        le(lit(40L), 4), le(col("_w"), 4), le(col("_h"), 4),
+        le(lit(1L), 2), le(lit(24L), 2), // planes, bpp
+        le(lit(0L), 4), le(col("_img"), 4), // BI_RGB, image size
+        le(lit(2835L), 4), le(lit(2835L), 4), // 72 dpi
+        le(lit(0L), 4), le(lit(0L), 4),
+        col("_px")).as("payload"))
+  }
+
   /** Assets wrapped in a VALID canonical 44-byte-header PCM WAV
     * container: 8-bit samples (= the text bytes), channel count and
     * sample rate derived deterministically from the asset id. Every
@@ -414,28 +445,7 @@ object Multimodal {
     // stride (the classic BMP bug) fails the hash, not just a count.
     // One scan, zero shuffle beyond the presentation sort.
     GQuery("m08_bmp_decode", (s, d) => {
-      val built = T.documents(s, d)
-        .withColumn("_w", (pmod(col("doc_id"), lit(13)) + 4).cast("long"))
-        .withColumn("_h", (pmod(col("doc_id"), lit(5)) + 3).cast("long"))
-        // 24 bpp: rows pad to 4 bytes — floor((24w+31)/32)*4.
-        .withColumn("_stride",
-          (floor((col("_w") * 24 + 31) / 32) * 4).cast("long"))
-        .withColumn("_img", col("_stride") * col("_h"))
-        // Pixel bytes: the doc text tiled to the image size (ASCII, so
-        // chars == bytes — m07 relies on the same property).
-        .withColumn("_px", expr(
-          "encode(substring(repeat(text, CAST(_img / length(text) + 1 " +
-            "AS INT)), 1, CAST(_img AS INT)), 'UTF-8')"))
-      val bmp = built.select(col("doc_id").as("asset_id"),
-        concat(
-          asciiLit("BM"), le(col("_img") + 54, 4), le(lit(0L), 4),
-          le(lit(54L), 4), // pixel-data offset
-          le(lit(40L), 4), le(col("_w"), 4), le(col("_h"), 4),
-          le(lit(1L), 2), le(lit(24L), 2), // planes, bpp
-          le(lit(0L), 4), le(col("_img"), 4), // BI_RGB, image size
-          le(lit(2835L), 4), le(lit(2835L), 4), // 72 dpi
-          le(lit(0L), 4), le(lit(0L), 4),
-          col("_px")).as("payload"))
+      val bmp = bmpAssets(s, d)
       val isBmp = substring(col("payload"), 1, 2) === asciiLit("BM") &&
         leUint(col("payload"), 15, 4) === 40L
       val w = leUint(col("payload"), 19, 4)
@@ -472,6 +482,50 @@ object Multimodal {
              md5(substring(repeat(text,
                    CAST(stride * h / length(text) + 1 AS INT)),
                  1, CAST(stride * h AS INT))) AS pixel_md5
-      FROM b ORDER BY asset_id"""))
+      FROM b ORDER BY asset_id""")),
+
+    // ---------------------------------------------------------------- m09
+    // Scanline extraction — 2-D pixel addressing from the REAL parsed
+    // header: BMP stores rows BOTTOM-UP, so screen row y lives at
+    // offset + (h−1−y)·stride, and each row's PIXEL bytes (3w — the
+    // stride padding excluded) are hash-checked against the oracle's
+    // reconstruction. Wrong stride, wrong origin, or off-by-one
+    // padding all fail the md5, not just a count. One scan, explode by
+    // image height, zero shuffle beyond the presentation sort.
+    GQuery("m09_bmp_scanlines", (s, d) => {
+      bmpAssets(s, d)
+        .withColumn("w", leUint(col("payload"), 19, 4))
+        .withColumn("h", leUint(col("payload"), 23, 4))
+        .withColumn("bpp", leUint(col("payload"), 29, 2))
+        .withColumn("stride",
+          (floor((col("bpp") * col("w") + 31) / 32) * 4).cast("long"))
+        .withColumn("off", leUint(col("payload"), 11, 4))
+        .withColumn("row_y", explode(sequence(lit(0L), col("h") - 1)))
+        .withColumn("row_off",
+          col("off") + (col("h") - 1 - col("row_y")) * col("stride"))
+        .select(col("asset_id"), col("row_y"), col("row_off"),
+          md5(expr("substring(payload, CAST(row_off + 1 AS INT), " +
+            "CAST(3 * w AS INT))")).as("row_md5"))
+        .orderBy(col("asset_id"), col("row_y"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(4 + doc_id % 13 AS BIGINT) AS w,
+               CAST(3 + doc_id % 5 AS BIGINT) AS h
+        FROM documents),
+      b AS (
+        SELECT *, CAST(FLOOR((24 * w + 31) / 32) * 4 AS BIGINT) AS stride
+        FROM a),
+      r AS (
+        SELECT asset_id, w, h, stride, text,
+               unnest(range(0, h)) AS row_y
+        FROM b)
+      SELECT asset_id, row_y,
+             CAST(54 + (h - 1 - row_y) * stride AS BIGINT) AS row_off,
+             md5(substring(repeat(text,
+                   CAST(stride * h / length(text) + 1 AS INT)),
+                 CAST((h - 1 - row_y) * stride + 1 AS INT),
+                 CAST(3 * w AS INT))) AS row_md5
+      FROM r ORDER BY asset_id, row_y"""))
   )
 }

@@ -1198,6 +1198,118 @@ object DeltaLite {
     scan(s, table, partPred)
   }
 
+  // ------------------------------------------------ identity columns
+  // Delta IDENTITY columns (GENERATED ALWAYS AS IDENTITY): the field's
+  // schema metadata carries `delta.identity.start` / `.step` /
+  // `.highWaterMark` (the protocol's keys); writers assign fresh values
+  // above the high water and the same commit advances it in the
+  // metaData action — so concurrent readers never see a gap between
+  // data and bookkeeping. ALWAYS semantics: a write PROVIDING the
+  // column refuses. The protocol guarantees uniqueness and
+  // monotonicity, NOT density or arrival order; graft's deterministic
+  // mode additionally orders each batch by caller-named columns so
+  // results are reproducible (the gate requirement) — a production
+  // writer would use per-partition offset ranges (zipWithIndex) and
+  // skip the batch sort.
+
+  private val IdStartKey = "delta.identity.start"
+  private val IdStepKey = "delta.identity.step"
+  private val IdHighKey = "delta.identity.highWaterMark"
+
+  private def identityFieldOf(schema: StructType): Option[StructField] =
+    schema.fields.find(_.metadata.contains(IdStartKey))
+
+  /** Assign identity values to `df` (which must NOT provide the
+    * column): high + step, high + 2·step, … in `orderCols` order.
+    * Returns (withIds, newHighWater).
+    */
+  private def assignIdentity(df: DataFrame, f: StructField,
+      high: Long, step: Long, orderCols: Seq[String]): (DataFrame, Long) = {
+    require(!df.columns.contains(f.name),
+      s"${f.name} is GENERATED ALWAYS AS IDENTITY — writers cannot " +
+        "provide it")
+    require(orderCols.nonEmpty,
+      "deterministic identity assignment needs ordering columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    val n = df.count()
+    (df.withColumn(f.name,
+      (lit(high) + row_number().over(w).cast("long") * lit(step))
+        .cast(f.dataType)),
+      high + n * step)
+  }
+
+  private def withHighWater(schema: StructType, idCol: String,
+      high: Long): StructType =
+    StructType(schema.fields.map { f =>
+      if (f.name == idCol)
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(IdHighKey, high).build())
+      else f
+    })
+
+  /** Create a table with an identity column `idCol` (LongType,
+    * GENERATED ALWAYS AS IDENTITY (START WITH `start` STEP `step`)),
+    * assigning ids to `df` in `orderCols` order.
+    */
+  def createWithIdentity(s: SparkSession, table: String, df: DataFrame,
+      idCol: String, orderCols: Seq[String], start: Long = 1L,
+      step: Long = 1L): Unit = {
+    require(latestVersion(s, table) < 0, s"table already exists at $table")
+    require(step != 0, "identity step must be non-zero")
+    val field = StructField(idCol, LongType, nullable = false,
+      new MetadataBuilder().putLong(IdStartKey, start)
+        .putLong(IdStepKey, step).build())
+    val (withIds, high) =
+      assignIdentity(df, field, start - step, step, orderCols)
+    val schema = StructType(
+      withHighWater(StructType(df.schema.fields :+ field), idCol, high)
+        .fields)
+    writeCommit(s, table, 0L,
+      protocolAction +:
+        metaDataAction(table, schema.json, Nil) +:
+        stagedAdds(s, table,
+          withIds.select(schema.fieldNames.map(col).toSeq: _*), schema, Nil),
+      operation = "CREATE TABLE")
+  }
+
+  /** Append assigning fresh identity values above the table's high
+    * water; the SAME commit carries the adds and the advanced
+    * highWaterMark metaData.
+    */
+  def appendWithIdentity(s: SparkSession, table: String, df: DataFrame,
+      orderCols: Seq[String]): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val f = identityFieldOf(st.schema).getOrElse(
+      sys.error(s"no identity column on $table"))
+    val step = f.metadata.getLong(IdStepKey)
+    val high =
+      if (f.metadata.contains(IdHighKey)) f.metadata.getLong(IdHighKey)
+      else f.metadata.getLong(IdStartKey) - step
+    val (withIds, newHigh) = assignIdentity(df, f, high, step, orderCols)
+    val schema = withHighWater(st.schema, f.name, newHigh)
+    writeCommit(s, table, v + 1,
+      metaDataAction(table, schema.json, st.partCols, st.config) +:
+        stagedAdds(s, table,
+          withIds.select(st.schema.fieldNames.map(col).toSeq: _*),
+          st.schema, st.partCols, constraints = st.constraints))
+  }
+
+  /** The table's identity column, as (name, start, step, highWater). */
+  def identityColumn(s: SparkSession, table: String)
+      : Option[(String, Long, Long, Long)] = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    identityFieldOf(replay(s, table, v).schema).map { f =>
+      (f.name, f.metadata.getLong(IdStartKey),
+        f.metadata.getLong(IdStepKey),
+        if (f.metadata.contains(IdHighKey)) f.metadata.getLong(IdHighKey)
+        else f.metadata.getLong(IdStartKey) - f.metadata.getLong(IdStepKey))
+    }
+  }
+
   def create(s: SparkSession, table: String, df: DataFrame,
       partitionColumns: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Unit = {

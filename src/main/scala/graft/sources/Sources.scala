@@ -1343,6 +1343,47 @@ object Sources {
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- s45
+    // Delta IDENTITY column (GENERATED ALWAYS AS IDENTITY START WITH
+    // 100 STEP 10): ids assigned by the writer above the schema-
+    // metadata high water, which the SAME commit advances — the second
+    // append continues exactly where the first stopped, and a write
+    // providing the column refuses (spec-tested). Deterministic mode
+    // orders each batch by c_custkey so both engines can reproduce the
+    // assignment arithmetic exactly.
+    GQuery("s45_delta_identity", (s, d) => {
+      val t = s"${scratch("s45")}/cust_delta_identity"
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"))
+      DeltaLite.createWithIdentity(s, t,
+        c.filter(col("c_custkey") <= 500), idCol = "row_id",
+        orderCols = Seq("c_custkey"), start = 100L, step = 10L)
+      DeltaLite.appendWithIdentity(s, t,
+        c.filter(col("c_custkey") > 500 && col("c_custkey") <= 900),
+        orderCols = Seq("c_custkey"))
+      DeltaLite.snapshot(s, t)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("row_id"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      WITH b1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                  WHERE c_custkey <= 500),
+      b2 AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+             WHERE c_custkey > 500 AND c_custkey <= 900),
+      n1 AS (SELECT COUNT(*) AS n FROM b1)
+      SELECT c_custkey, c_name, c_acctbal, row_id FROM (
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST(90 + ROW_NUMBER() OVER (ORDER BY c_custkey) * 10
+                 AS BIGINT) AS row_id
+        FROM b1
+        UNION ALL
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST(90 + (SELECT n FROM n1) * 10 +
+                 ROW_NUMBER() OVER (ORDER BY c_custkey) * 10
+                 AS BIGINT)
+        FROM b2)
+      ORDER BY c_custkey"""))
   )
 }

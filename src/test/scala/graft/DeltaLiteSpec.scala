@@ -442,6 +442,32 @@ class DeltaLiteSpec extends SparkSpec {
     assert(pruned.count() == expected.count())
   }
 
+  test("identity columns: unique monotone ids across appends, high " +
+      "water advances with the commit, ALWAYS refuses provided values") {
+    val t = s"${graft.util.Scratch.dir("deltaid")}/t"
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"))
+    DeltaLite.createWithIdentity(spark, t,
+      c.filter(col("c_custkey") <= 100), idCol = "rid",
+      orderCols = Seq("c_custkey"), start = 5L, step = 3L)
+    val n1 = c.filter(col("c_custkey") <= 100).count()
+    assert(DeltaLite.identityColumn(spark, t) ==
+      Some(("rid", 5L, 3L, 5L + (n1 - 1) * 3L)))
+    DeltaLite.appendWithIdentity(spark, t,
+      c.filter(col("c_custkey") > 100 && col("c_custkey") <= 150),
+      orderCols = Seq("c_custkey"))
+    val ids = DeltaLite.snapshot(spark, t)
+      .select("rid").collect().map(_.getLong(0)).sorted
+    // Unique, start at 5, stride 3, no gaps across the append boundary.
+    assert(ids.toSeq == ids.indices.map(i => 5L + i * 3L))
+    // ALWAYS: a write providing the column refuses.
+    intercept[IllegalArgumentException] {
+      DeltaLite.appendWithIdentity(spark, t,
+        c.filter(col("c_custkey") === 151).withColumn("rid", lit(1L)),
+        orderCols = Seq("c_custkey"))
+    }
+  }
+
   test("vacuum deletes unreferenced data files only; the live snapshot " +
       "is untouched and retained versions still read") {
     val t = freshTable()
