@@ -1461,6 +1461,23 @@ object DeltaLite {
     require(!st.partCols.contains(from),
       s"cannot rename partition column $from (its name is the " +
         "directory layout — stated simplification)")
+    // A rename must not orphan expression TEXT that names the column:
+    // generation expressions and CHECK constraints are stored as SQL
+    // over logical names, so a rename would silently break every
+    // later write (Delta blocks these renames for the same reason).
+    def refs(exprText: String): Boolean =
+      s.sessionState.sqlParser.parseExpression(exprText).collect {
+        case a: UnresolvedAttribute => a.name
+      }.exists(_.equalsIgnoreCase(from))
+    val genRefs = generatedColsOf(schema)
+      .filter { case (_, g, _) => refs(g) }.map(_._1)
+    require(genRefs.isEmpty,
+      s"cannot rename $from: generated column(s) " +
+        s"${genRefs.mkString(", ")} derive from it")
+    val conRefs = st.constraints.filter { case (_, c) => refs(c) }.map(_._1)
+    require(conRefs.isEmpty,
+      s"cannot rename $from: CHECK constraint(s) " +
+        s"${conRefs.mkString(", ")} reference it — drop them first")
     val upgraded = StructType(schema.fields.map { fd =>
       if (fd.metadata.contains(PhysKey)) fd
       else fd.copy(metadata = new MetadataBuilder()

@@ -168,7 +168,11 @@ object IcebergLite {
       defaultSortOrderId: Int = 0,
       // Named refs (Iceberg spec `refs` map): name → (snapshot-id,
       // "branch"|"tag"). `main` always tracks currentSnapshot.
-      refs: Seq[(String, (Long, String))] = Nil) {
+      refs: Seq[(String, (Long, String))] = Nil,
+      // Snapshot lineage (spec `parent-snapshot-id`): child → parent,
+      // 0 = root. Lets incremental reads walk a BRANCH's ancestry
+      // instead of assuming id order (wrong once branches/WAP exist).
+      parents: Map[Long, Long] = Map.empty) {
     def partCols: Seq[PartitionField] = colsOfSpec(defaultSpecId)
     def partColNames: Seq[String] = partCols.map(_.name)
     def colsOfSpec(specId: Int): Seq[PartitionField] =
@@ -258,11 +262,21 @@ object IcebergLite {
             e.getValue.get("type").asText())
         }.toSeq
       else Seq("main" -> (curSnap, "branch")) // pre-refs table
-    Meta(schemas, curId, specs, defSpec, curSnap,
-      n.get("snapshots").elements().asScala.map(sn =>
-        sn.get("snapshot-id").asLong() -> sn.get("manifest-list").asText())
-        .toSeq,
-      orders, defOrder, refs)
+    val snapNodes = n.get("snapshots").elements().asScala.toSeq
+    val snaps = snapNodes.map(sn =>
+      sn.get("snapshot-id").asLong() -> sn.get("manifest-list").asText())
+    // Lineage: spec parent-snapshot-id when present; pre-lineage tables
+    // synthesize the linear chain (id order WAS the lineage back then).
+    val orderedIds = snaps.map(_._1).sorted
+    val linear = orderedIds.zip(0L +: orderedIds.dropRight(1)).toMap
+    val parents = snapNodes.map { sn =>
+      val id = sn.get("snapshot-id").asLong()
+      id -> (if (sn.has("parent-snapshot-id"))
+        sn.get("parent-snapshot-id").asLong()
+      else linear(id))
+    }.toMap
+    Meta(schemas, curId, specs, defSpec, curSnap, snaps,
+      orders, defOrder, refs, parents)
   }
 
   // --------------------------------------------------------- manifests
@@ -483,6 +497,9 @@ object IcebergLite {
       val o = snaps.addObject()
       o.put("snapshot-id", id)
       o.put("timestamp-ms", 0L)
+      // Root snapshots omit the field, per the spec.
+      meta.parents.get(id).filter(_ > 0L)
+        .foreach(p => o.put("parent-snapshot-id", p))
       o.put("manifest-list", rel)
     }
     n
@@ -502,7 +519,8 @@ object IcebergLite {
   }
 
   private def commitSnapshot(s: SparkSession, table: String, meta: Meta,
-      manifests: Seq[String], advance: Boolean = true): Long = {
+      manifests: Seq[String], advance: Boolean = true,
+      parent: Option[Long] = None): Long = {
     val f = fs(s, metaDir(table))
     f.mkdirs(metaDir(table))
     val snapId = meta.snapshots.map(_._1).foldLeft(0L)(math.max) + 1
@@ -512,9 +530,15 @@ object IcebergLite {
     manifests.foreach(arr.add)
     writeFile(f, new Path(table, listRel), Json.writeValueAsString(listRoot),
       overwrite = false)
+    // Lineage: the new snapshot's parent is the state it was built
+    // from — the current snapshot unless the caller (branch append)
+    // says otherwise. 0 = root (first snapshot of the table).
+    val par = parent.getOrElse(
+      if (meta.snapshots.isEmpty) 0L else meta.currentSnapshot)
     writeMetadata(s, table, meta.copy(
       currentSnapshot = if (advance) snapId else meta.currentSnapshot,
-      snapshots = meta.snapshots :+ (snapId, listRel)))
+      snapshots = meta.snapshots :+ (snapId, listRel),
+      parents = meta.parents + (snapId -> par)))
     snapId
   }
 
@@ -588,8 +612,8 @@ object IcebergLite {
     * histories need the batch path's field-id resolution (stated
     * restriction, enforced loudly).
     */
-  def streamInfo(s: SparkSession, table: String)
-      : (StructType, Seq[String], Long) = {
+  def streamInfo(s: SparkSession, table: String,
+      ref: Option[String] = None): (StructType, Seq[String], Long) = {
     val meta = readMeta(s, table)
     require(meta.schemas.size == 1,
       "streaming source requires an un-evolved schema (field-id " +
@@ -600,7 +624,16 @@ object IcebergLite {
     require(meta.partCols.forall(_.transform == "identity"),
       "streaming source requires identity partitioning (transform " +
         "values live only in the directory layout)")
-    (meta.currentSchema.struct, meta.partColNames, meta.currentSnapshot)
+    val end = ref match {
+      case None | Some("main") => meta.currentSnapshot
+      case Some(r) =>
+        val (head, tpe) = meta.refs.find(_._1 == r)
+          .getOrElse(sys.error(s"no ref $r at $table"))._2
+        require(tpe == "branch",
+          s"cannot stream from tag $r (tags never advance)")
+        head
+    }
+    (meta.currentSchema.struct, meta.partColNames, end)
   }
 
   /** Data files ADDED by snapshots (fromSnap, toSnap] — the Iceberg
@@ -612,18 +645,53 @@ object IcebergLite {
     * path, size, partition values).
     */
   def addedFilesBetween(s: SparkSession, table: String, fromSnap: Long,
-      toSnap: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
+      toSnap: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] =
+    addedFilesForRef(s, table, fromSnap, toSnap, None)
+
+  /** Like [[addedFilesBetween]], but confined to the LINEAGE of `ref`
+    * (branch head; None = the lineage of `toSnap` itself). Snapshots
+    * walk the spec's `parent-snapshot-id` chain — never raw id order,
+    * which interleaves other branches' and staged-WAP snapshots — and
+    * the (fromSnap, toSnap] window intersects that ancestry, so a
+    * stream stepping numeric offsets through a branchy id space still
+    * partitions the branch's history exactly.
+    */
+  def addedFilesForRef(s: SparkSession, table: String, fromSnap: Long,
+      toSnap: Long, ref: Option[String])
+      : Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
     val meta = readMeta(s, table)
     val byId = meta.snapshots.toMap
-    val ids = meta.snapshots.map(_._1).sorted
     val f = fs(s, new Path(table))
-    ids.filter(id => id > fromSnap && id <= toSnap).flatMap { id =>
-      val cur = readManifests(s, table, byId(id), meta)
-      val prevPaths: Set[String] = ids.filter(_ < id).lastOption match {
-        case Some(p) => readManifests(s, table, byId(p), meta)
-          .map(_.path).toSet
-        case None => Set.empty
+    val tip = ref match {
+      case None => toSnap
+      case Some("main") => meta.currentSnapshot
+      case Some(r) => meta.refs.find(_._1 == r)
+        .getOrElse(sys.error(s"no ref $r at $table"))._2._1
+    }
+    // Offsets are NUMERIC WATERMARKS over the ancestry, not ancestry
+    // members: the batch is ancestry ∩ (fromSnap, toSnap], which
+    // partitions the branch history exactly under monotone offsets
+    // even when an endpoint id belongs to another branch (a main
+    // commit interleaved into the branch's id range yields an empty
+    // intersection for its window — correct: it is invisible here).
+    val (ancestry, expiredAt) = { // tip inclusive, root→tip order
+      val buf = scala.collection.mutable.Buffer[Long]()
+      var id = tip
+      while (id > 0L && byId.contains(id)) {
+        buf += id
+        id = meta.parents.getOrElse(id, 0L)
       }
+      (buf.reverse.toSeq, id) // > 0 = stopped at an EXPIRED ancestor
+    }
+    require(expiredAt <= 0L || fromSnap >= expiredAt,
+      s"lineage before snapshot $expiredAt of $table is expired; a " +
+        s"stream cannot (re)start from offset $fromSnap")
+    ancestry.filter(id => id > fromSnap && id <= toSnap).flatMap { id =>
+      val cur = readManifests(s, table, byId(id), meta)
+      val parent = meta.parents.getOrElse(id, 0L)
+      val prevPaths: Set[String] =
+        if (parent <= 0L) Set.empty
+        else readManifests(s, table, byId(parent), meta).map(_.path).toSet
       val curPaths = cur.map(_.path).toSet
       val lost = prevPaths -- curPaths
       if (lost.nonEmpty)
@@ -740,7 +808,7 @@ object IcebergLite {
     val m = writeManifest(s, table, df, meta.currentSchema,
       meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     val snapId = commitSnapshot(s, table, meta, prevManifests :+ m,
-      advance = false)
+      advance = false, parent = Some(head))
     val after = readMeta(s, table)
     writeMetadata(s, table, after.copy(
       refs = after.refs.filterNot(_._1 == branch) :+

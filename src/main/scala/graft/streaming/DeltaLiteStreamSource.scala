@@ -61,11 +61,17 @@ class IcebergLiteStreamProvider extends TableProvider {
       LakeStream.pathOf(options))._1
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // `ref` confines the stream to a BRANCH's lineage (s43 refs):
+    // offsets advance only through the branch head, and snapshots on
+    // other branches — or staged WAP snapshots — are invisible.
+    val ref = Option(properties.get("ref"))
     LakeStream.table(LakeStream.pathOf(properties), schema,
-      s => IcebergLite.streamInfo(s, LakeStream.pathOf(properties))._2,
-      s => IcebergLite.streamInfo(s, LakeStream.pathOf(properties))._3,
-      IcebergLite.addedFilesBetween, cdfCapable = false)
+      s => IcebergLite.streamInfo(s, LakeStream.pathOf(properties), ref)._2,
+      s => IcebergLite.streamInfo(s, LakeStream.pathOf(properties), ref)._3,
+      (s, t, from, to) => IcebergLite.addedFilesForRef(s, t, from, to, ref),
+      cdfCapable = false)
+  }
 }
 
 private[streaming] object LakeStream {

@@ -682,7 +682,38 @@ object Streaming {
     }, Some("""
       SELECT event_id, user_id, event_type, value,
              TRUE AS main_isolated_during_stream
-      FROM events ORDER BY event_id"""))
+      FROM events ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- st18
+    // Stream FROM an Iceberg BRANCH (`option("ref", …)`): offsets walk
+    // the branch's parent-snapshot-id lineage, so a concurrent append
+    // to MAIN — whose snapshot id falls right in the middle of the
+    // branch's id range — is invisible to the stream. This is the read
+    // side of s43/st17's isolation story, and it is exactly what the
+    // lineage-aware incremental read (addedFilesForRef) buys over raw
+    // id order.
+    GQuery("st18_stream_from_iceberg_branch", (s, d) => {
+      import graft.sources.IcebergLite
+      val t = s"${graft.util.Scratch.dir("st18")}/events_ice_branch"
+      val ev = T.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))
+      IcebergLite.create(s, t, ev.filter(col("event_id") % 4 === 0))
+      IcebergLite.createBranch(s, t, "feed")
+      // Main advances — snapshot 2 sits BETWEEN the branch's 3 and 4.
+      IcebergLite.append(s, t, ev.filter(col("event_id") % 4 === 3))
+      IcebergLite.appendToBranch(s, t, "feed",
+        ev.filter(col("event_id") % 4 === 1))
+      IcebergLite.appendToBranch(s, t, "feed",
+        ev.filter(col("event_id") % 4 === 2))
+      val stream = s.readStream
+        .format(classOf[IcebergLiteStreamProvider].getName)
+        .option("path", t).option("ref", "feed")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+      runToEnd(s, stream, "append").orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, event_type, value
+      FROM events WHERE event_id % 4 <> 3 ORDER BY event_id"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

@@ -440,6 +440,18 @@ class DeltaLiteSpec extends SparkSpec {
       .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
     assert(pruned.count() == expected.count())
+    // Renames that would orphan stored expression text refuse: the
+    // generation source here, a CHECK-constrained column below; an
+    // unreferenced column still renames.
+    intercept[IllegalArgumentException] {
+      DeltaLite.renameColumn(spark, t, "o_orderdate", "od")
+    }
+    DeltaLite.addCheckConstraint(spark, t, "pos", "o_totalprice >= 0")
+    intercept[IllegalArgumentException] {
+      DeltaLite.renameColumn(spark, t, "o_totalprice", "price")
+    }
+    DeltaLite.renameColumn(spark, t, "o_orderkey", "okey")
+    assert(DeltaLite.snapshot(spark, t).columns.contains("okey"))
   }
 
   test("identity columns: unique monotone ids across appends, high " +

@@ -570,6 +570,15 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.snapshot(spark, t).count() == base.count())
     assert(IcebergLite.snapshotByRef(spark, t, "dev").count() ==
       c.filter(col("c_custkey") <= 80).count())
+    // Lineage-aware incremental read: a main append interleaved into
+    // the branch's id range is invisible to the branch's window.
+    IcebergLite.append(spark, t, c.filter(col("c_custkey") > 80
+      && col("c_custkey") <= 90)) // main: snapshot AFTER the branch's
+    val branchFiles = IcebergLite.addedFilesForRef(spark, t, 0L,
+      Long.MaxValue, Some("dev")).map(_._1).distinct.sorted
+    assert(!branchFiles.contains(
+      IcebergLite.snapshots(spark, t).max),
+      "main's append must not appear in the branch lineage")
     // ...until fast-forward publishes the branch head.
     IcebergLite.fastForward(spark, t, "dev")
     assert(IcebergLite.snapshot(spark, t).count() ==
