@@ -1337,6 +1337,29 @@ object IcebergLite {
       "delete_file_count")
   }
 
+  /** The `refs` metadata table (name, snapshot_id, type, is_current,
+    * lineage_depth) — the refs-map companion of [[filesMeta]]/
+    * [[snapshotsMeta]]. `is_current` = the ref POINTS AT the current
+    * snapshot (a tag pinning the live state reads true); lineage_depth
+    * = ancestor count via parent-snapshot-id, so "how far ahead is
+    * this branch" is one metadata read.
+    */
+  def refsMeta(s: SparkSession, table: String): DataFrame = {
+    val meta = readMeta(s, table)
+    def depth(tip: Long): Long = {
+      var id = tip; var n = 0L
+      while (id > 0L) { n += 1; id = meta.parents.getOrElse(id, 0L) }
+      n
+    }
+    val rows = (("main", (meta.currentSnapshot, "branch")) +:
+      meta.refs.filterNot(_._1 == "main"))
+      .map { case (name, (id, tpe)) =>
+        (name, id, tpe, id == meta.currentSnapshot, depth(id))
+      }.sortBy(_._1)
+    import s.implicits._
+    rows.toDF("name", "snapshot_id", "type", "is_current", "lineage_depth")
+  }
+
   /** Position-delete file paths of the current snapshot. */
   def deleteFiles(s: SparkSession, table: String): Seq[String] = {
     val (_, manifests) = manifestsOf(s, table, -1L)

@@ -1384,6 +1384,32 @@ object Sources {
                  ROW_NUMBER() OVER (ORDER BY c_custkey) * 10
                  AS BIGINT)
         FROM b2)
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s46
+    // The refs METADATA TABLE: ref name → pinned snapshot, type,
+    // whether it is the current head, and its lineage depth (ancestor
+    // count via parent-snapshot-id) — "how far ahead is this branch"
+    // as one zero-data-IO metadata read. Snapshot ids and depths are
+    // deterministic (create=1; branch appends 2,3), so the oracle is
+    // literal VALUES.
+    GQuery("s46_iceberg_refs_meta", (s, d) => {
+      val t = s"${scratch("s46")}/orders_ice_refsmeta"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      IcebergLite.create(s, t, o.filter(col("o_orderkey") <= 2000))
+      IcebergLite.createTag(s, t, "v1")
+      IcebergLite.createBranch(s, t, "dev")
+      IcebergLite.appendToBranch(s, t, "dev",
+        o.filter(col("o_orderkey") > 2000 && col("o_orderkey") <= 4000))
+      IcebergLite.appendToBranch(s, t, "dev",
+        o.filter(col("o_orderkey") > 4000 && col("o_orderkey") <= 6000))
+      IcebergLite.refsMeta(s, t)
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('dev', CAST(3 AS BIGINT), 'branch', FALSE, CAST(3 AS BIGINT)),
+        ('main', CAST(1 AS BIGINT), 'branch', TRUE, CAST(1 AS BIGINT)),
+        ('v1', CAST(1 AS BIGINT), 'tag', TRUE, CAST(1 AS BIGINT)))
+        AS t(name, snapshot_id, type, is_current, lineage_depth)
+      ORDER BY name"""))
   )
 }
