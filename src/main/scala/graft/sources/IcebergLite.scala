@@ -130,12 +130,19 @@ object IcebergLite {
     * "day" (value = the UTC date of the `source` TIMESTAMP column —
     * Iceberg's HIDDEN partitioning: the source column stays in the
     * data files, queries filter on IT, and pruning maps day values to
-    * source-column bounds). bucket/truncate transforms remain stated
-    * simplifications.
+    * source-column bounds), "bucket[N]" (value = murmur3 hash of the
+    * source column mod N — spreads a high-cardinality key over N
+    * stable buckets; an equality predicate on the source prunes to
+    * ONE bucket) or "truncate[W]" (value = the source truncated to
+    * width W: string prefix / integer floor-to-multiple — each
+    * truncated value bounds the source over a W-wide range, so RANGE
+    * predicates prune too).
     */
   case class PartitionField(name: String, transform: String,
       source: String) {
-    require(transform == "identity" || transform == "day",
+    require(transform == "identity" || transform == "day" ||
+      transform.matches("bucket\\[\\d+\\]") ||
+      transform.matches("truncate\\[\\d+\\]"),
       s"unsupported partition transform $transform")
   }
 
@@ -148,11 +155,46 @@ object IcebergLite {
     PartitionField(if (name.isEmpty) s"${source}_day" else name,
       "day", source)
 
-  /** The staging expression producing a field's partition value. */
-  private def partExpr(pc: PartitionField): Column = pc.transform match {
-    case "identity" => col(pc.name)
-    case "day" => date_format(col(pc.source), "yyyy-MM-dd") // UTC session
+  /** Bucket-transform field: murmur3(source) mod n, hidden like day. */
+  def bucketField(source: String, n: Int, name: String = ""): PartitionField = {
+    require(n > 0, "bucket count must be positive")
+    PartitionField(if (name.isEmpty) s"${source}_bucket" else name,
+      s"bucket[$n]", source)
   }
+
+  /** Truncate-transform field: width-w prefix (string) / floor (int). */
+  def truncateField(source: String, w: Int,
+      name: String = ""): PartitionField = {
+    require(w > 0, "truncate width must be positive")
+    PartitionField(if (name.isEmpty) s"${source}_trunc" else name,
+      s"truncate[$w]", source)
+  }
+
+  /** The N of `bucket[N]` / W of `truncate[W]`. */
+  private def transformParam(t: String): Int =
+    t.substring(t.indexOf('[') + 1, t.length - 1).toInt
+
+  /** The staging expression producing a field's partition value.
+    * `st` supplies the source column's type (truncate is
+    * type-directed). bucket uses Spark's `hash` (murmur3, seed 42) so
+    * the scan-side literal hash (see [[bucketMayMatch]]) and the
+    * write-side value come from the SAME function.
+    */
+  private def partExpr(pc: PartitionField, st: StructType): Column =
+    pc.transform match {
+      case "identity" => col(pc.name)
+      case "day" => date_format(col(pc.source), "yyyy-MM-dd") // UTC session
+      case t if t.startsWith("bucket[") =>
+        pmod(hash(col(pc.source)), lit(transformParam(t)))
+      case t if t.startsWith("truncate[") =>
+        val w = transformParam(t)
+        st(pc.source).dataType match {
+          case StringType => substring(col(pc.source), 1, w)
+          // Iceberg truncate for integers: v - (v mod W) with the
+          // positive modulus, i.e. floor to the lower W-multiple.
+          case _ => col(pc.source) - pmod(col(pc.source), lit(w))
+        }
+    }
 
   /** `partSpecs` is the table's partition-spec history (Iceberg's
     * `partition-specs` list, identity + day transforms): spec ids are
@@ -404,7 +446,8 @@ object IcebergLite {
     // `k=v` dirs, so it never lands inside a data file — while the
     // SOURCE column stays in the files, unlike identity fields.
     val withDerived = partCols.filter(_.transform != "identity")
-      .foldLeft(arranged)((d, pc) => d.withColumn(pc.name, partExpr(pc)))
+      .foldLeft(arranged)((d, pc) =>
+        d.withColumn(pc.name, partExpr(pc, st)))
     val staged = DeltaLite.stage(s, s"$table/data", withDerived,
         partCols.map(_.name))
       .map { case (rel, pvs, sz) => (s"data/$rel", pvs, sz) }
@@ -563,13 +606,19 @@ object IcebergLite {
     spec.foreach { pc =>
       require(df.schema.fieldNames.contains(pc.source),
         s"partition source column ${pc.source} not in data")
-      if (pc.transform == "day") {
-        require(df.schema(pc.source).dataType == TimestampType,
-          s"day() needs a TIMESTAMP source, got " +
-            df.schema(pc.source).dataType.simpleString)
+      if (pc.transform != "identity")
         require(!df.schema.fieldNames.contains(pc.name),
           s"derived partition name ${pc.name} collides with a column")
-      }
+      val srcType = df.schema(pc.source).dataType
+      if (pc.transform == "day")
+        require(srcType == TimestampType,
+          s"day() needs a TIMESTAMP source, got ${srcType.simpleString}")
+      if (pc.transform.startsWith("bucket[") ||
+          pc.transform.startsWith("truncate["))
+        require(Seq[DataType](IntegerType, LongType, StringType)
+            .contains(srcType),
+          s"${pc.transform} needs an INT/BIGINT/STRING source, got " +
+            srcType.simpleString)
     }
     fs(s, metaDir(table)).mkdirs(metaDir(table))
     val schema = schemaFromStruct(1, df.schema)
@@ -1187,6 +1236,34 @@ object IcebergLite {
             DeltaLite.putVal(maxs, pc.source,
               java.lang.Long.valueOf(micros.max + 86400000000L - 1L))
           }
+        // truncate[W]: each partition value is the low edge of a
+        // W-wide source range — strings with this prefix sort in
+        // [prefix, prefix + U+FFFF); integers in [v, v + W - 1]. So
+        // range predicates on the SOURCE column prune, same shape as
+        // day's timestamp bounds.
+        case Some(pc) if pc.transform.startsWith("truncate[") =>
+          val w = transformParam(pc.transform)
+          schema.fields.find(_.name == pc.source).foreach { fd =>
+            val pv = vs.flatten
+            if (pv.size == vs.size && pv.nonEmpty) fd.dataType match {
+              case StringType =>
+                DeltaLite.putVal(mins, pc.source, pv.min)
+                DeltaLite.putVal(maxs, pc.source, pv.max + "￿")
+              case ByteType | ShortType | IntegerType | LongType =>
+                val nums = pv.flatMap(v =>
+                  scala.util.Try(v.toLong).toOption)
+                if (nums.size == pv.size) {
+                  DeltaLite.putVal(mins, pc.source,
+                    java.lang.Long.valueOf(nums.min))
+                  DeltaLite.putVal(maxs, pc.source,
+                    java.lang.Long.valueOf(nums.max + w - 1L))
+                }
+              case _ => ()
+            }
+          }
+        // bucket[N] carries no source-order information — equality
+        // pruning happens in [[bucketMayMatch]], not via bounds.
+        case Some(pc) if pc.transform.startsWith("bucket[") => ()
         case _ =>
           schema.fields.find(_.name == k).foreach { fd =>
             val typed =
@@ -1228,6 +1305,53 @@ object IcebergLite {
     }
   }
 
+  /** Bucket-transform pruning: each top-level equality (or all-literal
+    * IN) conjunct on a bucketed SOURCE column maps its literal(s)
+    * through the same murmur3-mod-N as the write side; a manifest or
+    * file whose recorded bucket values contain none of them cannot
+    * match. Disjunctions and non-equality shapes stay conservative
+    * (true). This is the pruning bucket exists for: point lookups on
+    * a high-cardinality key touch 1 of N buckets.
+    */
+  private def bucketMayMatch(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      spec: Seq[PartitionField],
+      vals: Map[String, Seq[Option[String]]]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val bucketed = spec.filter(_.transform.startsWith("bucket["))
+    if (bucketed.isEmpty) return true
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def bucketOf(l: Literal, n: Int): String = {
+      val h = new Murmur3Hash(Seq(l)).eval(null).asInstanceOf[Int]
+      (((h % n) + n) % n).toString
+    }
+    bucketed.forall { pc =>
+      val n = transformParam(pc.transform)
+      vals.get(pc.name) match {
+        case Some(vs) if vs.nonEmpty && !vs.contains(None) =>
+          val present = vs.flatten.toSet
+          conjuncts(cond).forall {
+            case EqualTo(a: AttributeReference, l: Literal)
+                if a.name == pc.source && l.value != null =>
+              present.contains(bucketOf(l, n))
+            case EqualTo(l: Literal, a: AttributeReference)
+                if a.name == pc.source && l.value != null =>
+              present.contains(bucketOf(l, n))
+            case In(a: AttributeReference, list)
+                if a.name == pc.source &&
+                  list.forall(_.isInstanceOf[Literal]) =>
+              list.exists(l =>
+                present.contains(bucketOf(l.asInstanceOf[Literal], n)))
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+  }
+
   private def prunedEntries(s: SparkSession, meta: Meta,
       manifests: Seq[Manifest], pred: Column)
       : (Seq[Manifest], Seq[((Int, Int), Seq[ManifestEntry])]) = {
@@ -1238,15 +1362,17 @@ object IcebergLite {
       val spec = meta.colsOfSpec(m.specId)
       // Level 1: the whole manifest, from its partition summary.
       if (!DeltaLite.mayMatch(cond,
-          boundsNode(schema, m.partSummary, None, spec)))
+            boundsNode(schema, m.partSummary, None, spec)) ||
+          !bucketMayMatch(cond, spec, m.partSummary))
         None
       else {
         // Level 2: entries, from partition values + column stats.
-        val kept = m.entries.filter(e =>
+        val kept = m.entries.filter { e =>
+          val ev = e.partValues.map { case (k, v) => k -> Seq(v) }.toMap
           DeltaLite.mayMatch(cond,
-            boundsNode(schema,
-              e.partValues.map { case (k, v) => k -> Seq(v) }.toMap,
-              e.stats, spec)))
+            boundsNode(schema, ev, e.stats, spec)) &&
+            bucketMayMatch(cond, spec, ev)
+        }
         Some((m, kept))
       }
     }
@@ -1613,7 +1739,8 @@ object IcebergLite {
     val df = readEntries(s, table, meta, groups, delCtxOf(manifests))
     val packed =
       if (meta.partCols.isEmpty) df.repartition(targetFiles)
-      else df.repartition(targetFiles, meta.partCols.map(partExpr): _*)
+      else df.repartition(targetFiles,
+        meta.partCols.map(partExpr(_, meta.schema)): _*)
     // Rewritten files land under the CURRENT schema AND the DEFAULT
     // spec — compaction also retires old-spec layouts.
     val m = writeManifest(s, table, packed, meta.currentSchema,
@@ -1629,6 +1756,62 @@ object IcebergLite {
     * orphans (stage leftovers); deletes are per-path. Returns the
     * number of deleted data/delete files.
     */
+  /** Roll the table back to `snapshotId` — an ANCESTOR of the current
+    * snapshot (walked via parent-snapshot-id lineage) — as one
+    * metadata-only commit: the current pointer moves, NOTHING is
+    * deleted, and the abandoned snapshots stay reachable (time
+    * travel, refs) until [[expireSnapshots]]. The 100 TB "bad
+    * backfill" undo: cost is one metadata write regardless of table
+    * size. Pre-lineage metadata (no parents map) falls back to
+    * id-order ancestry.
+    */
+  def rollbackTo(s: SparkSession, table: String,
+      snapshotId: Long): Unit = {
+    val meta = readMeta(s, table)
+    require(meta.snapshots.exists(_._1 == snapshotId),
+      s"no snapshot $snapshotId")
+    val ancestors =
+      if (meta.parents.contains(meta.currentSnapshot))
+        Iterator.iterate(meta.currentSnapshot)(meta.parents.getOrElse(_, 0L))
+          .takeWhile(_ != 0L).toSet
+      else meta.snapshots.map(_._1).filter(_ <= meta.currentSnapshot).toSet
+    require(ancestors.contains(snapshotId),
+      s"snapshot $snapshotId is not an ancestor of " +
+        s"${meta.currentSnapshot} — rollback only walks lineage")
+    writeMetadata(s, table, meta.copy(currentSnapshot = snapshotId))
+  }
+
+  /** Delete files under `data/` that NO snapshot references — debris
+    * from failed or abandoned writes (a crashed job's staged files).
+    * Unlike [[expireSnapshots]] this keeps every snapshot: the
+    * reachable set is the union over the FULL snapshot list, so
+    * time travel and refs are untouched. Returns the number of files
+    * deleted. (A production version would also honor a modified-after
+    * grace window to avoid racing an in-flight commit's staged files;
+    * tables here are single-writer.)
+    */
+  def removeOrphanFiles(s: SparkSession, table: String): Int = {
+    val meta = readMeta(s, table)
+    val f = fs(s, new Path(table))
+    val referenced: Set[String] = meta.snapshots.flatMap {
+      case (_, listRel) =>
+        readManifests(s, table, listRel, meta).flatMap(m =>
+          m.path +: m.entries.map(_.path))
+    }.toSet
+    var deleted = 0
+    val it = f.listFiles(new Path(table, "data"), true)
+    val rootPrefix = f.makeQualified(new Path(table)).toString
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = f.makeQualified(st.getPath).toString
+        .stripPrefix(rootPrefix).stripPrefix("/")
+      if (rel.endsWith(".parquet") && !referenced.contains(rel)) {
+        if (f.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    deleted
+  }
+
   def expireSnapshots(s: SparkSession, table: String,
       retain: Int = 1): Int = {
     require(retain >= 1, "must retain at least the current snapshot")

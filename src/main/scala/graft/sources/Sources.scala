@@ -1410,6 +1410,43 @@ object Sources {
         ('main', CAST(1 AS BIGINT), 'branch', TRUE, CAST(1 AS BIGINT)),
         ('v1', CAST(1 AS BIGINT), 'tag', TRUE, CAST(1 AS BIGINT)))
         AS t(name, snapshot_id, type, is_current, lineage_depth)
-      ORDER BY name"""))
+      ORDER BY name""")),
+
+    // ---------------------------------------------------------------- s47
+    // Iceberg bucket[N] + truncate[W] transforms — the other two
+    // hidden-partitioning workhorses: orders lays out by
+    // murmur3(o_orderkey) mod 8 and the first character of
+    // o_orderpriority, both derived values living only in the
+    // directory layout + manifests. The point lookup's IN-list maps
+    // each literal through the SAME hash as the write side so the
+    // scan touches at most |IN| of 8 buckets, and the priority range
+    // prunes on truncate bounds — at 100 TB this is how a key lookup
+    // on an unsorted fact table avoids reading every file
+    // (IcebergLiteSpec asserts the kept/total file counts).
+    GQuery("s47_iceberg_bucket_truncate", (s, d) => {
+      val t = s"${scratch("s47")}/orders_ice_bucket"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      IcebergLite.createWithSpec(s, t,
+        o.filter(col("o_orderkey") % 2 === 0),
+        Seq(IcebergLite.bucketField("o_orderkey", 8),
+          IcebergLite.truncateField("o_orderpriority", 1)))
+      IcebergLite.append(s, t, o.filter(col("o_orderkey") % 2 === 1))
+      IcebergLite.scan(s, t,
+          col("o_orderkey").isin(1L, 7L, 32L, 33L, 4000001L) &&
+            col("o_orderpriority") >= lit("1") &&
+            col("o_orderpriority") < lit("4"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey IN (1, 7, 32, 33, 4000001)
+        AND o_orderpriority >= '1' AND o_orderpriority < '4'
+      ORDER BY o_orderkey"""))
   )
 }

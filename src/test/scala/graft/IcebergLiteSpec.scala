@@ -612,4 +612,66 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.snapshotByRef(spark, t2, "main").count() ==
       base.count())
   }
+
+  test("bucket[N] transform: layout-only murmur3 buckets; equality " +
+      "and IN predicates on the source prune to their buckets; range " +
+      "predicates stay conservative") {
+    val t = freshTable()
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.createWithSpec(spark, t, o,
+      Seq(IcebergLite.bucketField("o_orderkey", 8)))
+    // Derived value lives in the k=v layout, not schema or data files.
+    val dirs = new java.io.File(s"$t/data").list().toSeq
+      .filter(_.startsWith("o_orderkey_bucket="))
+    assert(dirs.size == 8, s"expected 8 bucket dirs, got $dirs")
+    val snap = IcebergLite.snapshot(spark, t)
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice"))
+    assert(snap.count() == o.count())
+    // A point lookup touches exactly 1 of the 8 buckets.
+    val (kept1, total) =
+      IcebergLite.pruneInfo(spark, t, col("o_orderkey") === 7L)
+    assert(total == 8 && kept1 == 1, s"kept=$kept1 total=$total")
+    // An IN-list touches at most |IN| buckets.
+    val inPred = col("o_orderkey").isin(1L, 7L, 32L)
+    val (keptIn, _) = IcebergLite.pruneInfo(spark, t, inPred)
+    assert(keptIn <= 3, s"IN kept=$keptIn")
+    // Scans stay exact under the pruning.
+    assert(IcebergLite.scan(spark, t, inPred)
+      .orderBy(col("o_orderkey")).collect().toSeq ==
+      o.filter(inPred).orderBy(col("o_orderkey")).collect().toSeq)
+    // Range predicates carry no bucket information — conservative.
+    val (keptR, _) =
+      IcebergLite.pruneInfo(spark, t, col("o_orderkey") < 100L)
+    assert(keptR == 8)
+  }
+
+  test("truncate[W] transform: string prefixes and integer floors " +
+      "bound the source column, so range predicates prune") {
+    val t = freshTable()
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    IcebergLite.createWithSpec(spark, t, o,
+      Seq(IcebergLite.truncateField("o_orderpriority", 1)))
+    // TPC-H priorities '1-URGENT'..'5-LOW' → 5 one-char prefixes.
+    val (kept, total) = IcebergLite.pruneInfo(spark, t,
+      col("o_orderpriority") >= lit("1") &&
+        col("o_orderpriority") < lit("3"))
+    assert(total == 5 && kept == 2, s"kept=$kept total=$total")
+    val pred = col("o_orderpriority") === lit("5-LOW")
+    assert(IcebergLite.scan(spark, t, pred).count() ==
+      o.filter(pred).count())
+    // Integer truncate: floor-to-multiple bounds a W-wide range.
+    val t2 = freshTable()
+    IcebergLite.createWithSpec(spark, t2,
+      Tables.orders(spark, sfDir).select(col("o_orderkey")),
+      Seq(IcebergLite.truncateField("o_orderkey", 1000000)))
+    val (kept2, total2) = IcebergLite.pruneInfo(spark, t2,
+      col("o_orderkey") >= 1000000L && col("o_orderkey") < 2000000L)
+    assert(kept2 < total2, s"kept=$kept2 total=$total2")
+    val p2 = col("o_orderkey") < 1000000L
+    assert(IcebergLite.scan(spark, t2, p2).count() ==
+      Tables.orders(spark, sfDir).filter(p2).count())
+  }
 }
