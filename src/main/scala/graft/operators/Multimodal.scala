@@ -526,6 +526,93 @@ object Multimodal {
                    CAST(stride * h / length(text) + 1 AS INT)),
                  CAST((h - 1 - row_y) * stride + 1 AS INT),
                  CAST(3 * w AS INT))) AS row_md5
-      FROM r ORDER BY asset_id, row_y"""))
+      FROM r ORDER BY asset_id, row_y""")),
+
+    // ---------------------------------------------------------------- m10
+    // Per-window audio FEATURES over m07's speech frames: sample sum,
+    // DC-removed energy and zero-crossing count per 20 ms window —
+    // the canonical VAD/speech-feature triple. All math is INTEGER
+    // (energy is computed on n·s_i − Σs, i.e. mean-removed scaled by
+    // n, so no float ever appears) — which is what makes a full
+    // hash oracle possible. The plan is one scan → explode →
+    // codegen'd higher-order functions (transform/aggregate/filter);
+    // embarrassingly parallel, no shuffle but the presentation sort —
+    // the 100 TB shape for per-asset feature extraction. Multi-channel
+    // interleave is treated as one stream (declared simplification).
+    GQuery("m10_audio_features", (s, d) => {
+      val windows = wavAssets(s, d)
+        .withColumn("m", wavMeta(col("payload")))
+        .withColumn("ch", col("m.channels"))
+        .withColumn("rate", col("m.sample_rate"))
+        .withColumn("db", col("m.data_bytes"))
+        .filter(col("db") > 0)
+        .withColumn("stride", (col("rate") * col("ch") / 100).cast("long"))
+        .withColumn("win", (col("rate") * col("ch") / 50).cast("long"))
+        .withColumn("k", explode(sequence(lit(0L),
+          floor((col("db") - 1) / col("stride")).cast("long"))))
+        .withColumn("off", col("k") * col("stride"))
+        .withColumn("len", least(col("win"), col("db") - col("off")))
+        .withColumn("n", col("len").cast("int"))
+        // 8-bit PCM samples ARE the ASCII payload bytes (the wavAssets
+        // construction), so the string domain equals the byte domain.
+        .withColumn("w", expr("substring(decode(substring(payload, " +
+          "CAST(45 + off AS INT), CAST(len AS INT)), 'UTF-8'), 1, n)"))
+      windows
+        .withColumn("samples", expr("transform(sequence(1, n), " +
+          "i -> CAST(ascii(substring(w, i, 1)) AS BIGINT))"))
+        .withColumn("sum_bytes", expr(
+          "aggregate(samples, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("cent", expr(
+          "transform(samples, x -> x * CAST(n AS BIGINT) - sum_bytes)"))
+        .select(col("asset_id"), col("k").as("chunk_no"),
+          col("len").as("n_samples"), col("sum_bytes"),
+          expr("aggregate(cent, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+            .as("energy_scaled"),
+          expr("CAST(size(filter(sequence(1, greatest(n - 1, 1)), " +
+            "i -> n > 1 AND element_at(cent, i) * " +
+            "element_at(cent, i + 1) < 0)) AS BIGINT)")
+            .as("zero_crossings"))
+        .orderBy(col("asset_id"), col("chunk_no"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+               CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS rate,
+               CAST(octet_length(encode(text)) AS BIGINT) AS db
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      c AS (
+        SELECT asset_id, text, db,
+               CAST(rate * ch / 100 AS BIGINT) AS stride,
+               CAST(rate * ch / 50 AS BIGINT) AS win,
+               unnest(range(0, CAST(FLOOR((db - 1)
+                 / CAST(rate * ch / 100 AS BIGINT)) AS BIGINT) + 1)) AS k
+        FROM a),
+      w AS (
+        SELECT asset_id, CAST(k AS BIGINT) AS chunk_no,
+               CAST(LEAST(win, db - k * stride) AS BIGINT) AS n,
+               substring(text, CAST(k * stride + 1 AS INT),
+                 CAST(LEAST(win, db - k * stride) AS INT)) AS wtxt
+        FROM c),
+      s AS (
+        SELECT asset_id, chunk_no, n,
+               list_transform(range(1, CAST(n AS INT) + 1),
+                 i -> CAST(ascii(substring(wtxt, CAST(i AS INT), 1))
+                   AS BIGINT)) AS samples
+        FROM w),
+      t AS (
+        SELECT asset_id, chunk_no, n, samples,
+               CAST(list_aggregate(samples, 'sum') AS BIGINT) AS sum_bytes
+        FROM s),
+      u AS (
+        SELECT asset_id, chunk_no, n, sum_bytes,
+               list_transform(samples, x -> x * n - sum_bytes) AS cent
+        FROM t)
+      SELECT asset_id, chunk_no, n AS n_samples, sum_bytes,
+             CAST(list_aggregate(list_transform(cent, x -> x * x), 'sum')
+               AS BIGINT) AS energy_scaled,
+             CAST(len(list_filter(range(1, CAST(n AS INT)),
+               i -> cent[i] * cent[i + 1] < 0)) AS BIGINT)
+               AS zero_crossings
+      FROM u ORDER BY asset_id, chunk_no"""))
   )
 }

@@ -1626,6 +1626,59 @@ object DeltaLite {
       operation = "MERGE")
   }
 
+  /** APPLY CHANGES INTO — the CDC-apply primitive: `changes` carries
+    * row-level operations tagged by `opCol` ('insert' / 'update' with
+    * full postimage columns, or 'delete') and ordered per key by
+    * `seqCol` (the source's commit version / LSN). Within the batch
+    * only the LATEST change per key applies: an upsert
+    * replaces-or-inserts the target row, a delete removes it (a
+    * delete for an absent key is a no-op). One commit; only target
+    * files holding a touched key are rewritten — found by merge's
+    * keyed file lookup — so replicating a small change batch into a
+    * 100 TB table rewrites the touched files, not the table. Batches
+    * must arrive in source order (the standard CDC-replication
+    * contract; out-of-order keys within one batch are fine).
+    */
+  def applyChanges(s: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], opCol: String, seqCol: String): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val schema = st.schema
+    val dataCols = schema.fieldNames.toSeq
+    val payload = dataCols.filterNot(keys.contains)
+    // Latest change per key: argmax on (seq) via the max-struct idiom
+    // — one partial-aggregating exchange, no window sort.
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct((seqCol +: opCol +: payload).map(col): _*))
+        .as("_m"))
+      .select(keys.map(col) ++ (opCol +: payload).map(c =>
+        col(s"_m.$c").as(c)): _*)
+    val upserts = latest.filter(col(opCol) =!= "delete")
+      .select(dataCols.map(col): _*)
+    val touchedKeys = latest.select(keys.map(col): _*)
+    // Keyed file lookup (merge's shape): files containing ANY touched
+    // key get rewritten; everything else is untouched metadata.
+    val hitNames =
+      if (st.entries.isEmpty) Set.empty[String]
+      else readEntries(s, table, schema, st.entries, fileCol = Some("_gf"))
+        .join(touchedKeys, keys, "left_semi")
+        .select(col("_gf")).distinct().collect().map(_.getString(0)).toSet
+    val hitEntries = st.entries
+      .filter(e => hitNames.contains(fileName(e.path)))
+    val newData =
+      if (hitEntries.isEmpty) upserts
+      else readEntries(s, table, schema, hitEntries)
+        .join(touchedKeys, keys, "left_anti")
+        .unionByName(upserts)
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, newData, schema, st.partCols,
+        constraints = st.constraints) ++
+        hitEntries.map(e => removeAction(e.path)),
+      operation = "APPLY CHANGES")
+  }
+
   /** Bin-pack the live files into `targetFiles` larger ones per
     * partition — the OPTIMIZE/compaction maintenance op. Content is
     * unchanged, so both the adds and removes carry `dataChange = false`

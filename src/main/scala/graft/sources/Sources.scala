@@ -1447,6 +1447,34 @@ object Sources {
       FROM orders
       WHERE o_orderkey IN (1, 7, 32, 33, 4000001)
         AND o_orderpriority >= '1' AND o_orderpriority < '4'
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------------- s48
+    // Snapshot ROLLBACK + orphan-file cleanup — the "bad backfill"
+    // undo: a second append lands, rollbackTo moves the current
+    // pointer back to snapshot 1 as one metadata write (nothing
+    // rewritten, nothing deleted — snapshot 2 stays time-travelable
+    // until expired), then removeOrphanFiles sweeps data/ against the
+    // union of ALL snapshots' manifests, so the rolled-back files
+    // correctly survive. The scan after rollback sees exactly the
+    // pre-backfill table; oracle = the same filter on raw orders.
+    GQuery("s48_iceberg_rollback", (s, d) => {
+      val t = s"${scratch("s48")}/orders_ice_rollback"
+      val o = T.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val s1 = IcebergLite.create(s, t, o.filter(col("o_orderkey") <= 4000))
+      IcebergLite.append(s, t, o.filter(col("o_orderkey") > 4000))
+      IcebergLite.rollbackTo(s, t, s1)
+      IcebergLite.removeOrphanFiles(s, t) // rolled-back files survive
+      IcebergLite.snapshot(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ${sMoneySum("o_totalprice")} AS total_price
+      FROM orders WHERE o_orderkey <= 4000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

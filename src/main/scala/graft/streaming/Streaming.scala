@@ -713,7 +713,63 @@ object Streaming {
       runToEnd(s, stream, "append").orderBy(col("event_id"))
     }, Some("""
       SELECT event_id, user_id, event_type, value
-      FROM events WHERE event_id % 4 <> 3 ORDER BY event_id"""))
+      FROM events WHERE event_id % 4 <> 3 ORDER BY event_id""")),
+
+    // --------------------------------------------------------------- st19
+    // CDC-APPLY sink: a Debezium-shaped change log (rows tagged
+    // _op insert/update/delete, ordered by _seq) streams one source
+    // commit per micro-batch into foreachBatch → DeltaLite.applyChanges,
+    // which argmaxes the latest change per key and rewrites ONLY the
+    // target files holding a touched key — the replicate-a-table-from-
+    // its-change-feed pattern. Three staged commits (full insert load,
+    // a status update wave, a delete wave) land as three applies; the
+    // final replica equals the source's end state, which the oracle
+    // reconstructs declaratively.
+    GQuery("st19_stream_cdc_apply", (s, d) => {
+      import graft.sources.DeltaLite
+      val root = graft.util.Scratch.dir("st19")
+      val table = s"$root/orders_replica"
+      val stage = s"$root/changes"
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .filter(col("o_orderkey") <= 6000)
+      def tag(df: DataFrame, op: String, seq: Int): DataFrame =
+        df.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
+      // Three source commits, staged as one file each IN ORDER (the
+      // file stream source batches by modification time, so sequential
+      // writes replay in commit order — the CDC delivery contract).
+      tag(o, "insert", 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+      tag(o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("U")), "update", 2)
+        .coalesce(1).write.mode("append").parquet(stage)
+      tag(o.filter(col("o_orderkey") % 7 === 0), "delete", 3)
+        .coalesce(1).write.mode("append").parquet(stage)
+      DeltaLite.create(s, table, o.limit(0))
+      val changes = s.readStream
+        .schema(tag(o, "insert", 1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = changes.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            DeltaLite.applyChanges(s, table, batch.toDF(),
+              Seq("o_orderkey"), "_op", "_seq")
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st19ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      DeltaLite.snapshot(s, table).orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
+      ORDER BY o_orderkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

@@ -813,6 +813,47 @@ class DeltaLiteSpec extends SparkSpec {
       .filter(col("c_acctbal") === -5000.0).count() == 1)
   }
 
+  test("applyChanges: latest change per key wins within a batch; " +
+      "deletes remove, upserts replace-or-insert, absent-key deletes " +
+      "no-op; only files holding a touched key are rewritten") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    // Two files split by key range, so a low-key change batch must
+    // leave the high-key file untouched.
+    DeltaLite.create(spark, t,
+      c.filter(col("c_custkey") <= 40).coalesce(1))
+    DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") > 40).coalesce(1))
+    val before = DeltaLite.snapshot(spark, t).count()
+    val filesBefore = DeltaLite.liveFiles(spark, t).toSet
+    import spark.implicits._
+    // Key 1: update then delete (delete is latest → gone). Key 2:
+    // delete then update (update is latest → survives with new name).
+    // Key -1: delete of an absent key (no-op). Key 1000000: fresh
+    // insert (customer keys at this SF are 0..149).
+    val changes = Seq(
+      (1L, "x", 0.0, "update", 10L), (1L, "x", 0.0, "delete", 11L),
+      (2L, "old", 1.0, "delete", 10L), (2L, "new", 2.0, "update", 11L),
+      (-1L, "none", 0.0, "delete", 10L),
+      (1000000L, "fresh", 9.0, "insert", 10L))
+      .toDF("c_custkey", "c_name", "c_acctbal", "_op", "_seq")
+    DeltaLite.applyChanges(spark, t, changes,
+      Seq("c_custkey"), "_op", "_seq")
+    val after = DeltaLite.snapshot(spark, t)
+    assert(after.filter(col("c_custkey") === 1L).count() == 0)
+    assert(after.filter(col("c_custkey") === 2L)
+      .select(col("c_name")).head().getString(0) == "new")
+    assert(after.filter(col("c_custkey") === 1000000L).count() == 1)
+    // -1 delete no-op'd; net: -1 (key 1) + 1 (key 1000000) = same.
+    assert(after.count() == before)
+    // The high-key file survived untouched.
+    val filesAfter = DeltaLite.liveFiles(spark, t).toSet
+    assert(filesBefore.intersect(filesAfter).size == 1,
+      s"expected the untouched high-key file to survive: " +
+        s"$filesBefore -> $filesAfter")
+  }
+
   private object pq {
     def read_schema_names(path: String): Seq[String] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -674,4 +674,36 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.scan(spark, t2, p2).count() ==
       Tables.orders(spark, sfDir).filter(p2).count())
   }
+
+  test("rollbackTo moves the current pointer along lineage only; " +
+      "abandoned snapshots stay time-travelable; orphan cleanup " +
+      "spares every snapshot's files but sweeps debris") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    val half = c.filter(col("c_custkey") <= 40)
+    val s1 = IcebergLite.create(spark, t, half)
+    val s2 = IcebergLite.append(spark, t, c.filter(col("c_custkey") > 40))
+    IcebergLite.rollbackTo(spark, t, s1)
+    // Current = snapshot 1; snapshot 2 still reachable by id.
+    assert(IcebergLite.snapshot(spark, t).count() == half.count())
+    assert(IcebergLite.snapshot(spark, t, s2).count() == c.count())
+    // Orphan sweep deletes debris, never a snapshot-reachable file.
+    val stray = java.nio.file.Paths.get(t, "data", "stray.parquet")
+    java.nio.file.Files.write(stray, Array[Byte](1, 2, 3))
+    assert(IcebergLite.removeOrphanFiles(spark, t) == 1)
+    assert(!java.nio.file.Files.exists(stray))
+    assert(IcebergLite.snapshot(spark, t, s2).count() == c.count())
+    // A post-rollback append forks lineage: s2 is no longer an
+    // ancestor, so rolling "back" onto the dead branch refuses.
+    val s3 = IcebergLite.append(spark, t,
+      c.filter(col("c_custkey") > 40 && col("c_custkey") <= 45))
+    intercept[IllegalArgumentException] {
+      IcebergLite.rollbackTo(spark, t, s2)
+    }
+    assert(IcebergLite.snapshots(spark, t) == Seq(s1, s2, s3))
+    // Expiration after rollback reclaims the dead branch's files.
+    IcebergLite.expireSnapshots(spark, t, retain = 1)
+    assert(IcebergLite.snapshot(spark, t).count() ==
+      half.count() + 5)
+  }
 }
