@@ -997,7 +997,23 @@ object Sql {
           UNION ALL
           SELECT 'rel' AS ref, c_custkey, c_acctbal
           FROM customer WHERE c_custkey <= 500)
-        ORDER BY ref, c_custkey"""))
+        ORDER BY ref, c_custkey""")),
+
+      // ------------------------------------------------------------- x42
+      // SQL-standard PIVOT clause — ONE text both parsers accept:
+      // Spark's PIVOT (agg FOR col IN (...)) relational operator and
+      // DuckDB's standard-pivot form. Money sums go through exact
+      // DECIMAL inside the pivot and cast to DOUBLE only in the outer
+      // projection, so both engines aggregate order-independently.
+      passthrough("x42_sql_pivot", """
+        SELECT o_orderpriority,
+               CAST(O AS DOUBLE) AS total_open,
+               CAST(F AS DOUBLE) AS total_filled,
+               CAST(P AS DOUBLE) AS total_pending
+        FROM (SELECT o_orderpriority, o_orderstatus,
+                     CAST(o_totalprice AS DECIMAL(12,2)) AS tp FROM orders)
+        PIVOT (SUM(tp) FOR o_orderstatus IN ('O', 'F', 'P'))
+        ORDER BY o_orderpriority""")
     )
   }
 }

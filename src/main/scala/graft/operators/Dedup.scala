@@ -222,6 +222,34 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep-BEST dedup: cluster exact + near duplicates (d07's edge set
+    * → O(log n) star connected components), then keep the highest-
+    * QUALITY member of each cluster instead of [[dedupPipeline]]'s
+    * smallest-id convention — the curation policy real corpora want
+    * ("of these 5 mirrors, keep the longest/cleanest copy").
+    * `quality` is any deterministic per-row Column (default: text
+    * length); ties break to the smallest id via an argmax on a
+    * (quality, −id) struct — one hash aggregate per cluster, no
+    * window sort. Singletons (docs in no cluster) always survive.
+    */
+  def keepBestDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      quality: org.apache.spark.sql.Column = null): DataFrame = {
+    val q = Option(quality).getOrElse(length(col(textCol)).cast("long"))
+    val clusters = DupClusters
+      .connectedComponentsStar(DupClusters.dupEdges(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+      .select(col("id").as(idCol), col("cluster"))
+    val scored = docs
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("_clu", coalesce(col("cluster"), col(idCol)))
+    val best = scored
+      .groupBy(col("_clu"))
+      .agg(max(struct(q.as("q"), (-col(idCol)).as("nid"))).as("b"))
+      .select((-col("b.nid")).cast("long").as(idCol))
+    docs.join(best, Seq(idCol), "left_semi")
+  }
+
   def keyedDedup(df: DataFrame, idCol: String,
       keys: Seq[org.apache.spark.sql.Column]): DataFrame =
     df.groupBy(keys: _*)
@@ -538,6 +566,18 @@ object Dedup {
     // deterministic).
     GQuery("d14_dedup_pipeline", (s, d) => {
       dedupPipeline(T.documents(s, d), theta = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }, None),
+
+    // ---------------------------------------------------------------- d15
+    // Keep-BEST dedup: same cluster structure as d07/d14, but each
+    // cluster keeps its highest-quality member (longest text, ties to
+    // the smallest id) instead of the smallest id — the curation
+    // policy real pipelines apply. Engine-specific minhash edges →
+    // rows-only; DedupSpec proves the planted best-of-cluster choice.
+    GQuery("d15_keep_best", (s, d) => {
+      keepBestDedup(T.documents(s, d))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }, None)

@@ -259,6 +259,61 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** Scalar-quantized (SQ8) ANN top-k: the corpus compresses to one
+    * unsigned-byte code per dimension against per-dimension
+    * [min, max] ranges learned in a single scan — 8× smaller than
+    * float64, the first lever when the scan is memory-bandwidth
+    * bound. Approximate scores decompose as
+    * q·x̂ = Σ qᵢ·minᵢ + Σ (qᵢ·Δᵢ)·codeᵢ, so each query precomputes
+    * its offset and per-dimension weights once and the scan is one
+    * fused zip_with/aggregate fold per candidate (codegen'd, no
+    * UDF). The top k·rerankFactor approximate hits rerank on exact
+    * cosine. Unlike IVF nothing is routed — every code is scanned;
+    * the dial here is bytes-per-vector, not candidates-per-query
+    * (compose with IVF lists when both matter).
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int = K,
+      rerankFactor: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+    // Per-dimension ranges: one corpus pass, a dim-row shuffle,
+    // collected to two dim-length arrays (KBs) — broadcast scalars.
+    val stats = corpus
+      .select(posexplode(col("nv")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("i"), col("lo")))),
+          s => s.getField("lo")).as("mins"),
+        transform(sort_array(collect_list(struct(col("i"), col("hi")))),
+          s => s.getField("hi")).as("maxs"))
+      .select(col("mins"),
+        zip_with(col("maxs"), col("mins"),
+          (h, l) => greatest((h - l) / 255.0, lit(1e-12))).as("scales"))
+    val codes = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("nv"),
+        transform(col("nv"), (x, i) =>
+          least(lit(255), greatest(lit(0),
+            round((x - element_at(col("mins"), i + 1)) /
+              element_at(col("scales"), i + 1)).cast("int"))))
+          .as("codes"))
+    val qprep = queries.crossJoin(broadcast(stats))
+      .select(col("q_id"), col("q_nv"),
+        aggregate(zip_with(col("q_nv"), col("mins"), (q, mn) => q * mn),
+          lit(0.0), (a, x) => a + x).as("qoff"),
+        zip_with(col("q_nv"), col("scales"), (q, sc) => q * sc).as("w"))
+    val shortW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(qprep), notSelf(excludeSelf))
+      .withColumn("adc", col("qoff") + aggregate(
+        zip_with(col("codes"), col("w"), (c, wi) => c * wi),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= k * rerankFactor)
+    // Exact rerank: nv rode along with the codes — no second join.
+    val cand = shortlist.select(col("q_id"), col("vec_id"),
+      FastVector.dot(col("q_nv"), col("nv")).as("cos"))
+    topK(cand, k)
+  }
+
   /** Exact cosine RANGE search: every (query, corpus) pair with
     * cosine >= `theta` — the radius-query sibling of top-k (dedup
     * candidate generation and contamination sweeps want "everything
@@ -398,6 +453,11 @@ object Similarity {
     GQuery("a04_ivfpq_ann", (s, d) => {
       val (corpus, qs) = demo(s, d)
       ivfPqTopK(corpus, qs, excludeSelf = true)
+    }, None),
+    // SQ8 quantization error → rows-only; RecallSpec bounds recall.
+    GQuery("a09_sq_ann", (s, d) => {
+      val (corpus, qs) = demo(s, d)
+      sqTopK(corpus, qs, excludeSelf = true)
     }, None),
     // Exact range search has an exact oracle (θ = 0.30 sits > 1e-3
     // from every pair cosine on the gate data, so float ulp noise

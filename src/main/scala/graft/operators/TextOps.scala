@@ -181,6 +181,28 @@ object TextOps {
   /** Append PII counts and a redacted text column — the scrub pass of a
     * training-data pipeline: one scan, per-row regexes, no shuffle.
     */
+  /** One-call cleaning pipeline — the composition a corpus curation
+    * job actually runs: Gopher hard-rules gate (t10) → PII redaction
+    * of the SURVIVORS only (t07 — redacting dropped docs would be
+    * wasted work, so stage order is a real optimization) → token
+    * counts on the REDACTED text (t01 — budget accounting must see
+    * what ships, not what arrived). Every stage is pure per-row
+    * expressions, so the whole pipeline is ONE scan with zero
+    * shuffles at any corpus size, and Catalyst fuses it into a single
+    * WholeStageCodegen span.
+    */
+  def cleanPipeline(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, minStopHits: Int = 2): DataFrame = {
+    val gated = withGopherRules(docs, textCol, minWords = minWords,
+        minStopHits = minStopHits).filter(col("keep"))
+      .drop("r_words", "r_wordlen", "r_alpha", "r_stops", "keep")
+    val masked = withPiiScan(gated, textCol)
+      .withColumn("n_pii",
+        col("n_emails") + col("n_urls") + col("n_phones"))
+      .withColumnRenamed("redacted", "clean_text")
+    withTokenCounts(masked, "clean_text")
+  }
+
   def withPiiScan(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_emails",
         regexp_count(col(textCol), lit(EmailRe)).cast("long"))
@@ -633,6 +655,57 @@ object TextOps {
       SELECT doc_id, COUNT(*) AS n_terms,
              ROUND(CAST(SUM(mn) AS DOUBLE) / 10000.0, 4) AS score
       FROM per_term GROUP BY doc_id
-      ORDER BY SUM(mn) DESC, doc_id LIMIT 15"""))
+      ORDER BY SUM(mn) DESC, doc_id LIMIT 15""")),
+
+    // ---------------------------------------------------------------- t15
+    // One-call cleaning pipeline (t10 gate → t07 redact → t01 count,
+    // composed in the stage order a real curation job uses: gate
+    // first so redaction and counting never touch dropped docs).
+    // Whole pipeline = one scan, zero shuffle; oracle composes the
+    // three stages' SQL verbatim, so a drift in ANY stage or in the
+    // stage ORDER (counting pre-redaction text, redacting dropped
+    // docs) hash-fails.
+    GQuery("t15_clean_pipeline", (s, d) => {
+      // Thresholds tuned to the synthetic corpus (its word-soup docs
+      // carry few real stopwords): words>=30, no stopword floor.
+      cleanPipeline(T.documents(s, d), minWords = 30, minStopHits = 0)
+        .select(col("doc_id"), col("source"), col("n_words"),
+          col("mean_wl"), col("n_pii"),
+          length(col("clean_text")).cast("long").as("clean_len"),
+          col("ws_tokens"), col("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH m AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_wl0,
+               CAST(len(list_filter(string_split(text, ' '),
+                 t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS alpha_frac0,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                 [${GopherStops.map("'" + _ + "'").mkString(",")}]))
+                 AS BIGINT) AS stop_hits
+        FROM documents),
+      kept AS (
+        SELECT doc_id, source, n_words, ROUND(mean_wl0, 4) AS mean_wl,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '$EmailRe', '[EMAIL]', 'g'), '$UrlRe', '[URL]', 'g'),
+                 '$PhoneRe', '[PHONE]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '$EmailRe'))
+                 + len(regexp_extract_all(text, '$UrlRe'))
+                 + len(regexp_extract_all(text, '$PhoneRe'))
+                 AS BIGINT) AS n_pii
+        FROM m
+        WHERE n_words >= 30 AND n_words <= 100000
+          AND mean_wl0 >= 3.0 AND mean_wl0 <= 10.0
+          AND alpha_frac0 >= 0.8 AND stop_hits >= 0)
+      SELECT doc_id, source, n_words, mean_wl, n_pii,
+             CAST(length(clean_text) AS BIGINT) AS clean_len,
+             CAST(len(regexp_extract_all(clean_text, '\\S+')) AS BIGINT)
+               AS ws_tokens,
+             CAST(len(regexp_extract_all(clean_text,
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+      FROM kept ORDER BY doc_id"""))
   )
 }

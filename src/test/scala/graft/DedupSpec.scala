@@ -65,4 +65,31 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == ids)
   }
+
+  test("keepBestDedup keeps the highest-quality cluster member, ties " +
+      "to the smallest id, singletons always survive") {
+    // Doc 2 is the LONGEST of the {1,2,3} cluster (extra tail words),
+    // so keep-best must choose it where keep-min chose 1.
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val longer = ((1 to 76).map(i => s"w$i") ++ Seq("x", "y", "z", "q",
+      "extra", "tail", "words", "here")).mkString(" ")
+    val rows = Seq(1L -> base, 2L -> longer, 3L -> base) ++
+      (4L to 40L).map(i => i -> (1 to 60).map(j => s"u${i}_$j").mkString(" "))
+    val docs = rows.toDF("doc_id", "text")
+    val ids = Dedup.keepBestDedup(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(2L) && !ids.contains(1L) && !ids.contains(3L),
+      s"expected best-quality keeper 2, got $ids")
+    assert((4L to 40L).forall(ids.contains))
+    // Equal quality (1 vs its exact copy 3) ties to the smallest id.
+    val tied = Seq(1L -> base, 3L -> base).toDF("doc_id", "text")
+    val tiedIds = Dedup.keepBestDedup(tied)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tiedIds == Set(1L))
+    // A custom quality column inverts the choice.
+    val custom = Dedup.keepBestDedup(docs,
+        quality = -col("doc_id").cast("long"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(custom.contains(1L) && !custom.contains(2L))
+  }
 }

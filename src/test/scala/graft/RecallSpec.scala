@@ -86,8 +86,10 @@ class RecallSpec extends SparkSpec {
       Similarity.ivfTopK(prep, queries, excludeSelf = true)))
     val pqRecall = recall(resultSet(
       Similarity.ivfPqTopK(prep, queries, excludeSelf = true)))
+    val sqRecall = recall(resultSet(
+      Similarity.sqTopK(prep, queries, excludeSelf = true)))
     info(f"clustered recall: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f " +
-      f"ivfpq=$pqRecall%.3f")
+      f"ivfpq=$pqRecall%.3f sq=$sqRecall%.3f")
     // On clustered data bucket pruning should keep most true neighbors:
     // far above the ~0.6-0.7 measured on near-orthogonal vectors.
     assert(lshRecall >= 0.85, f"LSH clustered recall $lshRecall%.3f")
@@ -95,6 +97,9 @@ class RecallSpec extends SparkSpec {
     // PQ quantizes (lossy) but the exact-dot rerank of the 4k ADC
     // shortlist repairs most of it.
     assert(pqRecall >= 0.80, f"IVF-PQ clustered recall $pqRecall%.3f")
+    // SQ8 scans everything (no routing) and 8-bit error is tiny next
+    // to the 8× rerank margin — near-exact by construction.
+    assert(sqRecall >= 0.95, f"SQ8 clustered recall $sqRecall%.3f")
 
     // Range search (a05/a06): within a cluster (jitter 0.1 around a
     // unit center) cosines sit high, across clusters near 0 — θ=0.5
