@@ -1013,7 +1013,26 @@ object Sql {
         FROM (SELECT o_orderpriority, o_orderstatus,
                      CAST(o_totalprice AS DECIMAL(12,2)) AS tp FROM orders)
         PIVOT (SUM(tp) FOR o_orderstatus IN ('O', 'F', 'P'))
-        ORDER BY o_orderpriority""")
+        ORDER BY o_orderpriority"""),
+
+      // ------------------------------------------------------------- x43
+      // Aggregate FILTER (WHERE …) modifiers — the standard-SQL form
+      // of q12's conditional aggregation, one text both parsers
+      // accept. Averages spell out exact-decimal SUM / COUNT (AVG of
+      // DECIMAL returns engine-specific precision), so every number
+      // is order-independent and type-identical.
+      passthrough("x43_sql_filter_agg", """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_rev,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                 FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
     )
   }
 }

@@ -613,6 +613,65 @@ object Multimodal {
              CAST(len(list_filter(range(1, CAST(n AS INT)),
                i -> cent[i] * cent[i + 1] < 0)) AS BIGINT)
                AS zero_crossings
-      FROM u ORDER BY asset_id, chunk_no"""))
+      FROM u ORDER BY asset_id, chunk_no""")),
+
+    // ---------------------------------------------------------------- m11
+    // Region CROP from the parsed BMP: the center w/2 × h/2 window,
+    // addressed through the real header fields (bottom-up origin,
+    // stride padding, 3-byte pixels, x-offset inside the scanline) —
+    // the preprocessing step every vision pipeline runs before
+    // resize. Per-row crop bytes are md5-checked against the oracle's
+    // reconstruction, so any error in the 2-D arithmetic (origin,
+    // stride, x0 scaling by pixel width) fails the hash. One scan,
+    // explode by crop height, no shuffle but the presentation sort.
+    GQuery("m11_bmp_crop", (s, d) => {
+      bmpAssets(s, d)
+        .withColumn("w", leUint(col("payload"), 19, 4))
+        .withColumn("h", leUint(col("payload"), 23, 4))
+        .withColumn("bpp", leUint(col("payload"), 29, 2))
+        .withColumn("stride",
+          (floor((col("bpp") * col("w") + 31) / 32) * 4).cast("long"))
+        .withColumn("off", leUint(col("payload"), 11, 4))
+        .withColumn("cw", greatest(lit(1L),
+          floor(col("w") / 2).cast("long")))
+        .withColumn("chh", greatest(lit(1L),
+          floor(col("h") / 2).cast("long")))
+        .withColumn("x0", floor((col("w") - col("cw")) / 2).cast("long"))
+        .withColumn("y0", floor((col("h") - col("chh")) / 2).cast("long"))
+        .withColumn("cy", explode(sequence(lit(0L), col("chh") - 1)))
+        .withColumn("row_y", col("y0") + col("cy"))
+        .withColumn("row_off", col("off") +
+          (col("h") - 1 - col("row_y")) * col("stride") +
+          col("x0") * 3)
+        .select(col("asset_id"), col("cy"), col("x0"), col("row_y"),
+          md5(expr("substring(payload, CAST(row_off + 1 AS INT), " +
+            "CAST(3 * cw AS INT))")).as("crop_md5"))
+        .orderBy(col("asset_id"), col("cy"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(4 + doc_id % 13 AS BIGINT) AS w,
+               CAST(3 + doc_id % 5 AS BIGINT) AS h
+        FROM documents),
+      b AS (
+        SELECT *, CAST(FLOOR((24 * w + 31) / 32) * 4 AS BIGINT) AS stride,
+               GREATEST(1, CAST(FLOOR(w / 2) AS BIGINT)) AS cw,
+               GREATEST(1, CAST(FLOOR(h / 2) AS BIGINT)) AS chh
+        FROM a),
+      c AS (
+        SELECT *, CAST(FLOOR((w - cw) / 2) AS BIGINT) AS x0,
+               CAST(FLOOR((h - chh) / 2) AS BIGINT) AS y0
+        FROM b),
+      r AS (
+        SELECT asset_id, text, w, h, stride, cw, x0, y0,
+               unnest(range(0, chh)) AS cy
+        FROM c)
+      SELECT asset_id, CAST(cy AS BIGINT) AS cy, x0,
+             CAST(y0 + cy AS BIGINT) AS row_y,
+             md5(substring(repeat(text,
+                   CAST(stride * h / length(text) + 1 AS INT)),
+                 CAST((h - 1 - (y0 + cy)) * stride + 3 * x0 + 1 AS INT),
+                 CAST(3 * cw AS INT))) AS crop_md5
+      FROM r ORDER BY asset_id, cy"""))
   )
 }

@@ -314,6 +314,24 @@ object Similarity {
     topK(cand, k)
   }
 
+  /** FILTERED vector search: exact top-k among ONLY the corpus
+    * vectors whose ids appear in `allowed` — PRE-filter semantics
+    * (rank among the survivors), the contract every production vector
+    * store ships, and NOT post-filtering a global top-k (which
+    * returns < k rows whenever the filter is selective). The metadata
+    * restriction is a left-semi join BEFORE ranking, so Catalyst
+    * pushes it below the scoring scan and the per-query work scales
+    * with the filtered corpus, not the full one.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame,
+      allowed: DataFrame, idCol: String, k: Int = K,
+      excludeSelf: Boolean = false): DataFrame = {
+    val filtered = corpus.join(
+      allowed.select(col(idCol).as("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi")
+    bruteForceTopK(filtered, queries, k, excludeSelf)
+  }
+
   /** Exact cosine RANGE search: every (query, corpus) pair with
     * cosine >= `theta` — the radius-query sibling of top-k (dedup
     * candidate generation and contamination sweeps want "everything
@@ -459,6 +477,25 @@ object Similarity {
       val (corpus, qs) = demo(s, d)
       sqTopK(corpus, qs, excludeSelf = true)
     }, None),
+    // Filtered search is exact → full oracle: same ranking as a01 but
+    // restricted to English documents BEFORE ranking (pre-filter
+    // semantics — each query still gets k results, all English).
+    GQuery("a10_filtered_search", (s, d) => {
+      val (corpus, qs) = demo(s, d)
+      filteredTopK(corpus, qs,
+        T.documents(s, d).filter(col("lang") === "en"), "doc_id",
+        excludeSelf = true)
+    }, Some("""
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding, c.embedding) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                   DESC, c.vec_id) AS BIGINT) AS rnk
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+        JOIN documents dc ON dc.doc_id = c.vec_id AND dc.lang = 'en')
+      WHERE rnk <= 10 ORDER BY q_id, rnk""")),
     // Exact range search has an exact oracle (θ = 0.30 sits > 1e-3
     // from every pair cosine on the gate data, so float ulp noise
     // cannot flip membership; both engines filter the unrounded value).

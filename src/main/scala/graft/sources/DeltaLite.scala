@@ -1679,6 +1679,41 @@ object DeltaLite {
       operation = "APPLY CHANGES")
   }
 
+  /** PARTIAL compaction — OPTIMIZE for just the fragmented slice:
+    * only live files SMALLER than `maxFileBytes`, and (when a
+    * predicate is given) only those whose partition values / stats
+    * may satisfy it, are rewritten into `targetFiles` bin-packed
+    * ones. Files already at target size and untouched partitions keep
+    * their add entries verbatim — on a 100 TB table the nightly
+    * OPTIMIZE touches the day's small-file debris, never the
+    * petabyte of already-compacted history. Returns the number of
+    * files rewritten (0 = nothing to do, no commit written). Like
+    * [[compact]], adds and removes carry `dataChange = false`.
+    */
+  def compactWhere(s: SparkSession, table: String, targetFiles: Int,
+      maxFileBytes: Long,
+      pred: Column = org.apache.spark.sql.functions.lit(true)): Int = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val inSlice = keptEntries(s, st, pred).map(_.path).toSet
+    val victims = st.entries.filter(e =>
+      e.size < maxFileBytes && inSlice.contains(e.path))
+    // One small file alone is already as packed as it can get —
+    // rewriting it would churn the log for nothing.
+    if (victims.size < 2) return 0
+    val df = readEntries(s, table, st.schema, victims)
+    val packed =
+      if (st.partCols.isEmpty) df.repartition(targetFiles)
+      else df.repartition(targetFiles, st.partCols.map(col): _*)
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, packed, st.schema, st.partCols,
+        dataChange = false) ++
+        victims.map(e => removeAction(e.path, dataChange = false)),
+      operation = "OPTIMIZE")
+    victims.size
+  }
+
   /** Bin-pack the live files into `targetFiles` larger ones per
     * partition — the OPTIMIZE/compaction maintenance op. Content is
     * unchanged, so both the adds and removes carry `dataChange = false`

@@ -1446,6 +1446,29 @@ object IcebergLite {
       "record_count", "size_bytes")
   }
 
+  /** Iceberg `partitions` metadata table: one row per live partition
+    * of the current snapshot — partition values, file count, record
+    * count and byte total, aggregated from MANIFEST stats only (zero
+    * data IO at any table size). This is the maintenance planner's
+    * first read: which partitions are hot, which are fragmented into
+    * many small files (→ [[compact]]), which dominate bytes. Built on
+    * [[filesMeta]], aggregated distributed (the file list may be
+    * large at 100 TB; the per-partition result is small).
+    */
+  def partitionsMeta(s: SparkSession, table: String): DataFrame = {
+    filesMeta(s, table)
+      .select(map_entries(col("partition")).as("pe"),
+        col("record_count"), col("size_bytes"))
+      .withColumn("partition",
+        concat_ws("/", transform(array_sort(col("pe")),
+          e => concat(e.getField("key"), lit("="),
+            coalesce(e.getField("value"), lit("null"))))))
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("file_count"),
+        sum(col("record_count")).as("record_count"),
+        sum(col("size_bytes")).as("size_bytes"))
+  }
+
   /** Iceberg `snapshots` metadata table: snapshot id, its manifest
     * count, and data/delete file counts — one metadata read per
     * snapshot, no data IO.

@@ -1469,12 +1469,61 @@ object Sources {
       IcebergLite.snapshot(s, t)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
-          moneySum(col("o_totalprice")).as("total_price"))
+          moneySum(dec2(col("o_totalprice"))).as("total_price"))
         .orderBy(col("o_orderstatus"))
     }, Some(s"""
       SELECT o_orderstatus, COUNT(*) AS n_orders,
-             ${sMoneySum("o_totalprice")} AS total_price
+             ${sMoneySum(sDec2("o_totalprice"))} AS total_price
       FROM orders WHERE o_orderkey <= 4000
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---------------------------------------------------------------- s49
+    // Iceberg `partitions` METADATA TABLE: per-partition file/record/
+    // byte totals aggregated from manifest stats alone — zero data IO
+    // at any table size. This is the maintenance planner's first
+    // query (which partitions are fragmented → compact; which
+    // dominate bytes). Record counts are deterministic (= the data),
+    // so the oracle checks them; file/byte columns exist but depend
+    // on write parallelism and stay out of the gate projection.
+    GQuery("s49_iceberg_partitions_meta", (s, d) => {
+      val t = s"${scratch("s49")}/orders_ice_parts"
+      val o = T.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      IcebergLite.create(s, t, o, partitionColumns = Seq("o_orderstatus"))
+      IcebergLite.partitionsMeta(s, t)
+        .select(col("partition"), col("record_count"))
+        .orderBy(col("partition"))
+    }, Some("""
+      SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+             COUNT(*) AS record_count
+      FROM orders GROUP BY o_orderstatus ORDER BY partition""")),
+
+    // ---------------------------------------------------------------- s50
+    // PARTIAL compaction (OPTIMIZE WHERE): six small-file appends land
+    // as debris next to the bulk create; compactWhere rewrites only
+    // files under the 64 KB threshold into one packed file — the
+    // nightly-maintenance shape where a 100 TB table's OPTIMIZE
+    // touches the day's debris, never the compacted history
+    // (DeltaLiteSpec asserts the big file survives by identity).
+    // Content is invariant under compaction; the oracle checks it.
+    GQuery("s50_delta_partial_compact", (s, d) => {
+      val t = s"${scratch("s50")}/orders_partial"
+      val o = T.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, t, o.filter(col("o_orderkey") > 3000))
+      (0 to 5).foreach(i => DeltaLite.append(s, t,
+        o.filter(col("o_orderkey") <= 3000 &&
+          pmod(col("o_orderkey"), lit(6)) === i).coalesce(1)))
+      DeltaLite.compactWhere(s, t, targetFiles = 1,
+        maxFileBytes = 64 * 1024)
+      DeltaLite.snapshot(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(dec2(col("o_totalprice"))).as("total_price"))
+        .orderBy(col("o_orderstatus"))
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             ${sMoneySum(sDec2("o_totalprice"))} AS total_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

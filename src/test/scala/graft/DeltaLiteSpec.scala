@@ -854,6 +854,43 @@ class DeltaLiteSpec extends SparkSpec {
         s"$filesBefore -> $filesAfter")
   }
 
+  test("compactWhere rewrites only sub-threshold files (the big file " +
+      "survives by identity), respects a partition predicate, " +
+      "no-ops below two victims, and leaves content unchanged") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    DeltaLite.create(spark, t, c.filter(col("c_custkey") > 50).coalesce(1))
+    (0 to 3).foreach(i => DeltaLite.append(spark, t,
+      c.filter(col("c_custkey") <= 50 && pmod(col("c_custkey"), lit(4)) === i)
+        .coalesce(1)))
+    val sizes = DeltaLite.liveFiles(spark, t)
+      .map(f => f -> new java.io.File(t, f).length()).toMap
+    val bigFile = sizes.maxBy(_._2)._1
+    // Threshold = the big file's size: strictly-smaller debris only.
+    assert(DeltaLite.compactWhere(spark, t, 1, sizes(bigFile)) == 4)
+    val after = DeltaLite.liveFiles(spark, t)
+    assert(after.contains(bigFile), "the big file must survive untouched")
+    assert(after.size == 2, s"4 debris files must pack into 1: $after")
+    assert(DeltaLite.snapshot(spark, t).orderBy(col("c_custkey"))
+      .collect().toSeq == c.orderBy(col("c_custkey")).collect().toSeq)
+    // Re-running is a no-op: one small file is already packed.
+    assert(DeltaLite.compactWhere(spark, t, 1, sizes(bigFile)) == 0)
+    assert(DeltaLite.latestVersion(spark, t) == 5L) // no empty commit
+    // Partition predicate confines the rewrite to matching partitions.
+    val t2 = freshTable()
+    DeltaLite.create(spark, t2,
+      c.filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .repartition(4), Seq("c_mktsegment"))
+    val beforeB = DeltaLite.liveFiles(spark, t2)
+      .filter(_.contains("c_mktsegment=MACHINERY")).toSet
+    val n2 = DeltaLite.compactWhere(spark, t2, 1, Long.MaxValue,
+      col("c_mktsegment") === "BUILDING")
+    assert(n2 >= 2, s"expected BUILDING files rewritten, got $n2")
+    assert(DeltaLite.liveFiles(spark, t2)
+      .filter(_.contains("c_mktsegment=MACHINERY")).toSet == beforeB,
+      "MACHINERY partition must be untouched")
+  }
+
   private object pq {
     def read_schema_names(path: String): Seq[String] = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
