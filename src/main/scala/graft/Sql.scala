@@ -33,17 +33,38 @@ object Sql {
     * re-points the views at the new lake.
     */
   def open(spark: SparkSession, dir: String): Unit = {
-    if (openedDirs.put(spark, dir) != dir) {
+    if (openedDirs.get(spark) != dir) {
       GraftExtensions.installInto(spark)
+      var failed: List[(String, Throwable)] = Nil
       TableNames.foreach { t =>
         // Register whatever the lake dir actually has; a partial lake
-        // still gets a working session for its present tables.
-        if (new java.io.File(s"$dir/$t.parquet").exists()) t match {
-          case "events" =>
-            Tables.events(spark, dir).createOrReplaceTempView("events")
-          case _ => Tables(spark, dir, t).createOrReplaceTempView(t)
-        }
+        // still gets a working session for its present tables. One bad
+        // table must not take out the rest of the lake — collect its
+        // error and keep registering (failure-atomic open: the dir is
+        // only recorded as opened when every present table registered,
+        // so a later retry after the bad table is fixed re-runs all).
+        if (new java.io.File(s"$dir/$t.parquet").exists())
+          try t match {
+            case "events" =>
+              Tables.events(spark, dir).createOrReplaceTempView("events")
+            case _ => Tables(spark, dir, t).createOrReplaceTempView(t)
+          } catch { case scala.util.control.NonFatal(e) =>
+            // Drop any stale same-named view from a previously-opened
+            // dir: failing loud (TABLE_OR_VIEW_NOT_FOUND) beats silently
+            // serving another lake's data under this lake's name.
+            spark.catalog.dropTempView(t)
+            failed ::= (t, e)
+          }
       }
+      if (failed.isEmpty) openedDirs.put(spark, dir)
+      else
+        // Leave the dir unrecorded so the next open() retries the bad
+        // table(s); queries on them fail at name resolution with
+        // TABLE_OR_VIEW_NOT_FOUND, every other query keeps working.
+        System.err.println(
+          s"graft.Sql.open($dir): failed to register " +
+          s"${failed.map(_._1).mkString(", ")} — first cause: " +
+          s"${failed.head._2.getMessage}")
     }
   }
 

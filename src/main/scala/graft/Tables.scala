@@ -29,18 +29,33 @@ object Tables {
     */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    * natively (max precision: micros). Read nanos as long and truncate
-    * to micros — exactly what DuckDB's read of the same file yields, so
-    * oracle comparisons stay bit-identical. Setting the session conf
-    * here is unavoidable (see [[NanosAsLong]]); it is additive-only and
-    * idempotent, and production sessions should set it at build time.
+  /** `events.ts` has shipped in two parquet physical types across
+    * testdata generations: TIMESTAMP(MICROS) (current — Spark reads it
+    * natively) and TIMESTAMP(NANOS) (legacy — Spark's max precision is
+    * micros, so it only surfaces via [[NanosAsLong]] as a long which we
+    * truncate to micros, matching DuckDB's read of the same file).
+    * Branch on the *scanned* dtype so both generations read correctly.
+    * Setting the session conf is unavoidable for the legacy path (see
+    * [[NanosAsLong]]); it is additive-only and idempotent.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set(NanosAsLong, "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) scans as NTZ.
+        // Cast to the session-tz type: the engine runs UTC (GraftSession),
+        // so the micros value is preserved bit-for-bit and every
+        // downstream consumer (watermarks, day() partition transforms,
+        // timestamp arithmetic) sees the same TimestampType the legacy
+        // nanos path produced — and DuckDB's naive read of the same file.
+        df.withColumn("ts",
+          df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already session-tz TIMESTAMP — use as scanned
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

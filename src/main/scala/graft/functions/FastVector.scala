@@ -111,6 +111,35 @@ object FastVector {
       copy(child = c)
   }
 
+  /** Fused audio window features over a byte slice of a binary column:
+    * struct(sum_bytes, energy_scaled, zero_crossings) in one O(n) pass
+    * (see [[FastVectorRuntime.audioFeatures]]). Replaces the m10 plan's
+    * per-character `transform(sequence(1,n), i -> ascii(substring(w,i,1)))`
+    * which was O(n²) per window — `substring` walks the UTF8String from
+    * the start on every call.
+    */
+  case class AudioFeatures(first: Expression, second: Expression,
+      third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[Glue.AbstractType] =
+      Seq(BinaryType, LongType, IntegerType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("sum_bytes", LongType, nullable = false),
+      StructField("energy_scaled", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    override def prettyName: String = "graft_audio_features"
+    override protected def nullSafeEval(p: Any, o: Any, l: Any): Any =
+      FastVectorRuntime.audioFeatures(p.asInstanceOf[Array[Byte]],
+        o.asInstanceOf[Long], l.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        (p, o, l) => s"${ev.value} = $RT.audioFeatures($p, $o, $l);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): AudioFeatures =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Elementwise sum of array<double> vectors as ONE typed aggregate —
     * the centroid/mean building block. The alternative plan shape
     * (posexplode to (id, dim, x) → groupBy(id, dim) → collect_list →
@@ -195,4 +224,7 @@ object FastVector {
     Glue.column(VectorSum(Glue.expression(vec)).toAggregateExpression())
   def bytePool(payload: Column, cells: Int): Column =
     Glue.column(BytePool(Glue.expression(payload), cells))
+  def audioFeatures(payload: Column, off: Column, len: Column): Column =
+    Glue.column(AudioFeatures(Glue.expression(payload),
+      Glue.expression(off), Glue.expression(len)))
 }

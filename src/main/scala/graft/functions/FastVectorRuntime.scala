@@ -68,6 +68,39 @@ object FastVectorRuntime {
     new GenericArrayData(out)
   }
 
+  /** Fused per-window audio features over a byte slice: sample sum,
+    * DC-removed scaled energy (Σ(n·sᵢ − Σs)²) and zero-crossing count
+    * of the mean-removed signal — one O(n) pass over the bytes (plus
+    * the O(n) sum pre-pass the energy definition requires), replacing
+    * the O(n²) per-character `substring` loop it supersedes
+    * (m10_audio_features was 13.4 s at sf0.1; see
+    * [[graft.operators.Multimodal]]). Slice bounds are clamped to the
+    * payload so a short final window can never read past the buffer.
+    * All math is integer; worst case |cent| ≤ 255·n and Σcent² ≤
+    * 255²·n³ ≈ 2⁵⁶/1e3 at n=960 — well inside Long.
+    */
+  def audioFeatures(payload: Array[Byte], off: Long, len: Int):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val start = math.max(0L, math.min(off, payload.length.toLong)).toInt
+    val n = math.max(0, math.min(len, payload.length - start))
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (payload(start + i) & 0xff).toLong; i += 1 }
+    var energy = 0L
+    var zc = 0L
+    var prev = 0L
+    i = 0
+    while (i < n) {
+      val cent = (payload(start + i) & 0xff).toLong * n - sum
+      energy += cent * cent
+      if (i > 0 && prev * cent < 0) zc += 1
+      prev = cent
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sum, energy, zc))
+  }
+
   def normalize(input: ArrayData, fromFloat: Boolean): ArrayData = {
     val v = if (fromFloat) {
       val f = input.toFloatArray()

@@ -30,22 +30,34 @@ import graft.util.Scratch
   */
 object Streaming {
 
-  /** Events as a bounded stream: same file, same nanos→micros
-    * truncation as the batch reader (Tables.events), so streaming and
-    * batch answers are comparable bit-for-bit.
+  /** Events as a bounded stream: same file, same dtype handling as the
+    * batch reader (Tables.events — legacy nanos files truncate to
+    * micros, current micros files cast NTZ→session-tz), so streaming
+    * and batch answers are comparable bit-for-bit. The batch scan's
+    * post-conversion dtype decides which path the stream takes.
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val schema = T.events(s, d).schema // micros ts, post-truncation
+    val batch = T.events(s, d) // dtype-normalized reference schema
+    val rawType = T(s, d, "events").schema("ts").dataType
     // File-stream sources list a directory; select just the events file
     // via glob (at production scale this is the events/ lake prefix).
-    val raw = s.readStream
-      .schema(schema.copy(fields = schema.fields.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f)))
-      .option(T.NanosAsLong, "true") // per-read, not session-mutating
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def stream(tsType: org.apache.spark.sql.types.DataType): DataFrame =
+      s.readStream
+        .schema(batch.schema.copy(fields = batch.schema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = tsType) else f)))
+        .option(T.NanosAsLong, "true") // per-read, not session-mutating
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+    rawType match {
+      case org.apache.spark.sql.types.LongType => // legacy TIMESTAMP(NANOS)
+        stream(org.apache.spark.sql.types.LongType)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream(org.apache.spark.sql.types.TimestampNTZType)
+          .withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream(org.apache.spark.sql.types.TimestampType)
+    }
   }
 
   /** Run a streaming transform to completion on a memory sink and hand
