@@ -92,6 +92,42 @@ object LakeSql {
         throw new IllegalArgumentException(s"table $name not in catalog")
     }
 
+  /** Snapshot of a cataloged table as of a WALL-CLOCK instant
+    * (`TIMESTAMP AS OF`): resolves through the format's own commit
+    * stamps — DeltaLite commitInfo.timestamp, IcebergLite
+    * timestamp-ms — to the version/snapshot current at that instant
+    * (latest commit <= the instant, the rule both real formats use).
+    */
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: cast to
+    * TIMESTAMP under the session zone (exactly what Spark's own
+    * TimeTravelSpec does) and eval — the grammar guarantees a foldable
+    * scalar (a literal or literal arithmetic).
+    */
+  private def evalTimestampMillis(s: SparkSession,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.TimestampType,
+      Some(s.sessionState.conf.sessionLocalTimeZone))
+    require(e.resolved && cast.foldable,
+      s"TIMESTAMP AS OF expression must be a foldable scalar: ${e.sql}")
+    val micros = cast.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(micros != null,
+      s"TIMESTAMP AS OF expression evaluated to NULL: ${e.sql}")
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+  }
+
+  def tableAsOf(s: SparkSession, name: String, tsMillis: Long): DataFrame =
+    catalog(s).get(name) match {
+      case Some(("deltalite", p)) =>
+        DeltaLite.snapshot(s, p, DeltaLite.versionAt(s, p, tsMillis))
+      case Some(("iceberglite", p)) =>
+        IcebergLite.snapshot(s, p, IcebergLite.snapshotIdAt(s, p, tsMillis))
+      case Some((other, _)) =>
+        throw new IllegalStateException(s"unknown provider $other")
+      case None =>
+        throw new IllegalArgumentException(s"table $name not in catalog")
+    }
+
   /** Snapshot of a cataloged table as of a NAMED REF (`VERSION AS OF
     * 'branch-or-tag'`) — IcebergLite refs only; DeltaLite has no named
     * refs in the protocol.
@@ -203,18 +239,27 @@ object LakeSql {
         val bound = plan.transformUpWithSubqueries {
           case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
               if catalog(s).contains(r.multipartIdentifier.last) =>
-            require(ts.isEmpty, "TIMESTAMP AS OF is not supported " +
-              "(graft commits are not wall-clock stamped); use VERSION AS OF")
-            val raw = ver.getOrElse(throw new IllegalArgumentException(
-              "VERSION AS OF <n | 'ref'> required"))
-            // Numeric → log version / snapshot id; anything else → a
-            // named ref (Iceberg branch or tag), the Spark+Iceberg
-            // `VERSION AS OF 'branch'` form.
-            val df = scala.util.Try(raw.toLong) match {
-              case scala.util.Success(v) =>
-                tableAt(s, r.multipartIdentifier.last, v)
-              case scala.util.Failure(_) =>
-                tableAtRef(s, r.multipartIdentifier.last, raw)
+            val df = ts match {
+              case Some(tsExpr) =>
+                // `TIMESTAMP AS OF <expr>`: evaluate the (foldable)
+                // expression under the session zone — Spark's own
+                // grammar already restricts it to a timestamp-coercible
+                // scalar — then resolve through the format's commit
+                // stamps.
+                tableAsOf(s, r.multipartIdentifier.last,
+                  evalTimestampMillis(s, tsExpr))
+              case None =>
+                val raw = ver.getOrElse(throw new IllegalArgumentException(
+                  "VERSION AS OF <n | 'ref'> or TIMESTAMP AS OF <ts> required"))
+                // Numeric → log version / snapshot id; anything else → a
+                // named ref (Iceberg branch or tag), the Spark+Iceberg
+                // `VERSION AS OF 'branch'` form.
+                scala.util.Try(raw.toLong) match {
+                  case scala.util.Success(v) =>
+                    tableAt(s, r.multipartIdentifier.last, v)
+                  case scala.util.Failure(_) =>
+                    tableAtRef(s, r.multipartIdentifier.last, raw)
+                }
             }
             df.queryExecution.analyzed
           case r: UnresolvedRelation

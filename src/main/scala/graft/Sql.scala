@@ -301,6 +301,64 @@ object Sql {
           FROM orders WHERE o_orderpriority <> '1-URGENT')
         ORDER BY at, o_orderkey""")),
 
+      // -------------------------------------------------------------- x44
+      // SQL time travel by WALL-CLOCK: `TIMESTAMP AS OF` parsed by
+      // Spark's own grammar, resolved through the formats' OWN commit
+      // stamps (Delta commitInfo.timestamp, Iceberg snapshot
+      // timestamp-ms) to the latest commit <= the instant — "query the
+      // table as of yesterday", the first time-travel query every lake
+      // user writes. BOTH providers in one statement: an instant
+      // captured between CREATE and INSERT must see only the CREATE
+      // rows on each, while the bare name reads the present.
+      GQuery("x44_sql_timestamp_travel", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val ice = s"ord_tts_i_$tag"
+        val dl = s"ord_tts_d_$tag"
+        val loc = graft.util.Scratch.dir("x44")
+        LakeSql.sql(s, s"""CREATE TABLE $ice USING iceberglite
+          LOCATION '$loc/$ice'
+          AS SELECT * FROM orders WHERE o_orderstatus = 'F'""")
+        LakeSql.sql(s, s"""CREATE TABLE $dl USING deltalite
+          LOCATION '$loc/$dl'
+          AS SELECT * FROM orders WHERE o_orderstatus = 'F'""")
+        val t0 = System.currentTimeMillis()
+        Thread.sleep(5) // stamps are millis; keep t0 strictly before the inserts
+        LakeSql.sql(s,
+          s"INSERT INTO $ice SELECT * FROM orders WHERE o_orderstatus <> 'F'")
+        LakeSql.sql(s,
+          s"INSERT INTO $dl SELECT * FROM orders WHERE o_orderstatus <> 'F'")
+        val tsLit = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(t0))
+        val out = LakeSql.sql(s, s"""
+          SELECT * FROM (
+            SELECT 'ice_v0' AS at, o_orderkey, o_orderstatus, o_totalprice
+            FROM $ice TIMESTAMP AS OF '$tsLit'
+            UNION ALL
+            SELECT 'dl_v0' AS at, o_orderkey, o_orderstatus, o_totalprice
+            FROM $dl TIMESTAMP AS OF '$tsLit'
+            UNION ALL
+            SELECT 'now' AS at, o_orderkey, o_orderstatus, o_totalprice
+            FROM $ice)
+          ORDER BY at, o_orderkey""")
+        LakeSql.sql(s, s"DROP TABLE $ice")
+        LakeSql.sql(s, s"DROP TABLE $dl")
+        out
+      }, Some("""
+        SELECT * FROM (
+          SELECT 'ice_v0' AS at, o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT 'dl_v0' AS at, o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL
+          SELECT 'now' AS at, o_orderkey, o_orderstatus, o_totalprice
+          FROM orders)
+        ORDER BY at, o_orderkey""")),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS

@@ -120,6 +120,41 @@ object DeltaLite {
       "num_removed_files")
   }
 
+  /** Resolve a wall-clock instant to the log version current AT that
+    * instant: the LATEST version whose commitInfo.timestamp is <= the
+    * target — Delta's `TIMESTAMP AS OF` rule. Commits written before
+    * timestamps existed carry 0 and so match any modern instant.
+    * Throws if the instant predates the first commit (same behavior as
+    * Delta: there is no table state to read there). Driver-side
+    * metadata read only — O(log size), no data files touched.
+    */
+  def versionAt(s: SparkSession, table: String, tsMillis: Long): Long = {
+    val ld = logDir(table)
+    val f = fs(s, ld)
+    require(f.exists(ld), s"no delta table at $table")
+    val versions = f.listStatus(ld).map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith(".json") &&
+            n.stripSuffix(".json").forall(_.isDigit) =>
+          n.stripSuffix(".json").toLong
+      }.sorted.toSeq
+    val stamped = versions.map { v =>
+      var ts = 0L
+      readCommit(f, commitPath(table, v)).split('\n')
+        .filter(_.nonEmpty).foreach { line =>
+          val n = Json.readTree(line)
+          if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
+            ts = n.get("commitInfo").get("timestamp").asLong(0L)
+        }
+      (v, ts)
+    }
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"no commit at or before timestamp $tsMillis in $table " +
+        s"(earliest is ${stamped.headOption.map(_._2).getOrElse(-1L)})")
+    at.map(_._1).max
+  }
+
   /** One live data file: relative path, its partition values (None =
     * null partition), its stats JSON when collected, the relative
     * path of its deletion-vector sidecar when rows have been soft-
@@ -1003,7 +1038,10 @@ object DeltaLite {
       val n = Json.createObjectNode()
       val ci = n.putObject("commitInfo")
       ci.put("operation", operation)
-      ci.put("timestamp", 0L)
+      // Wall-clock commit time — what `TIMESTAMP AS OF` resolves
+      // against (the Delta protocol's commitInfo.timestamp). Table
+      // CONTENT stays deterministic; only this metadata field varies.
+      ci.put("timestamp", System.currentTimeMillis())
       Json.writeValueAsString(n)
     }
     val bytes = ((info +: actions).mkString("\n") + "\n").getBytes("UTF-8")

@@ -214,7 +214,13 @@ object IcebergLite {
       // Snapshot lineage (spec `parent-snapshot-id`): child → parent,
       // 0 = root. Lets incremental reads walk a BRANCH's ancestry
       // instead of assuming id order (wrong once branches/WAP exist).
-      parents: Map[Long, Long] = Map.empty) {
+      parents: Map[Long, Long] = Map.empty,
+      // Commit wall-clock per snapshot (spec `timestamp-ms`) — what
+      // `TIMESTAMP AS OF` resolves against. Snapshots from before
+      // stamping existed read back as 0 (match any modern instant);
+      // snapshots with no entry yet (just committed) are stamped at
+      // metadata-write time.
+      snapshotTs: Map[Long, Long] = Map.empty) {
     def partCols: Seq[PartitionField] = colsOfSpec(defaultSpecId)
     def partColNames: Seq[String] = partCols.map(_.name)
     def colsOfSpec(specId: Int): Seq[PartitionField] =
@@ -317,8 +323,12 @@ object IcebergLite {
         sn.get("parent-snapshot-id").asLong()
       else linear(id))
     }.toMap
+    val snapTs = snapNodes.map(sn =>
+      sn.get("snapshot-id").asLong() ->
+        (if (sn.has("timestamp-ms")) sn.get("timestamp-ms").asLong(0L)
+         else 0L)).toMap
     Meta(schemas, curId, specs, defSpec, curSnap, snaps,
-      orders, defOrder, refs, parents)
+      orders, defOrder, refs, parents, snapTs)
   }
 
   // --------------------------------------------------------- manifests
@@ -539,7 +549,10 @@ object IcebergLite {
     meta.snapshots.foreach { case (id, rel) =>
       val o = snaps.addObject()
       o.put("snapshot-id", id)
-      o.put("timestamp-ms", 0L)
+      // Preserve an existing stamp; a snapshot first appearing in this
+      // metadata write gets the current wall-clock (its commit time).
+      o.put("timestamp-ms",
+        meta.snapshotTs.getOrElse(id, System.currentTimeMillis()))
       // Root snapshots omit the field, per the spec.
       meta.parents.get(id).filter(_ > 0L)
         .foreach(p => o.put("parent-snapshot-id", p))
@@ -1788,6 +1801,29 @@ object IcebergLite {
     * size. Pre-lineage metadata (no parents map) falls back to
     * id-order ancestry.
     */
+  /** Resolve a wall-clock instant to the snapshot current AT that
+    * instant on the MAIN lineage: the ancestor of the current snapshot
+    * with the largest `timestamp-ms` <= the target (ties break to the
+    * larger id — the later commit within the same millisecond). The
+    * Iceberg `TIMESTAMP AS OF` rule. Pre-stamping snapshots read as 0
+    * and so match any modern instant. Throws if the instant predates
+    * the table. Metadata read only.
+    */
+  def snapshotIdAt(s: SparkSession, table: String, tsMillis: Long): Long = {
+    val meta = readMeta(s, table)
+    val lineage: Set[Long] =
+      if (meta.parents.contains(meta.currentSnapshot))
+        Iterator.iterate(meta.currentSnapshot)(meta.parents.getOrElse(_, 0L))
+          .takeWhile(_ != 0L).toSet
+      else meta.snapshots.map(_._1).toSet
+    val at = meta.snapshots.map(_._1)
+      .filter(id => lineage.contains(id) &&
+        meta.snapshotTs.getOrElse(id, 0L) <= tsMillis)
+    require(at.nonEmpty,
+      s"no snapshot at or before timestamp $tsMillis in $table")
+    at.maxBy(id => (meta.snapshotTs.getOrElse(id, 0L), id))
+  }
+
   def rollbackTo(s: SparkSession, table: String,
       snapshotId: Long): Unit = {
     val meta = readMeta(s, table)

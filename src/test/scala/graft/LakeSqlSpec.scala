@@ -90,16 +90,23 @@ class LakeSqlSpec extends SparkSpec {
   }
 
   test("SQL time travel: VERSION AS OF binds a versioned snapshot on " +
-      "both providers; TIMESTAMP AS OF is rejected") {
+      "both providers; TIMESTAMP AS OF resolves commit stamps and " +
+      "rejects pre-table instants") {
     import graft.sources.IcebergLite
     Sql.open(spark, sfDir)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val root = graft.util.Scratch.dir("lakesqltt")
     val c = Tables.customer(spark, sfDir)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
 
     val dn = s"tt_delta_$tag"
     LakeSql.sql(spark, s"""CREATE TABLE $dn USING deltalite
       LOCATION '$root/$dn' AS SELECT * FROM customer WHERE c_custkey <= 50""")
+    val mid = fmt.format(java.time.Instant.ofEpochMilli(
+      System.currentTimeMillis()))
+    Thread.sleep(5) // millisecond stamps: keep `mid` strictly pre-DELETE
     LakeSql.sql(spark, s"DELETE FROM $dn WHERE c_custkey <= 20")
     assert(LakeSql.sql(spark,
         s"SELECT COUNT(*) AS n FROM $dn VERSION AS OF 0").head().getLong(0) ==
@@ -111,6 +118,13 @@ class LakeSqlSpec extends SparkSpec {
     assert(both.getLong(0) == c.filter(col("c_custkey") <= 50).count())
     assert(both.getLong(1) ==
       c.filter(col("c_custkey") > 20 && col("c_custkey") <= 50).count())
+    // TIMESTAMP AS OF an instant between CREATE and DELETE → the
+    // pre-DELETE state, resolved through commitInfo.timestamp.
+    assert(LakeSql.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $dn TIMESTAMP AS OF '$mid'")
+        .head().getLong(0) ==
+      c.filter(col("c_custkey") <= 50).count())
+    // An instant that predates the table has no state to read.
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark,
         s"SELECT * FROM $dn TIMESTAMP AS OF '2024-01-01'").collect()
@@ -119,12 +133,24 @@ class LakeSqlSpec extends SparkSpec {
     val in = s"tt_ice_$tag"
     LakeSql.sql(spark, s"""CREATE TABLE $in USING iceberglite
       LOCATION '$root/$in' AS SELECT * FROM customer WHERE c_custkey <= 50""")
+    val iceMid = fmt.format(java.time.Instant.ofEpochMilli(
+      System.currentTimeMillis()))
+    Thread.sleep(5)
     LakeSql.sql(spark, s"DELETE FROM $in WHERE c_custkey <= 20")
     val firstSnap = IcebergLite.snapshots(spark, s"$root/$in").head
     assert(LakeSql.sql(spark,
         s"SELECT COUNT(*) AS n FROM $in VERSION AS OF $firstSnap")
         .head().getLong(0) ==
       c.filter(col("c_custkey") <= 50).count())
+    // Same wall-clock rule on the Iceberg provider (timestamp-ms).
+    assert(LakeSql.sql(spark,
+        s"SELECT COUNT(*) AS n FROM $in TIMESTAMP AS OF '$iceMid'")
+        .head().getLong(0) ==
+      c.filter(col("c_custkey") <= 50).count())
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        s"SELECT * FROM $in TIMESTAMP AS OF '2024-01-01'").collect()
+    }
   }
 
   test("ALTER TABLE: ADD COLUMNS is metadata-only on both providers; " +
