@@ -669,15 +669,63 @@ object Similarity {
 
     // ---------------------------------------------------------------- a08
     // MMR diversified rerank over the a07 query's candidate pool.
-    // Approximation-free but inherently sequential → rows-only check;
-    // RetrievalSessionSpec asserts the top-1-first, determinism, and
-    // diversity-vs-plain-top-k invariants.
+    // Approximation-free and deterministic (fixed λ, fixed k, smallest-
+    // id tie-breaks), so the greedy IS oracle-able: k = 10 fixed steps
+    // unroll to 10 chained MATERIALIZED CTEs in DuckDB (see
+    // [[mmrOracleSql]]) — each step an argmax over the remaining pool.
+    // RetrievalSessionSpec additionally asserts the top-1-first,
+    // determinism, and diversity-vs-plain-top-k invariants.
     GQuery("a08_mmr_rerank", (s, d) => {
       val corpus = prepared(T.embeddings(s, d), "vec_id", "embedding")
       val q0 = corpus.filter(col("vec_id") === 0)
         .select(col("nv").as("q_nv"))
       mmrRerank(corpus.filter(col("vec_id") =!= 0), q0,
         k = 10, poolSize = 50, lambda = 0.7)
-    }, None)
+    }, Some(mmrOracleSql(k = 10, poolSize = 50)))
   )
+
+  /** DuckDB oracle for [[mmrRerank]] with fixed parameters: the greedy
+    * loop unrolled into one MATERIALIZED CTE per step (plain inlined
+    * CTEs re-evaluate the chain exponentially). Float-parity notes:
+    * `list_cosine_similarity(raw, raw)` equals dot(normalize, normalize);
+    * the (1 − λ) diversity weight is WRITTEN as `(1 - 0.7)` so DuckDB
+    * computes the same non-exact double (0.30000000000000004) the
+    * Scala `1 - lambda` produces; decisions rank on unrounded values
+    * and only the output rounds (the a01 convention).
+    */
+  private def mmrOracleSql(k: Int, poolSize: Int,
+      lambda: String = "0.7"): String = {
+    def maxSim(i: Int): String = {
+      val subs = (1 until i).map(j =>
+        s"(SELECT list_cosine_similarity(p.e, s$j.e) FROM s$j)")
+      if (subs.size == 1) subs.head
+      else subs.mkString("GREATEST(", ", ", ")")
+    }
+    val steps = (2 to k).map { i =>
+      s"""s$i AS MATERIALIZED (
+        SELECT p.id, p.e, p.rel,
+               $lambda * p.rel - (1 - $lambda) * ${maxSim(i)} AS score
+        FROM pool p
+        WHERE p.id NOT IN (${(1 until i)
+          .map(j => s"(SELECT id FROM s$j)").mkString(", ")})
+        ORDER BY score DESC, p.id LIMIT 1)"""
+    }.mkString(",\n")
+    val sel = (1 to k).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS rank, id AS doc_id,
+            ROUND(CAST(rel AS DOUBLE), 4) AS rel,
+            ROUND(CAST(score AS DOUBLE), 4) AS mmr_score FROM s$i""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pool AS MATERIALIZED (
+      SELECT c.vec_id AS id, c.embedding AS e,
+             list_cosine_similarity(c.embedding,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS rel
+      FROM embeddings c WHERE c.vec_id <> 0
+      ORDER BY rel DESC, c.vec_id LIMIT $poolSize),
+    s1 AS MATERIALIZED (
+      SELECT id, e, rel, rel AS score FROM pool
+      ORDER BY score DESC, id LIMIT 1),
+    $steps
+    $sel
+    ORDER BY rank"""
+  }
 }

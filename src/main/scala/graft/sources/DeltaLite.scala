@@ -1219,6 +1219,14 @@ object DeltaLite {
       st.partCols.contains(n) &&
         g.toLowerCase.contains(srcCol.toLowerCase)
     }
+    // Driver-side IN-set cap: the spine is day-granular so the set is
+    // bounded by the range's day count, but a decade-wide range over an
+    // identity-ish generation expression would still build a
+    // thousands-long IN predicate and a matching driver collect. Past
+    // the cap, skip that column's IN-set — pruning gets less selective,
+    // never wrong (the exact source predicate still applies row-level),
+    // and the driver never holds more than cap+1 values.
+    val cap = 1000
     val partPred = gens.flatMap { case (n, g, dt) =>
       // An expression referencing columns beyond srcCol cannot be
       // enumerated from the date spine — skip it (no pruning from that
@@ -1228,8 +1236,12 @@ object DeltaLite {
           .select(explode(sequence(lit(loInclusive).cast(DateType),
             lit(hiExclusive).cast(DateType),
             expr("interval 1 day"))).as(srcCol))
-          .select(expr(g).cast(dt).as("v")).distinct().collect()
+          .select(expr(g).cast(dt).as("v")).distinct()
+          .limit(cap + 1).collect()
           .map(_.get(0)).toSeq
+        require(vals.size <= cap,
+          s"generated-column domain for $n exceeds $cap values; " +
+            "skipping IN-set pruning")
         col(n).isin(vals: _*)
       }.toOption
     }.foldLeft(col(srcCol) >= lo && col(srcCol) < hi)(_ && _)

@@ -454,6 +454,31 @@ class DeltaLiteSpec extends SparkSpec {
     assert(DeltaLite.snapshot(spark, t).columns.contains("okey"))
   }
 
+  test("generated-column range scan caps the driver-side IN-set: a " +
+      "high-cardinality (day-identity) generation expression over a " +
+      "multi-year range skips IN-set pruning but stays correct") {
+    val t = s"${graft.util.Scratch.dir("deltagencap")}/t"
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    // Day-granular generation: every day in the queried range is its
+    // own value, so a 4+-year window exceeds the 1000-value cap.
+    DeltaLite.createWithGenerated(spark, t, o,
+      generated = Seq("o_day" -> "cast(o_orderdate as date)"))
+    val pruned = DeltaLite.scanGenerated(spark, t, "o_orderdate",
+      "1992-01-01", "1998-01-01")
+    val expected = DeltaLite.snapshot(spark, t)
+      .filter(col("o_orderdate") >= lit("1992-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    assert(pruned.count() == expected.count())
+    // A narrow range stays under the cap and still gets the IN-set.
+    val narrow = DeltaLite.scanGenerated(spark, t, "o_orderdate",
+      "1996-03-01", "1996-06-01")
+    val expectedNarrow = DeltaLite.snapshot(spark, t)
+      .filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+    assert(narrow.count() == expectedNarrow.count())
+  }
+
   test("identity columns: unique monotone ids across appends, high " +
       "water advances with the commit, ALWAYS refuses provided values") {
     val t = s"${graft.util.Scratch.dir("deltaid")}/t"
