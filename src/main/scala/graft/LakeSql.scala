@@ -51,28 +51,128 @@ object LakeSql {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, (String, String)]]())
 
+  /** Conf key naming a DURABLE catalog directory (a lake path). When
+    * set, every register/drop appends a numbered op file under
+    * `<dir>/ops/`, and a session replays the op log at its first
+    * catalog access — so DDL survives a session restart and a second
+    * session sees the first one's tables (the persistent-catalog half
+    * of the reference's Parser → Binder → catalog entry path,
+    * reference:duckdb:24-38). Op numbers are claimed by
+    * exclusive-create, the same single-winner rule the lake formats
+    * use for commits; entries are (name, provider, path) for lake
+    * tables and (name, "view", sql-text) for views.
+    */
+  val CatalogDirKey = "spark.graft.catalog.dir"
+
+  private val Json = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def catalogDir(s: SparkSession): Option[String] =
+    s.conf.getOption(CatalogDirKey).filter(_.nonEmpty)
+
+  private def opsDir(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "ops")
+
+  private def replayOps(s: SparkSession, dir: String,
+      m: scala.collection.concurrent.TrieMap[String, (String, String)]):
+      Unit = {
+    val p = opsDir(dir)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (f.exists(p)) {
+      f.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        .foreach { fp =>
+          val in = f.open(fp)
+          val n = try Json.readTree(in) finally in.close()
+          n.get("op").asText() match {
+            case "register" => m.put(n.get("name").asText(),
+              (n.get("provider").asText(), n.get("path").asText()))
+            case "drop" => m.remove(n.get("name").asText())
+            case other => throw new IllegalStateException(
+              s"unknown catalog op '$other' in $fp")
+          }
+        }
+    }
+  }
+
+  private def appendOp(s: SparkSession, dir: String, op: String,
+      name: String, provider: String = "", path: String = ""): Unit = {
+    val p = opsDir(dir)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    f.mkdirs(p)
+    val node = Json.createObjectNode()
+    node.put("op", op)
+    node.put("name", name)
+    if (op == "register") { node.put("provider", provider)
+      node.put("path", path) }
+    val bytes = (Json.writeValueAsString(node) + "\n").getBytes("UTF-8")
+    var v = f.listStatus(p).count(_.getPath.getName.endsWith(".json")).toLong
+    var done = false
+    while (!done) {
+      val target = new org.apache.hadoop.fs.Path(p, f"$v%08d.json")
+      try {
+        val out = f.create(target, false) // exclusive: one winner per number
+        try out.write(bytes) finally out.close()
+        done = true
+      } catch {
+        case _: java.io.IOException => v += 1 // lost the claim; next number
+      }
+    }
+  }
+
   private def catalog(s: SparkSession) = catalogs.synchronized {
     var m = catalogs.get(s)
     if (m == null) {
       m = scala.collection.concurrent.TrieMap.empty
+      // First catalog touch in this session: hydrate from the durable
+      // op log when one is configured (session-only otherwise).
+      catalogDir(s).foreach(dir => replayOps(s, dir, m))
       catalogs.put(s, m)
     }
     m
   }
 
-  /** Register `name` → (provider, path) without DDL (API-side entry). */
+  /** Register `name` → (provider, path) without DDL (API-side entry);
+    * write-through to the durable op log when one is configured.
+    */
   def register(s: SparkSession, name: String, provider: String,
       path: String): Unit = {
     require(Set("deltalite", "iceberglite").contains(provider),
       s"unknown provider $provider")
-    catalog(s).put(name, (provider, path))
+    registerEntry(s, name, provider, path)
   }
 
-  /** Current snapshot of a cataloged table. */
+  private def registerEntry(s: SparkSession, name: String,
+      provider: String, path: String): Unit = {
+    catalog(s).put(name, (provider, path))
+    catalogDir(s).foreach(appendOp(s, _, "register", name, provider, path))
+  }
+
+  private def dropEntry(s: SparkSession, name: String): Boolean = {
+    val had = catalog(s).remove(name).isDefined
+    if (had) catalogDir(s).foreach(appendOp(s, _, "drop", name))
+    had
+  }
+
+  // Guards view expansion: a view chain deeper than this is a cycle
+  // (a real catalog stores the dependency graph; a depth cap gives the
+  // same protection without one).
+  private val viewDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Current snapshot of a cataloged table, or the expanded query of a
+    * cataloged VIEW (stored as its SQL text; re-planned on every read,
+    * the classic non-materialized view contract).
+    */
   def table(s: SparkSession, name: String): DataFrame =
     catalog(s).get(name) match {
       case Some(("deltalite", p)) => DeltaLite.snapshot(s, p)
       case Some(("iceberglite", p)) => IcebergLite.snapshot(s, p)
+      case Some(("view", text)) =>
+        require(viewDepth.get() < 16,
+          s"view chain deeper than 16 expanding $name — cycle?")
+        viewDepth.set(viewDepth.get() + 1)
+        try sql(s, text) finally viewDepth.set(viewDepth.get() - 1)
       case Some((other, _)) =>
         throw new IllegalStateException(s"unknown provider $other")
       case None =>
@@ -84,6 +184,8 @@ object LakeSql {
     */
   def tableAt(s: SparkSession, name: String, version: Long): DataFrame =
     catalog(s).get(name) match {
+      case Some(("view", _)) => throw new IllegalArgumentException(
+        s"$name is a view - views do not support time travel")
       case Some(("deltalite", p)) => DeltaLite.snapshot(s, p, version)
       case Some(("iceberglite", p)) => IcebergLite.snapshot(s, p, version)
       case Some((other, _)) =>
@@ -118,6 +220,8 @@ object LakeSql {
 
   def tableAsOf(s: SparkSession, name: String, tsMillis: Long): DataFrame =
     catalog(s).get(name) match {
+      case Some(("view", _)) => throw new IllegalArgumentException(
+        s"$name is a view - views do not support time travel")
       case Some(("deltalite", p)) =>
         DeltaLite.snapshot(s, p, DeltaLite.versionAt(s, p, tsMillis))
       case Some(("iceberglite", p)) =>
@@ -134,6 +238,8 @@ object LakeSql {
     */
   def tableAtRef(s: SparkSession, name: String, ref: String): DataFrame =
     catalog(s).get(name) match {
+      case Some(("view", _)) => throw new IllegalArgumentException(
+        s"$name is a view - views do not support time travel")
       case Some(("iceberglite", p)) => IcebergLite.snapshotByRef(s, p, ref)
       case Some(("deltalite", _)) =>
         throw new IllegalArgumentException(
@@ -195,8 +301,39 @@ object LakeSql {
           case other => throw new IllegalArgumentException(
             s"unsupported DROP target: $other")
         }
-        if (catalog(s).remove(name).isEmpty && !ifExists)
+        if (!dropEntry(s, name) && !ifExists)
           throw new IllegalArgumentException(s"table $name not in catalog")
+        s.emptyDataFrame
+      // CREATE [OR REPLACE] VIEW name AS SELECT … (Spark's grammar):
+      // the view is its SQL TEXT in the catalog — re-planned against
+      // current table state on every read, persisted with the same op
+      // log as tables, expanded by the binder wherever the name
+      // appears.
+      case cv: org.apache.spark.sql.catalyst.plans.logical.CreateView =>
+        val name = cv.child match {
+          case u: UnresolvedIdentifier => u.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"unsupported CREATE VIEW target: $other")
+        }
+        val text = cv.originalText.getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE VIEW $name: no query text"))
+        val exists = catalog(s).contains(name)
+        if (exists && !cv.replace) {
+          if (!cv.allowExisting)
+            throw new IllegalArgumentException(s"view $name already exists")
+        } else registerEntry(s, name, "view", text)
+        s.emptyDataFrame
+      case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>
+        val name = dv.child match {
+          case u: UnresolvedIdentifier => u.nameParts.last
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP VIEW target: $other")
+        }
+        require(catalog(s).get(name).forall(_._1 == "view"),
+          s"$name is a table; use DROP TABLE")
+        if (!dropEntry(s, name) && !dv.ifExists)
+          throw new IllegalArgumentException(s"view $name not in catalog")
         s.emptyDataFrame
       case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
           _: MergeIntoTable =>
@@ -292,6 +429,8 @@ object LakeSql {
         s"unsupported ALTER target: $other")
     }
     catalog(s).get(name) match {
+      case Some(("view", _)) => throw new IllegalArgumentException(
+        s"$name is a view — ALTER targets must be lake tables")
       case Some(pp) => pp
       case None =>
         throw new IllegalArgumentException(s"table $name not in catalog")
@@ -308,6 +447,8 @@ object LakeSql {
     def pathOf(rel: LogicalPlan): String = {
       val n = nameOf(rel)
       tables.getOrElse(n, catalog(s).get(n) match {
+        case Some(("view", _)) => throw new IllegalArgumentException(
+          s"$n is a view — DML targets must be lake tables")
         case Some((_, p)) => p
         case None =>
           throw new IllegalArgumentException(s"unknown lake table $n")

@@ -359,6 +359,43 @@ object Sql {
           FROM orders)
         ORDER BY at, o_orderkey""")),
 
+      // -------------------------------------------------------------- x45
+      // CREATE VIEW / DROP VIEW on the engine catalog: the view is its
+      // SQL text, re-planned on every read (non-materialized
+      // contract), expanded by the binder wherever the name appears —
+      // including composition with a lake table created in the same
+      // session and a view-on-view chain. Oracle = the views manually
+      // inlined over the raw tables.
+      GQuery("x45_sql_create_view", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val t = s"ord_vbase_$tag"
+        val v1 = s"v_urgent_$tag"
+        val v2 = s"v_urgent_top_$tag"
+        val loc = s"${graft.util.Scratch.dir("x45")}/$t"
+        LakeSql.sql(s, s"""CREATE TABLE $t USING deltalite
+          LOCATION '$loc'
+          AS SELECT * FROM orders WHERE o_orderstatus = 'O'""")
+        LakeSql.sql(s, s"""CREATE VIEW $v1 AS
+          SELECT o_orderkey, o_custkey, o_totalprice FROM $t
+          WHERE o_orderpriority = '1-URGENT'""")
+        LakeSql.sql(s, s"""CREATE VIEW $v2 AS
+          SELECT o_orderkey, o_custkey, o_totalprice FROM $v1
+          WHERE o_totalprice > 100000""")
+        val out = LakeSql.sql(s,
+          s"SELECT * FROM $v2 ORDER BY o_orderkey")
+        LakeSql.sql(s, s"DROP VIEW $v2")
+        LakeSql.sql(s, s"DROP VIEW $v1")
+        LakeSql.sql(s, s"DROP TABLE $t")
+        out
+      }, Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+          AND o_totalprice > 100000
+        ORDER BY o_orderkey""")),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Durable catalog (`spark.graft.catalog.dir`) + CREATE VIEW: DDL from
+  * one session is visible in a brand-new session that replays the op
+  * log — the persistent half of the reference's Parser → Binder →
+  * catalog entry path (reference:duckdb:24-38). Uses `newSession()`
+  * (fresh session state, so a fresh LakeSql catalog map) as the
+  * restart stand-in.
+  */
+class CatalogPersistSpec extends SparkSpec {
+
+  test("CREATE TABLE + CREATE VIEW in session 1 are queryable in a new " +
+      "session; DROP is durable too; views expand and refuse DML") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = graft.util.Scratch.dir("catpersist")
+    val name = s"cust_persist_$tag"
+    val view = s"v_building_$tag"
+
+    val s1 = spark.newSession()
+    s1.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"""CREATE TABLE $name USING deltalite
+      LOCATION '$root/$name'
+      AS SELECT * FROM customer WHERE c_custkey <= 200""")
+    LakeSql.sql(s1, s"""CREATE VIEW $view AS
+      SELECT c_custkey, c_acctbal FROM $name
+      WHERE c_mktsegment = 'BUILDING'""")
+    val expectTable = LakeSql.sql(s1, s"SELECT COUNT(*) AS n FROM $name")
+      .head.getLong(0)
+    val expectView = LakeSql.sql(s1, s"SELECT COUNT(*) AS n FROM $view")
+      .head.getLong(0)
+    assert(expectTable > 0 && expectView > 0 && expectView < expectTable)
+
+    // A BRAND-NEW session with the same catalog dir sees both names.
+    val s2 = spark.newSession()
+    s2.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s2, sfDir)
+    assert(LakeSql.sql(s2, s"SELECT COUNT(*) AS n FROM $name")
+      .head.getLong(0) == expectTable)
+    assert(LakeSql.sql(s2, s"SELECT COUNT(*) AS n FROM $view")
+      .head.getLong(0) == expectView)
+    // The view re-plans against CURRENT table state: delete rows in
+    // session 2, the view shrinks.
+    LakeSql.sql(s2, s"DELETE FROM $name WHERE c_custkey <= 100")
+    val after = LakeSql.sql(s2, s"SELECT COUNT(*) AS n FROM $view")
+      .head.getLong(0)
+    assert(after < expectView)
+    // DML / time travel on a view refuse loudly.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, s"DELETE FROM $view WHERE c_custkey = 1")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, s"SELECT * FROM $view VERSION AS OF 0").collect()
+    }
+    // DROP VIEW persists: a third session no longer resolves it.
+    LakeSql.sql(s2, s"DROP VIEW $view")
+    val s3 = spark.newSession()
+    s3.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s3, sfDir)
+    intercept[Exception] {
+      LakeSql.sql(s3, s"SELECT COUNT(*) FROM $view").collect()
+    }
+    assert(LakeSql.sql(s3, s"SELECT COUNT(*) AS n FROM $name")
+      .head.getLong(0) ==
+      Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") > 100 && col("c_custkey") <= 200).count())
+    LakeSql.sql(s3, s"DROP TABLE $name")
+  }
+
+  test("without a catalog dir the catalog stays session-only") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = graft.util.Scratch.dir("catsess")
+    val name = s"cust_sess_$tag"
+    val s1 = spark.newSession()
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"""CREATE TABLE $name USING deltalite
+      LOCATION '$root/$name'
+      AS SELECT * FROM customer WHERE c_custkey <= 50""")
+    assert(LakeSql.sql(s1, s"SELECT COUNT(*) AS n FROM $name")
+      .head.getLong(0) > 0)
+    val s2 = spark.newSession()
+    Sql.open(s2, sfDir)
+    intercept[IllegalArgumentException] { LakeSql.table(s2, name) }
+  }
+}
