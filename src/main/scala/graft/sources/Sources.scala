@@ -1558,6 +1558,58 @@ object Sources {
     }, Some(s"""
       SELECT o_orderstatus, COUNT(*) AS n_orders,
              ${sMoneySum(sDec2("o_totalprice"))} AS total_price
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---------------------------------------------------------------- s51
+    // EXTERNAL-DATABASE scan: a dimension table living in a relational
+    // database (embedded Derby standing in for Postgres — same
+    // spark.read.jdbc path, different URL) joined against lake facts.
+    // The deployment shape at 100 TB: dims stay in the operational DB,
+    // facts in the lake; the JDBC relation pushes its filter down to
+    // the database (PushedFilters on the JDBCRelation scan) and the
+    // KB-sized result BROADCASTS to the fact join — the external DB
+    // never sees fact-table volume. DB load is memoized per (session,
+    // dir): dims are loaded once, joined many times.
+    GQuery("s51_jdbc_scan", (s, d) => {
+      val url = jdbcDimSetup(s, d)
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val dim = s.read.jdbc(url, "nation", props)
+        .filter(col("n_regionkey") < 3)
+      T.supplier(s, d)
+        .join(broadcast(dim), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_supp"),
+          moneySum(dec2(col("s_acctbal"))).as("total_bal"))
+        .orderBy(col("n_name"))
+    }, Some(s"""
+      SELECT n_name, COUNT(*) AS n_supp,
+             ${sMoneySum(sDec2("s_acctbal"))} AS total_bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_regionkey < 3
+      GROUP BY n_name ORDER BY n_name"""))
   )
+
+  /** One-time load of the `nation` dim into an embedded Derby database
+    * (memoized per session + dir): the stand-in for "the dims live in
+    * Postgres". Returns the JDBC URL. VARCHAR column types are forced —
+    * Spark's Derby dialect would otherwise map StringType to CLOB,
+    * which Derby refuses to GROUP BY or compare.
+    */
+  private def jdbcDimSetup(s: SparkSession, d: String): String =
+    jdbcOnce.computeIfAbsent(s"${System.identityHashCode(s)}|$d", _ => {
+      val dbDir = s"${scratch("s51")}/dim_db_${java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8)}"
+      val url = s"jdbc:derby:$dbDir;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      T.nation(s, d)
+        .write.mode("overwrite")
+        .option("createTableColumnTypes", "n_name VARCHAR(64)")
+        .jdbc(url, "nation", props)
+      url
+    })
+
+  private val jdbcOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

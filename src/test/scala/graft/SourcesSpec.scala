@@ -134,4 +134,16 @@ class SourcesSpec extends SparkSpec {
     assert(onDisk == node2.get("files").size().toLong,
       s"orphaned sidecars: $onDisk on disk vs ${node2.get("files").size()}")
   }
+
+  test("s51 JDBC dim scan: the filter pushes into the database scan " +
+      "and the dim side broadcasts to the lake-fact join") {
+    val df = Registry.byName("s51_jdbc_scan").fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation"), plan.take(2000))
+    assert(plan.contains("PushedFilters:") &&
+      plan.replaceAll("\\s", "").contains("n_regionkey"),
+      plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
