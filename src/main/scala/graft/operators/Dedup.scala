@@ -200,7 +200,12 @@ object Dedup {
     val pairs = a.join(b,
         col("cid") === col("cid2") && col("vec_a") < col("vec_b"))
       .select(col("cid").as("cluster"), col("vec_a"), col("vec_b"),
-        round(FastVector.dot(col("nv_a"), col("nv_b")), 6).as("cos"))
+        // floor-grid rounding (not round()): a pure IEEE op both
+        // engines compute bit-identically, so the DuckDB oracle's cos
+        // matches exactly (round()'s decimal-string HALF_UP can differ
+        // from a C-round at representation boundaries).
+        (floor(FastVector.dot(col("nv_a"), col("nv_b")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("cos"))
       .filter(col("cos") > theta)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
     if (limit > 0) pairs.limit(limit) else pairs
@@ -419,9 +424,23 @@ object Dedup {
     // near-orthogonal; production θ ≈ 0.95, exercised by the planted-
     // pair spec in RecallSpec). Clustering is engine-specific →
     // rows-only check.
+    // SemDeDup is a deterministic function of the corpus (the IVF
+    // clustering uses fixed seeds + the integer-grid Lloyd round), so
+    // it carries a full oracle: Similarity.ivfOracleBase replays the
+    // clustering in DuckDB, the pair scan and floor-grid cos rounding
+    // are bit-identical folds in both engines.
     GQuery("d09_semantic_dedup", (s, d) =>
       semanticDedup(T.embeddings(s, d), theta = 0.4)
-        .orderBy(col("cos").desc, col("vec_a"), col("vec_b")), None),
+        .orderBy(col("cos").desc, col("vec_a"), col("vec_b")),
+      Some(Similarity.ivfOracleBase + """
+        SELECT a.cid AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               FLOOR(list_inner_product(a.nv, b.nv) * 1000000 + 0.5)
+                 / 1000000 AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE FLOOR(list_inner_product(a.nv, b.nv) * 1000000 + 0.5)
+                / 1000000 > 0.4
+        ORDER BY cos DESC, vec_a, vec_b""")),
 
     // ---------------------------------------------------------------- d10
     // Span-level dedup accounting (the n-gram approximation of exact

@@ -120,6 +120,15 @@ object Similarity {
     * divide drops out. One typed aggregate (FastVector.VectorSum) with
     * map-side combine: shuffle traffic is |centroids| × dim buffers,
     * not 64× the corpus rows the old posexplode formulation paid.
+    *
+    * Members are QUANTIZED to a 1e-9 grid before the sum
+    * (`floor(x·1e9 + 0.5)`, a pure IEEE op every engine computes
+    * identically): integral doubles add EXACTLY (until partial sums
+    * pass 2^53 ≈ 9·10^15, i.e. ~9M members per cluster — widen the
+    * grid beyond that), so the centroid is independent of shuffle
+    * arrival order — deterministic across runs AND reproducible by
+    * the DuckDB oracle (d09), where float Σ order can't be matched.
+    * 1e-9 centroid precision is far below any assignment margin.
     */
   private[operators] def ivfModel(corpus: DataFrame,
       seedStride: Int): (DataFrame, DataFrame) = {
@@ -128,7 +137,9 @@ object Similarity {
     val assign0 = nearest(corpus, seeds, "vec_id", "nv", "cid0", "cv0", 1)
     val cents = assign0
       .groupBy(col("cid0").as("cid"))
-      .agg(FastVector.vectorSum(col("nv")).as("vsum"))
+      .agg(FastVector.vectorSum(
+        transform(col("nv"),
+          x => floor(x * lit(1e9) + lit(0.5)).cast("double"))).as("vsum"))
       .select(col("cid"), FastVector.normalize(col("vsum")).as("cv"))
     val assigned = nearest(corpus, cents, "vec_id", "nv", "cid", "cv", 1)
       .select(col("vec_id"), col("nv"), col("cid"))
@@ -475,6 +486,52 @@ object Similarity {
     (corpus, asQueries(corpus.filter(col("vec_id") < NQueries)))
   }
 
+  /** DuckDB replica of [[ivfModel]] (seed → one Lloyd → assign) as a
+    * WITH-clause prefix, shared by the a03 and d09 oracles. Exact
+    * cross-engine parity is BY CONSTRUCTION: normalization and dots
+    * are per-row sequential folds in both engines; the Lloyd sum runs
+    * on the 1e-9 integer grid (exact, order-free — see [[ivfModel]]);
+    * `FLOOR(x·g + 0.5)` is a pure IEEE op either engine computes
+    * bit-identically. MATERIALIZED stops DuckDB re-inlining the chain.
+    */
+  private[operators] val ivfOracleBase: String = """
+    WITH nv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> x / sqrt(list_sum(list_transform(embedding,
+                 y -> y*y)))) AS nv
+      FROM embeddings),
+    seeds AS MATERIALIZED (
+      SELECT vec_id AS cid0, nv AS cv0 FROM nv WHERE vec_id % 37 = 0),
+    a0 AS MATERIALIZED (
+      SELECT vec_id, nv, cid0 FROM (
+        SELECT v.vec_id, v.nv, s.cid0,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_inner_product(v.nv, s.cv0) DESC, s.cid0)
+                 AS rn
+        FROM nv v CROSS JOIN seeds s)
+      WHERE rn = 1),
+    qs AS MATERIALIZED (
+      SELECT cid0 AS cid, i,
+             SUM(CAST(FLOOR(nv[CAST(i AS INT)] * 1000000000 + 0.5)
+               AS BIGINT)) AS q
+      FROM a0, UNNEST(range(1, len(nv) + 1)) AS t(i)
+      GROUP BY cid0, i),
+    cents AS MATERIALIZED (
+      SELECT cid, list_transform(ql, q -> q / nrm) AS cv
+      FROM (SELECT cid, ql,
+                   sqrt(list_sum(list_transform(ql, q -> q*q))) AS nrm
+            FROM (SELECT cid, list(CAST(q AS DOUBLE) ORDER BY i) AS ql
+                  FROM qs GROUP BY cid))),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, nv, cid FROM (
+        SELECT v.vec_id, v.nv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_inner_product(v.nv, c.cv) DESC, c.cid)
+                 AS rn
+        FROM nv v CROSS JOIN cents c)
+      WHERE rn = 1)"""
+
   /** The a04 IVF-PQ index over the embeddings table, trained once per
     * (session, dir) — the s21 memoized-setup idiom: the bench's warmup
     * pass pays codebook training + corpus encoding, measured passes
@@ -509,10 +566,35 @@ object Similarity {
       val (corpus, qs) = demo(s, d)
       lshTopK(corpus, qs, excludeSelf = true)
     }, None),
+    // IVF is a deterministic FUNCTION of the corpus (fixed seeds, one
+    // integer-grid Lloyd round, smallest-cid tie-breaks), so unlike
+    // the LSH variants it has a full oracle: the ivfModel replica in
+    // [[ivfOracleBase]] plus probe → in-list brute force → top-k.
     GQuery("a03_ivf_ann", (s, d) => {
       val (corpus, qs) = demo(s, d)
       ivfTopK(corpus, qs, excludeSelf = true)
-    }, None),
+    }, Some(ivfOracleBase + s""",
+      probes AS MATERIALIZED (
+        SELECT q_id, q_nv, cid FROM (
+          SELECT v.vec_id AS q_id, v.nv AS q_nv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_inner_product(v.nv, c.cv) DESC, c.cid)
+                   AS rn
+          FROM nv v CROSS JOIN cents c WHERE v.vec_id < $NQueries)
+        WHERE rn <= 6),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id, p.q_nv, a.nv
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.q_id)
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk
+      FROM (
+        SELECT q_id, vec_id AS neighbor_id,
+               list_inner_product(q_nv, nv) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY list_inner_product(q_nv, nv) DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM cand)
+      WHERE rnk <= 10 ORDER BY q_id, rnk""")),
     // Approximate by construction (PQ quantization error) → rows-only
     // check; RecallSpec bounds the recall on clustered data.
     GQuery("a04_ivfpq_ann", (s, d) => {
