@@ -164,8 +164,10 @@ object Dedup {
         col("tbl") === col("tbl2") && col("bucket") === col("bucket2")
           && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(FastVector.dot(col("nv_a"), col("nv_b")), 6)
-          .as("cos"))
+        // floor-grid rounding — bit-identical in the DuckDB oracle
+        // (see semanticDedup).
+        (floor(FastVector.dot(col("nv_a"), col("nv_b")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("cos"))
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(max(col("cos")).as("cos"))
       .filter(col("cos") > theta)
@@ -374,8 +376,25 @@ object Dedup {
     // the registered query runs θ=0.4 because the synthetic embeddings
     // are near-orthogonal (max cos ≈ 0.51) and a 0.95 cut would make
     // the gate vacuous (0 rows).
+    // Deterministic given its fixed-seed planes (embedded as literals
+    // in the oracle, the a02 approach) → full hash oracle.
     GQuery("d05_embedding_neardup",
-      (s, d) => embeddingNearDup(T.embeddings(s, d), theta = 0.4), None),
+      (s, d) => embeddingNearDup(T.embeddings(s, d), theta = 0.4),
+      Some {
+        val planes = (0 until 4).map(t =>
+          graft.functions.VectorOps.makePlanes(
+            seed = 100 + t, nBits = 8, dim = 64))
+        Similarity.lshOracleBase(planes) + """
+        SELECT vec_a, vec_b, MAX(cos) AS cos FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 FLOOR(list_inner_product(a.nv, b.nv) * 1000000 + 0.5)
+                   / 1000000 AS cos
+          FROM bkt a JOIN bkt b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id)
+        GROUP BY vec_a, vec_b HAVING MAX(cos) > 0.4
+        ORDER BY cos DESC, vec_a, vec_b"""
+      }),
 
     // ---------------------------------------------------------------- d06
     // Normalized-key dedup keep-first: URL-style key normalization

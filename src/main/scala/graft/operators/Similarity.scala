@@ -336,10 +336,13 @@ object Similarity {
           (h, l) => greatest((h - l) / 255.0, lit(1e-12))).as("scales"))
     val codes = corpus.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("nv"),
+        // floor(x + 0.5), not round(): a pure IEEE op the DuckDB
+        // oracle computes bit-identically (round()'s decimal HALF_UP
+        // can differ at representation boundaries).
         transform(col("nv"), (x, i) =>
           least(lit(255), greatest(lit(0),
-            round((x - element_at(col("mins"), i + 1)) /
-              element_at(col("scales"), i + 1)).cast("int"))))
+            floor((x - element_at(col("mins"), i + 1)) /
+              element_at(col("scales"), i + 1) + lit(0.5)).cast("int"))))
           .as("codes"))
     val qprep = queries.crossJoin(broadcast(stats))
       .select(col("q_id"), col("q_nv"),
@@ -486,6 +489,43 @@ object Similarity {
     (corpus, asQueries(corpus.filter(col("vec_id") < NQueries)))
   }
 
+  /** Render hyperplane-LSH bucket ids as a DuckDB list expression over
+    * a normalized-vector column: one bucket per table, each the
+    * bit-packed sign pattern of `nBits` plane dots. The planes are
+    * FIXED-SEED Gaussian constants (VectorOps.makePlanes), so they
+    * embed as double literals — `Double.toString` is the shortest
+    * round-trip form, which DuckDB parses back to the identical
+    * double; the sign test then matches Spark's
+    * FastVector.hyperplaneBuckets bit for bit.
+    */
+  private def bucketsSql(planes: Seq[Seq[Seq[Double]]],
+      vecExpr: String): String =
+    planes.map { tbl =>
+      tbl.zipWithIndex.map { case (plane, bit) =>
+        val arr = plane.map(java.lang.Double.toString)
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product($vecExpr, $arr) >= 0 " +
+          s"THEN ${1L << bit} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("list_value(", ",\n        ", ")")
+
+  /** Shared oracle prefix: normalized vectors + per-table LSH buckets
+    * (one row per (vector, table)) for the given plane set.
+    */
+  private[operators] def lshOracleBase(
+      planes: Seq[Seq[Seq[Double]]]): String = s"""
+    WITH nv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> x / sqrt(list_sum(list_transform(embedding,
+                 y -> y*y)))) AS nv
+      FROM embeddings),
+    bkt AS MATERIALIZED (
+      SELECT vec_id, nv, t.i AS tbl, bks[CAST(t.i AS INT)] AS bucket
+      FROM (SELECT vec_id, nv,
+              ${bucketsSql(planes, "nv")} AS bks
+            FROM nv), UNNEST(range(1, ${planes.size + 1})) AS t(i))"""
+
   /** DuckDB replica of [[ivfModel]] (seed → one Lloyd → assign) as a
     * WITH-clause prefix, shared by the a03 and d09 oracles. Exact
     * cross-engine parity is BY CONSTRUCTION: normalization and dots
@@ -562,10 +602,31 @@ object Similarity {
         FROM embeddings q JOIN embeddings c
           ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
       WHERE rnk <= 10 ORDER BY q_id, rnk""")),
+    // Hyperplane LSH is deterministic GIVEN its planes, and the planes
+    // are fixed-seed constants — so the "approximate" ANN variants
+    // still carry full oracles: the plane values embed in the SQL as
+    // literals and DuckDB recomputes the identical buckets.
     GQuery("a02_ann_lsh", (s, d) => {
       val (corpus, qs) = demo(s, d)
       lshTopK(corpus, qs, excludeSelf = true)
-    }, None),
+    }, Some {
+      val planes = (0 until 16).map(t =>
+        VectorOps.makePlanes(seed = 200 + t, nBits = 6, dim = 64))
+      lshOracleBase(planes) + s"""
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk
+      FROM (
+        SELECT q_id, vec_id AS neighbor_id,
+               list_inner_product(q_nv, nv) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY list_inner_product(q_nv, nv) DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM (
+          SELECT DISTINCT q.vec_id AS q_id, c.vec_id, q.nv AS q_nv, c.nv
+          FROM bkt c JOIN bkt q
+            ON c.tbl = q.tbl AND c.bucket = q.bucket
+          WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id))
+      WHERE rnk <= 10 ORDER BY q_id, rnk"""
+    }),
     // IVF is a deterministic FUNCTION of the corpus (fixed seeds, one
     // integer-grid Lloyd round, smallest-cid tie-breaks), so unlike
     // the LSH variants it has a full oracle: the ivfModel replica in
@@ -602,11 +663,58 @@ object Similarity {
       ivfPqTopK(corpus, qs, excludeSelf = true,
         index = Some(ivfPqIndexMemo(s, d)))
     }, None),
-    // SQ8 quantization error → rows-only; RecallSpec bounds recall.
+    // SQ8 is a deterministic function of the corpus (per-dim min/max
+    // are exact order-free aggregates; the quantizer is an IEEE floor)
+    // → full oracle replaying quantize → ADC shortlist → exact rerank.
     GQuery("a09_sq_ann", (s, d) => {
       val (corpus, qs) = demo(s, d)
       sqTopK(corpus, qs, excludeSelf = true)
-    }, None),
+    }, Some(s"""
+      WITH nv AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> x / sqrt(list_sum(list_transform(embedding,
+                   y -> y*y)))) AS nv
+        FROM embeddings),
+      stats AS MATERIALIZED (
+        SELECT list(l ORDER BY i) AS mins,
+               list(greatest((h - l) / 255.0, 1e-12) ORDER BY i) AS scales
+        FROM (SELECT i, MIN(x) AS l, MAX(x) AS h
+              FROM (SELECT t.i, nv[CAST(t.i AS INT)] AS x
+                    FROM nv, UNNEST(range(1, len(nv) + 1)) AS t(i))
+              GROUP BY i)),
+      codes AS MATERIALIZED (
+        SELECT vec_id, nv,
+               list_transform(range(1, len(nv) + 1), i ->
+                 least(255, greatest(0, CAST(FLOOR(
+                   (nv[CAST(i AS INT)] - mins[CAST(i AS INT)])
+                     / scales[CAST(i AS INT)] + 0.5) AS INT)))) AS codes
+        FROM nv, stats),
+      q AS MATERIALIZED (
+        SELECT vec_id AS q_id, nv AS q_nv,
+               list_inner_product(nv, mins) AS qoff,
+               list_transform(range(1, len(nv) + 1), i ->
+                 nv[CAST(i AS INT)] * scales[CAST(i AS INT)]) AS w
+        FROM nv, stats WHERE vec_id < $NQueries),
+      short AS MATERIALIZED (
+        SELECT q_id, vec_id, q_nv, nv FROM (
+          SELECT q.q_id, c.vec_id, q.q_nv, c.nv,
+                 ROW_NUMBER() OVER (PARTITION BY q.q_id
+                   ORDER BY q.qoff + list_inner_product(
+                     list_transform(c.codes, x -> CAST(x AS DOUBLE)),
+                     q.w) DESC, c.vec_id) AS rn
+          FROM codes c CROSS JOIN q
+          WHERE c.vec_id <> q.q_id)
+        WHERE rn <= 80)
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk
+      FROM (
+        SELECT q_id, vec_id AS neighbor_id,
+               list_inner_product(q_nv, nv) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY list_inner_product(q_nv, nv) DESC, vec_id)
+                 AS BIGINT) AS rnk
+        FROM short)
+      WHERE rnk <= 10 ORDER BY q_id, rnk""")),
     // Filtered search is exact → full oracle: same ranking as a01 but
     // restricted to English documents BEFORE ranking (pre-filter
     // semantics — each query still gets k results, all English).
@@ -645,7 +753,22 @@ object Similarity {
     GQuery("a06_range_search_lsh", (s, d) => {
       val (corpus, qs) = demo(s, d)
       rangeSearchLsh(corpus, qs, theta = 0.30, excludeSelf = true)
-    }, None),
+    }, Some {
+      // Same fixed planes as a02 (seed 200, 16 tables × 6 bits).
+      val planes = (0 until 16).map(t =>
+        VectorOps.makePlanes(seed = 200 + t, nBits = 6, dim = 64))
+      lshOracleBase(planes) + s"""
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos
+      FROM (
+        SELECT q_id, vec_id AS neighbor_id,
+               list_inner_product(q_nv, nv) AS cos
+        FROM (
+          SELECT DISTINCT q.vec_id AS q_id, c.vec_id, q.nv AS q_nv, c.nv
+          FROM bkt c JOIN bkt q
+            ON c.tbl = q.tbl AND c.bucket = q.bucket
+          WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id))
+      WHERE cos >= 0.30 ORDER BY q_id, neighbor_id"""
+    }),
 
     // ---------------------------------------------------------------- a07
     // Hybrid retrieval: BM25 lexical ranking (the t14 pipeline — same
