@@ -236,13 +236,19 @@ object Similarity {
     // encoding, the query LUT, and the ksub bound) — materialize the
     // KB-sized result once instead of re-running the training DAG per
     // consumer (the d09 pattern).
+    // Integer-grid member sum (the ivfModel rule): exact and order-
+    // free, so the codebook is deterministic across runs and
+    // reproducible by the DuckDB oracle; the mean divides the
+    // de-gridded sum by the member count in a fixed op order.
     val lloyd = encode(cblocks, seeds0)
       .join(cblocks, Seq("vec_id", "b"))
       .groupBy(col("b"), col("code"))
-      .agg(FastVector.vectorSum(col("sv")).as("vsum"),
+      .agg(FastVector.vectorSum(
+        transform(col("sv"),
+          x => floor(x * lit(1e9) + lit(0.5)).cast("double"))).as("qsum"),
         count(lit(1)).as("cnt"))
       .select(col("b"), col("code"),
-        transform(col("vsum"), x => x / col("cnt")).as("cv"))
+        transform(col("qsum"), x => (x / lit(1e9)) / col("cnt")).as("cv"))
       .localCheckpoint()
     val ksub = lloyd.select(max(col("code"))).head().getInt(0) + 1
 
@@ -656,13 +662,101 @@ object Similarity {
                  AS BIGINT) AS rnk
         FROM cand)
       WHERE rnk <= 10 ORDER BY q_id, rnk""")),
-    // Approximate by construction (PQ quantization error) → rows-only
-    // check; RecallSpec bounds the recall on clustered data.
+    // PQ quantization error makes it APPROXIMATE vs exact ANN — but
+    // the pipeline is a deterministic function of the corpus (fixed
+    // seeds, integer-grid codebook means, smallest-code ties), so it
+    // still carries a FULL oracle: the ivfModel replica plus a
+    // per-block codebook replay (train → encode → ADC → rerank).
     GQuery("a04_ivfpq_ann", (s, d) => {
       val (corpus, qs) = demo(s, d)
       ivfPqTopK(corpus, qs, excludeSelf = true,
         index = Some(ivfPqIndexMemo(s, d)))
-    }, None),
+    }, Some(ivfOracleBase + s""",
+      pqb AS MATERIALIZED (
+        SELECT vec_id, bt.b,
+               array_slice(nv, CAST(bt.b * 16 + 1 AS INT),
+                 CAST(bt.b * 16 + 16 AS INT)) AS sv
+        FROM nv, UNNEST(range(0, 4)) AS bt(b)),
+      pseed AS MATERIALIZED (
+        SELECT b, CAST(ROW_NUMBER() OVER (PARTITION BY b
+                 ORDER BY vec_id) - 1 AS INT) AS code,
+               sv AS cv
+        FROM pqb WHERE vec_id % 29 = 0),
+      penc0 AS MATERIALIZED (
+        SELECT vec_id, b, code FROM (
+          SELECT p.vec_id, p.b, s.code,
+                 ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.b
+                   ORDER BY list_inner_product(p.sv, s.cv)
+                     - list_inner_product(s.cv, s.cv) / 2 DESC, s.code)
+                   AS rn
+          FROM pqb p JOIN pseed s ON p.b = s.b)
+        WHERE rn = 1),
+      pcnt AS MATERIALIZED (
+        SELECT b, code, COUNT(*) AS cnt FROM penc0 GROUP BY b, code),
+      pqsum AS MATERIALIZED (
+        SELECT e.b, e.code, t.i,
+               SUM(CAST(FLOOR(p.sv[CAST(t.i AS INT)] * 1000000000 + 0.5)
+                 AS BIGINT)) AS q
+        FROM penc0 e JOIN pqb p ON e.vec_id = p.vec_id AND e.b = p.b,
+             UNNEST(range(1, 17)) AS t(i)
+        GROUP BY e.b, e.code, t.i),
+      pcb AS MATERIALIZED (
+        SELECT s.b, s.code,
+               list((CAST(s.q AS DOUBLE) / 1000000000.0) / c.cnt
+                 ORDER BY s.i) AS cv
+        FROM pqsum s JOIN pcnt c ON s.b = c.b AND s.code = c.code
+        GROUP BY s.b, s.code, c.cnt),
+      pcodes AS MATERIALIZED (
+        SELECT vec_id, list(code ORDER BY b) AS codes FROM (
+          SELECT vec_id, b, code FROM (
+            SELECT p.vec_id, p.b, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.b
+                     ORDER BY list_inner_product(p.sv, cb.cv)
+                       - list_inner_product(cb.cv, cb.cv) / 2 DESC,
+                       cb.code) AS rn
+            FROM pqb p JOIN pcb cb ON p.b = cb.b)
+          WHERE rn = 1)
+        GROUP BY vec_id),
+      probes AS MATERIALIZED (
+        SELECT q_id, cid FROM (
+          SELECT v.vec_id AS q_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_inner_product(v.nv, c.cv) DESC, c.cid)
+                   AS rn
+          FROM nv v CROSS JOIN cents c WHERE v.vec_id < $NQueries)
+        WHERE rn <= 6),
+      scored AS MATERIALIZED (
+        SELECT cn.q_id, cn.vec_id,
+               list_sum(list(list_inner_product(
+                 array_slice(qv.nv, CAST(cb.b * 16 + 1 AS INT),
+                   CAST(cb.b * 16 + 16 AS INT)), cb.cv)
+                 ORDER BY cb.b)) AS adc
+        FROM (SELECT p.q_id, a.vec_id
+              FROM assigned a JOIN probes p ON a.cid = p.cid
+              WHERE a.vec_id <> p.q_id) cn
+        JOIN pcodes pc ON pc.vec_id = cn.vec_id
+        JOIN nv qv ON qv.vec_id = cn.q_id,
+             UNNEST(range(0, 4)) AS bt(b)
+        JOIN pcb cb ON cb.b = bt.b
+          AND cb.code = pc.codes[CAST(bt.b + 1 AS INT)]
+        GROUP BY cn.q_id, cn.vec_id),
+      short AS MATERIALIZED (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc DESC, vec_id) AS rn
+          FROM scored)
+        WHERE rn <= 80)
+      SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk
+      FROM (
+        SELECT s.q_id, s.vec_id AS neighbor_id,
+               list_inner_product(qv.nv, cv2.nv) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id
+                 ORDER BY list_inner_product(qv.nv, cv2.nv) DESC,
+                   s.vec_id) AS BIGINT) AS rnk
+        FROM short s JOIN nv qv ON qv.vec_id = s.q_id
+        JOIN nv cv2 ON cv2.vec_id = s.vec_id)
+      WHERE rnk <= 10 ORDER BY q_id, rnk""")),
     // SQ8 is a deterministic function of the corpus (per-dim min/max
     // are exact order-free aggregates; the quantizer is an IEEE floor)
     // → full oracle replaying quantize → ADC shortlist → exact rerank.
