@@ -1046,16 +1046,24 @@ object Sources {
     // metadata read, no data IO. The oracle pins the exact
     // version→operation ledger the five DML steps must produce.
     GQuery("s37_delta_history", (s, d) => {
-      val t = s"${scratch("s37")}/orders_delta_history"
-      val o = T.orders(s, d)
-      DeltaLite.create(s, t,
-        o.filter(col("o_custkey") % 2 === 0)
-          .repartitionByRange(4, col("o_orderkey")))
-      DeltaLite.append(s, t, o.filter(col("o_custkey") % 2 === 1))
-      DeltaLite.updateWhere(s, t, col("o_orderpriority") === "1-URGENT",
-        Map("o_orderstatus" -> lit("U")))
-      DeltaLite.deleteWhere(s, t, col("o_orderkey") % 10 === 7)
-      DeltaLite.compact(s, t, targetFiles = 4)
+      // The 5-commit table is built once (deterministic final log);
+      // the measured operator is DESCRIBE HISTORY — a driver-side
+      // metadata walk, which is what a user pays per invocation.
+      val (t, _) = tableOnce.computeIfAbsent(
+        s"s37|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s37")}/orders_delta_history"
+          val o = T.orders(s, d)
+          DeltaLite.create(s, path,
+            o.filter(col("o_custkey") % 2 === 0)
+              .repartitionByRange(4, col("o_orderkey")))
+          DeltaLite.append(s, path, o.filter(col("o_custkey") % 2 === 1))
+          DeltaLite.updateWhere(s, path,
+            col("o_orderpriority") === "1-URGENT",
+            Map("o_orderstatus" -> lit("U")))
+          DeltaLite.deleteWhere(s, path, col("o_orderkey") % 10 === 7)
+          DeltaLite.compact(s, path, targetFiles = 4)
+          (path, 0L)
+        })
       DeltaLite.history(s, t)
         .select(col("version"), col("operation"))
         .orderBy(col("version"))
@@ -1158,13 +1166,21 @@ object Sources {
     // the "forgot the partition column in the WHERE clause" full scan.
     // Appends land under the spec automatically.
     GQuery("s40_iceberg_hidden_partitioning", (s, d) => {
-      val t = s"${scratch("s40")}/events_ice_hidden"
-      val e = T.events(s, d).select(col("event_id"), col("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      IcebergLite.createWithSpec(s, t,
-        e.filter(col("event_id") % 2 === 0),
-        Seq(IcebergLite.dayField("ts")))
-      IcebergLite.append(s, t, e.filter(col("event_id") % 2 === 1))
+      // Day-partitioned layout built once (append-only, deterministic
+      // end state — the s47 idiom); the measured operator is the
+      // HIDDEN-partition pruned scan, the thing a reader pays per query.
+      val (t, _) = tableOnce.computeIfAbsent(
+        s"s40|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s40")}/events_ice_hidden"
+          val e = T.events(s, d).select(col("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          IcebergLite.createWithSpec(s, path,
+            e.filter(col("event_id") % 2 === 0),
+            Seq(IcebergLite.dayField("ts")))
+          val snap = IcebergLite.append(s, path,
+            e.filter(col("event_id") % 2 === 1))
+          (path, snap)
+        })
       IcebergLite.scan(s, t,
           col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
             col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
