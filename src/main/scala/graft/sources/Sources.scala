@@ -1604,6 +1604,65 @@ object Sources {
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       WHERE n_regionkey < 3
       GROUP BY n_name ORDER BY n_name"""))
+  ) ++ hudiQueries
+
+  // ----------------------------------------------------------------- s52
+  // Third table format, Hudi-style COPY-ON-WRITE (HudiLite): timeline
+  // of commit instants + file groups; create → upsert (matched groups
+  // rewritten as new slices, untouched groups survive by identity) →
+  // snapshot read of latest slices, plus time travel to the
+  // pre-upsert instant. Oracle replays the upsert's net effect on the
+  // raw table; HudiLiteSpec asserts the file-group mechanics.
+  private def hudiQueries: Seq[GQuery] = Seq(
+    GQuery("s52_hudi_snapshot", (s, d) => {
+      val t = s"${scratch("s52")}/cust_hudi"
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      HudiLite.create(s, t, c.filter(col("c_custkey") % 2 === 0)
+        .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+      HudiLite.upsert(s, t,
+        c.filter(col("c_custkey") % 2 === 0 &&
+            col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+          .unionByName(c.filter(col("c_custkey") % 2 === 1)))
+      HudiLite.snapshot(s, t).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING'
+                  THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s53
+    // Hudi timeline TIME TRAVEL: the pre-upsert instant reads the
+    // create-time state (even-key rows, original balances) while the
+    // bare snapshot reads the present — both from the same timeline.
+    GQuery("s53_hudi_time_travel", (s, d) => {
+      val t = s"${scratch("s53")}/cust_hudi_tt"
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val first = HudiLite.create(s, t,
+        c.filter(col("c_custkey") % 2 === 0)
+          .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+      HudiLite.upsert(s, t,
+        c.filter(col("c_custkey") % 2 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+          .unionByName(c.filter(col("c_custkey") % 2 === 1)))
+      HudiLite.snapshot(s, t, asOf = first)
+        .withColumn("at", lit("v0"))
+        .unionByName(HudiLite.snapshot(s, t).withColumn("at", lit("now")))
+        .select(col("at"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("at"), col("c_custkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'v0' AS at, c_custkey, c_acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT 'now' AS at, c_custkey,
+               CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer)
+      ORDER BY at, c_custkey"""))
   )
 
   /** One-time load of the `nation` dim into an embedded Derby database

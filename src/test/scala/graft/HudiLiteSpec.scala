@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.HudiLite
+
+/** File-group mechanics of the Hudi-style COW format: upserts rewrite
+  * ONLY affected groups (new slices of the same fileId), untouched
+  * groups survive by identity, pure inserts open fresh groups, and the
+  * timeline serves both snapshot and as-of reads.
+  */
+class HudiLiteSpec extends SparkSpec {
+
+  private def dataFiles(t: String): Set[String] =
+    new java.io.File(t).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+
+  test("COW upsert rewrites only matched file groups; inserts open " +
+      "fresh groups; time travel reads the pre-upsert state") {
+    val t = s"${graft.util.Scratch.dir("hudispec")}/t"
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val base = c.filter(col("c_custkey") <= 100)
+    val first = HudiLite.create(spark, t,
+      base.repartition(4, col("c_custkey")), recordKey = "c_custkey")
+    val filesV0 = dataFiles(t)
+    assert(filesV0.size == 4, filesV0.toString)
+    assert(HudiLite.snapshot(spark, t).count() == base.count())
+
+    // Upsert touching a handful of keys + inserting new ones.
+    HudiLite.upsert(spark, t,
+      c.filter(col("c_custkey").isin(1, 2, 3))
+        .withColumn("c_acctbal", lit(0.0))
+        .unionByName(c.filter(col("c_custkey") > 100 &&
+          col("c_custkey") <= 110)))
+    val filesV1 = dataFiles(t)
+    // Untouched groups survive by identity (their v0 slices are still
+    // the live ones); only matched groups gained a new slice, plus one
+    // fresh insert group.
+    val touchedGroups = HudiLite.snapshot(spark, t)
+      .filter(col("c_custkey").isin(1, 2, 3)).count()
+    assert(touchedGroups == 3)
+    val newFiles = filesV1 -- filesV0
+    assert(newFiles.nonEmpty && newFiles.size < filesV0.size + 2,
+      s"expected few new slices, got $newFiles")
+    assert(filesV0.subsetOf(filesV1), "old slices must not be deleted")
+
+    val snap = HudiLite.snapshot(spark, t)
+    assert(snap.count() ==
+      c.filter(col("c_custkey") <= 110).count())
+    assert(snap.filter(col("c_custkey").isin(1, 2, 3))
+      .agg(sum(col("c_acctbal"))).head.getDouble(0) == 0.0)
+    // No duplicate keys after the upsert (record-key contract).
+    assert(snap.groupBy(col("c_custkey")).count()
+      .filter(col("count") > 1).count() == 0)
+
+    // Time travel: the pre-upsert instant still reads v0.
+    val v0 = HudiLite.snapshot(spark, t, asOf = first)
+    assert(v0.count() == base.count())
+    assert(v0.filter(col("c_custkey").isin(1, 2, 3))
+      .agg(sum(col("c_acctbal"))).head.getDouble(0) != 0.0)
+    // Unknown past instant refuses.
+    intercept[IllegalArgumentException] {
+      HudiLite.snapshot(spark, t, asOf = "0")
+    }
+  }
+}
