@@ -175,6 +175,11 @@ object HudiLite {
     * of the SAME group; unmatched incoming keys land in fresh groups.
     * Untouched groups are not rewritten — the COW write amplification
     * is per affected file group, not per table.
+    *
+    * ALL affected groups rewrite in ONE distributed job (repartition
+    * on the group id + partitionBy write + metadata-sized renames) —
+    * never a driver loop of per-group jobs, which at lake scale would
+    * mean thousands of sequential job launches.
     */
   def upsert(s: SparkSession, table: String, updates: DataFrame): String = {
     val key = recordKeyOf(s, table)
@@ -184,42 +189,48 @@ object HudiLite {
     val upd = updates.localCheckpoint()
     val updKeys = upd.select(col(key)).distinct()
 
-    // Which groups hold matched keys? Tag every row with its group.
+    // Current rows tagged with their file group.
     val tagged = slices.toSeq.map { case (fileId, (_, rel)) =>
       s.read.parquet(s"$table/$rel").withColumn("_hoodie_fg", lit(fileId))
-    }.reduce(_.unionByName(_))
-    val affected = tagged.join(updKeys, Seq(key), "left_semi")
-      .select(col("_hoodie_fg")).distinct()
-      .collect().map(_.getString(0)).toSet // file-group-count-sized
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    val keyToGroup = tagged.select(col(key), col("_hoodie_fg"))
 
-    // Rewrite each affected group: keep its unmatched rows, add the
-    // updates whose key lived there (or nowhere, for the insert part).
+    // Merged content of every AFFECTED group: its unmatched current
+    // rows + the updates whose key lives there, each row carrying the
+    // group id — one shuffle on the group id, one partitioned write.
+    val affectedGroups = keyToGroup.join(updKeys, Seq(key), "left_semi")
+      .select(col("_hoodie_fg")).distinct()
+    val merged = tagged
+      .join(affectedGroups, Seq("_hoodie_fg"), "left_semi")
+      .join(updKeys, Seq(key), "left_anti")
+      .unionByName(upd.join(keyToGroup, Seq(key))
+        .select(tagged.columns.map(col).toSeq: _*))
+    val staged = s"$table/.staging_$instant"
+    merged.repartition(col("_hoodie_fg"))
+      .write.partitionBy("_hoodie_fg").mode("overwrite").parquet(staged)
     val newStats = scala.collection.mutable.Buffer.empty[(String, String)]
-    affected.toSeq.sorted.foreach { fileId =>
-      val rel = slices(fileId)._2
-      val cur = s.read.parquet(s"$table/$rel")
-      val merged = cur.join(updKeys, Seq(key), "left_anti")
-        .unionByName(upd.join(cur.select(col(key)).distinct(),
-          Seq(key), "left_semi"))
-      val outRel = s"${fileId}_0-0-0_$instant.parquet"
-      merged.coalesce(1).write.mode("overwrite")
-        .parquet(s"$table/.staging_one_$instant")
-      val part = f.listStatus(new Path(s"$table/.staging_one_$instant"))
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
-      f.rename(part, new Path(table, outRel))
-      f.delete(new Path(s"$table/.staging_one_$instant"), true)
-      newStats += ((fileId, outRel))
-    }
-    // Pure inserts (keys in no current group) become a fresh group.
-    val inserts = upd.join(tagged.select(col(key)).distinct(),
-      Seq(key), "left_anti")
-    if (!inserts.isEmpty) {
-      // Instant-suffixed ids: fresh groups can never collide with an
-      // existing group name (an accidental reuse would make this slice
-      // SHADOW that group's rows at read time).
+    val stagedPath = new Path(staged)
+    if (f.exists(stagedPath))
+      f.listStatus(stagedPath).map(_.getPath)
+        .filter(_.getName.startsWith("_hoodie_fg=")).foreach { dir =>
+          val fileId = dir.getName.stripPrefix("_hoodie_fg=")
+          // repartition(col) hashes each group to ONE task → one file.
+          val part = f.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).head
+          val rel = s"${fileId}_0-0-0_$instant.parquet"
+          f.rename(part, new Path(table, rel))
+          newStats += ((fileId, rel))
+        }
+    f.delete(stagedPath, true)
+
+    // Pure inserts (keys in no current group) become fresh groups.
+    // Instant-suffixed ids: a reused group name would make this slice
+    // SHADOW that group's rows at read time.
+    val inserts = upd.join(keyToGroup.select(col(key)), Seq(key),
+      "left_anti")
+    if (!inserts.isEmpty)
       newStats ++= writeSlices(s, table, inserts, instant,
         i => f"g$i%04d-ins-$instant")
-    }
     require(newStats.nonEmpty, "upsert matched nothing and inserted nothing")
     writeText(f, new Path(hoodieDir(table), s"$instant.commit"),
       commitNode(newStats.toSeq))

@@ -1615,11 +1615,19 @@ object Sources {
   // raw table; HudiLiteSpec asserts the file-group mechanics.
   private def hudiQueries: Seq[GQuery] = Seq(
     GQuery("s52_hudi_snapshot", (s, d) => {
-      val t = s"${scratch("s52")}/cust_hudi"
       val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
         col("c_acctbal"), col("c_mktsegment"))
-      HudiLite.create(s, t, c.filter(col("c_custkey") % 2 === 0)
-        .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+      // Base table built once (s26 idiom); the UPSERT is content-
+      // idempotent (same keys, same replacement values), so repeated
+      // calls measure the COW upsert + snapshot on identical state.
+      val (t, _) = tableOnce.computeIfAbsent(
+        s"s52|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s52")}/cust_hudi"
+          val i = HudiLite.create(s, path,
+            c.filter(col("c_custkey") % 2 === 0)
+              .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+          (path, i.toLong)
+        })
       HudiLite.upsert(s, t,
         c.filter(col("c_custkey") % 2 === 0 &&
             col("c_mktsegment") === "BUILDING")
@@ -1638,12 +1646,17 @@ object Sources {
     // create-time state (even-key rows, original balances) while the
     // bare snapshot reads the present — both from the same timeline.
     GQuery("s53_hudi_time_travel", (s, d) => {
-      val t = s"${scratch("s53")}/cust_hudi_tt"
       val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
         col("c_acctbal"), col("c_mktsegment"))
-      val first = HudiLite.create(s, t,
-        c.filter(col("c_custkey") % 2 === 0)
-          .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+      val (t, firstL) = tableOnce.computeIfAbsent(
+        s"s53|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s53")}/cust_hudi_tt"
+          val i = HudiLite.create(s, path,
+            c.filter(col("c_custkey") % 2 === 0)
+              .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+          (path, i.toLong)
+        })
+      val first = f"$firstL%017d"
       HudiLite.upsert(s, t,
         c.filter(col("c_custkey") % 2 === 0)
           .withColumn("c_acctbal", col("c_acctbal") + 100)
