@@ -113,6 +113,26 @@ object Dedup {
   private val jaccardOnce =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Exact-duplicate (md5 star) edges over the documents table,
+    * memoized per (session, dir) — θ-free evidence like
+    * [[jaccardPairsMemo]].
+    */
+  def exactEdgesMemo(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    exactOnce.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
+      _ => {
+        val docs = T.documents(s, d)
+        docs.select(col("doc_id"), md5(col("text")).as("h"))
+          .withColumn("keep", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+          .filter(col("doc_id") =!= col("keep"))
+          .select(col("keep").as("a"), col("doc_id").as("b"))
+          .localCheckpoint()
+      })
+
+  private val exactOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Exact n-gram Jaccard over the MinHash-LSH candidate pairs only:
     * |A∩B|/|A∪B| of distinct word-n-gram sets — keyed joins, never
     * all-pairs.
@@ -226,20 +246,22 @@ object Dedup {
     */
   def dedupPipeline(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", theta: Double = 0.5,
-      jaccardPairs: Option[DataFrame] = None): DataFrame = {
-    // `jaccardPairs` lets a caller supply precomputed (doc_a, doc_b,
-    // jaccard) evidence (see [[jaccardPairsMemo]]) — the θ policy is
-    // applied here, so one evidence table serves every threshold.
+      jaccardPairs: Option[DataFrame] = None,
+      exactEdges: Option[DataFrame] = None): DataFrame = {
+    // `jaccardPairs` / `exactEdges` let a caller supply precomputed
+    // duplicate EVIDENCE (see [[jaccardPairsMemo]], [[exactEdgesMemo]])
+    // — both are θ-free, so one evidence set serves every threshold;
+    // the θ policy is applied here.
     val verified = jaccardPairs
       .getOrElse(ngramJaccard(docs, idCol, textCol))
       .filter(col("jaccard") >= theta)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val exact = docs
+    val exact = exactEdges.getOrElse(docs
       .select(col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
       .withColumn("keep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") =!= col("keep"))
-      .select(col("keep").as("a"), col("doc_id").as("b"))
+      .select(col("keep").as("a"), col("doc_id").as("b")))
     val clusters = DupClusters.connectedComponentsStar(verified.union(exact))
     val losers = clusters
       .withColumn("keep", min(col("id")).over(
@@ -625,7 +647,8 @@ object Dedup {
     // deterministic).
     GQuery("d14_dedup_pipeline", (s, d) => {
       dedupPipeline(T.documents(s, d), theta = 0.5,
-          jaccardPairs = Some(jaccardPairsMemo(s, d)))
+          jaccardPairs = Some(jaccardPairsMemo(s, d)),
+          exactEdges = Some(exactEdgesMemo(s, d)))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }, None),
