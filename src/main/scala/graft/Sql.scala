@@ -396,6 +396,61 @@ object Sql {
           AND o_totalprice > 100000
         ORDER BY o_orderkey""")),
 
+      // -------------------------------------------------------------- x46
+      // Scalar-function parity sweep: ~40 shared scalar functions
+      // (math, string, date, hash, conditional) in ONE passthrough
+      // SELECT both engines accept verbatim — the user-facing function
+      // surface of an embedded OLAP engine, hash-checked row by row.
+      // Dialect notes baked in: SQL-standard TRIM(LEADING/TRAILING …
+      // FROM …) (the 2-arg ltrim/rtrim swap argument order between
+      // engines); sign/ceil/floor cast to pin cross-engine result
+      // types; round() on exact DECIMAL only; transcendentals rounded
+      // to 6 dp on identical IEEE inputs.
+      passthrough("x46_sql_scalar_functions", """
+        SELECT o_orderkey,
+          abs(o_orderkey - 7500) AS f_abs,
+          CAST(sign(o_orderkey - 7500) AS BIGINT) AS f_sign,
+          o_orderkey % 7 AS f_mod,
+          greatest(o_orderkey % 11, o_orderkey % 13) AS f_greatest,
+          least(o_orderkey % 11, o_orderkey % 13) AS f_least,
+          coalesce(nullif(o_orderstatus, 'O'), 'open') AS f_nullif,
+          CAST(length(o_orderpriority) AS BIGINT) AS f_length,
+          upper(o_orderpriority) AS f_upper,
+          lower(o_orderpriority) AS f_lower,
+          reverse(o_orderpriority) AS f_reverse,
+          substr(o_orderpriority, 3, 4) AS f_substr,
+          replace(o_orderpriority, '-', '_') AS f_replace,
+          trim(concat(' ', o_orderstatus, ' ')) AS f_trim,
+          trim(LEADING 'x' FROM concat('xx', o_orderstatus)) AS f_ltrim,
+          trim(TRAILING 'y' FROM concat(o_orderstatus, 'yy')) AS f_rtrim,
+          lpad(o_orderstatus, 5, '*') AS f_lpad,
+          rpad(o_orderstatus, 5, '*') AS f_rpad,
+          repeat(o_orderstatus, 3) AS f_repeat,
+          CAST(ascii(o_orderstatus) AS BIGINT) AS f_ascii,
+          chr(65 + CAST(o_orderkey % 26 AS INT)) AS f_chr,
+          CAST(instr(o_orderpriority, '-') AS BIGINT) AS f_instr,
+          left(o_orderpriority, 5) AS f_left,
+          right(o_orderpriority, 4) AS f_right,
+          concat_ws('|', o_orderstatus, o_orderpriority) AS f_concat_ws,
+          CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS f_year,
+          CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS f_month,
+          CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS f_day,
+          CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS f_quarter,
+          CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS f_week,
+          last_day(CAST(o_orderdate AS DATE)) AS f_last_day,
+          CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+            AS f_trunc_month,
+          CAST(ceil(o_totalprice) AS BIGINT) AS f_ceil,
+          CAST(floor(o_totalprice) AS BIGINT) AS f_floor,
+          round(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS f_round1,
+          ROUND(sqrt(CAST(o_orderkey AS DOUBLE)), 6) AS f_sqrt,
+          ROUND(ln(CAST(o_orderkey + 1 AS DOUBLE)), 6) AS f_ln,
+          ROUND(exp(CAST(o_orderkey % 5 AS DOUBLE)), 6) AS f_exp,
+          ROUND(power(CAST(o_orderkey % 9 AS DOUBLE), 2.5), 6) AS f_power,
+          md5(o_orderpriority) AS f_md5,
+          CAST(o_orderkey AS STRING) AS f_cast_str
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS
