@@ -451,6 +451,43 @@ object Sql {
           CAST(o_orderkey AS STRING) AS f_cast_str
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""),
 
+      // -------------------------------------------------------------- x47
+      // Aggregate-function parity sweep (x46's aggregate sibling):
+      // shared aggregates in ONE verbatim GROUP BY both engines
+      // accept — counts, exact-decimal sum/avg, extremes, boolean and
+      // bitwise aggregates, argument extremes (over a UNIQUE decimal
+      // ordering value — ties would be engine-arbitrary), moments
+      // rounded on identical inputs, exact median. Engine-specific
+      // definitions (skewness/kurtosis bias correction) are excluded
+      // by construction.
+      passthrough("x47_sql_agg_functions", """
+        SELECT o_orderstatus,
+          COUNT(*) AS a_count,
+          COUNT(DISTINCT o_custkey) AS a_count_distinct,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS a_sum,
+          CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(16,6))
+            AS a_avg,
+          MIN(o_orderkey) AS a_min,
+          MAX(o_orderkey) AS a_max,
+          bool_and(o_totalprice > 1000) AS a_bool_and,
+          bool_or(o_totalprice > 400000) AS a_bool_or,
+          max_by(o_orderkey,
+            CAST(o_totalprice AS DECIMAL(12,2)) * 100000 + o_orderkey)
+            AS a_max_by,
+          min_by(o_orderkey,
+            CAST(o_totalprice AS DECIMAL(12,2)) * 100000 + o_orderkey)
+            AS a_min_by,
+          bit_and(o_orderkey) AS a_bit_and,
+          bit_or(o_orderkey) AS a_bit_or,
+          bit_xor(o_orderkey) AS a_bit_xor,
+          ROUND(stddev_samp(o_totalprice), 2) AS a_stddev,
+          ROUND(var_samp(o_totalprice) / 1000000.0, 4) AS a_var_m,
+          ROUND(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS a_corr,
+          ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)) / 1000.0,
+            4) AS a_covar_k,
+          CAST(median(o_orderkey) AS DOUBLE) AS a_median
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS
