@@ -98,6 +98,13 @@ object HudiLite {
     slices
   }
 
+  /** Per-row commit-time meta column (the real Hudi field): stamped at
+    * write, RETAINED through COW rewrites for untouched rows — which
+    * is exactly what makes the incremental query ([[incremental]]) a
+    * plain filter instead of a file diff.
+    */
+  val MetaCommitTime = "_hoodie_commit_time"
+
   /** Write `df` as one new file slice per spark partition under
     * `instant`, returning the commit's write stats.
     */
@@ -105,7 +112,10 @@ object HudiLite {
       instant: String,
       fileIdFor: Int => String): Seq[(String, String)] = {
     val staged = s"$table/.staging_$instant"
-    df.write.mode("overwrite").parquet(staged)
+    val withMeta =
+      if (df.columns.contains(MetaCommitTime)) df
+      else df.withColumn(MetaCommitTime, lit(instant))
+    withMeta.write.mode("overwrite").parquet(staged)
     val f = fs(s, new Path(table))
     val parts = f.listStatus(new Path(staged))
       .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -162,13 +172,26 @@ object HudiLite {
 
   /** Snapshot read at the latest (or `asOf`) instant: per file group,
     * scan only its newest slice — plain parquet scans, full pushdown.
+    * The per-row commit-time meta column is dropped unless `keepMeta`.
     */
-  def snapshot(s: SparkSession, table: String,
-      asOf: String = ""): DataFrame = {
+  def snapshot(s: SparkSession, table: String, asOf: String = "",
+      keepMeta: Boolean = false): DataFrame = {
     val slices = latestSlices(s, table, asOf)
     val paths = slices.values.map { case (_, rel) => s"$table/$rel" }.toSeq
-    s.read.parquet(paths: _*)
+    val df = s.read.parquet(paths: _*)
+    if (keepMeta) df else df.drop(MetaCommitTime)
   }
+
+  /** Hudi INCREMENTAL QUERY: every record written (inserted OR
+    * updated) by a commit with instant > `fromInstant` — a per-row
+    * commit-time filter over the snapshot, because COW rewrites RETAIN
+    * untouched rows' original stamps. The CDC-consumer shape: O(new
+    * data), not a table diff; the filter pushes into the parquet scan.
+    */
+  def incremental(s: SparkSession, table: String,
+      fromInstant: String): DataFrame =
+    snapshot(s, table, keepMeta = true)
+      .filter(col(MetaCommitTime) > fromInstant)
 
   /** COPY-ON-WRITE upsert by record key: file groups containing a
     * matched key are REWRITTEN (merged with the updates) as new slices
@@ -203,7 +226,9 @@ object HudiLite {
     val merged = tagged
       .join(affectedGroups, Seq("_hoodie_fg"), "left_semi")
       .join(updKeys, Seq(key), "left_anti")
-      .unionByName(upd.join(keyToGroup, Seq(key))
+      .unionByName(upd
+        .withColumn(MetaCommitTime, lit(instant)) // updated rows re-stamp
+        .join(keyToGroup, Seq(key))
         .select(tagged.columns.map(col).toSeq: _*))
     val staged = s"$table/.staging_$instant"
     merged.repartition(col("_hoodie_fg"))

@@ -1675,7 +1675,44 @@ object Sources {
                CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100
                     ELSE c_acctbal END AS c_acctbal
         FROM customer)
-      ORDER BY at, c_custkey"""))
+      ORDER BY at, c_custkey""")),
+
+    // ---------------------------------------------------------------- s54
+    // Hudi INCREMENTAL QUERY — the format's headline feature: "give me
+    // every record written since instant T" as a per-row
+    // _hoodie_commit_time filter (COW rewrites retain untouched rows'
+    // stamps, so the filter IS the answer — O(new data), no table
+    // diff, predicate pushed into the parquet scan). Table built once
+    // (create → upsert, memoized); the measured operator is the
+    // incremental pull a CDC consumer runs every cycle.
+    GQuery("s54_hudi_incremental", (s, d) => {
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val (t, firstL) = tableOnce.computeIfAbsent(
+        s"s54|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s54")}/cust_hudi_inc"
+          val i = HudiLite.create(s, path,
+            c.filter(col("c_custkey") % 2 === 0)
+              .repartition(4, col("c_custkey")), recordKey = "c_custkey")
+          HudiLite.upsert(s, path,
+            c.filter(col("c_custkey") % 2 === 0 &&
+                col("c_mktsegment") === "BUILDING")
+              .withColumn("c_acctbal", col("c_acctbal") * 2)
+              .unionByName(c.filter(col("c_custkey") % 2 === 1)))
+          (path, i.toLong)
+        })
+      HudiLite.incremental(s, t, f"$firstL%017d")
+        .drop(HudiLite.MetaCommitTime)
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+      WHERE c_custkey % 2 = 1
+         OR (c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING')
+      ORDER BY c_custkey"""))
   )
 
   /** One-time load of the `nation` dim into an embedded Derby database

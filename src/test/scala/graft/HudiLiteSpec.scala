@@ -63,5 +63,17 @@ class HudiLiteSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HudiLite.snapshot(spark, t, asOf = "0")
     }
+
+    // Incremental query: exactly the records the upsert wrote —
+    // untouched rows RETAIN their create-time stamp through the COW
+    // rewrite, so they do NOT reappear in the incremental pull.
+    val inc = HudiLite.incremental(spark, t, first)
+    assert(inc.count() == 3 + 10, inc.count().toString) // 3 updates + 10 inserts
+    assert(inc.filter(col("c_custkey").isin(1, 2, 3)).count() == 3)
+    assert(inc.filter(col("c_custkey") > 100).count() == 10)
+    // And the snapshot's untouched rows still carry the first instant.
+    val metaSnap = HudiLite.snapshot(spark, t, keepMeta = true)
+    assert(metaSnap.filter(col(HudiLite.MetaCommitTime) === first)
+      .count() == base.count() - 3)
   }
 }
