@@ -182,6 +182,62 @@ object HudiLite {
     if (keepMeta) df else df.drop(MetaCommitTime)
   }
 
+  /** Streaming-source metadata: (data schema without the meta column,
+    * no partition columns, latest instant as a Long offset).
+    */
+  def streamInfo(s: SparkSession, table: String):
+      (org.apache.spark.sql.types.StructType, Seq[String], Long) = {
+    val instants = completedInstants(s, table)
+    require(instants.nonEmpty, s"no hudi timeline at $table")
+    (snapshot(s, table).schema, Seq.empty, instants.last.toLong)
+  }
+
+  /** File slices ADDED by instants (from, to] for the DSv2 streaming
+    * source — appends-only contract like the Delta source default: a
+    * commit that REWRITES an existing file group (a COW upsert of
+    * matched keys) fails loudly rather than silently re-emitting the
+    * group's old rows; update-inclusive consumption is the batch
+    * [[incremental]] query's job. Returns (instant, absolute path,
+    * size, no partition values); cost is O(new commits).
+    */
+  def addedSlicesBetween(s: SparkSession, table: String, from: Long,
+      to: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
+    val f = fs(s, new Path(table))
+    val rootQ = f.makeQualified(new Path(table))
+    val instants = completedInstants(s, table)
+      .filter(i => i.toLong > from && i.toLong <= to)
+    // Groups live BEFORE the window: appearing again inside it = rewrite.
+    var seen: Set[String] = completedInstants(s, table)
+      .filter(_.toLong <= from).flatMap { i =>
+        val n = Json.readTree(
+          readText(f, new Path(hoodieDir(table), s"$i.commit")))
+        val b = Seq.newBuilder[String]
+        n.get("partitionToWriteStats").fields().forEachRemaining(e =>
+          e.getValue.elements().forEachRemaining(st =>
+            b += st.get("fileId").asText()))
+        b.result()
+      }.toSet
+    instants.flatMap { i =>
+      val n = Json.readTree(
+        readText(f, new Path(hoodieDir(table), s"$i.commit")))
+      val out = Seq.newBuilder[(Long, String, Long,
+        Seq[(String, Option[String])])]
+      n.get("partitionToWriteStats").fields().forEachRemaining(e =>
+        e.getValue.elements().forEachRemaining { st =>
+          val fileId = st.get("fileId").asText()
+          if (seen.contains(fileId))
+            throw new UnsupportedOperationException(
+              s"instant $i of $table rewrites file group $fileId; the " +
+                "streaming source reads appends only — use " +
+                "HudiLite.incremental for update-inclusive consumption")
+          seen += fileId
+          val p = new Path(rootQ, st.get("path").asText())
+          out += ((i.toLong, p.toString, f.getFileStatus(p).getLen, Nil))
+        })
+      out.result()
+    }
+  }
+
   /** Hudi INCREMENTAL QUERY: every record written (inserted OR
     * updated) by a commit with instant > `fromInstant` — a per-row
     * commit-time filter over the snapshot, because COW rewrites RETAIN

@@ -74,6 +74,28 @@ class IcebergLiteStreamProvider extends TableProvider {
   }
 }
 
+/** HudiLite twin: offsets are commit instants; appends-only enforced by
+  * [[graft.sources.HudiLite.addedSlicesBetween]] (a COW rewrite in the
+  * window fails loudly — update-inclusive consumption is the batch
+  * incremental query). No CDF mode.
+  */
+class HudiLiteStreamProvider extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.sources.HudiLite.streamInfo(SparkSession.active,
+      LakeStream.pathOf(options))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    LakeStream.table(LakeStream.pathOf(properties), schema,
+      _ => Seq.empty,
+      s => graft.sources.HudiLite.streamInfo(s,
+        LakeStream.pathOf(properties))._3,
+      graft.sources.HudiLite.addedSlicesBetween,
+      cdfCapable = false)
+}
+
 private[streaming] object LakeStream {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
 

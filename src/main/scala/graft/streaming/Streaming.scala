@@ -781,7 +781,32 @@ object Streaming {
              o_totalprice
       FROM orders
       WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- st20
+    // Streaming FROM the Hudi timeline (st12's third-format sibling):
+    // the DSv2 source tails commit instants, each micro-batch exactly
+    // one commit's new file slices (maxVersionsPerTrigger=1), offsets
+    // checkpointed for exactly-once replay. Appends-only contract — a
+    // COW rewrite fails the stream loudly (spec-asserted); the oracle
+    // is the full three-commit content.
+    GQuery("st20_stream_from_hudi", (s, d) => {
+      import graft.sources.HudiLite
+      val t = s"${graft.util.Scratch.dir("st20")}/orders_hudi_src"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      HudiLite.create(s, t, o.filter(col("o_orderkey") % 3 === 0),
+        recordKey = "o_orderkey")
+      HudiLite.upsert(s, t, o.filter(col("o_orderkey") % 3 === 1))
+      HudiLite.upsert(s, t, o.filter(col("o_orderkey") % 3 === 2))
+      val stream = s.readStream
+        .format(classOf[HudiLiteStreamProvider].getName)
+        .option("path", t).option("maxVersionsPerTrigger", "1")
+        .load()
+      runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

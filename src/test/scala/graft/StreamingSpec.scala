@@ -102,4 +102,40 @@ class StreamingSpec extends SparkSpec {
       c.filter(col("c_custkey") <= 80).orderBy(col("c_custkey"))
         .collect().toSeq)
   }
+
+  test("DSv2 hudi source streams insert-only commits and fails loudly " +
+      "on a COW rewrite in the window") {
+    import graft.sources.HudiLite
+    import graft.streaming.HudiLiteStreamProvider
+    val t = s"${graft.util.Scratch.dir("st20spec")}/cust_hudi_stream"
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    HudiLite.create(spark, t, c.filter(col("c_custkey") <= 50),
+      recordKey = "c_custkey")
+    HudiLite.upsert(spark, t,
+      c.filter(col("c_custkey") > 50 && col("c_custkey") <= 80))
+    def readAll(): Long = {
+      val name = s"sthudi${java.util.UUID.randomUUID().toString.take(8)}"
+        .replace("-", "")
+      val q = spark.readStream
+        .format(classOf[HudiLiteStreamProvider].getName)
+        .option("path", t).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", graft.util.Scratch.dir("sthudickpt"))
+        .start()
+      try { q.processAllAvailable(); spark.table(name).count() }
+      finally q.stop()
+    }
+    assert(readAll() == c.filter(col("c_custkey") <= 80).count())
+    // A rewriting commit (matched keys) breaks the appends-only window.
+    HudiLite.upsert(spark, t,
+      c.filter(col("c_custkey") <= 10).withColumn("c_acctbal", lit(0.0)))
+    val e = intercept[Exception] { readAll() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(x =>
+      x.isInstanceOf[UnsupportedOperationException] ||
+        Option(x.getMessage).exists(_.contains("appends only"))),
+      e.toString.take(300))
+  }
 }
