@@ -106,6 +106,11 @@ object LakeSql {
       node.put("path", path) }
     val bytes = (Json.writeValueAsString(node) + "\n").getBytes("UTF-8")
     var v = f.listStatus(p).count(_.getPath.getName.endsWith(".json")).toLong
+    // Bounded like DeltaLite's commit loops: a lost exclusive-create
+    // claim moves to the next number, but a PERSISTENT I/O error
+    // (permissions, disk full) must surface, not spin forever.
+    val maxAttempts = 50
+    var attempt = 0
     var done = false
     while (!done) {
       val target = new org.apache.hadoop.fs.Path(p, f"$v%08d.json")
@@ -114,7 +119,12 @@ object LakeSql {
         try out.write(bytes) finally out.close()
         done = true
       } catch {
-        case _: java.io.IOException => v += 1 // lost the claim; next number
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw new IllegalStateException(
+            s"appendOp: lost the op-number claim $maxAttempts times at $p " +
+              s"(last error: ${e.getMessage})", e)
+          v += 1 // lost the claim; next number
       }
     }
   }
@@ -318,6 +328,13 @@ object LakeSql {
         val text = cv.originalText.getOrElse(
           throw new IllegalArgumentException(
             s"CREATE VIEW $name: no query text"))
+        // Mirror DropView's direction guard: a registered lake TABLE
+        // must not be silently shadowed (or misleadingly reported as
+        // an existing view) by CREATE [OR REPLACE] VIEW.
+        catalog(s).get(name).foreach { case (provider, _) =>
+          require(provider == "view",
+            s"$name is a $provider table; cannot CREATE VIEW over it")
+        }
         val exists = catalog(s).contains(name)
         if (exists && !cv.replace) {
           if (!cv.allowExisting)

@@ -112,9 +112,11 @@ object HudiLite {
       instant: String,
       fileIdFor: Int => String): Seq[(String, String)] = {
     val staged = s"$table/.staging_$instant"
-    val withMeta =
-      if (df.columns.contains(MetaCommitTime)) df
-      else df.withColumn(MetaCommitTime, lit(instant))
+    // Always re-stamp: every record written by a commit carries THAT
+    // commit's instant (the incremental() contract). A source df that
+    // already has the column (e.g. rows from another table's
+    // incremental read) must not smuggle stale instants in.
+    val withMeta = df.withColumn(MetaCommitTime, lit(instant))
     withMeta.write.mode("overwrite").parquet(staged)
     val f = fs(s, new Path(table))
     val parts = f.listStatus(new Path(staged))
@@ -296,8 +298,14 @@ object HudiLite {
         .filter(_.getName.startsWith("_hoodie_fg=")).foreach { dir =>
           val fileId = dir.getName.stripPrefix("_hoodie_fg=")
           // repartition(col) hashes each group to ONE task → one file.
-          val part = f.listStatus(dir).map(_.getPath)
-            .filter(_.getName.startsWith("part-")).head
+          // If that invariant ever breaks (maxRecordsPerFile, commit-
+          // protocol changes), fail loud instead of dropping rows.
+          val groupParts = f.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          require(groupParts.length == 1,
+            s"COW rewrite of group $fileId produced ${groupParts.length} " +
+              "part files (expected exactly 1); refusing to drop rows")
+          val part = groupParts.head
           val rel = s"${fileId}_0-0-0_$instant.parquet"
           f.rename(part, new Path(table, rel))
           newStats += ((fileId, rel))

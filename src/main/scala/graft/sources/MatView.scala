@@ -115,6 +115,38 @@ object MatView {
     s.read.parquet(s"$mvDir/${st.dataRel}")
   }
 
+  /** Opaque snapshot of the view's current metadata (the state.json
+    * text). Pair with [[restoreState]] for a metadata-only rollback —
+    * the benchmarking idiom that lets one memoized build serve many
+    * measured refreshes against identical state.
+    */
+  def stateToken(s: SparkSession, mvDir: String): String = {
+    val p = statePath(mvDir)
+    val f = fs(s, p)
+    require(f.exists(p), s"no materialized view at $mvDir")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Point the view back at the snapshot a [[stateToken]] captured and
+    * drop every data snapshot written after it (they are unreachable
+    * once the pointer moves back, and the next refresh re-writes their
+    * dir names). Metadata-only apart from deleting the stale dirs.
+    */
+  def restoreState(s: SparkSession, mvDir: String, token: String): Unit = {
+    val n = Json.readTree(token)
+    val keepV = n.get("dataRel").asText().stripPrefix("v").toLong
+    val f = fs(s, statePath(mvDir))
+    f.listStatus(new Path(mvDir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.stripPrefix("v").forall(_.isDigit) &&
+        p.getName.stripPrefix("v").toLong > keepV)
+      .foreach(p => f.delete(p, true))
+    val out = f.create(statePath(mvDir), true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Fold the base table's changes since the last refresh into the
     * view. Returns the base version the view now reflects; a no-op
     * (already current) performs no read and no write at all.
