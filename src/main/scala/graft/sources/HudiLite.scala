@@ -5,29 +5,45 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Minimal Apache-Hudi-style COPY-ON-WRITE table format — the third
-  * open table format of the reference's metadata study
-  * (reference:metadata:1, "Iceberg vs Delta vs Hudi"), built from the
-  * PUBLIC Hudi spec's core concepts only:
+/** Minimal Apache-Hudi-style table format — the third open table
+  * format of the reference's metadata study (reference:metadata:1,
+  * "Iceberg vs Delta vs Hudi"), built from the PUBLIC Hudi spec's core
+  * concepts only. BOTH Hudi table types are supported:
   *
   *  - `.hoodie/` holds `hoodie.properties` plus a TIMELINE of instants:
-  *    `<instant>.commit` JSON files (instant = ordered timestamp string)
-  *    each listing the FILE SLICES the commit wrote, exactly Hudi's
-  *    commit-metadata shape (partition → fileId → data file).
-  *  - Data files belong to FILE GROUPS (stable `fileId`); a COW upsert
-  *    rewrites an affected group as a NEW SLICE of the same group under
-  *    the new instant. A snapshot read takes, per file group, ONLY the
-  *    latest slice ≤ the read instant — that is the whole reader
-  *    algorithm, and why Hudi can upsert without a merge-on-read path.
+  *    `<instant>.commit` (base-file commits / compactions) and
+  *    `<instant>.deltacommit` (MOR log writes) JSON files (instant =
+  *    ordered timestamp string), each listing what the commit wrote,
+  *    exactly Hudi's commit-metadata shape (partition → fileId → file).
+  *  - Data files belong to FILE GROUPS (stable `fileId`).
+  *  - COPY_ON_WRITE: an upsert REWRITES an affected group as a new
+  *    base slice of the same group under the new instant; a snapshot
+  *    read takes, per group, only the latest base slice ≤ the read
+  *    instant.
+  *  - MERGE_ON_READ (the formats' headline difference, the reason the
+  *    reference's three-way comparison exists): an upsert APPENDS a
+  *    LOG FILE to the affected group's current file slice instead of
+  *    rewriting the base — write cost O(updates), zero write
+  *    amplification. A snapshot read merges base + logs at read time
+  *    (latest record per key wins, ordered by commit instant);
+  *    [[compact]] folds a group's logs into a new base slice so reads
+  *    stop paying the merge; [[readOptimized]] is the base-files-only
+  *    view (fresh log data invisible, zero merge cost).
   *
   * Differences from real Hudi are deliberate scope cuts, not changed
   * semantics: instants are a monotonic counter rendered in Hudi's
-  * timestamp format (no wall-clock collisions), there is no metadata
-  * table / markers / cleaner, and record keys are a caller-named column.
+  * timestamp format (no wall-clock collisions), log files are parquet
+  * rather than avro blocks, there is no metadata table / markers /
+  * cleaner, and record keys are a caller-named column (updates must be
+  * key-unique per commit — real Hudi's precombine-field dedup is out
+  * of scope).
   *
   * Scale shape: the timeline is metadata (driver-side, O(commits));
   * data file planning is per file group; reads are plain pruned parquet
   * scans of the chosen slices, so Catalyst pushdown applies unchanged.
+  * The MOR read-time merge confines the window shuffle to log-bearing
+  * groups only — a 100 TB table with 1% freshly-updated groups merges
+  * 1% and plain-scans 99%.
   */
 object HudiLite {
 
@@ -46,15 +62,25 @@ object HudiLite {
     f"${n + 1}%017d"
   }
 
-  /** Completed instants, ascending. */
-  def completedInstants(s: SparkSession, table: String): Seq[String] = {
+  /** Timeline files: (instant, metadata file path), ascending — both
+    * base commits (`.commit`) and MOR log commits (`.deltacommit`).
+    */
+  private def timelineFiles(s: SparkSession,
+      table: String): Seq[(String, Path)] = {
     val hd = hoodieDir(table)
     val f = fs(s, hd)
     if (!f.exists(hd)) Seq.empty
-    else f.listStatus(hd).map(_.getPath.getName)
-      .filter(_.endsWith(".commit"))
-      .map(_.stripSuffix(".commit")).sorted.toSeq
+    else f.listStatus(hd).map(_.getPath)
+      .filter(p => p.getName.endsWith(".commit") ||
+        p.getName.endsWith(".deltacommit"))
+      .map(p => (p.getName.stripSuffix(".deltacommit")
+        .stripSuffix(".commit"), p))
+      .sortBy(_._1).toSeq
   }
+
+  /** Completed instants, ascending (both commit kinds). */
+  def completedInstants(s: SparkSession, table: String): Seq[String] =
+    timelineFiles(s, table).map(_._1)
 
   private def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -72,31 +98,53 @@ object HudiLite {
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
-  /** (fileId → (instant, relative data path)) of the LATEST slice per
-    * file group at `asOf` (empty string = latest overall) — the Hudi
-    * snapshot-read rule.
+  /** A file group's current FILE SLICE: the latest base file plus the
+    * log files appended to it since (ascending instant order). COW
+    * groups always have empty `logs`.
     */
-  private def latestSlices(s: SparkSession, table: String,
-      asOf: String = ""): Map[String, (String, String)] = {
+  case class FileSlice(baseInstant: String, basePath: String,
+      logs: Seq[(String, String)])
+
+  /** (fileId → latest [[FileSlice]]) at `asOf` (empty = latest
+    * overall) — the Hudi snapshot-read rule. A new BASE file for a
+    * group (COW rewrite, MOR compaction, fresh insert group) starts a
+    * new slice and retires the previous slice's logs; a LOG stat
+    * appends to the group's current slice.
+    */
+  private def fileSlices(s: SparkSession, table: String,
+      asOf: String = ""): Map[String, FileSlice] = {
     val f = fs(s, hoodieDir(table))
-    val instants = completedInstants(s, table)
-      .filter(i => asOf.isEmpty || i <= asOf)
-    require(instants.nonEmpty,
+    val tl = timelineFiles(s, table)
+      .filter { case (i, _) => asOf.isEmpty || i <= asOf }
+    require(tl.nonEmpty,
       s"no completed commits at $table" +
         (if (asOf.nonEmpty) s" at or before instant $asOf" else ""))
-    var slices = Map.empty[String, (String, String)]
-    instants.foreach { i => // ascending: later slices overwrite earlier
-      val n = Json.readTree(
-        readText(f, new Path(hoodieDir(table), s"$i.commit")))
+    var slices = Map.empty[String, FileSlice]
+    tl.foreach { case (i, metaFile) => // ascending: later wins
+      val n = Json.readTree(readText(f, metaFile))
       n.get("partitionToWriteStats").fields().forEachRemaining { e =>
         e.getValue.elements().forEachRemaining { st =>
-          slices += st.get("fileId").asText() ->
-            (i, st.get("path").asText())
+          val fileId = st.get("fileId").asText()
+          val path = st.get("path").asText()
+          if (st.has("log") && st.get("log").asBoolean()) {
+            val cur = slices.getOrElse(fileId, throw new IllegalStateException(
+              s"log file for unknown file group $fileId at instant $i"))
+            slices += fileId -> cur.copy(logs = cur.logs :+ (i, path))
+          } else slices += fileId -> FileSlice(i, path, Nil)
         }
       }
     }
     slices
   }
+
+  /** Back-compat shape used by the COW upsert path: (fileId →
+    * (base instant, base path)).
+    */
+  private def latestSlices(s: SparkSession, table: String,
+      asOf: String = ""): Map[String, (String, String)] =
+    fileSlices(s, table, asOf).map { case (fid, sl) =>
+      fid -> (sl.baseInstant, sl.basePath)
+    }
 
   /** Per-row commit-time meta column (the real Hudi field): stamped at
     * write, RETAINED through COW rewrites for untouched rows — which
@@ -131,56 +179,125 @@ object HudiLite {
     stats
   }
 
-  private def commitNode(stats: Seq[(String, String)]): String = {
+  private def commitNode(operation: String,
+      stats: Seq[(String, String, Boolean)]): String = {
     val root = Json.createObjectNode()
-    root.put("operation", "upsert")
+    root.put("operation", operation)
     val p2w = root.putObject("partitionToWriteStats")
     val arr = p2w.putArray("") // single (root) partition — scope cut
-    stats.foreach { case (fileId, rel) =>
+    stats.foreach { case (fileId, rel, isLog) =>
       val st = arr.addObject()
       st.put("fileId", fileId)
       st.put("path", rel)
+      if (isLog) st.put("log", true)
     }
     Json.writeValueAsString(root)
   }
 
-  /** Create a COW table: hoodie.properties + first commit. */
+  private def baseStats(stats: Seq[(String, String)]):
+      Seq[(String, String, Boolean)] =
+    stats.map { case (fid, rel) => (fid, rel, false) }
+
+  val CopyOnWrite = "COPY_ON_WRITE"
+  val MergeOnRead = "MERGE_ON_READ"
+
+  /** Create a table of either type: hoodie.properties + first commit
+    * (the initial bulk insert writes base files under both types).
+    */
   def create(s: SparkSession, table: String, df: DataFrame,
-      recordKey: String): String = {
+      recordKey: String, tableType: String = CopyOnWrite): String = {
     val hd = hoodieDir(table)
     val f = fs(s, hd)
     require(!f.exists(hd), s"table already exists at $table")
+    require(Set(CopyOnWrite, MergeOnRead).contains(tableType),
+      s"unknown hoodie.table.type $tableType")
     f.mkdirs(hd)
     require(df.schema.fieldNames.contains(recordKey),
       s"record key $recordKey not in schema")
     val props = Json.createObjectNode()
     props.put("hoodie.table.name", new Path(table).getName)
-    props.put("hoodie.table.type", "COPY_ON_WRITE")
+    props.put("hoodie.table.type", tableType)
     props.put("hoodie.table.recordkey.fields", recordKey)
     writeText(f, new Path(hd, "hoodie.properties"),
       Json.writeValueAsString(props))
     val instant = nextInstant(s, table)
     val stats = writeSlices(s, table, df, instant,
       i => f"g$i%04d-${new Path(table).getName}")
-    writeText(f, new Path(hd, s"$instant.commit"), commitNode(stats))
+    writeText(f, new Path(hd, s"$instant.commit"),
+      commitNode("upsert", baseStats(stats)))
     instant
   }
 
-  private def recordKeyOf(s: SparkSession, table: String): String = {
+  private def propsOf(s: SparkSession, table: String) = {
     val f = fs(s, hoodieDir(table))
     Json.readTree(readText(f, new Path(hoodieDir(table),
-      "hoodie.properties"))).get("hoodie.table.recordkey.fields").asText()
+      "hoodie.properties")))
   }
 
-  /** Snapshot read at the latest (or `asOf`) instant: per file group,
-    * scan only its newest slice — plain parquet scans, full pushdown.
-    * The per-row commit-time meta column is dropped unless `keepMeta`.
+  private def recordKeyOf(s: SparkSession, table: String): String =
+    propsOf(s, table).get("hoodie.table.recordkey.fields").asText()
+
+  /** The table's declared type (COPY_ON_WRITE / MERGE_ON_READ). */
+  def tableTypeOf(s: SparkSession, table: String): String =
+    propsOf(s, table).get("hoodie.table.type").asText()
+
+  /** Latest record per key across base + log rows: the MOR read-time
+    * merge rule. Ordering by the per-row commit instant is exact
+    * because log rows are re-stamped with their delta commit's instant,
+    * which is strictly later than every stamp a base row can carry.
+    */
+  private def latestWins(df: DataFrame, key: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(MetaCommitTime).desc)
+    df.withColumn("_hoodie_rn", row_number().over(w))
+      .filter(col("_hoodie_rn") === 1).drop("_hoodie_rn")
+  }
+
+  /** Snapshot read at the latest (or `asOf`) instant. Per file group:
+    * its newest base slice, MERGED at read time with the slice's log
+    * files when it has any (MOR real-time view — latest record per key
+    * wins). Groups without logs — every COW group, and every MOR group
+    * since its last compaction — go through a plain multi-file parquet
+    * scan with full pushdown; the merge window is confined to the
+    * log-bearing groups' rows only. The per-row commit-time meta
+    * column is dropped unless `keepMeta`.
     */
   def snapshot(s: SparkSession, table: String, asOf: String = "",
       keepMeta: Boolean = false): DataFrame = {
-    val slices = latestSlices(s, table, asOf)
-    val paths = slices.values.map { case (_, rel) => s"$table/$rel" }.toSeq
-    val df = s.read.parquet(paths: _*)
+    val slices = fileSlices(s, table, asOf)
+    val (withLogs, pure) = slices.partition(_._2.logs.nonEmpty)
+    val pureDf =
+      if (pure.isEmpty) None
+      else Some(s.read.parquet(
+        pure.values.map(sl => s"$table/${sl.basePath}").toSeq: _*))
+    val mergedDf =
+      if (withLogs.isEmpty) None
+      else {
+        val key = recordKeyOf(s, table)
+        val files = withLogs.values.flatMap(sl =>
+          sl.basePath +: sl.logs.map(_._2)).map(rel => s"$table/$rel").toSeq
+        Some(latestWins(s.read.parquet(files: _*), key))
+      }
+    val df = (pureDf, mergedDf) match {
+      case (Some(p), Some(m)) => p.unionByName(m)
+      case (Some(p), None) => p
+      case (None, Some(m)) => m
+      case (None, None) => throw new IllegalStateException(
+        s"empty snapshot at $table")
+    }
+    if (keepMeta) df else df.drop(MetaCommitTime)
+  }
+
+  /** READ-OPTIMIZED view of a MOR table: base files only — columnar
+    * scan performance with zero merge cost, at the price of not seeing
+    * data still sitting in log files (exactly real Hudi's RO-view
+    * trade). On a COW table it equals [[snapshot]].
+    */
+  def readOptimized(s: SparkSession, table: String,
+      keepMeta: Boolean = false): DataFrame = {
+    val slices = fileSlices(s, table)
+    val df = s.read.parquet(
+      slices.values.map(sl => s"$table/${sl.basePath}").toSeq: _*)
     if (keepMeta) df else df.drop(MetaCommitTime)
   }
 
@@ -206,38 +323,42 @@ object HudiLite {
       to: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
     val f = fs(s, new Path(table))
     val rootQ = f.makeQualified(new Path(table))
-    val instants = completedInstants(s, table)
-      .filter(i => i.toLong > from && i.toLong <= to)
+    val tl = timelineFiles(s, table)
     // Groups live BEFORE the window: appearing again inside it = rewrite.
-    var seen: Set[String] = completedInstants(s, table)
-      .filter(_.toLong <= from).flatMap { i =>
-        val n = Json.readTree(
-          readText(f, new Path(hoodieDir(table), s"$i.commit")))
+    var seen: Set[String] = tl.filter(_._1.toLong <= from)
+      .flatMap { case (_, metaFile) =>
+        val n = Json.readTree(readText(f, metaFile))
         val b = Seq.newBuilder[String]
         n.get("partitionToWriteStats").fields().forEachRemaining(e =>
           e.getValue.elements().forEachRemaining(st =>
             b += st.get("fileId").asText()))
         b.result()
       }.toSet
-    instants.flatMap { i =>
-      val n = Json.readTree(
-        readText(f, new Path(hoodieDir(table), s"$i.commit")))
-      val out = Seq.newBuilder[(Long, String, Long,
-        Seq[(String, Option[String])])]
-      n.get("partitionToWriteStats").fields().forEachRemaining(e =>
-        e.getValue.elements().forEachRemaining { st =>
-          val fileId = st.get("fileId").asText()
-          if (seen.contains(fileId))
-            throw new UnsupportedOperationException(
-              s"instant $i of $table rewrites file group $fileId; the " +
-                "streaming source reads appends only — use " +
-                "HudiLite.incremental for update-inclusive consumption")
-          seen += fileId
-          val p = new Path(rootQ, st.get("path").asText())
-          out += ((i.toLong, p.toString, f.getFileStatus(p).getLen, Nil))
-        })
-      out.result()
-    }
+    tl.filter { case (i, _) => i.toLong > from && i.toLong <= to }
+      .flatMap { case (i, metaFile) =>
+        val n = Json.readTree(readText(f, metaFile))
+        val out = Seq.newBuilder[(Long, String, Long,
+          Seq[(String, Option[String])])]
+        n.get("partitionToWriteStats").fields().forEachRemaining(e =>
+          e.getValue.elements().forEachRemaining { st =>
+            val fileId = st.get("fileId").asText()
+            if (st.has("log") && st.get("log").asBoolean())
+              throw new UnsupportedOperationException(
+                s"instant $i of $table appends a LOG file to group " +
+                  s"$fileId; the streaming source reads base-file " +
+                  "appends only — use HudiLite.incremental for " +
+                  "update-inclusive consumption")
+            if (seen.contains(fileId))
+              throw new UnsupportedOperationException(
+                s"instant $i of $table rewrites file group $fileId; the " +
+                  "streaming source reads appends only — use " +
+                  "HudiLite.incremental for update-inclusive consumption")
+            seen += fileId
+            val p = new Path(rootQ, st.get("path").asText())
+            out += ((i.toLong, p.toString, f.getFileStatus(p).getLen, Nil))
+          })
+        out.result()
+      }
   }
 
   /** Hudi INCREMENTAL QUERY: every record written (inserted OR
@@ -251,6 +372,14 @@ object HudiLite {
     snapshot(s, table, keepMeta = true)
       .filter(col(MetaCommitTime) > fromInstant)
 
+  /** Upsert by record key, dispatching on the table's type:
+    * COPY_ON_WRITE rewrites affected groups, MERGE_ON_READ appends log
+    * files to them. Updates must be key-unique per call.
+    */
+  def upsert(s: SparkSession, table: String, updates: DataFrame): String =
+    if (tableTypeOf(s, table) == MergeOnRead) morUpsert(s, table, updates)
+    else cowUpsert(s, table, updates)
+
   /** COPY-ON-WRITE upsert by record key: file groups containing a
     * matched key are REWRITTEN (merged with the updates) as new slices
     * of the SAME group; unmatched incoming keys land in fresh groups.
@@ -262,7 +391,8 @@ object HudiLite {
     * never a driver loop of per-group jobs, which at lake scale would
     * mean thousands of sequential job launches.
     */
-  def upsert(s: SparkSession, table: String, updates: DataFrame): String = {
+  private def cowUpsert(s: SparkSession, table: String,
+      updates: DataFrame): String = {
     val key = recordKeyOf(s, table)
     val slices = latestSlices(s, table)
     val instant = nextInstant(s, table)
@@ -322,7 +452,133 @@ object HudiLite {
         i => f"g$i%04d-ins-$instant")
     require(newStats.nonEmpty, "upsert matched nothing and inserted nothing")
     writeText(f, new Path(hoodieDir(table), s"$instant.commit"),
-      commitNode(newStats.toSeq))
+      commitNode("upsert", baseStats(newStats.toSeq)))
     instant
+  }
+
+  /** MERGE-ON-READ upsert: updates whose key lives in an existing file
+    * group land in ONE new LOG FILE per affected group — no base file
+    * is read or rewritten, so write cost is O(updates) regardless of
+    * group size (the headline MOR property: a 1 GB file group takes a
+    * 1 MB update for the price of writing 1 MB). Keys in no current
+    * group become fresh base-file groups (the bulk-insert path).
+    * Commits as `<instant>.deltacommit`.
+    *
+    * All log files write in ONE distributed job (repartition on the
+    * group id + partitionBy write + metadata-sized renames), mirroring
+    * the COW path's single-job shape.
+    */
+  private def morUpsert(s: SparkSession, table: String,
+      updates: DataFrame): String = {
+    val key = recordKeyOf(s, table)
+    val slices = fileSlices(s, table)
+    val instant = nextInstant(s, table)
+    val f = fs(s, new Path(table))
+    val upd = updates.localCheckpoint()
+
+    // key → file group, from base AND log rows (a key that entered the
+    // table through an earlier log file still maps to its group).
+    val keyToGroup = slices.toSeq.map { case (fileId, sl) =>
+      val files = (sl.basePath +: sl.logs.map(_._2))
+        .map(rel => s"$table/$rel")
+      s.read.parquet(files: _*).select(col(key))
+        .withColumn("_hoodie_fg", lit(fileId))
+    }.reduce(_.unionByName(_)).distinct().localCheckpoint()
+
+    // Matched updates → one log file per affected group.
+    val matched = upd.join(keyToGroup, Seq(key))
+    val newStats = scala.collection.mutable.Buffer.empty[(String, String, Boolean)]
+    val staged = s"$table/.staging_$instant"
+    val stagedPath = new Path(staged)
+    matched
+      .withColumn(MetaCommitTime, lit(instant))
+      .repartition(col("_hoodie_fg"))
+      .write.partitionBy("_hoodie_fg").mode("overwrite").parquet(staged)
+    if (f.exists(stagedPath))
+      f.listStatus(stagedPath).map(_.getPath)
+        .filter(_.getName.startsWith("_hoodie_fg=")).foreach { dir =>
+          val fileId = dir.getName.stripPrefix("_hoodie_fg=")
+          val groupParts = f.listStatus(dir).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          require(groupParts.length == 1,
+            s"MOR log write of group $fileId produced " +
+              s"${groupParts.length} part files (expected exactly 1)")
+          val rel = s"${fileId}_0-0-0_$instant.log.parquet"
+          f.rename(groupParts.head, new Path(table, rel))
+          newStats += ((fileId, rel, true))
+        }
+    f.delete(stagedPath, true)
+
+    // Pure inserts become fresh base-file groups (instant-suffixed ids
+    // so a reused name can never shadow an existing group).
+    val inserts = upd.join(keyToGroup.select(col(key)), Seq(key),
+      "left_anti")
+    if (!inserts.isEmpty)
+      newStats ++= baseStats(writeSlices(s, table, inserts, instant,
+        i => f"g$i%04d-ins-$instant"))
+    require(newStats.nonEmpty, "upsert matched nothing and inserted nothing")
+    writeText(f, new Path(hoodieDir(table), s"$instant.deltacommit"),
+      commitNode("deltacommit", newStats.toSeq))
+    instant
+  }
+
+  /** MOR COMPACTION: fold every log-bearing group's (base + logs) into
+    * a NEW base slice of the same group — reads stop paying the
+    * read-time merge, logs are retired from the slice view (a new base
+    * file starts a new slice), and row commit-time stamps are RETAINED
+    * (compaction selects winning rows, it does not re-stamp — the
+    * [[incremental]] contract survives). Groups without logs are not
+    * touched: compaction cost is proportional to the freshly-updated
+    * fraction of the table, never the table. Commits as a `.commit`
+    * with operation "compact". Returns the instant, or "" when there
+    * was nothing to compact.
+    */
+  def compact(s: SparkSession, table: String): String = {
+    val key = recordKeyOf(s, table)
+    val withLogs = fileSlices(s, table).filter(_._2.logs.nonEmpty)
+    if (withLogs.isEmpty) return ""
+    val instant = nextInstant(s, table)
+    val f = fs(s, new Path(table))
+    val tagged = withLogs.toSeq.map { case (fileId, sl) =>
+      val files = (sl.basePath +: sl.logs.map(_._2))
+        .map(rel => s"$table/$rel")
+      s.read.parquet(files: _*).withColumn("_hoodie_fg", lit(fileId))
+    }.reduce(_.unionByName(_))
+    val merged = latestWins(tagged, key)
+    val staged = s"$table/.staging_$instant"
+    val stagedPath = new Path(staged)
+    merged.repartition(col("_hoodie_fg"))
+      .write.partitionBy("_hoodie_fg").mode("overwrite").parquet(staged)
+    val newStats = scala.collection.mutable.Buffer.empty[(String, String)]
+    f.listStatus(stagedPath).map(_.getPath)
+      .filter(_.getName.startsWith("_hoodie_fg=")).foreach { dir =>
+        val fileId = dir.getName.stripPrefix("_hoodie_fg=")
+        val groupParts = f.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith("part-"))
+        require(groupParts.length == 1,
+          s"compaction of group $fileId produced ${groupParts.length} " +
+            "part files (expected exactly 1)")
+        val rel = s"${fileId}_0-0-0_$instant.parquet"
+        f.rename(groupParts.head, new Path(table, rel))
+        newStats += ((fileId, rel))
+      }
+    f.delete(stagedPath, true)
+    require(newStats.size == withLogs.size,
+      s"compaction wrote ${newStats.size} groups, expected ${withLogs.size}")
+    writeText(f, new Path(hoodieDir(table), s"$instant.commit"),
+      commitNode("compact", baseStats(newStats.toSeq)))
+    instant
+  }
+
+  /** Data files (relative paths) of every group's current slice —
+    * (base files, log files). Spec-facing: lets tests assert that MOR
+    * upserts add logs without touching bases and that compaction
+    * retires logs.
+    */
+  def currentFiles(s: SparkSession,
+      table: String): (Seq[String], Seq[String]) = {
+    val slices = fileSlices(s, table)
+    (slices.values.map(_.basePath).toSeq.sorted,
+      slices.values.flatMap(_.logs.map(_._2)).toSeq.sorted)
   }
 }

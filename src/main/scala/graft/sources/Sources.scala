@@ -1732,7 +1732,82 @@ object Sources {
       FROM customer
       WHERE c_custkey % 2 = 1
          OR (c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING')
-      ORDER BY c_custkey"""))
+      ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s55
+    // Hudi MERGE-ON-READ — the table type that separates Hudi from
+    // Delta/Iceberg in the reference's three-format comparison
+    // (reference:metadata:1): the upsert appends ONE LOG FILE per
+    // affected file group (no base file read or rewritten — write cost
+    // O(updates), zero write amplification) and the snapshot read
+    // merges base + logs at read time, latest record per key winning
+    // by commit instant. Groups the upsert never touched go through a
+    // plain parquet scan — the merge window is confined to log-bearing
+    // groups. HudiLiteSpec asserts the mechanics: base files identical
+    // before/after the upsert, log files present, readOptimized blind
+    // to the fresh updates. Repeated calls are content-idempotent
+    // (same keys, same replacement values).
+    GQuery("s55_hudi_mor_upsert", (s, d) => {
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val (t, _) = tableOnce.computeIfAbsent(
+        s"s55|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s55")}/cust_hudi_mor"
+          val i = HudiLite.create(s, path,
+            c.filter(col("c_custkey") % 2 === 0)
+              .repartition(4, col("c_custkey")), recordKey = "c_custkey",
+            tableType = HudiLite.MergeOnRead)
+          (path, i.toLong)
+        })
+      HudiLite.upsert(s, t,
+        c.filter(col("c_custkey") % 2 === 0 &&
+            col("c_mktsegment") === "BUILDING")
+          .withColumn("c_acctbal", col("c_acctbal") * 2)
+          .unionByName(c.filter(col("c_custkey") % 2 === 1)))
+      HudiLite.snapshot(s, t).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 AND c_mktsegment = 'BUILDING'
+                  THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s56
+    // MOR COMPACTION: fold each log-bearing group's base + logs into a
+    // new base slice of the SAME group — reads stop paying the merge,
+    // untouched groups aren't rewritten (compaction cost follows the
+    // updated fraction, never the table), and winning rows RETAIN
+    // their commit-time stamps so the incremental query's contract
+    // survives compaction. The measured region per call is a real
+    // upsert + compaction + read cycle on identical state;
+    // HudiLiteSpec asserts log retirement and snapshot ≡ readOptimized
+    // equivalence after compacting.
+    GQuery("s56_hudi_mor_compact", (s, d) => {
+      val c = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      val (t, _) = tableOnce.computeIfAbsent(
+        s"s56|${System.identityHashCode(s)}|$d", _ => {
+          val path = s"${scratch("s56")}/cust_hudi_mor_cp"
+          val i = HudiLite.create(s, path,
+            c.filter(col("c_custkey") % 2 === 0)
+              .repartition(4, col("c_custkey")), recordKey = "c_custkey",
+            tableType = HudiLite.MergeOnRead)
+          (path, i.toLong)
+        })
+      HudiLite.upsert(s, t,
+        c.filter(col("c_custkey") % 2 === 0 &&
+            col("c_mktsegment") === "AUTOMOBILE")
+          .withColumn("c_acctbal", col("c_acctbal") + 50)
+          .unionByName(c.filter(col("c_custkey") % 2 === 1)))
+      HudiLite.compact(s, t)
+      // Post-compaction the read-optimized view IS the full answer.
+      HudiLite.readOptimized(s, t).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 2 = 0 AND c_mktsegment = 'AUTOMOBILE'
+                  THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
   )
 
   /** One-time load of the `nation` dim into an embedded Derby database

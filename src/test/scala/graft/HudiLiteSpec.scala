@@ -76,4 +76,84 @@ class HudiLiteSpec extends SparkSpec {
     assert(metaSnap.filter(col(HudiLite.MetaCommitTime) === first)
       .count() == base.count() - 3)
   }
+
+  test("MOR upsert appends log files without touching base files; " +
+      "snapshot merges, read-optimized view doesn't; compaction " +
+      "retires logs and retains commit stamps") {
+    val t = s"${graft.util.Scratch.dir("hudispec")}/mor"
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val base = c.filter(col("c_custkey") <= 100)
+    val first = HudiLite.create(spark, t,
+      base.repartition(4, col("c_custkey")), recordKey = "c_custkey",
+      tableType = HudiLite.MergeOnRead)
+    val (bases0, logs0) = HudiLite.currentFiles(spark, t)
+    assert(bases0.size == 4 && logs0.isEmpty)
+
+    // Upsert: 3 updates (log files onto existing groups) + 10 inserts
+    // (a fresh base-file group).
+    HudiLite.upsert(spark, t,
+      c.filter(col("c_custkey").isin(1, 2, 3))
+        .withColumn("c_acctbal", lit(0.0))
+        .unionByName(c.filter(col("c_custkey") > 100 &&
+          col("c_custkey") <= 110)))
+    val (bases1, logs1) = HudiLite.currentFiles(spark, t)
+    // ZERO base rewrites: every v0 base file is still live; the only
+    // new bases belong to the insert group(s); updates live in logs.
+    assert(bases0.toSet.subsetOf(bases1.toSet), "MOR rewrote a base file")
+    assert(logs1.nonEmpty && logs1.forall(_.endsWith(".log.parquet")))
+    assert(logs1.size <= 3, s"one log per affected group, got $logs1")
+
+    // Snapshot (real-time view) merges: updated values visible, no
+    // duplicate keys, full row count.
+    val expected = base.count() + 10
+    val snap = HudiLite.snapshot(spark, t)
+    assert(snap.count() == expected)
+    assert(snap.filter(col("c_custkey").isin(1, 2, 3))
+      .agg(sum(col("c_acctbal"))).head.getDouble(0) == 0.0)
+    assert(snap.groupBy(col("c_custkey")).count()
+      .filter(col("count") > 1).count() == 0)
+    // Read-optimized view: base files only — the fresh updates are
+    // invisible (old values), inserts (base files) are visible.
+    val ro = HudiLite.readOptimized(spark, t)
+    assert(ro.count() == expected)
+    assert(ro.filter(col("c_custkey").isin(1, 2, 3))
+      .agg(sum(col("c_acctbal"))).head.getDouble(0) != 0.0)
+
+    // Second update of key 1: later log wins at read time.
+    HudiLite.upsert(spark, t,
+      c.filter(col("c_custkey") === 1).withColumn("c_acctbal", lit(77.0)))
+    assert(HudiLite.snapshot(spark, t).filter(col("c_custkey") === 1)
+      .head.getAs[Double]("c_acctbal") == 77.0)
+
+    // Time travel still serves the pre-upsert state.
+    assert(HudiLite.snapshot(spark, t, asOf = first).count() == base.count())
+
+    // Incremental query sees every written record exactly once at its
+    // LATEST stamp (3 updates + 10 inserts; key 1 only once).
+    val inc = HudiLite.incremental(spark, t, first)
+    assert(inc.count() == 13, inc.count().toString)
+
+    // Compaction folds logs into new base slices of the SAME groups,
+    // only for log-bearing groups; the slice view retires the logs and
+    // snapshot ≡ read-optimized afterwards.
+    val ci = HudiLite.compact(spark, t)
+    assert(ci.nonEmpty)
+    val (bases2, logs2) = HudiLite.currentFiles(spark, t)
+    assert(logs2.isEmpty, s"logs not retired: $logs2")
+    assert(bases2.size == bases1.size, "compaction changed group count")
+    val snap2 = HudiLite.snapshot(spark, t)
+    val ro2 = HudiLite.readOptimized(spark, t)
+    assert(snap2.exceptAll(ro2).isEmpty && ro2.exceptAll(snap2).isEmpty)
+    assert(snap2.filter(col("c_custkey") === 1)
+      .head.getAs[Double]("c_acctbal") == 77.0)
+    // Commit stamps RETAINED through compaction: the incremental pull
+    // is unchanged, and untouched rows still carry the first instant.
+    assert(HudiLite.incremental(spark, t, first).count() == 13)
+    assert(HudiLite.snapshot(spark, t, keepMeta = true)
+      .filter(col(HudiLite.MetaCommitTime) === first)
+      .count() == base.count() - 3)
+    // Nothing left to compact.
+    assert(HudiLite.compact(spark, t) == "")
+  }
 }
