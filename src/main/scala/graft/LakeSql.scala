@@ -153,6 +153,8 @@ object LakeSql {
 
   private def registerEntry(s: SparkSession, name: String,
       provider: String, path: String): Unit = {
+    require(name != MetaTablesView && name != MetaColumnsView,
+      s"$name is a reserved metadata view name")
     catalog(s).put(name, (provider, path))
     catalogDir(s).foreach(appendOp(s, _, "register", name, provider, path))
   }
@@ -188,6 +190,43 @@ object LakeSql {
       case None =>
         throw new IllegalArgumentException(s"table $name not in catalog")
     }
+
+  /** Reserved names of the catalog's metadata views — the
+    * information_schema analog an embedded engine exposes, and the
+    * entry point for catalog-level DATA DISCOVERY (the dominant theme
+    * of the reference's lake-metadata reading list,
+    * reference:metadata:25,33,38-39 — "which of my 10k tables contain
+    * column X" is the first question a data-lake user asks).
+    */
+  val MetaTablesView = "graft_tables"
+  val MetaColumnsView = "graft_columns"
+
+  /** One row per catalog entry: (table_name, provider, location).
+    * Pure metadata — no data file is opened at any table size.
+    */
+  def tablesMeta(s: SparkSession): DataFrame = {
+    import s.implicits._
+    catalog(s).toSeq.sortBy(_._1).map { case (n, (prov, p)) =>
+      (n, prov, if (prov == "view") "" else p)
+    }.toSeq.toDF("table_name", "provider", "location")
+  }
+
+  /** One row per column of every catalog entry: (table_name,
+    * column_name, data_type, ordinal, nullable). Lake-table schemas
+    * come from the format's log/metadata replay (no data IO); a view's
+    * schema re-plans its text. Search over this view IS find-by-column
+    * discovery: `SELECT table_name FROM graft_columns WHERE
+    * column_name = 'x'`.
+    */
+  def columnsMeta(s: SparkSession): DataFrame = {
+    import s.implicits._
+    catalog(s).toSeq.sortBy(_._1).flatMap { case (n, (prov, _)) =>
+      table(s, n).schema.fields.zipWithIndex.map { case (f, i) =>
+        (n, f.name, f.dataType.simpleString, i + 1, f.nullable)
+      }
+    }.toSeq.toDF("table_name", "column_name", "data_type", "ordinal",
+      "nullable")
+  }
 
   /** Versioned snapshot of a cataloged table (`VERSION AS OF`): the log
     * version for DeltaLite, the snapshot id for IcebergLite.
@@ -270,7 +309,79 @@ object LakeSql {
     * snapshot. Returns the result rows for queries, an empty frame for
     * DDL/DML.
     */
-  def sql(s: SparkSession, statement: String): DataFrame =
+  // EXPLAIN at the text entry (reference:duckdb:101-119 — the
+  // observability half of the entry→parse→bind→plan→execute trace):
+  // strip the prefix, bind the inner statement through the normal
+  // path, return its plan string as one row. Expression ids (#123)
+  // are normalized out so the output is stable across plans of the
+  // same shape.
+  private val ExplainRe =
+    """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.*)$""".r
+
+  def sql(s: SparkSession, statement: String): DataFrame = statement match {
+    case ExplainRe(modeStr, inner) =>
+      val df = sql(s, inner)
+      val mode = org.apache.spark.sql.execution.ExplainMode.fromString(
+        Option(modeStr).map(_.toLowerCase).getOrElse("formatted"))
+      import s.implicits._
+      val text = df.queryExecution.explainString(mode)
+        .replaceAll("#\\d+", "#")
+      Seq(text).toDF("plan")
+    case _ => sqlStatement(s, statement)
+  }
+
+  /** String-literal-safe split of a multi-statement script (the
+    * reference entry path's ExtractStatements, reference:duckdb:18,92):
+    * semicolons inside '…' / "…" literals and `--` line comments do
+    * not split; empty statements drop.
+    */
+  def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inSingle) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1 // '' escape stays inside the literal
+          } else inSingle = false
+        }
+      } else if (inDouble) {
+        cur.append(c)
+        if (c == '"') inDouble = false
+      } else if (c == '-' && i + 1 < text.length &&
+          text.charAt(i + 1) == '-') {
+        while (i < text.length && text.charAt(i) != '\n') {
+          cur.append(text.charAt(i)); i += 1
+        }
+        i -= 1 // the newline (if any) appends on the next loop turn
+      } else c match {
+        case '\'' => inSingle = true; cur.append(c)
+        case '"' => inDouble = true; cur.append(c)
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Run a multi-statement script through [[sql]], one statement at a
+    * time in order; returns the LAST statement's result (the DuckDB
+    * multi-query contract).
+    */
+  def script(s: SparkSession, text: String): DataFrame = {
+    val stmts = splitStatements(text)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(st => sql(s, st)).last
+  }
+
+  private def sqlStatement(s: SparkSession, statement: String): DataFrame =
     s.sessionState.sqlParser.parsePlan(statement) match {
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
           partitioning, query, spec, _, ignoreIfExists, _) =>
@@ -425,6 +536,14 @@ object LakeSql {
         // Query path: bind every cataloged name the plan references to
         // the table's current snapshot, then hand the ORIGINAL text to
         // spark.sql (full Catalyst optimization).
+        // Metadata views bind by textual mention: they are reserved
+        // names, and a mention inside a CTE body is invisible to
+        // plan.collect (UnresolvedWith keeps cteRelations out of the
+        // children traversal).
+        if (statement.contains(MetaTablesView))
+          tablesMeta(s).createOrReplaceTempView(MetaTablesView)
+        if (statement.contains(MetaColumnsView))
+          columnsMeta(s).createOrReplaceTempView(MetaColumnsView)
         plan.collect { case r: UnresolvedRelation =>
           r.multipartIdentifier.last
         }.distinct.foreach { n =>

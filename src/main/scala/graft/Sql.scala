@@ -488,6 +488,128 @@ object Sql {
           CAST(median(o_orderkey) AS DOUBLE) AS a_median
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
 
+      // -------------------------------------------------------------- x48
+      // Catalog-level DATA DISCOVERY (reference:metadata:25,33,38-39 —
+      // table search / data discovery in lakes): graft_tables and
+      // graft_columns are the engine's information_schema analog,
+      // pure-metadata views over the catalog (lake schemas come from
+      // log replay, views re-plan their text; no data file opened).
+      // The query lists every column of three tag-scoped entries
+      // (deltalite + iceberglite + a view) and then answers the
+      // discovery question "which of my tables contain column
+      // o_custkey" as a plain filter over the same view. Names are
+      // tag-suffixed (shared session), so the output maps them to
+      // stable labels; oracle = the expected literal rows.
+      GQuery("x48_sql_catalog_discovery", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val t1 = s"disc_ord_$tag"
+        val t2 = s"disc_cust_$tag"
+        val v1 = s"disc_view_$tag"
+        LakeSql.sql(s, s"""CREATE TABLE $t1 USING deltalite
+          LOCATION '${graft.util.Scratch.dir("x48")}/$t1'
+          AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey <= 100""")
+        LakeSql.sql(s, s"""CREATE TABLE $t2 USING iceberglite
+          LOCATION '${graft.util.Scratch.dir("x48")}/$t2'
+          AS SELECT c_custkey, c_name, c_acctbal FROM customer
+          WHERE c_custkey <= 100""")
+        LakeSql.sql(s, s"""CREATE VIEW $v1 AS
+          SELECT o_orderkey, o_custkey FROM $t1""")
+        val out = LakeSql.sql(s, s"""
+          WITH mine AS (
+            SELECT CASE WHEN c.table_name = '$t1' THEN 't1'
+                        WHEN c.table_name = '$t2' THEN 't2'
+                        ELSE 'v1' END AS tbl,
+                   t.provider, c.column_name, c.data_type, c.ordinal
+            FROM graft_columns c
+            JOIN graft_tables t ON c.table_name = t.table_name
+            WHERE c.table_name IN ('$t1', '$t2', '$v1'))
+          SELECT 'cols' AS part, tbl, provider, column_name, data_type,
+                 ordinal
+          FROM mine
+          UNION ALL
+          SELECT 'find' AS part, tbl, provider, column_name, data_type,
+                 ordinal
+          FROM mine WHERE column_name = 'o_custkey'
+          ORDER BY part, tbl, ordinal""")
+        out.count() // materialize before the catalog entries drop
+        LakeSql.sql(s, s"DROP VIEW $v1")
+        LakeSql.sql(s, s"DROP TABLE $t2")
+        LakeSql.sql(s, s"DROP TABLE $t1")
+        out
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('cols','t1','deltalite','o_orderkey','bigint',1),
+          ('cols','t1','deltalite','o_custkey','bigint',2),
+          ('cols','t1','deltalite','o_totalprice','double',3),
+          ('cols','t2','iceberglite','c_custkey','bigint',1),
+          ('cols','t2','iceberglite','c_name','string',2),
+          ('cols','t2','iceberglite','c_acctbal','double',3),
+          ('cols','v1','view','o_orderkey','bigint',1),
+          ('cols','v1','view','o_custkey','bigint',2),
+          ('find','t1','deltalite','o_custkey','bigint',2),
+          ('find','v1','view','o_custkey','bigint',2)
+        ) AS t(part, tbl, provider, column_name, data_type, ordinal)
+        ORDER BY part, tbl, ordinal""")),
+
+      // -------------------------------------------------------------- x49
+      // EXPLAIN through the text entry (reference:duckdb:101-119): a
+      // user at the SQL surface can ask for the physical plan of any
+      // statement the entry accepts; the inner statement binds through
+      // the normal path (catalog names, raw views) and the plan
+      // string comes back as rows. Engine-specific output → rows-only
+      // by design; LakeSqlSpec asserts pushed filters and pruned
+      // ReadSchema appear for a filtered projection.
+      GQuery("x49_sql_explain", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, """EXPLAIN FORMATTED
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey <= 100""")
+      }, None),
+
+      // -------------------------------------------------------------- x50
+      // Multi-statement SQL script through one entry call — the
+      // reference entry path splits statements before the parse loop
+      // (ExtractStatements, reference:duckdb:18,92). The split is
+      // string-literal- and comment-safe; statements run in order;
+      // the LAST statement's rows come back (DuckDB's multi-query
+      // contract). Script = DDL + DML + view + final query; oracle
+      // replays the net effect on the raw table.
+      GQuery("x50_sql_script", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val t = s"ms_ord_$tag"
+        val v = s"ms_v_$tag"
+        val out = LakeSql.script(s, s"""
+          -- build a lake table of open orders; then append finished;
+          CREATE TABLE $t USING deltalite
+            LOCATION '${graft.util.Scratch.dir("x50")}/$t'
+            AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+               FROM orders WHERE o_orderstatus = 'O';
+          INSERT INTO $t
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F';
+          CREATE VIEW $v AS
+            SELECT o_custkey, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                     AS total
+            FROM $t GROUP BY o_custkey;
+          SELECT * FROM $v WHERE n >= 3 ORDER BY o_custkey""")
+        out.count() // materialize before the entries drop
+        LakeSql.sql(s, s"DROP VIEW $v")
+        LakeSql.sql(s, s"DROP TABLE $t")
+        out
+      }, Some("""
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders WHERE o_orderstatus IN ('O', 'F')
+        GROUP BY o_custkey HAVING COUNT(*) >= 3
+        ORDER BY o_custkey""")),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS

@@ -261,4 +261,87 @@ class LakeSqlSpec extends SparkSpec {
         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
   }
+
+  test("EXPLAIN at the text entry returns the plan; pushed filters and " +
+      "pruned ReadSchema are visible; cataloged names bind") {
+    Sql.open(spark, sfDir)
+    val plan = LakeSql.sql(spark, """EXPLAIN FORMATTED
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 100""").head.getString(0)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThanOrEqual(o_orderkey,100)"), plan)
+    // Column pruning reached the scan: the 4th column never reads.
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("o_orderpriority"), plan)
+    // Expression ids are normalized out (stable output).
+    assert(!plan.matches("(?s).*#\\d.*"), plan)
+
+    // EXPLAIN over a CATALOGED lake table binds through the catalog.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val t = s"exp_t_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $t USING deltalite
+      LOCATION '${graft.util.Scratch.dir("lakesqlspec")}/$t'
+      AS SELECT * FROM customer WHERE c_custkey <= 50""")
+    val planT = LakeSql.sql(spark,
+      s"EXPLAIN SELECT COUNT(*) FROM $t").head.getString(0)
+    assert(planT.contains("Scan parquet") || planT.contains("FileScan"),
+      planT)
+    LakeSql.sql(spark, s"DROP TABLE $t")
+  }
+
+  test("splitStatements is literal- and comment-safe; script returns " +
+      "the last statement's rows") {
+    val stmts = LakeSql.splitStatements(
+      "SELECT 'a;b' AS x; -- comment; with semicolons\n" +
+        "SELECT \"q;ident\" FROM t; SELECT 'it''s; fine';; SELECT 2")
+    assert(stmts.size == 4, stmts.toString)
+    assert(stmts(0) == "SELECT 'a;b' AS x")
+    assert(stmts(1).startsWith("-- comment; with semicolons"))
+    assert(stmts(2) == "SELECT 'it''s; fine'")
+    assert(stmts(3) == "SELECT 2")
+
+    Sql.open(spark, sfDir)
+    val out = LakeSql.script(spark, """
+      SELECT 1 AS one;
+      SELECT COUNT(*) AS n FROM nation""")
+    assert(out.columns.toSeq == Seq("n"))
+    assert(out.head.getLong(0) == 25)
+  }
+
+  test("graft_tables / graft_columns metadata views answer " +
+      "find-by-column over the catalog; reserved names refuse DDL") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = graft.util.Scratch.dir("lakesqlmeta")
+    val name = s"meta_t_$tag"
+    val s1 = spark.newSession()
+    s1.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"""CREATE TABLE $name USING deltalite
+      LOCATION '$root/$name'
+      AS SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 20""")
+    val found = LakeSql.sql(s1,
+      s"""SELECT table_name FROM graft_columns
+          WHERE column_name = 'c_name' AND table_name = '$name'""")
+    assert(found.count() == 1)
+    // Cross-session: a NEW session replaying the durable op log sees
+    // the same discovery surface.
+    val s2 = spark.newSession()
+    s2.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s2, sfDir)
+    val meta2 = LakeSql.sql(s2,
+      s"""SELECT t.provider, c.column_name, c.ordinal
+          FROM graft_tables t JOIN graft_columns c
+            ON t.table_name = c.table_name
+          WHERE t.table_name = '$name' ORDER BY c.ordinal""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(meta2.toSeq == Seq(("deltalite", "c_custkey", 1),
+      ("deltalite", "c_name", 2)), meta2.mkString(","))
+    // Reserved names cannot be shadowed by DDL.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, s"""CREATE TABLE graft_tables USING deltalite
+        LOCATION '$root/shadow'
+        AS SELECT * FROM nation""")
+    }
+    LakeSql.sql(s2, s"DROP TABLE $name")
+  }
 }
