@@ -78,7 +78,9 @@ object FastText {
   }
 
   /** Min 31-bit shingle hash (winnowing fingerprint): equals
-    * coalesce(array_min(shingleHashes31(text, n)), P).
+    * coalesce(array_min(shingleHashesPoly(text, n)), P) — the
+    * engine-neutral polynomial hash, so the operator carries a full
+    * cross-engine oracle.
     */
   case class ShingleMin31(child: Expression, shingleN: Int)
       extends UnaryExpression {

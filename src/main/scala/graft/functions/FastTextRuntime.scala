@@ -81,23 +81,52 @@ object FastTextRuntime {
     out
   }
 
+  /** Engine-neutral 31-bit string hash: polynomial over the string's
+    * UTF-16 code units, h = (h·131 + c) mod P. Unlike xxhash64 this is
+    * computable verbatim in any engine with a list fold (DuckDB:
+    * list_reduce over ord(substr(…))) — which is what lets the
+    * fingerprint operators carry a full cross-engine oracle. Code
+    * units equal code points on ASCII/BMP text; the corpus contract is
+    * documented at the operator.
+    */
+  private def charPoly31(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = java.lang.Math.floorMod(h * 131L + s.charAt(i).toLong, P)
+      i += 1
+    }
+    h
+  }
+
   def rollingFp(text: UTF8String): Long = {
     val toks = tokens(text)
     var acc = 0L
     var t = 0
     while (t < toks.length) {
-      val h31 = java.lang.Math.floorMod(hash64(toks(t)), P)
-      acc = java.lang.Math.floorMod(acc * 31L + h31, P)
+      acc = java.lang.Math.floorMod(acc * 31L + charPoly31(toks(t)), P)
       t += 1
     }
     acc
   }
 
   def shingleMin31(text: UTF8String, shingleN: Int): Long = {
-    val hashes = hash31OfShingles(text, shingleN)
+    val toks = tokens(text)
+    if (toks.length < shingleN) return P
     var best = P
+    val sb = new java.lang.StringBuilder
     var i = 0
-    while (i < hashes.length) { if (hashes(i) < best) best = hashes(i); i += 1 }
+    while (i <= toks.length - shingleN) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      val h = charPoly31(sb.toString)
+      if (h < best) best = h
+      i += 1
+    }
     best
   }
 

@@ -92,10 +92,26 @@ object TextHash {
     transform(sequence(lit(0), lit(3)), bnd =>
       call_function("shiftright", sim, bnd * 16).bitwiseAND(0xFFFFL))
 
+  /** Engine-neutral 31-bit polynomial string hash, h = (h·131 + c)
+    * mod P over the string's characters — the fingerprint hash
+    * (cross-engine-computable, unlike xxhash64; see
+    * FastTextRuntime.charPoly31).
+    */
+  def charPoly31(sc: Column): Column =
+    aggregate(sequence(lit(1), length(sc)), lit(0L), (a, i) =>
+      pmod(a * 131L + ascii(sc.substr(i, lit(1))), lit(P)))
+
+  /** Shingle → engine-neutral polynomial hash (array<long>), the
+    * fingerprint complement of the xxhash-based [[shingleHashes31]].
+    */
+  def shingleHashesPoly(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => charPoly31(s))
+
   /** Rolling polynomial fingerprint over tokens, mod P (Karp–Rabin
-    * style): fp = Σ tokhash·31^k mod P, fold kept < 2³⁶ so ANSI-safe.
+    * style): fp = Σ charPoly31(tok)·31^k mod P, fold kept < 2³⁶ so
+    * ANSI-safe.
     */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
-      pmod(acc * 31L + pmod(xxhash64(t), lit(P)), lit(P)))
+      pmod(acc * 31L + charPoly31(t), lit(P)))
 }

@@ -297,13 +297,38 @@ object TextOps {
 
     // ---------------------------------------------------------------- t04
     // Document fingerprinting: Karp–Rabin rolling hash over the token
-    // stream + a winnowing-style min over word-8-gram hashes. xxhash64
-    // seeds differ across engines → rows-only check; spec pins values.
+    // stream + a winnowing-style min over word-8-gram hashes. The
+    // token/gram hash is the ENGINE-NEUTRAL charPoly31 polynomial
+    // (h·131 + codepoint mod P) rather than xxhash64, so the whole
+    // fingerprint replays verbatim in DuckDB as nested list folds —
+    // full hash oracle (the corpus is ASCII; code units = code
+    // points). Spark side stays a fused O(n) native expression.
     GQuery("t04_fingerprint", (s, d) => {
       withFingerprints(T.documents(s, d))
         .select(col("doc_id"), col("fp"), col("winnow_fp"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(tk, t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(t) + 1), i ->
+                CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+              (a, c) -> (a * 131 + c) % 2147483647))),
+          (a, h) -> (a * 31 + h) % 2147483647) AS fp,
+        COALESCE(list_min(list_transform(
+          range(1, len(tk) - 6),
+          i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, length(array_to_string(
+              list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' ')) + 1),
+              j -> CAST(ord(substr(array_to_string(
+                list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 7), ' '),
+                CAST(j AS INT), 1)) AS BIGINT))),
+            (a, c) -> (a * 131 + c) % 2147483647))),
+          CAST(2147483647 AS BIGINT)) AS winnow_fp
+      FROM toks ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- t05
     // Corpus n-gram stats: word bigrams exploded and counted. The only

@@ -47,10 +47,10 @@ class FastTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
-  test("ShingleMin31 equals coalesce(array_min(shingleHashes31), P)") {
+  test("ShingleMin31 equals coalesce(array_min(shingleHashesPoly), P)") {
     val rows = df.select(
       FastText.shingleMin31(col("text"), 8).as("fast"),
-      coalesce(array_min(TextHash.shingleHashes31(col("text"), 8)),
+      coalesce(array_min(TextHash.shingleHashesPoly(col("text"), 8)),
         lit(TextHash.P)).as("hof")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
