@@ -327,7 +327,80 @@ object LakeSql {
       val text = df.queryExecution.explainString(mode)
         .replaceAll("#\\d+", "#")
       Seq(text).toDF("plan")
+    case _ if AsOfJoinKeyword.matches(statement) =>
+      sqlStatement(s, rewriteAsOfJoins(statement))
     case _ => sqlStatement(s, statement)
+  }
+
+  // ---- ASOF JOIN at the text entry ---------------------------------
+  // DuckDB accepts `l ASOF JOIN r ON l.k = r.k AND l.t >= r.t`;
+  // Spark's parser does not. The supported form (plain relation names
+  // with optional aliases, an ON conjunction of alias-qualified
+  // equalities plus exactly one >= / <= time inequality) rewrites to
+  // standard SQL via the VALIDITY-INTERVAL identity: each right row is
+  // valid from its time until the key's next time (one lead() window),
+  // so the equi-join + interval filter keeps exactly the as-of match.
+  // Compositional with every other clause (aliases survive; note a
+  // SELECT * will surface the helper __asof_end column — project
+  // explicitly). This text path is the per-key theta-join shape; the
+  // hot-key-safe union-merge lives in operators/AsOfJoin (q32).
+  private val AsOfJoinKeyword = "(?is).*\\bASOF\\s+JOIN\\b.*".r
+  private val AsOfJoinRe = ("""(?is)(\w+)(?:\s+(?:AS\s+)?(?!ASOF\b|ON\b)""" +
+    """(\w+))?\s+ASOF\s+JOIN\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?""" +
+    """\s+ON\s+((?:[\w.]+\s*(?:>=|<=|=)\s*[\w.]+)""" +
+    """(?:\s+AND\s+[\w.]+\s*(?:>=|<=|=)\s*[\w.]+)*)""").r
+
+  private[graft] def rewriteAsOfJoins(statement: String): String = {
+    require(AsOfJoinRe.findFirstIn(statement).isDefined,
+      "unsupported ASOF JOIN form — supported: <name> [alias] ASOF JOIN " +
+        "<name> [alias] ON <alias-qualified equalities AND one time " +
+        "inequality>")
+    AsOfJoinRe.replaceAllIn(statement, m => {
+      val (lhs, rhs) = (m.group(1), m.group(3))
+      val la = Option(m.group(2)).getOrElse(lhs)
+      val ra = Option(m.group(4)).getOrElse(rhs)
+      val conds = m.group(5).split("(?i)\\s+AND\\s+").map(_.trim).toSeq
+      def sideOf(ref: String): String = {
+        val q = ref.takeWhile(_ != '.')
+        require(ref.contains('.') && (q == la || q == ra),
+          s"ASOF JOIN: condition operand $ref must be qualified by " +
+            s"$la or $ra")
+        q
+      }
+      def colOf(ref: String): String = ref.dropWhile(_ != '.').drop(1)
+      var rightKeys = Seq.empty[String]
+      var ineq: Option[(String, String)] = None // (left time ref, right time col)
+      conds.foreach { c =>
+        val geq = c.contains(">=") || c.contains("<=")
+        val Array(x, y) = c.split(">=|<=|=").map(_.trim)
+        if (geq) {
+          // Normalize to left.t >= right.t.
+          val (l, r) = if (c.contains(">=")) (x, y) else (y, x)
+          require(sideOf(l) == la && sideOf(r) == ra,
+            s"ASOF JOIN: time inequality $c must compare $la's time " +
+              s"against $ra's")
+          require(ineq.isEmpty,
+            "ASOF JOIN: exactly one time inequality supported")
+          ineq = Some((l, colOf(r)))
+        } else {
+          val (_, r) = if (sideOf(x) == la) (x, y) else (y, x)
+          require(sideOf(r) == ra,
+            s"ASOF JOIN: equality $c must pair $la with $ra")
+          rightKeys :+= colOf(r)
+        }
+      }
+      val (lt, rt) = ineq.getOrElse(throw new IllegalArgumentException(
+        "ASOF JOIN: a time inequality (>= or <=) is required"))
+      require(rightKeys.nonEmpty,
+        "ASOF JOIN: at least one equality key is required")
+      val part = rightKeys.map(k => s"__r.$k").mkString(", ")
+      val sub = s"(SELECT __r.*, lead(__r.$rt) OVER (PARTITION BY " +
+        s"$part ORDER BY __r.$rt) AS __asof_end FROM $rhs __r) $ra"
+      val on = s"${m.group(5)} AND ($ra.__asof_end IS NULL OR " +
+        s"$lt < $ra.__asof_end)"
+      scala.util.matching.Regex.quoteReplacement(
+        s"$lhs $la JOIN $sub ON $on")
+    })
   }
 
   /** String-literal-safe split of a multi-statement script (the

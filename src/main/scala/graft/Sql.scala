@@ -610,6 +610,45 @@ object Sql {
         GROUP BY o_custkey HAVING COUNT(*) >= 3
         ORDER BY o_custkey""")),
 
+      // -------------------------------------------------------------- x51
+      // ASOF JOIN as TEXT — DuckDB's syntax at graft's entry: the
+      // rewriter turns `l ASOF JOIN r ON l.k = r.k AND l.t >= r.t`
+      // into standard SQL via the validity-interval identity (each
+      // right row valid [its t, key's next t) — one lead() window,
+      // equi-join + interval filter keeps exactly the as-of match).
+      // The ORACLE runs DuckDB's native ASOF JOIN on the same
+      // sub-selects — two engines, same text semantics, hash-equal.
+      // q32 remains the hot-key-safe union-merge operator twin.
+      GQuery("x51_sql_asof_join", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val p = s"asof_p_$tag"
+        val v = s"asof_v_$tag"
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $p AS
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'""")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $v AS
+          SELECT user_id, ts AS v_ts, value AS v_value FROM events
+          WHERE event_type = 'view'""")
+        val out = LakeSql.sql(s,
+          s"""SELECT p.event_id, p.user_id, p.ts, v.v_ts, v.v_value
+              FROM $p p ASOF JOIN $v v
+              ON p.user_id = v.user_id AND p.ts >= v.v_ts
+              ORDER BY p.event_id""")
+        out.count() // materialize before the temp views drop
+        s.catalog.dropTempView(p)
+        s.catalog.dropTempView(v)
+        out
+      }, Some("""
+        SELECT p.event_id, p.user_id, p.ts, v.v_ts, v.v_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts AS v_ts, value AS v_value
+                   FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id AND p.ts >= v.v_ts
+        ORDER BY p.event_id""")),
+
       // -------------------------------------------------------------- x15
       // Catalog DDL → DML → query, all as text through one entry point
       // (LakeSql.sql): CREATE TABLE … USING deltalite LOCATION … AS

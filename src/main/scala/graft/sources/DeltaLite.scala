@@ -1628,6 +1628,31 @@ object DeltaLite {
 
   private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
+  /** Cap on the driver-side matched-file set a DML operation may
+    * collect (`spark.graft.maxHitFiles` overrides). The hit-file sets
+    * of delete/update/merge are metadata-sized by design — but a
+    * predicate matching most of a 100 TB table would queue millions of
+    * names on the driver; refusing loudly past the cap beats an OOM.
+    */
+  private def maxHitFiles(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.maxHitFiles").map(_.toInt)
+      .getOrElse(100000)
+
+  /** Distinct `_gf` hit-file names of `df`, bounded by [[maxHitFiles]]
+    * — fails loud (with the remedy) past the cap.
+    */
+  private def collectHitNames(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cap = maxHitFiles(s)
+    val names = df.select(col("_gf")).distinct().limit(cap + 1)
+      .collect().map(_.getString(0))
+    require(names.length <= cap,
+      s"predicate matches more than $cap data files; a driver-side " +
+        "file set this large risks driver memory — narrow the " +
+        "operation or raise spark.graft.maxHitFiles")
+    names.toSet
+  }
+
   /** Copy-on-write MERGE (upsert) on `keys`: source rows REPLACE
     * matching target rows and are INSERTED otherwise. Only target files
     * containing a matching key are rewritten — found by ONE
@@ -1712,9 +1737,9 @@ object DeltaLite {
     // key get rewritten; everything else is untouched metadata.
     val hitNames =
       if (st.entries.isEmpty) Set.empty[String]
-      else readEntries(s, table, schema, st.entries, fileCol = Some("_gf"))
-        .join(touchedKeys, keys, "left_semi")
-        .select(col("_gf")).distinct().collect().map(_.getString(0)).toSet
+      else collectHitNames(s,
+        readEntries(s, table, schema, st.entries, fileCol = Some("_gf"))
+          .join(touchedKeys, keys, "left_semi"))
     val hitEntries = st.entries
       .filter(e => hitNames.contains(fileName(e.path)))
     val newData =
@@ -2075,11 +2100,9 @@ object DeltaLite {
     if (candidates.isEmpty) return
     // UUID file names are unique per table, so name-match recovers the
     // entries regardless of partition-directory encoding.
-    val hitNames = readEntries(s, table, schema, candidates,
-        fileCol = Some("_gf"))
-      .filter(cond)
-      .select(col("_gf")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val hitNames = collectHitNames(s,
+      readEntries(s, table, schema, candidates, fileCol = Some("_gf"))
+        .filter(cond))
     val hitEntries = candidates
       .filter(e => hitNames.contains(fileName(e.path)))
     if (hitEntries.isEmpty) return
@@ -2157,11 +2180,9 @@ object DeltaLite {
       s"updateWhere: unknown column $k"))
     val candidates = keptEntries(s, st, cond)
     if (candidates.isEmpty) return
-    val hitNames = readEntries(s, table, schema, candidates,
-        fileCol = Some("_gf"))
-      .filter(cond)
-      .select(col("_gf")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val hitNames = collectHitNames(s,
+      readEntries(s, table, schema, candidates, fileCol = Some("_gf"))
+        .filter(cond))
     val hitEntries = candidates
       .filter(e => hitNames.contains(fileName(e.path)))
     if (hitEntries.isEmpty) return

@@ -929,4 +929,27 @@ class DeltaLiteSpec extends SparkSpec {
       } finally r.close()
     }
   }
+
+  test("DML hit-file collects are capped (spark.graft.maxHitFiles): a " +
+      "predicate matching more files refuses loudly, data untouched") {
+    val t = freshTable()
+    val c = Tables.customer(spark, sfDir)
+    // 4 files, every file contains BUILDING rows → 4 hit files.
+    DeltaLite.create(spark, t, c.repartition(4, col("c_custkey")))
+    val before = DeltaLite.snapshot(spark, t).count()
+    spark.conf.set("spark.graft.maxHitFiles", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaLite.deleteWhere(spark, t, col("c_mktsegment") === "BUILDING")
+      }
+      assert(e.getMessage.contains("maxHitFiles"), e.getMessage)
+      // Refused BEFORE any commit: table state unchanged.
+      assert(DeltaLite.latestVersion(spark, t) == 0L)
+      assert(DeltaLite.snapshot(spark, t).count() == before)
+      // A narrow predicate (one file's worth of keys) still works.
+      DeltaLite.deleteWhere(spark, t, col("c_custkey") === 1L)
+      assert(DeltaLite.snapshot(spark, t)
+        .filter(col("c_custkey") === 1L).count() == 0)
+    } finally spark.conf.unset("spark.graft.maxHitFiles")
+  }
 }

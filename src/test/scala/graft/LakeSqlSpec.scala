@@ -344,4 +344,48 @@ class LakeSqlSpec extends SparkSpec {
     }
     LakeSql.sql(s2, s"DROP TABLE $name")
   }
+
+  test("ASOF JOIN text rewrite equals the union-merge operator; " +
+      "unsupported forms refuse loudly") {
+    Sql.open(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("asof_spec_p")
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .createOrReplaceTempView("asof_spec_v")
+    val viaText = LakeSql.sql(spark,
+      """SELECT p.event_id, p.user_id, p.ts,
+                v.v_ts AS last_view_ts, v.v_value AS last_view_value
+         FROM asof_spec_p p ASOF JOIN asof_spec_v v
+         ON p.user_id = v.user_id AND p.ts >= v.v_ts""")
+    val viaOp = graft.operators.AsOfJoin.asOf(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"),
+          col("value").as("v_value")),
+      "user_id", "ts", "v_ts",
+      Seq("v_ts" -> "last_view_ts", "v_value" -> "last_view_value"))
+      .filter(col("last_view_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_view_ts"), col("last_view_value"))
+    assert(viaText.exceptAll(viaOp).isEmpty &&
+      viaOp.exceptAll(viaText).isEmpty)
+    // The <= spelling (right side first) normalizes too.
+    val flipped = LakeSql.sql(spark,
+      """SELECT p.event_id FROM asof_spec_p p ASOF JOIN asof_spec_v v
+         ON v.v_ts <= p.ts AND p.user_id = v.user_id""")
+    assert(flipped.count() == viaOp.count())
+    // Missing inequality / unqualified operands refuse loudly.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        """SELECT * FROM asof_spec_p p ASOF JOIN asof_spec_v v
+           ON p.user_id = v.user_id""")
+    }
+    spark.catalog.dropTempView("asof_spec_p")
+    spark.catalog.dropTempView("asof_spec_v")
+  }
 }
