@@ -17,6 +17,45 @@ import org.apache.spark.sql.SparkSession
   * in, clearly labeled by its name.
   */
 object Bench {
+  /** Noise sentinel: a fixed CPU-bound calibration task (no IO, no
+    * data dependence — sum of 400M hashed longs) whose cost on an idle
+    * host is a known constant (BASELINE.md records it). A contended
+    * host inflates the sentinel the same way it inflates every query,
+    * so a bad measurement run is self-evident FROM the artifact — no
+    * cross-referencing untouched queries needed. Shared with TimeOne so
+    * one-off re-measurements carry the same adjudication signal.
+    */
+  def sentinelOnce(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    // pmod keeps the running sum far from long overflow (ANSI mode
+    // makes a raw sum of 64-bit hashes throw); cost stays hash-bound.
+    spark.range(0L, 400000000L, 1L, cpus)
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.col("id")),
+          org.apache.spark.sql.functions.lit(1000L))))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** IO/memory-bandwidth sentinel: a full parquet scan-agg over the
+    * run's own lineitem table. Round 8 found the CPU sentinel blind to
+    * a host whose scan-bound shapes ran 1.5–1.8× slower while pure
+    * hashing was unchanged (slower disk / memory bandwidth, not CPU
+    * contention) — so the artifact carries BOTH probes: CPU sentinel
+    * flat + IO sentinel inflated means scan-heavy queries are inflated
+    * by the host, not by a plan regression.
+    */
+  def sentinelIoOnce(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_extendedprice")))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,27 +80,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Noise sentinel: a fixed CPU-bound calibration task (no IO, no
-    // data dependence — sum of 400M hashed longs) whose cost on an idle
-    // host is a known constant (BASELINE.md records it). A contended
-    // host inflates the sentinel the same way it inflates every query,
-    // so a bad measurement run is self-evident FROM the artifact — no
-    // cross-referencing untouched queries needed.
-    def sentinelOnce(): Double = {
-      val t0 = System.nanoTime()
-      // pmod keeps the running sum far from long overflow (ANSI mode
-      // makes a raw sum of 64-bit hashes throw); cost stays hash-bound.
-      spark.range(0L, 400000000L, 1L, cpus.toInt)
-        .select(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(
-              org.apache.spark.sql.functions.col("id")),
-            org.apache.spark.sql.functions.lit(1000L))))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def sentinelOnce(): Double = Bench.sentinelOnce(spark, cpus.toInt)
+    def sentinelIo(): Double =
+      (1 to 3).map(_ => sentinelIoOnce(spark, sfDir)).min
     sentinelOnce() // warmup
     val sentinel = (1 to 3).map(_ => sentinelOnce()).min
+    sentinelIoOnce(spark, sfDir) // warmup (footer cache, codegen)
+    val sentinelIoStart = sentinelIo()
 
     // Warmup: every query once — codegen compilation, parquet footer
     // reads and JIT all land here.
@@ -85,6 +110,7 @@ object Bench {
     // mid-run (invisible to the opening probe) shows up as a
     // start/end sentinel gap — bracketing, not a single sample.
     val sentinelEnd = (1 to 3).map(_ => sentinelOnce()).min
+    val sentinelIoEnd = sentinelIo()
 
     // Self-adjudication: any query over the perf bar re-runs in
     // isolation at the end of the whole sweep (RepeatCheck proves every
@@ -115,7 +141,7 @@ object Bench {
     val midLine = midSentinels.map(v => "%.3f".formatLocal(
       java.util.Locale.ROOT, v)).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"sentinels_mid":$midLine,"retimed":$fullRetimed,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"sentinel_io":$sentinelIoStart,"sentinel_io_end":$sentinelIoEnd,"sentinels_mid":$midLine,"retimed":$fullRetimed,"queries":$fullQs,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullLine")
     try {
       val out = java.nio.file.Paths.get(
@@ -139,7 +165,7 @@ object Bench {
     val rts = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sentinel":${f3(sentinel)},"sentinel_end":${f3(sentinelEnd)},"sentinels_mid":$midLine,"retimed":$rts,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sentinel":${f3(sentinel)},"sentinel_end":${f3(sentinelEnd)},"sentinel_io":${f3(sentinelIoStart)},"sentinel_io_end":${f3(sentinelIoEnd)},"sentinels_mid":$midLine,"retimed":$rts,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,6 +180,25 @@ object DupClusters {
   private val edgesOnce =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Cluster ASSIGNMENT over [[dupEdgesMemo]], memoized per (session,
+    * dir, minBands) — one step further than the edge memo: the
+    * connected-components labeling is itself θ-free snapshot-derived
+    * evidence (it depends only on the corpus and the band threshold),
+    * so policy operators that CONSUME clusters (d15 keep-best, ad-hoc
+    * "show me cluster members" queries) reuse one labeling instead of
+    * re-running the O(log n)-round iteration per call. d07 deliberately
+    * does NOT use this — it times the clustering itself.
+    */
+  def clustersMemo(s: org.apache.spark.sql.SparkSession, d: String,
+      minBands: Int = 4): DataFrame =
+    clustersOnce.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d|$minBands",
+      _ => connectedComponentsStar(dupEdgesMemo(s, d, minBands))
+        .localCheckpoint())
+
+  private val clustersOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def dupEdges(docs: DataFrame, minBands: Int = 4): DataFrame = {
     val exact = docs
       .select(col("doc_id"), md5(col("text")).as("h"))

@@ -206,11 +206,21 @@ object RelationalQueries {
 
     // ---------------------------------------------------------------- q10
     GQuery("q10_topk", (s, d) => {
+      // Aggregation pushed below the join: revenue depends only on
+      // lineitem, so sum it per orderkey FIRST (map-side combine works
+      // on lineitem's natural orderkey clustering), then join the 4×
+      // smaller per-order partials to orders. Decimal partial-of-
+      // partials is exact, so the two-level sum equals the one-level
+      // sum bit-for-bit; the double cast happens once at the end.
       val l = T.lineitem(s, d)
-      l.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(sum(revenue(l)).as("o_rev"), count(lit(1)).as("o_n"))
+      perOrder
+        .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(moneySum(revenue(l)).as("rev"), count(lit(1)).as("n_items"))
+        .agg(sum(col("o_rev")).cast("double").as("rev"),
+          sum(col("o_n")).as("n_items"))
         .orderBy(col("rev").desc, col("c_custkey"))
         .limit(10)
     }, Some(s"""

@@ -706,24 +706,35 @@ object Sources {
       val o = T.orders(s, d)
       // Base table built once; every call rolls back to the base
       // snapshot first (metadata-only), so the MERGE always applies to
-      // identical state and is what the clock measures.
+      // identical state and is what the clock measures. The DML keys
+      // are RANGE-CONFINED (orderkey < 60000) on a table range-
+      // partitioned by orderkey, so the hit-file scan actually prunes:
+      // the MERGE rewrites the one low-range file (plus one new file
+      // for the inserted high keys), the UPDATE rewrites that same
+      // file again, and the other five files survive by reference —
+      // the round-7 version's scattered predicates (custkey%4, URGENT)
+      // touched every file and silently degenerated COW to
+      // rewrite-the-table-twice.
       val (t, base) = tableOnce.computeIfAbsent(
         s"s26|${System.identityHashCode(s)}|$d", _ => {
           val path = s"${scratch("s26")}/orders_ice_merge"
           val snap = IcebergLite.create(s, path,
-            o.filter(col("o_custkey") % 2 === 0)
-              .repartitionByRange(6, col("o_orderkey")))
+            o.repartitionByRange(6, col("o_orderkey")))
           (path, snap)
         })
       IcebergLite.rollbackTo(s, t, base)
-      // Upsert: custkey%4=0 rows UPDATE (doubled price), odd-custkey
-      // rows INSERT.
-      IcebergLite.merge(s, t,
-        o.filter(col("o_custkey") % 4 === 0)
-          .withColumn("o_totalprice", col("o_totalprice") * 2)
-          .unionByName(o.filter(col("o_custkey") % 2 === 1)),
+      // Upsert: low-range keys UPDATE (doubled price); INSERTs are
+      // brand-new high keys derived from a small slice.
+      val keyType = o.schema("o_orderkey").dataType
+      val updates = o.filter(col("o_orderkey") < 60000)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = o.filter(col("o_orderkey") < 6000)
+        .withColumn("o_orderkey",
+          (col("o_orderkey") + 10000000L).cast(keyType))
+      IcebergLite.merge(s, t, updates.unionByName(inserts),
         Seq("o_orderkey"))
-      IcebergLite.updateWhere(s, t, col("o_orderpriority") === "1-URGENT",
+      IcebergLite.updateWhere(s, t,
+        col("o_orderpriority") === "1-URGENT" && col("o_orderkey") < 60000,
         Map("o_orderstatus" -> lit("U")))
       IcebergLite.snapshot(s, t)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -731,12 +742,16 @@ object Sources {
         .orderBy(col("o_orderkey"))
     }, Some("""
       SELECT o_orderkey, o_custkey,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
-                  ELSE o_orderstatus END AS o_orderstatus,
-             CASE WHEN o_custkey % 4 = 0 THEN o_totalprice * 2
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey < 60000
+                  THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey < 60000 THEN o_totalprice * 2
                   ELSE o_totalprice END AS o_totalprice,
              o_orderpriority
       FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey < 6000
       ORDER BY o_orderkey""")),
 
     // ---------------------------------------------------------------- s27
