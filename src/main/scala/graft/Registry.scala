@@ -13,6 +13,7 @@ object Registry {
       operators.Similarity.all ++
       operators.TextOps.all ++
       operators.Multimodal.all ++
+      operators.Discovery.all ++
       sources.Sources.all ++
       streaming.Streaming.all ++
       Sql.all

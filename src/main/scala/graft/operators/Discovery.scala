@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{GQuery, Tables => T}
+import graft.functions.TextHash
+
+/** Value-level data discovery: "which column of which table is
+  * joinable with this one?" — the table-search question the
+  * reference's lake-metadata reading list centres on
+  * (reference:metadata:25 "Indexing Techniques for Table Search", :33,
+  * :38-39 data-discovery systems). x48's `graft_columns` view answers
+  * find-by-column-NAME; these operators answer find-by-column-CONTENT,
+  * the joinable/unionable-table-search problem of the published
+  * data-lake discovery systems.
+  *
+  * Two shapes, mirroring the a01/a02 brute-force-vs-index pattern:
+  *
+  *  - [[c01]] exact containment: |probe ∩ column| via one broadcast
+  *    semi-join + distinct-count per candidate column. The exact
+  *    baseline — O(Σ column sizes) per probe, every candidate table
+  *    scanned (column-pruned).
+  *  - [[c02]] MinHash column sketches: each column is folded ONCE into
+  *    a k-slot signature (engine-neutral charPoly31 hash + fixed
+  *    linear permutations — the same cross-engine trick that made
+  *    a02/t04 oracle-checkable); a probe then compares against
+  *    signatures only — O(k) per candidate column, independent of
+  *    column size. At 100 TB the sketch table IS the column index: it
+  *    is built incrementally per partition/snapshot and a discovery
+  *    query never rescans the lake.
+  *
+  * Both rank candidates by an integer score (overlap count / matching
+  * signature slots) with (table, column) tiebreaks — deterministic,
+  * grid-exact, hash-comparable across engines.
+  */
+object Discovery {
+
+  /** Candidate (table, column) inventory for c01 — in production this
+    * list comes straight from the catalog's `graft_columns` view; here
+    * it is pinned so the oracle can replay it.
+    */
+  private val joinCandidates: Seq[(String, String)] = Seq(
+    "nation" -> "n_nationkey",
+    "nation" -> "n_name",
+    "region" -> "r_regionkey",
+    "customer" -> "c_custkey",
+    "customer" -> "c_nationkey",
+    "customer" -> "c_mktsegment",
+    "supplier" -> "s_suppkey",
+    "supplier" -> "s_nationkey",
+    "part" -> "p_partkey",
+    "part" -> "p_brand",
+    "orders" -> "o_orderkey",
+    "orders" -> "o_custkey",
+    "orders" -> "o_orderpriority",
+    "lineitem" -> "l_orderkey")
+
+  /** Smaller, categorical-leaning inventory for the sketch index (the
+    * point of c02 is the index shape, not sweeping every column).
+    */
+  private val sketchCandidates: Seq[(String, String)] = Seq(
+    "nation" -> "n_nationkey",
+    "nation" -> "n_name",
+    "region" -> "r_regionkey",
+    "customer" -> "c_nationkey",
+    "customer" -> "c_mktsegment",
+    "supplier" -> "s_nationkey",
+    "orders" -> "o_orderpriority",
+    "orders" -> "o_orderstatus",
+    "lineitem" -> "l_returnflag",
+    "lineitem" -> "l_linestatus",
+    "part" -> "p_brand",
+    "part" -> "p_type")
+
+  private def tableOf(s: SparkSession, d: String, t: String): DataFrame =
+    T.apply(s, d, t)
+
+  /** Number of signature slots (MinHash permutations) in the c02
+    * column sketch.
+    */
+  val SketchK = 16
+
+  /** Exact joinable-column search: rank candidate columns by
+    * |distinct(probe) ∩ distinct(column)|. All values compare as
+    * strings (a discovery system cannot assume types line up — a key
+    * stored INT in one table and VARCHAR in another must still match).
+    * The probe's distinct set is broadcast; each candidate contributes
+    * one column-pruned scan + semi-join + distinct-count. Ranking by
+    * raw overlap equals ranking by containment (the denominator
+    * |probe| is constant across candidates).
+    */
+  def joinableColumns(probe: DataFrame, probeCol: String,
+      candidates: Seq[(String, String, DataFrame)]): DataFrame = {
+    val pv = broadcast(
+      probe.select(col(probeCol).cast("string").as("pv"))
+        .where(col("pv").isNotNull).distinct())
+    candidates.map { case (t, c, df) =>
+      df.select(col(c).cast("string").as("v"))
+        .where(col("v").isNotNull)
+        .join(pv, col("v") === col("pv"), "left_semi")
+        .agg(count_distinct(col("v")).as("n_overlap"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_overlap"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("n_overlap").desc, col("table_name"),
+        col("column_name"))
+  }
+
+  /** The fused long relation (table_name, column_name, v): ONE scan
+    * per table no matter how many of its columns are candidates —
+    * each row explodes into its (column, value) pairs map-side, so a
+    * 15-candidate inventory over 7 tables costs 7 column-pruned scans
+    * and zero extra passes. This is the shape both search operators
+    * consume; at 100 TB it is also the relation you'd materialize
+    * incrementally as the column index's raw feed.
+    */
+  def columnValues(s: SparkSession, d: String,
+      candidates: Seq[(String, String)]): DataFrame =
+    candidates.map(_._1).distinct.map { t =>
+      val cols = candidates.collect { case (`t`, c) => c }
+      tableOf(s, d, t)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"),
+            col(c).cast("string").as("v"))): _*)).as("e"))
+        .select(lit(t).as("table_name"), col("e.column_name"),
+          col("e.v"))
+    }.reduce(_ unionByName _)
+
+  /** [[joinableColumns]] over the fused values relation: broadcast
+    * semi-join (map-side, no shuffle) then ONE distinct-count
+    * aggregate keyed (table, column) — the whole search is a single
+    * exchange. Candidates with zero overlap are restored from the
+    * inventory (a vanished group is an answer, not an absence).
+    */
+  def joinableColumnsFused(s: SparkSession, probe: DataFrame,
+      probeCol: String, values: DataFrame,
+      inventory: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val pv = broadcast(
+      probe.select(col(probeCol).cast("string").as("pv"))
+        .where(col("pv").isNotNull).distinct())
+    val counted = values.where(col("v").isNotNull)
+      .distinct() // map-side partials collapse dup-heavy columns early
+      .join(pv, col("v") === col("pv"), "left_semi")
+      .groupBy(col("table_name"), col("column_name"))
+      .agg(count(lit(1)).as("n"))
+    broadcast(inventory.toDF("table_name", "column_name"))
+      .join(counted, Seq("table_name", "column_name"), "left")
+      .select(col("table_name"), col("column_name"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"))
+      .orderBy(col("n_overlap").desc, col("table_name"),
+        col("column_name"))
+  }
+
+  /** All candidate sketches off the fused values relation: distinct
+    * (table, column, value) once (map-side partials collapse the low-
+    * cardinality columns before the exchange), hash, explode k slots,
+    * one (table, column, slot) min aggregate.
+    */
+  def columnSketches(values: DataFrame): DataFrame =
+    values.where(col("v").isNotNull).distinct()
+      .select(col("table_name"), col("column_name"),
+        TextHash.charPoly31(col("v")).as("h"))
+      .select(col("table_name"), col("column_name"),
+        posexplode(transform(
+          sequence(lit(0), lit(SketchK - 1)),
+          i => pmod(
+            pmod(lit(2654435761L) * (i * 2L + 1L), lit(TextHash.P))
+              * col("h") + i * 40503L + 1L,
+            lit(TextHash.P)))).as(Seq("i", "mv")))
+      .groupBy(col("table_name"), col("column_name"), col("i"))
+      .agg(min(col("mv")).as("m"))
+
+  /** MinHash signature of one column: slot i holds
+    * min over distinct values v of (Aᵢ·h(v) + Bᵢ) mod P with
+    * Aᵢ = (2654435761·(2i+1)) mod P, Bᵢ = 40503·i + 1, h = charPoly31.
+    * The multiplier must be LARGE: small strings hash small
+    * (h("0") = 48), and a small Aᵢ never wraps mod P, leaving every
+    * slot's minimum at the globally smallest hash — a 5-value subset
+    * would then "match" a 25-value probe in all k slots. Aᵢ·h spans
+    * many multiples of P, so each slot ranks values independently.
+    * Aᵢ·h ≤ (P−1)² < 2⁶³ keeps the arithmetic exact in both engines.
+    * Returns (table_name, column_name, i, m) rows — the persistable
+    * column-index relation.
+    */
+  def columnSketch(df: DataFrame, t: String, c: String): DataFrame = {
+    val h = df.select(col(c).cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+      .select(TextHash.charPoly31(col("v")).as("h"))
+    h.select(posexplode(transform(
+        sequence(lit(0), lit(SketchK - 1)),
+        i => pmod(
+          pmod(lit(2654435761L) * (i * 2L + 1L), lit(TextHash.P))
+            * col("h") + i * 40503L + 1L,
+          lit(TextHash.P)))).as(Seq("i", "mv")))
+      .groupBy(col("i")).agg(min(col("mv")).as("m"))
+      .select(lit(t).as("table_name"), lit(c).as("column_name"),
+        col("i"), col("m"))
+  }
+
+  /** Sketch-index search: score = number of signature slots where the
+    * candidate's minimum equals the probe's (k·Jaccard estimate —
+    * the standard MinHash identity). Signatures only; no candidate
+    * table is rescanned at query time.
+    */
+  def sketchSearch(probeSig: DataFrame, sketches: DataFrame): DataFrame =
+    sketches
+      .join(broadcast(probeSig.select(col("i").as("pi"), col("m").as("pm"))),
+        col("i") === col("pi"))
+      .groupBy(col("table_name"), col("column_name"))
+      .agg(sum(when(col("m") === col("pm"), 1L).otherwise(0L))
+        .as("n_match"))
+      .orderBy(col("n_match").desc, col("table_name"), col("column_name"))
+
+  // ------------------------------------------------------------ oracle
+  // Both oracles are GENERATED from the same candidate inventory the
+  // Spark plan uses, so the two can never drift.
+
+  private def sqlContainment(probeTable: String, probeCol: String): String = {
+    val stanzas = joinCandidates.map { case (t, c) =>
+      s"""SELECT '$t' AS table_name, '$c' AS column_name,
+         (SELECT COUNT(DISTINCT CAST($c AS VARCHAR)) FROM $t
+          WHERE CAST($c AS VARCHAR) IN
+            (SELECT CAST($probeCol AS VARCHAR) FROM $probeTable)) AS n_overlap"""
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+      $stanzas
+    ) ORDER BY n_overlap DESC, table_name, column_name"""
+  }
+
+  /** DuckDB replay of charPoly31 (identical to the t04 oracle fold). */
+  private def sqlPoly(v: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, length($v) + 1),
+        i -> CAST(ord(substr($v, CAST(i AS INT), 1)) AS BIGINT))),
+      (a, ch) -> (a * 131 + ch) % 2147483647)"""
+
+  private def sqlSketch(probeTable: String, probeCol: String): String = {
+    val cand = sketchCandidates.map { case (t, c) =>
+      s"SELECT '$t' AS t, '$c' AS c, CAST($c AS VARCHAR) AS v FROM $t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cand AS (
+      $cand),
+    hashed AS (
+      SELECT t, c, ${sqlPoly("v")} AS h
+      FROM (SELECT DISTINCT t, c, v FROM cand WHERE v IS NOT NULL)),
+    perms AS (SELECT CAST(i AS BIGINT) AS i FROM range($SketchK) p(i)),
+    sigs AS (
+      SELECT t, c, i,
+             MIN((((2654435761 * (2 * i + 1)) % 2147483647) * h
+                  + 40503 * i + 1) % 2147483647) AS m
+      FROM hashed CROSS JOIN perms GROUP BY t, c, i),
+    probeh AS (
+      SELECT ${sqlPoly("v")} AS h
+      FROM (SELECT DISTINCT CAST($probeCol AS VARCHAR) AS v
+            FROM $probeTable WHERE $probeCol IS NOT NULL)),
+    probesig AS (
+      SELECT i, MIN((((2654435761 * (2 * i + 1)) % 2147483647) * h
+                     + 40503 * i + 1) % 2147483647) AS m
+      FROM probeh CROSS JOIN perms GROUP BY i)
+    SELECT s.t AS table_name, s.c AS column_name,
+           CAST(SUM(CASE WHEN s.m = p.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match
+    FROM sigs s JOIN probesig p ON s.i = p.i
+    GROUP BY s.t, s.c
+    ORDER BY n_match DESC, table_name, column_name"""
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---------------------------------------------------------------- c01
+    // Exact joinable-column search: probe = customer.c_custkey. The
+    // expected answer — orders.o_custkey ranks first (two thirds of
+    // customers have orders) — is exactly the foreign-key relationship
+    // a discovery system should surface without being told the schema.
+    GQuery("c01_joinable_columns", (s, d) => {
+      joinableColumnsFused(s, T.customer(s, d), "c_custkey",
+        columnValues(s, d, joinCandidates), joinCandidates)
+    }, Some(sqlContainment("customer", "c_custkey"))),
+
+    // ---------------------------------------------------------------- c02
+    // Sketch-index search: probe = nation.n_nationkey. The nationkey
+    // columns of customer/supplier hold the same 25 values, so their
+    // signatures match the probe's in (nearly) all k slots while
+    // unrelated categorical columns match by chance only. Engine-
+    // neutral hashing keeps the whole index DuckDB-replayable — full
+    // hash oracle, unlike the xxhash64 minhash family.
+    GQuery("c02_column_sketch_search", (s, d) => {
+      val sketches = columnSketches(columnValues(s, d, sketchCandidates))
+      val probeSig = columnSketch(T.nation(s, d), "nation", "n_nationkey")
+        .select(col("i"), col("m"))
+      sketchSearch(probeSig, sketches)
+    }, Some(sqlSketch("nation", "n_nationkey")))
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Discovery
+
+class DiscoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted micro-lake: `fact.k` is joinable with `dim.id` (all fact
+  // keys come from the dim), `dim.label` shares nothing with either,
+  // `other.v` overlaps dim.id on exactly two values.
+  private def dim = Seq((1, "alpha"), (2, "beta"), (3, "gamma"),
+    (4, "delta")).toDF("id", "label")
+  private def fact = Seq(1, 2, 2, 3, 3, 3).toDF("k")
+  private def other = Seq(3, 4, 9, 10).toDF("v")
+
+  test("joinableColumns ranks true foreign key first with exact overlap") {
+    val out = Discovery.joinableColumns(dim, "id", Seq(
+      ("fact", "k", fact), ("other", "v", other),
+      ("dim", "label", dim)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.head == (("fact", "k", 3L))) // 3 of dim's 4 ids appear
+    assert(out.map(t => (t._1, t._2)) contains ("other", "v"))
+    val byName = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byName(("other", "v")) == 2L) // values 3 and 4 only
+    assert(byName(("dim", "label")) == 0L)
+  }
+
+  test("columnSketch: identical value sets give identical signatures") {
+    val a = Discovery.columnSketch(dim, "t", "id")
+      .orderBy(col("i")).collect().map(r => (r.getInt(2), r.getLong(3)))
+    val b = Discovery.columnSketch(
+      Seq(4, 3, 2, 1, 1).toDF("x"), "u", "x") // same set, other order/dups
+      .orderBy(col("i")).collect().map(r => (r.getInt(2), r.getLong(3)))
+    assert(a.length == Discovery.SketchK)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("sketchSearch: self-match is k, disjoint column scores low") {
+    val sketches = Seq(
+      Discovery.columnSketch(dim, "dim", "id"),
+      Discovery.columnSketch(dim, "dim", "label"))
+      .reduce(_ unionByName _)
+    val probe = Discovery.columnSketch(dim, "p", "id")
+      .select(col("i"), col("m"))
+    val scores = Discovery.sketchSearch(probe, sketches)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(scores(("dim", "id")) == Discovery.SketchK.toLong)
+    // ints vs greek words share no values; a chance slot collision is
+    // possible but k-1 of 16 matching is not.
+    assert(scores(("dim", "label")) < Discovery.SketchK.toLong / 2)
+  }
+}
