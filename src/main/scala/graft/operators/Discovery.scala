@@ -72,6 +72,34 @@ object Discovery {
     "part" -> "p_brand",
     "part" -> "p_type")
 
+  /** Candidate tables for c03 unionable-table search (probe =
+    * supplier): every candidate contributes all its sketchable
+    * columns, and the score is per-TABLE.
+    */
+  private val unionCandidates: Seq[(String, String)] = Seq(
+    "customer" -> "c_custkey",
+    "customer" -> "c_nationkey",
+    "customer" -> "c_name",
+    "customer" -> "c_mktsegment",
+    "nation" -> "n_nationkey",
+    "nation" -> "n_name",
+    "orders" -> "o_custkey",
+    "orders" -> "o_orderpriority",
+    "part" -> "p_partkey",
+    "part" -> "p_brand")
+
+  /** Probe columns for c03 (the table a user wants more rows "like"). */
+  private val unionProbe: Seq[(String, String)] = Seq(
+    "supplier" -> "s_suppkey",
+    "supplier" -> "s_nationkey",
+    "supplier" -> "s_name")
+
+  /** Columns of the incrementally-maintained c04 sketch index. */
+  private val incrCandidates: Seq[(String, String)] = Seq(
+    "orders" -> "o_custkey",
+    "orders" -> "o_orderpriority",
+    "orders" -> "o_orderstatus")
+
   private def tableOf(s: SparkSession, d: String, t: String): DataFrame =
     T.apply(s, d, t)
 
@@ -115,10 +143,12 @@ object Discovery {
     * incrementally as the column index's raw feed.
     */
   def columnValues(s: SparkSession, d: String,
-      candidates: Seq[(String, String)]): DataFrame =
+      candidates: Seq[(String, String)],
+      rowFilter: Option[Column] = None): DataFrame =
     candidates.map(_._1).distinct.map { t =>
       val cols = candidates.collect { case (`t`, c) => c }
-      tableOf(s, d, t)
+      val base = tableOf(s, d, t)
+      rowFilter.fold(base)(base.where)
         .select(explode(array(cols.map(c =>
           struct(lit(c).as("column_name"),
             col(c).cast("string").as("v"))): _*)).as("e"))
@@ -203,6 +233,26 @@ object Discovery {
     * the standard MinHash identity). Signatures only; no candidate
     * table is rescanned at query time.
     */
+  /** Unionable-table scoring over two sketch relations: each candidate
+    * table scores the SUM over probe columns of its best column's slot
+    * matches — greedy value-overlap column alignment, signatures only.
+    */
+  def unionableTables(candSketches: DataFrame,
+      probeSketches: DataFrame): DataFrame = {
+    val probe = probeSketches
+      .select(col("column_name").as("pc"), col("i").as("pi"),
+        col("m").as("pm"))
+    candSketches
+      .join(broadcast(probe), col("i") === col("pi"))
+      .groupBy(col("table_name"), col("column_name"), col("pc"))
+      .agg(sum(when(col("m") === col("pm"), 1L).otherwise(0L)).as("sc"))
+      .groupBy(col("table_name"), col("pc"))
+      .agg(max(col("sc")).as("b"))
+      .groupBy(col("table_name"))
+      .agg(sum(col("b")).as("unionability"))
+      .orderBy(col("unionability").desc, col("table_name"))
+  }
+
   def sketchSearch(probeSig: DataFrame, sketches: DataFrame): DataFrame =
     sketches
       .join(broadcast(probeSig.select(col("i").as("pi"), col("m").as("pm"))),
@@ -235,28 +285,44 @@ object Discovery {
         i -> CAST(ord(substr($v, CAST(i AS INT), 1)) AS BIGINT))),
       (a, ch) -> (a * 131 + ch) % 2147483647)"""
 
-  private def sqlSketch(probeTable: String, probeCol: String): String = {
-    val cand = sketchCandidates.map { case (t, c) =>
-      s"SELECT '$t' AS t, '$c' AS c, CAST($c AS VARCHAR) AS v FROM $t"
+  /** One permuted-min expression (the slot formula of [[columnSketch]]
+    * in DuckDB spelling).
+    */
+  private val sqlSlotMin: String =
+    """MIN((((2654435761 * (2 * i + 1)) % 2147483647) * h
+          + 40503 * i + 1) % 2147483647)"""
+
+  /** Generated sketch CTE chain over an inventory: `<name>` holds
+    * (t, c, i, m). Emits `<name>_cand / <name>_hashed / <name>` — the
+    * DuckDB replay of [[columnSketches]].
+    */
+  private def sqlSigs(name: String, inventory: Seq[(String, String)],
+      where: String = ""): String = {
+    val cand = inventory.map { case (t, c) =>
+      s"SELECT '$t' AS t, '$c' AS c, CAST($c AS VARCHAR) AS v FROM $t $where"
     }.mkString("\nUNION ALL\n")
-    s"""WITH cand AS (
+    s"""${name}_cand AS (
       $cand),
-    hashed AS (
+    ${name}_hashed AS (
       SELECT t, c, ${sqlPoly("v")} AS h
-      FROM (SELECT DISTINCT t, c, v FROM cand WHERE v IS NOT NULL)),
-    perms AS (SELECT CAST(i AS BIGINT) AS i FROM range($SketchK) p(i)),
-    sigs AS (
-      SELECT t, c, i,
-             MIN((((2654435761 * (2 * i + 1)) % 2147483647) * h
-                  + 40503 * i + 1) % 2147483647) AS m
-      FROM hashed CROSS JOIN perms GROUP BY t, c, i),
+      FROM (SELECT DISTINCT t, c, v FROM ${name}_cand WHERE v IS NOT NULL)),
+    $name AS (
+      SELECT t, c, i, $sqlSlotMin AS m
+      FROM ${name}_hashed CROSS JOIN perms GROUP BY t, c, i)"""
+  }
+
+  private val sqlPerms: String =
+    s"perms AS (SELECT CAST(i AS BIGINT) AS i FROM range($SketchK) p(i))"
+
+  private def sqlSketch(probeTable: String, probeCol: String): String =
+    s"""WITH $sqlPerms,
+    ${sqlSigs("sigs", sketchCandidates)},
     probeh AS (
       SELECT ${sqlPoly("v")} AS h
       FROM (SELECT DISTINCT CAST($probeCol AS VARCHAR) AS v
             FROM $probeTable WHERE $probeCol IS NOT NULL)),
     probesig AS (
-      SELECT i, MIN((((2654435761 * (2 * i + 1)) % 2147483647) * h
-                     + 40503 * i + 1) % 2147483647) AS m
+      SELECT i, $sqlSlotMin AS m
       FROM probeh CROSS JOIN perms GROUP BY i)
     SELECT s.t AS table_name, s.c AS column_name,
            CAST(SUM(CASE WHEN s.m = p.m THEN 1 ELSE 0 END) AS BIGINT)
@@ -264,7 +330,26 @@ object Discovery {
     FROM sigs s JOIN probesig p ON s.i = p.i
     GROUP BY s.t, s.c
     ORDER BY n_match DESC, table_name, column_name"""
-  }
+
+  private def sqlUnionable(probeInventory: Seq[(String, String)]): String =
+    s"""WITH $sqlPerms,
+    ${sqlSigs("sigs", unionCandidates)},
+    ${sqlSigs("psigs", probeInventory)},
+    pair AS (
+      SELECT s.t, s.c, p.c AS pc,
+             SUM(CASE WHEN s.m = p.m THEN 1 ELSE 0 END) AS sc
+      FROM sigs s JOIN psigs p ON s.i = p.i
+      GROUP BY s.t, s.c, p.c),
+    best AS (SELECT t, pc, MAX(sc) AS b FROM pair GROUP BY t, pc)
+    SELECT t AS table_name, CAST(SUM(b) AS BIGINT) AS unionability
+    FROM best GROUP BY t
+    ORDER BY unionability DESC, table_name"""
+
+  private def sqlFullSketchRows(inventory: Seq[(String, String)]): String =
+    s"""WITH $sqlPerms,
+    ${sqlSigs("sigs", inventory)}
+    SELECT t AS table_name, c AS column_name, i, m
+    FROM sigs ORDER BY table_name, column_name, i"""
 
   val all: Seq[GQuery] = Seq(
 
@@ -290,6 +375,58 @@ object Discovery {
       val probeSig = columnSketch(T.nation(s, d), "nation", "n_nationkey")
         .select(col("i"), col("m"))
       sketchSearch(probeSig, sketches)
-    }, Some(sqlSketch("nation", "n_nationkey")))
+    }, Some(sqlSketch("nation", "n_nationkey"))),
+
+    // ---------------------------------------------------------------- c03
+    // Unionable-TABLE search (the table-union-search problem of the
+    // data-discovery literature): probe = the supplier table; each
+    // candidate table scores the SUM over probe columns of the best
+    // sketch-match among its own columns — value-overlap column
+    // alignment with no schema knowledge. All scoring happens on
+    // signatures (metadata-sized); the only data scans build the
+    // sketches. MAX over integer slot-match counts is order-free, so
+    // the greedy alignment is deterministic without tiebreak columns.
+    GQuery("c03_unionable_tables", (s, d) => {
+      unionableTables(
+        columnSketches(columnValues(s, d, unionCandidates)),
+        columnSketches(columnValues(s, d, unionProbe)))
+    }, Some(sqlUnionable(unionProbe))),
+
+    // ---------------------------------------------------------------- c04
+    // INCREMENTAL index maintenance — the property that makes the c02
+    // sketch index viable at 100 TB: MinHash signatures are monotone
+    // under elementwise min, so indexing a new partition is
+    // sketch(new rows) ⊓ existing signatures — O(new data) + a
+    // signature-sized merge, the old data is NEVER rescanned. Here the
+    // base index (orders before 1996) is memoized evidence (warmup
+    // pays it, like d14's clusters); the measured region is
+    // sketch-the-new-partition + merge. The ORACLE is a full recompute
+    // over all rows — hash equality PROVES merge ≡ rebuild.
+    GQuery("c04_sketch_incremental", (s, d) => {
+      val baseSig = baseSketchMemo(s, d)
+      val delta = columnSketches(
+        columnValues(s, d, incrCandidates,
+          Some(col("o_orderdate") >= lit("1996-01-01").cast("date"))))
+      baseSig.unionByName(delta)
+        .groupBy(col("table_name"), col("column_name"), col("i"))
+        .agg(min(col("m")).as("m"))
+        .select(col("table_name"), col("column_name"),
+          col("i").cast("long").as("i"), col("m"))
+        .orderBy(col("table_name"), col("column_name"), col("i"))
+    }, Some(sqlFullSketchRows(incrCandidates)))
   )
+
+  /** c04's base index: sketches of the old partition (orders dated
+    * before 1996), memoized per (session, dir) — in production this is
+    * the persisted index table the new partition merges into.
+    */
+  private def baseSketchMemo(s: SparkSession, d: String): DataFrame =
+    baseSketchOnce.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
+      _ => columnSketches(
+        columnValues(s, d, incrCandidates,
+          Some(col("o_orderdate") < lit("1996-01-01").cast("date"))))
+        .localCheckpoint())
+
+  private val baseSketchOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }

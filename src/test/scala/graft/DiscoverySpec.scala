@@ -36,6 +36,33 @@ class DiscoverySpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("unionableTables ranks the value-sharing table first") {
+    // cand table "twin" shares dim.id's values; "stranger" shares none.
+    val cand = Seq(
+      Discovery.columnSketch(Seq(1, 2, 3, 4).toDF("x"), "twin", "x"),
+      Discovery.columnSketch(Seq("p", "q", "r").toDF("y"), "twin", "y"),
+      Discovery.columnSketch(Seq(70, 80, 90).toDF("z"), "stranger", "z"))
+      .reduce(_ unionByName _)
+    val probe = Discovery.columnSketch(dim, "probe", "id")
+    val out = Discovery.unionableTables(cand, probe)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head._1 == "twin")
+    assert(out.head._2 == Discovery.SketchK.toLong) // exact value match
+    assert(out.toMap.apply("stranger") < Discovery.SketchK.toLong / 2)
+  }
+
+  test("incremental sketch merge equals full rebuild (monotone min)") {
+    val all = Seq(1, 2, 3, 4, 5, 6).toDF("x")
+    val full = Discovery.columnSketch(all, "t", "x")
+      .orderBy(col("i")).collect().map(r => r.getLong(3))
+    val merged = Discovery.columnSketch(Seq(1, 2, 3).toDF("x"), "t", "x")
+      .unionByName(Discovery.columnSketch(Seq(4, 5, 6).toDF("x"), "t", "x"))
+      .groupBy(col("table_name"), col("column_name"), col("i"))
+      .agg(min(col("m")).as("m"))
+      .orderBy(col("i")).collect().map(r => r.getLong(3))
+    assert(full.toSeq == merged.toSeq)
+  }
+
   test("sketchSearch: self-match is k, disjoint column scores low") {
     val sketches = Seq(
       Discovery.columnSketch(dim, "dim", "id"),
