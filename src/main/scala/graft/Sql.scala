@@ -74,6 +74,17 @@ object Sql {
     spark.sql(query)
   }
 
+  /** Run one PARAMETERIZED statement (named `:placeholders`) with the
+    * given bindings — the PreparedStatement analog of the reference's
+    * query path. Binding happens inside Spark's parser: values land in
+    * the plan as typed literals, never via string splicing.
+    */
+  def runPrepared(spark: SparkSession, dir: String, query: String,
+      params: Map[String, Any]): DataFrame = {
+    open(spark, dir)
+    spark.sql(query, params)
+  }
+
   /** Inventory entries proving the text path end-to-end: each query is
     * ONE SQL string executed by both engines (Spark via [[run]], DuckDB
     * via the driver's oracle) — byte-identical text, hash-identical
@@ -1401,7 +1412,43 @@ object Sql {
                  / COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_qty
         FROM lineitem
         GROUP BY l_returnflag
-        ORDER BY l_returnflag""")
+        ORDER BY l_returnflag"""),
+
+      // ------------------------------------------------------------- x52
+      // PREPARED / PARAMETERIZED statements — the PreparedStatement
+      // leg of the reference's Connection::Query path
+      // (reference:duckdb:24-45): one statement text, named
+      // placeholders, bound per execution. Spark's native
+      // parameterized-SQL API does the binding at the parser (values
+      // arrive as literals, never string-spliced — injection-safe and
+      // plan-cache-friendly). The key runs ONE text under TWO
+      // bindings; the oracle inlines each binding's literals.
+      GQuery("x52_sql_prepared", (s, d) => {
+        val text = """
+          SELECT :seg AS segment, COUNT(*) AS n,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_bal
+          FROM customer
+          WHERE c_mktsegment = :seg AND c_acctbal >= :minbal
+          GROUP BY ALL"""
+        runPrepared(s, d, text,
+          Map("seg" -> "BUILDING", "minbal" -> 0))
+          .unionByName(runPrepared(s, d, text,
+            Map("seg" -> "MACHINERY", "minbal" -> 1000)))
+          .orderBy(org.apache.spark.sql.functions.col("segment"))
+      }, Some("""
+        SELECT 'BUILDING' AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
+        UNION ALL
+        SELECT 'MACHINERY' AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000
+        ORDER BY segment"""))
     )
   }
 }
