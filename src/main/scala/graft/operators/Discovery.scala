@@ -94,8 +94,10 @@ object Discovery {
     "supplier" -> "s_nationkey",
     "supplier" -> "s_name")
 
-  /** Columns of the incrementally-maintained c04 sketch index. */
-  private val incrCandidates: Seq[(String, String)] = Seq(
+  /** Columns of the incrementally-maintained c04 sketch index (shared
+    * with st21, its streaming twin).
+    */
+  private[graft] val incrCandidates: Seq[(String, String)] = Seq(
     "orders" -> "o_custkey",
     "orders" -> "o_orderpriority",
     "orders" -> "o_orderstatus")
@@ -345,7 +347,8 @@ object Discovery {
     FROM best GROUP BY t
     ORDER BY unionability DESC, table_name"""
 
-  private def sqlFullSketchRows(inventory: Seq[(String, String)]): String =
+  private[graft] def sqlFullSketchRows(
+      inventory: Seq[(String, String)]): String =
     s"""WITH $sqlPerms,
     ${sqlSigs("sigs", inventory)}
     SELECT t AS table_name, c AS column_name, i, m

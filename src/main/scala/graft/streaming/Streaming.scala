@@ -806,7 +806,46 @@ object Streaming {
       runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
     }, Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- st21
+    // The discovery column-sketch index maintained BY A STREAM (c04's
+    // streaming twin): rows stream from the lake file, each micro-batch
+    // explodes its (column, value) pairs, hashes (engine-neutral
+    // charPoly31), and folds into a streaming MIN aggregate — MinHash
+    // signatures are monotone under min, so streaming-update state IS
+    // the index, and it is CONSTANT-SIZE: one row per (column, slot),
+    // k×|columns| entries no matter how much data streams past. The
+    // oracle recomputes the sketch from ALL rows in batch — hash
+    // equality proves the streamed index equals a full rebuild.
+    GQuery("st21_stream_column_sketch", (s, d) => {
+      import graft.functions.TextHash
+      import graft.operators.Discovery
+      val batch = T.orders(s, d)
+      val cols = Discovery.incrCandidates.map(_._2)
+      val src = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+      val sig = src
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("column_name"),
+            col(c).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.column_name"), col("e.v"))
+        .where(col("v").isNotNull)
+        .select(col("column_name"), TextHash.charPoly31(col("v")).as("h"))
+        .select(col("column_name"), posexplode(transform(
+          sequence(lit(0), lit(Discovery.SketchK - 1)),
+          i => pmod(
+            pmod(lit(2654435761L) * (i * 2L + 1L), lit(TextHash.P))
+              * col("h") + i * 40503L + 1L,
+            lit(TextHash.P)))).as(Seq("i", "mv")))
+        .groupBy(col("column_name"), col("i"))
+        .agg(min(col("mv")).as("m"))
+      runToEnd(s, sig, "complete")
+        .select(lit("orders").as("table_name"), col("column_name"),
+          col("i").cast("long").as("i"), col("m"))
+        .orderBy(col("table_name"), col("column_name"), col("i"))
+    }, Some(graft.operators.Discovery.sqlFullSketchRows(
+      graft.operators.Discovery.incrCandidates)))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
