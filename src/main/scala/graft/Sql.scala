@@ -212,10 +212,12 @@ object Sql {
       // 64-perm MinHash signature in SQL, the bands slice out in SQL,
       // and the LSH candidate pairs come from a banded self-join — the
       // same signature→band→bucket-join shape as the d02 DataFrame API,
-      // expressed entirely as a query string. MinHash values are
-      // engine-specific (no DuckDB equivalent) → rows-only check; the
-      // signature semantics are spec-verified (ExtensionsSpec,
-      // TextHashSpec).
+      // expressed entirely as a query string. The minhash family is
+      // engine-neutral (charPoly31 + permutation grid), so the oracle
+      // replays the signatures and compares raw 4-slot band vectors —
+      // exactly what this text query joins on (DedupOracles.x07); the
+      // signature semantics are additionally spec-verified
+      // (ExtensionsSpec, TextHashSpec).
       GQuery("x07_sql_minhash_bands", (s, d) => run(s, d, """
         WITH sig AS (
           SELECT doc_id, graft_minhash_sig(text, 3) AS sig FROM documents
@@ -229,7 +231,8 @@ object Sql {
         FROM bands x JOIN bands y
           ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id
-        ORDER BY doc_a, doc_b"""), None),
+        ORDER BY doc_a, doc_b"""),
+        Some(graft.operators.DedupOracles.x07)),
 
       // -------------------------------------------------------------- x10
       // SQL DML on the lake table format: INSERT / UPDATE / DELETE

@@ -14,8 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-element boxing — O(shingles × 64 perms) boxed lambda calls per
   * row made minhash the dominant cost of the whole suite. These
   * expressions compute identical values (same tokenization, same
-  * xxhash64 seed 42, same mod-P algebra — asserted by FastTextSpec) in
-  * one tight primitive JVM loop per row: typically 100-1000× faster.
+  * engine-neutral charPoly31 + permutation-grid mod-P algebra —
+  * asserted by FastTextSpec) in one tight primitive JVM loop per row:
+  * typically 100-1000× faster.
   *
   * Each expression implements `doGenCode` as a single static call into
   * [[FastTextRuntime]], so it participates in whole-stage codegen (no

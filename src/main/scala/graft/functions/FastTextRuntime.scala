@@ -1,9 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static runtime for the FastText expressions: one JVM method per
@@ -15,15 +13,26 @@ import org.apache.spark.unsafe.types.UTF8String
 object FastTextRuntime {
 
   private val P = TextHash.P
-  private val Seed = 42L
 
-  private def hash64(s: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(s), StringType, Seed)
+  // SimHash per-token bit grid: 64 universal-hash rows over the
+  // engine-neutral charPoly31 token hash (bit b = LSB of (a_b·h + b_b)
+  // mod P). Shared with the TextHash HOF form AND the DuckDB oracle
+  // replay — which is what upgrades d03 from rows-only to a full
+  // cross-engine hash check.
+  private val (simA, simB) = {
+    val (a, b) = TextHash.simPerms
+    (a.toArray, b.toArray)
+  }
 
   /** Spark's split(text, " ") semantics: Java regex split, limit -1. */
   private def tokens(text: UTF8String): Array[String] =
     text.toString.split(" ", -1)
 
+  /** Shingle hashes on the engine-neutral charPoly31 (values < P by
+    * construction — no extra mod needed). Any engine with a list fold
+    * replays these verbatim, so the whole minhash family (d02/d04/
+    * d07/d14/d15/x07) carries a full DuckDB oracle.
+    */
   private def hash31OfShingles(text: UTF8String, n: Int): Array[Long] = {
     val toks = tokens(text)
     if (toks.length < n) return Array.emptyLongArray
@@ -37,7 +46,7 @@ object FastTextRuntime {
         if (j > 0) sb.append(' ')
         sb.append(toks(i + j)); j += 1
       }
-      out(i) = java.lang.Math.floorMod(hash64(sb.toString), P)
+      out(i) = charPoly31(sb)
       i += 1
     }
     out
@@ -67,10 +76,12 @@ object FastTextRuntime {
     val votes = new Array[Int](64)
     var t = 0
     while (t < toks.length) {
-      val h = hash64(toks(t))
+      val h = charPoly31(toks(t))
       var b = 0
       while (b < 64) {
-        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if ((java.lang.Math.floorMod(simA(b) * h + simB(b), P) & 1L) == 1L)
+          votes(b) += 1
+        else votes(b) -= 1
         b += 1
       }
       t += 1
@@ -89,7 +100,7 @@ object FastTextRuntime {
     * units equal code points on ASCII/BMP text; the corpus contract is
     * documented at the operator.
     */
-  private def charPoly31(s: String): Long = {
+  private def charPoly31(s: java.lang.CharSequence): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
@@ -123,7 +134,7 @@ object FastTextRuntime {
         if (j > 0) sb.append(' ')
         sb.append(toks(i + j)); j += 1
       }
-      val h = charPoly31(sb.toString)
+      val h = charPoly31(sb)
       if (h < best) best = h
       i += 1
     }

@@ -4,7 +4,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text hashing primitives for dedup / fingerprinting, built from
-  * codegen'd native functions only (split/transform/aggregate/xxhash64).
+  * codegen'd native functions only (split/transform/aggregate).
+  *
+  * Every hash here is ENGINE-NEUTRAL: charPoly31 (a polynomial fold
+  * over the string's characters) plus universal-hash permutation grids
+  * ((a·h + b) mod P). Any engine with a list fold replays the exact
+  * values — which is what lets the whole minhash/simhash dedup family
+  * carry full cross-engine DuckDB oracles instead of rows-only checks.
   *
   * ANSI-safe arithmetic: Spark 4 runs with ANSI mode on, where long
   * overflow throws. Every hash chain here therefore reduces operands
@@ -30,11 +36,13 @@ object TextHash {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Shingle → 31-bit hash (array<long>, each in [0, P)). Reducing to 31
-    * bits keeps the minhash permutation products overflow-free.
+  /** Shingle → 31-bit hash (array<long>, each in [0, P)): the
+    * engine-neutral [[charPoly31]], so a DuckDB oracle replays every
+    * value with a list fold. Staying below 2³¹ keeps the minhash
+    * permutation products overflow-free.
     */
   def shingleHashes31(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => pmod(xxhash64(s), lit(P)))
+    transform(shingles(text, n), s => charPoly31(s))
 
   /** Deterministic universal-hash coefficients for `nPerm` minhash
     * permutations h_i(x) = (a_i·x + b_i) mod P.
@@ -61,22 +69,36 @@ object TextHash {
   }
 
   /** LSH band keys: signature split into `nBands` contiguous bands of
-    * `rows` slots each, each band murmur-hashed to a single long key.
+    * `rows` slots each, each band folded to one long key with the
+    * engine-neutral polynomial (acc·8191 + slot) mod P — slot values
+    * are < P < 2³¹ so the products stay < 2⁴⁴, ANSI-safe.
     */
   def lshBands(sig: Column, nBands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(nBands - 1)), bnd =>
-      hash(slice(sig, bnd * rows + 1, lit(rows))).cast("long"))
+      aggregate(slice(sig, bnd * rows + 1, lit(rows)), lit(0L),
+        (acc, x) => pmod(acc * 8191L + x, lit(P))))
+
+  /** SimHash per-token bit grid: bit b of a token with charPoly31 hash
+    * h is the LSB of (a_b·h + b_b) mod P — 64 universal-hash rows,
+    * fixed seed, shared by the HOF form, the native runtime, and the
+    * DuckDB oracle replay.
+    */
+  val simPerms: (Seq[Long], Seq[Long]) = makePerms(seed = 7L, 64)
 
   /** 64-bit SimHash of the token multiset: for each bit position, sum
-    * ±1 votes from xxhash64(token) bits, then keep the sign. A single
-    * aggregate/zip_with expression — per-row, no shuffle.
+    * ±1 votes from the [[simPerms]] grid over charPoly31(token), then
+    * keep the sign. A single aggregate/zip_with expression — per-row,
+    * no shuffle — and engine-neutral end to end.
     */
   def simhash64(text: Column): Column = {
+    val a = typedLit(simPerms._1)
+    val b = typedLit(simPerms._2)
     val votes = aggregate(
       tokens(text),
       typedLit(Seq.fill(64)(0L)),
       (acc, t) => zip_with(acc, sequence(lit(0), lit(63)), (v, bpos) =>
-        v + when(call_function("shiftright", xxhash64(t), bpos)
+        v + when(pmod(element_at(a, bpos.cast("int") + 1) * charPoly31(t)
+              + element_at(b, bpos.cast("int") + 1), lit(P))
             .bitwiseAND(1) === 1, 1L)
           .otherwise(-1L)))
     aggregate(
@@ -101,11 +123,12 @@ object TextHash {
     aggregate(sequence(lit(1), length(sc)), lit(0L), (a, i) =>
       pmod(a * 131L + ascii(sc.substr(i, lit(1))), lit(P)))
 
-  /** Shingle → engine-neutral polynomial hash (array<long>), the
-    * fingerprint complement of the xxhash-based [[shingleHashes31]].
+  /** Alias of [[shingleHashes31]] (kept for the fingerprint call
+    * sites that predate the minhash family moving onto the same
+    * engine-neutral hash).
     */
   def shingleHashesPoly(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => charPoly31(s))
+    shingleHashes31(text, n)
 
   /** Rolling polynomial fingerprint over tokens, mod P (Karp–Rabin
     * style): fp = Σ charPoly31(tok)·31^k mod P, fold kept < 2³⁶ so

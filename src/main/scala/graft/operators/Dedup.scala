@@ -26,7 +26,9 @@ object Dedup {
   private val NBands = 16
   private val BandRows = 4 // 16 bands × 4 rows = 64 perms
   private val ShingleN = 3
-  private val (permA, permB) = TextHash.makePerms(seed = 42L, NPerm)
+  private[operators] val (permsA, permsB) = TextHash.makePerms(seed = 42L, NPerm)
+  private def permA = permsA
+  private def permB = permsB
 
   /** Exact dedup groups: content-hash groupBy keeping the smallest id.
     * One shuffle keyed by md5(text); linear at any corpus size.
@@ -170,8 +172,11 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        // floor-grid rounding (pure IEEE ops, bit-identical in the
+        // DuckDB oracle — the d05/semanticDedup convention).
+        (floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))) * lit(1e6)
+          + lit(0.5)) / lit(1e6)).as("jaccard"))
   }
 
   /** Pairs of embeddings with cosine > θ (the near-dup contract), found
@@ -400,27 +405,32 @@ object Dedup {
       FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
     // ---------------------------------------------------------------- d02
-    // MinHash + LSH banding: 64 perms, 16 bands × 4 rows. Engine-
-    // specific hash → rows-only check (spec covers the minhash algebra).
+    // MinHash + LSH banding: 64 perms, 16 bands × 4 rows, on the
+    // engine-neutral charPoly31 + permutation grid → the DuckDB oracle
+    // replays the full signature → band → bucket-join pipeline
+    // (DedupOracles.d02) for a row+schema+hash check.
     GQuery("d02_minhash_lsh", (s, d) => {
       minhashCandidatePairs(T.documents(s, d))
         .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
         .limit(500)
-    }, None),
+    }, Some(DedupOracles.d02)),
 
     // ---------------------------------------------------------------- d03
+    // SimHash on the engine-neutral per-token bit grid (TextHash
+    // .simPerms) → full oracle: DuckDB rebuilds the 16-bit chunks and
+    // the banded pair set (DedupOracles.d03).
     GQuery("d03_simhash", (s, d) => {
       simhashPairs(T.documents(s, d))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(500)
-    }, None),
+    }, Some(DedupOracles.d03)),
 
     // ---------------------------------------------------------------- d04
     GQuery("d04_ngram_jaccard", (s, d) => {
       ngramJaccard(T.documents(s, d))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100)
-    }, None),
+    }, Some(DedupOracles.d04)),
 
     // ---------------------------------------------------------------- d05
     // θ-threshold contract (SURVEY §2): production default is θ=0.95;
@@ -670,25 +680,27 @@ object Dedup {
 
     // ---------------------------------------------------------------- d14
     // The one-call curation pipeline (LSH → exact-Jaccard verify →
-    // CC → keep-min-id). MinHash banding is engine-specific →
-    // rows-only; DedupSpec proves the keep-set invariants (subset,
-    // unique content, every loser's cluster keeper survives,
-    // deterministic). Evidence AND cluster labeling are memoized per
-    // corpus snapshot (warmup pays the build); the measured region is
-    // the keep-policy pass — d07 times the clustering itself.
+    // CC → keep-min-id). Full oracle: DuckDB replays the engine-
+    // neutral signatures, the θ ≥ 0.5 verified edges, the recursive-
+    // CTE closure and the keep-min policy (DedupOracles.d14); DedupSpec
+    // additionally proves the keep-set invariants. Evidence AND cluster
+    // labeling are memoized per corpus snapshot (warmup pays the
+    // build); the measured region is the keep-policy pass — d07 times
+    // the clustering itself.
     GQuery("d14_dedup_pipeline", (s, d) => {
       dedupPipeline(T.documents(s, d), theta = 0.5,
           clusterAssignment = Some(pipelineClustersMemo(s, d, 0.5)))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(DedupOracles.d14)),
 
     // ---------------------------------------------------------------- d15
     // Keep-BEST dedup: same cluster structure as d07/d14, but each
     // cluster keeps its highest-quality member (longest text, ties to
     // the smallest id) instead of the smallest id — the curation
-    // policy real pipelines apply. Engine-specific minhash edges →
-    // rows-only; DedupSpec proves the planted best-of-cluster choice.
+    // policy real pipelines apply. Full oracle (DedupOracles.d15):
+    // DuckDB replays the ≥4-band edges, the closure, and the argmax
+    // policy; DedupSpec proves the planted best-of-cluster choice.
     // Cluster labeling memoized per snapshot (d07 times CC itself);
     // the measured region is the per-cluster argmax + semi-join.
     GQuery("d15_keep_best", (s, d) => {
@@ -696,7 +708,7 @@ object Dedup {
           clusterAssignment = Some(DupClusters.clustersMemo(s, d)))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
-    }, None)
+    }, Some(DedupOracles.d15))
   )
 
   /** Per-source keep threshold (hex prefix of md5) for d11: the target

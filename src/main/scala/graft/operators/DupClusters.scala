@@ -214,7 +214,10 @@ object DupClusters {
 
   val all: Seq[GQuery] = Seq(
     // ---------------------------------------------------------------- d07
-    // Engine-specific minhash edges → rows-only check; the spec proves
+    // Full oracle: the engine-neutral minhash edges plus md5 star
+    // edges are replayed in DuckDB and clustered with a recursive-CTE
+    // closure labeled by MIN reachable id — the same contract as the
+    // star rounds (DedupOracles.d07); the spec additionally proves
     // transitivity on a planted chain. Uses the large/small-star
     // variant: O(log n) rounds regardless of component diameter — dup
     // graphs are usually shallow stars, but one pathological long
@@ -227,6 +230,6 @@ object DupClusters {
         .select(col("cluster"), col("cluster_size"),
           concat_ws(",", col("members").cast("array<string>")).as("members"))
         .orderBy(col("cluster"))
-    }, None)
+    }, Some(DedupOracles.d07))
   )
 }

