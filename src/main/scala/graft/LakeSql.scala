@@ -329,7 +329,177 @@ object LakeSql {
       Seq(text).toDF("plan")
     case _ if AsOfJoinKeyword.matches(statement) =>
       sqlStatement(s, rewriteAsOfJoins(statement))
+    case _ if QualifyKeyword.matches(statement) =>
+      sqlStatement(s, rewriteQualify(statement))
+    case _ if StarModifierKeyword.matches(statement) =>
+      sqlStatement(s, rewriteStarModifiers(s, statement))
     case _ => sqlStatement(s, statement)
+  }
+
+  // ---- QUALIFY at the text entry -----------------------------------
+  // DuckDB filters on window results with `… QUALIFY <pred>` (its
+  // logical order: windows evaluate, QUALIFY filters, then ORDER BY /
+  // LIMIT); Spark's parser has no QUALIFY clause. The supported form —
+  // the predicate references window expressions BY THEIR SELECT-LIST
+  // ALIASES (`… ROW_NUMBER() OVER (…) AS rn … QUALIFY rn <= 3`), the
+  // DuckDB idiom — rewrites to a subquery wrap: the inner query
+  // computes the windows, the outer WHERE applies the predicate, and
+  // any trailing ORDER BY / LIMIT stays outside. Direct window calls
+  // inside the predicate and SELECT DISTINCT heads (where DuckDB
+  // applies QUALIFY before the DISTINCT) refuse loudly.
+  private val QualifyKeyword = "(?is).*\\bQUALIFY\\b.*".r
+
+  /** Index of the first DEPTH-0 occurrence of keyword `kw` (word-
+    * bounded, case-insensitive) outside string literals, or -1.
+    */
+  private def topLevelIndexOf(text: String, kw: String,
+      from: Int = 0): Int = {
+    var i = from
+    var depth = 0
+    var inSingle = false
+    var inDouble = false
+    val up = text.toUpperCase
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false }
+      else if (inDouble) { if (c == '"') inDouble = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '"' => inDouble = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && up.startsWith(kw.toUpperCase, i) &&
+              (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))) &&
+              (i + kw.length >= text.length ||
+                !Character.isLetterOrDigit(text.charAt(i + kw.length)))) {
+            return i
+          }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private[graft] def rewriteQualify(statement: String): String = {
+    val idx = topLevelIndexOf(statement.toUpperCase, "QUALIFY")
+    require(idx >= 0,
+      "QUALIFY: only a single top-level QUALIFY clause is supported " +
+        "(QUALIFY inside a subquery is not)")
+    require(topLevelIndexOf(statement.toUpperCase, "QUALIFY",
+        idx + 1) < 0,
+      "QUALIFY: exactly one top-level QUALIFY clause is supported")
+    val head = statement.substring(0, idx).trim
+    require(!"(?is)^\\s*SELECT\\s+DISTINCT\\b.*".r.matches(head),
+      "QUALIFY with SELECT DISTINCT is unsupported (DuckDB applies " +
+        "QUALIFY before the DISTINCT; spell the dedup explicitly)")
+    val tail = statement.substring(idx + "QUALIFY".length)
+    val cutAt = Seq("ORDER", "LIMIT")
+      .map(k => topLevelIndexOf(tail.toUpperCase, k))
+      .filter(_ >= 0).sorted.headOption
+    val (pred, post) = cutAt match {
+      case Some(i) => (tail.substring(0, i).trim, tail.substring(i))
+      case None => (tail.trim, "")
+    }
+    require(pred.nonEmpty, "QUALIFY: empty predicate")
+    require(!"(?is).*\\bOVER\\b.*".r.matches(pred),
+      "QUALIFY: reference window expressions by their select-list " +
+        "alias (e.g. `ROW_NUMBER() OVER (…) AS rn … QUALIFY rn <= 3`);" +
+        " direct window calls inside the predicate are unsupported")
+    s"SELECT * FROM ($head) __qualify WHERE $pred $post"
+  }
+
+  // ---- SELECT * EXCLUDE / REPLACE at the text entry ----------------
+  // DuckDB's star modifiers: `SELECT * EXCLUDE (a, b)` drops columns,
+  // `SELECT * REPLACE (expr AS col)` swaps an expression in at the
+  // column's position keeping its name. Spark's parser accepts
+  // neither; the supported form — a bare `SELECT *` head over a single
+  // named relation Spark can resolve (temp view or catalog table) —
+  // expands the star against the relation's schema and rewrites to an
+  // explicit column list. Unknown columns and empty results refuse
+  // loudly.
+  private val StarModifierKeyword =
+    "(?is)^\\s*SELECT\\s+\\*\\s+(EXCLUDE|REPLACE)\\b.*".r
+
+  private[graft] def rewriteStarModifiers(s: SparkSession,
+      statement: String): String = {
+    def takeParen(text: String): (String, String) = {
+      val open = text.indexOf('(')
+      require(open >= 0 && text.substring(0, open).isBlank,
+        "EXCLUDE/REPLACE: expected a parenthesized list")
+      var depth = 0
+      var i = open
+      while (i < text.length) {
+        text.charAt(i) match {
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0)
+              return (text.substring(open + 1, i), text.substring(i + 1))
+          case _ =>
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        "EXCLUDE/REPLACE: unbalanced parentheses")
+    }
+    def splitTop(text: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      text.foreach {
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case c =>
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          cur.append(c)
+      }
+      if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+      out.result()
+    }
+    val m = "(?is)^(\\s*SELECT\\s+\\*\\s+)(.*)$".r
+      .findFirstMatchIn(statement).get
+    var rest = m.group(2)
+    var exclude = Seq.empty[String]
+    var replace = Seq.empty[(String, String)] // (col, expr)
+    var scanning = true
+    while (scanning) {
+      val t = rest.dropWhile(_.isWhitespace)
+      val tu = t.toUpperCase
+      if (tu.startsWith("EXCLUDE")) {
+        val (inner, r2) = takeParen(t.substring("EXCLUDE".length))
+        exclude ++= splitTop(inner)
+        rest = r2
+      } else if (tu.startsWith("REPLACE")) {
+        val (inner, r2) = takeParen(t.substring("REPLACE".length))
+        replace ++= splitTop(inner).map { item =>
+          "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(item)
+            .map(mm => (mm.group(2), mm.group(1)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"REPLACE: every item must be `<expr> AS <column>` " +
+                s"(got: $item)"))
+        }
+        rest = r2
+      } else scanning = false
+    }
+    val fm = "(?is)^\\s*FROM\\s+(\\w+)\\b(.*)$".r.findFirstMatchIn(rest)
+      .getOrElse(throw new IllegalArgumentException(
+        "SELECT * EXCLUDE/REPLACE: supported form is a bare star over " +
+          "a single named relation — FROM <name> must follow the " +
+          "modifiers"))
+    val rel = fm.group(1)
+    val tailSql = fm.group(2)
+    val fields = s.table(rel).schema.fieldNames.toSeq
+    (exclude ++ replace.map(_._1)).foreach(c =>
+      require(fields.exists(_.equalsIgnoreCase(c)),
+        s"EXCLUDE/REPLACE: $rel has no column $c"))
+    val exSet = exclude.map(_.toLowerCase).toSet
+    require(!replace.exists(r => exSet.contains(r._1.toLowerCase)),
+      "REPLACE of an EXCLUDEd column")
+    val repMap = replace.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val cols = fields.filterNot(f => exSet.contains(f.toLowerCase)).map(
+      f => repMap.get(f.toLowerCase).map(e => s"$e AS $f").getOrElse(f))
+    require(cols.nonEmpty, "EXCLUDE removed every column")
+    s"SELECT ${cols.mkString(", ")} FROM $rel$tailSql"
   }
 
   // ---- ASOF JOIN at the text entry ---------------------------------

@@ -1451,7 +1451,45 @@ object Sql {
                  AS total_bal
         FROM customer
         WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000
-        ORDER BY segment"""))
+        ORDER BY segment""")),
+
+      // ------------------------------------------------------------- x53
+      // QUALIFY at the text entry — DuckDB's window-filter clause
+      // (top-N-per-group in one statement, no subquery). ONE text both
+      // engines run: DuckDB executes its native QUALIFY; graft
+      // rewrites to the subquery-wrap identity (windows computed
+      // inside, predicate on the select-list alias outside — LakeSql
+      // .rewriteQualify) and Spark plans the usual rank-filter. Ties
+      // broken by c_custkey so the top-3 set is deterministic.
+      GQuery("x53_sql_qualify", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, QualifyText)
+      }, Some(QualifyText)),
+
+      // ------------------------------------------------------------- x54
+      // SELECT * EXCLUDE / REPLACE — DuckDB's star modifiers as ONE
+      // text both engines run: DuckDB executes them natively; graft
+      // expands the star against the relation's schema (EXCLUDE drops,
+      // REPLACE swaps an expression in at the column's position —
+      // LakeSql.rewriteStarModifiers), so Catalyst sees an explicit
+      // column list and prunes the scan to exactly those columns.
+      GQuery("x54_sql_star_modifiers", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, StarModText)
+      }, Some(StarModText))
     )
   }
+
+  private def QualifyText: String = """
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+    FROM customer
+    QUALIFY rn <= 3
+    ORDER BY c_mktsegment, rn"""
+
+  private def StarModText: String = """
+    SELECT * EXCLUDE (p_retailprice, p_size)
+             REPLACE (lower(p_type) AS p_type)
+    FROM part ORDER BY p_partkey"""
 }

@@ -388,4 +388,64 @@ class LakeSqlSpec extends SparkSpec {
     spark.catalog.dropTempView("asof_spec_p")
     spark.catalog.dropTempView("asof_spec_v")
   }
+
+  test("QUALIFY text rewrite equals the explicit subquery; DISTINCT " +
+      "and direct window predicates refuse loudly") {
+    Sql.open(spark, sfDir)
+    val viaQualify = LakeSql.sql(spark,
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer
+         QUALIFY rn <= 2
+         ORDER BY c_mktsegment, rn""")
+    val explicit = spark.sql(
+      """SELECT * FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+           FROM customer) t
+         WHERE rn <= 2 ORDER BY c_mktsegment, rn""")
+    assert(viaQualify.collect().toSeq == explicit.collect().toSeq)
+    // Window filter really applied: every segment has exactly 2 rows.
+    assert(viaQualify.groupBy("c_mktsegment").count()
+      .filter(col("count") =!= 2).count() == 0)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        """SELECT DISTINCT c_mktsegment,
+                  ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS rn
+           FROM customer QUALIFY rn = 1""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        """SELECT c_custkey FROM customer
+           QUALIFY ROW_NUMBER() OVER (ORDER BY c_custkey) = 1""")
+    }
+  }
+
+  test("SELECT * EXCLUDE / REPLACE expands against the schema, prunes " +
+      "the scan, and refuses unknown columns") {
+    Sql.open(spark, sfDir)
+    val out = LakeSql.sql(spark,
+      """SELECT * EXCLUDE (p_retailprice, p_size)
+                  REPLACE (lower(p_type) AS p_type)
+         FROM part ORDER BY p_partkey""")
+    assert(out.columns.toSeq ==
+      Seq("p_partkey", "p_name", "p_brand", "p_type"))
+    val types = out.select("p_type").collect().map(_.getString(0))
+    assert(types.nonEmpty && types.forall(t => t == t.toLowerCase))
+    // The rewrite is an explicit column list, so column pruning
+    // reaches the scan: p_retailprice is absent from the read schema.
+    val scanned = out.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scanned.contains("p_retailprice"))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT * EXCLUDE (nope) FROM part")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        """SELECT * EXCLUDE (p_partkey, p_name, p_brand, p_type,
+                             p_size, p_retailprice) FROM part""")
+    }
+  }
 }
