@@ -361,6 +361,59 @@ object HudiLite {
       }
   }
 
+  /** Files holding every record WRITTEN by instants (from, to] — the
+    * UPDATE-INCLUSIVE streaming feed a MOR table supports natively:
+    * fresh base files carry that commit's inserts, log files carry
+    * exactly that deltacommit's upserted rows (stamped with its
+    * instant), and COMPACTION commits are skipped entirely — they
+    * select winners among already-delivered rows, writing no new
+    * records (real Hudi's incremental semantics). A base-file REWRITE
+    * of a known group (a COW upsert) still fails loudly: its file
+    * interleaves new and carried rows, so file-level delivery would
+    * re-emit old records — on a COW table use the batch
+    * [[incremental]] query's per-row stamp filter instead.
+    */
+  def writtenSlicesBetween(s: SparkSession, table: String, from: Long,
+      to: Long): Seq[(Long, String, Long, Seq[(String, Option[String])])] = {
+    val f = fs(s, new Path(table))
+    val rootQ = f.makeQualified(new Path(table))
+    val tl = timelineFiles(s, table)
+    var seen: Set[String] = tl.filter(_._1.toLong <= from)
+      .flatMap { case (_, metaFile) =>
+        val n = Json.readTree(readText(f, metaFile))
+        val b = Seq.newBuilder[String]
+        n.get("partitionToWriteStats").fields().forEachRemaining(e =>
+          e.getValue.elements().forEachRemaining(st =>
+            b += st.get("fileId").asText()))
+        b.result()
+      }.toSet
+    tl.filter { case (i, _) => i.toLong > from && i.toLong <= to }
+      .flatMap { case (i, metaFile) =>
+        val n = Json.readTree(readText(f, metaFile))
+        val op = Option(n.get("operation")).map(_.asText()).getOrElse("")
+        val out = Seq.newBuilder[(Long, String, Long,
+          Seq[(String, Option[String])])]
+        n.get("partitionToWriteStats").fields().forEachRemaining(e =>
+          e.getValue.elements().forEachRemaining { st =>
+            val fileId = st.get("fileId").asText()
+            val isLog = st.has("log") && st.get("log").asBoolean()
+            if (op == "compact") {
+              seen += fileId // no new records; group stays known
+            } else if (isLog || !seen.contains(fileId)) {
+              seen += fileId
+              val p = new Path(rootQ, st.get("path").asText())
+              out += ((i.toLong, p.toString, f.getFileStatus(p).getLen,
+                Nil))
+            } else
+              throw new UnsupportedOperationException(
+                s"instant $i of $table rewrites file group $fileId; " +
+                  "file-level delivery would re-emit carried rows — " +
+                  "use HudiLite.incremental on COW tables")
+          })
+        out.result()
+      }
+  }
+
   /** Hudi INCREMENTAL QUERY: every record written (inserted OR
     * updated) by a commit with instant > `fromInstant` — a per-row
     * commit-time filter over the snapshot, because COW rewrites RETAIN

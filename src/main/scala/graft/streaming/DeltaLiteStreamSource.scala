@@ -77,7 +77,11 @@ class IcebergLiteStreamProvider extends TableProvider {
 /** HudiLite twin: offsets are commit instants; appends-only enforced by
   * [[graft.sources.HudiLite.addedSlicesBetween]] (a COW rewrite in the
   * window fails loudly — update-inclusive consumption is the batch
-  * incremental query). No CDF mode.
+  * incremental query). `withUpdates=true` switches to
+  * [[graft.sources.HudiLite.writtenSlicesBetween]] — the MOR
+  * change-stream: each batch delivers every record WRITTEN by its
+  * commits (new base groups + log-file upserts), compactions are
+  * invisible (they write no new records). No CDF mode.
   */
 class HudiLiteStreamProvider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -87,13 +91,17 @@ class HudiLiteStreamProvider extends TableProvider {
       LakeStream.pathOf(options))._1
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val withUpdates =
+      java.lang.Boolean.parseBoolean(properties.get("withUpdates"))
     LakeStream.table(LakeStream.pathOf(properties), schema,
       _ => Seq.empty,
       s => graft.sources.HudiLite.streamInfo(s,
         LakeStream.pathOf(properties))._3,
-      graft.sources.HudiLite.addedSlicesBetween,
+      if (withUpdates) graft.sources.HudiLite.writtenSlicesBetween
+      else graft.sources.HudiLite.addedSlicesBetween,
       cdfCapable = false)
+  }
 }
 
 private[streaming] object LakeStream {

@@ -845,7 +845,52 @@ object Streaming {
           col("i").cast("long").as("i"), col("m"))
         .orderBy(col("table_name"), col("column_name"), col("i"))
     }, Some(graft.operators.Discovery.sqlFullSketchRows(
-      graft.operators.Discovery.incrCandidates)))
+      graft.operators.Discovery.incrCandidates))),
+
+    // --------------------------------------------------------------- st22
+    // Streaming FROM a Hudi MERGE-ON-READ table, update-inclusive
+    // (withUpdates=true): each micro-batch delivers every record
+    // WRITTEN by one commit — fresh base groups carry inserts, LOG
+    // FILES carry that deltacommit's upserts (so an updated key is
+    // re-emitted with its new content, the change-stream contract),
+    // and the mid-stream COMPACTION is invisible: it folds logs into
+    // a new base slice but writes no new records. The oracle is the
+    // written-record multiset reconstructed from the source table.
+    GQuery("st22_stream_from_hudi_mor", (s, d) => {
+      import graft.sources.HudiLite
+      val t = s"${graft.util.Scratch.dir("st22")}/orders_hudi_mor_src"
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      HudiLite.create(s, t, o.filter(col("o_orderkey") % 3 === 0),
+        recordKey = "o_orderkey", tableType = HudiLite.MergeOnRead)
+      HudiLite.upsert(s, t,
+        o.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("U1"))
+          .unionByName(o.filter(col("o_orderkey") % 3 === 1)))
+      HudiLite.compact(s, t) // folds the U1 logs; writes no new records
+      HudiLite.upsert(s, t,
+        o.filter(col("o_orderkey") % 6 === 3)
+          .withColumn("o_orderstatus", lit("U2")))
+      val stream = s.readStream
+        .format(classOf[HudiLiteStreamProvider].getName)
+        .option("path", t).option("withUpdates", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+      runToEnd(s, stream, "append")
+        .orderBy(col("o_orderkey"), col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U1' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, 'U2' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 6 = 3
+      ORDER BY o_orderkey, o_orderstatus"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

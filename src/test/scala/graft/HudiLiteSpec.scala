@@ -156,4 +156,42 @@ class HudiLiteSpec extends SparkSpec {
     // Nothing left to compact.
     assert(HudiLite.compact(spark, t) == "")
   }
+
+  test("writtenSlicesBetween feeds the MOR change-stream: log upserts " +
+      "delivered, compaction invisible, appends-only mode still " +
+      "refuses log commits") {
+    val t = s"${graft.util.Scratch.dir("hudispec")}/mor_written"
+    val c = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    HudiLite.create(spark, t, c.filter(col("c_custkey") <= 50),
+      recordKey = "c_custkey", tableType = HudiLite.MergeOnRead)
+    HudiLite.upsert(spark, t, // 2 updates (logs) + 5 inserts (base)
+      c.filter(col("c_custkey").isin(1, 2))
+        .withColumn("c_acctbal", lit(9.0))
+        .unionByName(c.filter(col("c_custkey") > 50 &&
+          col("c_custkey") <= 55)))
+    HudiLite.compact(spark, t)
+    val last = HudiLite.completedInstants(spark, t).last.toLong
+
+    // Batch 1 = create's bases; batch 2 = the deltacommit's log +
+    // insert files; the compaction instant yields NOTHING.
+    val b1 = HudiLite.writtenSlicesBetween(spark, t, 0L, 1L)
+    val b2 = HudiLite.writtenSlicesBetween(spark, t, 1L, 2L)
+    val b3 = HudiLite.writtenSlicesBetween(spark, t, 2L, last)
+    assert(b1.nonEmpty && b3.isEmpty)
+    val written2 = spark.read.parquet(b2.map(_._2): _*)
+    assert(written2.count() == 7)
+    assert(written2.filter(col("c_custkey") <= 2 &&
+      col("c_acctbal") === 9.0).count() == 2)
+
+    // Full window = every written record: 51 creates (keys 0-50) + 7
+    // from the deltacommit (updated keys re-emitted with new content).
+    val all = HudiLite.writtenSlicesBetween(spark, t, 0L, last)
+    assert(spark.read.parquet(all.map(_._2): _*).count() == 58)
+
+    // The appends-only reader still refuses the log commit loudly.
+    intercept[UnsupportedOperationException] {
+      HudiLite.addedSlicesBetween(spark, t, 0L, last)
+    }
+  }
 }
