@@ -56,7 +56,12 @@ object GraftExtensions {
     ("graft_vector_sum",
       "graft_vector_sum(vec) - aggregate: elementwise sum of double " +
         "arrays (centroid/mean building block)",
-      (args: Seq[Expression]) => FastVector.VectorSum(args.head)))
+      (args: Seq[Expression]) => FastVector.VectorSum(args.head)),
+    ("graft_kmv",
+      "graft_kmv(hash, k) - aggregate: k-minimum-values distinct " +
+        "sketch (k smallest distinct hashes, ascending)",
+      (args: Seq[Expression]) =>
+        graft.functions.Kmv.KmvSketch(args.head, intArg(args(1), "k"))))
 
   /** Register every native function into an existing session (the
     * post-hoc equivalent of building withExtensions — same builders).

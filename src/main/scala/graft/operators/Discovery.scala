@@ -280,6 +280,47 @@ object Discovery {
     ) ORDER BY n_overlap DESC, table_name, column_name"""
   }
 
+  /** c05's DuckDB replay: per-column KMV sketches (row_number ≤ k over
+    * the sorted distinct permuted hashes) and the integer intersection
+    * estimator — list arithmetic mirroring Kmv.intersectEstimate.
+    */
+  private def sqlKmvOverlap(probeTable: String, probeCol: String,
+      k: Int): String = {
+    val cand = joinCandidates.map { case (t, c) =>
+      s"SELECT '$t' AS t, '$c' AS c, CAST($c AS VARCHAR) AS v FROM $t"
+    }.mkString("\nUNION ALL\n")
+    val h = KmvOracle.hash("v")
+    s"""WITH cand AS (
+      $cand),
+    hs AS (SELECT t, c, $h AS h
+      FROM (SELECT DISTINCT t, c, v FROM cand WHERE v IS NOT NULL)),
+    ranked AS (SELECT t, c, h,
+      row_number() OVER (PARTITION BY t, c ORDER BY h) AS rn FROM hs),
+    sk AS (SELECT t, c, list(h ORDER BY h) AS a
+      FROM ranked WHERE rn <= $k GROUP BY t, c),
+    ph AS (SELECT $h AS h FROM (
+      SELECT DISTINCT CAST($probeCol AS VARCHAR) AS v FROM $probeTable
+      WHERE $probeCol IS NOT NULL)),
+    pranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ph),
+    psk AS (SELECT list(h ORDER BY h) AS b FROM pranked WHERE rn <= $k),
+    uni AS (SELECT s.t, s.c, s.a, p.b,
+      list_sort(list_distinct(list_concat(s.a, p.b))) AS unf
+      FROM sk s CROSS JOIN psk p),
+    cut AS (SELECT t, c, a, b,
+      unf[1:CAST(LEAST($k, len(unf)) AS INT)] AS un FROM uni),
+    calc AS (SELECT t, c, CAST(len(un) AS BIGINT) AS m,
+      un[CAST(len(un) AS INT)] AS um,
+      CAST(len(list_intersect(un, list_intersect(a, b))) AS BIGINT)
+        AS shared
+      FROM cut)
+    SELECT t AS table_name, c AS column_name,
+      CAST(CASE WHEN m < $k THEN shared
+           ELSE (shared * ((CAST(${k - 1} AS BIGINT) * 2147483647) // um))
+                // $k END AS BIGINT) AS est_overlap
+    FROM calc
+    ORDER BY est_overlap DESC, table_name, column_name"""
+  }
+
   /** DuckDB replay of charPoly31 (identical to the t04 oracle fold). */
   private def sqlPoly(v: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -395,6 +436,32 @@ object Discovery {
         columnSketches(columnValues(s, d, unionProbe)))
     }, Some(sqlUnionable(unionProbe))),
 
+    // ---------------------------------------------------------------- c05
+    // Joinable-column search by ESTIMATE: c01's exact containment
+    // ranking reproduced from KMV SKETCHES alone — each candidate
+    // column folded once into its k smallest distinct permuted hashes
+    // (graft.functions.Kmv: native typed aggregate, O(k) buffer,
+    // map-side combine), the probe likewise, and the overlap estimated
+    // with the KMV set operation (shared minima among the union's k
+    // minima × the union-size estimate — pure integer arithmetic, so
+    // the DuckDB oracle replays every value). The index side is the
+    // memoized persisted-sketch relation; at query time NO candidate
+    // table is rescanned — O(k) per candidate vs c01's O(column).
+    GQuery("c05_join_overlap_estimate", (s, d) => {
+      import graft.functions.Kmv
+      val sk = kmvIndexMemo(s, d)
+      val probe = T.customer(s, d)
+        .select(kmvHash(col("c_custkey").cast("string")).as("h"))
+        .where(col("h").isNotNull)
+        .agg(Kmv.sketch(col("h"), KmvK).as("b"))
+      sk.crossJoin(broadcast(probe))
+        .select(col("table_name"), col("column_name"),
+          Kmv.intersectEstimate(col("a"), col("b"), KmvK)
+            .as("est_overlap"))
+        .orderBy(col("est_overlap").desc, col("table_name"),
+          col("column_name"))
+    }, Some(sqlKmvOverlap("customer", "c_custkey", KmvK))),
+
     // ---------------------------------------------------------------- c04
     // INCREMENTAL index maintenance — the property that makes the c02
     // sketch index viable at 100 TB: MinHash signatures are monotone
@@ -435,6 +502,38 @@ object Discovery {
       _ => columnSketches(columnValues(s, d, inventory)).localCheckpoint())
 
   private val sketchIndexOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** c05's sketch parameters: k minima per column, hashes = the
+    * large-multiplier permutation over charPoly31 (KmvOracle.hash —
+    * raw charPoly31 concentrates short digit strings near zero and a
+    * KMV minimum must be uniform in [0, P)).
+    */
+  // `final val` (compile-time constant, inlined): the oracle strings
+  // interpolate this DURING object init, before ordinary vals assign.
+  private[operators] final val KmvK = 256
+
+  private def kmvHash(v: Column): Column =
+    pmod(lit(KmvOracle.HashA) * TextHash.charPoly31(v)
+      + lit(KmvOracle.HashB), lit(TextHash.P))
+
+  /** The c05 KMV column index, memoized per (session, dir) — one
+    * (table_name, column_name, sketch) row per candidate, the
+    * persisted relation a production catalog maintains incrementally
+    * (KMV merge = union-keep-k-minima, associative like the c04
+    * min-merge).
+    */
+  private def kmvIndexMemo(s: SparkSession, d: String): DataFrame =
+    kmvIndexOnce.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
+      _ => columnValues(s, d, joinCandidates)
+        .where(col("v").isNotNull)
+        .select(col("table_name"), col("column_name"),
+          kmvHash(col("v")).as("h"))
+        .groupBy(col("table_name"), col("column_name"))
+        .agg(graft.functions.Kmv.sketch(col("h"), KmvK).as("a"))
+        .localCheckpoint())
+
+  private val kmvIndexOnce =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** c04's base index: sketches of the old partition (orders dated

@@ -1321,6 +1321,83 @@ object RelationalQueries {
              COUNT(*) AS n_events,
              ROUND(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
                    / 1000.0, 3) AS sum_value
-      FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no"""))
+      FROM g GROUP BY user_id, sess_no ORDER BY user_id, sess_no""")),
+
+    // ---------------------------------------------------------------- q55
+    // Approx distinct via the K-MINIMUM-VALUES sketch — the engine-
+    // neutral twin of q30's HLL++: graft.functions.Kmv is a native
+    // typed aggregate (O(k) buffer per group, map-side combine, merge
+    // = union-keep-k-minima — shuffle is |groups|×k at any corpus
+    // size), hashes are charPoly31, the estimator is pure integer
+    // arithmetic — so unlike the HLL sketch this one carries a FULL
+    // DuckDB oracle (row_number ≤ k over sorted distinct hashes), and
+    // the exact count rides along to show the error.
+    GQuery("q55_kmv_distinct", (s, d) => {
+      import graft.functions.{Kmv, TextHash}
+      val k = 256
+      T.lineitem(s, d)
+        .select(col("l_returnflag"),
+          // charPoly31 alone concentrates short digit strings at small
+          // values (no wrap below ~5 chars) — a KMV minimum must be
+          // uniform in [0, P), so post-compose the LARGE-multiplier
+          // universal permutation (the c02 slot-hash rule).
+          pmod(lit(KmvOracle.HashA)
+              * TextHash.charPoly31(col("l_orderkey").cast("string"))
+            + lit(KmvOracle.HashB), lit(TextHash.P)).as("h"),
+          col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(Kmv.sketch(col("h"), k).as("sk"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"))
+        .select(col("l_returnflag"),
+          Kmv.estimate(col("sk"), k).as("approx_distinct"),
+          col("exact_distinct"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      WITH hs AS (
+        SELECT DISTINCT l_returnflag, ${KmvOracle.hash(
+          "CAST(l_orderkey AS VARCHAR)")} AS h
+        FROM lineitem),
+      ranked AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY h) AS rn
+        FROM hs),
+      agg AS (
+        SELECT l_returnflag, MAX(rn) AS m,
+               MAX(CASE WHEN rn = 256 THEN h END) AS hk
+        FROM ranked WHERE rn <= 256 GROUP BY l_returnflag),
+      ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT a.l_returnflag,
+             CAST(CASE WHEN a.m < 256 THEN a.m
+                  ELSE (CAST(255 AS BIGINT) * 2147483647) // a.hk
+                  END AS BIGINT)
+               AS approx_distinct,
+             e.exact_distinct
+      FROM agg a JOIN ex e ON a.l_returnflag = e.l_returnflag
+      ORDER BY a.l_returnflag"""))
   )
+}
+
+/** Shared DuckDB-oracle fragment for the KMV keys. */
+private[operators] object KmvOracle {
+  /** Large-multiplier universal permutation over charPoly31 (the c02
+    * slot-hash rule: without it, short digit strings never wrap mod P
+    * and every KMV minimum concentrates near zero — the estimator
+    * needs minima uniform in [0, P)). A = 2654435761 mod P.
+    */
+  val HashA = 506952114L
+  val HashB = 40503L
+
+  /** charPoly31 replay (the t04 list-fold form). */
+  def poly(x: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       list_transform(range(1, length($x) + 1),
+         i -> CAST(ord(substr($x, CAST(i AS INT), 1)) AS BIGINT))),
+       (a, c) -> (a * 131 + c) % 2147483647)"""
+
+  /** The full KMV hash: poly then permutation, all BIGINT-exact. */
+  def hash(x: String): String =
+    s"(CAST($HashA AS BIGINT) * ${poly(x)} + $HashB) % 2147483647"
 }
