@@ -105,6 +105,96 @@ object Kmv {
   def sketch(hash: Column, k: Int): Column =
     Glue.column(KmvSketch(Glue.expression(hash), k).toAggregateExpression())
 
+  /** PAIRED KMV: keep the measure value of each of the k smallest-hash
+    * rows — a deterministic uniform row sample WITHOUT replacement
+    * (hash the row key, keep the k minima), the building block for
+    * sampled order statistics (q56). Same O(k) buffer / map-side
+    * combine / mergeable shape as [[KmvSketch]]; hash collisions keep
+    * the smaller value so the sample is engine-replayable (DuckDB:
+    * MIN(v) GROUP BY h, then row_number ≤ k by h). Returns the sampled
+    * values ordered by their hash (callers sort by value).
+    */
+  case class KmvPairs(hashChild: Expression, valueChild: Expression,
+      k: Int, mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]] {
+    require(k > 1, s"graft_kmv_pairs: k must be > 1, got $k")
+    override def children: Seq[Expression] = Seq(hashChild, valueChild)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_kmv_pairs"
+
+    override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+      new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+    private def put(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+        h: Long, v: Long): Unit = {
+      val cur = buf.get(h)
+      if (cur != null) { if (v < cur) buf.put(h, v) }
+      else if (buf.size < k) buf.put(h, v)
+      else if (h < buf.lastKey()) { buf.put(h, v); buf.pollLastEntry() }
+    }
+
+    override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+        input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+      val h = hashChild.eval(input)
+      val v = valueChild.eval(input)
+      if (h != null && v != null)
+        put(buf, h.asInstanceOf[Long], v.asInstanceOf[Long])
+      buf
+    }
+
+    override def merge(b1: java.util.TreeMap[java.lang.Long, java.lang.Long],
+        b2: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+      val it = b2.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        put(b1, e.getKey, e.getValue)
+      }
+      b1
+    }
+
+    override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.values().iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+      bb.putInt(buf.size)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        bb.putLong(e.getKey); bb.putLong(e.getValue)
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val out = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+      var i = 0
+      while (i < n) { out.put(bb.getLong(), bb.getLong()); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KmvPairs =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvPairs =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): KmvPairs =
+      copy(hashChild = c.head, valueChild = c(1))
+  }
+
+  /** Sample the k rows with the smallest key hashes, keeping `value`. */
+  def pairSample(hash: Column, value: Column, k: Int): Column =
+    Glue.column(KmvPairs(Glue.expression(hash), Glue.expression(value), k)
+      .toAggregateExpression())
+
   import org.apache.spark.sql.functions._
 
   /** Distinct-count estimate from a sketch column: m when the sketch

@@ -1376,7 +1376,61 @@ object RelationalQueries {
                AS approx_distinct,
              e.exact_distinct
       FROM agg a JOIN ex e ON a.l_returnflag = e.l_returnflag
-      ORDER BY a.l_returnflag"""))
+      ORDER BY a.l_returnflag""")),
+
+    // ---------------------------------------------------------------- q56
+    // Approx per-group QUANTILES from a deterministic uniform row
+    // sample — the q29/q44 midpoint with a FULL cross-engine oracle:
+    // hash each row's KEY (not its value — duplicates must not bias
+    // the sample), keep the k smallest via the paired-KMV aggregate
+    // (O(k) buffer, map-side combine — a seedless, partitioning-
+    // invariant "reservoir"), then take defined order statistics of
+    // the sample (value at ceil(p·m), no interpolation). Money scaled
+    // to integer cents so every step is grid-exact; rank error is
+    // O(k^-1/2). DuckDB replays: MIN(v) per hash, row_number ≤ k,
+    // list order statistics.
+    GQuery("q56_sampled_quantiles", (s, d) => {
+      import graft.functions.Kmv
+      val k = 512
+      val h = KmvOracle.hashCol(concat(
+        col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")))
+      val cents = (col("l_extendedprice") * 100).cast("long")
+      val sampled = T.lineitem(s, d)
+        .select(col("l_returnflag"), h.as("h"), cents.as("vc"))
+        .groupBy(col("l_returnflag"))
+        .agg(Kmv.pairSample(col("h"), col("vc"), k).as("vs"))
+        .select(col("l_returnflag"), array_sort(col("vs")).as("vs"),
+          size(col("vs")).cast("long").as("sample_m"))
+      def stat(p: Double) =
+        (element_at(col("vs"), ceil(lit(p) * col("sample_m")).cast("int"))
+          / lit(100.0))
+      sampled.select(col("l_returnflag"), col("sample_m"),
+          stat(0.5).as("p50_est"), stat(0.9).as("p90_est"))
+        .orderBy(col("l_returnflag"))
+    }, Some(s"""
+      WITH hv AS (
+        SELECT l_returnflag, h, MIN(vc) AS v FROM (
+          SELECT l_returnflag,
+                 ${KmvOracle.hash(
+                   "(CAST(l_orderkey AS VARCHAR) || '-' || " +
+                   "CAST(l_linenumber AS VARCHAR))")} AS h,
+                 CAST(l_extendedprice * 100 AS BIGINT) AS vc
+          FROM lineitem)
+        GROUP BY l_returnflag, h),
+      ranked AS (
+        SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY h) AS rn
+        FROM hv),
+      sorted AS (
+        SELECT l_returnflag, list(v ORDER BY v) AS vs,
+               COUNT(*) AS sample_m
+        FROM ranked WHERE rn <= 512 GROUP BY l_returnflag)
+      SELECT l_returnflag, sample_m,
+             vs[CAST(ceil(0.5 * sample_m) AS INT)] / 100.0 AS p50_est,
+             vs[CAST(ceil(0.9 * sample_m) AS INT)] / 100.0 AS p90_est
+      FROM sorted ORDER BY l_returnflag"""))
   )
 }
 
@@ -1400,4 +1454,11 @@ private[operators] object KmvOracle {
   /** The full KMV hash: poly then permutation, all BIGINT-exact. */
   def hash(x: String): String =
     s"(CAST($HashA AS BIGINT) * ${poly(x)} + $HashB) % 2147483647"
+
+  /** Column-side twin of [[hash]]. */
+  def hashCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(lit(HashA) * graft.functions.TextHash.charPoly31(v) + lit(HashB),
+      lit(graft.functions.TextHash.P))
+  }
 }

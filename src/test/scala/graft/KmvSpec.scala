@@ -43,6 +43,25 @@ class KmvSpec extends SparkSpec {
     assert(dupEst == est)
   }
 
+  test("KmvPairs is a deterministic partitioning-invariant row " +
+      "sample; sampled median tracks the true median") {
+    val n = 20000
+    val rows = (1 to n).map(i => (s"k$i", i.toLong)).toDF("key", "v")
+      .select(pmod(lit(506952114L) * TextHash.charPoly31(col("key"))
+        + lit(40503L), lit(TextHash.P)).as("h"), col("v"))
+    val one = rows.coalesce(1)
+      .agg(Kmv.pairSample(col("h"), col("v"), 512)).head.getSeq[Long](0)
+    val many = rows.repartition(17)
+      .agg(Kmv.pairSample(col("h"), col("v"), 512)).head.getSeq[Long](0)
+    assert(one == many, "pair sample must be partitioning-invariant")
+    assert(one.length == 512)
+    // Values 1..n uniform → the sample median should sit near n/2
+    // within ~3·n/√k.
+    val med = one.sorted.apply(255)
+    assert(math.abs(med - n / 2.0) < 3.0 * n / math.sqrt(512.0),
+      s"sample median $med too far from ${n / 2}")
+  }
+
   test("intersectEstimate tracks the true overlap; SQL entry exposes " +
       "graft_kmv") {
     val a = hashed(3000) // v1..v3000
