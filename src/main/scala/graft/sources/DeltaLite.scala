@@ -1701,6 +1701,122 @@ object DeltaLite {
       operation = "MERGE")
   }
 
+  /** MERGE-ON-READ MERGE via deletion vectors: matched target rows are
+    * SOFT-DELETED (their positions land in bitmap-sized sidecars, the
+    * hit files re-added with a `deletionVector` descriptor — no data
+    * file rewritten) and the full source appends as new files. Write
+    * amplification is O(source + bitmaps) instead of [[merge]]'s
+    * O(touched files) — the modern lake-engine MERGE shape for small
+    * upserts into huge tables; [[compact]] later rebases accumulated
+    * DVs into clean files. Same semantics as [[merge]] (multi-match is
+    * an error), and every read path filters the marked rows, so
+    * snapshot ≡ the COW result.
+    */
+  def mergeDV(s: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val schema = st.schema
+    val srcCols = source.select(schema.fieldNames.map(col).toSeq: _*)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val srcKeyCounts = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_src_n"))
+    val (hitNames, maxMatches) =
+      if (st.entries.isEmpty) (Set.empty[String], 0L)
+      else {
+        val row = readEntries(s, table, schema, st.entries,
+            fileCol = Some("_gf"))
+          .join(srcKeyCounts, keys)
+          .agg(collect_set(col("_gf")).as("_files"), max(col("_src_n")))
+          .head()
+        (row.getSeq[String](0).toSet,
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
+    require(maxMatches <= 1L,
+      s"mergeDV: $maxMatches source rows match the same target key — " +
+        "Delta MERGE forbids ambiguous multi-matches; dedup the source")
+    val hitEntries = st.entries
+      .filter(e => hitNames.contains(fileName(e.path)))
+    val dvActions: Seq[String] = if (hitEntries.isEmpty) Nil else {
+      // Prior soft-deleted positions merge into each file's NEW
+      // sidecar (sidecars replace, not chain — the deleteWhereDV
+      // contract).
+      val prior = hitEntries.flatMap(e => e.dv.toSeq.flatMap(rel =>
+        readDv(s, table, rel).map(rid => (fileName(e.path), rid))))
+      import s.implicits._
+      val scanReader = {
+        val r0 = s.read.schema(physStruct(schema))
+        if (hitEntries.exists(e => isAbsPath(e.path))) r0
+        else r0.option("basePath", table)
+      }
+      val scan0 = scanReader
+        .parquet(hitEntries.map(e => new Path(table, e.path).toString): _*)
+        .withColumn("_dv_fname",
+          element_at(split(input_file_name(), "/"), -1))
+        .withColumn("_dv_rid", col("_metadata.row_index"))
+        .select(schema.fields.map(fd =>
+          col(physName(fd)).as(fd.name)).toSeq ++
+          Seq(col("_dv_fname"), col("_dv_rid")): _*)
+      val live = if (prior.isEmpty) scan0
+        else scan0.join(
+          broadcast(prior.toDF("_dv_fname", "_dv_rid")),
+          Seq("_dv_fname", "_dv_rid"), "left_anti")
+      // Matched = live rows whose key appears in the source: their
+      // positions soft-delete; the source's new versions arrive via
+      // the append below. Sidecars write on EXECUTORS (the
+      // deleteWhereDV shape) — only (file, sidecar, count) metadata
+      // returns to the driver.
+      val hadoopConf = new org.apache.spark.SerializableWritable(
+        s.sparkContext.hadoopConfiguration)
+      val newPos = live.join(broadcast(srcKeys), keys, "left_semi")
+        .select(col("_dv_fname"), col("_dv_rid"))
+        .as[(String, Long)]
+        .map(t => (t._1, t._2, true))
+      val priorDs = prior.toDS().map(t => (t._1, t._2, false))
+      val dvMeta: Array[(String, String, Long)] = newPos.union(priorDs)
+        .groupByKey(_._1)
+        .flatMapGroups { (fname, it) =>
+          val rows = it.toArray
+          if (!rows.exists(_._3)) Iterator.empty
+          else {
+            val rids = rows.map(_._2).distinct.sorted
+            val rel = s"_dv/dv-${UUID.randomUUID()}.json"
+            val p = new Path(table, rel)
+            val f = p.getFileSystem(hadoopConf.value)
+            f.mkdirs(p.getParent)
+            val sb = new StringBuilder("{\"deletedRows\":[")
+            var i = 0
+            while (i < rids.length) {
+              if (i > 0) sb.append(',')
+              sb.append(rids(i))
+              i += 1
+            }
+            sb.append("]}")
+            val out = f.create(p, false)
+            try out.write(sb.toString.getBytes("UTF-8"))
+            finally out.close()
+            Iterator.single((fname, rel, rids.length.toLong))
+          }
+        }
+        .collect()
+      val byFile = dvMeta.map(m => m._1 -> (m._2, m._3)).toMap
+      hitEntries
+        .filter(e => byFile.contains(fileName(e.path)))
+        .flatMap { e =>
+          val (rel, n) = byFile(fileName(e.path))
+          Seq(removeAction(e.path),
+            addAction(e.path, e.size, e.partValues,
+              e.stats.map(_.toString), dataChange = true,
+              dv = Some((rel, n))))
+        }
+    }
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, srcCols, schema, st.partCols,
+        constraints = st.constraints) ++ dvActions,
+      operation = "MERGE")
+  }
+
   /** APPLY CHANGES INTO — the CDC-apply primitive: `changes` carries
     * row-level operations tagged by `opCol` ('insert' / 'update' with
     * full postimage columns, or 'delete') and ordered per key by

@@ -1822,6 +1822,33 @@ object Sources {
              CASE WHEN c_custkey % 2 = 0 AND c_mktsegment = 'AUTOMOBILE'
                   THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
              c_mktsegment
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s57
+    // MERGE-ON-READ MERGE on Delta via deletion vectors (s10's COW
+    // twin, the modern small-upsert-into-huge-table shape): matched
+    // target rows soft-delete into bitmap sidecars — NO data file is
+    // rewritten (DeltaLiteSpec asserts file identity) — and the
+    // source appends as new files; snapshot filters the marked rows,
+    // so the result hash-equals the COW merge. Write amplification:
+    // O(source + bitmaps) vs O(touched files).
+    GQuery("s57_delta_dv_merge", (s, d) => {
+      val table = s"${scratch("s57")}/customer_delta_dvm"
+      val c = T.customer(s, d)
+      DeltaLite.create(s, table, c.filter(col("c_custkey") <= 1000))
+      val source = c.filter(col("c_custkey") <= 100)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(c.filter(col("c_custkey") > 1000))
+      DeltaLite.mergeDV(s, table, source, Seq("c_custkey"))
+      DeltaLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey <= 100 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
       FROM customer ORDER BY c_custkey"""))
   )
 

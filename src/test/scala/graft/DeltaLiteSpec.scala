@@ -952,4 +952,53 @@ class DeltaLiteSpec extends SparkSpec {
         .filter(col("c_custkey") === 1L).count() == 0)
     } finally spark.conf.unset("spark.graft.maxHitFiles")
   }
+
+  test("mergeDV: matched rows soft-delete via sidecars (no data file " +
+      "rewritten), source appends, result equals the COW merge") {
+    val c = Tables.customer(spark, sfDir)
+    val base = c.filter(col("c_custkey") <= 600)
+    val source = c.filter(col("c_custkey") <= 50)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .unionByName(c.filter(col("c_custkey") > 600 &&
+        col("c_custkey") <= 650))
+    def dataFiles(t: String): Set[String] = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t))
+      try walk.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_delta_log"))
+        .toSet
+      finally walk.close()
+    }
+    val tDv = freshTable()
+    DeltaLite.create(spark, tDv,
+      base.repartitionByRange(3, col("c_custkey")))
+    val before = dataFiles(tDv)
+    DeltaLite.mergeDV(spark, tDv, source, Seq("c_custkey"))
+    // Every pre-merge data file survives untouched; the only new
+    // parquet is the appended source.
+    assert(before.subsetOf(dataFiles(tDv)), "mergeDV rewrote a data file")
+    val tCow = freshTable()
+    DeltaLite.create(spark, tCow,
+      base.repartitionByRange(3, col("c_custkey")))
+    DeltaLite.merge(spark, tCow, source, Seq("c_custkey"))
+    val got = DeltaLite.snapshot(spark, tDv)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val want = DeltaLite.snapshot(spark, tCow)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(got == want, "DV merge must equal the COW merge")
+    // Second DV merge on already-masked files accumulates correctly.
+    DeltaLite.mergeDV(spark, tDv,
+      c.filter(col("c_custkey") <= 10)
+        .withColumn("c_acctbal", lit(1.23)),
+      Seq("c_custkey"))
+    val k1 = DeltaLite.snapshot(spark, tDv)
+      .filter(col("c_custkey") === 1)
+    assert(k1.count() == 1 &&
+      k1.head.getAs[Double]("c_acctbal") == 1.23)
+    // Ambiguous multi-match refuses loudly.
+    intercept[IllegalArgumentException] {
+      DeltaLite.mergeDV(spark, tDv,
+        c.filter(col("c_custkey") === 2)
+          .union(c.filter(col("c_custkey") === 2)), Seq("c_custkey"))
+    }
+  }
 }
