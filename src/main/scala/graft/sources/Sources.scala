@@ -1849,7 +1849,51 @@ object Sources {
              CASE WHEN c_custkey <= 100 THEN c_acctbal * 2
                   ELSE c_acctbal END AS c_acctbal,
              c_mktsegment
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------- s58
+    // Incrementally-maintained JOIN view with BOTH base tables mutable
+    // (s23's two-sided generalization): V = γ(fact ⋈ dim) maintained by
+    // the delta-join identity ΔA⋈B_new ∪ A_old⋈ΔB over signed CDF
+    // weights — fact deletes and a dim UPDATE (customers re-segmented)
+    // fold in ONE refresh, no base-join rebuild. Build + mutations are
+    // memoized; the token rollback makes the measured region exactly
+    // one two-sided incremental refresh (the s23/s26 idiom);
+    // JoinMatViewSpec proves refresh ≡ recompute across the lifecycle.
+    GQuery("s58_join_matview", (s, d) => {
+      val (mv, token) = mvOnce.computeIfAbsent(
+        s"s58|${System.identityHashCode(s)}|$d", _ => {
+          val root = scratch("s58")
+          val fact = s"$root/orders_delta"
+          val dim = s"$root/customer_delta"
+          val mvDir = s"$root/jmv"
+          val o = T.orders(s, d)
+          DeltaLite.create(s, fact, o.filter(col("o_orderkey") % 2 === 0))
+          DeltaLite.create(s, dim, T.customer(s, d))
+          JoinMatView.create(s, fact, dim, mvDir,
+            "o_custkey", "c_custkey", Seq("c_mktsegment"), "o_totalprice")
+          DeltaLite.append(s, fact, o.filter(col("o_orderkey") % 2 === 1))
+          JoinMatView.refresh(s, mvDir)
+          DeltaLite.deleteWhere(s, fact, col("o_orderkey") % 17 === 0)
+          DeltaLite.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+            Map("c_mktsegment" -> lit("MOVED")))
+          (mvDir, JoinMatView.stateToken(s, mvDir))
+        })
+      JoinMatView.restoreState(s, mv, token)
+      JoinMatView.refresh(s, mv)
+      JoinMatView.read(s, mv)
+        .select(col("c_mktsegment"),
+          col("sum_val").cast("double").as("total"), col("n"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT CASE WHEN c.c_custkey % 10 = 0 THEN 'MOVED'
+                  ELSE c.c_mktsegment END AS c_mktsegment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 17 <> 0
+      GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 
   /** One-time load of the `nation` dim into an embedded Derby database
