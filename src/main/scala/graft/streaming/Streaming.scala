@@ -890,7 +890,71 @@ object Streaming {
       UNION ALL
       SELECT o_orderkey, o_custkey, 'U2' AS o_orderstatus, o_totalprice
       FROM orders WHERE o_orderkey % 6 = 3
-      ORDER BY o_orderkey, o_orderstatus"""))
+      ORDER BY o_orderkey, o_orderstatus""")),
+
+    // --------------------------------------------------------------- st23
+    // A JOIN view maintained FROM A STREAM (st10's two-sided sibling,
+    // s58's streaming twin): fact rows stream into the lake table in
+    // three micro-batches (exactly-once via the txn-guarded append),
+    // each batch folded into the fact⋈dim view by the delta-join
+    // refresh; BETWEEN batches the DIM mutates (customers re-segmented)
+    // and the SAME refresh absorbs it through the A_old⋈ΔB term — the
+    // streaming pipeline never rebuilds the base join. Oracle = the
+    // final-state join recomputed from the raw tables.
+    GQuery("st23_stream_join_matview", (s, d) => {
+      import graft.sources.{DeltaLite, JoinMatView}
+      val root = graft.util.Scratch.dir("st23")
+      val fact = s"$root/orders_delta"
+      val dim = s"$root/cust_delta"
+      val mv = s"$root/jmv"
+      val stage = s"$root/staged_orders"
+      val src = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      src.repartitionByRange(3, col("o_orderkey")).write.mode("overwrite")
+        .parquet(stage)
+      val appId = "st23_join_matview"
+      val q = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            if (DeltaLite.latestVersion(s, fact) < 0) {
+              DeltaLite.create(s, fact, batch.toDF(),
+                txn = Some((appId, batchId)))
+              DeltaLite.create(s, dim, T.customer(s, d)
+                .select(col("c_custkey"), col("c_mktsegment")))
+              JoinMatView.create(s, fact, dim, mv,
+                "o_custkey", "c_custkey", Seq("c_mktsegment"),
+                "o_totalprice")
+            } else {
+              DeltaLite.appendOnce(s, fact, batch.toDF(), appId, batchId)
+              if (batchId == 1L)
+                // Mid-stream dim mutation (idempotent under a batch
+                // retry: re-setting the same segment is a no-op).
+                DeltaLite.updateWhere(s, dim, col("c_custkey") % 10 === 0,
+                  Map("c_mktsegment" -> lit("MOVED")))
+              JoinMatView.refresh(s, mv)
+              ()
+            }
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st23ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      JoinMatView.refresh(s, mv) // fold any final committed batch
+      JoinMatView.read(s, mv)
+        .select(col("c_mktsegment"),
+          col("sum_val").cast("double").as("total"), col("n"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT CASE WHEN c.c_custkey % 10 = 0 THEN 'MOVED'
+                  ELSE c.c_mktsegment END AS c_mktsegment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
