@@ -1923,6 +1923,66 @@ object IcebergLite {
     * (which copy would win is ambiguous); duplicate source keys that
     * match nothing insert all their copies. Returns the new snapshot id.
     */
+  /** MERGE-ON-READ MERGE: ONE snapshot carrying an equality-delete
+    * manifest (the source's keys) AND a data manifest (the full
+    * source) at the SAME data sequence number — the delete masks only
+    * files with a strictly smaller sequence, so the commit's own new
+    * rows survive while every older copy of a matched key is hidden.
+    * The commit NEVER READS A DATA FILE: cost is O(source) at any
+    * table size (the Iceberg CDC/streaming-writer upsert shape;
+    * [[merge]] is the copy-on-write twin, [[compact]] later folds the
+    * masks in). Duplicate source keys refuse loudly — which copy would
+    * win is ambiguous.
+    */
+  def mergeMOR(s: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "mergeMOR needs at least one key")
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val cur = meta.currentSchema
+    val keyFields = keys.map(k => cur.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"no column $k in $table")))
+    val srcCols = source.select(cur.fields.map(fd =>
+      col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
+      .localCheckpoint() // key rows + data rows: one source evaluation
+    require(srcCols.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .limit(1).count() == 0,
+      "mergeMOR: duplicate source keys — which copy wins is ambiguous; " +
+        "dedup the source")
+    val seq = nextSeq(meta)
+    val dataManifest = writeManifest(s, table, srcCols, cur,
+      meta.defaultSpecId, meta.partCols, meta.sortCols, seq)
+    // Equality-delete files at the SAME sequence (mask applies to
+    // strictly-smaller seq only): the equalityDelete staging shape.
+    val keyRows = srcCols.select(keyFields.map(kf =>
+      col(kf.name).cast(kf.dataType).as(kf.name)).toSeq: _*).distinct()
+    val f = fs(s, new Path(table))
+    val stageDir = new Path(table, s"_stage-eqdel-${UUID.randomUUID()}")
+    keyRows.write.parquet(stageDir.toString)
+    val parts = f.listStatus(stageDir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && st.getLen > 0)
+    val rels = parts.map { st =>
+      val rel = s"data/eqdelete-${UUID.randomUUID()}.parquet"
+      require(f.rename(st.getPath, new Path(table, rel)),
+        s"rename failed for ${st.getPath}")
+      rel
+    }
+    f.delete(stageDir, true)
+    val withDelete =
+      if (rels.isEmpty) Seq(dataManifest)
+      else {
+        val entries = rels.map { rel =>
+          val e = Json.createObjectNode()
+          e.put("path", rel)
+          ManifestEntry(rel, Nil, None, e)
+        }
+        Seq(dataManifest, writeManifestFile(f, table, cur.schemaId,
+          meta.defaultSpecId, Nil, entries, seq, keyFields.map(_.id)))
+      }
+    commitSnapshot(s, table, meta, manifests.map(_.path) ++ withDelete)
+  }
+
   def merge(s: SparkSession, table: String, source: DataFrame,
       keys: Seq[String]): Long = {
     val (meta, manifests) = manifestsOf(s, table, -1L)

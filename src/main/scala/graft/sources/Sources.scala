@@ -1851,6 +1851,34 @@ object Sources {
              c_mktsegment
       FROM customer ORDER BY c_custkey""")),
 
+    // ---------------------------------------------------------------- s59
+    // Iceberg MERGE-ON-READ MERGE (s57's Iceberg twin — with s55 Hudi
+    // MOR, all three formats now have a merge-on-read WRITE path): ONE
+    // snapshot carries an equality-delete manifest (the source keys)
+    // and a data manifest (the source rows) at the SAME sequence
+    // number, so older copies mask and the commit's own rows survive.
+    // The commit never reads a data file — O(source) at any table
+    // size; result hash-equals the COW merge (IcebergLiteSpec asserts
+    // zero data-file rewrites and COW equality).
+    GQuery("s59_iceberg_mor_merge", (s, d) => {
+      val table = s"${scratch("s59")}/customer_ice_morm"
+      val c = T.customer(s, d)
+      IcebergLite.create(s, table, c.filter(col("c_custkey") <= 1000))
+      val source = c.filter(col("c_custkey") <= 100)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(c.filter(col("c_custkey") > 1000))
+      IcebergLite.mergeMOR(s, table, source, Seq("c_custkey"))
+      IcebergLite.snapshot(s, table)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey <= 100 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer ORDER BY c_custkey""")),
+
     // ---------------------------------------------------------------- s58
     // Incrementally-maintained JOIN view with BOTH base tables mutable
     // (s23's two-sided generalization): V = γ(fact ⋈ dim) maintained by

@@ -706,4 +706,57 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.snapshot(spark, t).count() ==
       half.count() + 5)
   }
+
+  test("mergeMOR: one snapshot, no data file read or rewritten, result " +
+      "equals the COW merge; compact folds the masks") {
+    val c = Tables.customer(spark, sfDir)
+    val base = c.filter(col("c_custkey") <= 600)
+    val source = c.filter(col("c_custkey") <= 50)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .unionByName(c.filter(col("c_custkey") > 600 &&
+        col("c_custkey") <= 650))
+    def dataFiles(t: String): Set[String] = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t, "data"))
+      try walk.toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally walk.close()
+    }
+    val tMor = freshTable()
+    IcebergLite.create(spark, tMor,
+      base.repartitionByRange(3, col("c_custkey")))
+    val before = dataFiles(tMor)
+    IcebergLite.mergeMOR(spark, tMor, source, Seq("c_custkey"))
+    assert(before.subsetOf(dataFiles(tMor)), "mergeMOR rewrote a data file")
+    val tCow = freshTable()
+    IcebergLite.create(spark, tCow,
+      base.repartitionByRange(3, col("c_custkey")))
+    IcebergLite.merge(spark, tCow, source, Seq("c_custkey"))
+    val got = IcebergLite.snapshot(spark, tMor)
+      .orderBy(col("c_custkey")).collect().toSeq
+    val want = IcebergLite.snapshot(spark, tCow)
+      .orderBy(col("c_custkey")).collect().toSeq
+    assert(got == want, "MOR merge must equal the COW merge")
+    // A second MOR merge over already-masked keys stacks correctly
+    // (the new commit's higher sequence masks the previous merge's
+    // rows too).
+    IcebergLite.mergeMOR(spark, tMor,
+      c.filter(col("c_custkey") <= 10).withColumn("c_acctbal", lit(9.9)),
+      Seq("c_custkey"))
+    val k1 = IcebergLite.snapshot(spark, tMor)
+      .filter(col("c_custkey") === 1)
+    assert(k1.count() == 1 && k1.head.getAs[Double]("c_acctbal") == 9.9)
+    // Duplicate source keys refuse loudly.
+    intercept[IllegalArgumentException] {
+      IcebergLite.mergeMOR(spark, tMor,
+        c.filter(col("c_custkey") === 2)
+          .union(c.filter(col("c_custkey") === 2)), Seq("c_custkey"))
+    }
+    // Compaction folds delete files in; snapshot unchanged.
+    val pre = IcebergLite.snapshot(spark, tMor)
+      .orderBy(col("c_custkey")).collect().toSeq
+    IcebergLite.compact(spark, tMor, targetFiles = 1)
+    assert(IcebergLite.snapshot(spark, tMor)
+      .orderBy(col("c_custkey")).collect().toSeq == pre)
+  }
 }
