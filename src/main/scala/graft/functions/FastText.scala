@@ -66,6 +66,20 @@ object FastText {
       copy(child = c)
   }
 
+  /** Engine-neutral polynomial string hash — equals
+    * TextHash.charPoly31 (the HOF reference) value for value.
+    */
+  case class CharPoly31(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_char_poly31"
+    override protected def nullSafeEval(input: Any): Any =
+      FastTextRuntime.charPoly31Of(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $RT.charPoly31Of($c);")
+    override protected def withNewChildInternal(c: Expression): CharPoly31 =
+      copy(child = c)
+  }
+
   /** Karp–Rabin rolling fingerprint — equals TextHash.rollingFingerprint. */
   case class RollingFp(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -171,6 +185,8 @@ object FastText {
     Glue.column(SimHash64(Glue.expression(text)))
   def rollingFp(text: Column): Column =
     Glue.column(RollingFp(Glue.expression(text)))
+  def charPoly31(text: Column): Column =
+    Glue.column(CharPoly31(Glue.expression(text)))
   def shingleMin31(text: Column, n: Int): Column =
     Glue.column(ShingleMin31(Glue.expression(text), n))
   def langScore(text: Column, profiles: Seq[(String, Seq[String])]): Column =

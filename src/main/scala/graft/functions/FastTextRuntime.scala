@@ -110,6 +110,14 @@ object FastTextRuntime {
     h
   }
 
+  /** Public single-string charPoly31 (the FastText.CharPoly31 runtime):
+    * one tight loop instead of the interpreted HOF fold — the same
+    * ~100× win as the other native expressions, which is what keeps
+    * per-row hashing (KMV keys, discovery sketches) inside the 2 s
+    * bench bar at sf0.1.
+    */
+  def charPoly31Of(s: UTF8String): Long = charPoly31(s.toString)
+
   def rollingFp(text: UTF8String): Long = {
     val toks = tokens(text)
     var acc = 0L

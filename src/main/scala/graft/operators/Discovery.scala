@@ -192,7 +192,7 @@ object Discovery {
   def columnSketches(values: DataFrame): DataFrame =
     values.where(col("v").isNotNull).distinct()
       .select(col("table_name"), col("column_name"),
-        TextHash.charPoly31(col("v")).as("h"))
+        graft.functions.FastText.charPoly31(col("v")).as("h"))
       .select(col("table_name"), col("column_name"),
         posexplode(transform(
           sequence(lit(0), lit(SketchK - 1)),
@@ -218,7 +218,7 @@ object Discovery {
   def columnSketch(df: DataFrame, t: String, c: String): DataFrame = {
     val h = df.select(col(c).cast("string").as("v"))
       .where(col("v").isNotNull).distinct()
-      .select(TextHash.charPoly31(col("v")).as("h"))
+      .select(graft.functions.FastText.charPoly31(col("v")).as("h"))
     h.select(posexplode(transform(
         sequence(lit(0), lit(SketchK - 1)),
         i => pmod(
@@ -514,7 +514,7 @@ object Discovery {
   private[operators] final val KmvK = 256
 
   private def kmvHash(v: Column): Column =
-    pmod(lit(KmvOracle.HashA) * TextHash.charPoly31(v)
+    pmod(lit(KmvOracle.HashA) * graft.functions.FastText.charPoly31(v)
       + lit(KmvOracle.HashB), lit(TextHash.P))
 
   /** The c05 KMV column index, memoized per (session, dir) — one

@@ -1341,9 +1341,7 @@ object RelationalQueries {
           // values (no wrap below ~5 chars) — a KMV minimum must be
           // uniform in [0, P), so post-compose the LARGE-multiplier
           // universal permutation (the c02 slot-hash rule).
-          pmod(lit(KmvOracle.HashA)
-              * TextHash.charPoly31(col("l_orderkey").cast("string"))
-            + lit(KmvOracle.HashB), lit(TextHash.P)).as("h"),
+          KmvOracle.hashCol(col("l_orderkey").cast("string")).as("h"),
           col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(Kmv.sketch(col("h"), k).as("sk"),
@@ -1458,7 +1456,7 @@ private[operators] object KmvOracle {
   /** Column-side twin of [[hash]]. */
   def hashCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    pmod(lit(HashA) * graft.functions.TextHash.charPoly31(v) + lit(HashB),
+    pmod(lit(HashA) * graft.functions.FastText.charPoly31(v) + lit(HashB),
       lit(graft.functions.TextHash.P))
   }
 }

@@ -831,7 +831,8 @@ object Streaming {
             col(c).cast("string").as("v"))): _*)).as("e"))
         .select(col("e.column_name"), col("e.v"))
         .where(col("v").isNotNull)
-        .select(col("column_name"), TextHash.charPoly31(col("v")).as("h"))
+        .select(col("column_name"),
+          graft.functions.FastText.charPoly31(col("v")).as("h"))
         .select(col("column_name"), posexplode(transform(
           sequence(lit(0), lit(Discovery.SketchK - 1)),
           i => pmod(

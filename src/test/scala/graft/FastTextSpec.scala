@@ -47,6 +47,13 @@ class FastTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("CharPoly31 equals the TextHash HOF fold on every doc") {
+    val rows = df.select(
+      FastText.charPoly31(col("text")).as("fast"),
+      TextHash.charPoly31(col("text")).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("ShingleMin31 equals coalesce(array_min(shingleHashesPoly), P)") {
     val rows = df.select(
       FastText.shingleMin31(col("text"), 8).as("fast"),
