@@ -1333,19 +1333,26 @@ object RelationalQueries {
     // DuckDB oracle (row_number ≤ k over sorted distinct hashes), and
     // the exact count rides along to show the error.
     GQuery("q55_kmv_distinct", (s, d) => {
-      import graft.functions.{Kmv, TextHash}
+      import graft.functions.Kmv
       val k = 256
+      // KMV is duplicate-insensitive, so dedup (flag, orderkey) FIRST:
+      // one partial-agg'd exchange replaces countDistinct's Expand ×2
+      // (which would drag the whole pipeline into object-hash
+      // aggregation over doubled rows), count(*) over the distinct
+      // rows IS the exact count, and the string hash runs on the
+      // ~4× smaller distinct set.
       T.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"))
+        .distinct()
         .select(col("l_returnflag"),
           // charPoly31 alone concentrates short digit strings at small
           // values (no wrap below ~5 chars) — a KMV minimum must be
           // uniform in [0, P), so post-compose the LARGE-multiplier
           // universal permutation (the c02 slot-hash rule).
-          KmvOracle.hashCol(col("l_orderkey").cast("string")).as("h"),
-          col("l_orderkey"))
+          KmvOracle.hashCol(col("l_orderkey").cast("string")).as("h"))
         .groupBy(col("l_returnflag"))
         .agg(Kmv.sketch(col("h"), k).as("sk"),
-          countDistinct(col("l_orderkey")).as("exact_distinct"))
+          count(lit(1)).as("exact_distinct"))
         .select(col("l_returnflag"),
           Kmv.estimate(col("sk"), k).as("approx_distinct"),
           col("exact_distinct"))
