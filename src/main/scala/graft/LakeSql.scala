@@ -319,21 +319,36 @@ object LakeSql {
     """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.*)$""".r
 
   def sql(s: SparkSession, statement: String): DataFrame = statement match {
-    case ExplainRe(modeStr, inner) =>
-      val df = sql(s, inner)
-      val mode = org.apache.spark.sql.execution.ExplainMode.fromString(
-        Option(modeStr).map(_.toLowerCase).getOrElse("formatted"))
-      import s.implicits._
-      val text = df.queryExecution.explainString(mode)
-        .replaceAll("#\\d+", "#")
-      Seq(text).toDF("plan")
-    case _ if AsOfJoinKeyword.matches(statement) =>
-      sqlStatement(s, rewriteAsOfJoins(statement))
-    case _ if QualifyKeyword.matches(statement) =>
-      sqlStatement(s, rewriteQualify(statement))
-    case _ if StarModifierKeyword.matches(statement) =>
-      sqlStatement(s, rewriteStarModifiers(s, statement))
-    case _ => sqlStatement(s, statement)
+    // Macro DDL routes BEFORE expansion (a macro body must not expand
+    // through other macros at definition time — DuckDB expands at call
+    // sites, late-binding redefinitions).
+    case CreateMacroRe(orReplace, name, params, body) =>
+      createMacro(s, name, orReplace != null, params, body)
+      s.emptyDataFrame
+    case DropMacroRe(ifExists, name) =>
+      dropMacro(s, name, ifExists != null)
+      s.emptyDataFrame
+    case _ =>
+      val st = expandMacros(s, statement)
+      st match {
+        case ExplainRe(modeStr, inner) =>
+          val df = sql(s, inner)
+          val mode = org.apache.spark.sql.execution.ExplainMode.fromString(
+            Option(modeStr).map(_.toLowerCase).getOrElse("formatted"))
+          import s.implicits._
+          val text = df.queryExecution.explainString(mode)
+            .replaceAll("#\\d+", "#")
+          Seq(text).toDF("plan")
+        case _ if CopyKeyword.matches(st) => runCopy(s, st)
+        case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
+        case _ if AsOfJoinKeyword.matches(st) =>
+          sqlStatement(s, rewriteAsOfJoins(st))
+        case _ if QualifyKeyword.matches(st) =>
+          sqlStatement(s, rewriteQualify(st))
+        case _ if StarModifierKeyword.matches(st) =>
+          sqlStatement(s, rewriteStarModifiers(s, st))
+        case _ => sqlStatement(s, st)
+      }
   }
 
   // ---- QUALIFY at the text entry -----------------------------------
@@ -622,6 +637,331 @@ object LakeSql {
     val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
     stmts.map(st => sql(s, st)).last
+  }
+
+  // ---- COPY at the text entry --------------------------------------
+  // DuckDB's import/export statement (the first thing a user of an
+  // embedded engine reaches for): `COPY (<query> | <table>) TO
+  // '<path>' (FORMAT PARQUET|CSV|JSON, HEADER, DELIMITER '<c>')`
+  // exports, `COPY <table> FROM '<path>' (…)` loads into a cataloged
+  // lake table. Spark's parser has no COPY; the source binds through
+  // the normal entry (catalog names, views, time travel included).
+  // Export writes a DIRECTORY of part files — the distributed analog
+  // of DuckDB's single file (at 100 TB, funneling an export through
+  // one writer is the anti-pattern; every executor writes its own
+  // part). Returns DuckDB's one-row count result.
+  private val CopyKeyword = "(?is)^\\s*COPY\\b.*".r
+  private val SummarizeKeyword = "(?is)^\\s*SUMMARIZE\\b.*".r
+
+  private def parseCopyOptions(raw: String): Map[String, String] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).map { tok =>
+      val sp = tok.indexWhere(Character.isWhitespace)
+      if (sp < 0) (tok.toLowerCase, "")
+      else {
+        val v = tok.substring(sp).trim
+        val unq = if (v.length >= 2 && v.startsWith("'") && v.endsWith("'"))
+          v.substring(1, v.length - 1) else v
+        (tok.substring(0, sp).toLowerCase, unq)
+      }
+    }.toMap
+
+  private[graft] def runCopy(s: SparkSession, statement: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val trimmed = statement.trim.stripSuffix(";").trim
+    val afterCopy = trimmed.substring(4).trim
+    // Source: a balanced-paren query (string-literal-aware) or a name.
+    val (source, isQuery, rest) =
+      if (afterCopy.startsWith("(")) {
+        var depth = 0; var i = 0; var inS = false; var end = -1
+        while (i < afterCopy.length && end < 0) {
+          val c = afterCopy.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else c match {
+            case '\'' => inS = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end > 0, "COPY: unbalanced parentheses in source query")
+        (afterCopy.substring(1, end).trim, true,
+          afterCopy.substring(end + 1).trim)
+      } else {
+        val m = "^[A-Za-z_][A-Za-z0-9_]*".r.findFirstIn(afterCopy)
+          .getOrElse(throw new IllegalArgumentException(
+            "COPY: expected a table name or a parenthesized query"))
+        (m, false, afterCopy.substring(m.length).trim)
+      }
+    val TailRe = """(?is)^(TO|FROM)\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
+    val (dir, path, opts) = rest match {
+      case TailRe(dw, p, o) =>
+        (dw.toUpperCase, p, parseCopyOptions(Option(o).getOrElse("")))
+      case _ => throw new IllegalArgumentException(
+        s"COPY: expected TO|FROM '<path>' [(options)], got: $rest")
+    }
+    val fmt = opts.getOrElse("format",
+      path.split('.').last.toLowerCase match {
+        case e @ ("parquet" | "csv" | "json") => e
+        case _ => "parquet"
+      }).toLowerCase
+    require(Set("parquet", "csv", "json").contains(fmt),
+      s"COPY: unsupported FORMAT '$fmt' (parquet, csv, json)")
+    val header = opts.get("header").exists(v => v.isEmpty ||
+      v.equalsIgnoreCase("true") || v == "1")
+    def csvOpts(r: org.apache.spark.sql.DataFrameReader) = {
+      var rr = r.option("header", header.toString)
+      opts.get("delimiter").foreach(dl => rr = rr.option("sep", dl))
+      rr
+    }
+    if (dir == "TO") {
+      val df = if (isQuery) sql(s, source) else sql(s, s"SELECT * FROM $source")
+      // The returned count rides ON the write job itself (Observation
+      // metrics) — the source query runs exactly once, no read-back
+      // pass over the export.
+      val obs = org.apache.spark.sql.Observation()
+      var w = df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode("overwrite").format(fmt)
+      if (fmt == "csv") {
+        w = w.option("header", header.toString)
+        opts.get("delimiter").foreach(dl => w = w.option("sep", dl))
+      }
+      w.save(path)
+      Seq(obs.get("n").asInstanceOf[Long]).toDF("count")
+    } else {
+      require(!isQuery, "COPY … FROM: the target must be a table name")
+      val (provider, tpath) = catalog(s).get(source) match {
+        case Some(("view", _)) => throw new IllegalArgumentException(
+          s"$source is a view — COPY FROM targets must be lake tables")
+        case Some(pp) => pp
+        case None => throw new IllegalArgumentException(
+          s"COPY FROM: table $source not in catalog")
+      }
+      // The TARGET's schema types the load (DuckDB rule): csv/json
+      // columns land typed, in table column order.
+      val schema = table(s, source).schema
+      var r = s.read.format(fmt).schema(schema)
+      if (fmt == "csv") r = csvOpts(r)
+      val obs = org.apache.spark.sql.Observation()
+      val df = r.load(path).select(schema.fieldNames.map(col).toSeq: _*)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      if (provider == "deltalite") DeltaLite.append(s, tpath, df)
+      else IcebergLite.append(s, tpath, df)
+      // The append's own write job fires the observation — the load
+      // is scanned exactly once.
+      Seq(obs.get("n").asInstanceOf[Long]).toDF("count")
+    }
+  }
+
+  // ---- SUMMARIZE at the text entry ---------------------------------
+  // DuckDB's one-word table profile: `SUMMARIZE <table | SELECT …>`
+  // routes to the s41 single-scan profiler — per-column rows /
+  // non-null / distinct / min / max as one aggregate per column over a
+  // shared scan (each branch shuffles only its own column's values;
+  // swap countDistinct for approx_count_distinct at 100 TB, same
+  // shape). Doubles render through DECIMAL(18,4) so engines print
+  // identically.
+  private[graft] def runSummarize(s: SparkSession,
+      statement: String): DataFrame = {
+    val inner = statement.trim.stripSuffix(";").trim
+      .substring("SUMMARIZE".length).trim
+    require(inner.nonEmpty, "SUMMARIZE: expected a table name or query")
+    val df = if ("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*".r.matches(inner))
+      sql(s, inner)
+    else sql(s, s"SELECT * FROM $inner")
+    summarize(df)
+  }
+
+  /** Per-column profile of any DataFrame (the SUMMARIZE implementation,
+    * callable API-side).
+    */
+  def summarize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    val branches = df.schema.fields.toSeq.map { f =>
+      def render(c: Column): Column = f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          c.cast("decimal(18,4)").cast("string")
+        case _ => c.cast("string")
+      }
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(f.name)).as("n_nonnull"),
+        countDistinct(col(f.name)).as("n_distinct"),
+        render(min(col(f.name))).as("min_v"),
+        render(max(col(f.name))).as("max_v"))
+        .select(lit(f.name).as("col_name"), col("n_rows"),
+          col("n_nonnull"), col("n_distinct"), col("min_v"), col("max_v"))
+    }
+    branches.reduce(_.unionByName(_)).orderBy(col("col_name"))
+  }
+
+  // ---- CREATE MACRO at the text entry ------------------------------
+  // DuckDB's scalar macros (its lightweight CREATE FUNCTION): the
+  // macro is its parameter list + body TEXT in the catalog (provider
+  // "macro", durable like views), and every later statement expands
+  // call sites textually BEFORE parsing — parameters substitute
+  // parenthesized, string-literal-aware, case-insensitive, iterated to
+  // a fixpoint so macros may call macros (a recursion cap fails loud).
+  // Pure text expansion means the expanded query still gets full
+  // Catalyst optimization — a macro costs nothing at plan time.
+  private val CreateMacroRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)\s+AS\s+(.+?);?\s*$""".r
+  private val DropMacroRe =
+    """(?is)^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
+  private def createMacro(s: SparkSession, name: String, replace: Boolean,
+      params: String, body: String): Unit = {
+    val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    ps.foreach(p => require("^[A-Za-z_][A-Za-z0-9_]*$".r.matches(p),
+      s"CREATE MACRO $name: parameter '$p' must be a simple identifier"))
+    require(ps.map(_.toLowerCase).distinct.length == ps.length,
+      s"CREATE MACRO $name: duplicate parameter names")
+    val b = body.trim
+    require(b.nonEmpty, s"CREATE MACRO $name: empty body")
+    catalog(s).get(name).foreach { case (provider, _) =>
+      require(provider == "macro",
+        s"$name is a $provider; cannot CREATE MACRO over it")
+      require(replace, s"macro $name already exists")
+    }
+    registerEntry(s, name, "macro", ps.mkString(",") + "|" + b)
+  }
+
+  private def dropMacro(s: SparkSession, name: String,
+      ifExists: Boolean): Unit = catalog(s).get(name) match {
+    case Some(("macro", _)) => dropEntry(s, name)
+    case Some((p, _)) => throw new IllegalArgumentException(
+      s"$name is a $p, not a macro")
+    case None => if (!ifExists)
+      throw new IllegalArgumentException(s"macro $name not in catalog")
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** First word-bounded occurrence of `w` outside string literals at or
+    * after `from` (any paren depth), or -1.
+    */
+  private def findWordOutsideStrings(text: String, w: String,
+      from: Int): Int = {
+    var i = math.max(from, 0)
+    var inS = false; var inD = false
+    val up = text.toUpperCase; val uw = w.toUpperCase
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (c == '\'') inS = true
+      else if (c == '"') inD = true
+      else if (up.startsWith(uw, i) &&
+          (i == 0 || !isIdentChar(text.charAt(i - 1))) &&
+          (i + uw.length >= text.length ||
+            !isIdentChar(text.charAt(i + uw.length)))) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Substitute macro parameters in `body` by their arguments, each
+    * parenthesized — ONE pass finding whole identifiers outside string
+    * literals, so an argument's text is never re-scanned for other
+    * parameters (capture-free by construction).
+    */
+  private def substituteParams(body: String, params: Seq[String],
+      args: Seq[String]): String = {
+    val map = params.map(_.toLowerCase).zip(args.map(_.trim)).toMap
+    val sb = new StringBuilder
+    var i = 0
+    var inS = false; var inD = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (!inS && !inD && (Character.isLetter(c) || c == '_')) {
+        var j = i
+        while (j < body.length && isIdentChar(body.charAt(j))) j += 1
+        val word = body.substring(i, j)
+        map.get(word.toLowerCase) match {
+          case Some(a) => sb.append("(").append(a).append(")")
+          case None => sb.append(word)
+        }
+        i = j
+      } else {
+        if (inS) { if (c == '\'') inS = false }
+        else if (inD) { if (c == '"') inD = false }
+        else if (c == '\'') inS = true
+        else if (c == '"') inD = true
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private[graft] def expandMacros(s: SparkSession,
+      statement: String): String = {
+    val ms = catalog(s).toMap.collect { case (n, ("macro", defn)) =>
+      val cut = defn.indexOf('|')
+      val ps = defn.substring(0, cut)
+      (n, (if (ps.isEmpty) Seq.empty[String] else ps.split(",").toSeq,
+        defn.substring(cut + 1)))
+    }
+    if (ms.isEmpty) return statement
+    var text = statement
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      changed = false
+      rounds += 1
+      require(rounds <= 16,
+        "macro expansion did not reach a fixpoint in 16 rounds " +
+          "(recursive macro?)")
+      ms.foreach { case (name, (params, body)) =>
+        var idx = findWordOutsideStrings(text, name, 0)
+        while (idx >= 0) {
+          // A call site is the name followed by '(' (spaces allowed).
+          var k = idx + name.length
+          while (k < text.length && Character.isWhitespace(text.charAt(k)))
+            k += 1
+          if (k < text.length && text.charAt(k) == '(') {
+            // Balanced-paren argument scan, top-level comma split.
+            var depth = 0; var i = k; var inS = false; var end = -1
+            val argStarts = scala.collection.mutable.ArrayBuffer(k + 1)
+            while (i < text.length && end < 0) {
+              val c = text.charAt(i)
+              if (inS) { if (c == '\'') inS = false }
+              else c match {
+                case '\'' => inS = true
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = i
+                case ',' => if (depth == 1) argStarts += i + 1
+                case _ =>
+              }
+              i += 1
+            }
+            require(end > 0, s"macro $name: unbalanced call parentheses")
+            val inner = text.substring(k + 1, end).trim
+            val args =
+              if (inner.isEmpty) Seq.empty[String]
+              else argStarts.toSeq.zip(argStarts.toSeq.drop(1).map(_ - 1)
+                :+ end).map { case (a, b) => text.substring(a, b) }
+            require(args.length == params.length,
+              s"macro $name expects ${params.length} argument(s), " +
+                s"got ${args.length}")
+            val expanded =
+              "(" + substituteParams(body, params, args) + ")"
+            text = text.substring(0, idx) + expanded + text.substring(end + 1)
+            changed = true
+            idx = findWordOutsideStrings(text, name, idx + expanded.length)
+          } else {
+            idx = findWordOutsideStrings(text, name, idx + name.length)
+          }
+        }
+      }
+    }
+    text
   }
 
   private def sqlStatement(s: SparkSession, statement: String): DataFrame =

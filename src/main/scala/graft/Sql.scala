@@ -1476,7 +1476,121 @@ object Sql {
       GQuery("x54_sql_star_modifiers", (s, d) => {
         open(s, d)
         LakeSql.sql(s, StarModText)
-      }, Some(StarModText))
+      }, Some(StarModText)),
+
+      // ------------------------------------------------------------- x55
+      // COPY at the text entry — DuckDB's import/export statement:
+      // export a filtered projection to parquet, load it back into a
+      // lake table via COPY FROM, and aggregate the re-imported table.
+      // The oracle is the net effect straight off the raw table — a
+      // roundtrip drift in the format, the typed load, or the count
+      // rule hash-fails. (The csv leg — HEADER, DELIMITER, typed load
+      // through the target's schema — is spec-covered in LakeSqlSpec;
+      // the csv format roundtrip has its own oracle at s02.) Export is
+      // a directory of part files (every executor writes its own; a
+      // single-file funnel is the 100 TB anti-pattern), and the
+      // returned count rides on the write job itself (Observation
+      // metrics — the source query runs exactly once, no read-back).
+      GQuery("x55_sql_copy", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val base = graft.util.Scratch.dir("x55")
+        val t = s"cp_li_$tag"
+        LakeSql.sql(s, s"""COPY (SELECT l_orderkey, l_linenumber,
+            l_returnflag, l_quantity, l_extendedprice
+          FROM lineitem WHERE l_quantity <= 10)
+          TO '$base/lq_$tag.parquet' (FORMAT PARQUET)""")
+        LakeSql.sql(s, s"""CREATE TABLE $t USING deltalite
+          LOCATION '$base/$t'
+          AS SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                    l_extendedprice FROM lineitem WHERE 1 = 0""")
+        LakeSql.sql(s, s"COPY $t FROM '$base/lq_$tag.parquet'")
+        val out = LakeSql.sql(s, s"""
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS qty,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS revenue
+          FROM $t GROUP BY l_returnflag ORDER BY l_returnflag""")
+        out.count() // materialize before the catalog entry drops
+        LakeSql.sql(s, s"DROP TABLE $t")
+        out
+      }, Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem WHERE l_quantity <= 10
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+      // ------------------------------------------------------------- x56
+      // SUMMARIZE at the text entry — DuckDB's one-word profile
+      // statement routed to the s41 single-scan profiler, here over a
+      // SELECT (projection of customer, exercising the DECIMAL render
+      // of a double column). The oracle replays each column's stats by
+      // hand — row counts, distincts, and the rendered extremes all
+      // hash-checked.
+      GQuery("x56_sql_summarize", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s,
+          "SUMMARIZE SELECT c_custkey, c_mktsegment, c_acctbal FROM customer")
+      }, Some("""
+        WITH n AS (SELECT COUNT(*) AS n_rows FROM customer)
+        SELECT 'c_acctbal' AS col_name, n_rows,
+               COUNT(c_acctbal) AS n_nonnull,
+               COUNT(DISTINCT c_acctbal) AS n_distinct,
+               CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,4)) AS VARCHAR)
+                 AS min_v,
+               CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,4)) AS VARCHAR)
+                 AS max_v
+        FROM customer CROSS JOIN n GROUP BY n_rows
+        UNION ALL
+        SELECT 'c_custkey', n_rows, COUNT(c_custkey),
+               COUNT(DISTINCT c_custkey),
+               CAST(MIN(c_custkey) AS VARCHAR),
+               CAST(MAX(c_custkey) AS VARCHAR)
+        FROM customer CROSS JOIN n GROUP BY n_rows
+        UNION ALL
+        SELECT 'c_mktsegment', n_rows, COUNT(c_mktsegment),
+               COUNT(DISTINCT c_mktsegment),
+               CAST(MIN(c_mktsegment) AS VARCHAR),
+               CAST(MAX(c_mktsegment) AS VARCHAR)
+        FROM customer CROSS JOIN n GROUP BY n_rows
+        ORDER BY col_name""")),
+
+      // ------------------------------------------------------------- x57
+      // CREATE MACRO — DuckDB's scalar macros at graft's entry: two
+      // macros defined in the same script that uses them (one in the
+      // projection, one in the WHERE), expanded textually at the call
+      // sites before parsing so the expanded query still gets full
+      // Catalyst optimization (the filter macro pushes down to the
+      // scan like any hand-written predicate). Oracle = the SELECT
+      // with both bodies inlined by hand — net-effect equality.
+      GQuery("x57_sql_macro", (s, d) => {
+        open(s, d)
+        val out = LakeSql.script(s, """
+          CREATE OR REPLACE MACRO disc_price(p, disc) AS
+            CAST(p AS DECIMAL(14,2)) * CAST(1 - CAST(disc AS DECIMAL(12,2))
+              AS DECIMAL(12,2));
+          CREATE OR REPLACE MACRO big_order(qty) AS qty > 30;
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(disc_price(l_extendedprice, l_discount))
+                   AS DOUBLE) AS revenue
+          FROM lineitem WHERE big_order(l_quantity)
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+        out.count() // materialize before the macros drop
+        LakeSql.sql(s, "DROP MACRO disc_price")
+        LakeSql.sql(s, "DROP MACRO big_order")
+        out
+      }, Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                 CAST(1 - CAST(l_discount AS DECIMAL(12,2))
+                   AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem WHERE l_quantity > 30
+        GROUP BY l_returnflag ORDER BY l_returnflag"""))
     )
   }
 

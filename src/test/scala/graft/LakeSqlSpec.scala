@@ -448,4 +448,113 @@ class LakeSqlSpec extends SparkSpec {
                              p_size, p_retailprice) FROM part""")
     }
   }
+
+  test("COPY TO exports parquet and csv; COPY FROM loads both back " +
+      "typed; counts returned; view targets and bad formats refuse") {
+    Sql.open(spark, sfDir)
+    val base = Scratch.dir("copyspec")
+    // Export: a projection to parquet and a disjoint slice to csv.
+    val n1 = LakeSql.sql(spark, s"""COPY (SELECT c_custkey, c_mktsegment,
+        c_acctbal FROM customer WHERE c_custkey <= 40)
+      TO '$base/a.parquet' (FORMAT PARQUET)""").collect().head.getLong(0)
+    val n2 = LakeSql.sql(spark, s"""COPY (SELECT c_custkey, c_mktsegment,
+        c_acctbal FROM customer WHERE c_custkey > 40 AND c_custkey <= 70)
+      TO '$base/b.csv' (FORMAT CSV, HEADER, DELIMITER '|')""")
+      .collect().head.getLong(0)
+    val want = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 70)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    assert(n1 + n2 == want.count())
+    // Import both into one lake table; the table's schema types the csv.
+    LakeSql.sql(spark, s"""CREATE TABLE copyspec_t USING deltalite
+      LOCATION '$base/t'
+      AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE 1 = 0""")
+    LakeSql.sql(spark, s"COPY copyspec_t FROM '$base/a.parquet'")
+    LakeSql.sql(spark,
+      s"COPY copyspec_t FROM '$base/b.csv' (FORMAT CSV, HEADER, DELIMITER '|')")
+    val got = LakeSql.sql(spark,
+      "SELECT * FROM copyspec_t ORDER BY c_custkey")
+    assert(got.schema == want.schema) // csv landed typed, table order
+    assert(got.collect().toSeq ==
+      want.orderBy(col("c_custkey")).collect().toSeq)
+    // Loud refusals: view target, query target, unknown format.
+    LakeSql.sql(spark,
+      "CREATE VIEW copyspec_v AS SELECT * FROM copyspec_t")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"COPY copyspec_v FROM '$base/a.parquet'")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        s"COPY (SELECT 1 AS x) FROM '$base/a.parquet'")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        s"COPY copyspec_t TO '$base/x.avro' (FORMAT AVRO)")
+    }
+    LakeSql.sql(spark, "DROP VIEW copyspec_v")
+    LakeSql.sql(spark, "DROP TABLE copyspec_t")
+  }
+
+  test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
+      "through DECIMAL(18,4)") {
+    Sql.open(spark, sfDir)
+    val prof = LakeSql.sql(spark, "SUMMARIZE nation").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = Tables.nation(spark, sfDir).count()
+    assert(prof.keySet == Set("n_nationkey", "n_name", "n_regionkey"))
+    assert(prof("n_nationkey").getLong(1) == n) // n_rows
+    assert(prof("n_nationkey").getLong(3) == n) // keys all distinct
+    val sel = LakeSql.sql(spark,
+      "SUMMARIZE SELECT c_acctbal FROM customer WHERE c_custkey <= 5")
+      .collect().head
+    val nSel = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 5).count()
+    assert(sel.getString(0) == "c_acctbal" && sel.getLong(1) == nSel)
+    // DECIMAL(18,4) render: exactly four decimals on a double column.
+    assert(sel.getString(4).matches("-?\\d+\\.\\d{4}"))
+  }
+
+  test("macros expand at call sites: nested macros, string-literal " +
+      "immunity, case-insensitivity, arity and recursion guards") {
+    Sql.open(spark, sfDir)
+    LakeSql.sql(spark, "CREATE MACRO msq(x) AS (x) * (x)")
+    LakeSql.sql(spark,
+      "CREATE OR REPLACE MACRO mhyp(a, b) AS msq(a) + msq(b)")
+    // Nested expansion + case-insensitive call; the literal stays put.
+    val r = LakeSql.sql(spark,
+      "SELECT MHYP(3, 4) AS h, 'msq(9)' AS lit").collect().head
+    assert(r.getInt(0) == 25 && r.getString(1) == "msq(9)")
+    // Filter macros push into the plan like hand-written predicates.
+    val cnt = LakeSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM customer WHERE msq(c_custkey) <= 100")
+      .collect().head.getLong(0)
+    assert(cnt == Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") * col("c_custkey") <= 100).count())
+    // Arity mismatch is loud.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT msq(1, 2)")
+    }
+    // A self-recursive macro hits the fixpoint cap, not a hang.
+    LakeSql.sql(spark, "CREATE MACRO mrec(x) AS mrec(x) + 1")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT mrec(1)")
+    }
+    // CREATE MACRO over an existing non-macro name refuses; DROP MACRO
+    // on a non-macro refuses; plain re-CREATE without REPLACE refuses.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "CREATE MACRO msq(x) AS x")
+    }
+    LakeSql.sql(spark, "CREATE VIEW macrospec_v AS SELECT 1 AS one")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "DROP MACRO macrospec_v")
+    }
+    LakeSql.sql(spark, "DROP VIEW macrospec_v")
+    Seq("msq", "mhyp", "mrec").foreach(m =>
+      LakeSql.sql(spark, s"DROP MACRO $m"))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "DROP MACRO msq")
+    }
+    LakeSql.sql(spark, "DROP MACRO IF EXISTS msq") // no-op, no throw
+  }
 }
