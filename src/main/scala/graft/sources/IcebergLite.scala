@@ -1956,6 +1956,18 @@ object IcebergLite {
     // strictly-smaller seq only): the equalityDelete staging shape.
     val keyRows = srcCols.select(keyFields.map(kf =>
       col(kf.name).cast(kf.dataType).as(kf.name)).toSeq: _*).distinct()
+    val withDelete = dataManifest +:
+      stageEqDeleteManifest(s, table, meta, cur, keyFields, keyRows, seq)
+    commitSnapshot(s, table, meta, manifests.map(_.path) ++ withDelete)
+  }
+
+  /** Write `keyRows` as equality-delete parquet files + their deletes
+    * manifest at sequence `seq`. Returns the manifest path (empty Seq
+    * when keyRows is empty).
+    */
+  private def stageEqDeleteManifest(s: SparkSession, table: String,
+      meta: Meta, cur: IceSchema, keyFields: Seq[IceField],
+      keyRows: DataFrame, seq: Long): Seq[String] = {
     val f = fs(s, new Path(table))
     val stageDir = new Path(table, s"_stage-eqdel-${UUID.randomUUID()}")
     keyRows.write.parquet(stageDir.toString)
@@ -1969,18 +1981,59 @@ object IcebergLite {
       rel
     }
     f.delete(stageDir, true)
-    val withDelete =
-      if (rels.isEmpty) Seq(dataManifest)
-      else {
-        val entries = rels.map { rel =>
-          val e = Json.createObjectNode()
-          e.put("path", rel)
-          ManifestEntry(rel, Nil, None, e)
-        }
-        Seq(dataManifest, writeManifestFile(f, table, cur.schemaId,
-          meta.defaultSpecId, Nil, entries, seq, keyFields.map(_.id)))
+    if (rels.isEmpty) Nil
+    else {
+      val entries = rels.map { rel =>
+        val e = Json.createObjectNode()
+        e.put("path", rel)
+        ManifestEntry(rel, Nil, None, e)
       }
-    commitSnapshot(s, table, meta, manifests.map(_.path) ++ withDelete)
+      Seq(writeManifestFile(f, table, cur.schemaId,
+        meta.defaultSpecId, Nil, entries, seq, keyFields.map(_.id)))
+    }
+  }
+
+  /** CDC APPLY as ONE merge-on-read snapshot per change batch (the
+    * streaming-CDC-writer shape, [[mergeMOR]] generalized to deletes):
+    * the ordered batch (`opCol` insert/update/delete, `seqCol` total
+    * order) reduces to its LATEST change per key, then ONE snapshot
+    * commits an equality-delete manifest covering EVERY touched key
+    * plus a data manifest carrying the surviving (non-delete) latest
+    * rows, both at the same data sequence number — every older copy of
+    * a touched key masks, deleted keys simply have no replacement row,
+    * and the commit's own rows survive the mask. The commit NEVER
+    * READS A DATA FILE: cost is O(batch) at any table size, vs
+    * DeltaLite.applyChanges' copy-on-write rewrite of touched files.
+    * Returns the new snapshot id.
+    */
+  def applyChangesMOR(s: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], opCol: String, seqCol: String): Long = {
+    require(keys.nonEmpty, "applyChangesMOR needs at least one key")
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val cur = meta.currentSchema
+    val keyFields = keys.map(k => cur.fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"no column $k in $table")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = changes
+      .withColumn("_cdc_rn", row_number().over(w))
+      .filter(col("_cdc_rn") === 1)
+      .localCheckpoint() // keys + survivors: one change-feed evaluation
+    val survivors = latest.filter(lower(col(opCol)) =!= "delete")
+      .select(cur.fields.map(fd =>
+        col(fd.name).cast(fd.dataType).as(fd.name)).toSeq: _*)
+    val touched = latest.select(keyFields.map(kf =>
+      col(kf.name).cast(kf.dataType).as(kf.name)).toSeq: _*).distinct()
+    val seq = nextSeq(meta)
+    val dataManifests =
+      if (survivors.isEmpty) Nil
+      else Seq(writeManifest(s, table, survivors, cur,
+        meta.defaultSpecId, meta.partCols, meta.sortCols, seq))
+    val newManifests = dataManifests ++
+      stageEqDeleteManifest(s, table, meta, cur, keyFields, touched, seq)
+    if (newManifests.isEmpty) meta.currentSnapshot
+    else commitSnapshot(s, table, meta, manifests.map(_.path) ++ newManifests)
   }
 
   def merge(s: SparkSession, table: String, source: DataFrame,

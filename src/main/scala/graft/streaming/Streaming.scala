@@ -955,7 +955,66 @@ object Streaming {
                AS total,
              COUNT(*) AS n
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY 1 ORDER BY c_mktsegment"""))
+      GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // --------------------------------------------------------------- st24
+    // Streaming CDC into ICEBERG via MERGE-ON-READ (st19's zero-rewrite
+    // twin, s59's streaming application): each micro-batch of the
+    // Debezium-shaped change log applies as ONE equality-delete
+    // snapshot — a deletes manifest covering the batch's touched keys
+    // plus a data manifest of the surviving latest rows, at the same
+    // sequence number. NO commit ever reads or rewrites a data file
+    // (st19's DeltaLite.applyChanges rewrites touched target files
+    // every batch — at 100 TB with a hot update stream, copy-on-write
+    // per batch is the write-amplification anti-pattern; MOR defers
+    // the fold to one compaction). StreamingSpec asserts the data-file
+    // set only ever GROWS across the stream and compact() equals the
+    // merged read.
+    GQuery("st24_stream_cdc_mor", (s, d) => {
+      import graft.sources.IcebergLite
+      val root = graft.util.Scratch.dir("st24")
+      val table = s"$root/orders_ice_replica"
+      val stage = s"$root/changes"
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .filter(col("o_orderkey") <= 6000)
+      def tag(df: DataFrame, op: String, seq: Int): DataFrame =
+        df.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
+      // Three source commits staged IN ORDER (file mtime = replay
+      // order, the CDC delivery contract — st19's shape).
+      tag(o, "insert", 1).coalesce(1)
+        .write.mode("append").parquet(stage)
+      tag(o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("U")), "update", 2)
+        .coalesce(1).write.mode("append").parquet(stage)
+      tag(o.filter(col("o_orderkey") % 7 === 0), "delete", 3)
+        .coalesce(1).write.mode("append").parquet(stage)
+      IcebergLite.create(s, table, o.limit(0))
+      val changes = s.readStream
+        .schema(tag(o, "insert", 1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = changes.writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            IcebergLite.applyChangesMOR(s, table, batch.toDF(),
+              Seq("o_orderkey"), "_op", "_seq")
+            ()
+        }
+        .option("checkpointLocation", graft.util.Scratch.dir("st24ckpt"))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      IcebergLite.snapshot(s, table).orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
+      ORDER BY o_orderkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

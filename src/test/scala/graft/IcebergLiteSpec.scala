@@ -759,4 +759,56 @@ class IcebergLiteSpec extends SparkSpec {
     assert(IcebergLite.snapshot(spark, tMor)
       .orderBy(col("c_custkey")).collect().toSeq == pre)
   }
+
+  test("applyChangesMOR: ordered CDC batches fold as one snapshot each " +
+      "— inserts, updates, deletes, re-insert after delete — with the " +
+      "data-file set only growing; compact folds the masks") {
+    val c = Tables.customer(spark, sfDir)
+    val keep = c.filter(col("c_custkey") <= 200)
+    def tag(df: org.apache.spark.sql.DataFrame, op: String, seq: Int) =
+      df.withColumn("_op", lit(op)).withColumn("_seq", lit(seq))
+    def dataFiles(t: String): Set[String] = {
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(t, "data"))
+      try walk.toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally walk.close()
+    }
+    val t = freshTable()
+    IcebergLite.create(spark, t, keep.limit(0))
+    // Batch 1: inserts. Batch 2 (one batch, mixed): update %10 keys,
+    // delete %7 keys — the LATEST change per key must win within the
+    // batch (a key hit by both takes the higher _seq).
+    IcebergLite.applyChangesMOR(spark, t, tag(keep, "insert", 1),
+      Seq("c_custkey"), "_op", "_seq")
+    val afterInsert = dataFiles(t)
+    val b2 = tag(keep.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", lit(1.5)), "update", 2)
+      .unionByName(tag(keep.filter(col("c_custkey") % 7 === 0),
+        "delete", 3))
+    IcebergLite.applyChangesMOR(spark, t, b2,
+      Seq("c_custkey"), "_op", "_seq")
+    assert(afterInsert.subsetOf(dataFiles(t)),
+      "applyChangesMOR rewrote a data file")
+    val got = IcebergLite.snapshot(spark, t)
+    // %7 keys gone (even those also updated — delete has higher seq),
+    // surviving %10 keys carry the update, everything else untouched.
+    assert(got.filter(col("c_custkey") % 7 === 0).count() == 0)
+    assert(got.filter(col("c_custkey") % 10 === 0 &&
+      col("c_acctbal") =!= 1.5).count() == 0)
+    assert(got.count() ==
+      keep.filter(col("c_custkey") % 7 =!= 0).count())
+    // Re-insert a deleted key: the new commit's higher sequence wins.
+    IcebergLite.applyChangesMOR(spark, t,
+      tag(keep.filter(col("c_custkey") === 7), "insert", 4),
+      Seq("c_custkey"), "_op", "_seq")
+    assert(IcebergLite.snapshot(spark, t)
+      .filter(col("c_custkey") === 7).count() == 1)
+    // Compact folds masks; content unchanged.
+    val pre = IcebergLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq
+    IcebergLite.compact(spark, t, targetFiles = 1)
+    assert(IcebergLite.snapshot(spark, t)
+      .orderBy(col("c_custkey")).collect().toSeq == pre)
+  }
 }
