@@ -331,6 +331,9 @@ object LakeSql {
     case _ =>
       val st = expandMacros(s, statement)
       st match {
+        // EXPLAIN ANALYZE must route before plain EXPLAIN (whose regex
+        // would otherwise swallow ANALYZE into the inner statement).
+        case ExplainAnalyzeRe(inner) => runExplainAnalyze(s, inner)
         case ExplainRe(modeStr, inner) =>
           val df = sql(s, inner)
           val mode = org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -341,6 +344,11 @@ object LakeSql {
           Seq(text).toDF("plan")
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
+        case _ if DistinctOnKeyword.matches(st) =>
+          sqlStatement(s, rewriteDistinctOn(st))
+        case _ if UnionByNameKeyword.matches(st) => runUnionByName(s, st)
+        case _ if OrderByAllKeyword.matches(st) =>
+          sqlStatement(s, rewriteOrderByAll(st))
         case _ if AsOfJoinKeyword.matches(st) =>
           sqlStatement(s, rewriteAsOfJoins(st))
         case _ if QualifyKeyword.matches(st) =>
@@ -515,6 +523,228 @@ object LakeSql {
       f => repMap.get(f.toLowerCase).map(e => s"$e AS $f").getOrElse(f))
     require(cols.nonEmpty, "EXCLUDE removed every column")
     s"SELECT ${cols.mkString(", ")} FROM $rel$tailSql"
+  }
+
+  // ---- shared micro-parsers for the DuckDB-syntax rewrites ---------
+
+  /** Split `text` on top-level commas (outside parens). */
+  private def splitTopCommas(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    text.foreach {
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  /** Consume a leading parenthesized group: returns (inner, rest). */
+  private def takeParenGroup(text: String): (String, String) = {
+    val open = text.indexOf('(')
+    require(open >= 0 && text.substring(0, open).isBlank,
+      "expected a parenthesized list")
+    var depth = 0
+    var i = open
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0)
+            return (text.substring(open + 1, i), text.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses")
+  }
+
+  // ---- SELECT DISTINCT ON at the text entry ------------------------
+  // DuckDB's `SELECT DISTINCT ON (exprs) cols … ORDER BY …` keeps the
+  // FIRST row per on-group in the statement's order. Spark's parser
+  // has no DISTINCT ON; the rewrite is the ROW_NUMBER identity: rank
+  // within each on-group by the statement's ORDER BY, keep rank 1,
+  // then apply the same ORDER BY outside. The supported form requires
+  // a top-level ORDER BY (DuckDB without one is nondeterministic —
+  // graft refuses instead), an explicit select list (items bare
+  // columns or aliased expressions), and unqualified order columns
+  // drawn from the projected names.
+  private val DistinctOnKeyword =
+    "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*\\(.*".r
+
+  private[graft] def rewriteDistinctOn(statement: String): String = {
+    val m = "(?is)^\\s*SELECT\\s+DISTINCT\\s+ON\\s*(.*)$".r
+      .findFirstMatchIn(statement).get
+    val (onInner, rest0) = takeParenGroup(m.group(1))
+    val onExprs = splitTopCommas(onInner)
+    require(onExprs.nonEmpty, "DISTINCT ON: empty expression list")
+    val fromIdx = topLevelIndexOf(rest0, "FROM")
+    require(fromIdx >= 0, "DISTINCT ON: missing FROM")
+    val selectList = rest0.substring(0, fromIdx).trim
+    require(selectList.nonEmpty && !selectList.contains("*"),
+      "DISTINCT ON: an explicit select list is required (no *)")
+    val names = splitTopCommas(selectList).map { it =>
+      "(?is)^.*\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(it)
+        .map(_.group(1)).getOrElse {
+          require("(?s)^[\\w.]+$".r.matches(it.trim),
+            s"DISTINCT ON: select item needs an alias: $it")
+          it.trim.split('.').last
+        }
+    }
+    val tail0 = rest0.substring(fromIdx)
+    val obIdx = topLevelIndexOf(tail0, "ORDER")
+    require(obIdx >= 0,
+      "DISTINCT ON requires a top-level ORDER BY (which row survives " +
+        "per group is undefined without one)")
+    val fromPart = tail0.substring(0, obIdx).trim
+    val om = "(?is)^ORDER\\s+BY\\s+(.*)$".r
+      .findFirstMatchIn(tail0.substring(obIdx).trim).get
+    val obTail = om.group(1)
+    val limIdx = topLevelIndexOf(obTail, "LIMIT")
+    val (orderList, limitPart) =
+      if (limIdx >= 0) (obTail.substring(0, limIdx).trim,
+        " " + obTail.substring(limIdx).trim)
+      else (obTail.trim, "")
+    splitTopCommas(orderList).foreach(o => require(
+      "(?is)^\\w+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?$".r
+        .matches(o.trim),
+      s"DISTINCT ON: order item must be an unqualified projected " +
+        s"column [ASC|DESC] (got: $o)"))
+    s"SELECT ${names.mkString(", ")} FROM (SELECT $selectList, " +
+      s"ROW_NUMBER() OVER (PARTITION BY ${onExprs.mkString(", ")} " +
+      s"ORDER BY $orderList) AS __don $fromPart) __distinct_on " +
+      s"WHERE __don = 1 ORDER BY $orderList$limitPart"
+  }
+
+  // ---- UNION [ALL] BY NAME at the text entry -----------------------
+  // DuckDB matches union branches by COLUMN NAME, filling missing
+  // columns with NULL — exactly Spark's Dataset.unionByName(
+  // allowMissingColumns = true), so the branches are planned through
+  // the normal entry and joined by the native operator rather than a
+  // textual column-alignment rewrite. Plain UNION BY NAME dedups
+  // (DuckDB bag semantics), ALL keeps multiplicity; mixed separators
+  // refuse. A trailing top-level ORDER BY applies to the union result.
+  private val UnionByNameKeyword =
+    "(?is).*\\bUNION\\s+(ALL\\s+)?BY\\s+NAME\\b.*".r
+  private val UnionByNameHead = "(?is)^UNION\\s+(ALL\\s+)?BY\\s+NAME\\b".r
+
+  private def runUnionByName(s: SparkSession, statement: String): DataFrame = {
+    var segs = Vector.empty[String]
+    var alls = Vector.empty[Boolean]
+    var rest = statement
+    var done = false
+    while (!done) {
+      val i = topLevelIndexOf(rest, "UNION")
+      if (i < 0) { segs :+= rest.trim; done = true }
+      else {
+        val hm = UnionByNameHead.findFirstMatchIn(rest.substring(i))
+          .getOrElse(throw new IllegalArgumentException(
+            "UNION BY NAME cannot mix with positional UNION in one " +
+              "statement — split the query"))
+        segs :+= rest.substring(0, i).trim
+        alls :+= hm.group(1) != null
+        rest = rest.substring(i + hm.matched.length)
+      }
+    }
+    require(segs.size >= 2, "UNION BY NAME: need at least two branches")
+    require(alls.distinct.size == 1,
+      "UNION BY NAME: mixing ALL and dedup branches is unsupported")
+    // A trailing top-level ORDER BY binds to the whole union.
+    val last = segs.last
+    val ob = topLevelIndexOf(last, "ORDER")
+    val (lastSeg, orderClause) =
+      if (ob >= 0) (last.substring(0, ob).trim, last.substring(ob).trim)
+      else (last, "")
+    val dfs = (segs.init :+ lastSeg).map(seg => sql(s, seg))
+    val unioned = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val res = if (alls.head) unioned else unioned.distinct()
+    if (orderClause.isEmpty) res
+    else {
+      val v = "__ubn_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+      res.createOrReplaceTempView(v)
+      val out = s.sql(s"SELECT * FROM $v $orderClause")
+      s.catalog.dropTempView(v) // plan resolved eagerly; safe to drop
+      out
+    }
+  }
+
+  // ---- ORDER BY ALL at the text entry ------------------------------
+  // DuckDB's `ORDER BY ALL` sorts by every select-list item left to
+  // right. The rewrite replaces ALL with the positional list 1..n
+  // (both engines support ordinal ORDER BY), so it needs an explicit
+  // select list to count — `SELECT *` refuses.
+  private val OrderByAllKeyword =
+    "(?is).*\\bORDER\\s+BY\\s+ALL(\\s+LIMIT\\s+\\d+)?\\s*$".r
+
+  private[graft] def rewriteOrderByAll(statement: String): String = {
+    val obIdx = {
+      var i = topLevelIndexOf(statement, "ORDER")
+      var found = -1
+      while (i >= 0) {
+        if ("(?is)^ORDER\\s+BY\\s+ALL\\b.*".r
+            .matches(statement.substring(i))) found = i
+        i = topLevelIndexOf(statement, "ORDER", i + 1)
+      }
+      found
+    }
+    require(obIdx >= 0, "ORDER BY ALL: clause must be top-level")
+    val head = statement.substring(0, obIdx).trim
+    val tail = "(?is)^ORDER\\s+BY\\s+ALL(.*)$".r
+      .findFirstMatchIn(statement.substring(obIdx)).get.group(1)
+    val sm = "(?is)^\\s*SELECT\\s+(?:DISTINCT\\s+)?(.*)$".r
+      .findFirstMatchIn(head).getOrElse(throw new IllegalArgumentException(
+        "ORDER BY ALL: statement must start with SELECT"))
+    val fromIdx = topLevelIndexOf(sm.group(1), "FROM")
+    val selectList =
+      if (fromIdx >= 0) sm.group(1).substring(0, fromIdx) else sm.group(1)
+    val items = splitTopCommas(selectList)
+    require(items.nonEmpty && !items.exists(_.trim == "*"),
+      "ORDER BY ALL needs an explicit select list (no bare *)")
+    s"$head ORDER BY ${(1 to items.size).mkString(", ")}$tail"
+  }
+
+  // ---- EXPLAIN ANALYZE at the text entry ---------------------------
+  // DuckDB's runtime profile (reference:duckdb:101-119 — the execute
+  // half of the observability trace): run the statement, then report
+  // the EXECUTED physical plan with each operator's actual output-row
+  // count from its SQL metrics. Execution drives the plan's own RDD
+  // (a distributed count — row data never reaches the driver), and
+  // with AQE the tree walked is the FINAL adaptive plan, stages
+  // unwrapped — so what's reported is what actually ran.
+  private val ExplainAnalyzeRe =
+    """(?is)^\s*EXPLAIN\s+ANALYZE\s+(.*)$""".r
+
+  private def runExplainAnalyze(s: SparkSession, inner: String): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = sql(s, inner)
+    val root = df.queryExecution.executedPlan
+    root.execute().count() // materialize every operator's metrics
+    val rows = scala.collection.mutable.Buffer.empty[(Int, Int, String, Any)]
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth)
+      case qs: QueryStageExec => walk(qs.plan, depth)
+      case q =>
+        rows += ((rows.size, depth, q.nodeName,
+          q.metrics.get("numOutputRows").map(_.value).orNull))
+        q.children.foreach(walk(_, depth + 1))
+    }
+    walk(root, 0)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("op", IntegerType, nullable = false),
+      StructField("depth", IntegerType, nullable = false),
+      StructField("operator", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true)))
+    val jrows = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(r => jrows.add(Row(r._1, r._2, r._3, r._4)))
+    s.createDataFrame(jrows, schema)
   }
 
   // ---- ASOF JOIN at the text entry ---------------------------------

@@ -1590,9 +1590,81 @@ object Sql {
                  CAST(1 - CAST(l_discount AS DECIMAL(12,2))
                    AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         FROM lineitem WHERE l_quantity > 30
-        GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+      // ------------------------------------------------------------- x58
+      // SELECT DISTINCT ON — DuckDB's keep-first-row-per-group clause
+      // as ONE text both engines run: DuckDB executes it natively;
+      // graft rewrites to the ROW_NUMBER identity (rank within each
+      // on-group by the statement's ORDER BY, keep rank 1 —
+      // LakeSql.rewriteDistinctOn), so Catalyst plans the usual
+      // window + filter and the per-group survivor is deterministic
+      // (acctbal DESC, custkey tiebreak).
+      GQuery("x58_sql_distinct_on", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, DistinctOnText)
+      }, Some(DistinctOnText)),
+
+      // ------------------------------------------------------------- x59
+      // UNION ALL BY NAME — DuckDB matches union branches by COLUMN
+      // NAME (order-independent, missing columns NULL-filled). ONE
+      // text both engines run: DuckDB executes natively; graft plans
+      // each branch through the entry and joins them with Spark's
+      // native unionByName(allowMissingColumns = true) — the operator
+      // built for exactly these semantics — then applies the trailing
+      // ORDER BY to the union result. The branches project different
+      // column sets in different orders, so positional UNION would be
+      // either an error or silently wrong — the hash check proves the
+      // by-name alignment.
+      GQuery("x59_sql_union_by_name", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, UnionByNameText)
+      }, Some(UnionByNameText)),
+
+      // ------------------------------------------------------------- x60
+      // GROUP BY ALL + ORDER BY ALL — DuckDB's whole-select-list
+      // shorthands in one statement. GROUP BY ALL is native in both
+      // engines; ORDER BY ALL rewrites to the positional list 1..n
+      // (LakeSql.rewriteOrderByAll — ordinal ORDER BY is native in
+      // both), so the one text yields an identical total order.
+      GQuery("x60_sql_order_by_all", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, OrderByAllText)
+      }, Some(OrderByAllText)),
+
+      // ------------------------------------------------------------- x61
+      // EXPLAIN ANALYZE — the runtime-profile half of x49's plan
+      // observability (reference:duckdb:101-119): execute the
+      // statement, report the FINAL adaptive physical plan with each
+      // operator's actual output-row count from its SQL metrics.
+      // Engine-specific output → rows-only by design; LakeSqlSpec
+      // asserts the scan row count equals the filter's input and the
+      // aggregate emits one row per group.
+      GQuery("x61_sql_explain_analyze", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, """EXPLAIN ANALYZE
+          SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+          WHERE l_quantity > 10 GROUP BY l_returnflag""")
+      }, None)
     )
   }
+
+  private def DistinctOnText: String = """
+    SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey"""
+
+  private def UnionByNameText: String = """
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal
+    FROM customer WHERE c_custkey <= 50
+    UNION ALL BY NAME
+    SELECT s_name AS name, s_suppkey AS id
+    FROM supplier WHERE s_suppkey <= 30
+    ORDER BY id, name, bal NULLS FIRST"""
+
+  private def OrderByAllText: String = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY ALL ORDER BY ALL"""
 
   private def QualifyText: String = """
     SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -1435,7 +1435,77 @@ object RelationalQueries {
       SELECT l_returnflag, sample_m,
              vs[CAST(ceil(0.5 * sample_m) AS INT)] / 100.0 AS p50_est,
              vs[CAST(ceil(0.9 * sample_m) AS INT)] / 100.0 AS p90_est
-      FROM sorted ORDER BY l_returnflag"""))
+      FROM sorted ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q57
+    // Distribution DRIFT between two corpus slices — the two-sample
+    // Kolmogorov–Smirnov statistic, exact: the data-quality gate a
+    // training pipeline runs when a new crawl lands ("did the price/
+    // length/score distribution move?"). KS = sup_x |F_A(x) − F_B(x)|
+    // over the pooled ECDFs, computed on an integer grid (cents, so
+    // every step is exact) as max |cumA·N_B − cumB·N_A| / (N_A·N_B).
+    //
+    // Scale shape — the distributed PREFIX-SUM pattern: a global
+    // single-partition window over raw values would serialize the
+    // corpus through one task. Instead (1) per-value counts (one
+    // key-local exchange, |grid| rows), (2) per-BUCKET subtotals
+    // ($10k-wide — a metadata-sized relation), (3) bucket-offset
+    // window over just those subtotals, (4) broadcast offsets back
+    // and finish each bucket's running sum with a window PARTITIONED
+    // by bucket. Every heavy stage is key-parallel; the only global
+    // order ever materialized is over ~dozens of bucket rows.
+    GQuery("q57_ks_drift", (s, d) => {
+      val vals = T.orders(s, d).select(
+        floor(col("o_totalprice") * 100).cast("long").as("vc"),
+        when(col("o_orderdate") < ts("1998-01-01"), 1L)
+          .otherwise(0L).as("ga"))
+      val cnt = vals.groupBy("vc").agg(
+        sum(col("ga")).as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+      val bucketed = cnt.withColumn("bk", (col("vc") / 1000000L).cast("long"))
+      val perBucket = bucketed.groupBy("bk")
+        .agg(sum("ca").as("bca"), sum("cb").as("bcb"))
+      // Offsets = totals of all STRICTLY EARLIER buckets. |buckets| is
+      // tiny, so the unpartitioned window is metadata-sized.
+      val wOff = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBucket.select(col("bk"),
+        coalesce(sum("bca").over(wOff), lit(0L)).as("offa"),
+        coalesce(sum("bcb").over(wOff), lit(0L)).as("offb"))
+      val wIn = Window.partitionBy("bk").orderBy("vc")
+      val cum = bucketed.join(broadcast(offsets), "bk")
+        .select(col("vc"),
+          (col("offa") + sum("ca").over(wIn)).as("cuma"),
+          (col("offb") + sum("cb").over(wIn)).as("cumb"))
+      val tot = perBucket.agg(sum("bca").as("na"), sum("bcb").as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("ks_num"))
+        .select(col("na"), col("nb"), col("ks_num"),
+          (col("ks_num").cast("double") / (col("na") * col("nb")))
+            .as("ks_stat"))
+    }, Some("""
+      WITH vals AS (
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS vc,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS ga
+        FROM orders),
+      cnt AS (
+        SELECT vc, CAST(SUM(ga) AS BIGINT) AS ca,
+               CAST(SUM(1 - ga) AS BIGINT) AS cb
+        FROM vals GROUP BY vc),
+      tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+      cum AS (
+        SELECT vc, CAST(SUM(ca) OVER (ORDER BY vc) AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (ORDER BY vc) AS BIGINT) AS cumb
+        FROM cnt)
+      SELECT na, nb,
+             CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+             CAST(CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT)
+                  AS DOUBLE) / (na * nb) AS ks_stat
+      FROM cum CROSS JOIN tot GROUP BY na, nb"""))
   )
 }
 

@@ -1921,7 +1921,56 @@ object Sources {
              COUNT(*) AS n
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE o.o_orderkey % 17 <> 0
-      GROUP BY 1 ORDER BY c_mktsegment"""))
+      GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- s60
+    // Delta log CHECKPOINT + retention — the long-lived-table story
+    // (reference:metadata:1's operational half): after many commits,
+    // writeLogCheckpoint folds the replay state into one parquet file
+    // in the protocol's checkpoint schema and _last_checkpoint points
+    // readers at it, so snapshot load is O(commits SINCE checkpoint)
+    // — at 100 TB a table sees millions of commits over its life and
+    // replaying every JSON from v0 is the anti-pattern. This key
+    // proves the full retention cycle: build via create + appends +
+    // COW delete, checkpoint, AGE OUT every pre-checkpoint JSON
+    // commit (the protocol's log-retention move), then commit and
+    // read ON TOP of the checkpoint alone — the oracle replays the
+    // net effect from the raw table, so a checkpoint that dropped or
+    // duplicated any action hash-fails.
+    GQuery("s60_delta_checkpoint", (s, d) => {
+      val t = s"${scratch("s60")}/orders_ckpt"
+      // A deterministic 1-in-5 slice: the lifecycle (create + appends +
+      // COW delete + checkpoint + post-checkpoint commit) is what's
+      // measured, and its cost scales with rows written, not with the
+      // retention semantics under test.
+      val o = T.orders(s, d).filter(col("o_orderkey") % 5 === 0 && col("o_custkey") % 2 === 0).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      DeltaLite.create(s, t, o.filter(col("o_orderkey") % 2 === 0))
+      DeltaLite.append(s, t, o.filter(col("o_orderkey") % 2 === 1))
+      DeltaLite.deleteWhere(s, t, col("o_orderstatus") === "F")
+      val ckptV = DeltaLite.writeLogCheckpoint(s, t)
+      (0L to ckptV).foreach { v =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          t, "_delta_log", f"$v%020d.json"))
+      }
+      // A commit on top of the checkpoint: replay = checkpoint + 1 JSON.
+      DeltaLite.append(s, t, o.filter(col("o_orderstatus") === "P"))
+      DeltaLite.snapshot(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), moneySum(dec2(col("o_totalprice")))
+          .as("total"))
+        .orderBy(col("o_orderstatus"))
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${sMoneySum(sDec2("o_totalprice"))} AS total
+      FROM (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 5 = 0 AND o_custkey % 2 = 0 AND o_orderstatus = 'P'
+      ) GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 
   /** One-time load of the `nation` dim into an embedded Derby database

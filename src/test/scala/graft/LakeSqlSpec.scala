@@ -557,4 +557,93 @@ class LakeSqlSpec extends SparkSpec {
     }
     LakeSql.sql(spark, "DROP MACRO IF EXISTS msq") // no-op, no throw
   }
+
+  test("DISTINCT ON rewrite keeps exactly the first row per group in " +
+      "the statement's order, and refuses without ORDER BY") {
+    Sql.open(spark, sfDir)
+    val got = LakeSql.sql(spark, """
+      SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_acctbal
+      FROM customer
+      ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""").collect()
+    val want = spark.sql("""
+      SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer) WHERE rn = 1
+      ORDER BY c_mktsegment""").collect()
+    assert(got.toSeq == want.toSeq)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT DISTINCT ON (c_mktsegment) c_mktsegment FROM customer")
+    }
+  }
+
+  test("UNION BY NAME aligns by column name, NULL-fills missing " +
+      "columns, dedups without ALL, and refuses mixed separators") {
+    Sql.open(spark, sfDir)
+    val got = LakeSql.sql(spark, """
+      SELECT c_custkey AS id, c_acctbal AS bal
+      FROM customer WHERE c_custkey <= 3
+      UNION ALL BY NAME
+      SELECT n_name AS name, n_nationkey AS id
+      FROM nation WHERE n_nationkey <= 2
+      ORDER BY id, name NULLS FIRST, bal NULLS FIRST""")
+    assert(got.columns.toSeq == Seq("id", "bal", "name"))
+    val rows = got.collect()
+    assert(rows.length == 7) // customers 0..3 + nations 0..2
+    // customer branch has name NULL; nation branch has bal NULL.
+    assert(rows.count(_.isNullAt(2)) == 4)
+    assert(rows.count(_.isNullAt(1)) == 3)
+    // dedup variant: a branch unioned with itself collapses
+    val dedup = LakeSql.sql(spark, """
+      SELECT c_custkey AS id FROM customer WHERE c_custkey <= 5
+      UNION BY NAME
+      SELECT c_custkey AS id FROM customer WHERE c_custkey <= 5""")
+    assert(dedup.count() == 6) // custkeys 0..5, duplicates collapsed
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """
+        SELECT c_custkey AS id FROM customer WHERE c_custkey <= 5
+        UNION ALL BY NAME
+        SELECT c_custkey AS id FROM customer WHERE c_custkey <= 5
+        UNION BY NAME
+        SELECT c_custkey AS id FROM customer WHERE c_custkey <= 5""")
+    }
+  }
+
+  test("ORDER BY ALL rewrites to the positional list over the select " +
+      "list; bare * refuses") {
+    Sql.open(spark, sfDir)
+    assert(LakeSql.rewriteOrderByAll(
+      "SELECT a, b, c FROM t ORDER BY ALL").endsWith("ORDER BY 1, 2, 3"))
+    val got = LakeSql.sql(spark, """
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY ALL ORDER BY ALL""").collect()
+    val want = spark.sql("""
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2, 3""").collect()
+    assert(got.toSeq == want.toSeq)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT * FROM customer ORDER BY ALL")
+    }
+  }
+
+  test("EXPLAIN ANALYZE reports the executed plan with real output-row " +
+      "counts: the scan count matches the table, the aggregate emits " +
+      "one row per group") {
+    Sql.open(spark, sfDir)
+    val prof = LakeSql.sql(spark, """EXPLAIN ANALYZE
+      SELECT c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment""")
+    assert(prof.columns.toSeq == Seq("op", "depth", "operator", "rows"))
+    val rows = prof.collect()
+    val total = Tables.customer(spark, sfDir).count()
+    val groups = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment")).distinct().count()
+    // the scan emitted every row, some aggregate emitted one per group
+    assert(rows.exists(r => r.getString(2).toLowerCase.contains("scan")
+      && !r.isNullAt(3) && r.getLong(3) == total), rows.mkString("\n"))
+    assert(rows.exists(r => r.getString(2).toLowerCase.contains("aggregate")
+      && !r.isNullAt(3) && r.getLong(3) == groups), rows.mkString("\n"))
+  }
 }

@@ -103,6 +103,34 @@ class OperatorsSpec extends SparkSpec {
     assert(star(9L) == 2L && star(32L) == 30L && star(50L) == 50L)
   }
 
+  test("q57 KS drift matches a driver-side brute force over the same " +
+      "integer grid") {
+    import org.apache.spark.sql.functions._
+    val row = Registry.byName("q57_ks_drift").fn(spark, sfDir).collect()
+    assert(row.length == 1)
+    val (na, nb, ksNum, ksStat) = (row.head.getLong(0), row.head.getLong(1),
+      row.head.getLong(2), row.head.getDouble(3))
+    val o = Tables.orders(spark, sfDir).select(
+      floor(col("o_totalprice") * 100).cast("long").as("vc"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("a"))
+      .collect()
+    val aV = o.filter(_.getBoolean(1)).map(_.getLong(0)).sorted
+    val bV = o.filterNot(_.getBoolean(1)).map(_.getLong(0)).sorted
+    assert(na == aV.length && nb == bV.length)
+    def cumLe(sorted: Array[Long], v: Long): Long = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) { val m = (lo + hi) / 2
+        if (sorted(m) <= v) lo = m + 1 else hi = m }
+      lo.toLong
+    }
+    val grid = (aV ++ bV).distinct.sorted
+    val brute = grid.map(v =>
+      math.abs(cumLe(aV, v) * nb - cumLe(bV, v) * na)).max
+    assert(ksNum == brute, s"ks_num $ksNum != brute $brute")
+    assert(ksStat == brute.toDouble / (na.toDouble * nb.toDouble))
+    assert(ksStat > 0.0 && ksStat <= 1.0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
