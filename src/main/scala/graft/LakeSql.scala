@@ -344,6 +344,10 @@ object LakeSql {
           Seq(text).toDF("plan")
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
+        case _ if PivotKeyword.matches(st) => runPivot(s, st)
+        case _ if UnpivotKeyword.matches(st) =>
+          sqlStatement(s, rewriteUnpivot(st))
+        case _ if DescribeKeyword.matches(st) => runDescribe(s, st)
         case _ if DistinctOnKeyword.matches(st) =>
           sqlStatement(s, rewriteDistinctOn(st))
         case _ if UnionByNameKeyword.matches(st) => runUnionByName(s, st)
@@ -561,6 +565,124 @@ object LakeSql {
       i += 1
     }
     throw new IllegalArgumentException("unbalanced parentheses")
+  }
+
+  // ---- PIVOT statement at the text entry ---------------------------
+  // DuckDB's standalone pivot statement: `PIVOT <table> ON <col>
+  // USING <agg>(<arg>) [GROUP BY <cols>] [ORDER BY <cols>]` — one
+  // output column per distinct ON-value. Routed to Spark's NATIVE
+  // RelationalGroupedDataset.pivot (two-phase: per-(group, value)
+  // partial aggregation, then a pivot-first fold — the distinct
+  // ON-values are collected once, bounded by Spark's pivot max-values
+  // guard, and become literal output columns). Cells with no rows are
+  // NULL (both engines' SUM-over-empty convention; DuckDB's native
+  // count-pivot prints 0 — the oracle states the NULL form).
+  private val PivotKeyword = "(?is)^\\s*PIVOT\\b.*".r
+  private val PivotRe =
+    ("""(?is)^\s*PIVOT\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)\s*""" +
+      """\(\s*([^)]*?)\s*\)""" +
+      """(?:\s+GROUP\s+BY\s+([\w\s,.]+?))?""" +
+      """(?:\s+ORDER\s+BY\s+([\w\s,.]+?))?\s*$""").r
+
+  private def runPivot(s: SparkSession, statement: String): DataFrame = {
+    val m = PivotRe.findFirstMatchIn(statement).getOrElse(
+      throw new IllegalArgumentException(
+        "unsupported PIVOT form — supported: PIVOT <table> ON <col> " +
+          "USING <agg>(<arg>) [GROUP BY <cols>] [ORDER BY <cols>]"))
+    val (table, onCol, fn, arg) =
+      (m.group(1), m.group(2), m.group(3).toLowerCase, m.group(4).trim)
+    val groupCols = Option(m.group(5)).map(splitTopCommas(_)).getOrElse(
+      throw new IllegalArgumentException(
+        "PIVOT: GROUP BY is required (grouping by every remaining " +
+          "column implicitly is not supported — name the keys)"))
+    val orderCols = Option(m.group(6)).map(splitTopCommas(_))
+      .getOrElse(groupCols)
+    val base = sql(s, s"SELECT * FROM $table")
+    import org.apache.spark.sql.functions.{expr, lit, count => cnt}
+    val agg = if (fn == "count" && (arg == "*" || arg.isEmpty))
+      cnt(lit(1)) else expr(s"$fn($arg)")
+    base.groupBy(groupCols.map(org.apache.spark.sql.functions.col): _*)
+      .pivot(onCol)
+      .agg(agg)
+      .orderBy(orderCols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  // ---- UNPIVOT statement at the text entry -------------------------
+  // DuckDB's standalone unpivot: `UNPIVOT (<table|subquery>) ON
+  // <cols> INTO NAME <n> VALUE <v> [ORDER BY …]` — wide columns fold
+  // into (name, value) rows, NULL cells dropped (both engines'
+  // default). Rewrites to Spark's native SQL UNPIVOT clause, so
+  // Catalyst plans the Expand and column pruning still reaches the
+  // scan for the non-folded keys.
+  private val UnpivotKeyword = "(?is)^\\s*UNPIVOT\\b.*".r
+
+  private[graft] def rewriteUnpivot(statement: String): String = {
+    val afterKw = "(?is)^\\s*UNPIVOT\\s+(.*)$".r
+      .findFirstMatchIn(statement).get.group(1)
+    val (src, rest0) =
+      if (afterKw.trim.startsWith("(")) {
+        val (inner, r) = takeParenGroup(afterKw)
+        (s"($inner) __unpivot_src", r)
+      } else {
+        val mm = "(?s)^(\\w+)(.*)$".r.findFirstMatchIn(afterKw.trim)
+          .getOrElse(throw new IllegalArgumentException(
+            "UNPIVOT: expected a table name or parenthesized subquery"))
+        (mm.group(1), mm.group(2))
+      }
+    val m = ("""(?is)^\s*ON\s+([\w\s,.]+?)\s+INTO\s+NAME\s+(\w+)""" +
+      """\s+VALUE\s+(\w+)\s*(ORDER\s+BY\s+[\w\s,.]+?)?\s*$""").r
+      .findFirstMatchIn(rest0).getOrElse(
+        throw new IllegalArgumentException(
+          "unsupported UNPIVOT form — supported: UNPIVOT <table|(query)> " +
+            "ON <cols> INTO NAME <n> VALUE <v> [ORDER BY <cols>]"))
+    val cols = splitTopCommas(m.group(1))
+    require(cols.nonEmpty, "UNPIVOT: empty ON list")
+    val (nameCol, valueCol) = (m.group(2), m.group(3))
+    val orderPart = Option(m.group(4)).map(" " + _).getOrElse("")
+    s"SELECT * FROM $src UNPIVOT ($valueCol FOR $nameCol IN " +
+      s"(${cols.mkString(", ")}))$orderPart"
+  }
+
+  // ---- DESCRIBE at the text entry ----------------------------------
+  // DuckDB's `DESCRIBE <table>` as a cross-engine statement: the
+  // relation binds through the normal entry (raw views, cataloged
+  // lake tables, time travel), and types are reported in the NEUTRAL
+  // SQL spelling both engines print (BIGINT/DOUBLE/VARCHAR/…), so the
+  // same statement oracle-checks against DuckDB's own DESCRIBE of the
+  // same parquet. Metadata-only — no data IO.
+  private val DescribeKeyword = "(?is)^\\s*DESCRIBE\\s+\\w+\\s*$".r
+
+  private def runDescribe(s: SparkSession, statement: String): DataFrame = {
+    val name = "(?is)^\\s*DESCRIBE\\s+(\\w+)\\s*$".r
+      .findFirstMatchIn(statement).get.group(1)
+    val schema = sql(s, s"SELECT * FROM $name").schema
+    import org.apache.spark.sql.types._
+    def sqlName(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => s"${sqlName(e)}[]"
+      case other => other.sql
+    }
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      schema.fields.length)
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      jrows.add(org.apache.spark.sql.Row(
+        f.name, sqlName(f.dataType), i + 1))
+    }
+    s.createDataFrame(jrows, StructType(Seq(
+      StructField("column_name", StringType, nullable = false),
+      StructField("column_type", StringType, nullable = false),
+      StructField("ordinal", IntegerType, nullable = false))))
   }
 
   // ---- SELECT DISTINCT ON at the text entry ------------------------

@@ -1645,9 +1645,68 @@ object Sql {
         LakeSql.sql(s, """EXPLAIN ANALYZE
           SELECT l_returnflag, COUNT(*) AS n FROM lineitem
           WHERE l_quantity > 10 GROUP BY l_returnflag""")
-      }, None)
+      }, None),
+
+      // ------------------------------------------------------------- x62
+      // PIVOT statement — DuckDB's standalone pivot routed to Spark's
+      // NATIVE RelationalGroupedDataset.pivot (distinct ON-values
+      // become literal columns via the two-phase pivot-first fold —
+      // per-(group, value) partial aggregation first, so the shuffle
+      // is |groups × values| at any corpus size). The oracle spells
+      // the same result as conditional aggregation with the NULL-for-
+      // empty-cell convention both engines share for SUM-style cells.
+      GQuery("x62_sql_pivot_stmt", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, """PIVOT customer ON c_mktsegment USING count(*)
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      }, Some("""
+        SELECT c_nationkey,
+               CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END)
+                 AS BIGINT) AS "AUTOMOBILE",
+               CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+                 AS BIGINT) AS "BUILDING",
+               CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END)
+                 AS BIGINT) AS "FURNITURE",
+               CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END)
+                 AS BIGINT) AS "HOUSEHOLD",
+               CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END)
+                 AS BIGINT) AS "MACHINERY"
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+      // ------------------------------------------------------------- x63
+      // UNPIVOT statement — DuckDB's standalone unpivot as ONE text
+      // both engines run: DuckDB executes it natively; graft rewrites
+      // to Spark's native SQL UNPIVOT clause (LakeSql.rewriteUnpivot),
+      // so Catalyst plans the Expand and prunes the scan to exactly
+      // the named columns. Both engines drop NULL cells by default.
+      GQuery("x63_sql_unpivot_stmt", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, UnpivotText)
+      }, Some(UnpivotText)),
+
+      // ------------------------------------------------------------- x64
+      // DESCRIBE — DuckDB's schema-inspection statement cross-engine:
+      // graft reports the bound relation's schema in the neutral SQL
+      // type spelling (metadata-only, zero data IO), and the oracle is
+      // DuckDB's OWN DESCRIBE of the same parquet — so a type-mapping
+      // drift on either side hash-fails.
+      GQuery("x64_sql_describe", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, "DESCRIBE customer")
+      }, Some("""
+        SELECT column_name, column_type,
+               CAST(row_number() OVER () AS INT) AS ordinal
+        FROM (DESCRIBE SELECT * FROM customer)"""))
     )
   }
+
+  private def UnpivotText: String = """
+    UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                    l_extendedprice, l_discount, l_tax
+             FROM lineitem WHERE l_orderkey <= 1000)
+    ON l_quantity, l_extendedprice, l_discount, l_tax
+    INTO NAME measure VALUE v
+    ORDER BY l_orderkey, l_linenumber, measure"""
 
   private def DistinctOnText: String = """
     SELECT DISTINCT ON (c_mktsegment) c_mktsegment, c_custkey, c_acctbal

@@ -628,6 +628,69 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("PIVOT statement equals conditional aggregation; empty cells " +
+      "are NULL; missing GROUP BY refuses") {
+    Sql.open(spark, sfDir)
+    val got = LakeSql.sql(spark, """PIVOT customer ON c_mktsegment
+      USING count(*) GROUP BY c_nationkey ORDER BY c_nationkey""")
+    assert(got.columns.head == "c_nationkey")
+    assert(got.columns.length >= 2) // one column per segment value
+    val seg = got.columns(1)
+    val want = spark.sql(s"""
+      SELECT c_nationkey,
+             SUM(CASE WHEN c_mktsegment = '$seg' THEN 1 END) AS v
+      FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val gotCol = got.select(col("c_nationkey"), col(s"`$seg`")).collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(gotCol.toSeq == want.toSeq)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "PIVOT customer ON c_mktsegment USING count(*)")
+    }
+  }
+
+  test("UNPIVOT statement rewrites to the native clause and equals the " +
+      "explicit UNION ALL; bad forms refuse") {
+    Sql.open(spark, sfDir)
+    val got = LakeSql.sql(spark, """
+      UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+               FROM lineitem WHERE l_orderkey <= 50)
+      ON l_quantity, l_tax INTO NAME m VALUE v
+      ORDER BY l_orderkey, l_linenumber, m""").collect()
+    val want = spark.sql("""
+      SELECT * FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS m, l_quantity AS v
+        FROM lineitem WHERE l_orderkey <= 50
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey <= 50)
+      ORDER BY l_orderkey, l_linenumber, m""").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "UNPIVOT lineitem ON l_quantity") // no INTO
+    }
+  }
+
+  test("DESCRIBE reports neutral SQL types, binds cataloged lake " +
+      "tables, and is metadata-only") {
+    Sql.open(spark, sfDir)
+    val raw = LakeSql.sql(spark, "DESCRIBE customer").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(raw("c_custkey") == "BIGINT")
+    assert(raw("c_acctbal") == "DOUBLE")
+    assert(raw("c_name") == "VARCHAR")
+    // a cataloged lake table binds through the entry
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val t = s"desc_t_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $t USING deltalite
+      LOCATION '${Scratch.dir("desc")}/$t'
+      AS SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 5""")
+    val lake = LakeSql.sql(spark, s"DESCRIBE $t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(lake == Map("c_custkey" -> "BIGINT", "c_mktsegment" -> "VARCHAR"))
+    LakeSql.sql(spark, s"DROP TABLE $t")
+  }
+
   test("EXPLAIN ANALYZE reports the executed plan with real output-row " +
       "counts: the scan count matches the table, the aggregate emits " +
       "one row per group") {
