@@ -329,7 +329,11 @@ object LakeSql {
       dropMacro(s, name, ifExists != null)
       s.emptyDataFrame
     case _ =>
-      val st = expandMacros(s, statement)
+      val st0 = expandMacros(s, statement)
+      // File-reading table functions rewrite FIRST (pure text→text),
+      // so they compose with every other route below.
+      val st = if (TableFnKeyword.matches(st0))
+        rewriteTableFunctions(s, st0) else st0
       st match {
         // EXPLAIN ANALYZE must route before plain EXPLAIN (whose regex
         // would otherwise swallow ANALYZE into the inner statement).
@@ -348,6 +352,7 @@ object LakeSql {
         case _ if UnpivotKeyword.matches(st) =>
           sqlStatement(s, rewriteUnpivot(st))
         case _ if DescribeKeyword.matches(st) => runDescribe(s, st)
+        case _ if SampleKeyword.matches(st) => sql(s, rewriteSample(st))
         case _ if DistinctOnKeyword.matches(st) =>
           sqlStatement(s, rewriteDistinctOn(st))
         case _ if UnionByNameKeyword.matches(st) => runUnionByName(s, st)
@@ -565,6 +570,71 @@ object LakeSql {
       i += 1
     }
     throw new IllegalArgumentException("unbalanced parentheses")
+  }
+
+  // ---- read_parquet / read_csv table functions ---------------------
+  // DuckDB's hallmark entry UX: query a file directly — `SELECT …
+  // FROM read_parquet('path')` (reference:duckdb:1-10, the lake-read
+  // capability itself). The rewrite binds each distinct call to a
+  // temp view over the matching Spark reader and substitutes the view
+  // name, so the statement then flows through the normal path with
+  // full Catalyst pushdown/pruning into the file scan. Pure text→text
+  // and applied BEFORE every other route, so file reads compose with
+  // QUALIFY, EXPLAIN, SUMMARIZE, scripts, …
+  private val TableFnKeyword =
+    "(?is).*\\bread_(parquet|csv)\\s*\\(.*".r
+  private val TableFnRe =
+    ("""(?is)\bread_(parquet|csv)\s*\(\s*'([^']+)'\s*""" +
+      """(?:,\s*header\s*=\s*(true|false)\s*)?\)""").r
+
+  private[graft] def rewriteTableFunctions(s: SparkSession,
+      statement: String): String =
+    TableFnRe.replaceAllIn(statement, m => {
+      val kind = m.group(1).toLowerCase
+      val path = m.group(2)
+      val header = Option(m.group(3)).forall(_.equalsIgnoreCase("true"))
+      val v = "__tf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$kind|$path|$header".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      val df = kind match {
+        case "parquet" => s.read.parquet(path)
+        case "csv" => s.read.option("header", header.toString)
+          .option("inferSchema", "true").csv(path)
+      }
+      df.createOrReplaceTempView(v)
+      v
+    })
+
+  // ---- USING SAMPLE at the text entry ------------------------------
+  // A sample clause with DETERMINISTIC semantics: `FROM <table> USING
+  // SAMPLE <p> PERCENT (<key exprs>)` keeps a row iff the md5 of its
+  // dash-joined key strings falls below a 3-hex-digit threshold
+  // (⌊4096·p/100⌋ — granularity 1/4096). Unlike engine-native SAMPLE
+  // (a different row set per engine/run/partitioning), the content-
+  // hash rule is portable and stable — the q31/d11 sampling law at
+  // the text entry, so the SAME rows are kept by DuckDB replaying the
+  // predicate, by every graft re-run, and by any repartitioning.
+  private val SampleKeyword = "(?is).*\\bUSING\\s+SAMPLE\\b.*".r
+  private val SampleRe =
+    ("""(?is)\bFROM\s+(\w+)\s+USING\s+SAMPLE\s+([0-9.]+)\s*""" +
+      """(?:%|PERCENT)\s*\(\s*([^)]+?)\s*\)""").r
+
+  private[graft] def rewriteSample(statement: String): String = {
+    require(SampleRe.findFirstIn(statement).isDefined,
+      "unsupported USING SAMPLE form — supported: FROM <table> USING " +
+        "SAMPLE <p> PERCENT (<key expr>, …) [deterministic content-" +
+        "hash semantics]")
+    SampleRe.replaceAllIn(statement, m => {
+      val (tbl, pct, keys) =
+        (m.group(1), m.group(2).toDouble, splitTopCommas(m.group(3)))
+      require(pct > 0 && pct < 100, s"USING SAMPLE: percent $pct out of (0, 100)")
+      val threshold = "%03x".format(math.floor(4096.0 * pct / 100.0).toInt)
+      val key = keys.map(k => s"CAST($k AS STRING)")
+        .mkString("concat_ws('-', ", ", ", ")")
+      scala.util.matching.Regex.quoteReplacement(
+        s"FROM (SELECT * FROM $tbl WHERE " +
+          s"SUBSTR(MD5($key), 1, 3) < '$threshold') $tbl")
+    })
   }
 
   // ---- PIVOT statement at the text entry ---------------------------

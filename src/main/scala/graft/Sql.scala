@@ -1696,7 +1696,52 @@ object Sql {
       }, Some("""
         SELECT column_name, column_type,
                CAST(row_number() OVER () AS INT) AS ordinal
-        FROM (DESCRIBE SELECT * FROM customer)"""))
+        FROM (DESCRIBE SELECT * FROM customer)""")),
+
+      // ------------------------------------------------------------- x65
+      // read_parquet at the text entry — DuckDB's hallmark UX (query
+      // a file directly, reference:duckdb:1-10) with NO open()/view
+      // setup at all: the table function binds the file via the Spark
+      // reader and the statement flows through the normal path, so
+      // the WHERE pushes into the parquet scan like any table read.
+      // Oracle = the same query over the raw view (net effect — the
+      // file IS the table).
+      GQuery("x65_sql_read_parquet", (s, d) => {
+        LakeSql.sql(s, s"""
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS qty
+          FROM read_parquet('$d/lineitem.parquet')
+          WHERE l_quantity <= 20
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      }, Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS qty
+        FROM lineitem
+        WHERE l_quantity <= 20
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+      // ------------------------------------------------------------- x66
+      // USING SAMPLE at the text entry — with DETERMINISTIC semantics
+      // (the q31/d11 content-hash law): engine-native SAMPLE keeps a
+      // different row set per engine/run/partitioning, so graft's
+      // clause hashes named key columns instead — the SAME rows come
+      // back from every re-run, every repartitioning, and from DuckDB
+      // replaying the predicate, which is exactly what the oracle
+      // does. ~10% ⇒ threshold 0x199/0x1000.
+      GQuery("x66_sql_sample_clause", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, """
+          SELECT l_orderkey, l_linenumber, l_quantity
+          FROM lineitem USING SAMPLE 10 PERCENT (l_orderkey, l_linenumber)
+          ORDER BY l_orderkey, l_linenumber""")
+      }, Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '-' ||
+          CAST(l_linenumber AS VARCHAR)), 1, 3) < '199'
+        ORDER BY l_orderkey, l_linenumber"""))
     )
   }
 

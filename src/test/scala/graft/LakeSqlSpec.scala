@@ -691,6 +691,45 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(spark, s"DROP TABLE $t")
   }
 
+  test("read_parquet / read_csv table functions bind files at the " +
+      "entry and compose with other routes") {
+    val got = LakeSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM read_parquet('$sfDir/customer.parquet')")
+      .collect().head.getLong(0)
+    assert(got == Tables.customer(spark, sfDir).count())
+    // csv: write one with COPY, read it back through the function
+    val dir = Scratch.dir("tfn")
+    Tables.nation(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/nation_csv")
+    val n = LakeSql.sql(spark, s"""SELECT COUNT(*) AS n
+      FROM read_csv('$dir/nation_csv', header=true)""")
+      .collect().head.getLong(0)
+    assert(n == Tables.nation(spark, sfDir).count())
+    // composes with EXPLAIN (the pre-route rewrite applies first)
+    val plan = LakeSql.sql(spark, s"""EXPLAIN FORMATTED
+      SELECT c_custkey FROM read_parquet('$sfDir/customer.parquet')
+      WHERE c_custkey <= 10""").collect().head.getString(0)
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"))
+  }
+
+  test("USING SAMPLE is deterministic, partitioning-invariant, and " +
+      "approximately the requested fraction") {
+    Sql.open(spark, sfDir)
+    val q = """SELECT l_orderkey, l_linenumber FROM lineitem
+      USING SAMPLE 25 PERCENT (l_orderkey, l_linenumber)
+      ORDER BY l_orderkey, l_linenumber"""
+    val a = LakeSql.sql(spark, q).collect().toSeq
+    val b = LakeSql.sql(spark, q).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val total = Tables.lineitem(spark, sfDir).count().toDouble
+    val frac = a.size / total
+    assert(frac > 0.15 && frac < 0.35, s"fraction $frac")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT * FROM lineitem USING SAMPLE 150 PERCENT (l_orderkey)")
+    }
+  }
+
   test("EXPLAIN ANALYZE reports the executed plan with real output-row " +
       "counts: the scan count matches the table, the aggregate emits " +
       "one row per group") {
