@@ -353,6 +353,8 @@ object LakeSql {
           sqlStatement(s, rewriteUnpivot(st))
         case _ if DescribeKeyword.matches(st) => runDescribe(s, st)
         case _ if SampleKeyword.matches(st) => sql(s, rewriteSample(st))
+        case _ if FrameExcludeKeyword.matches(st) =>
+          sql(s, rewriteFrameExclude(st))
         case _ if DistinctOnKeyword.matches(st) =>
           sqlStatement(s, rewriteDistinctOn(st))
         case _ if UnionByNameKeyword.matches(st) => runUnionByName(s, st)
@@ -635,6 +637,49 @@ object LakeSql {
         s"FROM (SELECT * FROM $tbl WHERE " +
           s"SUBSTR(MD5($key), 1, 3) < '$threshold') $tbl")
     })
+  }
+
+  // ---- window frame EXCLUDE CURRENT ROW ----------------------------
+  // DuckDB's frame exclusion for SUM/COUNT/AVG windows. Spark's window
+  // frames cannot exclude rows, but the identity is algebraic:
+  //   SUM(e) EXCLUDE CURRENT = SUM(e) − COALESCE(e, 0), NULL when the
+  //     excluded frame holds no non-null e (the COUNT guard);
+  //   COUNT(e) EXCLUDE CURRENT = COUNT(e) − [e IS NOT NULL];
+  //   AVG = the guarded SUM over the adjusted COUNT.
+  // The rewrite emits exactly that, so the engines agree on every
+  // boundary case (single-row frames, NULL inputs, empty exclusions)
+  // — and the oracle is DuckDB running its NATIVE EXCLUDE on the same
+  // text. Supported form: `SUM|COUNT|AVG(expr) OVER (<spec without
+  // nested parens> EXCLUDE CURRENT ROW)`; other EXCLUDE modes fall
+  // through to the parser and refuse loudly.
+  private val FrameExcludeKeyword =
+    "(?is).*\\bEXCLUDE\\s+CURRENT\\s+ROW\\b.*".r
+  private val FrameExcludeRe =
+    ("""(?is)\b(SUM|COUNT|AVG)\s*\(\s*([^()]+?)\s*\)\s+OVER\s+""" +
+      """\(\s*([^()]*?)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""").r
+
+  private[graft] def rewriteFrameExclude(statement: String): String = {
+    require(FrameExcludeRe.findFirstIn(statement).isDefined,
+      "unsupported EXCLUDE CURRENT ROW form — supported: " +
+        "SUM|COUNT|AVG(expr) OVER (<window spec> EXCLUDE CURRENT ROW)")
+    val out = FrameExcludeRe.replaceAllIn(statement, m => {
+      val (fn, e, spec) =
+        (m.group(1).toUpperCase, m.group(2).trim, m.group(3).trim)
+      val w = s"OVER ($spec)"
+      val cnt = s"(COUNT($e) $w - (CASE WHEN ($e) IS NULL THEN 0 ELSE 1 END))"
+      val sum = s"(CASE WHEN $cnt = 0 THEN NULL " +
+        s"ELSE SUM($e) $w - COALESCE($e, 0) END)"
+      scala.util.matching.Regex.quoteReplacement(fn match {
+        case "COUNT" => cnt
+        case "SUM" => sum
+        case "AVG" => s"($sum / $cnt)"
+      })
+    })
+    require(!FrameExcludeKeyword.matches(out),
+      "EXCLUDE CURRENT ROW present in an unsupported position (nested " +
+        "parentheses in the window spec, or a non-SUM/COUNT/AVG " +
+        "aggregate) — rewrite it explicitly")
+    out
   }
 
   // ---- PIVOT statement at the text entry ---------------------------
@@ -1244,7 +1289,19 @@ object LakeSql {
       s"CREATE MACRO $name: parameter '$p' must be a simple identifier"))
     require(ps.map(_.toLowerCase).distinct.length == ps.length,
       s"CREATE MACRO $name: duplicate parameter names")
-    val b = body.trim
+    // TABLE macros (DuckDB's `CREATE MACRO … AS TABLE <select>`): the
+    // stored body is the bare query — expansion parenthesizes it, so a
+    // FROM-position call becomes a plain subquery (alias it explicitly
+    // to qualify columns; Spark accepts unaliased FROM-subqueries).
+    val b0 = body.trim
+    val b = "(?is)^TABLE\\s+(.+)$".r.findFirstMatchIn(b0) match {
+      case Some(tm) =>
+        val q = tm.group(1).trim
+        require("(?is)^(SELECT|WITH)\\b.*".r.matches(q),
+          s"CREATE MACRO $name AS TABLE: body must be a SELECT/WITH query")
+        q
+      case None => b0
+    }
     require(b.nonEmpty, s"CREATE MACRO $name: empty body")
     catalog(s).get(name).foreach { case (provider, _) =>
       require(provider == "macro",

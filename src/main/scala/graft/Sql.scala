@@ -1741,9 +1741,61 @@ object Sql {
         FROM lineitem
         WHERE SUBSTR(MD5(CAST(l_orderkey AS VARCHAR) || '-' ||
           CAST(l_linenumber AS VARCHAR)), 1, 3) < '199'
-        ORDER BY l_orderkey, l_linenumber"""))
+        ORDER BY l_orderkey, l_linenumber""")),
+
+      // ------------------------------------------------------------- x67
+      // TABLE MACRO — DuckDB's parameterized-view form of x57: the
+      // body is a query, a FROM-position call expands to a subquery
+      // with the arguments substituted (same late-binding textual
+      // expansion, so the expanded query gets full Catalyst
+      // optimization — the macro's WHERE pushes into the scan).
+      // Oracle = the call site inlined by hand.
+      GQuery("x67_sql_table_macro", (s, d) => {
+        open(s, d)
+        val out = LakeSql.script(s, """
+          CREATE OR REPLACE MACRO top_bal(seg, k) AS TABLE
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_mktsegment = seg
+            ORDER BY c_acctbal DESC, c_custkey LIMIT k;
+          SELECT * FROM top_bal('BUILDING', 5)
+          ORDER BY c_acctbal DESC, c_custkey""")
+        out.count() // materialize before the macro drops
+        LakeSql.sql(s, "DROP MACRO top_bal")
+        out
+      }, Some("""
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 5""")),
+
+      // ------------------------------------------------------------- x68
+      // Window frame EXCLUDE CURRENT ROW as ONE text both engines
+      // run: DuckDB executes its native frame exclusion; graft
+      // rewrites by the algebraic identity (guarded SUM-minus-current
+      // / adjusted COUNT — LakeSql.rewriteFrameExclude), so the hash
+      // check proves the identity on every boundary row of every
+      // partition, including the first/last rows whose excluded frame
+      // is smaller.
+      GQuery("x68_sql_frame_exclude", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, FrameExcludeText)
+      }, Some(FrameExcludeText))
     )
   }
+
+  private def FrameExcludeText: String = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(tp) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW) AS DOUBLE) AS neighbor_total,
+           COUNT(tp) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW) AS neighbor_n
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+          FROM orders WHERE o_custkey <= 200) pre
+    ORDER BY o_custkey, o_orderkey"""
 
   private def UnpivotText: String = """
     UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -730,6 +730,73 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("TABLE macros expand at FROM position as parameterized views; " +
+      "scalar macros are unaffected") {
+    Sql.open(spark, sfDir)
+    LakeSql.sql(spark, """CREATE OR REPLACE MACRO seg_custs(seg) AS TABLE
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = seg""")
+    val got = LakeSql.sql(spark,
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+         AS DOUBLE) AS bal FROM seg_custs('BUILDING')""").collect().head
+    val want = spark.sql(
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+         AS DOUBLE) AS bal FROM customer
+         WHERE c_mktsegment = 'BUILDING'""").collect().head
+    assert(got == want)
+    // explicit alias lets outer refs qualify
+    val aliased = LakeSql.sql(spark,
+      "SELECT sc.c_custkey FROM seg_custs('BUILDING') sc " +
+        "ORDER BY sc.c_custkey LIMIT 3")
+    assert(aliased.count() == 3)
+    LakeSql.sql(spark, "DROP MACRO seg_custs")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "CREATE MACRO bad_tm() AS TABLE UPDATE t SET x = 1")
+    }
+  }
+
+  test("frame EXCLUDE CURRENT ROW: boundary rows, NULL inputs, empty " +
+      "exclusions, and the AVG form all match the manual identity") {
+    import spark.implicits._
+    val t = Seq(
+      (1, 1, Some(10.0)), (1, 2, None), (1, 3, Some(30.0)),
+      (2, 1, Some(5.0)), // single-row partition: excluded frame empty
+      (3, 1, Some(1.0)), (3, 2, Some(2.0))
+    ).toDF("g", "i", "v")
+    t.createOrReplaceTempView("fx_t")
+    val got = LakeSql.sql(spark, """
+      SELECT g, i,
+             SUM(v) OVER (PARTITION BY g ORDER BY i
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW) AS s,
+             COUNT(v) OVER (PARTITION BY g ORDER BY i
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW) AS c,
+             AVG(v) OVER (PARTITION BY g ORDER BY i
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE CURRENT ROW) AS a
+      FROM fx_t ORDER BY g, i""").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))
+    // hand-computed: frame = ±1 row minus current
+    val want = Seq(
+      (1, 1, null, 0L, null),          // neighbor is NULL v -> count 0, sum NULL
+      (1, 2, 40.0, 2L, 20.0),          // both neighbors non-null
+      (1, 3, null, 0L, null),          // neighbor is the NULL row
+      (2, 1, null, 0L, null),          // empty excluded frame
+      (3, 1, 2.0, 1L, 2.0),
+      (3, 2, 1.0, 1L, 1.0))
+    assert(got.toSeq == want, got.mkString(", "))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT MAX(v) OVER (PARTITION BY g ORDER BY i
+        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        EXCLUDE CURRENT ROW) FROM fx_t""")
+    }
+  }
+
   test("EXPLAIN ANALYZE reports the executed plan with real output-row " +
       "counts: the scan count matches the table, the aggregate emits " +
       "one row per group") {
