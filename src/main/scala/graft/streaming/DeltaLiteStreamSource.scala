@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.graft.{GraftFileInput, GraftParquetReaderFactory, ParquetRead}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -163,22 +163,36 @@ private[streaming] class LakeMicroBatchStream(spark: SparkSession,
     partColsOf: SparkSession => Seq[String],
     latestOf: SparkSession => Long,
     added: LakeStream.AddedFiles)
-    extends MicroBatchStream {
-
-  // Admission high-water mark: advanced by latestOffset, re-anchored by
-  // planInputPartitions (authoritative after a checkpoint restart).
-  @volatile private var current: Long = -1L
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(-1L)
 
-  override def latestOffset(): Offset = {
+  // Admission control through the API THAT CARRIES THE START OFFSET:
+  // rate limiting must be computed from the engine's own progress
+  // (which survives a checkpoint restart), never from instance state —
+  // a fresh instance's high-water mark starts below the restored
+  // offset, and a plain latestOffset() computed from it hands Spark an
+  // offset BELOW the committed one, whose backwards "batch" then
+  // re-anchors admission and RE-DELIVERS committed versions under a
+  // new batch id (StreamingSpec's restart-recovery test pins this).
+  // The engine-specific maxVersionsPerTrigger option governs the
+  // admitted window; the ReadLimit parameter (row-oriented) is
+  // intentionally unused.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[VersionOffset].v
     val latest = latestOf(spark)
-    val next =
+    VersionOffset(
       if (maxVersionsPerTrigger == Long.MaxValue) latest
-      else math.min(latest, current + maxVersionsPerTrigger)
-    current = math.max(current, next)
-    VersionOffset(next)
+      else math.min(latest, s0 + maxVersionsPerTrigger))
   }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset() without a start offset is unsafe under rate " +
+        "limiting across restarts; Spark uses the admission-control " +
+        "overload on this source")
 
   // Partition-aware split: the reader reads data columns from the file
   // and appends partition columns from the log's per-file values; when
@@ -201,7 +215,7 @@ private[streaming] class LakeMicroBatchStream(spark: SparkSession,
       end: Offset): Array[InputPartition] = {
     val (s0, e0) = (start.asInstanceOf[VersionOffset].v,
       end.asInstanceOf[VersionOffset].v)
-    current = math.max(current, e0)
+    if (e0 <= s0) return Array.empty // defensive: never read backwards
     added(spark, table, s0, e0)
       .map { case (v, p, sz, pvs) =>
         val pvMap = pvs.toMap ++ (if (readChangeFeed)
