@@ -1014,7 +1014,48 @@ object Streaming {
              o_totalprice
       FROM orders
       WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- st25
+    // RESTART RECOVERY, exactly-once: a rate-limited stream from the
+    // lake delivers two commits, STOPS (simulated shutdown), two more
+    // commits land while it's down, and a new query resumes from the
+    // SAME checkpoint into the same file sink. The oracle hashes the
+    // sink's final content — a replayed version (the duplicate-
+    // delivery bug this key pinned down: a restarted source whose
+    // admission mark lagged the restored offset re-served committed
+    // versions) or a skipped version both fail the hash. Admission is
+    // computed from the engine's restored progress via
+    // SupportsAdmissionControl, so exactly-once survives the restart
+    // by construction.
+    GQuery("st25_stream_restart", (s, d) => {
+      import graft.sources.DeltaLite
+      val root = graft.util.Scratch.dir("st25")
+      val t = s"$root/src"
+      val sink = s"$root/sink"
+      val ckpt = s"$root/ckpt"
+      val c = T.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      DeltaLite.create(s, t, c.filter(col("c_custkey") % 4 === 0))
+      DeltaLite.append(s, t, c.filter(col("c_custkey") % 4 === 1))
+      def runOnce(): Unit = {
+        val q = s.readStream
+          .format(classOf[DeltaLiteStreamProvider].getName)
+          .option("path", t).option("maxVersionsPerTrigger", "1").load()
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      runOnce() // delivers v0, v1; stream shuts down
+      DeltaLite.append(s, t, c.filter(col("c_custkey") % 4 === 2))
+      DeltaLite.append(s, t, c.filter(col("c_custkey") % 4 === 3))
+      runOnce() // resumes from the checkpoint: exactly v2, v3
+      s.read.parquet(sink).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer ORDER BY c_custkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].
