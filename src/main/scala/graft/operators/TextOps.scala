@@ -731,6 +731,66 @@ object TextOps {
                AS ws_tokens,
              CAST(len(regexp_extract_all(clean_text,
                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
-      FROM kept ORDER BY doc_id"""))
+      FROM kept ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t16
+    // Hashed LINEAR quality classifier — the fasttext-style keep/drop
+    // filter every production LLM data pipeline runs (CCNet/LLaMA
+    // lineage): tokens hash into a 4096-bucket feature space, each
+    // bucket carries an integer weight, a doc's margin is the sum of
+    // its tokens' weights, keep = margin > 0. Weights here are a
+    // DETERMINISTIC public pseudo-model (bucket id → universal-hash
+    // integer in [-1000, 1000] — a stand-in for shipped coefficients;
+    // swapping in trained weights changes one expression). Everything
+    // is integer until the final per-token ratio, so the margin is
+    // exact at any parallelism and the DuckDB oracle replays it
+    // verbatim (list fold over the same charPoly31/permutation
+    // algebra). Scale shape: one codegen'd projection per doc — no
+    // shuffle, no UDF, no model broadcast needed.
+    GQuery("t16_hash_classifier", (s, d) => {
+      val P = TextHash.P
+      val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+      def weight(t: org.apache.spark.sql.Column) = {
+        val bucket = pmod(lit(506952114L) * FastText.charPoly31(t)
+          + lit(40503L), lit(P)) % 4096
+        pmod(bucket * lit(2654435761L), lit(P)) % 2001 - 1000
+      }
+      T.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          aggregate(transform(col("toks"), weight(_)), lit(0L), _ + _)
+            .as("margin"))
+        .select(col("doc_id"), col("n_tokens"), col("margin"),
+          (col("margin") > 0).as("keep"),
+          round(col("margin").cast("double") /
+            greatest(col("n_tokens"), lit(1L)), 4).as("score"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                 AS n_tokens,
+               CAST(COALESCE(list_sum(list_transform(
+                 regexp_extract_all(text, '[a-z0-9]+'),
+                 t -> ((((506952114 * ${KmvOracle2.poly("t")} + 40503)
+                        % 2147483647) % 4096) * 2654435761 % 2147483647)
+                      % 2001 - 1000)), 0) AS BIGINT) AS margin
+        FROM documents)
+      SELECT doc_id, n_tokens, margin, margin > 0 AS keep,
+             ROUND(CAST(margin AS DOUBLE) / GREATEST(n_tokens, 1), 4)
+               AS score
+      FROM m ORDER BY doc_id"""))
   )
+
+  /** charPoly31 replay fragment for the t16 oracle (the t04/q55 list-
+    * fold form — see operators/RelationalQueries.KmvOracle).
+    */
+  private object KmvOracle2 {
+    def poly(x: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, length($x) + 1),
+           i -> CAST(ord(substr($x, CAST(i AS INT), 1)) AS BIGINT))),
+         (a, c) -> (a * 131 + c) % 2147483647)"""
+  }
 }

@@ -131,6 +131,32 @@ class OperatorsSpec extends SparkSpec {
     assert(ksStat > 0.0 && ksStat <= 1.0)
   }
 
+  test("t16 hash classifier: margins match a driver-side replay of the " +
+      "bucket/weight algebra and are partitioning-invariant") {
+    val P = 2147483647L
+    def polyOf(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+    def weightOf(tok: String): Long = {
+      val bucket = ((506952114L * polyOf(tok) + 40503L) % P) % 4096
+      (bucket * 2654435761L % P) % 2001 - 1000
+    }
+    val rows = Registry.byName("t16_hash_classifier").fn(spark, sfDir)
+      .limit(20).collect()
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = "[a-z0-9]+".r.findAllIn(texts(r.getLong(0))).toSeq
+      val margin = toks.map(weightOf).sum
+      assert(r.getLong(2) == margin, s"doc ${r.getLong(0)}")
+      assert(r.getLong(1) == toks.length)
+      assert(r.getBoolean(3) == (margin > 0))
+    }
+    // weights live in [-1000, 1000] by construction
+    assert((0L until 4096L).map(b => (b * 2654435761L % P) % 2001 - 1000)
+      .forall(w => w >= -1000 && w <= 1000))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
