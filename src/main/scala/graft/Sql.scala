@@ -1778,9 +1778,33 @@ object Sql {
       GQuery("x68_sql_frame_exclude", (s, d) => {
         open(s, d)
         LakeSql.sql(s, FrameExcludeText)
-      }, Some(FrameExcludeText))
+      }, Some(FrameExcludeText)),
+
+      // ------------------------------------------------------------- x69
+      // Named WINDOW clause — one definition, many consumers, ONE text
+      // both engines parse natively: two named specs (rank order and a
+      // running frame) shared by three window functions. Verbatim
+      // passthrough; the hash check pins that both engines bind the
+      // names to identical specs.
+      GQuery("x69_sql_window_clause", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, WindowClauseText)
+      }, Some(WindowClauseText))
     )
   }
+
+  private def WindowClauseText: String = """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER wf
+             AS DOUBLE) AS running,
+           CAST(COUNT(*) OVER wf AS BIGINT) AS n_so_far
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey"""
 
   private def FrameExcludeText: String = """
     SELECT o_custkey, o_orderkey,

@@ -665,6 +665,82 @@ object Multimodal {
                    CAST(stride * h / length(text) + 1 AS INT)),
                  CAST((h - 1 - (y0 + cy)) * stride + 3 * x0 + 1 AS INT),
                  CAST(3 * cw AS INT))) AS crop_md5
-      FROM r ORDER BY asset_id, cy"""))
+      FROM r ORDER BY asset_id, cy""")),
+
+    // ---------------------------------------------------------------- m12
+    // PNG container parse — the BIG-endian complement of m08's BMP
+    // (LE) and m07's RIFF (LE): signature check, IHDR field reads
+    // (width/height/bit-depth/color-type as network-order uint32s),
+    // chunk-length walk to the IDAT payload, REAL CRC-32 verification
+    // of the IHDR chunk (Spark's codegen'd crc32 over type+data versus
+    // the stored checksum — flip any header byte and crc_ok goes
+    // false), and a whole-file size identity from the chunk lengths.
+    // IDAT carries the doc bytes raw (a real PNG zlib-compresses —
+    // the compression codec is the STUBBED step, as SURVEY declares
+    // for media decode; the container algebra is what's under test).
+    // One scan, one codegen'd projection, no shuffle.
+    GQuery("m12_png_header", (s, d) => {
+      def beU(off: Int, n: Int) =
+        conv(hex(substring(col("payload"), off, n)), 16, 10).cast("long")
+      val sigOk = substring(col("payload"), 1, 8) ===
+        unhex(lit("89504E470D0A1A0A"))
+      val typeOk = substring(col("payload"), 13, 4) === asciiLit("IHDR")
+      val ihdrCrcOk = beU(30, 4) ===
+        crc32(substring(col("payload"), 13, 17))
+      pngAssets(s, d)
+        .withColumn("idat_len", beU(34, 4))
+        .select(col("asset_id"),
+          when(sigOk && typeOk, lit("png")).otherwise(lit("unknown"))
+            .as("format"),
+          beU(17, 4).as("width"), beU(21, 4).as("height"),
+          beU(25, 1).as("bit_depth"), beU(26, 1).as("color_type"),
+          col("idat_len"),
+          md5(expr("substring(payload, 42, CAST(idat_len AS INT))"))
+            .as("idat_md5"),
+          ihdrCrcOk.as("ihdr_crc_ok"),
+          (length(col("payload")).cast("long") ===
+            col("idat_len") + 57).as("size_ok"))
+        .orderBy(col("asset_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(2 + doc_id % 17 AS BIGINT) AS w,
+               CAST(2 + doc_id % 7 AS BIGINT) AS h
+        FROM documents)
+      SELECT asset_id, 'png' AS format, w AS width, h AS height,
+             CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+             CAST(w * h AS BIGINT) AS idat_len,
+             md5(substring(repeat(text, CAST(w * h / length(text) + 1 AS INT)),
+                 1, CAST(w * h AS INT))) AS idat_md5,
+             TRUE AS ihdr_crc_ok, TRUE AS size_ok
+      FROM a ORDER BY asset_id"""))
   )
+
+  /** PNGs built from the documents table: real signature, real chunk
+    * framing (length/type/data/CRC for IHDR, IDAT, IEND), REAL CRC-32s
+    * (Spark's crc32 at build time — the parser re-derives them), and
+    * network-order (big-endian) integer fields throughout. The IDAT
+    * payload is the doc text tiled to w·h bytes, raw (no zlib — the
+    * stubbed media-codec step).
+    */
+  private[graft] def pngAssets(s: SparkSession, d: String): DataFrame = {
+    def be(x: Column, n: Int): Column = unhex(lpad(hex(x), n * 2, "0"))
+    val built = T.documents(s, d)
+      .withColumn("_w", (pmod(col("doc_id"), lit(17)) + 2).cast("long"))
+      .withColumn("_h", (pmod(col("doc_id"), lit(7)) + 2).cast("long"))
+      .withColumn("_dlen", col("_w") * col("_h"))
+      .withColumn("_data", expr(
+        "encode(substring(repeat(text, CAST(_dlen / length(text) + 1 " +
+          "AS INT)), 1, CAST(_dlen AS INT)), 'UTF-8')"))
+      .withColumn("_ihdr", concat(asciiLit("IHDR"),
+        be(col("_w"), 4), be(col("_h"), 4), unhex(lit("0802000000"))))
+      .withColumn("_idat", concat(asciiLit("IDAT"), col("_data")))
+    built.select(col("doc_id").as("asset_id"),
+      concat(
+        unhex(lit("89504E470D0A1A0A")),
+        be(lit(13L), 4), col("_ihdr"), be(crc32(col("_ihdr")), 4),
+        be(col("_dlen"), 4), col("_idat"), be(crc32(col("_idat")), 4),
+        be(lit(0L), 4), asciiLit("IEND"),
+        be(crc32(asciiLit("IEND")), 4)).as("payload"))
+  }
 }

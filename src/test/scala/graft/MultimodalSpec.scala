@@ -79,4 +79,43 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("m12 PNG payloads verify against an INDEPENDENT java.util.zip " +
+      "CRC32 and a byte-level reconstruction of the container") {
+    import org.apache.spark.sql.functions._
+    val out = Registry.byName("m12_png_header").fn(spark, sfDir)
+      .filter(col("asset_id") === 7L).collect().head
+    assert(out.getString(1) == "png")
+    assert(out.getBoolean(8) && out.getBoolean(9)) // ihdr_crc_ok, size_ok
+    val payload = graft.operators.Multimodal.pngAssets(spark, sfDir)
+      .filter(col("asset_id") === 7L)
+      .select(col("payload")).collect().head.getAs[Array[Byte]](0)
+    // Reconstruct the container independently from the build rule.
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 7L).select(col("text"))
+      .collect().head.getString(0)
+    val w = 2 + 7 % 17; val h = 2 + 7 % 7
+    val dlen = w * h
+    val data = (text * (dlen / text.length + 1)).substring(0, dlen)
+      .getBytes("UTF-8")
+    def be(x: Long, n: Int): Array[Byte] =
+      (1 to n).map(i => ((x >> (8 * (n - i))) & 0xff).toByte).toArray
+    def crc(b: Array[Byte]): Long = {
+      val c = new java.util.zip.CRC32(); c.update(b); c.getValue
+    }
+    val ihdr = "IHDR".getBytes("US-ASCII") ++ be(w.toLong, 4) ++
+      be(h.toLong, 4) ++ Array[Byte](8, 2, 0, 0, 0)
+    val idat = "IDAT".getBytes("US-ASCII") ++ data
+    val iend = "IEND".getBytes("US-ASCII")
+    val expected =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        be(13, 4) ++ ihdr ++ be(crc(ihdr), 4) ++
+        be(dlen.toLong, 4) ++ idat ++ be(crc(idat), 4) ++
+        be(0, 4) ++ iend ++ be(crc(iend), 4)
+    // Byte-identical: Spark's crc32/hex/concat algebra produced the
+    // container a plain-JVM PNG writer would (zlib step excepted).
+    assert(payload.toSeq == expected.toSeq)
+    assert(out.getLong(2) == w && out.getLong(3) == h)
+    assert(out.getLong(6) == dlen)
+  }
 }
