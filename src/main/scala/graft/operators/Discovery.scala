@@ -483,7 +483,96 @@ object Discovery {
         .select(col("table_name"), col("column_name"),
           col("i").cast("long").as("i"), col("m"))
         .orderBy(col("table_name"), col("column_name"), col("i"))
-    }, Some(sqlFullSketchRows(incrCandidates)))
+    }, Some(sqlFullSketchRows(incrCandidates))),
+
+    // ---------------------------------------------------------------- c06
+    // Per-column DRIFT discovery — "which columns of this table moved
+    // when the new slice landed?", the data-quality question a lake
+    // operator asks after every ingest (the monitoring half of the
+    // reference's metadata-management reading list). q57's exact
+    // two-sample Kolmogorov–Smirnov, generalized to EVERY profiled
+    // column in ONE pass: values unpivot to (column, value) rows, and
+    // the whole distributed prefix-sum pipeline (per-value counts →
+    // per-bucket subtotals → offset window → broadcast back → per-
+    // bucket running sums) runs keyed by column — one scan, one
+    // exchange chain, any number of columns. Buckets are value>>14,
+    // so the offset relation stays metadata-sized per column at any
+    // corpus size; money drifts on a whole-dollar grid (a valid KS of
+    // the discretized variable, exact on the integer grid). Output
+    // ranks columns by drift — the answer sheet for "what changed".
+    GQuery("c06_profile_drift", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ga = when(col("o_orderdate") <
+        lit("1998-01-01").cast("timestamp"), 1L).otherwise(0L)
+      val vals = T.orders(s, d).select(
+        explode(array(
+          struct(lit("o_custkey").as("cn"), col("o_custkey").as("vc")),
+          struct(lit("o_orderkey").as("cn"), col("o_orderkey").as("vc")),
+          struct(lit("o_totalprice_usd").as("cn"),
+            floor(col("o_totalprice")).cast("long").as("vc")))).as("e"),
+        ga.as("ga"))
+        .select(col("e.cn").as("cn"), col("e.vc").as("vc"), col("ga"))
+      val cnt = vals.groupBy("cn", "vc")
+        .agg(sum("ga").as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+      val bucketed = cnt.withColumn("bk", shiftright(col("vc"), 14))
+      val perBucket = bucketed.groupBy("cn", "bk")
+        .agg(sum("ca").as("bca"), sum("cb").as("bcb"))
+      val wOff = Window.partitionBy("cn").orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBucket.select(col("cn"), col("bk"),
+        coalesce(sum("bca").over(wOff), lit(0L)).as("offa"),
+        coalesce(sum("bcb").over(wOff), lit(0L)).as("offb"))
+      val wIn = Window.partitionBy("cn", "bk").orderBy("vc")
+      val cum = bucketed.join(broadcast(offsets), Seq("cn", "bk"))
+        .select(col("cn"), col("vc"),
+          (col("offa") + sum("ca").over(wIn)).as("cuma"),
+          (col("offb") + sum("cb").over(wIn)).as("cumb"))
+      val tot = perBucket.groupBy("cn")
+        .agg(sum("bca").as("na"), sum("bcb").as("nb"))
+      cum.join(broadcast(tot), Seq("cn"))
+        .groupBy(col("cn"), col("na"), col("nb"))
+        .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("ks_num"))
+        .select(col("cn").as("column_name"), col("na"), col("nb"),
+          col("ks_num"),
+          (col("ks_num").cast("double") / (col("na") * col("nb")))
+            .as("ks_stat"))
+        .orderBy(col("ks_stat").desc, col("column_name"))
+    }, Some("""
+      WITH vals AS (
+        SELECT 'o_custkey' AS cn, o_custkey AS vc,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 1 ELSE 0 END AS ga FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', o_orderkey,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 1 ELSE 0 END FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_usd', CAST(FLOOR(o_totalprice) AS BIGINT),
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                    THEN 1 ELSE 0 END FROM orders),
+      cnt AS (
+        SELECT cn, vc, CAST(SUM(ga) AS BIGINT) AS ca,
+               CAST(SUM(1 - ga) AS BIGINT) AS cb
+        FROM vals GROUP BY cn, vc),
+      tot AS (
+        SELECT cn, CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM cnt GROUP BY cn),
+      cum AS (
+        SELECT cn, vc,
+               CAST(SUM(ca) OVER (PARTITION BY cn ORDER BY vc)
+                 AS BIGINT) AS cuma,
+               CAST(SUM(cb) OVER (PARTITION BY cn ORDER BY vc)
+                 AS BIGINT) AS cumb
+        FROM cnt)
+      SELECT c.cn AS column_name, t.na, t.nb,
+             CAST(MAX(ABS(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT)
+               AS ks_num,
+             CAST(CAST(MAX(ABS(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT)
+                  AS DOUBLE) / (t.na * t.nb) AS ks_stat
+      FROM cum c JOIN tot t ON c.cn = t.cn
+      GROUP BY c.cn, t.na, t.nb
+      ORDER BY ks_stat DESC, column_name"""))
   )
 
   /** The CANDIDATE sketch index, memoized per (session, dir,
