@@ -1682,7 +1682,38 @@ object LakeSql {
         // bound — rejected loudly rather than silently widened.
         require(ins.partitionSpec.isEmpty,
           "partition-spec INSERT is not supported (full-table only)")
-        val df = Glue.dataFrame(s, ins.query)
+        val df0 = Glue.dataFrame(s, ins.query)
+        // BY NAME and column-list INSERTs must bind by NAME, never by
+        // position — ignoring the flags would land values in the wrong
+        // columns silently. Missing columns fill NULL (the SQL rule);
+        // unknown source columns refuse.
+        def alignByName(src: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val target =
+            if (isIceberg(ins.table)) IcebergLite.snapshot(s, p).schema
+            else DeltaLite.snapshot(s, p).schema
+          val byLower = src.columns.map(c => c.toLowerCase -> c).toMap
+          val extra = src.columns.filterNot(c =>
+            target.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(extra.isEmpty,
+            s"INSERT BY NAME: source column(s) ${extra.mkString(", ")} " +
+              "not in the target table")
+          src.select(target.fields.toSeq.map { f =>
+            byLower.get(f.name.toLowerCase)
+              .map(org.apache.spark.sql.functions.col)
+              .getOrElse(org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType))
+              .as(f.name)
+          }: _*)
+        }
+        val df =
+          if (ins.byName) alignByName(df0)
+          else if (ins.userSpecifiedCols.nonEmpty) {
+            require(ins.userSpecifiedCols.length == df0.columns.length,
+              s"INSERT column list names ${ins.userSpecifiedCols.length} " +
+                s"column(s) but the query produces ${df0.columns.length}")
+            alignByName(df0.toDF(ins.userSpecifiedCols: _*))
+          } else df0
         (isIceberg(ins.table), ins.overwrite) match {
           case (true, false) => IcebergLite.append(s, p, df)
           case (true, true) => IcebergLite.overwrite(s, p, df)

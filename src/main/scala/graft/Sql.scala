@@ -1789,7 +1789,56 @@ object Sql {
       GQuery("x69_sql_window_clause", (s, d) => {
         open(s, d)
         LakeSql.sql(s, WindowClauseText)
-      }, Some(WindowClauseText))
+      }, Some(WindowClauseText)),
+
+      // ------------------------------------------------------------- x70
+      // INSERT BY NAME + column-list INSERT into a lake table —
+      // DuckDB's name-bound insert forms: the BY NAME source projects
+      // a reordered SUBSET of the target's columns, the column-list
+      // form names two of four — both bind by NAME with NULL fill
+      // (positional binding would land segments in the name column
+      // and hash-fail). Oracle replays the two inserts' net effect;
+      // per-column non-null counts pin the NULL-fill placement.
+      GQuery("x70_sql_insert_by_name", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val base = graft.util.Scratch.dir("x70")
+        val t = s"ibn_$tag"
+        LakeSql.script(s, s"""
+          CREATE TABLE $t USING deltalite LOCATION '$base/$t'
+          AS SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+             FROM customer WHERE c_custkey < 0;
+          INSERT INTO $t BY NAME
+            SELECT c_mktsegment, c_custkey FROM customer
+            WHERE c_custkey <= 300;
+          INSERT INTO $t (c_custkey, c_acctbal)
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey > 300 AND c_custkey <= 600""")
+        val out = LakeSql.sql(s, s"""
+          SELECT c_mktsegment, COUNT(*) AS n,
+                 COUNT(c_name) AS n_name, COUNT(c_acctbal) AS n_bal,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS bal
+          FROM $t GROUP BY c_mktsegment
+          ORDER BY c_mktsegment NULLS FIRST""")
+        out.count() // materialize before the catalog entry drops
+        LakeSql.sql(s, s"DROP TABLE $t")
+        out
+      }, Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               COUNT(c_name) AS n_name, COUNT(c_acctbal) AS n_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS bal
+        FROM (
+          SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+                 CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey <= 300
+          UNION ALL
+          SELECT c_custkey, NULL, c_acctbal, CAST(NULL AS VARCHAR)
+          FROM customer WHERE c_custkey > 300 AND c_custkey <= 600)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment NULLS FIRST"""))
     )
   }
 

@@ -797,6 +797,47 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT BY NAME and column-list INSERT bind by name with NULL " +
+      "fill; unknown source columns refuse") {
+    Sql.open(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val t = s"ibn_spec_$tag"
+    LakeSql.sql(spark, s"""CREATE TABLE $t USING deltalite
+      LOCATION '${Scratch.dir("ibnspec")}/$t'
+      AS SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey < 0""")
+    // BY NAME: source columns reversed relative to the target order.
+    LakeSql.sql(spark, s"""INSERT INTO $t BY NAME
+      SELECT c_acctbal, c_custkey FROM customer WHERE c_custkey <= 5""")
+    val rows = LakeSql.sql(spark,
+      s"SELECT c_custkey, c_name, c_acctbal FROM $t ORDER BY c_custkey")
+      .collect()
+    assert(rows.length == 6 && rows.forall(_.isNullAt(1)))
+    val want = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 5)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // column-list form: count must match, unknown columns refuse
+    LakeSql.sql(spark, s"""INSERT INTO $t (c_name, c_custkey)
+      SELECT c_name, c_custkey FROM customer
+      WHERE c_custkey > 5 AND c_custkey <= 8""")
+    val added = LakeSql.sql(spark,
+      s"SELECT COUNT(*) AS n FROM $t WHERE c_acctbal IS NULL")
+      .collect().head.getLong(0)
+    assert(added == 3)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""INSERT INTO $t BY NAME
+        SELECT c_custkey, c_mktsegment FROM customer LIMIT 1""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""INSERT INTO $t (c_custkey)
+        SELECT c_custkey, c_name FROM customer LIMIT 1""")
+    }
+    LakeSql.sql(spark, s"DROP TABLE $t")
+  }
+
   test("EXPLAIN ANALYZE reports the executed plan with real output-row " +
       "counts: the scan count matches the table, the aggregate emits " +
       "one row per group") {
