@@ -112,6 +112,18 @@ object Bench {
     val sentinelEnd = (1 to 3).map(_ => sentinelOnce()).min
     val sentinelIoEnd = sentinelIo()
 
+    // IO-bracket adjudication (round-8 verdict): a disagreeing IO
+    // sentinel bracket is CONTENTION, exactly as a hot CPU probe is —
+    // round 8's committed record carried sentinel_io 0.212 vs a closing
+    // 0.091 and still labeled itself clean. The artifact now carries the
+    // verdict itself: contended when the two IO probes disagree >1.5×,
+    // or when either sits above the quiet band BASELINE.md records
+    // (0.12–0.16 s on this host; bound configurable).
+    val ioQuiet = sys.env.getOrElse("SPARK_GRAFT_IO_QUIET", "0.20").toDouble
+    val ioHi = math.max(sentinelIoStart, sentinelIoEnd)
+    val ioLo = math.min(sentinelIoStart, sentinelIoEnd)
+    val ioContended = (ioLo > 0 && ioHi / ioLo > 1.5) || ioHi > ioQuiet
+
     // Self-adjudication: any query over the perf bar re-runs in
     // isolation at the end of the whole sweep (RepeatCheck proves every
     // non-streaming query repeat-deterministic, so a re-run is safe).
@@ -141,7 +153,7 @@ object Bench {
     val midLine = midSentinels.map(v => "%.3f".formatLocal(
       java.util.Locale.ROOT, v)).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"sentinel_io":$sentinelIoStart,"sentinel_io_end":$sentinelIoEnd,"sentinels_mid":$midLine,"retimed":$fullRetimed,"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sentinel":$sentinel,"sentinel_end":$sentinelEnd,"sentinel_io":$sentinelIoStart,"sentinel_io_end":$sentinelIoEnd,"io_contended":$ioContended,"sentinels_mid":$midLine,"retimed":$fullRetimed,"queries":$fullQs,"sf":"$sfDir"}"""
     println(s"BENCH_FULL $fullLine")
     try {
       val out = java.nio.file.Paths.get(
@@ -165,7 +177,7 @@ object Bench {
     val rts = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sentinel":${f3(sentinel)},"sentinel_end":${f3(sentinelEnd)},"sentinel_io":${f3(sentinelIoStart)},"sentinel_io_end":${f3(sentinelIoEnd)},"sentinels_mid":$midLine,"retimed":$rts,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sentinel":${f3(sentinel)},"sentinel_end":${f3(sentinelEnd)},"sentinel_io":${f3(sentinelIoStart)},"sentinel_io_end":${f3(sentinelIoEnd)},"io_contended":$ioContended,"sentinels_mid":$midLine,"retimed":$rts,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

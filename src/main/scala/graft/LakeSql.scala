@@ -331,8 +331,14 @@ object LakeSql {
     case _ =>
       val st0 = expandMacros(s, statement)
       // File-reading table functions rewrite FIRST (pure text→text),
-      // so they compose with every other route below.
-      val st = if (TableFnKeyword.matches(st0))
+      // so they compose with every other route below — EXCEPT inside
+      // CREATE VIEW: a durable view stores its SQL text, and rewriting
+      // here would store the session temp-view name (__tf_…) instead of
+      // the file path, so the view would resolve to a missing table in
+      // any later session. The original text is stored and the rewrite
+      // runs at expansion time (view reads re-enter this method).
+      val st = if (TableFnKeyword.matches(st0) &&
+          !CreateViewKeyword.matches(st0))
         rewriteTableFunctions(s, st0) else st0
       st match {
         // EXPLAIN ANALYZE must route before plain EXPLAIN (whose regex
@@ -585,6 +591,8 @@ object LakeSql {
   // QUALIFY, EXPLAIN, SUMMARIZE, scripts, …
   private val TableFnKeyword =
     "(?is).*\\bread_(parquet|csv)\\s*\\(.*".r
+  private val CreateViewKeyword =
+    "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*".r
   private val TableFnRe =
     ("""(?is)\bread_(parquet|csv)\s*\(\s*'([^']+)'\s*""" +
       """(?:,\s*header\s*=\s*(true|false)\s*)?\)""").r
@@ -616,6 +624,11 @@ object LakeSql {
   // hash rule is portable and stable — the q31/d11 sampling law at
   // the text entry, so the SAME rows are kept by DuckDB replaying the
   // predicate, by every graft re-run, and by any repartitioning.
+  // NULL keys: the join uses NULL-PROPAGATING CONCAT (Spark's CONCAT
+  // = DuckDB's ||), so a row with any NULL key hashes to NULL and is
+  // DROPPED — identical on both engines. concat_ws would silently
+  // skip NULLs here, making ('a', NULL) collide with ('a') on the
+  // Spark side while the oracle's || replay drops the row.
   private val SampleKeyword = "(?is).*\\bUSING\\s+SAMPLE\\b.*".r
   private val SampleRe =
     ("""(?is)\bFROM\s+(\w+)\s+USING\s+SAMPLE\s+([0-9.]+)\s*""" +
@@ -632,7 +645,7 @@ object LakeSql {
       require(pct > 0 && pct < 100, s"USING SAMPLE: percent $pct out of (0, 100)")
       val threshold = "%03x".format(math.floor(4096.0 * pct / 100.0).toInt)
       val key = keys.map(k => s"CAST($k AS STRING)")
-        .mkString("concat_ws('-', ", ", ", ")")
+        .mkString("CONCAT(", ", '-', ", ")")
       scala.util.matching.Regex.quoteReplacement(
         s"FROM (SELECT * FROM $tbl WHERE " +
           s"SUBSTR(MD5($key), 1, 3) < '$threshold') $tbl")
@@ -658,6 +671,35 @@ object LakeSql {
     ("""(?is)\b(SUM|COUNT|AVG)\s*\(\s*([^()]+?)\s*\)\s+OVER\s+""" +
       """\(\s*([^()]*?)\s+EXCLUDE\s+CURRENT\s+ROW\s*\)""").r
 
+  /** The subtract-the-current-row identity is only valid when the
+    * frame CONTAINS the current row; for a frame that already excludes
+    * it (e.g. ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) DuckDB's
+    * EXCLUDE CURRENT ROW is a no-op and subtracting would be silently
+    * wrong — refuse loudly instead. A frame contains the current row
+    * iff its start is not strictly after it (no `n FOLLOWING` start)
+    * and its end is not strictly before it (no `n PRECEDING` end);
+    * the no-frame default (RANGE UNBOUNDED PRECEDING..CURRENT ROW)
+    * and the single-bound form (`ROWS n PRECEDING` = ..CURRENT ROW)
+    * always contain it.
+    */
+  private def requireFrameContainsCurrentRow(spec: String): Unit = {
+    val between =
+      """(?is)\b(ROWS|RANGE)\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$""".r
+    between.findFirstMatchIn(spec).foreach { fm =>
+      val start = fm.group(2).trim.toUpperCase
+      val end = fm.group(3).trim.toUpperCase
+      val startAfterCurrent =
+        start.endsWith("FOLLOWING") && !start.startsWith("UNBOUNDED")
+      val endBeforeCurrent =
+        end.endsWith("PRECEDING") && !end.startsWith("UNBOUNDED")
+      require(!startAfterCurrent && !endBeforeCurrent,
+        s"EXCLUDE CURRENT ROW over a frame that does not contain the " +
+          s"current row ($start AND $end) — DuckDB treats the " +
+          s"exclusion as a no-op there and the subtract-identity " +
+          s"rewrite would be wrong; drop the EXCLUDE or widen the frame")
+    }
+  }
+
   private[graft] def rewriteFrameExclude(statement: String): String = {
     require(FrameExcludeRe.findFirstIn(statement).isDefined,
       "unsupported EXCLUDE CURRENT ROW form — supported: " +
@@ -665,6 +707,7 @@ object LakeSql {
     val out = FrameExcludeRe.replaceAllIn(statement, m => {
       val (fn, e, spec) =
         (m.group(1).toUpperCase, m.group(2).trim, m.group(3).trim)
+      requireFrameContainsCurrentRow(spec)
       val w = s"OVER ($spec)"
       val cnt = s"(COUNT($e) $w - (CASE WHEN ($e) IS NULL THEN 0 ELSE 1 END))"
       val sum = s"(CASE WHEN $cnt = 0 THEN NULL " +
@@ -822,11 +865,21 @@ object LakeSql {
     val fromIdx = topLevelIndexOf(rest0, "FROM")
     require(fromIdx >= 0, "DISTINCT ON: missing FROM")
     val selectList = rest0.substring(0, fromIdx).trim
-    require(selectList.nonEmpty && !selectList.contains("*"),
+    require(selectList.nonEmpty && !splitTopCommas(selectList)
+        .exists(it => it.trim == "*" || it.trim.endsWith(".*")),
       "DISTINCT ON: an explicit select list is required (no *)")
-    val names = splitTopCommas(selectList).map { it =>
-      "(?is)^.*\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(it)
-        .map(_.group(1)).getOrElse {
+    // names: the projected output columns; aliasSrc: alias → source
+    // expression, needed because Spark cannot resolve a same-select
+    // alias inside a window spec (lateral column aliases don't reach
+    // OVER clauses) — order items naming an alias substitute the
+    // source expression into the generated ROW_NUMBER window.
+    val items = splitTopCommas(selectList)
+    val aliasSrc = scala.collection.mutable.Map.empty[String, String]
+    val names = items.map { it =>
+      "(?is)^(.*\\S)\\s+AS\\s+(\\w+)\\s*$".r.findFirstMatchIn(it)
+        .map { am => aliasSrc(am.group(2).toLowerCase) = am.group(1).trim
+          am.group(2) }
+        .getOrElse {
           require("(?s)^[\\w.]+$".r.matches(it.trim),
             s"DISTINCT ON: select item needs an alias: $it")
           it.trim.split('.').last
@@ -846,15 +899,35 @@ object LakeSql {
       if (limIdx >= 0) (obTail.substring(0, limIdx).trim,
         " " + obTail.substring(limIdx).trim)
       else (obTail.trim, "")
-    splitTopCommas(orderList).foreach(o => require(
-      "(?is)^\\w+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?$".r
-        .matches(o.trim),
-      s"DISTINCT ON: order item must be an unqualified projected " +
-        s"column [ASC|DESC] (got: $o)"))
+    val OrderItemRe =
+      "(?is)^(\\w+)(\\s+(?:ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?$".r
+    val parsedOrder = splitTopCommas(orderList).map { o =>
+      OrderItemRe.findFirstMatchIn(o.trim).getOrElse(
+        throw new IllegalArgumentException(
+          s"DISTINCT ON: order item must be an unqualified projected " +
+            s"column [ASC|DESC] [NULLS FIRST|LAST] (got: $o)"))
+    }
+    // DuckDB running the SAME text defaults ORDER BY to NULLS LAST;
+    // Spark's ASC default is NULLS FIRST — with nullable order keys a
+    // bare item would keep a DIFFERENT surviving row per group. Items
+    // lacking an explicit NULLS clause get NULLS LAST appended on the
+    // Spark side so both engines pick the same row.
+    def render(m: scala.util.matching.Regex.Match, name: String) = {
+      val dir = Option(m.group(2)).getOrElse("")
+      val nulls = Option(m.group(3)).getOrElse(" NULLS LAST")
+      s"$name$dir$nulls"
+    }
+    // Window ORDER BY: substitute alias sources (see aliasSrc above);
+    // outer ORDER BY: the projected names resolve directly.
+    val windowOrder = parsedOrder.map(m =>
+      render(m, aliasSrc.getOrElse(m.group(1).toLowerCase, m.group(1))))
+      .mkString(", ")
+    val outerOrder = parsedOrder.map(m => render(m, m.group(1)))
+      .mkString(", ")
     s"SELECT ${names.mkString(", ")} FROM (SELECT $selectList, " +
       s"ROW_NUMBER() OVER (PARTITION BY ${onExprs.mkString(", ")} " +
-      s"ORDER BY $orderList) AS __don $fromPart) __distinct_on " +
-      s"WHERE __don = 1 ORDER BY $orderList$limitPart"
+      s"ORDER BY $windowOrder) AS __don $fromPart) __distinct_on " +
+      s"WHERE __don = 1 ORDER BY $outerOrder$limitPart"
   }
 
   // ---- UNION [ALL] BY NAME at the text entry -----------------------
@@ -942,7 +1015,11 @@ object LakeSql {
     val items = splitTopCommas(selectList)
     require(items.nonEmpty && !items.exists(_.trim == "*"),
       "ORDER BY ALL needs an explicit select list (no bare *)")
-    s"$head ORDER BY ${(1 to items.size).mkString(", ")}$tail"
+    // Explicit NULLS LAST per ordinal: DuckDB's ORDER BY default is
+    // NULLS LAST while Spark's ASC default is NULLS FIRST — nullable
+    // select items would otherwise order differently per engine.
+    val ordinals = (1 to items.size).map(i => s"$i NULLS LAST")
+    s"$head ORDER BY ${ordinals.mkString(", ")}$tail"
   }
 
   // ---- EXPLAIN ANALYZE at the text entry ---------------------------

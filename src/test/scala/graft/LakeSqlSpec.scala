@@ -615,7 +615,8 @@ class LakeSqlSpec extends SparkSpec {
       "list; bare * refuses") {
     Sql.open(spark, sfDir)
     assert(LakeSql.rewriteOrderByAll(
-      "SELECT a, b, c FROM t ORDER BY ALL").endsWith("ORDER BY 1, 2, 3"))
+      "SELECT a, b, c FROM t ORDER BY ALL").endsWith(
+      "ORDER BY 1 NULLS LAST, 2 NULLS LAST, 3 NULLS LAST"))
     val got = LakeSql.sql(spark, """
       SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
       FROM customer GROUP BY ALL ORDER BY ALL""").collect()
@@ -795,6 +796,98 @@ class LakeSqlSpec extends SparkSpec {
         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
         EXCLUDE CURRENT ROW) FROM fx_t""")
     }
+  }
+
+  test("frame EXCLUDE CURRENT ROW refuses frames that do not contain " +
+      "the current row (where DuckDB's EXCLUDE is a no-op)") {
+    import spark.implicits._
+    Seq((1, 1, 10.0), (1, 2, 20.0)).toDF("g", "i", "v")
+      .createOrReplaceTempView("fxr_t")
+    // both-PRECEDING and both-FOLLOWING frames exclude the current row
+    // already; the subtract identity would be silently wrong.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT SUM(v) OVER (PARTITION BY g ORDER BY i
+        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+        EXCLUDE CURRENT ROW) FROM fxr_t""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT SUM(v) OVER (PARTITION BY g ORDER BY i
+        ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING
+        EXCLUDE CURRENT ROW) FROM fxr_t""")
+    }
+    // frames spanning the current row still rewrite fine
+    val ok = LakeSql.sql(spark, """SELECT SUM(v) OVER (
+      PARTITION BY g ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      EXCLUDE CURRENT ROW) AS s FROM fxr_t""").collect()
+    assert(ok.map(_.getDouble(0)).sorted.toSeq == Seq(10.0, 20.0))
+  }
+
+  test("DISTINCT ON orders NULLS LAST by default (DuckDB's default) " +
+      "and resolves select-list aliases in the order list") {
+    import spark.implicits._
+    Seq((1, Some(5.0), "a"), (1, None, "b"), (2, Some(1.0), "c"),
+      (2, Some(3.0), "d"))
+      .toDF("g", "v", "tag").createOrReplaceTempView("don_t")
+    // bare ASC order key with NULLs: DuckDB keeps the non-null row
+    // first (NULLS LAST); Spark's native default would keep the NULL
+    // row. The rewrite must match DuckDB.
+    val got = LakeSql.sql(spark, """
+      SELECT DISTINCT ON (g) g, v, tag FROM don_t
+      ORDER BY g, v""").collect().map(r =>
+      (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getString(2)))
+    assert(got.toSeq == Seq((1, 5.0, "a"), (2, 1.0, "c")))
+    // alias of a computed expression as an order item: must substitute
+    // the source expression into the window ORDER BY (a lateral alias
+    // cannot resolve inside an OVER clause).
+    val aliased = LakeSql.sql(spark, """
+      SELECT DISTINCT ON (g) g, v * 2 AS bal FROM don_t
+      ORDER BY g, bal DESC""").collect().map(r =>
+      (r.getInt(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(aliased.toSeq == Seq((1, 10.0), (2, 6.0)))
+  }
+
+  test("ORDER BY ALL sorts NULLS LAST, matching DuckDB's default") {
+    import spark.implicits._
+    Seq(Some(2), None, Some(1)).toDF("v")
+      .createOrReplaceTempView("oba_t")
+    val got = LakeSql.sql(spark, "SELECT v FROM oba_t ORDER BY ALL")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(got.toSeq == Seq(1, 2, null))
+  }
+
+  test("USING SAMPLE drops rows with NULL keys (NULL-propagating " +
+      "concat, matching the oracle's || replay)") {
+    import spark.implicits._
+    Seq((Some("a"), Some("b")), (Some("a"), None), (None, Some("b")))
+      .toDF("k1", "k2").createOrReplaceTempView("smp_t")
+    // 99.99% sample: every hashable row kept; NULL-keyed rows dropped.
+    val got = LakeSql.sql(spark, """SELECT k1, k2 FROM smp_t
+      USING SAMPLE 99.99 PERCENT (k1, k2)""").collect()
+    assert(got.length == 1 && got.head.getString(0) == "a" &&
+      got.head.getString(1) == "b")
+  }
+
+  test("CREATE VIEW over read_parquet stores the ORIGINAL text (file " +
+      "path, not a session temp-view name) and re-resolves on read") {
+    Sql.open(spark, sfDir)
+    val v = "vtf_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(8)
+    LakeSql.sql(spark, s"""CREATE VIEW $v AS
+      SELECT COUNT(*) AS n FROM read_parquet('$sfDir/nation.parquet')""")
+    // catalog text must hold the table function, not __tf_…
+    val meta = LakeSql.tablesMeta(spark).collect()
+      .find(_.getString(0) == v)
+    assert(meta.isDefined && meta.get.getString(1) == "view")
+    // drop every session temp view the rewrite may have registered:
+    // the view must still resolve from its stored text alone.
+    spark.catalog.listTables().collect()
+      .filter(t => t.name.startsWith("__tf_") && t.isTemporary)
+      .foreach(t => spark.catalog.dropTempView(t.name))
+    val n = LakeSql.table(spark, v).collect().head.getLong(0)
+    assert(n == Tables.nation(spark, sfDir).count())
+    LakeSql.sql(spark, s"DROP VIEW $v")
   }
 
   test("INSERT BY NAME and column-list INSERT bind by name with NULL " +
