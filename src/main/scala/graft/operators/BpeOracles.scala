@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.BpeRuntime
+
+/** DuckDB oracle replays of the byte-level BPE encoder — the merge
+  * loop is deterministic integer work, so the oracle runs the SAME
+  * rank-order pass structure as [[graft.functions.BpeRuntime]]
+  * (built from the same in-repo merge table, never duplicated) as a
+  * recursive CTE:
+  *
+  *   state(step, doc_id, pos, id) — step s has merges 0..s-1 applied,
+  *   positions renumbered contiguous. Each iteration applies merge
+  *   rank = step to every document: candidate positions are (id, next
+  *   id) = (l, r); within a run of CONSECUTIVE candidates (only
+  *   possible when l = r, e.g. "aaa" under (a,a)) the left-to-right
+  *   non-overlap rule keeps the 1st, 3rd, … — the streak-parity
+  *   window below. Kept positions take the merged id; the row to
+  *   their right drops; ROW_NUMBER renumbers. The join on
+  *   merges.rank = step terminates the recursion after the last rank.
+  *
+  * Validated value-for-value against an independent reference
+  * implementation of BPE on the full corpus (and BpeSpec pins the
+  * Scala encoder to the same semantics).
+  */
+object BpeOracles {
+
+  private def valuesList: String =
+    BpeRuntime.MergeTable.zipWithIndex.map { case ((l, r), i) =>
+      s"($i,$l,$r,${256 + i})"
+    }.mkString(",")
+
+  private def k: Int = BpeRuntime.NumMerges
+
+  /** Shared CTE chain ending in `enc` (final state at step = K). */
+  private def encCtes: String = s"""
+    merges(rank, l, r, nid) AS (
+      SELECT * FROM (VALUES $valuesList) m(rank, l, r, nid)),
+    chars AS (
+      SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+             ord(substr(text, CAST(i + 1 AS INT), 1)) AS id
+      FROM (SELECT doc_id, text,
+                   unnest(range(CAST(length(text) AS BIGINT))) AS i
+            FROM documents) u),
+    enc(step, doc_id, pos, id) AS (
+      SELECT 0, doc_id, pos, id FROM chars
+      UNION ALL
+      SELECT step + 1, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+             CASE WHEN keep = 1 THEN nid ELSE id END AS id
+      FROM (
+        SELECT *, COALESCE(LAG(keep) OVER (PARTITION BY doc_id
+                    ORDER BY pos), 0) AS prev_keep
+        FROM (
+          SELECT *, CASE WHEN cand = 1 AND streak % 2 = 1
+                         THEN 1 ELSE 0 END AS keep
+          FROM (
+            SELECT *, pos - COALESCE(MAX(CASE WHEN cand = 0 THEN pos END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING), 0) AS streak
+            FROM (
+              SELECT c.step, c.doc_id, c.pos, c.id, m.nid,
+                     CASE WHEN c.id = m.l AND c.nxt = m.r
+                          THEN 1 ELSE 0 END AS cand
+              FROM (
+                SELECT step, doc_id, pos, id,
+                       LEAD(id) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS nxt
+                FROM enc WHERE step < $k
+              ) c JOIN merges m ON m.rank = c.step
+            ) q1
+          ) q2
+        ) q3
+      ) q4
+      WHERE prev_keep = 0
+    )"""
+
+  /** t17: per-document token count + position-weighted sequence
+    * checksum — the checksum pins every token id AND its position.
+    */
+  def t17: String = s"""
+    WITH RECURSIVE $encCtes
+    SELECT doc_id, COUNT(*) AS n_bpe_tokens,
+           CAST(SUM(id * pos) AS BIGINT) AS bpe_checksum
+    FROM enc WHERE step = $k
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** t18: the t11 greedy packing manifest, denominated in REAL BPE
+    * tokens (budget [[graft.operators.TextOps.BpePackBudget]]).
+    */
+  def t18(budget: Int): String = s"""
+    WITH RECURSIVE $encCtes,
+    counts AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM enc WHERE step = $k
+      GROUP BY doc_id),
+    t AS (
+      SELECT d.doc_id, d.source, c.n_tok
+      FROM documents d JOIN counts c USING (doc_id)),
+    c2 AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, CAST(FLOOR((cum - n_tok) / $budget.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM c2 GROUP BY 1, 2 ORDER BY source, bin"""
+}

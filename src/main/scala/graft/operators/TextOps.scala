@@ -213,6 +213,12 @@ object TextOps {
         regexp_replace(regexp_replace(regexp_replace(col(textCol),
           EmailRe, "[EMAIL]"), UrlRe, "[URL]"), PhoneRe, "[PHONE]"))
 
+  /** t18's packing budget in real BPE tokens (docs here average ~51
+    * tokens, so bins hold ~5 docs — the t11 fill shape). Declared
+    * BEFORE `all`: the oracle strings evaluate eagerly at Seq build.
+    */
+  val BpePackBudget: Int = 256
+
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- t01
@@ -780,7 +786,44 @@ object TextOps {
       SELECT doc_id, n_tokens, margin, margin > 0 AS keep,
              ROUND(CAST(margin AS DOUBLE) / GREATEST(n_tokens, 1), 4)
                AS score
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t17
+    // REAL byte-level BPE tokenization (functions/Bpe.scala) — the
+    // token accounting every mixture/packing/budget decision is
+    // denominated in, upgraded from t01's regex approximation to the
+    // standard BPE construction with an in-repo trained merge table.
+    // Per doc: exact token count + a position-weighted checksum of
+    // the full id sequence, so the oracle (a recursive-CTE replay of
+    // the same rank-order merge loop, BpeOracles.t17) pins every
+    // token id and position, not just the count. Scale: one
+    // codegen'd per-row expression, no shuffle — the 100 TB shape.
+    GQuery("t17_bpe_tokens", (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.count(col("text")).as("n_bpe_tokens"),
+          graft.functions.Bpe.checksum(col("text")).as("bpe_checksum"))
+        .orderBy(col("doc_id"))
+    }, Some(BpeOracles.t17)),
+
+    // ---------------------------------------------------------------- t18
+    // t11's greedy sequence packing with budgets denominated in REAL
+    // BPE tokens (t17's encoder) instead of whitespace counts — the
+    // variant a pretraining pipeline actually runs. Same scale shape
+    // as t11: one exchange on the source shard key, a running-sum
+    // window inside each shard; the encoder rides the scan.
+    GQuery("t18_bpe_packing", (s, d) => {
+      val toks = graft.functions.Bpe.count(col("text"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      T.documents(s, d)
+        .select(col("doc_id"), col("source"), toks.as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")) / BpePackBudget).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    }, Some(BpeOracles.t18(BpePackBudget)))
   )
 
   /** charPoly31 replay fragment for the t16 oracle (the t04/q55 list-

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.functions.{Bpe, BpeRuntime}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the byte-level BPE encoder: known values, the rank-order vs
+  * min-rank-first equivalence the oracle replay relies on, overlap
+  * (self-pair) semantics, and the Catalyst expressions end to end.
+  */
+class BpeSpec extends SparkSpec with Matchers {
+
+  private def enc(s: String): Array[Int] =
+    BpeRuntime.encodeBytes(s.getBytes("UTF-8"))
+
+  test("merge table is well-formed: every pair references only " +
+      "earlier-created ids; no duplicate pairs") {
+    BpeRuntime.MergeTable.zipWithIndex.foreach { case ((l, r), i) =>
+      assert(l >= 0 && l < 256 + i, s"rank $i left id $l from the future")
+      assert(r >= 0 && r < 256 + i, s"rank $i right id $r from the future")
+    }
+    val pairs = BpeRuntime.MergeTable.toSeq
+    assert(pairs.distinct.size == pairs.size, "duplicate merge pair")
+  }
+
+  test("known encodings: base bytes pass through; trained merges fire") {
+    // bytes with no merges stay single-byte ids
+    assert(enc("QQ").toSeq == Seq('Q'.toInt, 'Q'.toInt))
+    assert(enc("").toSeq == Seq.empty)
+    // rank 0 = (32, 115) " s": the pair becomes token 256
+    assert(enc(" s").toSeq == Seq(256))
+    // rank 1 = (101, 114) "er" -> 257; rank 7 = (257, 32) "er " -> 263
+    assert(enc("er").toSeq == Seq(257))
+    assert(enc("er ").toSeq == Seq(263))
+    // common corpus words compress to few tokens
+    assert(enc("order ").length < "order ".length)
+  }
+
+  test("self-pair overlap merges left to right non-overlapping") {
+    // 333 = "or" (rank 3 is (111,114) -> 259... build the real run:
+    // find a self-pair merge in the table and synthesize its byte form
+    val self = BpeRuntime.MergeTable.zipWithIndex.collectFirst {
+      case ((l, r), i) if l == r => (l, 256 + i)
+    }
+    assume(self.isDefined, "table has a self-pair merge")
+    val (sym, nid) = self.get
+    // decode sym back to bytes by expanding the merge chain
+    def expand(id: Int): Array[Byte] =
+      if (id < 256) Array(id.toByte)
+      else {
+        val (l, r) = BpeRuntime.MergeTable(id - 256)
+        expand(l) ++ expand(r)
+      }
+    val unit = expand(sym)
+    // three consecutive units: [sym,sym,sym] -> [nid, sym] (merge 1&2,
+    // skip overlap at 2&3)
+    val tripled = unit ++ unit ++ unit
+    val got = BpeRuntime.encodeBytes(tripled)
+    // the first two units merged; the third left alone (possibly
+    // merged further by LATER ranks, so check the min-rank reference
+    // agrees rather than the raw shape)
+    assert(got.toSeq == BpeRuntime.encodeMinRank(tripled).toSeq)
+  }
+
+  test("rank-order and GPT-2-style min-rank-first encoders agree on " +
+      "the corpus and on adversarial random byte strings") {
+    val docs = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    docs.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      assert(BpeRuntime.encodeBytes(b).toSeq ==
+        BpeRuntime.encodeMinRank(b).toSeq, s"corpus divergence: $t")
+    }
+    // adversarial: random strings over the HIGH-merge-density alphabet
+    // (lowercase + space), where run/overlap cases concentrate
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val s = Array.fill(n)(("abcdefghijklmnopqrstuvwxyz  "
+        .charAt(rnd.nextInt(28))).toByte)
+      assert(BpeRuntime.encodeBytes(s).toSeq ==
+        BpeRuntime.encodeMinRank(s).toSeq,
+        s"divergence on: ${new String(s)}")
+    }
+  }
+
+  test("count and checksum expressions match the runtime, in both " +
+      "interpreted and codegen paths") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        Bpe.count(col("text")).as("n"),
+        Bpe.checksum(col("text")).as("ck"),
+        Bpe.ids(col("text")).as("ids"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = BpeRuntime.encodeIds(UTF8String.fromString(r.getString(1)))
+      assert(r.getLong(2) == ids.length.toLong)
+      assert(r.getLong(3) ==
+        ids.zipWithIndex.map { case (v, i) => v.toLong * (i + 1) }.sum)
+      assert(r.getSeq[Int](4).toArray.toSeq == ids.toSeq)
+    }
+    // compression sanity: real tokenization beats bytes by > 3x here
+    val totalBytes = rows.map(_.getString(1).length.toLong).sum
+    val totalToks = rows.map(_.getLong(2)).sum
+    assert(totalToks * 3 < totalBytes,
+      s"weak compression: $totalToks tokens for $totalBytes bytes")
+  }
+}
