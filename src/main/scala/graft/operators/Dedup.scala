@@ -395,6 +395,76 @@ object Dedup {
           greatest(col("n_spans"), lit(1L)), 4).as("dup_frac"))
   }
 
+  /** EXACT substring-dedup accounting — the suffix-array method of the
+    * "Deduplicating Training Data" line of work, re-expressed in the
+    * shape that distributes: a token position is covered by a
+    * duplicated substring of length ≥ n iff it lies inside a
+    * duplicated n-gram (⇒: any length-≥n duplicated span contains an
+    * n-window through every one of its positions; ⇐: a duplicated
+    * n-gram IS a duplicated span), so the union of duplicated-n-gram
+    * intervals, merged maximal, equals the exact duplicated-span
+    * coverage a suffix array would report. Duplication is counted at
+    * OCCURRENCE level (corpus frequency ≥ 2, within-doc repeats
+    * included) — exactly what d10's distinct-doc n-gram rule misses;
+    * d16 also reports d10's cross-doc count so the approximation
+    * error is in the artifact itself.
+    *
+    * Scale: grams shard by gram hash (one keyed shuffle for the
+    * frequency count, one semi-join back — d10's shape), and the
+    * interval merge is a per-doc window (one doc-keyed exchange).
+    * No global sort, no all-pairs, no suffix concatenation of the
+    * corpus.
+    */
+  def exactSubstringDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Scale.widen(docs, col(idCol))
+    val ws = split(col(textCol), " ")
+    val occs = base.select(col(idCol), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("ws")) - lit(n - 1)),
+        i => struct(i.as("start"),
+          array_join(slice(col("ws"), i, lit(n)), " ").as("ng")))).as("o"))
+      .select(col(idCol), col("o.start").cast("long").as("start"),
+        col("o.ng").as("ng"))
+    val stats = occs.groupBy(col("ng"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col(idCol)).as("nd"))
+      .filter(col("cnt") >= 2)
+      .select(col("ng"), col("nd"))
+    val dup = occs.join(stats, Seq("ng"))
+      .select(col(idCol), col("start"),
+        (col("start") + lit(n - 1)).as("e"), (col("nd") > 1).as("xdoc"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("new_span",
+        when(col("start") > coalesce(prevMax, lit(-100L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min(col("start")).as("s"), max(col("e")).as("ee"))
+    val perDoc = spans.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_dup_spans0"),
+      sum(col("ee") - col("s") + 1).as("n_dup_tokens0"),
+      max(col("ee") - col("s") + 1).as("max_span0"))
+    val occCounts = dup.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_dup_grams0"),
+      sum(when(col("xdoc"), 1L).otherwise(0L)).as("n_dup_grams_xdoc0"))
+    base.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .join(occCounts, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_tokens0"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens0"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 4).as("dup_token_frac"),
+        coalesce(col("n_dup_spans0"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_span0"), lit(0L)).as("max_span"),
+        coalesce(col("n_dup_grams0"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_dup_grams_xdoc0"), lit(0L)).as("n_dup_grams_xdoc"))
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---------------------------------------------------------------- d01
@@ -708,7 +778,63 @@ object Dedup {
           clusterAssignment = Some(DupClusters.clustersMemo(s, d)))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
-    }, Some(DedupOracles.d15))
+    }, Some(DedupOracles.d15)),
+
+    // ---------------------------------------------------------------- d16
+    // EXACT substring dedup (see exactSubstringDedup): maximal
+    // duplicated-span coverage at occurrence level — what a suffix
+    // array over the concatenated corpus reports, computed with two
+    // gram-sharded shuffles + one per-doc window instead of a global
+    // suffix sort. Carries d10's cross-doc count alongside, so the
+    // n-gram approximation's error (within-doc repetition it misses)
+    // is measurable from this one result; DedupSpec asserts the
+    // agreement bounds.
+    GQuery("d16_exact_substring", (s, d) => {
+      exactSubstringDedup(T.documents(s, d), n = 8).orderBy(col("doc_id"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      s AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(ws) - 6, 1)),
+                     i -> struct_pack(st := i,
+                       ng := array_to_string(list_slice(ws, i, i + 7), ' '))))
+                     AS o
+            FROM w WHERE len(ws) >= 8),
+      occ AS (SELECT doc_id, CAST(o.st AS BIGINT) AS start, o.ng AS ng
+              FROM s),
+      stats AS (SELECT ng, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS nd
+                FROM occ GROUP BY ng),
+      dup AS (SELECT o.doc_id, o.start, o.start + 7 AS e, st.nd > 1 AS xdoc
+              FROM occ o JOIN stats st USING (ng) WHERE st.cnt >= 2),
+      m AS (SELECT *, CASE WHEN start > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100) + 1
+              THEN 1 ELSE 0 END AS new_span
+            FROM dup),
+      sp AS (SELECT *, SUM(new_span) OVER (PARTITION BY doc_id
+               ORDER BY start ROWS UNBOUNDED PRECEDING) AS span_id
+             FROM m),
+      spans AS (SELECT doc_id, span_id, MIN(start) AS s, MAX(e) AS ee
+                FROM sp GROUP BY doc_id, span_id),
+      per AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                     SUM(ee - s + 1) AS n_dup_tokens,
+                     MAX(ee - s + 1) AS max_span
+              FROM spans GROUP BY doc_id),
+      oc AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+                    SUM(CASE WHEN xdoc THEN 1 ELSE 0 END)
+                      AS n_dup_grams_xdoc
+             FROM dup GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+             ROUND(CAST(COALESCE(n_dup_tokens, 0) AS DOUBLE)
+               / greatest(len(ws), 1), 4) AS dup_token_frac,
+             CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             CAST(COALESCE(max_span, 0) AS BIGINT) AS max_span,
+             CAST(COALESCE(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+             CAST(COALESCE(n_dup_grams_xdoc, 0) AS BIGINT)
+               AS n_dup_grams_xdoc
+      FROM w LEFT JOIN per USING (doc_id) LEFT JOIN oc USING (doc_id)
+      ORDER BY w.doc_id"""))
   )
 
   /** Per-source keep threshold (hex prefix of md5) for d11: the target

@@ -101,4 +101,44 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(custom.contains(1L) && !custom.contains(2L))
   }
+
+  test("d16 exact substring dedup: coverage merges overlapping grams, " +
+      "counts within-doc repeats d10 misses, agrees with d10 cross-doc") {
+    // doc 1 & 2 share a 10-word run (cross-doc duplication, spans of
+    // 8-grams overlap); doc 3 repeats its OWN 8-gram twice with no
+    // cross-doc twin (d10-invisible); doc 4 is clean.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val rows = Seq(
+      1L -> s"$shared a1 a2 a3 a4 a5 a6 a7 a8 a9 a10",
+      2L -> s"b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 $shared",
+      3L -> s"$rep c1 c2 c3 c4 $rep",
+      4L -> (1 to 30).map(i => s"z$i").mkString(" "))
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(docs, n = 8).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1/2: the shared 10-run has 3 duplicated 8-grams merging to
+    // ONE maximal span of 10 tokens
+    Seq(1L, 2L).foreach { d =>
+      assert(got(d).getLong(2) == 10L, s"doc $d dup tokens")     // n_dup_tokens
+      assert(got(d).getLong(4) == 1L, s"doc $d span count")      // n_dup_spans
+      assert(got(d).getLong(5) == 10L, s"doc $d max span")       // max_span
+      assert(got(d).getLong(7) == 3L, s"doc $d xdoc grams")      // xdoc grams
+    }
+    // doc 3: two separated occurrences of the same 8-gram — WITHIN-doc
+    // duplication: 2 spans × 8 tokens; cross-doc count is ZERO, which
+    // is exactly what d10 reports for it (the approximation error).
+    assert(got(3L).getLong(2) == 16L && got(3L).getLong(4) == 2L)
+    assert(got(3L).getLong(6) == 2L && got(3L).getLong(7) == 0L)
+    assert(got(4L).getLong(2) == 0L && got(4L).getLong(4) == 0L)
+    // agreement bound vs d10 on the same corpus: the cross-doc gram
+    // count equals d10's n_dup_spans for EVERY doc, and the
+    // occurrence-level count never undershoots it.
+    val d10 = Dedup.spanDedupStats(docs, n = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, r) =>
+      assert(r.getLong(7) == d10(id), s"doc $id xdoc vs d10")
+      assert(r.getLong(6) >= r.getLong(7), s"doc $id occ >= xdoc")
+    }
+  }
 }
