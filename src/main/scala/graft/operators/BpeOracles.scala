@@ -18,6 +18,14 @@ import graft.functions.BpeRuntime
   *   their right drops; ROW_NUMBER renumbers. The join on
   *   merges.rank = step terminates the recursion after the last rank.
   *
+  * The byte stream is derived from the text's actual UTF-8 bytes
+  * (hex(encode(text)), two hex digits per byte) — NOT codepoints —
+  * so multi-byte characters encode identically to
+  * BpeRuntime.encodeBytes (text.getBytes(UTF_8) & 0xff) and the
+  * oracle holds on non-ASCII corpora. Documents with empty text
+  * survive via a LEFT JOIN back onto `documents` with zero counts,
+  * matching the Spark side's count=0/checksum=0 rows.
+  *
   * Validated value-for-value against an independent reference
   * implementation of BPE on the full corpus (and BpeSpec pins the
   * Scala encoder to the same semantics).
@@ -37,9 +45,10 @@ object BpeOracles {
       SELECT * FROM (VALUES $valuesList) m(rank, l, r, nid)),
     chars AS (
       SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
-             ord(substr(text, CAST(i + 1 AS INT), 1)) AS id
-      FROM (SELECT doc_id, text,
-                   unnest(range(CAST(length(text) AS BIGINT))) AS i
+             16 * (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 1 AS INT), 1)) - 1)
+               + (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 2 AS INT), 1)) - 1) AS id
+      FROM (SELECT doc_id, hex(encode(text)) AS h,
+                   unnest(range(CAST(octet_length(encode(text)) AS BIGINT))) AS i
             FROM documents) u),
     enc(step, doc_id, pos, id) AS (
       SELECT 0, doc_id, pos, id FROM chars
@@ -78,11 +87,15 @@ object BpeOracles {
     * checksum — the checksum pins every token id AND its position.
     */
   def t17: String = s"""
-    WITH RECURSIVE $encCtes
-    SELECT doc_id, COUNT(*) AS n_bpe_tokens,
-           CAST(SUM(id * pos) AS BIGINT) AS bpe_checksum
-    FROM enc WHERE step = $k
-    GROUP BY doc_id ORDER BY doc_id"""
+    WITH RECURSIVE $encCtes,
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bpe_tokens,
+             CAST(SUM(id * pos) AS BIGINT) AS bpe_checksum
+      FROM enc WHERE step = $k GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(a.bpe_checksum, 0) AS bpe_checksum
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id"""
 
   /** t18: the t11 greedy packing manifest, denominated in REAL BPE
     * tokens (budget [[graft.operators.TextOps.BpePackBudget]]).
@@ -93,8 +106,8 @@ object BpeOracles {
       SELECT doc_id, COUNT(*) AS n_tok FROM enc WHERE step = $k
       GROUP BY doc_id),
     t AS (
-      SELECT d.doc_id, d.source, c.n_tok
-      FROM documents d JOIN counts c USING (doc_id)),
+      SELECT d.doc_id, d.source, COALESCE(c.n_tok, 0) AS n_tok
+      FROM documents d LEFT JOIN counts c USING (doc_id)),
     c2 AS (
       SELECT doc_id, source, n_tok,
              SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

@@ -85,6 +85,29 @@ class BpeSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("non-ASCII text encodes as UTF-8 BYTES (one id per byte before " +
+      "merges), never codepoints — the invariant the DuckDB oracle " +
+      "(hex(encode(text)) byte stream) relies on") {
+    // multi-byte chars: 2-byte (é), 3-byte (€, CJK), mixed scripts
+    val samples = Seq("héllo wörld ¡é€", "日本語のテキスト",
+      "ааа кириллица", "mixed ascii と 日本語 and é", "")
+    samples.foreach { s =>
+      val bytes = s.getBytes("UTF-8")
+      val ids = BpeRuntime.encodeBytes(bytes)
+      // every id below 256 is a raw byte; ids >= 256 are merges whose
+      // expansion must reproduce the byte stream exactly
+      def expand(id: Int): Seq[Int] =
+        if (id < 256) Seq(id)
+        else { val (l, r) = BpeRuntime.MergeTable(id - 256)
+               expand(l) ++ expand(r) }
+      assert(ids.flatMap(expand).toSeq == bytes.map(_ & 0xff).toSeq,
+        s"byte-stream mismatch on: $s")
+      // and the Column expressions agree with the runtime on non-ASCII
+      val u = UTF8String.fromString(s)
+      assert(BpeRuntime.encodeIds(u).toSeq == ids.toSeq)
+    }
+  }
+
   test("count and checksum expressions match the runtime, in both " +
       "interpreted and codegen paths") {
     import org.apache.spark.sql.functions._
