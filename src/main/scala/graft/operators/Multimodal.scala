@@ -675,9 +675,9 @@ object Multimodal {
     // of the IHDR chunk (Spark's codegen'd crc32 over type+data versus
     // the stored checksum — flip any header byte and crc_ok goes
     // false), and a whole-file size identity from the chunk lengths.
-    // IDAT carries the doc bytes raw (a real PNG zlib-compresses —
-    // the compression codec is the STUBBED step, as SURVEY declares
-    // for media decode; the container algebra is what's under test).
+    // IDAT carries the doc bytes raw here because the container
+    // algebra alone is what's under test; the REAL zlib+filter codec
+    // path is m13 (functions/Png.scala — no stub remains).
     // One scan, one codegen'd projection, no shuffle.
     GQuery("m12_png_header", (s, d) => {
       def beU(off: Int, n: Int) =
@@ -713,8 +713,69 @@ object Multimodal {
              md5(substring(repeat(text, CAST(w * h / length(text) + 1 AS INT)),
                  1, CAST(w * h AS INT))) AS idat_md5,
              TRUE AS ihdr_crc_ok, TRUE AS size_ok
+      FROM a ORDER BY asset_id""")),
+
+    // ---------------------------------------------------------------- m13
+    // REAL PNG pixel decode — the un-stubbing of the one media-codec
+    // step m12's contract declared out of scope. Assets are COMPLETE
+    // real truecolor PNGs (functions/Png.scala): scanlines filtered
+    // with all five spec filter types (y % 5 → None/Sub/Up/Average/
+    // Paeth), zlib-deflated via the JVM's java.util.zip, split across
+    // multiple IDAT chunks as real encoders do. The query runs the
+    // full decode — CRC-verified chunk walk, IDAT concatenation,
+    // Inflater pass, per-row unfilter — and md5s the reconstructed
+    // pixel stream against the oracle's independent tiling of the doc
+    // text, so a wrong Paeth tie-break, a filter-byte off-by-one, or
+    // a bad stride fails the hash. PngSpec additionally decodes
+    // javax.imageio-encoded PNGs (an independent encoder) to pin the
+    // codec beyond self-roundtrip. One scan, two codegen'd scalar
+    // calls per row, zero shuffle beyond the presentation sort — the
+    // 100 TB shape for corpus-wide image decode.
+    GQuery("m13_png_pixels", (s, d) => {
+      pngRealAssets(s, d)
+        .withColumn("dec", graft.functions.Png.decode(col("payload")))
+        .select(col("asset_id"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.bit_depth").as("bit_depth"),
+          col("dec.color_type").as("color_type"),
+          length(col("dec.pixels")).cast("long").as("n_pixel_bytes"),
+          md5(col("dec.pixels")).as("pixel_md5"))
+        .orderBy(col("asset_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(8 + doc_id % 24 AS BIGINT) AS w,
+               CAST(6 + doc_id % 10 AS BIGINT) AS h
+        FROM documents)
+      SELECT asset_id, w AS width, h AS height,
+             CAST(8 AS BIGINT) AS bit_depth,
+             CAST(2 AS BIGINT) AS color_type,
+             CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+             md5(substring(repeat(text,
+                   CAST(w * h * 3 / length(text) + 1 AS INT)),
+                 1, CAST(w * h * 3 AS INT))) AS pixel_md5
       FROM a ORDER BY asset_id"""))
   )
+
+  /** COMPLETE real PNGs built from the documents table: the pixel
+    * buffer is the doc text tiled to w·h·3 RGB bytes (ASCII corpus,
+    * so chars == bytes — the same property m07/m08 rely on), encoded
+    * by [[graft.functions.PngRuntime.encode]] with real filtering,
+    * real zlib, multiple IDAT chunks and real CRC-32s. Unlike
+    * [[pngAssets]] (raw-IDAT container-algebra fixtures for m12),
+    * these are valid PNGs any external decoder accepts.
+    */
+  private[graft] def pngRealAssets(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("_w", (pmod(col("doc_id"), lit(24)) + 8).cast("long"))
+      .withColumn("_h", (pmod(col("doc_id"), lit(10)) + 6).cast("long"))
+      .withColumn("_plen", col("_w") * col("_h") * 3)
+      .withColumn("_px", expr(
+        "encode(substring(repeat(text, CAST(_plen / length(text) + 1 " +
+          "AS INT)), 1, CAST(_plen AS INT)), 'UTF-8')"))
+      .select(col("doc_id").as("asset_id"),
+        graft.functions.Png.encode(col("_px"), col("_w"), col("_h"))
+          .as("payload"))
 
   /** PNGs built from the documents table: real signature, real chunk
     * framing (length/type/data/CRC for IHDR, IDAT, IEND), REAL CRC-32s

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.functions._
+import graft.functions.{Png, PngRuntime}
+
+/** Pins the real PNG codec (functions/Png.scala): roundtrip through
+  * our own encoder, cross-decode of `javax.imageio`-encoded PNGs (an
+  * INDEPENDENT encoder — its own filter heuristics and zlib stream),
+  * per-filter-type unfilter correctness, malformed-input rejection,
+  * and the Catalyst expressions end to end over the m13 asset path.
+  */
+class PngSpec extends SparkSpec with Matchers {
+
+  private def rndPixels(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(w * h * 3)(r.nextInt(256).toByte)
+  }
+
+  test("roundtrip: encode → decode reproduces pixels exactly, " +
+      "exercising all five filter types and multi-IDAT splitting") {
+    for ((w, h, seed) <- Seq((1, 1, 1L), (3, 7, 2L), (16, 16, 3L),
+        (40, 40, 4L), (7, 5, 5L))) {
+      val px = rndPixels(w, h, seed)
+      val png = PngRuntime.encode(px, w.toLong, h.toLong)
+      val d = PngRuntime.decode(png)
+      assert(d.width == w && d.height == h)
+      assert(d.bitDepth == 8 && d.colorType == 2)
+      assert(d.pixels.toSeq == px.toSeq, s"pixel mismatch at ${w}x$h")
+      // h >= 5 rows ⇒ every filter type 0..4 appeared at least once
+      if (h >= 5) assert(d.pixels.length == w * h * 3)
+    }
+    // 40x40x3 random bytes barely compress ⇒ deflate stream > 4096B ⇒
+    // the encoder MUST have split into multiple IDAT chunks
+    val big = PngRuntime.encode(rndPixels(40, 40, 9L), 40L, 40L)
+    assert(PngRuntime.decode(big).nIdat > 1, "expected multi-IDAT")
+  }
+
+  test("cross-decode: PNGs written by javax.imageio (independent " +
+      "encoder) decode to ImageIO's own raster values") {
+    for ((w, h, seed) <- Seq((5, 3, 11L), (17, 9, 12L), (32, 24, 13L))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val r = new scala.util.Random(seed)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, r.nextInt() & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      val d = PngRuntime.decode(bos.toByteArray)
+      assert(d.width == w && d.height == h && d.bitDepth == 8)
+      // ImageIO writes TYPE_3BYTE_BGR as color type 2 (RGB order in
+      // the PNG stream); compare every sample against getRGB
+      assert(d.colorType == 2)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val off = (y * w + x) * 3
+        assert((d.pixels(off) & 0xff) == ((argb >> 16) & 0xff), s"R $x,$y")
+        assert((d.pixels(off + 1) & 0xff) == ((argb >> 8) & 0xff), s"G $x,$y")
+        assert((d.pixels(off + 2) & 0xff) == (argb & 0xff), s"B $x,$y")
+      }
+    }
+  }
+
+  test("our encoder's output is accepted by ImageIO (the reverse " +
+      "cross-check): pixels survive an external decode") {
+    val w = 11; val h = 8
+    val px = rndPixels(w, h, 21L)
+    val png = PngRuntime.encode(px, w.toLong, h.toLong)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected our PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val off = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (px(off) & 0xff), s"R $x,$y")
+      assert(((argb >> 8) & 0xff) == (px(off + 1) & 0xff), s"G $x,$y")
+      assert((argb & 0xff) == (px(off + 2) & 0xff), s"B $x,$y")
+    }
+  }
+
+  test("malformed input fails loudly: bad signature, corrupt CRC, " +
+      "truncated IDAT") {
+    val good = PngRuntime.encode(rndPixels(4, 4, 31L), 4L, 4L)
+    intercept[IllegalArgumentException] {
+      PngRuntime.decode("not a png at all".getBytes)
+    }
+    val badCrc = good.clone()
+    badCrc(20) = (badCrc(20) ^ 0x55).toByte // flip an IHDR data byte
+    intercept[IllegalArgumentException] { PngRuntime.decode(badCrc) }
+    intercept[IllegalArgumentException] {
+      PngRuntime.decode(java.util.Arrays.copyOf(good, good.length - 20))
+    }
+  }
+
+  test("m13 expressions end to end: decode(encode(px)) under codegen " +
+      "matches the raw pixel tiling for every corpus document") {
+    val rows = graft.operators.Multimodal.pngRealAssets(spark, sfDir)
+      .withColumn("dec", Png.decode(col("payload")))
+      .select(col("asset_id"), col("dec.width"), col("dec.height"),
+        md5(col("dec.pixels")).as("got"))
+      .collect()
+    assert(rows.nonEmpty)
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0); val w = r.getLong(1); val h = r.getLong(2)
+      assert(w == 8 + id % 24 && h == 6 + id % 10)
+      val n = (w * h * 3).toInt
+      val text = want(id)
+      val tiled = (text * (n / text.length + 1)).take(n).getBytes("UTF-8")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tiled).map(b => f"$b%02x").mkString
+      assert(r.getString(3) == hex, s"pixel md5 mismatch for doc $id")
+    }
+  }
+}
