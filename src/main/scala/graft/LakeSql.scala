@@ -361,6 +361,8 @@ object LakeSql {
         case _ if SampleKeyword.matches(st) => sql(s, rewriteSample(st))
         case _ if FrameExcludeKeyword.matches(st) =>
           sql(s, rewriteFrameExclude(st))
+        case _ if GroupsFrameKeyword.matches(st) =>
+          sql(s, rewriteGroupsFrame(st))
         case _ if DistinctOnKeyword.matches(st) =>
           sqlStatement(s, rewriteDistinctOn(st))
         case _ if UnionByNameKeyword.matches(st) => runUnionByName(s, st)
@@ -723,6 +725,73 @@ object LakeSql {
         "parentheses in the window spec, or a non-SUM/COUNT/AVG " +
         "aggregate) — rewrite it explicitly")
     out
+  }
+
+  // ---- GROUPS window-frame mode ------------------------------------
+  // The third SQL-standard frame mode (rows grouped by ORDER BY peer
+  // sets; frame bounds count peer GROUPS, not rows or values). Spark's
+  // Catalyst has only RowFrame and RangeFrame — so GROUPS rewrites by
+  // the standard identity: the peer-group ordinal of a row is
+  // DENSE_RANK() over the same (partition, order), and a GROUPS frame
+  // of ±n groups is exactly a RANGE frame of ±n over that dense rank
+  // (dense ranks are consecutive integers, one per peer group, and
+  // RANGE's CURRENT ROW bound already spans the full peer set).
+  // Supported form (refuses loudly otherwise): a single-level
+  // `SELECT <list> FROM <source> [WHERE …] [ORDER BY …] [LIMIT …]`
+  // whose select list uses `FN(args) OVER (PARTITION BY p ORDER BY k
+  // GROUPS BETWEEN <a> PRECEDING AND <b FOLLOWING | CURRENT ROW>)`.
+  // The rewrite wraps the source once: the inner query computes one
+  // `__grp_i` dense rank per DISTINCT (partition, order) pair; the
+  // outer query replaces each GROUPS spec with the RANGE-over-ordinal
+  // spec. WHERE stays inside (windows evaluate after filters);
+  // trailing ORDER BY / LIMIT stay outside.
+  private val GroupsFrameKeyword = "(?is).*\\bGROUPS\\s+BETWEEN\\b.*".r
+  private val GroupsFrameRe =
+    ("""(?is)OVER\s+\(\s*PARTITION\s+BY\s+([^()]+?)\s+ORDER\s+BY\s+""" +
+      """([^()]+?)\s+GROUPS\s+BETWEEN\s+(\d+|UNBOUNDED)\s+PRECEDING""" +
+      """\s+AND\s+((?:\d+|UNBOUNDED)\s+FOLLOWING|CURRENT\s+ROW)\s*\)""").r
+
+  private[graft] def rewriteGroupsFrame(statement: String): String = {
+    require(GroupsFrameRe.findFirstIn(statement).isDefined,
+      "unsupported GROUPS frame form — supported: FN(args) OVER " +
+        "(PARTITION BY p ORDER BY k GROUPS BETWEEN a PRECEDING AND " +
+        "<b FOLLOWING | CURRENT ROW>)")
+    // one dense-rank ordinal per distinct (partition, order) pair
+    val pairs = scala.collection.mutable.LinkedHashMap[(String, String), String]()
+    def grpAlias(p: String, k: String): String =
+      pairs.getOrElseUpdate((p.trim, k.trim), s"__grp_${pairs.size}")
+    val rewritten = GroupsFrameRe.replaceAllIn(statement, m => {
+      val g = grpAlias(m.group(1), m.group(2))
+      val lo = m.group(3).toUpperCase
+      val hi = m.group(4).toUpperCase.replaceAll("\\s+", " ")
+      scala.util.matching.Regex.quoteReplacement(
+        s"OVER (PARTITION BY ${m.group(1).trim} ORDER BY $g " +
+          s"RANGE BETWEEN $lo PRECEDING AND $hi)")
+    })
+    require(!GroupsFrameKeyword.matches(rewritten),
+      "GROUPS frame present in an unsupported position (no PARTITION " +
+        "BY, nested parens in the spec, or an EXCLUDE clause) — " +
+        "rewrite it explicitly")
+    // statement surgery: SELECT <list> FROM <source…> [ORDER BY/LIMIT]
+    val selIdx = topLevelIndexOf(rewritten, "SELECT")
+    val fromIdx = topLevelIndexOf(rewritten, "FROM")
+    require(selIdx >= 0 && fromIdx > selIdx,
+      "GROUPS rewrite needs a single-level SELECT … FROM … statement")
+    require(topLevelIndexOf(rewritten, "GROUP BY", fromIdx) < 0 &&
+      topLevelIndexOf(rewritten, "HAVING", fromIdx) < 0,
+      "GROUPS frames over grouped queries are not supported at the " +
+        "text entry — wrap the aggregation in a subquery")
+    val ordIdx = topLevelIndexOf(rewritten, "ORDER BY", fromIdx)
+    val limIdx = topLevelIndexOf(rewritten, "LIMIT", fromIdx)
+    val tailIdx = Seq(ordIdx, limIdx).filter(_ >= 0).sorted.headOption
+      .getOrElse(rewritten.length)
+    val selectList = rewritten.substring(selIdx + "SELECT".length, fromIdx)
+    val source = rewritten.substring(fromIdx, tailIdx)
+    val tail = rewritten.substring(tailIdx)
+    val ranks = pairs.map { case ((p, k), g) =>
+      s"DENSE_RANK() OVER (PARTITION BY $p ORDER BY $k) AS $g"
+    }.mkString(", ")
+    s"SELECT $selectList FROM (SELECT *, $ranks $source) __groups_frame $tail"
   }
 
   // ---- PIVOT statement at the text entry ---------------------------

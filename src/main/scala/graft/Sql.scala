@@ -1838,9 +1838,71 @@ object Sql {
           SELECT c_custkey, NULL, c_acctbal, CAST(NULL AS VARCHAR)
           FROM customer WHERE c_custkey > 300 AND c_custkey <= 600)
         GROUP BY c_mktsegment
-        ORDER BY c_mktsegment NULLS FIRST"""))
+        ORDER BY c_mktsegment NULLS FIRST""")),
+
+      // ------------------------------------------------------------- x72
+      // CUBE — the remaining entry in the grouping matrix (q13/x08
+      // cover ROLLUP and GROUPING SETS): all 2^n grouping-set
+      // combinations from ONE verbatim text both engines parse
+      // natively. Spark plans it as the same single Expand + one
+      // aggregate exchange as GROUPING SETS — no extra shuffle per
+      // grouping set, the property that matters at 100 TB.
+      passthrough("x72_sql_cube", """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""),
+
+      // ------------------------------------------------------------- x73
+      // GROUPS window-frame mode — the third SQL-standard frame mode
+      // (bounds count ORDER-BY peer GROUPS). NEITHER engine executes
+      // it natively (Spark has Row/Range frames only; DuckDB parses
+      // but refuses), so graft's text entry rewrites it by the
+      // standard identity (LakeSql.rewriteGroupsFrame: dense-rank
+      // peer ordinal + RANGE frame over the ordinal) and the oracle
+      // is an INDEPENDENT hand-derived formulation of the same
+      // identity in portable SQL — the hash check proves the rewrite
+      // against a second derivation, including rows whose peer group
+      // has >1 member (32 such groups at sf0.01). Cost: one extra
+      // window function over the SAME (partition, order) exchange —
+      // no additional shuffle.
+      GQuery("x73_sql_groups_frame", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, GroupsFrameText)
+      }, Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY __grp
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+                 AS g_sum,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY __grp
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS g_cnt
+        FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate) AS __grp
+              FROM orders WHERE o_custkey <= 300) t
+        ORDER BY o_custkey, o_orderkey"""))
     )
   }
+
+  private def GroupsFrameText: String = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+             AS g_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS g_cnt
+    FROM orders
+    WHERE o_custkey <= 300
+    ORDER BY o_custkey, o_orderkey"""
 
   private def WindowClauseText: String = """
     SELECT o_custkey, o_orderkey,

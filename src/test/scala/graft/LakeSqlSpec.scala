@@ -798,6 +798,55 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("GROUPS frame mode: peer groups aggregate as units (≠ ROWS on " +
+      "duplicate keys), UNBOUNDED and CURRENT ROW bounds, shared " +
+      "ordinal across windows, loud refusals") {
+    import spark.implicits._
+    // key 2 appears twice in group 1 → a 2-row peer group: a GROUPS
+    // frame of ±1 group must include BOTH rows when either is adjacent
+    val t = Seq(
+      (1, 1, 10.0), (1, 2, 20.0), (1, 2, 30.0), (1, 5, 40.0),
+      (2, 7, 1.0) // single-row partition
+    ).toDF("g", "k", "v")
+    t.createOrReplaceTempView("gf_t")
+    val got = LakeSql.sql(spark, """
+      SELECT g, k, v,
+             SUM(v) OVER (PARTITION BY g ORDER BY k
+               GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s1,
+             SUM(v) OVER (PARTITION BY g ORDER BY k
+               GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2
+      FROM gf_t ORDER BY g, k, v""").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val want = Seq(
+      // row (1,1): groups {1},{2,2} → 10+20+30; cumulative {1} = 10
+      (1, 1, 10.0, 60.0, 10.0),
+      // rows (1,2): groups {1},{2,2},{5} → all; cumulative through
+      // the FULL peer group (CURRENT ROW spans peers) = 60
+      (1, 2, 20.0, 100.0, 60.0),
+      (1, 2, 30.0, 100.0, 60.0),
+      // row (1,5): groups {2,2},{5} → 90; cumulative = 100
+      (1, 5, 40.0, 90.0, 100.0),
+      (2, 7, 1.0, 1.0, 1.0))
+    assert(got.toSeq == want, got.mkString(", "))
+    // ROWS would differ on the duplicate-key rows — the semantics gap
+    val rows = LakeSql.sql(spark, """
+      SELECT SUM(v) OVER (PARTITION BY g ORDER BY k, v
+        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+      FROM gf_t WHERE g = 1 ORDER BY k, v""").collect().map(_.getDouble(0))
+    assert(rows.toSeq != got.filter(_._1 == 1).map(_._4).toSeq)
+    // refusals: grouped query; missing PARTITION BY
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT g, SUM(v) OVER (PARTITION BY g
+        ORDER BY k GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        FROM gf_t GROUP BY g, k, v""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT SUM(v) OVER (ORDER BY k
+        GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM gf_t""")
+    }
+  }
+
   test("frame EXCLUDE CURRENT ROW refuses frames that do not contain " +
       "the current row (where DuckDB's EXCLUDE is a no-op)") {
     import spark.implicits._
