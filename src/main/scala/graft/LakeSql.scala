@@ -165,6 +165,79 @@ object LakeSql {
     had
   }
 
+  // ---- ATTACH / DETACH: multi-catalog ------------------------------
+  // DuckDB's hallmark entry-path UX (`ATTACH 'other.db' AS x` — the
+  // Connection owns multiple catalogs, reference:duckdb:24-45):
+  // `ATTACH '<lake root>' AS alias` binds a SECOND durable-catalog
+  // root under a name, `alias.table` addresses its tables anywhere a
+  // relation can appear (including cross-catalog joins), CREATE TABLE
+  // alias.t / DROP TABLE alias.t write through to ITS op log, and
+  // `DETACH alias` unbinds. Resolution replays the attached root's op
+  // log per statement — the log is metadata-sized (one tiny JSON per
+  // DDL op, never data-proportional), so live cross-session visibility
+  // costs one directory listing, same as the primary catalog's replay.
+  private val attachedCatalogs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]())
+
+  private def attached(s: SparkSession):
+      scala.collection.concurrent.TrieMap[String, String] =
+    attachedCatalogs.synchronized {
+      var m = attachedCatalogs.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        attachedCatalogs.put(s, m)
+      }
+      m
+    }
+
+  private val AttachRe =
+    """(?is)\s*ATTACH\s+'([^']+)'\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*""".r
+  private val DetachRe =
+    """(?is)\s*DETACH\s+([A-Za-z_][A-Za-z_0-9]*)\s*;?\s*""".r
+
+  private def runAttach(s: SparkSession, dir: String, alias: String): Unit = {
+    require(dir.nonEmpty, "ATTACH needs a non-empty lake root path")
+    require(!attached(s).contains(alias),
+      s"catalog $alias is already attached — DETACH it first")
+    // Eagerly replay once so a bad path/op log fails AT the ATTACH,
+    // not on first use (an empty/new root is fine — DuckDB semantics:
+    // attaching a fresh database creates it).
+    replayOps(s, dir, scala.collection.concurrent.TrieMap.empty)
+    attached(s).put(alias, dir)
+  }
+
+  /** The attached catalog's current entries (op-log replay). */
+  private def attachedEntries(s: SparkSession, alias: String):
+      scala.collection.concurrent.TrieMap[String, (String, String)] = {
+    val dir = attached(s).getOrElse(alias,
+      throw new IllegalArgumentException(s"catalog $alias is not attached"))
+    val m = scala.collection.concurrent.TrieMap
+      .empty[String, (String, String)]
+    replayOps(s, dir, m)
+    m
+  }
+
+  /** Current snapshot of `alias.name` through the attached catalog.
+    * Views are refused: a view's stored text binds names in ITS
+    * catalog's scope, and graft does not implement cross-catalog view
+    * scoping — loud refusal beats silently binding against the wrong
+    * catalog.
+    */
+  def attachedTable(s: SparkSession, alias: String, name: String):
+      DataFrame =
+    attachedEntries(s, alias).get(name) match {
+      case Some(("deltalite", p)) => DeltaLite.snapshot(s, p)
+      case Some(("iceberglite", p)) => IcebergLite.snapshot(s, p)
+      case Some(("view", _)) => throw new IllegalArgumentException(
+        s"$alias.$name is a view — views in attached catalogs are not " +
+          "supported (their text would bind in the wrong catalog scope)")
+      case Some((other, _)) =>
+        throw new IllegalStateException(s"unknown provider $other")
+      case None => throw new IllegalArgumentException(
+        s"table $alias.$name not in attached catalog")
+    }
+
   // Guards view expansion: a view chain deeper than this is a cycle
   // (a real catalog stores the dependency graph; a depth cap gives the
   // same protection without one).
@@ -327,6 +400,13 @@ object LakeSql {
       s.emptyDataFrame
     case DropMacroRe(ifExists, name) =>
       dropMacro(s, name, ifExists != null)
+      s.emptyDataFrame
+    case AttachRe(dir, alias) =>
+      runAttach(s, dir.trim, alias)
+      s.emptyDataFrame
+    case DetachRe(alias) =>
+      require(attached(s).remove(alias).isDefined,
+        s"catalog $alias is not attached")
       s.emptyDataFrame
     case _ =>
       val st0 = expandMacros(s, statement)
@@ -1592,6 +1672,35 @@ object LakeSql {
   private def sqlStatement(s: SparkSession, statement: String): DataFrame =
     s.sessionState.sqlParser.parsePlan(statement) match {
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
+          partitioning, query, spec, _, ignoreIfExists, _)
+          if nameParts.length == 2 && attached(s).contains(nameParts.head) =>
+        // Qualified CTAS into an ATTACHED catalog: data lands under the
+        // attached root, the register op lands in ITS op log — so the
+        // other catalog's own sessions see the table.
+        val alias = nameParts.head; val name = nameParts.last
+        val root = attached(s)(alias)
+        val (specProvider, specLocation) = spec match {
+          case t: TableSpec => (t.provider, t.location)
+          case t: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+            (t.provider, t.location)
+          case other => throw new IllegalArgumentException(
+            s"unsupported table spec: $other")
+        }
+        if (!(attachedEntries(s, alias).contains(name) && ignoreIfExists)) {
+          val provider = specProvider.map(_.toLowerCase)
+            .getOrElse("deltalite")
+          require(Set("deltalite", "iceberglite").contains(provider),
+            s"unsupported provider $provider")
+          val loc = specLocation.getOrElse(s"${root.stripSuffix("/")}/$name")
+          require(partitioning.isEmpty,
+            "partitioned CTAS into an attached catalog is not supported")
+          val df = Glue.dataFrame(s, query)
+          if (provider == "deltalite") DeltaLite.create(s, loc, df, Seq.empty)
+          else IcebergLite.create(s, loc, df, Seq.empty)
+          appendOp(s, root, "register", name, provider, loc)
+        }
+        s.emptyDataFrame
+      case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
           partitioning, query, spec, _, ignoreIfExists, _) =>
         val name = nameParts.last
         // The parser hands an UnresolvedTableSpec; both spec shapes
@@ -1623,15 +1732,22 @@ object LakeSql {
         }
         s.emptyDataFrame
       case DropTable(child, ifExists, _) =>
-        val name = child match {
-          case u: UnresolvedIdentifier => u.nameParts.last
+        val parts = child match {
+          case u: UnresolvedIdentifier => u.nameParts
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
-            u.multipartIdentifier.last
+            u.multipartIdentifier
           case other => throw new IllegalArgumentException(
             s"unsupported DROP target: $other")
         }
-        if (!dropEntry(s, name) && !ifExists)
-          throw new IllegalArgumentException(s"table $name not in catalog")
+        if (parts.length == 2 && attached(s).contains(parts.head)) {
+          // qualified drop writes through to the ATTACHED op log
+          val had = attachedEntries(s, parts.head).contains(parts.last)
+          if (had) appendOp(s, attached(s)(parts.head), "drop", parts.last)
+          else if (!ifExists) throw new IllegalArgumentException(
+            s"table ${parts.head}.${parts.last} not in attached catalog")
+        } else if (!dropEntry(s, parts.last) && !ifExists)
+          throw new IllegalArgumentException(
+            s"table ${parts.last} not in catalog")
         s.emptyDataFrame
       // CREATE [OR REPLACE] VIEW name AS SELECT … (Spark's grammar):
       // the view is its SQL TEXT in the catalog — re-planned against
@@ -1752,13 +1868,37 @@ object LakeSql {
           tablesMeta(s).createOrReplaceTempView(MetaTablesView)
         if (statement.contains(MetaColumnsView))
           columnsMeta(s).createOrReplaceTempView(MetaColumnsView)
-        plan.collect { case r: UnresolvedRelation =>
-          r.multipartIdentifier.last
-        }.distinct.foreach { n =>
-          catalog(s).get(n).foreach(_ =>
-            table(s, n).createOrReplaceTempView(n))
+        // Attached-qualified names (`alias.table`) cannot bind through
+        // temp views (dots aren't temp-view names) — when present, the
+        // analyzed snapshot substitutes into the parsed plan directly,
+        // the same binder mechanism the time-travel path uses; plain
+        // cataloged names in the same statement substitute too, so
+        // cross-catalog joins optimize as ONE Catalyst plan.
+        def isAttachedRel(r: UnresolvedRelation): Boolean =
+          r.multipartIdentifier.length == 2 &&
+            attached(s).contains(r.multipartIdentifier.head)
+        val hasQualified = plan.collectWithSubqueries {
+          case r: UnresolvedRelation if isAttachedRel(r) => ()
+        }.nonEmpty
+        if (hasQualified) {
+          val bound = plan.transformUpWithSubqueries {
+            case r: UnresolvedRelation if isAttachedRel(r) =>
+              attachedTable(s, r.multipartIdentifier.head,
+                r.multipartIdentifier.last).queryExecution.analyzed
+            case r: UnresolvedRelation
+                if catalog(s).contains(r.multipartIdentifier.last) =>
+              table(s, r.multipartIdentifier.last).queryExecution.analyzed
+          }
+          Glue.dataFrame(s, bound)
+        } else {
+          plan.collect { case r: UnresolvedRelation =>
+            r.multipartIdentifier.last
+          }.distinct.foreach { n =>
+            catalog(s).get(n).foreach(_ =>
+              table(s, n).createOrReplaceTempView(n))
+          }
+          s.sql(statement)
         }
-        s.sql(statement)
     }
 
   /** Resolve an ALTER TABLE target plan to (provider, path) through the

@@ -1840,6 +1840,45 @@ object Sql {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment NULLS FIRST""")),
 
+      // ------------------------------------------------------------- x71
+      // ATTACH / multi-catalog — DuckDB's hallmark entry-path UX
+      // (Connection owns multiple catalogs): a SECOND durable lake
+      // root attaches under an alias, a table is created INTO it by
+      // qualified CTAS (the register op lands in the attached root's
+      // own op log), the alias detaches and the root RE-attaches
+      // under a different alias — proving the catalog state lives in
+      // the root, not the session — and the result is a CROSS-CATALOG
+      // join (attached lake table ⋈ session parquet view) planned as
+      // one Catalyst plan (the qualified name binds by analyzed-
+      // subtree substitution, so join reorder/broadcast see through
+      // it). Oracle replays the net effect from the raw tables.
+      GQuery("x71_sql_attach", (s, d) => {
+        open(s, d)
+        val rootB = graft.util.Scratch.dir("x71_other")
+        LakeSql.script(s, s"""
+          ATTACH '$rootB' AS lakeb;
+          CREATE TABLE lakeb.cust_hi USING deltalite
+            AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+               WHERE c_acctbal > 5000;
+          DETACH lakeb;
+          ATTACH '$rootB' AS other""")
+        val out = LakeSql.sql(s, """
+          SELECT n_name, COUNT(*) AS n_hi,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS bal
+          FROM other.cust_hi JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""")
+        out.count() // materialize before the qualified drop
+        LakeSql.script(s, "DROP TABLE other.cust_hi; DETACH other")
+        out
+      }, Some("""
+        SELECT n_name, COUNT(*) AS n_hi,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 5000
+        GROUP BY n_name ORDER BY n_name""")),
+
       // ------------------------------------------------------------- x72
       // CUBE — the remaining entry in the grouping matrix (q13/x08
       // cover ROLLUP and GROUPING SETS): all 2^n grouping-set

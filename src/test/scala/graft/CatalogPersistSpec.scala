@@ -69,6 +69,50 @@ class CatalogPersistSpec extends SparkSpec {
     LakeSql.sql(s3, s"DROP TABLE $name")
   }
 
+  test("ATTACH binds a second durable root: qualified CTAS writes to " +
+      "ITS op log, a fresh session re-attaches and sees the table, " +
+      "cross-catalog joins plan, DETACH unbinds") {
+    import org.apache.spark.sql.functions.col
+    val rootB = graft.util.Scratch.dir("attach_b")
+    val s1 = spark.newSession()
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"ATTACH '$rootB' AS b")
+    LakeSql.sql(s1, """CREATE TABLE b.rich USING deltalite
+      AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+         WHERE c_acctbal > 5000""")
+    // duplicate alias refuses; unknown alias refuses
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s1, s"ATTACH '$rootB' AS b")
+    }
+    intercept[IllegalArgumentException] { LakeSql.sql(s1, "DETACH zz") }
+    // cross-catalog join: attached lake table ⋈ session parquet view
+    val n1 = LakeSql.sql(s1, """
+      SELECT COUNT(*) AS n FROM b.rich JOIN nation
+      ON c_nationkey = n_nationkey""").head.getLong(0)
+    val want = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 5000).count()
+    assert(n1 == want && want > 0)
+    // a SECOND session re-attaches the same root under ANOTHER alias:
+    // catalog state lives in the root, not the session or the name
+    val s2 = spark.newSession()
+    Sql.open(s2, sfDir)
+    LakeSql.sql(s2, s"ATTACH '$rootB' AS other")
+    assert(LakeSql.sql(s2, "SELECT COUNT(*) AS n FROM other.rich")
+      .head.getLong(0) == want)
+    // qualified DROP writes through to the attached log: s1 (alias b,
+    // live replay) sees the table vanish
+    LakeSql.sql(s2, "DROP TABLE other.rich")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s1, "SELECT COUNT(*) FROM b.rich").collect()
+    }
+    // DETACH: the alias stops resolving
+    LakeSql.sql(s2, "DETACH other")
+    intercept[Exception] {
+      LakeSql.sql(s2, "SELECT COUNT(*) FROM other.rich").collect()
+    }
+    LakeSql.sql(s1, "DETACH b")
+  }
+
   test("without a catalog dir the catalog stays session-only") {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val root = graft.util.Scratch.dir("catsess")
