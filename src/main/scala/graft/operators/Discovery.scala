@@ -572,8 +572,138 @@ object Discovery {
                   AS DOUBLE) / (t.na * t.nb) AS ks_stat
       FROM cum c JOIN tot t ON c.cn = t.cn
       GROUP BY c.cn, t.na, t.nb
-      ORDER BY ks_stat DESC, column_name"""))
+      ORDER BY ks_stat DESC, column_name""")),
+
+    // ---------------------------------------------------------------- c07
+    // Semantic-type column classification — the ML-metadata leg of the
+    // reference's reading list (reference:metadata: "Machine Learning
+    // Models for Scalable Metadata Management in Data Lakes"): c01–c06
+    // search by VALUE overlap; c07 classifies what a column MEANS
+    // (id / numeric_code / measure / timestamp / entity_ref / json /
+    // category / text / string), which is what lets a discovery system
+    // rank joins by COMPATIBLE MEANING (id↔id, entity_ref↔entity_ref)
+    // instead of raw overlap alone. Rules are deterministic integer
+    // arithmetic over one profiling pass — pattern-match fractions
+    // (the Sherlock/Sato feature family, rule-thresholded so both
+    // engines replay exactly), distinct ratio, token counts — with
+    // every threshold an integer cross-multiplication (20·d ≥ 19·n is
+    // "≥95%"), so the DuckDB oracle replays the decision tree
+    // verbatim. Scale: one column-pruned scan per table fused into a
+    // long (table, column, value) relation map-side, ONE aggregate
+    // exchange keyed by (table, column) — candidate-count-sized
+    // output, never data-sized; at 100 TB this is the same
+    // profile-once/persist shape as the c02 sketch index.
+    GQuery("c07_semantic_types", (s, d) => {
+      val vals = typedInventory.map(_._1).distinct.map { t =>
+        val cols = typedInventory.collect { case (`t`, c, cls) =>
+          (c, cls) }
+        val base = tableOf(s, d, t)
+        base.select(explode(array(cols.map { case (c, cls) =>
+          struct(lit(c).as("column_name"), lit(cls).as("data_class"),
+            col(c).cast("string").as("v"))
+        }: _*)).as("e"))
+          .select(lit(t).as("table_name"), col("e.column_name"),
+            col("e.data_class"), col("e.v"))
+      }.reduce(_ unionByName _).where(col("v").isNotNull)
+      val agg = vals.groupBy("table_name", "column_name", "data_class")
+        .agg(count(lit(1)).as("n_values"),
+          count_distinct(col("v")).as("n_distinct"),
+          sum(when(col("v").rlike("^[A-Za-z]+#[0-9]+$"), 1L)
+            .otherwise(0L)).as("n_entity"),
+          sum(when(col("v").startsWith("{") && col("v").endsWith("}"),
+            1L).otherwise(0L)).as("n_json"),
+          sum(length(col("v")) - length(regexp_replace(col("v"),
+            lit(" "), lit(""))) + 1).cast("long").as("n_words"))
+      agg.select(col("table_name"), col("column_name"),
+        col("data_class"), col("n_values"), col("n_distinct"),
+        when(col("data_class") === "timestamp", "timestamp")
+          .when(col("data_class") === "integer" &&
+            col("n_distinct") * 20 >= col("n_values") * 19, "id")
+          .when(col("data_class") === "integer", "numeric_code")
+          .when(col("data_class") === "double", "measure")
+          .when(col("n_entity") * 20 >= col("n_values") * 19, "entity_ref")
+          .when(col("n_json") * 20 >= col("n_values") * 19, "json")
+          .when(col("n_distinct") <= 50, "category")
+          .when(col("n_words") * 2 >= col("n_values") * 3, "text")
+          .otherwise("string").as("semantic_type"))
+        .orderBy(col("table_name"), col("column_name"))
+    }, Some(sqlSemanticTypes))
   )
+
+  /** c07's pinned (table, column, data_class) inventory — in
+    * production the class comes straight from `graft_columns`'
+    * data_type; pinned here so the oracle replays the same input.
+    */
+  // `def`: referenced during object init by the `all` Seq above — an
+  // ordinary val would still be null there (forward reference).
+  private def typedInventory: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "integer"),
+    ("customer", "c_name", "varchar"),
+    ("customer", "c_nationkey", "integer"),
+    ("customer", "c_acctbal", "double"),
+    ("customer", "c_mktsegment", "varchar"),
+    ("events", "event_id", "integer"),
+    ("events", "ts", "timestamp"),
+    ("events", "user_id", "integer"),
+    ("events", "event_type", "varchar"),
+    ("events", "value", "double"),
+    ("events", "props", "varchar"),
+    ("nation", "n_name", "varchar"),
+    ("nation", "n_nationkey", "integer"),
+    ("nation", "n_regionkey", "integer"),
+    ("orders", "o_orderkey", "integer"),
+    ("orders", "o_custkey", "integer"),
+    ("orders", "o_orderstatus", "varchar"),
+    ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "timestamp"),
+    ("orders", "o_orderpriority", "varchar"),
+    ("part", "p_partkey", "integer"),
+    ("part", "p_name", "varchar"),
+    ("part", "p_brand", "varchar"),
+    ("part", "p_type", "varchar"),
+    ("part", "p_size", "integer"),
+    ("part", "p_retailprice", "double"),
+    ("supplier", "s_suppkey", "integer"),
+    ("supplier", "s_name", "varchar"),
+    ("supplier", "s_nationkey", "integer"),
+    ("supplier", "s_acctbal", "double"))
+
+  /** c07's DuckDB replay: the same fused relation, the same integer
+    * decision tree.
+    */
+  private def sqlSemanticTypes: String = {
+    val unions = typedInventory.map { case (t, c, cls) =>
+      s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+        s"'$cls' AS data_class, CAST($c AS VARCHAR) AS v FROM $t"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH vals AS (
+        $unions),
+      agg AS (
+        SELECT table_name, column_name, data_class,
+               COUNT(v) AS n_values,
+               COUNT(DISTINCT v) AS n_distinct,
+               CAST(SUM(CASE WHEN regexp_matches(v, '^[A-Za-z]+#[0-9]+$$')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_entity,
+               CAST(SUM(CASE WHEN v LIKE '{%' AND v LIKE '%}'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_json,
+               CAST(SUM(length(v) - length(replace(v, ' ', '')) + 1)
+                 AS BIGINT) AS n_words
+        FROM vals WHERE v IS NOT NULL
+        GROUP BY table_name, column_name, data_class)
+      SELECT table_name, column_name, data_class, n_values, n_distinct,
+             CASE WHEN data_class = 'timestamp' THEN 'timestamp'
+                  WHEN data_class = 'integer'
+                       AND n_distinct * 20 >= n_values * 19 THEN 'id'
+                  WHEN data_class = 'integer' THEN 'numeric_code'
+                  WHEN data_class = 'double' THEN 'measure'
+                  WHEN n_entity * 20 >= n_values * 19 THEN 'entity_ref'
+                  WHEN n_json * 20 >= n_values * 19 THEN 'json'
+                  WHEN n_distinct <= 50 THEN 'category'
+                  WHEN n_words * 2 >= n_values * 3 THEN 'text'
+                  ELSE 'string' END AS semantic_type
+      FROM agg ORDER BY table_name, column_name"""
+  }
 
   /** The CANDIDATE sketch index, memoized per (session, dir,
     * inventory tag) — the deployment reality the c02/c04 docs state:

@@ -63,6 +63,33 @@ class DiscoverySpec extends SparkSpec {
     assert(full.toSeq == merged.toSeq)
   }
 
+  test("c07 semantic typing assigns the meaning a human would: ids, " +
+      "foreign-key codes, measures, timestamps, entity refs, json, " +
+      "categories and free text all land in their classes") {
+    val got = graft.Registry.byName("c07_semantic_types")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(5)).toMap
+    val expect = Map(
+      ("customer", "c_custkey") -> "id",          // unique integer key
+      ("customer", "c_nationkey") -> "numeric_code", // low-card FK
+      ("customer", "c_acctbal") -> "measure",
+      ("customer", "c_name") -> "entity_ref",     // Customer#000000042
+      ("customer", "c_mktsegment") -> "category",
+      ("events", "ts") -> "timestamp",
+      ("events", "props") -> "json",              // {"k": 69}
+      ("events", "event_type") -> "category",
+      ("orders", "o_orderdate") -> "timestamp",
+      ("part", "p_name") -> "text",               // "small ring" …
+      ("supplier", "s_name") -> "entity_ref")
+    expect.foreach { case (k, want) =>
+      assert(got.get(k).contains(want),
+        s"$k: got ${got.get(k)}, want $want")
+    }
+    // every inventory column classified — nothing falls through to a
+    // surprise bucket silently
+    assert(got.size == 30 && got.values.forall(_.nonEmpty))
+  }
+
   test("sketchSearch: self-match is k, disjoint column scores low") {
     val sketches = Seq(
       Discovery.columnSketch(dim, "dim", "id"),
