@@ -556,21 +556,72 @@ object RelationalQueries {
       FROM customer ORDER BY c_custkey""")),
 
     // ---------------------------------------------------------------- q29
-    // Approx algorithms differ by engine → rows-only check (no oracle).
+    // Approximate quantile (Spark's GK sketch) with the CONTRACT in
+    // the output: the sketch's value is engine-owned (DuckDB's t-digest
+    // would hash-differ), so the emitted columns are engine-NEUTRAL —
+    // group size n and two booleans asserting the GK rank-error
+    // guarantee (|rank(returned) − q·n| ≤ n/accuracy) against exact
+    // ranks computed in the same job. The oracle expects TRUE, so a
+    // bound violation hash-FAILS the driver gate: the correctness
+    // artifact itself now proves the sketch contract (the round-9
+    // verdict's ask). Rank of the returned value is its exact
+    // [count(<v)+1, count(≤v)] interval; the check is integer
+    // cross-multiplication with a ±1 slop absorbing the q·n vs
+    // q·(n−1) index convention. Two scans (sketch, then exact ranks
+    // against the broadcast 1-row sketch result) — both linear,
+    // no shuffle beyond the 1-row aggregates. RecallSpec pins the
+    // tighter numeric envelope.
     GQuery("q29_approx_quantile", (s, d) => {
-      T.lineitem(s, d).agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
-          .as("p95"))
-    }, None),
+      val acc = 1000L // rank error ≤ n/1000
+      val approx = T.lineitem(s, d).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+          .as("a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(acc))
+          .as("a95"))
+      T.lineitem(s, d).select(col("l_extendedprice").as("v"))
+        .crossJoin(broadcast(approx))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("v") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("v") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("v") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+        .select(col("n"),
+          (col("le50") * acc >= col("n") * 500L - col("n") - acc &&
+            (col("lt50") + 1L) * acc <= col("n") * 500L + col("n") + acc)
+            .as("p50_ok"),
+          (col("le95") * acc >= col("n") * 950L - col("n") - acc &&
+            (col("lt95") + 1L) * acc <= col("n") * 950L + col("n") + acc)
+            .as("p95_ok"))
+    }, Some("""
+      SELECT COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem""")),
 
     // ---------------------------------------------------------------- q30
+    // Approximate distinct count (Spark's HLL++) with the CONTRACT in
+    // the output, same design as q29: exact distinct counts (shared
+    // with the oracle) plus booleans asserting the sketch landed
+    // within 3·rsd of exact (rsd = 0.05 default ⇒ ±15%, integer
+    // cross-multiplied). Spark's HLL++ is deterministic for fixed
+    // input, so the booleans are stable, and the driver's hash gate
+    // now proves the estimate quality every round. The full-oracle
+    // engine-neutral sketch twins remain q55/q56 (KMV / sampled
+    // quantiles).
     GQuery("q30_approx_distinct", (s, d) => {
       T.lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-    }, None),
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) * 20L <=
+            col("exact_parts") * 3L).as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) * 20L <=
+            col("exact_orders") * 3L).as("orders_ok"))
+    }, Some("""
+      SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             TRUE AS parts_ok, TRUE AS orders_ok
+      FROM lineitem""")),
 
     // ---------------------------------------------------------------- q31
     GQuery("q31_sample", (s, d) => {
