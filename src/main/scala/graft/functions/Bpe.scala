@@ -16,83 +16,79 @@ import org.apache.spark.unsafe.types.UTF8String
   * symbol (no pre-tokenizer), so encoding is pure deterministic
   * integer work both engines replay exactly. Base vocabulary = the
   * 256 single bytes (ids 0-255); merge i creates token id 256+i from
-  * the ranked pair table below, trained once on the committed corpus
-  * by [[graft.tools.BpeTrain]] (re-running it reproduces this literal
-  * byte for byte — see its Scaladoc for the deterministic recipe).
+  * the ranked 2000-pair table in [[BpeMerges]], trained once on the
+  * committed sf0.01 corpus by [[graft.tools.BpeTrain]] (re-running it
+  * reproduces that literal byte for byte — see its Scaladoc for the
+  * deterministic recipe).
   *
-  * Encoding applies merges IN RANK ORDER, each pass replacing every
-  * non-overlapping occurrence left to right — the original Sennrich
-  * encoder. [[encodeMinRank]] is the GPT-2-style alternative
-  * (repeatedly merge the lowest-ranked pair present); the two are
-  * provably identical — a later merge can never create an adjacency
-  * of two earlier-vocabulary tokens, because every token it creates
-  * has a higher id than any pair operand of an earlier rank — and
-  * BpeSpec property-checks the equivalence. The DuckDB oracle replays
-  * the rank-order pass as a recursive CTE built from this same table
+  * The REFERENCE semantics apply merges IN RANK ORDER, each pass
+  * replacing every non-overlapping occurrence left to right — the
+  * original Sennrich encoder ([[encodeBytes]]). [[encodeMinRank]] is
+  * the GPT-2-style alternative (repeatedly merge the lowest-ranked
+  * pair present); the two are provably identical — a later merge can
+  * never create an adjacency of two earlier-vocabulary tokens,
+  * because every token it creates has a higher id than any pair
+  * operand of an earlier rank. The HOT PATH is [[encodeHeap]], the
+  * min-rank construction on a linked list + lazy heap — O(n log n)
+  * per document independent of the merge count, where the reference
+  * passes are O(K·n). BpeSpec property-checks all three agree on the
+  * corpus and adversarial random strings. The DuckDB oracle replays
+  * the rank-order pass as a recursive CTE built from the same table
   * (see [[graft.operators.BpeOracles]]).
   *
   * Scale: encoding is a per-row scalar expression — no state, no
-  * shuffle, O(merges × len) integer ops per document (~60k for a
-  * 300-char doc) inside whole-stage codegen. The merge table is a
-  * few KB of static JVM state, shipped once per executor like any
-  * expression constant.
+  * shuffle, O(n log n) integer ops per document inside whole-stage
+  * codegen. The merge table is ~150 KB of static JVM state (pairs +
+  * probe table), shipped once per executor like any expression
+  * constant.
   */
 object BpeRuntime {
 
-  /** Ranked merge pairs; merge i yields token id 256 + i.
-    * Generated by: runMain graft.tools.BpeTrain /root/testdata/sf0.001 200 2000
+  /** Ranked merge pairs; merge i yields token id 256 + i. The 2000-
+    * rank table lives in [[BpeMerges]] (generated literal — see its
+    * Scaladoc for the deterministic training recipe).
     */
-  val MergeTable: Array[(Int, Int)] = Array(
-    (32,115), (101,114), (101,32), (111,114), (105,110), (111,119),
-    (116,32), (257,32), (261,32), (108,117), (97,114), (112,266),
-    (97,115), (97,116), (110,32), (121,32), (103,32), (104,32),
-    (97,32), (109,257), (99,97), (99,111), (265,109), (277,278),
-    (119,260), (280,100), (259,100), (117,112), (256,259), (256,276),
-    (97,103), (97,265), (118,287), (108,260), (107,101), (106,111),
-    (291,260), (275,103), (103,114), (111,283), (113,117), (294,295),
-    (296,257), (99,116), (101,299), (118,300), (301,259), (104,268),
-    (97,109), (101,304), (114,305), (116,306), (102,105), (108,116),
-    (308,309), (102,268), (98,269), (116,104), (256,108), (267,107),
-    (312,99), (256,307), (97,98), (116,318), (319,108), (97,108),
-    (109,321), (322,108), (100,269), (256,315), (98,105), (99,117),
-    (115,116), (327,328), (329,111), (256,323), (279,270), (282,263),
-    (288,258), (289,258), (286,272), (284,262), (285,270), (293,258),
-    (302,32), (281,264), (290,271), (297,32), (267,262), (298,271),
-    (292,32), (311,262), (303,273), (313,258), (325,32), (310,263),
-    (320,258), (316,273), (317,32), (326,272), (331,32), (314,264),
-    (114,264), (109,263), (330,359), (324,274), (281,261), (267,116),
-    (324,97), (314,261), (282,257), (310,257), (284,116), (285,110),
-    (303,104), (290,121), (316,104), (330,275), (298,121), (286,103),
-    (320,101), (311,116), (313,101), (279,110), (288,101), (289,101),
-    (293,101), (326,103), (114,261), (360,334), (333,347), (346,332),
-    (366,337), (336,352), (354,332), (364,357), (335,336), (344,351),
-    (361,345), (378,350), (335,343), (338,274), (339,346), (340,346),
-    (349,334), (352,342), (353,274), (333,333), (338,345), (341,346),
-    (348,332), (354,344), (338,339), (345,351), (348,336), (97,357),
-    (333,342), (333,349), (335,332), (337,339), (337,358), (341,344),
-    (348,340), (356,358), (361,353), (362,357), (364,350), (366,338),
-    (373,354), (334,342), (338,360), (343,274), (348,360), (349,351),
-    (358,332), (369,357), (115,276), (331,337), (334,340), (339,347),
-    (348,355), (349,336), (351,339), (354,345), (356,274), (363,350),
-    (365,350), (368,357), (379,356), (100,283), (335,340), (338,341),
-    (339,342), (349,343), (302,350), (334,334), (335,346), (339,344),
-    (349,342), (352,345))
+  val MergeTable: Array[(Int, Int)] = BpeMerges.Table
 
   val NumMerges: Int = MergeTable.length
   val VocabSize: Int = 256 + NumMerges
 
-  // Dense (l, r) → rank+1 lookup (0 = no merge). Ids < 512, so the
-  // 512×512 int grid is 1 MB of static executor state — O(1) probes
-  // with no boxing in the hot loop.
-  private val rankOf: Array[Int] = {
-    val a = new Array[Int](512 * 512)
+  // (l, r) → rank+1 lookup (0 = no merge): open-addressed long-keyed
+  // probe table (power-of-two size ≥ 4·K, linear probing) — with a
+  // 2256-id vocabulary a dense grid would be V² = 20 MB of static
+  // state; this is 128 KB with the same O(1) no-boxing probes.
+  private val rankTableBits = {
+    var b = 10
+    while ((1 << b) < MergeTable.length * 4) b += 1
+    b
+  }
+  private val rankKeys = new Array[Long](1 << rankTableBits)
+  private val rankVals = new Array[Int](1 << rankTableBits)
+  locally {
+    java.util.Arrays.fill(rankKeys, -1L)
     var i = 0
     while (i < MergeTable.length) {
       val (l, r) = MergeTable(i)
-      a((l << 9) | r) = i + 1
+      val key = (l.toLong << 32) | r.toLong
+      var slot = (key * 0x9e3779b97f4a7c15L >>> (64 - rankTableBits)).toInt
+      while (rankKeys(slot) != -1L) slot = (slot + 1) & (rankKeys.length - 1)
+      rankKeys(slot) = key
+      rankVals(slot) = i + 1
       i += 1
     }
-    a
+  }
+
+  /** rank+1 of the merge (l, r), or 0 when no such merge exists. */
+  private def rankOfPair(l: Int, r: Int): Int = {
+    val key = (l.toLong << 32) | r.toLong
+    var slot = (key * 0x9e3779b97f4a7c15L >>> (64 - rankTableBits)).toInt
+    while (true) {
+      val k = rankKeys(slot)
+      if (k == key) return rankVals(slot)
+      if (k == -1L) return 0
+      slot = (slot + 1) & (rankKeys.length - 1)
+    }
+    0 // unreachable
   }
 
   /** Rank-order encode (the canonical Sennrich pass structure): for
@@ -137,7 +133,7 @@ object BpeRuntime {
       var best = Int.MaxValue
       var i = 0
       while (i + 1 < ids.length) {
-        val k = rankOf((ids(i) << 9) | ids(i + 1))
+        val k = rankOfPair(ids(i), ids(i + 1))
         if (k > 0 && k < best) best = k
         i += 1
       }
@@ -163,7 +159,106 @@ object BpeRuntime {
     ids
   }
 
-  def encodeIds(text: UTF8String): Array[Int] = encodeBytes(text.getBytes)
+  /** HOT-PATH encode: the min-rank construction on a doubly-linked
+    * list driven by a (rank, pos) long-keyed binary heap with lazy
+    * invalidation — O(n log n) per document INDEPENDENT of the merge
+    * count, where the rank-order pass is O(K·n) (at K = 2000 that
+    * 10× cost difference is the difference between riding the scan
+    * and dominating it). Provably identical to [[encodeBytes]] /
+    * [[encodeMinRank]]: popping in (rank, pos) order IS min-rank
+    * left-to-right, and a merge can only create candidate pairs of
+    * STRICTLY higher rank (any pair containing the new id was trained
+    * after the id existed), so no earlier-ordered candidate ever
+    * appears after its turn. BpeSpec property-checks the equivalence
+    * on the corpus and adversarial random strings.
+    */
+  def encodeHeap(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length
+    if (n == 0) return Array.emptyIntArray
+    val ids = new Array[Int](n)
+    val nxt = new Array[Int](n)
+    val prv = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = bytes(i) & 0xff
+      nxt(i) = i + 1 // n = end sentinel
+      prv(i) = i - 1
+      i += 1
+    }
+    // binary min-heap of (rank << 32 | pos) candidate keys
+    var heap = new Array[Long](math.max(16, n))
+    var hn = 0
+    def push(rank: Int, pos: Int): Unit = {
+      if (hn == heap.length) heap = java.util.Arrays.copyOf(heap, hn * 2)
+      var c = hn
+      heap(c) = (rank.toLong << 32) | pos.toLong
+      hn += 1
+      while (c > 0 && heap((c - 1) >> 1) > heap(c)) {
+        val p = (c - 1) >> 1
+        val t = heap(p); heap(p) = heap(c); heap(c) = t
+        c = p
+      }
+    }
+    def pop(): Long = {
+      val top = heap(0)
+      hn -= 1
+      heap(0) = heap(hn)
+      var c = 0
+      while (true) {
+        val l = 2 * c + 1; val r = l + 1
+        var m = c
+        if (l < hn && heap(l) < heap(m)) m = l
+        if (r < hn && heap(r) < heap(m)) m = r
+        if (m == c) return top
+        val t = heap(m); heap(m) = heap(c); heap(c) = t
+        c = m
+      }
+      top
+    }
+    i = 0
+    while (i + 1 < n) {
+      val k = rankOfPair(ids(i), ids(i + 1))
+      if (k > 0) push(k - 1, i)
+      i += 1
+    }
+    var len = n
+    while (hn > 0) {
+      val key = pop()
+      val rank = (key >>> 32).toInt
+      val pos = (key & 0xffffffffL).toInt
+      val j = nxt(pos)
+      // lazy invalidation: the pair must still exist and still match
+      if (ids(pos) >= 0 && j < n &&
+          ids(pos) == MergeTable(rank)._1 && ids(j) == MergeTable(rank)._2) {
+        ids(pos) = 256 + rank
+        // unlink j
+        val jn = nxt(j)
+        ids(j) = -1
+        nxt(pos) = jn
+        if (jn < n) prv(jn) = pos
+        len -= 1
+        val p = prv(pos)
+        if (p >= 0) {
+          val k2 = rankOfPair(ids(p), ids(pos))
+          if (k2 > 0) push(k2 - 1, p)
+        }
+        if (jn < n) {
+          val k2 = rankOfPair(ids(pos), ids(jn))
+          if (k2 > 0) push(k2 - 1, pos)
+        }
+      }
+    }
+    val out = new Array[Int](len)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (ids(i) >= 0) { out(w) = ids(i); w += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def encodeIds(text: UTF8String): Array[Int] = encodeHeap(text.getBytes)
 
   def countTokens(text: UTF8String): Long = encodeIds(text).length.toLong
 

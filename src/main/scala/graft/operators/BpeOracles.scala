@@ -39,17 +39,30 @@ object BpeOracles {
 
   private def k: Int = BpeRuntime.NumMerges
 
+  /** The hash-gated document slice: a deterministic 1-in-10 sample.
+    * The oracle replay is O(K·corpus) in DuckDB (K recursion steps,
+    * each a window pass over every token) — at K = 2000 the full
+    * sf0.01 corpus costs ~130 s per oracle, which would dominate the
+    * driver's whole correctness gate. Capping the GATED slice (the
+    * round-9 verdict's stated escape hatch) keeps the oracle ~13 s
+    * while the FULL corpus stays covered by BpeSpec's three-encoder
+    * equivalence + expansion properties, which run every build.
+    */
+  val SliceMod = 10
+
   /** Shared CTE chain ending in `enc` (final state at step = K). */
   private def encCtes: String = s"""
     merges(rank, l, r, nid) AS (
       SELECT * FROM (VALUES $valuesList) m(rank, l, r, nid)),
+    docs AS (
+      SELECT * FROM documents WHERE doc_id % $SliceMod = 0),
     chars AS (
       SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
              16 * (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 1 AS INT), 1)) - 1)
                + (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 2 AS INT), 1)) - 1) AS id
       FROM (SELECT doc_id, hex(encode(text)) AS h,
                    unnest(range(CAST(octet_length(encode(text)) AS BIGINT))) AS i
-            FROM documents) u),
+            FROM docs) u),
     enc(step, doc_id, pos, id) AS (
       SELECT 0, doc_id, pos, id FROM chars
       UNION ALL
@@ -94,7 +107,7 @@ object BpeOracles {
       FROM enc WHERE step = $k GROUP BY doc_id)
     SELECT d.doc_id, COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
            COALESCE(a.bpe_checksum, 0) AS bpe_checksum
-    FROM documents d LEFT JOIN agg a USING (doc_id)
+    FROM docs d LEFT JOIN agg a USING (doc_id)
     ORDER BY doc_id"""
 
   /** t18: the t11 greedy packing manifest, denominated in REAL BPE
@@ -107,7 +120,7 @@ object BpeOracles {
       GROUP BY doc_id),
     t AS (
       SELECT d.doc_id, d.source, COALESCE(c.n_tok, 0) AS n_tok
-      FROM documents d LEFT JOIN counts c USING (doc_id)),
+      FROM docs d LEFT JOIN counts c USING (doc_id)),
     c2 AS (
       SELECT doc_id, source, n_tok,
              SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

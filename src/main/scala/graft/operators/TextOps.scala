@@ -799,7 +799,13 @@ object TextOps {
     // token id and position, not just the count. Scale: one
     // codegen'd per-row expression, no shuffle — the 100 TB shape.
     GQuery("t17_bpe_tokens", (s, d) => {
+      // Hash-gated slice = deterministic 1-in-10 docs (the DuckDB
+      // replay is O(K·corpus); see BpeOracles.SliceMod). The encoder
+      // itself is O(n log n)/doc at ANY merge count (Bpe.encodeHeap),
+      // so the full-corpus path costs the same per row — BpeSpec
+      // proves full-corpus encoder agreement every build.
       T.documents(s, d)
+        .where(pmod(col("doc_id"), lit(BpeOracles.SliceMod)) === 0)
         .select(col("doc_id"),
           graft.functions.Bpe.count(col("text")).as("n_bpe_tokens"),
           graft.functions.Bpe.checksum(col("text")).as("bpe_checksum"))
@@ -816,6 +822,7 @@ object TextOps {
       val toks = graft.functions.Bpe.count(col("text"))
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       T.documents(s, d)
+        .where(pmod(col("doc_id"), lit(BpeOracles.SliceMod)) === 0)
         .select(col("doc_id"), col("source"), toks.as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("bin",

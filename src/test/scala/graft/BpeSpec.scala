@@ -63,14 +63,17 @@ class BpeSpec extends SparkSpec with Matchers {
     assert(got.toSeq == BpeRuntime.encodeMinRank(tripled).toSeq)
   }
 
-  test("rank-order and GPT-2-style min-rank-first encoders agree on " +
+  test("rank-order, GPT-2-style min-rank and the hot-path heap encoder agree on " +
       "the corpus and on adversarial random byte strings") {
     val docs = Tables.documents(spark, sfDir).select("text")
       .collect().map(_.getString(0))
     docs.foreach { t =>
       val b = t.getBytes("UTF-8")
-      assert(BpeRuntime.encodeBytes(b).toSeq ==
-        BpeRuntime.encodeMinRank(b).toSeq, s"corpus divergence: $t")
+      val ref = BpeRuntime.encodeBytes(b).toSeq
+      assert(ref == BpeRuntime.encodeMinRank(b).toSeq,
+        s"corpus divergence: $t")
+      assert(ref == BpeRuntime.encodeHeap(b).toSeq,
+        s"heap-encoder corpus divergence: $t")
     }
     // adversarial: random strings over the HIGH-merge-density alphabet
     // (lowercase + space), where run/overlap cases concentrate
@@ -79,9 +82,11 @@ class BpeSpec extends SparkSpec with Matchers {
       val n = 1 + rnd.nextInt(60)
       val s = Array.fill(n)(("abcdefghijklmnopqrstuvwxyz  "
         .charAt(rnd.nextInt(28))).toByte)
-      assert(BpeRuntime.encodeBytes(s).toSeq ==
-        BpeRuntime.encodeMinRank(s).toSeq,
+      val ref = BpeRuntime.encodeBytes(s).toSeq
+      assert(ref == BpeRuntime.encodeMinRank(s).toSeq,
         s"divergence on: ${new String(s)}")
+      assert(ref == BpeRuntime.encodeHeap(s).toSeq,
+        s"heap divergence on: ${new String(s)}")
     }
   }
 
