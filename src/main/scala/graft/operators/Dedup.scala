@@ -235,7 +235,7 @@ object Dedup {
     */
   def semanticDedup(embeddings: DataFrame, theta: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seedStride: Int = 37, limit: Int = 0): DataFrame = {
+      seedStride: Int = 0, limit: Int = 0): DataFrame = {
     val prep = embeddings.select(col(idCol).as("vec_id"),
       FastVector.normalize(col(vecCol)).as("nv"))
     // Materialize the assignment once: both sides of the self-join

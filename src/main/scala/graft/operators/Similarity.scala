@@ -130,9 +130,24 @@ object Similarity {
     * the DuckDB oracle (d09), where float Σ order can't be matched.
     * 1e-9 centroid precision is far below any assignment margin.
     */
+  /** √n seed stride (0/negative `seedStride` args resolve here): cells
+    * ≈ √n of expected size ≈ √n — the textbook IVF balance. A FIXED
+    * stride makes centroid count grow LINEARLY with the corpus, so
+    * the nearest-centroid assignment (corpus × centroids) grows
+    * QUADRATICALLY — the round-10 sf1 run measured exactly that
+    * (a03 18.8×, d09 14.7× at 10× data). With √n cells both the
+    * build (n^1.5, the standard IVF index-build law) and the
+    * in-cluster work (√n per cluster) stay sub-quadratic. The count
+    * is one metadata-cheap job against the corpus relation.
+    */
+  private[operators] def adaptiveStride(corpus: DataFrame): Int =
+    math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+
   private[operators] def ivfModel(corpus: DataFrame,
       seedStride: Int): (DataFrame, DataFrame) = {
-    val seeds = corpus.filter(col("vec_id") % seedStride === 0)
+    val stride =
+      if (seedStride > 0) seedStride else adaptiveStride(corpus)
+    val seeds = corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid0"), col("nv").as("cv0"))
     val assign0 = nearest(corpus, seeds, "vec_id", "nv", "cid0", "cv0", 1)
     val cents = assign0
@@ -150,7 +165,7 @@ object Similarity {
     * one Lloyd refinement, probe the `nprobe` nearest inverted lists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = K,
-      seedStride: Int = 37, nprobe: Int = 6,
+      seedStride: Int = 0, nprobe: Int = 6,
       excludeSelf: Boolean = false): DataFrame = {
     val (cents, assigned) = ivfModel(corpus, seedStride)
     // nprobe inverted lists per query — the recall/cost dial; see
@@ -203,11 +218,18 @@ object Similarity {
     * materialized artifact; at 100 TB it persists to the lake and
     * amortizes over every query batch.
     */
-  def ivfPqIndex(corpus: DataFrame, seedStride: Int = 37, m: Int = 4,
-      codeStride: Int = 29): PqIndex = {
+  def ivfPqIndex(corpus: DataFrame, seedStride: Int = 0, m: Int = 4,
+      codeStride: Int = 0): PqIndex = {
     val d = VectorOps.dimOf(corpus, "nv", -1)
     require(d % m == 0, s"dim $d not divisible by m=$m blocks")
     val sub = d / m
+    // PQ wants a FIXED-size codebook (ksub entries per block — real
+    // systems pin ksub at 256): the code stride grows LINEARLY with
+    // the corpus (n/7 here, preserving the historical 7-entry book),
+    // keeping encode cost n*m*ksub — linear — where a fixed stride
+    // would make the codebook grow with n and the encode quadratic.
+    val cstride = if (codeStride > 0) codeStride
+      else math.max(1, math.ceil(corpus.count().toDouble / 7.0).toInt)
     def blocks0(df: DataFrame, idc: String, vc: String): DataFrame =
       df.select(col(idc), posexplode(array((0 until m).map(b =>
           slice(col(vc), b * sub + 1, sub)): _*)).as(Seq("b", "sv")))
@@ -217,7 +239,7 @@ object Similarity {
     // term is constant per row and drops out.
     val cblocks = blocks0(corpus, "vec_id", "nv")
     val seedW = Window.partitionBy(col("b")).orderBy(col("vec_id"))
-    val seeds0 = cblocks.filter(col("vec_id") % codeStride === 0)
+    val seeds0 = cblocks.filter(col("vec_id") % cstride === 0)
       .withColumn("code", (row_number().over(seedW) - 1).cast("int"))
       .select(col("b"), col("code"), col("sv").as("cv"))
     def withNorm(cb: DataFrame): DataFrame = cb.withColumn("chalf",
@@ -266,8 +288,8 @@ object Similarity {
   }
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = K,
-      seedStride: Int = 37, nprobe: Int = 6, m: Int = 4,
-      codeStride: Int = 29, rerankFactor: Int = 8,
+      seedStride: Int = 0, nprobe: Int = 6, m: Int = 4,
+      codeStride: Int = 0, rerankFactor: Int = 8,
       excludeSelf: Boolean = false,
       index: Option[PqIndex] = None): DataFrame = {
     val idx = index.getOrElse(ivfPqIndex(corpus, seedStride, m, codeStride))
@@ -548,7 +570,9 @@ object Similarity {
                  y -> y*y)))) AS nv
       FROM embeddings),
     seeds AS MATERIALIZED (
-      SELECT vec_id AS cid0, nv AS cv0 FROM nv WHERE vec_id % 37 = 0),
+      SELECT vec_id AS cid0, nv AS cv0 FROM nv
+      WHERE vec_id % (SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*)))
+        AS BIGINT)) FROM nv) = 0),
     a0 AS MATERIALIZED (
       SELECT vec_id, nv, cid0 FROM (
         SELECT v.vec_id, v.nv, s.cid0,
@@ -681,7 +705,8 @@ object Similarity {
         SELECT b, CAST(ROW_NUMBER() OVER (PARTITION BY b
                  ORDER BY vec_id) - 1 AS INT) AS code,
                sv AS cv
-        FROM pqb WHERE vec_id % 29 = 0),
+        FROM pqb WHERE vec_id % (SELECT GREATEST(1,
+          CAST(CEIL(COUNT(*) / 7.0) AS BIGINT)) FROM nv) = 0),
       penc0 AS MATERIALIZED (
         SELECT vec_id, b, code FROM (
           SELECT p.vec_id, p.b, s.code,

@@ -10,20 +10,22 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
     val spark = graft.GraftSession.builder("local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def sentinel(): Double = (1 to 3).map(_ => graft.Bench.sentinelOnce(spark, 32)).min
     def sentinelIo(): Double =
-      (1 to 3).map(_ => graft.Bench.sentinelIoOnce(spark, "/root/testdata/sf0.1")).min
+      (1 to 3).map(_ => graft.Bench.sentinelIoOnce(spark, sfDir)).min
     graft.Bench.sentinelOnce(spark, 32) // warmup
-    graft.Bench.sentinelIoOnce(spark, "/root/testdata/sf0.1")
+    graft.Bench.sentinelIoOnce(spark, sfDir)
     println(f"sentinel_start ${sentinel()}%.2f s (reference ~0.40)")
     println(f"sentinel_io_start ${sentinelIo()}%.2f s")
     args.foreach { name =>
       val fn = graft.Registry.byName(name).fn
       (1 to 4).foreach { i =>
         val t0 = System.nanoTime()
-        fn(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
