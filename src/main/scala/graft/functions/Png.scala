@@ -227,6 +227,38 @@ object PngRuntime {
     Decoded(w, h, depth, ct, nIdat, px)
   }
 
+  /** 2×2 spatial × 3-channel average-pool grid over a decoded RGB
+    * pixel buffer: cell (gy, gx, ch) with gy = y·2/h, gx = x·2/w
+    * (integer division — the left/top halves get the ceil share) —
+    * returns the 12 per-cell byte SUMS in (gy, gx, ch) order.
+    * Integer-exact by construction, so the oracle reproduces it
+    * bit-for-bit; averages divide downstream where both engines
+    * round identically.
+    */
+  def pool2x2(pixels: Array[Byte], w: Long, h: Long):
+      org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val wi = w.toInt; val hi = h.toInt
+    require(pixels.length == wi * hi * 3,
+      s"pixel buffer ${pixels.length}B != ${wi}x${hi}x3")
+    val sums = new Array[Long](12)
+    var y = 0
+    while (y < hi) {
+      val gy = y * 2 / hi
+      var x = 0
+      while (x < wi) {
+        val gx = x * 2 / wi
+        val base = (gy * 2 + gx) * 3
+        val off = (y * wi + x) * 3
+        sums(base) += pixels(off) & 0xff
+        sums(base + 1) += pixels(off + 1) & 0xff
+        sums(base + 2) += pixels(off + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sums)
+  }
+
   val DecodedType: StructType = StructType(Seq(
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false),
@@ -278,8 +310,28 @@ object Png {
       copy(child = c)
   }
 
+  /** 2×2×RGB average-pool sums over decoded pixels. */
+  case class PngPool(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_png_pool"
+    override protected def nullSafeEval(px: Any, w: Any, h: Any): Any =
+      PngRuntime.pool2x2(px.asInstanceOf[Array[Byte]],
+        w.asInstanceOf[Long], h.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (px, w, h) =>
+        s"${ev.value} = $RT.pool2x2($px, $w, $h);")
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): PngPool = copy(f, s, t)
+  }
+
   def encode(px: Column, w: Column, h: Column): Column =
     Glue.column(PngEncode(Glue.expression(px), Glue.expression(w),
       Glue.expression(h)))
   def decode(c: Column): Column = Glue.column(PngDecode(Glue.expression(c)))
+  def pool(px: Column, w: Column, h: Column): Column =
+    Glue.column(PngPool(Glue.expression(px), Glue.expression(w),
+      Glue.expression(h)))
 }

@@ -754,7 +754,64 @@ object Multimodal {
              md5(substring(repeat(text,
                    CAST(w * h * 3 / length(text) + 1 AS INT)),
                  1, CAST(w * h * 3 AS INT))) AS pixel_md5
-      FROM a ORDER BY asset_id"""))
+      FROM a ORDER BY asset_id""")),
+
+    // ---------------------------------------------------------------- m14
+    // Real-pixel feature extraction THROUGH the decode path: m13's
+    // full PNG decode (inflate + unfilter) feeds a 2-D average pool —
+    // 2×2 spatial × RGB grid, the thumbnail/feature op a multimodal
+    // pipeline runs after decode (m04 pools the RAW payload; this
+    // pools actual decoded pixels with true 2-D addressing). Cell
+    // sums are integer-exact (one codegen'd expression, Png.pool);
+    // per-cell pixel counts come from the ceil-half formula on the
+    // Spark side and COUNT(*) on the oracle side — an intentional
+    // cross-derivation: a wrong half-split formula hash-fails. One
+    // scan, two codegen'd calls + a 12-row posexplode per asset, no
+    // shuffle beyond the presentation sort.
+    GQuery("m14_png_pooled_features", (s, d) => {
+      val halfY = ((col("h") + 1) / 2).cast("long")
+      val halfX = ((col("w") + 1) / 2).cast("long")
+      val gy = (col("cell") / 6).cast("long")
+      val gx = (pmod(col("cell"), lit(6)) / 3).cast("long")
+      pngRealAssets(s, d)
+        .withColumn("dec", graft.functions.Png.decode(col("payload")))
+        .select(col("asset_id"), col("dec.width").as("w"),
+          col("dec.height").as("h"),
+          posexplode(graft.functions.Png.pool(col("dec.pixels"),
+            col("dec.width"), col("dec.height")))
+            .as(Seq("cell", "px_sum")))
+        .withColumn("n_px",
+          when(gy === 0, halfY).otherwise(col("h") - halfY) *
+            when(gx === 0, halfX).otherwise(col("w") - halfX))
+        .select(col("asset_id"), col("w").as("width"),
+          col("h").as("height"), col("cell").cast("long").as("cell"),
+          col("px_sum"), col("n_px"),
+          round(col("px_sum") / col("n_px"), 4).as("avg_byte"))
+        .orderBy(col("asset_id"), col("cell"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(8 + doc_id % 24 AS BIGINT) AS w,
+               CAST(6 + doc_id % 10 AS BIGINT) AS h
+        FROM documents),
+      px AS (
+        SELECT asset_id, w, h, p,
+               ord(substr(repeat(text,
+                     CAST(w * h * 3 / length(text) + 1 AS INT)),
+                   CAST(p + 1 AS INT), 1)) AS b
+        FROM a, LATERAL unnest(range(0, w * h * 3)) t(p)),
+      c AS (
+        SELECT asset_id, w, h, b,
+               ((p // (3 * w)) * 2 // h * 2
+                 + ((p % (3 * w)) // 3) * 2 // w) * 3 + p % 3 AS cell
+        FROM px)
+      SELECT asset_id, w AS width, h AS height,
+             CAST(cell AS BIGINT) AS cell,
+             CAST(SUM(b) AS BIGINT) AS px_sum,
+             COUNT(*) AS n_px,
+             ROUND(SUM(b) / COUNT(*), 4) AS avg_byte
+      FROM c GROUP BY asset_id, w, h, cell
+      ORDER BY asset_id, cell"""))
   )
 
   /** COMPLETE real PNGs built from the documents table: the pixel

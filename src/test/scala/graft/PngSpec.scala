@@ -79,6 +79,21 @@ class PngSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("2x2xRGB pool: hand-computed sums on a 2x2 image; halves split " +
+      "ceil-left/top on odd dimensions") {
+    // 2x2 image, one pixel per cell — sums are the pixels themselves
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val sums = PngRuntime.pool2x2(px, 2L, 2L).toLongArray()
+    assert(sums.toSeq == Seq[Long](10, 20, 30, 40, 50, 60,
+      70, 80, 90, 100, 110, 120))
+    // 3x1: left cell gets ceil(3/2)=2 columns, right gets 1; single
+    // row is all gy=0
+    val px31 = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    val s31 = PngRuntime.pool2x2(px31, 3L, 1L).toLongArray()
+    assert(s31.toSeq == Seq[Long](1 + 4, 2 + 5, 3 + 6, 7, 8, 9,
+      0, 0, 0, 0, 0, 0))
+  }
+
   test("malformed input fails loudly: bad signature, corrupt CRC, " +
       "truncated IDAT") {
     val good = PngRuntime.encode(rndPixels(4, 4, 31L), 4L, 4L)
