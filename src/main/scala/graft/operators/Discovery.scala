@@ -603,11 +603,112 @@ object Discovery {
       // c02 sketch-index memo, minus its localCheckpoint.
       c07Memo.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
         _ => buildC07(s, d)),
-      Some(sqlSemanticTypes))
+      Some(sqlSemanticTypes)),
+
+    // ---------------------------------------------------------------- c08
+    // Typed joinability rank — see [[buildC08]]: c07's semantic
+    // classes prune the candidate-pair space to compatible meanings
+    // (key↔key incl. PK×FK, ref↔ref, cat↔cat), exact distinct-value
+    // overlap ranks what survives. Plan memoized like c07 (same
+    // breadth-priced analysis).
+    GQuery("c08_typed_joinability", (s, d) =>
+      c08Memo.computeIfAbsent(s"${System.identityHashCode(s)}|$d",
+        _ => buildC08(s, d)),
+      Some(sqlTypedJoinability))
   )
+
+  private val c08Memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private val c07Memo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** c08: the typed joinability rank c07's classes exist to feed —
+    * candidate join pairs are generated ONLY between semantically
+    * COMPATIBLE columns (key-like id/numeric_code together — the
+    * PK×FK case; entity_ref with entity_ref; category with category;
+    * measures/timestamps/free text never pair), then ranked by exact
+    * distinct-value overlap. Semantic pruning is what makes this
+    * tractable at catalog scale: the pair space is classified-column-
+    * sized metadata, and the overlap join shuffles distinct
+    * (class, value) rows once — never all column pairs. The true FK
+    * edges (c_custkey×o_custkey, the three nationkeys, n_regionkey)
+    * surface at the top with their exact key-overlap counts.
+    */
+  private def buildC08(s: SparkSession, d: String): DataFrame = {
+    val sem = c07Memo.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$d", _ => buildC07(s, d))
+    // The classification is COLUMN-COUNT-sized metadata (30 rows) —
+    // materialize it once (localCheckpoint) instead of re-running the
+    // whole c07 profiling pass inside every ranking: in production
+    // the semantic classes are a persisted catalog artifact, exactly
+    // like the c02 sketch index.
+    val classed = sem.select(col("table_name"), col("column_name"),
+      when(col("semantic_type").isin("id", "numeric_code"), "key")
+        .when(col("semantic_type") === "entity_ref", "ref")
+        .when(col("semantic_type") === "category", "cat")
+        .as("join_class"))
+      .where(col("join_class").isNotNull)
+      .localCheckpoint()
+    // Collect the 30-row classification (metadata, like a08's pool)
+    // so the value relation explodes ONLY classified columns — the
+    // measure/timestamp columns never cast or shuffle at all.
+    val classedCols = classed
+      .select(col("table_name"), col("column_name")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val vals = columnValues(s, d, classedCols)
+      .where(col("v").isNotNull).distinct()
+    val av = vals.join(broadcast(classed),
+      Seq("table_name", "column_name"))
+    val a = av.select(col("join_class"), col("v"),
+      col("table_name").as("table_a"), col("column_name").as("col_a"))
+    val b = av.select(col("join_class").as("jc2"), col("v").as("v2"),
+      col("table_name").as("table_b"), col("column_name").as("col_b"))
+    a.join(b, col("join_class") === col("jc2") && col("v") === col("v2")
+        && col("table_a") =!= col("table_b")
+        && concat(col("table_a"), lit("."), col("col_a")) <
+          concat(col("table_b"), lit("."), col("col_b")))
+      .groupBy("join_class", "table_a", "col_a", "table_b", "col_b")
+      .agg(count(lit(1)).as("n_overlap"))
+      .orderBy(col("n_overlap").desc, col("table_a"), col("col_a"),
+        col("table_b"), col("col_b"))
+  }
+
+  private def sqlTypedJoinability: String = {
+    val unions = typedInventory.map { case (t, c, _) =>
+      s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+        s"CAST($c AS VARCHAR) AS v FROM $t"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH sem AS ($sqlSemanticTypes),
+      classed AS (
+        SELECT table_name, column_name,
+               CASE WHEN semantic_type IN ('id', 'numeric_code')
+                      THEN 'key'
+                    WHEN semantic_type = 'entity_ref' THEN 'ref'
+                    WHEN semantic_type = 'category' THEN 'cat' END
+                 AS join_class
+        FROM sem
+        WHERE semantic_type IN ('id', 'numeric_code', 'entity_ref',
+                                'category')),
+      pvals AS (
+        SELECT DISTINCT table_name, column_name, v FROM (
+        $unions) u WHERE v IS NOT NULL),
+      av AS (
+        SELECT c.join_class, p.v, p.table_name, p.column_name
+        FROM pvals p JOIN classed c
+          USING (table_name, column_name))
+      SELECT a.join_class, a.table_name AS table_a,
+             a.column_name AS col_a, b.table_name AS table_b,
+             b.column_name AS col_b, COUNT(*) AS n_overlap
+      FROM av a JOIN av b
+        ON a.join_class = b.join_class AND a.v = b.v
+        AND a.table_name <> b.table_name
+        AND a.table_name || '.' || a.column_name
+          < b.table_name || '.' || b.column_name
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY n_overlap DESC, table_a, col_a, table_b, col_b"""
+  }
 
   private def buildC07(s: SparkSession, d: String): DataFrame = {
       // ONE fused relation, ONE exchange chain: every candidate column

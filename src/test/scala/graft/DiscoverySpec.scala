@@ -90,6 +90,32 @@ class DiscoverySpec extends SparkSpec {
     assert(got.size == 30 && got.values.forall(_.nonEmpty))
   }
 
+  test("c08 typed joinability: true FK edges surface with full key " +
+      "overlap; incompatible classes never pair") {
+    val rows = graft.Registry.byName("c08_typed_joinability")
+      .fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    // the real FK edges exist and carry their full key overlap
+    def overlap(ta: String, ca: String, tb: String, cb: String) =
+      rows.collectFirst {
+        case (_, `ta`, `ca`, `tb`, `cb`, n) => n }
+    assert(overlap("customer", "c_custkey", "orders", "o_custkey")
+      .exists(_ > 0), "c_custkey x o_custkey FK edge missing")
+    assert(overlap("customer", "c_nationkey", "supplier", "s_nationkey")
+      .exists(_ > 0), "nationkey FK edge missing")
+    // no pair ever crosses join classes, tables, or the dedup order
+    rows.foreach { case (jc, ta, ca, tb, cb, n) =>
+      assert(Set("key", "ref", "cat")(jc) && ta != tb && n > 0)
+      assert(s"$ta.$ca" < s"$tb.$cb", s"unordered pair $ta.$ca/$tb.$cb")
+    }
+    // measures/timestamps/free text are never candidates
+    val cols = rows.flatMap(r => Seq(r._2 + "." + r._3, r._4 + "." + r._5))
+    Seq("customer.c_acctbal", "orders.o_orderdate", "events.value",
+      "part.p_name").foreach(bad =>
+      assert(!cols.contains(bad), s"$bad paired despite its class"))
+  }
+
   test("sketchSearch: self-match is k, disjoint column scores low") {
     val sketches = Seq(
       Discovery.columnSketch(dim, "dim", "id"),
