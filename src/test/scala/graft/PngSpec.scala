@@ -61,6 +61,46 @@ class PngSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("grayscale (color type 0) and RGBA (color type 6) ImageIO PNGs " +
+      "decode correctly — the non-RGB branches of the unfilterer") {
+    // grayscale: 1 byte/pixel — bpp=1 exercises the Sub/Paeth left
+    // neighbor at distance 1
+    val (w, h) = (9, 7)
+    val gimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = new scala.util.Random(41L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = r.nextInt(256)
+      gimg.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val gb = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gimg, "png", gb))
+    val gd = PngRuntime.decode(gb.toByteArray)
+    assert(gd.colorType == 0 && gd.width == w && gd.height == h)
+    assert(gd.pixels.length == w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((gd.pixels(y * w + x) & 0xff) ==
+        (gimg.getRaster.getSample(x, y, 0)), s"gray $x,$y")
+    // RGBA: 4 bytes/pixel with a non-trivial alpha channel
+    val aimg = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_4BYTE_ABGR)
+    for (y <- 0 until h; x <- 0 until w)
+      aimg.setRGB(x, y, r.nextInt()) // random ARGB incl. alpha
+    val ab = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(aimg, "png", ab))
+    val ad = PngRuntime.decode(ab.toByteArray)
+    assert(ad.colorType == 6 && ad.pixels.length == w * h * 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = aimg.getRGB(x, y)
+      val off = (y * w + x) * 4
+      assert((ad.pixels(off) & 0xff) == ((argb >> 16) & 0xff), s"R $x,$y")
+      assert((ad.pixels(off + 1) & 0xff) == ((argb >> 8) & 0xff), s"G $x,$y")
+      assert((ad.pixels(off + 2) & 0xff) == (argb & 0xff), s"B $x,$y")
+      assert((ad.pixels(off + 3) & 0xff) == ((argb >>> 24) & 0xff),
+        s"A $x,$y")
+    }
+  }
+
   test("our encoder's output is accepted by ImageIO (the reverse " +
       "cross-check): pixels survive an external decode") {
     val w = 11; val h = 8
