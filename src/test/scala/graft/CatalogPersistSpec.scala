@@ -85,10 +85,17 @@ class CatalogPersistSpec extends SparkSpec {
       LakeSql.sql(s1, s"ATTACH '$rootB' AS b")
     }
     intercept[IllegalArgumentException] { LakeSql.sql(s1, "DETACH zz") }
-    // cross-catalog join: attached lake table ⋈ session parquet view
-    val n1 = LakeSql.sql(s1, """
+    // cross-catalog join: attached lake table ⋈ session parquet view.
+    // The qualified name binds by analyzed-subtree substitution, so
+    // Catalyst sees ONE plan — assert the small side actually
+    // broadcasts (a substitution that blocked join strategy selection
+    // would silently shuffle both sides).
+    val joined = LakeSql.sql(s1, """
       SELECT COUNT(*) AS n FROM b.rich JOIN nation
-      ON c_nationkey = n_nationkey""").head.getLong(0)
+      ON c_nationkey = n_nationkey""")
+    val n1 = joined.head.getLong(0)
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "cross-catalog join not broadcast")
     val want = Tables.customer(spark, sfDir)
       .filter(col("c_acctbal") > 5000).count()
     assert(n1 == want && want > 0)

@@ -148,6 +148,24 @@ class PngSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("m13/m14 plan shape: codegen'd projection over one scan, no " +
+      "shuffle except the presentation sort — the 100 TB decode shape") {
+    for (key <- Seq("m13_png_pixels", "m14_png_pooled_features")) {
+      val df = graft.Registry.byName(key).fn(spark, sfDir)
+      df.collect() // finalize the adaptive plan before inspecting
+      // final-plan section only (the AQE string repeats the tree
+      // under "== Initial Plan ==")
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // "*(n)" prefixes are the WholeStageCodegen stage markers
+      assert(plan.contains("*(1)"), s"$key not codegen'd:\n$plan")
+      // exactly the sort's exchange — a decode path that shuffled
+      // pixel data would be wrong at any corpus size
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"$key has $exchanges exchanges:\n$plan")
+    }
+  }
+
   test("m13 expressions end to end: decode(encode(px)) under codegen " +
       "matches the raw pixel tiling for every corpus document") {
     val rows = graft.operators.Multimodal.pngRealAssets(spark, sfDir)
