@@ -30,9 +30,11 @@ import graft.sources.{DeltaLite, IcebergLite}
   */
 object LakeSql {
 
-  private def nameOf(rel: LogicalPlan): String = rel match {
-    case r: UnresolvedRelation => r.multipartIdentifier.last
-    case SubqueryAlias(_, child) => nameOf(child)
+  private def nameOf(rel: LogicalPlan): String = partsOf(rel).last
+
+  private def partsOf(rel: LogicalPlan): Seq[String] = rel match {
+    case r: UnresolvedRelation => r.multipartIdentifier
+    case SubqueryAlias(_, child) => partsOf(child)
     case other =>
       throw new IllegalArgumentException(s"unsupported DML target: $other")
   }
@@ -224,6 +226,20 @@ object LakeSql {
     * scoping — loud refusal beats silently binding against the wrong
     * catalog.
     */
+  /** (provider, path) of `alias.name` via the attached catalog — the
+    * resolution a STREAMING reader needs (the DSv2 lake sources take
+    * a path, and a stream's lifetime outlives any one statement).
+    */
+  def attachedLocation(s: SparkSession, alias: String, name: String):
+      (String, String) =
+    attachedEntries(s, alias).get(name) match {
+      case Some(("view", _)) => throw new IllegalArgumentException(
+        s"$alias.$name is a view — streams tail lake tables")
+      case Some(pp) => pp
+      case None => throw new IllegalArgumentException(
+        s"table $alias.$name not in attached catalog")
+    }
+
   def attachedTable(s: SparkSession, alias: String, name: String):
       DataFrame =
     attachedEntries(s, alias).get(name) match {
@@ -1928,20 +1944,36 @@ object LakeSql {
     */
   def execute(s: SparkSession, tables: Map[String, String],
       sql: String): String = {
-    def pathOf(rel: LogicalPlan): String = {
-      val n = nameOf(rel)
-      tables.getOrElse(n, catalog(s).get(n) match {
-        case Some(("view", _)) => throw new IllegalArgumentException(
-          s"$n is a view — DML targets must be lake tables")
-        case Some((_, p)) => p
-        case None =>
-          throw new IllegalArgumentException(s"unknown lake table $n")
-      })
+    // (provider, path) through either catalog: a qualified
+    // `alias.table` target resolves (and writes through) to the
+    // ATTACHED catalog, so INSERT/UPDATE/DELETE/MERGE work across
+    // catalogs exactly like reads.
+    def resolve(rel: LogicalPlan): (String, String) = {
+      val parts = partsOf(rel)
+      if (parts.length == 2 && attached(s).contains(parts.head))
+        attachedEntries(s, parts.head).get(parts.last) match {
+          case Some(("view", _)) => throw new IllegalArgumentException(
+            s"${parts.mkString(".")} is a view — DML targets must be " +
+              "lake tables")
+          case Some(pp) => pp
+          case None => throw new IllegalArgumentException(
+            s"table ${parts.mkString(".")} not in attached catalog")
+        }
+      else {
+        val n = parts.last
+        tables.get(n).map(("deltalite", _)).getOrElse(
+          catalog(s).get(n) match {
+            case Some(("view", _)) => throw new IllegalArgumentException(
+              s"$n is a view — DML targets must be lake tables")
+            case Some(pp) => pp
+            case None =>
+              throw new IllegalArgumentException(s"unknown lake table $n")
+          })
+      }
     }
-    def isIceberg(rel: LogicalPlan): Boolean = {
-      val n = nameOf(rel)
-      !tables.contains(n) && catalog(s).get(n).exists(_._1 == "iceberglite")
-    }
+    def pathOf(rel: LogicalPlan): String = resolve(rel)._2
+    def isIceberg(rel: LogicalPlan): Boolean =
+      resolve(rel)._1 == "iceberglite"
     s.sessionState.sqlParser.parsePlan(sql) match {
       case DeleteFromTable(rel, cond) =>
         val p = pathOf(rel)

@@ -1055,7 +1055,48 @@ object Streaming {
       s.read.parquet(sink).orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey, c_name, c_acctbal
-      FROM customer ORDER BY c_custkey"""))
+      FROM customer ORDER BY c_custkey""")),
+
+    // --------------------------------------------------------------- st26
+    // Streaming FROM an ATTACHED catalog — the x71 multi-catalog
+    // composed with st12's lake tailing: another team's lake root
+    // attaches by alias, a feed table is created and loaded INTO it
+    // entirely through qualified SQL (CTAS + two cross-catalog
+    // INSERTs — each lands as one commit in the attached root's own
+    // log), and the stream tails the table by resolving `alias.table`
+    // through the attached catalog to the path the DSv2 source needs
+    // (LakeSql.attachedLocation — a stream outlives any statement, so
+    // it binds the location, not the alias). Three commits stream as
+    // three rate-limited batches. Alias is run-unique so the key is
+    // repeat-stable (ATTACH refuses duplicates by design).
+    GQuery("st26_stream_from_attached", (s, d) => {
+      import graft.LakeSql
+      graft.Sql.open(s, d)
+      val root = graft.util.Scratch.dir("st26_other")
+      val alias = "feeds_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+      LakeSql.script(s, s"""
+        ATTACH '$root' AS $alias;
+        CREATE TABLE $alias.orders_feed USING deltalite
+          AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             WHERE o_orderkey % 3 = 0;
+        INSERT INTO $alias.orders_feed
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey % 3 = 1;
+        INSERT INTO $alias.orders_feed
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_orderkey % 3 = 2""")
+      val (_, path) = LakeSql.attachedLocation(s, alias, "orders_feed")
+      val stream = s.readStream
+        .format(classOf[DeltaLiteStreamProvider].getName)
+        .option("path", path).option("maxVersionsPerTrigger", "1")
+        .load()
+      val out = runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
+      LakeSql.sql(s, s"DETACH $alias")
+      out
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_orderkey"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

@@ -106,6 +106,20 @@ class CatalogPersistSpec extends SparkSpec {
     LakeSql.sql(s2, s"ATTACH '$rootB' AS other")
     assert(LakeSql.sql(s2, "SELECT COUNT(*) AS n FROM other.rich")
       .head.getLong(0) == want)
+    // qualified DML: INSERT / UPDATE / DELETE address the attached
+    // table through its alias and commit to ITS log — the s1 alias
+    // sees every effect on live replay
+    LakeSql.sql(s2, """INSERT INTO other.rich
+      SELECT c_custkey + 1000000 AS c_custkey, c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey < 10""")
+    LakeSql.sql(s2,
+      "UPDATE other.rich SET c_acctbal = 0 WHERE c_custkey >= 1000000")
+    assert(LakeSql.sql(s1, """SELECT COUNT(*) AS n FROM b.rich
+      WHERE c_custkey >= 1000000 AND c_acctbal = 0""").head.getLong(0)
+      == 10)
+    LakeSql.sql(s2, "DELETE FROM other.rich WHERE c_custkey >= 1000000")
+    assert(LakeSql.sql(s1, "SELECT COUNT(*) AS n FROM b.rich")
+      .head.getLong(0) == want)
     // qualified DROP writes through to the attached log: s1 (alias b,
     // live replay) sees the table vanish
     LakeSql.sql(s2, "DROP TABLE other.rich")
