@@ -155,7 +155,8 @@ object LakeSql {
 
   private def registerEntry(s: SparkSession, name: String,
       provider: String, path: String): Unit = {
-    require(name != MetaTablesView && name != MetaColumnsView,
+    require(name != MetaTablesView && name != MetaColumnsView &&
+      name != MetaCatalogsView,
       s"$name is a reserved metadata view name")
     catalog(s).put(name, (provider, path))
     catalogDir(s).foreach(appendOp(s, _, "register", name, provider, path))
@@ -289,6 +290,32 @@ object LakeSql {
     */
   val MetaTablesView = "graft_tables"
   val MetaColumnsView = "graft_columns"
+  val MetaCatalogsView = "graft_catalogs"
+
+  /** One row per visible catalog — the primary plus every ATTACHed
+    * root — with its table/view counts: the `duckdb_databases()`
+    * analog of the reference's multi-catalog Connection. Pure
+    * metadata (op-log replays only; no data IO). Locations are
+    * deliberately excluded: paths are deployment-specific, counts and
+    * kinds are the portable answer.
+    */
+  def catalogsMeta(s: SparkSession): DataFrame = {
+    import s.implicits._
+    def counts(m: scala.collection.Map[String, (String, String)]) = {
+      val (views, tabs) = m.values.partition(_._1 == "view")
+      (tabs.size.toLong, views.size.toLong)
+    }
+    val primary = {
+      val (t, v) = counts(catalog(s))
+      ("main", "primary", t, v)
+    }
+    val att = attached(s).toSeq.sortBy(_._1).map { case (alias, _) =>
+      val (t, v) = counts(attachedEntries(s, alias))
+      (alias, "attached", t, v)
+    }
+    (primary +: att)
+      .toDF("catalog_name", "kind", "n_tables", "n_views")
+  }
 
   /** One row per catalog entry: (table_name, provider, location).
     * Pure metadata — no data file is opened at any table size.
@@ -1880,6 +1907,8 @@ object LakeSql {
         // names, and a mention inside a CTE body is invisible to
         // plan.collect (UnresolvedWith keeps cteRelations out of the
         // children traversal).
+        if (statement.contains(MetaCatalogsView))
+          catalogsMeta(s).createOrReplaceTempView(MetaCatalogsView)
         if (statement.contains(MetaTablesView))
           tablesMeta(s).createOrReplaceTempView(MetaTablesView)
         if (statement.contains(MetaColumnsView))

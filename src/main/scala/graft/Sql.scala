@@ -1925,9 +1925,46 @@ object Sql {
         FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY o_custkey
                 ORDER BY o_orderdate) AS __grp
               FROM orders WHERE o_custkey <= 300) t
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+      CatalogsMetaQuery
     )
   }
+
+  private def CatalogsMetaQuery: GQuery =
+    // ------------------------------------------------------------- x74
+    // graft_catalogs — the duckdb_databases() analog completing the
+    // x71 multi-catalog UX: one row per visible catalog (primary +
+    // each ATTACHed root) with table/view counts from op-log replays
+    // alone (no data IO). The query filters to the attached kind so
+    // the oracle is a pure VALUES literal independent of whatever the
+    // shared session's primary catalog holds at run time; fixed
+    // aliases + end-of-run DETACH keep it repeat-stable.
+    GQuery("x74_sql_catalogs", (s, d) => {
+      open(s, d)
+      val rootA = graft.util.Scratch.dir("x74_a")
+      val rootB = graft.util.Scratch.dir("x74_b")
+      LakeSql.script(s, s"""
+        ATTACH '$rootA' AS cat_a;
+        ATTACH '$rootB' AS cat_b;
+        CREATE TABLE cat_a.t1 USING deltalite AS SELECT * FROM nation;
+        CREATE TABLE cat_a.t2 USING iceberglite
+          AS SELECT * FROM region;
+        CREATE TABLE cat_b.t1 USING deltalite
+          AS SELECT r_regionkey FROM region""")
+      val out = LakeSql.sql(s, """
+        SELECT catalog_name, kind, n_tables, n_views
+        FROM graft_catalogs WHERE kind = 'attached'
+        ORDER BY catalog_name""")
+      out.count() // materialize before the detach
+      LakeSql.script(s, "DETACH cat_a; DETACH cat_b")
+      out
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('cat_a', 'attached', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+        ('cat_b', 'attached', CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+        t(catalog_name, kind, n_tables, n_views)
+      ORDER BY catalog_name"""))
 
   private def GroupsFrameText: String = """
     SELECT o_custkey, o_orderkey,
