@@ -11,8 +11,8 @@ import graft.{GraftSession, Tables => T}
   *
   * Determinism: the training sample is the first `maxDocs` documents
   * by doc_id (a tokenizer is trained once on a bounded sample and then
-  * applied everywhere — the sample here is the committed sf0.001
-  * corpus); each round counts all adjacent symbol pairs across the
+  * applied everywhere — the committed BpeMerges table was trained on
+  * the sf0.01 corpus); each round counts all adjacent symbol pairs across the
   * sample, picks the most frequent, ties broken by the smaller
   * (left, right) id pair, and replaces its non-overlapping occurrences
   * left to right. Re-running this main on the same corpus reproduces
