@@ -210,6 +210,16 @@ object LakeSql {
     attached(s).put(alias, dir)
   }
 
+  /** Best-effort DETACH for failure-path cleanup (try/finally in the
+    * attach-use-detach query closures): removing an alias that is not
+    * attached is a no-op, so a leaked alias never survives a failed
+    * run to break the NEXT run's ATTACH ('already attached') or
+    * pollute graft_catalogs.
+    */
+  private[graft] def detachIfExists(s: SparkSession, alias: String): Unit = {
+    attached(s).remove(alias); ()
+  }
+
   /** The attached catalog's current entries (op-log replay). */
   private def attachedEntries(s: SparkSession, alias: String):
       scala.collection.concurrent.TrieMap[String, (String, String)] = {
@@ -1930,8 +1940,13 @@ object LakeSql {
             case r: UnresolvedRelation if isAttachedRel(r) =>
               attachedTable(s, r.multipartIdentifier.head,
                 r.multipartIdentifier.last).queryExecution.analyzed
+            // Only a BARE name may bind the primary catalog here: a
+            // qualified name whose prefix is not an attached alias
+            // (e.g. `foo.customer`) must fail resolution loudly, not
+            // silently bind the bare `customer` entry.
             case r: UnresolvedRelation
-                if catalog(s).contains(r.multipartIdentifier.last) =>
+                if r.multipartIdentifier.length == 1 &&
+                  catalog(s).contains(r.multipartIdentifier.last) =>
               table(s, r.multipartIdentifier.last).queryExecution.analyzed
           }
           Glue.dataFrame(s, bound)

@@ -1855,22 +1855,30 @@ object Sql {
       GQuery("x71_sql_attach", (s, d) => {
         open(s, d)
         val rootB = graft.util.Scratch.dir("x71_other")
-        LakeSql.script(s, s"""
-          ATTACH '$rootB' AS lakeb;
-          CREATE TABLE lakeb.cust_hi USING deltalite
-            AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer
-               WHERE c_acctbal > 5000;
-          DETACH lakeb;
-          ATTACH '$rootB' AS other""")
-        val out = LakeSql.sql(s, """
-          SELECT n_name, COUNT(*) AS n_hi,
-                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                   AS bal
-          FROM other.cust_hi JOIN nation ON c_nationkey = n_nationkey
-          GROUP BY n_name ORDER BY n_name""")
-        out.count() // materialize before the qualified drop
-        LakeSql.script(s, "DROP TABLE other.cust_hi; DETACH other")
-        out
+        // try/finally: a failure anywhere between ATTACH and the
+        // closing DETACH must not leak the alias (a leaked alias makes
+        // the next run's ATTACH refuse and pollutes graft_catalogs).
+        try {
+          LakeSql.script(s, s"""
+            ATTACH '$rootB' AS lakeb;
+            CREATE TABLE lakeb.cust_hi USING deltalite
+              AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+                 WHERE c_acctbal > 5000;
+            DETACH lakeb;
+            ATTACH '$rootB' AS other""")
+          val out = LakeSql.sql(s, """
+            SELECT n_name, COUNT(*) AS n_hi,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     AS bal
+            FROM other.cust_hi JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""")
+          out.count() // materialize before the qualified drop
+          LakeSql.script(s, "DROP TABLE other.cust_hi; DETACH other")
+          out
+        } finally {
+          LakeSql.detachIfExists(s, "lakeb")
+          LakeSql.detachIfExists(s, "other")
+        }
       }, Some("""
         SELECT n_name, COUNT(*) AS n_hi,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
@@ -1944,21 +1952,28 @@ object Sql {
       open(s, d)
       val rootA = graft.util.Scratch.dir("x74_a")
       val rootB = graft.util.Scratch.dir("x74_b")
-      LakeSql.script(s, s"""
-        ATTACH '$rootA' AS cat_a;
-        ATTACH '$rootB' AS cat_b;
-        CREATE TABLE cat_a.t1 USING deltalite AS SELECT * FROM nation;
-        CREATE TABLE cat_a.t2 USING iceberglite
-          AS SELECT * FROM region;
-        CREATE TABLE cat_b.t1 USING deltalite
-          AS SELECT r_regionkey FROM region""")
-      val out = LakeSql.sql(s, """
-        SELECT catalog_name, kind, n_tables, n_views
-        FROM graft_catalogs WHERE kind = 'attached'
-        ORDER BY catalog_name""")
-      out.count() // materialize before the detach
-      LakeSql.script(s, "DETACH cat_a; DETACH cat_b")
-      out
+      // try/finally: a failure before the closing DETACH must not leak
+      // the fixed aliases into the next run (ATTACH refuses duplicates
+      // and the VALUES oracle counts only these two attached rows).
+      try {
+        LakeSql.script(s, s"""
+          ATTACH '$rootA' AS cat_a;
+          ATTACH '$rootB' AS cat_b;
+          CREATE TABLE cat_a.t1 USING deltalite AS SELECT * FROM nation;
+          CREATE TABLE cat_a.t2 USING iceberglite
+            AS SELECT * FROM region;
+          CREATE TABLE cat_b.t1 USING deltalite
+            AS SELECT r_regionkey FROM region""")
+        val out = LakeSql.sql(s, """
+          SELECT catalog_name, kind, n_tables, n_views
+          FROM graft_catalogs WHERE kind = 'attached'
+          ORDER BY catalog_name""")
+        out.count() // materialize before the detach
+        out
+      } finally {
+        LakeSql.detachIfExists(s, "cat_a")
+        LakeSql.detachIfExists(s, "cat_b")
+      }
     }, Some("""
       SELECT * FROM (VALUES
         ('cat_a', 'attached', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),

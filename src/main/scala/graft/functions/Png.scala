@@ -192,7 +192,13 @@ object PngRuntime {
     var got = 0
     while (got < filtered.length && !infl.finished()) {
       val n = infl.inflate(filtered, got, filtered.length - got)
-      require(n > 0 || !infl.needsInput(), "truncated IDAT stream")
+      // Zero progress while unfinished is ALWAYS fatal here (the whole
+      // stream is already set as input): it means truncation, or a
+      // zlib FDICT preset-dictionary stream (needsDictionary), which
+      // PNG forbids — either way fail loudly instead of spinning.
+      require(n > 0, if (infl.needsDictionary())
+        "IDAT stream demands a preset dictionary (FDICT) — invalid PNG"
+      else "truncated IDAT stream")
       got += n
     }
     infl.end()

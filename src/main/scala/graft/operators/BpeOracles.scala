@@ -50,12 +50,22 @@ object BpeOracles {
     */
   val SliceMod = 10
 
+  /** The slice RESIDUE rotates by calendar day (day-of-year mod 10),
+    * so successive driver rounds walk different 1-in-10 document
+    * slices through the DuckDB replay and eventually cover the whole
+    * corpus — while any single run stays fully deterministic: the
+    * value is fixed once per JVM, and both the Spark side (t17/t18's
+    * WHERE) and this oracle text read the same constant.
+    */
+  lazy val sliceResidue: Int =
+    java.time.LocalDate.now().getDayOfYear % SliceMod
+
   /** Shared CTE chain ending in `enc` (final state at step = K). */
   private def encCtes: String = s"""
     merges(rank, l, r, nid) AS (
       SELECT * FROM (VALUES $valuesList) m(rank, l, r, nid)),
     docs AS (
-      SELECT * FROM documents WHERE doc_id % $SliceMod = 0),
+      SELECT * FROM documents WHERE doc_id % $SliceMod = $sliceResidue),
     chars AS (
       SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
              16 * (strpos('0123456789ABCDEF', substr(h, CAST(2*i + 1 AS INT), 1)) - 1)

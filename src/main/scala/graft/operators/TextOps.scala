@@ -805,7 +805,8 @@ object TextOps {
       // so the full-corpus path costs the same per row — BpeSpec
       // proves full-corpus encoder agreement every build.
       T.documents(s, d)
-        .where(pmod(col("doc_id"), lit(BpeOracles.SliceMod)) === 0)
+        .where(pmod(col("doc_id"), lit(BpeOracles.SliceMod)) ===
+          BpeOracles.sliceResidue)
         .select(col("doc_id"),
           graft.functions.Bpe.count(col("text")).as("n_bpe_tokens"),
           graft.functions.Bpe.checksum(col("text")).as("bpe_checksum"))
@@ -822,7 +823,8 @@ object TextOps {
       val toks = graft.functions.Bpe.count(col("text"))
       val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       T.documents(s, d)
-        .where(pmod(col("doc_id"), lit(BpeOracles.SliceMod)) === 0)
+        .where(pmod(col("doc_id"), lit(BpeOracles.SliceMod)) ===
+          BpeOracles.sliceResidue)
         .select(col("doc_id"), col("source"), toks.as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("bin",

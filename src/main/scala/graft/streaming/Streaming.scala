@@ -1075,25 +1075,28 @@ object Streaming {
       val root = graft.util.Scratch.dir("st26_other")
       val alias = "feeds_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(8)
-      LakeSql.script(s, s"""
-        ATTACH '$root' AS $alias;
-        CREATE TABLE $alias.orders_feed USING deltalite
-          AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             WHERE o_orderkey % 3 = 0;
-        INSERT INTO $alias.orders_feed
-          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-          WHERE o_orderkey % 3 = 1;
-        INSERT INTO $alias.orders_feed
-          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-          WHERE o_orderkey % 3 = 2""")
-      val (_, path) = LakeSql.attachedLocation(s, alias, "orders_feed")
-      val stream = s.readStream
-        .format(classOf[DeltaLiteStreamProvider].getName)
-        .option("path", path).option("maxVersionsPerTrigger", "1")
-        .load()
-      val out = runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
-      LakeSql.sql(s, s"DETACH $alias")
-      out
+      // try/finally: a failure anywhere between ATTACH and DETACH must
+      // not leak the alias into the session's attached-catalog map
+      // (graft_catalogs would show it; x74's fixed oracle would break).
+      try {
+        LakeSql.script(s, s"""
+          ATTACH '$root' AS $alias;
+          CREATE TABLE $alias.orders_feed USING deltalite
+            AS SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderkey % 3 = 0;
+          INSERT INTO $alias.orders_feed
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 = 1;
+          INSERT INTO $alias.orders_feed
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey % 3 = 2""")
+        val (_, path) = LakeSql.attachedLocation(s, alias, "orders_feed")
+        val stream = s.readStream
+          .format(classOf[DeltaLiteStreamProvider].getName)
+          .option("path", path).option("maxVersionsPerTrigger", "1")
+          .load()
+        runToEnd(s, stream, "append").orderBy(col("o_orderkey"))
+      } finally LakeSql.detachIfExists(s, alias)
     }, Some("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_orderkey"""))
