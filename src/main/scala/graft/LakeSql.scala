@@ -492,6 +492,8 @@ object LakeSql {
           sqlStatement(s, rewriteUnpivot(st))
         case _ if DescribeKeyword.matches(st) => runDescribe(s, st)
         case _ if SampleKeyword.matches(st) => sql(s, rewriteSample(st))
+        case _ if FrameExcludeGroupKeyword.matches(st) =>
+          sql(s, rewriteFrameExcludeGroup(st))
         case _ if FrameExcludeKeyword.matches(st) =>
           sql(s, rewriteFrameExclude(st))
         case _ if GroupsFrameKeyword.matches(st) =>
@@ -725,11 +727,11 @@ object LakeSql {
   // and applied BEFORE every other route, so file reads compose with
   // QUALIFY, EXPLAIN, SUMMARIZE, scripts, …
   private val TableFnKeyword =
-    "(?is).*\\bread_(parquet|csv)\\s*\\(.*".r
+    "(?is).*\\bread_(parquet|csv|json)\\s*\\(.*".r
   private val CreateViewKeyword =
     "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*".r
   private val TableFnRe =
-    ("""(?is)\bread_(parquet|csv)\s*\(\s*'([^']+)'\s*""" +
+    ("""(?is)\bread_(parquet|csv|json)\s*\(\s*'([^']+)'\s*""" +
       """(?:,\s*header\s*=\s*(true|false)\s*)?\)""").r
 
   private[graft] def rewriteTableFunctions(s: SparkSession,
@@ -738,6 +740,8 @@ object LakeSql {
       val kind = m.group(1).toLowerCase
       val path = m.group(2)
       val header = Option(m.group(3)).forall(_.equalsIgnoreCase("true"))
+      require(kind != "json" || m.group(3) == null,
+        "read_json takes no header= option")
       val v = "__tf_" + java.security.MessageDigest.getInstance("MD5")
         .digest(s"$kind|$path|$header".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(10)
@@ -745,6 +749,12 @@ object LakeSql {
         case "parquet" => s.read.parquet(path)
         case "csv" => s.read.option("header", header.toString)
           .option("inferSchema", "true").csv(path)
+        // JSON-lines (the crawl-pipeline raw format): schema inferred
+        // from the data like DuckDB's read_json auto-detection. The
+        // inference pass samples the file once at bind time; the query
+        // itself then prunes to the referenced fields (the parser
+        // materializes only the ReadSchema columns).
+        case "json" => s.read.json(path)
       }
       df.createOrReplaceTempView(v)
       v
@@ -857,6 +867,97 @@ object LakeSql {
       "EXCLUDE CURRENT ROW present in an unsupported position (nested " +
         "parentheses in the window spec, or a non-SUM/COUNT/AVG " +
         "aggregate) — rewrite it explicitly")
+    out
+  }
+
+  // ---- window frame EXCLUDE GROUP / EXCLUDE TIES -------------------
+  // The other two standard frame exclusions (DuckDB-native; Spark has
+  // none). Both are algebraic over PEER-GROUP aggregates — the peer
+  // group of a row is every row sharing its (partition, ORDER BY
+  // value), which is exactly a window PARTITIONed BY (p, order keys):
+  //   COUNT(e) EXCLUDE GROUP = COUNT(e) frame − COUNT(e) peers
+  //   SUM(e)   EXCLUDE GROUP = frame − COALESCE(peers, 0),
+  //                            NULL when the adjusted COUNT is 0
+  //   EXCLUDE TIES = EXCLUDE GROUP with the current row added back
+  //                  (+[e IS NOT NULL] / +COALESCE(e, 0))
+  //   AVG = the guarded SUM over the adjusted COUNT (as in x68)
+  // The identity is only valid when the frame CONTAINS the whole peer
+  // group, so the supported frames are the RANGE forms that guarantee
+  // it — the default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+  // a RANGE CURRENT ROW end spans the full peer set) or an explicit
+  // RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW|UNBOUNDED
+  // FOLLOWING. ROWS frames (which can cut a peer group mid-way) and
+  // bounded RANGE offsets refuse loudly. Cost: the peer aggregate
+  // rides the SAME exchange (its partition keys are a superset of the
+  // window's), so no extra shuffle at any scale.
+  private val FrameExcludeGroupKeyword =
+    "(?is).*\\bEXCLUDE\\s+(GROUP|TIES)\\b.*".r
+  private val FrameExcludeGroupRe =
+    ("""(?is)\b(SUM|COUNT|AVG)\s*\(\s*(\*|[^()]+?)\s*\)\s+OVER\s+""" +
+      """\(\s*PARTITION\s+BY\s+([^()]+?)\s+ORDER\s+BY\s+([^()]+?)""" +
+      """(\s+RANGE\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+""" +
+      """(?:CURRENT\s+ROW|UNBOUNDED\s+FOLLOWING))?""" +
+      """\s+EXCLUDE\s+(GROUP|TIES)\s*\)""").r
+
+  private[graft] def rewriteFrameExcludeGroup(statement: String): String = {
+    require(FrameExcludeGroupRe.findFirstIn(statement).isDefined,
+      "unsupported EXCLUDE GROUP/TIES form — supported: SUM|COUNT|AVG" +
+        "(expr | *) OVER (PARTITION BY p ORDER BY k [RANGE BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW|UNBOUNDED FOLLOWING] " +
+        "EXCLUDE GROUP|TIES) — ROWS frames and bounded RANGE offsets " +
+        "cannot exclude peer groups (the group may be cut mid-frame)")
+    val out = FrameExcludeGroupRe.replaceAllIn(statement, m => {
+      val fn = m.group(1).toUpperCase
+      val e = m.group(2).trim
+      val p = m.group(3).trim
+      val k = m.group(4).trim
+      val frame = Option(m.group(5)).map(_.trim).getOrElse("")
+      val mode = m.group(6).toUpperCase
+      require(!(e == "*" && fn != "COUNT"), s"$fn(*) is not a window " +
+        "aggregate — only COUNT(*) takes *")
+      // An unsupported frame (ROWS, GROUPS, bounded RANGE) backtracks
+      // into the lazy ORDER BY capture instead of failing the match —
+      // catch it there, loudly: only the RANGE forms that contain the
+      // whole peer group can exclude it.
+      require(!"(?is).*\\b(ROWS|RANGE|GROUPS)\\b.*".r.matches(k),
+        s"EXCLUDE $mode over a ROWS/GROUPS/bounded-RANGE frame — the " +
+          "frame may cut the peer group mid-way, so the exclusion " +
+          "identity does not hold; use RANGE BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW|UNBOUNDED FOLLOWING (or the " +
+          "default frame)")
+      // peer partition keys: the ORDER BY items with direction / null-
+      // ordering words stripped (the peer group is defined by VALUE).
+      val keys = splitTopCommas(k).map(_.trim
+        .replaceAll("(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$", "")
+        .replaceAll("(?is)\\s+(ASC|DESC)\\s*$", ""))
+      val wf = s"OVER (PARTITION BY $p ORDER BY $k" +
+        (if (frame.isEmpty) ")" else s" $frame)")
+      val wp = s"OVER (PARTITION BY $p, ${keys.mkString(", ")})"
+      val curCnt =
+        if (e == "*") "1" else s"(CASE WHEN ($e) IS NULL THEN 0 ELSE 1 END)"
+      val cnt =
+        if (e == "*")
+          s"(COUNT(*) $wf - COUNT(*) $wp" +
+            (if (mode == "TIES") " + 1)" else ")")
+        else
+          s"(COUNT($e) $wf - COUNT($e) $wp" +
+            (if (mode == "TIES") s" + $curCnt)" else ")")
+      val sum = {
+        val back = if (mode == "TIES") s" + COALESCE($e, 0)" else ""
+        s"(CASE WHEN $cnt = 0 THEN NULL " +
+          s"ELSE SUM($e) $wf - COALESCE(SUM($e) $wp, 0)$back END)"
+      }
+      scala.util.matching.Regex.quoteReplacement(fn match {
+        case "COUNT" => cnt
+        case "SUM" => sum
+        case "AVG" => s"($sum / $cnt)"
+      })
+    })
+    require(!FrameExcludeGroupKeyword.matches(out),
+      "EXCLUDE GROUP/TIES present in an unsupported position (no " +
+        "PARTITION BY, a ROWS or bounded-RANGE frame, nested parens " +
+        "in the spec, or a non-SUM/COUNT/AVG aggregate) — rewrite it " +
+        "explicitly")
     out
   }
 
@@ -1487,12 +1588,28 @@ object LakeSql {
           s"COPY FROM: table $source not in catalog")
       }
       // The TARGET's schema types the load (DuckDB rule): csv/json
-      // columns land typed, in table column order.
+      // columns land typed, in table column order. Parquet arrives
+      // already typed, so its own schema is CHECKED against the
+      // target by name instead of forced (forcing would silently
+      // null-fill a missing column), then cast column-by-column.
       val schema = table(s, source).schema
-      var r = s.read.format(fmt).schema(schema)
-      if (fmt == "csv") r = csvOpts(r)
+      val loaded = if (fmt == "parquet") {
+        val src = s.read.parquet(path)
+        val missing = schema.fieldNames.filterNot(f =>
+          src.schema.fieldNames.exists(_.equalsIgnoreCase(f)))
+        require(missing.isEmpty,
+          s"COPY FROM parquet: source lacks target column(s) " +
+            s"${missing.mkString(", ")} (source has " +
+            s"${src.schema.fieldNames.mkString(", ")})")
+        src.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      } else {
+        var r = s.read.format(fmt).schema(schema)
+        if (fmt == "csv") r = csvOpts(r)
+        r.load(path).select(schema.fieldNames.map(col).toSeq: _*)
+      }
       val obs = org.apache.spark.sql.Observation()
-      val df = r.load(path).select(schema.fieldNames.map(col).toSeq: _*)
+      val df = loaded
         .observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
       if (provider == "deltalite") DeltaLite.append(s, tpath, df)

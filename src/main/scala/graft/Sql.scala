@@ -82,7 +82,81 @@ object Sql {
   def runPrepared(spark: SparkSession, dir: String, query: String,
       params: Map[String, Any]): DataFrame = {
     open(spark, dir)
+    require(!PositionalMarkRe.findFirstIn(stripLiterals(query)).isDefined,
+      "mixed parameter styles: named :placeholders cannot combine " +
+        "with positional ? / $n markers in one statement")
     spark.sql(query, params)
+  }
+
+  // `?` (JDBC style, bound left-to-right) and `$n` (ordinal — may
+  // repeat and bind out of order) markers, matched OUTSIDE string
+  // literals. `$n` also appears in dollar-quoted strings in some
+  // dialects — not supported here, so the bare scan is safe.
+  private val PositionalMarkRe = """\?|\$\d+""".r
+  private val NamedMarkRe = """(?<!:):([A-Za-z_]\w*)""".r
+
+  /** The statement with string-literal BODIES blanked (quotes kept),
+    * so marker scans never fire on a '?' or ':x' inside a literal.
+    */
+  private def stripLiterals(q: String): String = {
+    val sb = new StringBuilder(q.length)
+    var inS = false
+    q.foreach { c =>
+      if (inS) { if (c == '\'') { inS = false; sb += c } else sb += ' ' }
+      else { if (c == '\'') inS = true; sb += c }
+    }
+    sb.toString
+  }
+
+  /** Run one PARAMETERIZED statement with POSITIONAL parameters — the
+    * JDBC-shaped leg of the PreparedStatement path: either `?` markers
+    * (one argument per marker, bound left-to-right) or `$n` ordinals
+    * (argument n binds every `$n` site — repeats and out-of-order
+    * references allowed). The two positional spellings cannot mix with
+    * each other or with named `:placeholders`; binding happens inside
+    * Spark's parser exactly as in [[runPrepared]] (typed literals,
+    * never string splicing — injection-safe).
+    */
+  def runPreparedPositional(spark: SparkSession, dir: String,
+      query: String, args: Seq[Any]): DataFrame = {
+    open(spark, dir)
+    val scan = stripLiterals(query)
+    val hasQ = scan.contains("?")
+    val ordinals = """\$(\d+)""".r.findAllMatchIn(scan)
+      .map(_.group(1).toInt).toSeq
+    require(!(hasQ && ordinals.nonEmpty),
+      "mixed parameter styles: ? and $n cannot combine in one statement")
+    require(NamedMarkRe.findFirstIn(scan).isEmpty,
+      "mixed parameter styles: positional ? / $n markers cannot " +
+        "combine with named :placeholders in one statement")
+    if (ordinals.nonEmpty) {
+      require(ordinals.min >= 1 && ordinals.max <= args.length,
+        s"ordinal $$${ordinals.max} out of range for ${args.length} " +
+          "argument(s) ($n is 1-based)")
+      // $n rewrites to a reserved named parameter (the parser binds it
+      // typed); literal scan skips string bodies like the marker scan.
+      val sb = new StringBuilder; var inS = false; var i = 0
+      while (i < query.length) {
+        val c = query.charAt(i)
+        if (!inS && c == '$' && i + 1 < query.length &&
+            query.charAt(i + 1).isDigit) {
+          var j = i + 1
+          while (j < query.length && query.charAt(j).isDigit) j += 1
+          sb ++= ":__pos_" + query.substring(i + 1, j); i = j
+        } else {
+          if (c == '\'') inS = !inS
+          sb += c; i += 1
+        }
+      }
+      spark.sql(sb.toString,
+        args.zipWithIndex.map { case (v, k) => s"__pos_${k + 1}" -> v }
+          .toMap)
+    } else {
+      val n = scan.count(_ == '?')
+      require(n == args.length,
+        s"statement has $n ? marker(s) but ${args.length} argument(s)")
+      spark.sql(query, args.toArray)
+    }
   }
 
   /** Inventory entries proving the text path end-to-end: each query is
@@ -1434,10 +1508,31 @@ object Sql {
           FROM customer
           WHERE c_mktsegment = :seg AND c_acctbal >= :minbal
           GROUP BY ALL"""
+        // The JDBC spelling: each ? is its own slot, bound
+        // left-to-right (the segment therefore binds twice).
+        val textQ = """
+          SELECT ? AS segment, COUNT(*) AS n,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_bal
+          FROM customer
+          WHERE c_mktsegment = ? AND c_acctbal >= ?
+          GROUP BY ALL"""
+        // The ordinal spelling: $1 binds BOTH its sites from one arg.
+        val textD = """
+          SELECT $1 AS segment, COUNT(*) AS n,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_bal
+          FROM customer
+          WHERE c_mktsegment = $1 AND c_acctbal >= $2
+          GROUP BY ALL"""
         runPrepared(s, d, text,
           Map("seg" -> "BUILDING", "minbal" -> 0))
           .unionByName(runPrepared(s, d, text,
             Map("seg" -> "MACHINERY", "minbal" -> 1000)))
+          .unionByName(runPreparedPositional(s, d, textQ,
+            Seq("AUTOMOBILE", "AUTOMOBILE", 500)))
+          .unionByName(runPreparedPositional(s, d, textD,
+            Seq("FURNITURE", 2000)))
           .orderBy(org.apache.spark.sql.functions.col("segment"))
       }, Some("""
         SELECT 'BUILDING' AS segment, COUNT(*) AS n,
@@ -1451,6 +1546,18 @@ object Sql {
                  AS total_bal
         FROM customer
         WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000
+        UNION ALL
+        SELECT 'AUTOMOBILE' AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal >= 500
+        UNION ALL
+        SELECT 'FURNITURE' AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_bal
+        FROM customer
+        WHERE c_mktsegment = 'FURNITURE' AND c_acctbal >= 2000
         ORDER BY segment""")),
 
       // ------------------------------------------------------------- x53
@@ -1935,7 +2042,63 @@ object Sql {
               FROM orders WHERE o_custkey <= 300) t
         ORDER BY o_custkey, o_orderkey""")),
 
-      CatalogsMetaQuery
+      CatalogsMetaQuery,
+
+      // ------------------------------------------------------------- x75
+      // read_json at the text entry — the JSON-lines leg of the
+      // query-a-file-directly UX (x65 covers parquet/csv): JSON-lines
+      // is THE raw input format of crawl/training-data pipelines, so
+      // a user must be able to point a query at a .jsonl dump with no
+      // setup. The closure materializes a real JSON-lines export of
+      // the documents table (Spark's json writer — string escaping,
+      // number formatting, the lot), then queries it through the
+      // read_json table function: schema inferred from the data at
+      // bind time, WHERE + GROUP BY flowing through the normal
+      // Catalyst path with the scan pruned to the referenced fields.
+      // Oracle = the same aggregate over the original table (net
+      // effect: the file IS the table — a JSON round-trip that drops
+      // rows, mangles strings, or retypes a column hash-fails).
+      GQuery("x75_sql_read_json", (s, d) => {
+        open(s, d)
+        val dir = graft.util.Scratch.dir("x75_json")
+        s.table("documents")
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.mode("overwrite").json(dir)
+        LakeSql.sql(s, s"""
+          SELECT lang, source, COUNT(*) AS n,
+                 CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                 CAST(MAX(n_chars) AS BIGINT) AS max_chars
+          FROM read_json('$dir')
+          WHERE n_chars > 100
+          GROUP BY lang, source ORDER BY lang, source""")
+      }, Some("""
+        SELECT lang, source, COUNT(*) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents
+        WHERE n_chars > 100
+        GROUP BY lang, source ORDER BY lang, source""")),
+
+      // ------------------------------------------------------------- x76
+      // Window frame EXCLUDE GROUP / EXCLUDE TIES — the two remaining
+      // standard frame exclusions (x68 covers EXCLUDE CURRENT ROW).
+      // ONE text both engines run: DuckDB executes its native
+      // exclusions; graft rewrites by the peer-group identity
+      // (LakeSql.rewriteFrameExcludeGroup: frame aggregate minus a
+      // PARTITION BY (p, order-key) peer aggregate, TIES adding the
+      // current row back). o_orderdate peer groups with >1 member
+      // exist throughout (customers order repeatedly per date at
+      // sf0.01), so GROUP vs TIES genuinely diverge — and on
+      // singleton peer groups TIES degenerates to the full frame
+      // while GROUP drops one row, boundary behavior the hash pins.
+      // The peer aggregate partitions on a superset of the window's
+      // keys, so it rides the SAME exchange — no extra shuffle.
+      GQuery("x76_sql_frame_exclude_group", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, FrameExcludeGroupText)
+      }, Some(FrameExcludeGroupText))
     )
   }
 
@@ -2019,6 +2182,29 @@ object Sql {
              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
              EXCLUDE CURRENT ROW) AS neighbor_n
     FROM (SELECT o_custkey, o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+          FROM orders WHERE o_custkey <= 200) pre
+    ORDER BY o_custkey, o_orderkey"""
+
+  private def FrameExcludeGroupText: String = """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(tp) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE GROUP) AS DOUBLE) AS run_xgroup,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             EXCLUDE GROUP) AS n_xgroup,
+           CAST(SUM(tp) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES) AS DOUBLE) AS all_xties,
+           COUNT(tp) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             EXCLUDE TIES) AS n_xties
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
                  CAST(o_totalprice AS DECIMAL(12,2)) AS tp
           FROM orders WHERE o_custkey <= 200) pre
     ORDER BY o_custkey, o_orderkey"""

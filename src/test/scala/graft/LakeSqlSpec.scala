@@ -492,6 +492,26 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark,
         s"COPY copyspec_t TO '$base/x.avro' (FORMAT AVRO)")
     }
+    // Parquet FROM is schema-CHECKED by name: a source missing a
+    // target column refuses loudly (never silently null-fills), while
+    // extra source columns and reordered columns load fine (cast to
+    // the target's declared types, in table column order).
+    LakeSql.sql(spark, s"""COPY (SELECT c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey <= 5)
+      TO '$base/narrow.parquet' (FORMAT PARQUET)""")
+    val err = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"COPY copyspec_t FROM '$base/narrow.parquet'")
+    }
+    assert(err.getMessage.contains("c_acctbal"))
+    LakeSql.sql(spark, s"""COPY (SELECT c_acctbal, c_name,
+        c_mktsegment, c_custkey FROM customer
+      WHERE c_custkey > 70 AND c_custkey <= 75)
+      TO '$base/wide.parquet' (FORMAT PARQUET)""")
+    val n3 = LakeSql.sql(spark,
+      s"COPY copyspec_t FROM '$base/wide.parquet'")
+      .collect().head.getLong(0)
+    assert(n3 == Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") > 70 && col("c_custkey") <= 75).count())
     LakeSql.sql(spark, "DROP VIEW copyspec_v")
     LakeSql.sql(spark, "DROP TABLE copyspec_t")
   }
@@ -713,6 +733,40 @@ class LakeSqlSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("c_custkey"))
   }
 
+  test("read_json binds a JSON-lines file with inferred schema and " +
+      "prunes the scan to the referenced fields") {
+    val dir = Scratch.dir("tfn_json")
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").json(s"$dir/docs_json")
+    val got = LakeSql.sql(spark, s"""
+      SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS ch
+      FROM read_json('$dir/docs_json')
+      GROUP BY lang ORDER BY lang""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.documents(spark, sfDir).groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("n_chars").as("ch"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the scan's ReadSchema is pruned to the referenced fields only
+    val plan = LakeSql.sql(spark, s"""EXPLAIN FORMATTED
+      SELECT lang FROM read_json('$dir/docs_json')
+      WHERE n_chars > 50""").collect().head.getString(0)
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("lang") && readSchema.contains("n_chars")
+      && !readSchema.contains("text") && !readSchema.contains("doc_id"),
+      s"unpruned JSON scan: $readSchema")
+    // header= is a csv-only option
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        s"SELECT * FROM read_json('$dir/docs_json', header=true)")
+    }
+  }
+
   test("USING SAMPLE is deterministic, partitioning-invariant, and " +
       "approximately the requested fraction") {
     Sql.open(spark, sfDir)
@@ -795,6 +849,60 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark, """SELECT MAX(v) OVER (PARTITION BY g ORDER BY i
         ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
         EXCLUDE CURRENT ROW) FROM fx_t""")
+    }
+  }
+
+  test("frame EXCLUDE GROUP / EXCLUDE TIES: peer groups drop as units, " +
+      "TIES keeps the current row, NULLs and singletons behave; ROWS " +
+      "frames and non-agg functions refuse") {
+    import spark.implicits._
+    // k=2 is a 3-row peer group with a NULL v member; partition 2 is a
+    // single NULL-v row (empty frame after GROUP exclusion).
+    val t = Seq(
+      (1, 1, Some(10.0)), (1, 2, Some(20.0)), (1, 2, None),
+      (1, 2, Some(40.0)), (1, 3, Some(50.0)),
+      (2, 1, None)
+    ).toDF("g", "k", "v")
+    t.createOrReplaceTempView("fxg_t")
+    val got = LakeSql.sql(spark, """
+      SELECT g, k, v,
+             SUM(v) OVER (PARTITION BY g ORDER BY k
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE GROUP) AS sg,
+             COUNT(*) OVER (PARTITION BY g ORDER BY k
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE GROUP) AS cg,
+             SUM(v) OVER (PARTITION BY g ORDER BY k
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE TIES) AS st,
+             AVG(v) OVER (PARTITION BY g ORDER BY k
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               EXCLUDE TIES) AS at
+      FROM fxg_t ORDER BY g, k, v""").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6)))
+    // hand-computed (frame = k' <= k; GROUP drops all peers, TIES
+    // drops peers but keeps self):
+    val want = Seq(
+      (1, 1, 10.0, null, 0L, 10.0, 10.0),
+      (1, 2, null, 10.0, 1L, 10.0, 10.0),
+      (1, 2, 20.0, 10.0, 1L, 30.0, 15.0),
+      (1, 2, 40.0, 10.0, 1L, 50.0, 25.0),
+      (1, 3, 50.0, 70.0, 4L, 120.0, 30.0),
+      (2, 1, null, null, 0L, null, null))
+    assert(got.toSeq == want, got.mkString(", "))
+    intercept[IllegalArgumentException] { // ROWS frames can cut a group
+      LakeSql.sql(spark, """SELECT SUM(v) OVER (PARTITION BY g ORDER BY k
+        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+        EXCLUDE GROUP) FROM fxg_t""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT MAX(v) OVER (PARTITION BY g ORDER BY k
+        EXCLUDE TIES) FROM fxg_t""")
     }
   }
 
