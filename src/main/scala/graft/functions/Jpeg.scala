@@ -1,0 +1,896 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Glue
+import org.apache.spark.sql.types._
+
+/** Baseline JFIF JPEG — a complete encoder AND decoder of the
+  * dominant crawl image format, built from the public ITU T.81 spec
+  * (reference:metadata's multimodal-column reading motivates the
+  * operator; the codec itself follows the spec, not any engine).
+  *
+  * Encoder: level shift → 8×8 forward DCT (double-precision separable
+  * basis, StrictMath tables so every JVM produces identical bits) →
+  * quality-scaled Annex-K quantization (the libjpeg 5000/q // 200−2q
+  * scaling law) → zigzag → Annex-K Huffman entropy coding (DC diff
+  * categories, AC run/size with ZRL and EOB, 0xFF byte stuffing).
+  * Emits 4:4:4 YCbCr for RGB input or a single-component scan for
+  * grayscale — a valid JFIF stream any external decoder accepts
+  * (JpegSpec decodes it with javax.imageio).
+  *
+  * Decoder: full marker walk (APPn/COM skipped, DQT 8/16-bit, SOF0
+  * baseline with 1–3 components and sampling factors up to 2×2, DHT
+  * canonical code reconstruction, DRI) → entropy decode (stuffed-byte
+  * aware bit reader, RSTn predictor resets, EXTEND sign recovery) →
+  * dequant → de-zigzag → IDCT → plane assembly → chroma upsample →
+  * YCbCr→RGB. Handles real-world 4:2:0 files (javax.imageio encodes
+  * those; JpegSpec decodes them back within tolerance) — not just its
+  * own 4:4:4 output.
+  *
+  * Everything is deterministic integer/double work with StrictMath
+  * trig tables: the same bytes decode to the same pixels on every
+  * executor, every run — the property the m15/m16 oracle contracts
+  * hash against.
+  */
+object JpegRuntime {
+
+  // ---- tables ------------------------------------------------------
+
+  /** Zigzag scan order: index i → natural (row-major) block index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K base quantization tables (luminance, chrominance). */
+  private val BaseQLuma: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val BaseQChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** The libjpeg quality scaling: q∈[1,100] → per-entry scale, min 1. */
+  private def scaledQ(base: Array[Int], quality: Int): Array[Int] = {
+    require(quality >= 1 && quality <= 100, s"quality $quality not in [1,100]")
+    val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
+    base.map(b => math.min(255, math.max(1, (b * scale + 50) / 100)))
+  }
+
+  // Annex K Huffman tables: (bits per code length 1..16, symbol values)
+  private val DcLumaBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals = (0 to 11).toArray
+  private val DcChromaBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).toArray
+  private val AcLumaBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+  private val AcChromaBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** DCT cosine basis cos((2x+1)·u·π/16), StrictMath so the table is
+    * bit-identical on every JVM/platform.
+    */
+  private val CosT: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (x, u) => StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+  private val InvSqrt2 = 1.0 / StrictMath.sqrt(2.0)
+
+  // ---- Huffman code construction (encoder side) --------------------
+
+  /** bits(1..16) + vals → (codeOf(symbol), lenOf(symbol)). */
+  private def buildEncodeTable(bits: Array[Int], vals: Array[Int])
+      : (Array[Int], Array[Int]) = {
+    val code = new Array[Int](256)
+    val len = new Array[Int](256)
+    var c = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l)) {
+        code(vals(k)) = c
+        len(vals(k)) = l
+        c += 1; k += 1; i += 1
+      }
+      c <<= 1
+      l += 1
+    }
+    (code, len)
+  }
+
+  private lazy val (dcLumaCode, dcLumaLen) = buildEncodeTable(DcLumaBits, DcLumaVals)
+  private lazy val (dcChromaCode, dcChromaLen) = buildEncodeTable(DcChromaBits, DcChromaVals)
+  private lazy val (acLumaCode, acLumaLen) = buildEncodeTable(AcLumaBits, AcLumaVals)
+  private lazy val (acChromaCode, acChromaLen) = buildEncodeTable(AcChromaBits, AcChromaVals)
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (spec F.1.2.3). */
+    def flush(): Unit = if (nbits > 0) {
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc)
+      if (acc == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  /** Magnitude category: smallest s with |v| < 2^s. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  // ---- encoder -----------------------------------------------------
+
+  /** Forward DCT + quantize one 8×8 block (level-shifted samples in),
+    * zigzag-ordered quantized coefficients out.
+    */
+  private def fdctQuant(blk: Array[Double], q: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            sum += blk(y * 8 + x) * CosT(x)(u) * CosT(y)(v)
+            x += 1
+          }
+          y += 1
+        }
+        val cu = if (u == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        val f = 0.25 * cu * cv * sum
+        // natural position (v is the vertical frequency)
+        val nat = v * 8 + u
+        out(nat) = StrictMath.round(f / q(nat)).toInt
+        v += 1
+      }
+      u += 1
+    }
+    val zz = new Array[Int](64)
+    var i = 0
+    while (i < 64) { zz(i) = out(Zigzag(i)); i += 1 }
+    zz
+  }
+
+  /** Encode one zigzagged block; returns the new DC predictor. */
+  private def encodeBlock(bw: BitWriter, zz: Array[Int], prevDc: Int,
+      dcCode: Array[Int], dcLen: Array[Int],
+      acCode: Array[Int], acLen: Array[Int]): Int = {
+    val diff = zz(0) - prevDc
+    val s = category(diff)
+    bw.put(dcCode(s), dcLen(s))
+    if (s > 0) {
+      val bitsVal = if (diff >= 0) diff else diff + (1 << s) - 1
+      bw.put(bitsVal, s)
+    }
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val c = zz(k)
+      if (c == 0) run += 1
+      else {
+        while (run >= 16) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
+        val sz = category(c)
+        val sym = (run << 4) | sz
+        bw.put(acCode(sym), acLen(sym))
+        val bitsVal = if (c >= 0) c else c + (1 << sz) - 1
+        bw.put(bitsVal, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+    zz(0)
+  }
+
+  /** Encode an interleaved RGB (3·w·h bytes) or grayscale (w·h bytes)
+    * buffer as a baseline JFIF JPEG at the given quality. RGB emits
+    * 4:4:4 (one block per component per MCU); grayscale a single
+    * component.
+    */
+  def encode(pixels: Array[Byte], w: Long, h: Long, quality: Long): Array[Byte] = {
+    val wi = w.toInt; val hi = h.toInt; val qi = quality.toInt
+    val gray = pixels.length == wi * hi
+    require(gray || pixels.length == wi * hi * 3,
+      s"pixel buffer ${pixels.length}B is neither ${wi}x$hi gray nor RGB")
+    val qY = scaledQ(BaseQLuma, qi)
+    val qC = scaledQ(BaseQChroma, qi)
+
+    // color convert to planes (JFIF: BT.601 with the +128 chroma bias)
+    val n = wi * hi
+    val py = new Array[Double](n)
+    val pcb = if (gray) null else new Array[Double](n)
+    val pcr = if (gray) null else new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (gray) py(i) = (pixels(i) & 0xff) - 128.0
+      else {
+        val r = pixels(3 * i) & 0xff
+        val g = pixels(3 * i + 1) & 0xff
+        val b = pixels(3 * i + 2) & 0xff
+        py(i) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        pcb(i) = -0.168736 * r - 0.331264 * g + 0.5 * b
+        pcr(i) = 0.5 * r - 0.418688 * g - 0.081312 * b
+      }
+      i += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+
+    marker(0xd8) // SOI
+    // APP0 / JFIF 1.1, no thumbnail
+    marker(0xe0); u16(16)
+    out.write(Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // DQT (two tables for color, one for gray; 8-bit precision)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xdb); u16(67); out.write(id)
+      var k = 0
+      while (k < 64) { out.write(q(Zigzag(k))); k += 1 } // zigzag order
+    }
+    dqt(0, qY)
+    if (!gray) dqt(1, qC)
+    // SOF0
+    marker(0xc0); u16(8 + 3 * (if (gray) 1 else 3)); out.write(8)
+    u16(hi); u16(wi); out.write(if (gray) 1 else 3)
+    out.write(1); out.write(0x11); out.write(0) // Y: 1×1, qtable 0
+    if (!gray) {
+      out.write(2); out.write(0x11); out.write(1)
+      out.write(3); out.write(0x11); out.write(1)
+    }
+    // DHT
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(19 + vals.length); out.write((cls << 4) | id)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumaBits, DcLumaVals)
+    dht(1, 0, AcLumaBits, AcLumaVals)
+    if (!gray) {
+      dht(0, 1, DcChromaBits, DcChromaVals)
+      dht(1, 1, AcChromaBits, AcChromaVals)
+    }
+    // SOS
+    marker(0xda); u16(6 + 2 * (if (gray) 1 else 3))
+    out.write(if (gray) 1 else 3)
+    out.write(1); out.write(0x00)
+    if (!gray) { out.write(2); out.write(0x11); out.write(3); out.write(0x11) }
+    out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al
+
+    // entropy-coded scan: MCU = one block per component (4:4:4 / gray)
+    val bw = new BitWriter(out)
+    val blk = new Array[Double](64)
+    def loadBlock(plane: Array[Double], bx: Int, by: Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        val sy = math.min(hi - 1, by * 8 + y) // edge-clamp padding
+        var x = 0
+        while (x < 8) {
+          val sx = math.min(wi - 1, bx * 8 + x)
+          blk(y * 8 + x) = plane(sy * wi + sx)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    val mcusX = (wi + 7) / 8
+    val mcusY = (hi + 7) / 8
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        loadBlock(py, mx, my)
+        dcY = encodeBlock(bw, fdctQuant(blk, qY), dcY,
+          dcLumaCode, dcLumaLen, acLumaCode, acLumaLen)
+        if (!gray) {
+          loadBlock(pcb, mx, my)
+          dcCb = encodeBlock(bw, fdctQuant(blk, qC), dcCb,
+            dcChromaCode, dcChromaLen, acChromaCode, acChromaLen)
+          loadBlock(pcr, mx, my)
+          dcCr = encodeBlock(bw, fdctQuant(blk, qC), dcCr,
+            dcChromaCode, dcChromaLen, acChromaCode, acChromaLen)
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder -----------------------------------------------------
+
+  /** Canonical Huffman decode table: per code length, the first code
+    * value and the HUFFVAL index it starts at (spec F.2.2.3).
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes at this length
+    val valPtr = new Array[Int](17)
+    val values: Array[Int] = vals
+    locally {
+      var c = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = c
+          c += bits(l); k += bits(l)
+          maxCode(l) = c - 1
+        }
+        c <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    var restartHit = false
+
+    /** Align to byte boundary and consume an expected RSTn marker. */
+    def syncRestart(): Unit = {
+      acc = 0; nbits = 0
+      require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+        ((data(pos + 1) & 0xff) & 0xf8) == 0xd0,
+        s"expected RST marker at $pos")
+      pos += 2
+      restartHit = false
+    }
+
+    def bit(): Int = {
+      if (nbits == 0) {
+        require(pos < data.length, "truncated entropy stream")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          val nxt = if (pos < data.length) data(pos) & 0xff else 0xd9
+          if (nxt == 0x00) pos += 1 // stuffed byte
+          else if ((nxt & 0xf8) == 0xd0) {
+            // restart marker reached mid-read: signal and re-feed 0
+            restartHit = true
+            pos -= 1
+            b = 0
+          } else { pos -= 1; b = 0 } // EOI padding
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+
+    def decodeHuff(t: HuffTable): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        code = (code << 1) | bit()
+        l += 1
+      }
+      require(l <= 16, "invalid Huffman code")
+      t.values(t.valPtr(l) + code - t.minCode(l))
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Dequantize (zigzag in) + IDCT one block to spatial samples. */
+  private def idctBlock(zz: Array[Int], q: Array[Int], dst: Array[Int]): Unit = {
+    val coef = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val nat = Zigzag(i)
+      coef(nat) = zz(i).toDouble * q(nat)
+      i += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            sum += cu * cv * coef(v * 8 + u) * CosT(x)(u) * CosT(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        val s = StrictMath.round(0.25 * sum + 128.0).toInt
+        dst(y * 8 + x) = math.max(0, math.min(255, s))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  final case class Decoded(width: Int, height: Int, nComp: Int,
+    nMcus: Int, pixels: Array[Byte])
+
+  /** Decode a baseline JFIF stream to interleaved RGB (grayscale
+    * replicates the single channel — same layout javax.imageio's
+    * getRGB presents, so cross-validation is channel-exact).
+    */
+  def decode(jpeg: Array[Byte]): Decoded = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    var pos = 2
+    var w = 0; var h = 0
+    var nComp = 0
+    // per-component: id, hSamp, vSamp, quant id, dc table, ac table
+    val compId = new Array[Int](4); val compH = new Array[Int](4)
+    val compV = new Array[Int](4); val compQ = new Array[Int](4)
+    val compDc = new Array[Int](4); val compAc = new Array[Int](4)
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var restartInterval = 0
+    var scanStart = -1
+
+    def u16(p: Int): Int = ((jpeg(p) & 0xff) << 8) | (jpeg(p + 1) & 0xff)
+
+    while (scanStart < 0) {
+      require(pos + 4 <= jpeg.length, "truncated before SOS")
+      require((jpeg(pos) & 0xff) == 0xff, s"expected marker at $pos")
+      val m = jpeg(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      m match {
+        case 0xc0 | 0xc1 => // baseline (and extended-sequential) SOF
+          require((jpeg(pos + 4) & 0xff) == 8, "only 8-bit precision")
+          h = u16(pos + 5); w = u16(pos + 7)
+          nComp = jpeg(pos + 9) & 0xff
+          require(nComp == 1 || nComp == 3, s"unsupported $nComp components")
+          var c = 0
+          while (c < nComp) {
+            compId(c) = jpeg(pos + 10 + 3 * c) & 0xff
+            val hv = jpeg(pos + 11 + 3 * c) & 0xff
+            compH(c) = hv >> 4; compV(c) = hv & 0xf
+            require(compH(c) >= 1 && compH(c) <= 2 &&
+              compV(c) >= 1 && compV(c) <= 2,
+              s"sampling factor ${compH(c)}x${compV(c)} out of scope")
+            compQ(c) = jpeg(pos + 12 + 3 * c) & 0xff
+            c += 1
+          }
+        case 0xc2 => throw new IllegalArgumentException(
+          "progressive JPEG out of scope (baseline decoder)")
+        case 0xdb => // DQT: one or more tables
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val pq = (jpeg(p) & 0xff) >> 4
+            val id = jpeg(p) & 0x0f
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(Zigzag(k)) =
+                if (pq == 0) jpeg(p + 1 + k) & 0xff
+                else u16(p + 1 + 2 * k)
+              k += 1
+            }
+            qTables(id) = t
+            p += 1 + (if (pq == 0) 64 else 128)
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = pos + 4
+          while (p < pos + 2 + len) {
+            val cls = (jpeg(p) & 0xff) >> 4
+            val id = jpeg(p) & 0x0f
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) {
+              bits(l) = jpeg(p + l) & 0xff; total += bits(l); l += 1
+            }
+            val vals = new Array[Int](total)
+            var i = 0
+            while (i < total) { vals(i) = jpeg(p + 17 + i) & 0xff; i += 1 }
+            val t = new HuffTable(bits, vals)
+            if (cls == 0) dcTables(id) = t else acTables(id) = t
+            p += 17 + total
+          }
+        case 0xdd => restartInterval = u16(pos + 4)
+        case 0xda => // SOS
+          val ns = jpeg(pos + 4) & 0xff
+          require(ns == nComp, "multi-scan files out of scope")
+          var c = 0
+          while (c < ns) {
+            val id = jpeg(pos + 5 + 2 * c) & 0xff
+            val tt = jpeg(pos + 6 + 2 * c) & 0xff
+            val ci = compId.indexOf(id)
+            require(ci >= 0 && ci < nComp, s"SOS names unknown component $id")
+            compDc(ci) = tt >> 4; compAc(ci) = tt & 0xf
+            c += 1
+          }
+          scanStart = pos + 2 + len
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case _ => // APPn / COM / others: skip
+      }
+      if (scanStart < 0) pos += 2 + len
+    }
+    require(w > 0 && h > 0, "no SOF before SOS")
+
+    val hMax = (0 until nComp).map(compH).max
+    val vMax = (0 until nComp).map(compV).max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW
+    val mcusY = (h + mcuH - 1) / mcuH
+    // per-component plane at its own sampling resolution
+    val planeW = (0 until nComp).map(c => mcusX * 8 * compH(c)).toArray
+    val planeH = (0 until nComp).map(c => mcusY * 8 * compV(c)).toArray
+    val planes = (0 until nComp).map(c =>
+      new Array[Int](planeW(c) * planeH(c))).toArray
+
+    val br = new BitReader(jpeg, scanStart)
+    val preds = new Array[Int](nComp)
+    val zz = new Array[Int](64)
+    val spat = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.syncRestart()
+        java.util.Arrays.fill(preds, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var c = 0
+      while (c < nComp) {
+        val dcT = dcTables(compDc(c)); val acT = acTables(compAc(c))
+        val q = qTables(compQ(c))
+        require(dcT != null && acT != null && q != null,
+          "scan references an undefined table")
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            java.util.Arrays.fill(zz, 0)
+            val s = br.decodeHuff(dcT)
+            preds(c) += extend(br.bits(s), s)
+            zz(0) = preds(c)
+            var k = 1
+            while (k < 64) {
+              val rs = br.decodeHuff(acT)
+              val r = rs >> 4; val sz = rs & 0xf
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                require(k < 64, "AC index overflow")
+                zz(k) = extend(br.bits(sz), sz)
+                k += 1
+              }
+            }
+            idctBlock(zz, q, spat)
+            val x0 = (mx * compH(c) + bx) * 8
+            val y0 = (my * compV(c) + by) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                planes(c)((y0 + yy) * planeW(c) + x0 + xx) = spat(yy * 8 + xx)
+                xx += 1
+              }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+
+    // Upsample each component to full resolution. Subsampled chroma
+    // uses the libjpeg "fancy" (triangle) filter — the same 3:1
+    // neighbor weighting with /4 (h2v1) and column-sum /16 (h2v2)
+    // integer arithmetic — so our output agrees with the IJG-derived
+    // decoder inside the JDK to IDCT/rounding precision on real 4:2:0
+    // files, not just on our own 4:4:4 output.
+    def upsampled(c: Int): Array[Int] = {
+      val hf = hMax / compH(c); val vf = vMax / compV(c)
+      val sw = (w + hf - 1) / hf; val sh = (h + vf - 1) / vf
+      val stride = planeW(c)
+      val plane = planes(c)
+      if (hf == 1 && vf == 1) {
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = plane(y * stride + x); x += 1 }
+          y += 1
+        }
+        out
+      } else if (hf == 2 && vf == 2) {
+        // jdsample.c h2v2_fancy: vertical 3:1 column sums, then
+        // horizontal 3:1 over the sums with +8/+7 biases, >> 4.
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val r = math.min(sh - 1, y / 2)
+          val rn = if (y % 2 == 0) math.max(0, r - 1) else math.min(sh - 1, r + 1)
+          def colsum(i: Int): Int = {
+            val ii = math.max(0, math.min(sw - 1, i))
+            3 * plane(r * stride + ii) + plane(rn * stride + ii)
+          }
+          var x = 0
+          while (x < w) {
+            val s = math.min(sw - 1, x / 2)
+            val v =
+              if (x % 2 == 0)
+                if (s == 0) (colsum(0) * 4 + 8) >> 4
+                else (3 * colsum(s) + colsum(s - 1) + 8) >> 4
+              else if (s == sw - 1) (colsum(s) * 4 + 7) >> 4
+              else (3 * colsum(s) + colsum(s + 1) + 7) >> 4
+            out(y * w + x) = v
+            x += 1
+          }
+          y += 1
+        }
+        out
+      } else {
+        // h2v1 / h1v2: the one-dimensional 3:1 triangle (jdsample.c
+        // h2v1_fancy), applied along the subsampled axis.
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (pos, lim, at) =
+              if (hf == 2) (x, sw, (i: Int) =>
+                plane(math.min(sh - 1, y) * stride + i))
+              else (y, sh, (i: Int) => plane(i * stride + math.min(sw - 1, x)))
+            val s = math.min(lim - 1, pos / 2)
+            val near = at(s)
+            val v =
+              if (pos % 2 == 0)
+                if (s == 0) near else (3 * near + at(s - 1) + 1) >> 2
+              else if (s == lim - 1) near
+              else (3 * near + at(s + 1) + 2) >> 2
+            out(y * w + x) = v
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+
+    val rgb = new Array[Byte](w * h * 3)
+    if (nComp == 1) {
+      var i = 0
+      val p0 = upsampled(0)
+      while (i < w * h) {
+        val g = p0(i).toByte
+        rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
+        i += 1
+      }
+    } else {
+      val py = upsampled(0); val pcb = upsampled(1); val pcr = upsampled(2)
+      def clamp(d: Double): Byte =
+        math.max(0, math.min(255, StrictMath.round(d).toInt)).toByte
+      var i = 0
+      while (i < w * h) {
+        val yv = py(i).toDouble
+        val cb = pcb(i) - 128.0
+        val cr = pcr(i) - 128.0
+        rgb(3 * i) = clamp(yv + 1.402 * cr)
+        rgb(3 * i + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        rgb(3 * i + 2) = clamp(yv + 1.772 * cb)
+        i += 1
+      }
+    }
+    Decoded(w, h, nComp, nMcus, rgb)
+  }
+
+  // ---- cross-validation against javax.imageio ----------------------
+
+  /** Decode `jpeg` with BOTH this decoder and the JDK's ImageIO reader
+    * and return the maximum per-channel absolute difference — the
+    * external-decoder agreement bound the m15 contract asserts (the
+    * two differ only in IDCT/rounding internals, so the bound is a
+    * few LSBs on 4:4:4/grayscale streams).
+    */
+  def imageioMaxDiff(jpeg: Array[Byte]): Long = {
+    val ours = decode(jpeg)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    require(img != null, "ImageIO could not decode the stream")
+    require(img.getWidth == ours.width && img.getHeight == ours.height,
+      s"dims ${img.getWidth}x${img.getHeight} vs ${ours.width}x${ours.height}")
+    // Grayscale compares RAW raster samples: getRGB on a gray image
+    // routes through a linear-gray→sRGB ColorConvertOp whose gamma
+    // curve shifts values by tens of counts — an artifact of the
+    // comparison, not of either decoder.
+    val gray = ours.nComp == 1 && img.getRaster.getNumBands == 1
+    var worst = 0
+    var y = 0
+    while (y < ours.height) {
+      var x = 0
+      while (x < ours.width) {
+        val o = (y * ours.width + x) * 3
+        if (gray) {
+          val d = math.abs(img.getRaster.getSample(x, y, 0) -
+            (ours.pixels(o) & 0xff))
+          worst = math.max(worst, d)
+        } else {
+          val argb = img.getRGB(x, y)
+          val dr = math.abs(((argb >> 16) & 0xff) - (ours.pixels(o) & 0xff))
+          val dg = math.abs(((argb >> 8) & 0xff) - (ours.pixels(o + 1) & 0xff))
+          val db = math.abs((argb & 0xff) - (ours.pixels(o + 2) & 0xff))
+          worst = math.max(worst, math.max(dr, math.max(dg, db)))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    worst.toLong
+  }
+
+  val DecodedType: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_comp", LongType, nullable = false),
+    StructField("n_mcus", LongType, nullable = false),
+    StructField("pixels", BinaryType, nullable = false)))
+
+  def decodeRow(jpeg: Array[Byte]): InternalRow = {
+    val d = decode(jpeg)
+    new GenericInternalRow(Array[Any](d.width.toLong, d.height.toLong,
+      d.nComp.toLong, d.nMcus.toLong, d.pixels))
+  }
+}
+
+/** Catalyst expressions over [[JpegRuntime]] — single static calls, so
+  * they ride whole-stage codegen like the Png family.
+  */
+object Jpeg {
+
+  private val RT = "graft.functions.JpegRuntime"
+
+  /** Encode raw RGB (or grayscale) bytes as a baseline JFIF JPEG. */
+  case class JpegEncode(first: Expression, second: Expression,
+      third: Expression, fourth: Expression) extends QuaternaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_jpeg_encode"
+    override protected def nullSafeEval(px: Any, w: Any, h: Any, q: Any): Any =
+      JpegRuntime.encode(px.asInstanceOf[Array[Byte]],
+        w.asInstanceOf[Long], h.asInstanceOf[Long], q.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (px, w, h, q) =>
+        s"${ev.value} = $RT.encode($px, $w, $h, $q);")
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression, q: Expression): JpegEncode =
+      copy(f, s, t, q)
+  }
+
+  /** Full baseline decode to a typed struct (RGB pixels). */
+  case class JpegDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = JpegRuntime.DecodedType
+    override def prettyName: String = "graft_jpeg_decode"
+    override protected def nullSafeEval(input: Any): Any =
+      JpegRuntime.decodeRow(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $RT.decodeRow($c);")
+    override protected def withNewChildInternal(c: Expression): JpegDecode =
+      copy(child = c)
+  }
+
+  /** Max per-channel |ours − ImageIO| over a decode of the stream. */
+  case class JpegImageioDiff(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_jpeg_imageio_diff"
+    override protected def nullSafeEval(input: Any): Any =
+      JpegRuntime.imageioMaxDiff(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $RT.imageioMaxDiff($c);")
+    override protected def withNewChildInternal(c: Expression): JpegImageioDiff =
+      copy(child = c)
+  }
+
+  def encode(px: Column, w: Column, h: Column, quality: Column): Column =
+    Glue.column(JpegEncode(Glue.expression(px), Glue.expression(w),
+      Glue.expression(h), Glue.expression(quality)))
+  def decode(c: Column): Column = Glue.column(JpegDecode(Glue.expression(c)))
+  def imageioDiff(c: Column): Column =
+    Glue.column(JpegImageioDiff(Glue.expression(c)))
+}

@@ -811,6 +811,118 @@ object Multimodal {
              COUNT(*) AS n_px,
              ROUND(SUM(b) / COUNT(*), 4) AS avg_byte
       FROM c GROUP BY asset_id, w, h, cell
+      ORDER BY asset_id, cell""")),
+
+    // ---------------------------------------------------------------- m15
+    // REAL JPEG decode — the dominant crawl image format, closing the
+    // media-codec surface (PNG/BMP/WAV are already real): assets are
+    // complete baseline JFIF files (functions/Jpeg.scala — FDCT,
+    // Annex-K quantization at quality 92, Huffman entropy coding) and
+    // the query runs the full decode (marker walk, canonical Huffman
+    // reconstruction, dequant, IDCT, YCbCr→RGB). JPEG is LOSSY, so
+    // unlike m13's md5-exact PNG contract the oracle pins the sketch-
+    // contract shape (the q29/q30 law): structural fields the oracle
+    // derives independently (dims from the size formula, MCU count
+    // from the 8×8 grid) hash exactly, and two bound booleans assert
+    // (a) per-channel mean drift vs the pre-encode source ≤ 2 counts
+    // (DC coefficients quantize lightly at q92, so means survive) and
+    // (b) max per-channel disagreement with the JDK's independent
+    // libjpeg-derived decoder ≤ 4 counts (IDCT/rounding internals
+    // only) — a decoder bug hash-fails the gate through the booleans.
+    // One scan, codegen'd per-row expressions, no shuffle beyond the
+    // presentation sort — the corpus-wide decode shape. (The ImageIO
+    // cross-decode column is contract machinery; the production path
+    // is the graft decode alone.)
+    GQuery("m15_jpeg_decode", (s, d) => {
+      val wh = col("w") * col("h")
+      def chanSum(pool: Column, ch: Int): Column =
+        element_at(pool, ch + 1) + element_at(pool, ch + 4) +
+          element_at(pool, ch + 7) + element_at(pool, ch + 10)
+      val meanErrOk = (0 to 2).map { ch =>
+        abs(chanSum(col("src_pool"), ch) - chanSum(col("dec_pool"), ch)) <=
+          wh * 2.0
+      }.reduce(_ && _)
+      jpegAssets(s, d)
+        .withColumn("dec", graft.functions.Jpeg.decode(col("payload")))
+        .withColumn("src_pool",
+          graft.functions.Png.pool(col("_px"), col("w"), col("h")))
+        .withColumn("dec_pool",
+          graft.functions.Png.pool(col("dec.pixels"), col("w"), col("h")))
+        .select(col("asset_id"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.n_comp").as("n_comp"), col("dec.n_mcus").as("n_mcus"),
+          meanErrOk.as("mean_err_ok"),
+          (graft.functions.Jpeg.imageioDiff(col("payload")) <= 4)
+            .as("imageio_ok"))
+        .orderBy(col("asset_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id,
+               CAST(16 + doc_id % 17 AS BIGINT) AS w,
+               CAST(12 + doc_id % 11 AS BIGINT) AS h
+        FROM documents)
+      SELECT asset_id, w AS width, h AS height,
+             CAST(3 AS BIGINT) AS n_comp,
+             CAST(((w + 7) // 8) * ((h + 7) // 8) AS BIGINT) AS n_mcus,
+             TRUE AS mean_err_ok, TRUE AS imageio_ok
+      FROM a ORDER BY asset_id""")),
+
+    // ---------------------------------------------------------------- m16
+    // Pooled features THROUGH the JPEG decode path — m14's 2×2×RGB
+    // average pool over pixels that crossed a LOSSY codec. Encoded at
+    // quality 100 (quantization steps ≈1: the roundtrip error is the
+    // DCT arithmetic itself, measured ≤3 per sample), so the per-cell
+    // decoded average must sit within 2 counts of the SOURCE average
+    // — which both engines compute EXACTLY (integer byte sums of the
+    // deterministic text tiling: Spark pools the pre-encode buffer,
+    // DuckDB replays the tiling with m14's 2-D cell addressing). The
+    // exact fields (cell, n_px, src_sum) hash bit-for-bit; the
+    // boolean pins the decode. One scan, codegen'd expressions, a
+    // 12-row posexplode per asset, no shuffle beyond the sort.
+    GQuery("m16_jpeg_pooled_features", (s, d) => {
+      val halfY = ((col("h") + 1) / 2).cast("long")
+      val halfX = ((col("w") + 1) / 2).cast("long")
+      val gy = (col("cell") / 6).cast("long")
+      val gx = (pmod(col("cell"), lit(6)) / 3).cast("long")
+      jpegAssets(s, d, quality = 100)
+        .withColumn("dec", graft.functions.Jpeg.decode(col("payload")))
+        .select(col("asset_id"), col("w"), col("h"),
+          posexplode(arrays_zip(
+            graft.functions.Png.pool(col("_px"), col("w"), col("h")),
+            graft.functions.Png.pool(col("dec.pixels"), col("w"), col("h"))))
+            .as(Seq("cell", "sums")))
+        .withColumn("n_px",
+          when(gy === 0, halfY).otherwise(col("h") - halfY) *
+            when(gx === 0, halfX).otherwise(col("w") - halfX))
+        .select(col("asset_id"), col("w").as("width"),
+          col("h").as("height"), col("cell").cast("long").as("cell"),
+          col("sums.0").as("src_sum"), col("n_px"),
+          (abs(col("sums.0") - col("sums.1")) <= col("n_px") * 2.0)
+            .as("dec_avg_ok"))
+        .orderBy(col("asset_id"), col("cell"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(16 + doc_id % 17 AS BIGINT) AS w,
+               CAST(12 + doc_id % 11 AS BIGINT) AS h
+        FROM documents),
+      px AS (
+        SELECT asset_id, w, h, p,
+               ord(substr(repeat(text,
+                     CAST(w * h * 3 / length(text) + 1 AS INT)),
+                   CAST(p + 1 AS INT), 1)) AS b
+        FROM a, LATERAL unnest(range(0, w * h * 3)) t(p)),
+      c AS (
+        SELECT asset_id, w, h, b,
+               ((p // (3 * w)) * 2 // h * 2
+                 + ((p % (3 * w)) // 3) * 2 // w) * 3 + p % 3 AS cell
+        FROM px)
+      SELECT asset_id, w AS width, h AS height,
+             CAST(cell AS BIGINT) AS cell,
+             CAST(SUM(b) AS BIGINT) AS src_sum,
+             COUNT(*) AS n_px,
+             TRUE AS dec_avg_ok
+      FROM c GROUP BY asset_id, w, h, cell
       ORDER BY asset_id, cell"""))
   )
 
@@ -833,6 +945,28 @@ object Multimodal {
       .select(col("doc_id").as("asset_id"),
         graft.functions.Png.encode(col("_px"), col("_w"), col("_h"))
           .as("payload"))
+
+  /** COMPLETE baseline JPEGs built from the documents table: pixel
+    * buffer = doc text tiled to w·h·3 RGB bytes (the m13 law, so the
+    * oracle re-derives the SOURCE pixels exactly), encoded by
+    * [[graft.functions.JpegRuntime.encode]] — real FDCT, Annex-K
+    * quantization at the given quality, real Huffman entropy coding.
+    * Keeps the raw pre-encode buffer (`_px`) alongside: the lossy
+    * contract compares decoded statistics against it.
+    */
+  private[graft] def jpegAssets(s: SparkSession, d: String,
+      quality: Int = 92): DataFrame =
+    T.documents(s, d)
+      .withColumn("w", (pmod(col("doc_id"), lit(17)) + 16).cast("long"))
+      .withColumn("h", (pmod(col("doc_id"), lit(11)) + 12).cast("long"))
+      .withColumn("_plen", col("w") * col("h") * 3)
+      .withColumn("_px", expr(
+        "encode(substring(repeat(text, CAST(_plen / length(text) + 1 " +
+          "AS INT)), 1, CAST(_plen AS INT)), 'UTF-8')"))
+      .select(col("doc_id").as("asset_id"), col("w"), col("h"),
+        col("_px"),
+        graft.functions.Jpeg.encode(col("_px"), col("w"), col("h"),
+          lit(quality.toLong)).as("payload"))
 
   /** PNGs built from the documents table: real signature, real chunk
     * framing (length/type/data/CRC for IHDR, IDAT, IEND), REAL CRC-32s
