@@ -667,35 +667,15 @@ object RelationalQueries {
       // are never replicated. The probe salt comes from a row hash, so
       // hot keys spread evenly over 8 reducers. Unlike blanket salting
       // this costs ~zero extra rows at 100 TB when skew is rare, and the
-      // result is identical to the plain join (the oracle).
-      val NSalt = 8
+      // result is identical to the plain join (the oracle). The hotness
+      // threshold DERIVES from a per-reducer row budget (see
+      // [[hotKeys]]): the gate runs a budget of 8 rows so the hot path
+      // exercises on test data; production sets the budget to what one
+      // reducer comfortably holds (~5e6 rows) and the SAME derivation
+      // applies.
       val l0 = T.lineitem(s, d)
-      // Heavy hitters: keys whose row count could overflow one reducer.
-      // Detection runs on a seeded 25% SAMPLE with the threshold scaled
-      // down — at 100 TB a full-fact count-per-key is itself a giant
-      // shuffle, and sampled detection is safe in both directions: a
-      // missed hot key just stays unsalted (correct, merely unsplit), a
-      // false positive replicates a few extra rows (correct, marginal
-      // cost). Threshold is tiny here so the hot path exercises.
-      val hot = l0.sample(withReplacement = false, 0.25, seed = 42)
-        .groupBy(col("l_orderkey").as("hk"))
-        .agg(count(lit(1)).as("hn")).filter(col("hn") >= 2).select(col("hk"))
-      val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
-        .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_outer")
-        .withColumn("salts", when(col("hk").isNotNull,
-          sequence(lit(0), lit(NSalt - 1))).otherwise(array(lit(0))))
-        .withColumn("salt", explode(col("salts")))
-        .select(col("o_orderkey"), col("o_orderpriority"), col("salt"))
-      val l = l0
-        .join(broadcast(hot), col("l_orderkey") === col("hk"), "left_outer")
-        .withColumn("salt", when(col("hk").isNotNull,
-          pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(NSalt))
-            .cast("int")).otherwise(lit(0)))
-      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          moneySum(dec2(col("l_quantity"))).as("qty"))
-        .orderBy(col("o_orderpriority"))
+      val hot = hotKeys(l0, col("l_orderkey"), maxRowsPerReducer = 8)
+      saltedJoinAgg(l0, T.orders(s, d), hot)
     }, Some(s"""
       SELECT o_orderpriority, COUNT(*) AS n,
              ${sMoneySum(sDec2("l_quantity"))} AS qty
@@ -1558,6 +1538,54 @@ object RelationalQueries {
                   AS DOUBLE) / (na * nb) AS ks_stat
       FROM cum CROSS JOIN tot GROUP BY na, nb"""))
   )
+
+  /** q34's skew machinery, parameterized by the PRODUCTION dial: the
+    * per-reducer row budget. A key is "hot" when its estimated full
+    * count could overflow one reducer: detection runs on a seeded
+    * `sampleFrac` sample (at 100 TB a full count-per-key is itself a
+    * giant shuffle), so the sampled-count threshold is
+    * ⌈sampleFrac · maxRowsPerReducer⌉ (min 1). Sampling is safe in
+    * both directions — a missed hot key stays unsalted (correct,
+    * merely unsplit); a false positive replicates a few extra rows
+    * (correct, marginal cost). The gate's q34 passes a tiny budget so
+    * the hot path exercises on test data; production passes what one
+    * reducer holds (~5e6 rows) — same derivation, no magic constant.
+    */
+  private[graft] def hotKeys(fact: DataFrame, key: Column,
+      maxRowsPerReducer: Long, sampleFrac: Double = 0.25): DataFrame = {
+    val threshold = math.max(1L,
+      math.ceil(sampleFrac * maxRowsPerReducer).toLong)
+    fact.sample(withReplacement = false, sampleFrac, seed = 42)
+      .groupBy(key.as("hk"))
+      .agg(count(lit(1)).as("hn")).filter(col("hn") >= threshold)
+      .select(col("hk"))
+  }
+
+  /** Hot-key-only salted join (probe = lineitem, build = orders) with
+    * the q34 aggregate on top: hot keys' orders rows replicate across
+    * `nSalt` salts, cold keys keep salt 0 and never replicate; the
+    * probe salt is a row hash so hot keys spread over `nSalt`
+    * reducers. Result is identical to the plain join at every budget.
+    */
+  private[graft] def saltedJoinAgg(l0: DataFrame, orders: DataFrame,
+      hot: DataFrame, nSalt: Int = 8): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_outer")
+      .withColumn("salts", when(col("hk").isNotNull,
+        sequence(lit(0), lit(nSalt - 1))).otherwise(array(lit(0))))
+      .withColumn("salt", explode(col("salts")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("salt"))
+    val l = l0
+      .join(broadcast(hot), col("l_orderkey") === col("hk"), "left_outer")
+      .withColumn("salt", when(col("hk").isNotNull,
+        pmod(xxhash64(col("l_linenumber"), col("l_partkey")), lit(nSalt))
+          .cast("int")).otherwise(lit(0)))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(dec2(col("l_quantity"))).as("qty"))
+      .orderBy(col("o_orderpriority"))
+  }
 }
 
 /** Shared DuckDB-oracle fragment for the KMV keys. */

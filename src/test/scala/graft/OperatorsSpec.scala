@@ -71,6 +71,39 @@ class OperatorsSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("q34 threshold derives from the per-reducer budget: a huge " +
+      "budget takes the cold path (zero hot keys, zero replication), a " +
+      "tiny one salts — and BOTH regimes equal the plain join") {
+    import graft.operators.RelationalQueries.{hotKeys, saltedJoinAgg}
+    val l0 = Tables.lineitem(spark, sfDir)
+    val o0 = Tables.orders(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val plain = run(l0.join(o0, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("double").as("qty"))
+      .orderBy(col("o_orderpriority")))
+    // cold regime: no lineitem key can overflow a 10^9-row reducer
+    val cold = hotKeys(l0, col("l_orderkey"), maxRowsPerReducer = 1000000000L)
+    assert(cold.count() == 0)
+    assert(run(saltedJoinAgg(l0, o0, cold)) == plain)
+    // hot regime: the gate's budget of 8 flags real keys and replicates
+    val hot = hotKeys(l0, col("l_orderkey"), maxRowsPerReducer = 8)
+    val nHot = hot.count()
+    assert(nHot > 0, "expected hot keys at the test-scale budget")
+    // build side replicates ONLY hot keys: plain orders + (nSalt-1)
+    // extra copies per hot order, nothing for cold keys
+    val hotOrders = o0.join(hot, col("o_orderkey") === col("hk")).count()
+    val saltedBuild = o0.select(col("o_orderkey"))
+      .join(broadcast(hot), col("o_orderkey") === col("hk"), "left_outer")
+      .withColumn("salt", explode(when(col("hk").isNotNull,
+        sequence(lit(0), lit(7))).otherwise(array(lit(0)))))
+    assert(saltedBuild.count() == o0.count() + hotOrders * 7)
+    assert(run(saltedJoinAgg(l0, o0, hot)) == plain)
+  }
+
   test("connected components merges transitive chains to one cluster") {
     import graft.operators.DupClusters
     // planted chain 1-2, 2-3, plus isolated pair 10-11
