@@ -485,6 +485,7 @@ object LakeSql {
           val text = df.queryExecution.explainString(mode)
             .replaceAll("#\\d+", "#")
           Seq(text).toDF("plan")
+        case _ if OnConflictKeyword.matches(st) => runOnConflict(s, st)
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
         case _ if PivotKeyword.matches(st) => runPivot(s, st)
@@ -1484,6 +1485,102 @@ object LakeSql {
     val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
     stmts.map(st => sql(s, st)).last
+  }
+
+  // ---- INSERT … ON CONFLICT at the text entry ----------------------
+  // The upsert SHORTHAND (DuckDB/Postgres spelling) over lake tables,
+  // bound to the same keyed machinery as MERGE: the conflict target is
+  // an EXPLICIT column list (graft tables declare no primary key, so
+  // the bare `INSERT OR REPLACE` PK shorthand is out of scope — spell
+  // the keys). Supported forms, loud otherwise:
+  //   INSERT INTO t <select> ON CONFLICT (k, …) DO NOTHING
+  //     → insert only rows whose keys are absent (keyed anti-join —
+  //       a broadcast lookup against the key projection, never a
+  //       table rewrite);
+  //   INSERT INTO t <select> ON CONFLICT (k, …) DO UPDATE SET
+  //       c = excluded.c, …
+  //     → full-row keyed upsert (the format's pruned copy-on-write
+  //       merge); the assignment list must cover every non-key column
+  //       from `excluded` — partial-row updates would break merge's
+  //       replace contract, so they refuse loudly.
+  // The source must be key-unique (checked): with duplicate conflict
+  // keys in one statement the row that "wins" is insertion-order-
+  // dependent in other engines — order a distributed source does not
+  // have, so the ambiguity is rejected rather than decided silently.
+  private val OnConflictKeyword =
+    "(?is)^\\s*INSERT\\b.*\\bON\\s+CONFLICT\\b.*".r
+  private val OnConflictRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+?)\s+ON\s+""" +
+      """CONFLICT\s*\(\s*([^)]+?)\s*\)\s*DO\s+""" +
+      """(NOTHING|UPDATE\s+SET\s+(.+?))\s*;?\s*$""").r
+
+  private[graft] def runOnConflict(s: SparkSession,
+      statement: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import s.implicits._
+    statement match {
+      case OnConflictRe(tbl, source, keyList, action, assigns) =>
+        val (provider, path) = catalog(s).get(tbl) match {
+          case Some(("view", _)) => throw new IllegalArgumentException(
+            s"$tbl is a view — ON CONFLICT targets must be lake tables")
+          case Some(pp) => pp
+          case None => throw new IllegalArgumentException(
+            s"ON CONFLICT: table $tbl not in catalog")
+        }
+        val schema = table(s, tbl).schema
+        val keys = splitTopCommas(keyList).map(_.trim)
+        keys.foreach(k => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"conflict column $k is not a column of $tbl"))
+        val src0 = sql(s, source)
+        require(src0.columns.length == schema.fields.length,
+          s"INSERT arity ${src0.columns.length} != table arity " +
+            s"${schema.fields.length} (positional binding)")
+        val src = src0.toDF(schema.fieldNames.toIndexedSeq: _*)
+          .select(schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        require(src.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+            .isEmpty,
+          "ON CONFLICT source has duplicate conflict-key rows — which " +
+            "row wins would be insertion-order-dependent; de-duplicate " +
+            "the source explicitly")
+        if (action.equalsIgnoreCase("NOTHING")) {
+          val fresh = src.join(
+            table(s, tbl).select(keys.map(col): _*), keys, "left_anti")
+          val obs = org.apache.spark.sql.Observation()
+          val df = fresh.observe(obs, count(lit(1)).as("n"))
+          if (provider == "deltalite") DeltaLite.append(s, path, df)
+          else IcebergLite.append(s, path, df)
+          Seq(obs.get("n").asInstanceOf[Long]).toDF("count")
+        } else {
+          val AsgRe = """(?is)^([A-Za-z_]\w*)\s*=\s*excluded\.([A-Za-z_]\w*)$""".r
+          val assigned = splitTopCommas(assigns).map(_.trim).map {
+            case AsgRe(l, r) =>
+              require(l.equalsIgnoreCase(r),
+                s"DO UPDATE must copy the SAME column ($l = excluded.$r)")
+              l.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"DO UPDATE assignments must be col = excluded.col, got: " +
+                other)
+          }
+          val wanted = schema.fieldNames
+            .filterNot(f => keys.exists(_.equalsIgnoreCase(f)))
+            .map(_.toLowerCase).toSet
+          require(assigned.toSet == wanted,
+            s"DO UPDATE must assign EVERY non-key column from excluded " +
+              s"(full-row upsert): expected ${wanted.mkString(", ")}, " +
+              s"got ${assigned.mkString(", ")}")
+          val n = src.count()
+          if (provider == "deltalite") DeltaLite.merge(s, path, src, keys)
+          else IcebergLite.merge(s, path, src, keys)
+          Seq(n).toDF("count")
+        }
+      case _ => throw new IllegalArgumentException(
+        "unsupported INSERT … ON CONFLICT form — supported: INSERT " +
+          "INTO <table> <select> ON CONFLICT (<keys>) DO NOTHING | " +
+          "DO UPDATE SET <col = excluded.col, …>")
+    }
   }
 
   // ---- COPY at the text entry --------------------------------------

@@ -2098,7 +2098,57 @@ object Sql {
       GQuery("x76_sql_frame_exclude_group", (s, d) => {
         open(s, d)
         LakeSql.sql(s, FrameExcludeGroupText)
-      }, Some(FrameExcludeGroupText))
+      }, Some(FrameExcludeGroupText)),
+
+      // ------------------------------------------------------------- x77
+      // INSERT … ON CONFLICT — the upsert SHORTHAND (x39's MERGE is
+      // the long form): DO NOTHING inserts only absent keys (keyed
+      // anti-join — no table rewrite), DO UPDATE SET col=excluded.col
+      // is the full-row keyed upsert through the format's pruned
+      // copy-on-write merge. The key runs BOTH actions against one
+      // lake table — the DO NOTHING statement overlaps 100 existing
+      // keys (skipped) and lands 50 new ones; the DO UPDATE statement
+      // overlaps 10 of those (replaced) and lands 10 more — and reads
+      // the final state back. Oracle replays the net effect from the
+      // raw table. Duplicate-key sources refuse loudly (which row
+      // "wins" would be insertion-order-dependent — order a
+      // distributed source does not have); spec covers the refusals.
+      GQuery("x77_sql_on_conflict", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val base = graft.util.Scratch.dir("x77")
+        val t = s"oc_cust_$tag"
+        LakeSql.script(s, s"""
+          CREATE TABLE $t USING deltalite LOCATION '$base/$t'
+            AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+               WHERE c_custkey <= 100;
+          INSERT INTO $t
+            SELECT c_custkey, c_mktsegment, c_acctbal + 1000
+            FROM customer WHERE c_custkey <= 150
+            ON CONFLICT (c_custkey) DO NOTHING;
+          INSERT INTO $t
+            SELECT c_custkey, 'UPSERTED', c_acctbal * 2
+            FROM customer WHERE c_custkey > 140 AND c_custkey <= 160
+            ON CONFLICT (c_custkey) DO UPDATE SET
+              c_mktsegment = excluded.c_mktsegment,
+              c_acctbal = excluded.c_acctbal""")
+        val out = LakeSql.sql(s, s"""
+          SELECT c_custkey, c_mktsegment,
+                 CAST(c_acctbal AS DOUBLE) AS bal
+          FROM $t ORDER BY c_custkey""")
+        out.count() // materialize before the drop
+        LakeSql.sql(s, s"DROP TABLE $t")
+        out
+      }, Some("""
+        SELECT c_custkey,
+               CASE WHEN c_custkey > 140 THEN 'UPSERTED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CAST(CASE WHEN c_custkey > 140 THEN c_acctbal * 2
+                         WHEN c_custkey > 100 THEN c_acctbal + 1000
+                         ELSE c_acctbal END AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey <= 160
+        ORDER BY c_custkey"""))
     )
   }
 

@@ -1099,7 +1099,39 @@ object Streaming {
       } finally LakeSql.detachIfExists(s, alias)
     }, Some("""
       SELECT o_orderkey, o_custkey, o_totalprice
-      FROM orders ORDER BY o_orderkey"""))
+      FROM orders ORDER BY o_orderkey""")),
+
+    // --------------------------------------------------------------- st27
+    // Tailing a JSON-LINES directory — the crawl-ingestion shape
+    // (x75's raw format, streaming): new .jsonl drops land in a
+    // directory and each file streams through as its own micro-batch
+    // (maxFilesPerTrigger=1 over a 3-file stage), with the schema
+    // declared up front (a streaming source cannot infer — the
+    // production contract for a feed). The query is the standard
+    // ingest-time quality gate: stateless filter + projection with a
+    // derived column, so per-batch cost is O(new files) and state is
+    // zero — the file-source checkpoint (processed-file log) is the
+    // only bookkeeping, exactly what a 100 TB continuous crawl needs.
+    // Oracle: the same filter over the documents table (net effect —
+    // the directory IS the table).
+    GQuery("st27_stream_json_tail", (s, d) => {
+      val root = graft.util.Scratch.dir("st27")
+      val stage = s"$root/docs_jsonl"
+      val src = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      src.repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").json(stage)
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").json(stage)
+        .filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          (col("n_chars") / 4).cast("long").as("approx_tokens"))
+      runToEnd(s, stream, "append").orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, lang, source, n_chars,
+             CAST(n_chars // 4 AS BIGINT) AS approx_tokens
+      FROM documents WHERE n_chars >= 100
+      ORDER BY doc_id"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

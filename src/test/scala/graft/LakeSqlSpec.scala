@@ -516,6 +516,62 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(spark, "DROP TABLE copyspec_t")
   }
 
+  test("INSERT ON CONFLICT: DO NOTHING skips existing keys and " +
+      "reports the inserted count; DO UPDATE is a full-row upsert; " +
+      "partial assignments, duplicate-key sources, and view targets " +
+      "refuse loudly") {
+    Sql.open(spark, sfDir)
+    val base = Scratch.dir("ocspec")
+    LakeSql.sql(spark, s"""CREATE TABLE ocspec_t USING iceberglite
+      LOCATION '$base/t'
+      AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+      WHERE c_custkey <= 20""")
+    // DO NOTHING: 11 of 31 keys exist → 20 inserted, originals kept
+    val n1 = LakeSql.sql(spark, """INSERT INTO ocspec_t
+      SELECT c_custkey, 'NEW', c_acctbal FROM customer
+      WHERE c_custkey >= 10 AND c_custkey <= 40
+      ON CONFLICT (c_custkey) DO NOTHING""").collect().head.getLong(0)
+    assert(n1 == 20)
+    val seg10 = LakeSql.sql(spark,
+      "SELECT c_mktsegment FROM ocspec_t WHERE c_custkey = 10")
+      .collect().head.getString(0)
+    assert(seg10 != "NEW") // existing row untouched
+    // DO UPDATE: full-row upsert replaces matched, inserts fresh
+    val n2 = LakeSql.sql(spark, """INSERT INTO ocspec_t
+      SELECT c_custkey, 'UP', 0.0 FROM customer
+      WHERE c_custkey >= 35 AND c_custkey <= 45
+      ON CONFLICT (c_custkey) DO UPDATE SET
+        c_mktsegment = excluded.c_mktsegment,
+        c_acctbal = excluded.c_acctbal""").collect().head.getLong(0)
+    assert(n2 == 11)
+    val got = LakeSql.sql(spark, """SELECT COUNT(*) FROM ocspec_t
+      WHERE c_mktsegment = 'UP'""").collect().head.getLong(0)
+    assert(got == 11)
+    assert(LakeSql.sql(spark, "SELECT COUNT(*) FROM ocspec_t")
+      .collect().head.getLong(0) == 46) // keys 0..45
+    // refusals
+    intercept[IllegalArgumentException] { // partial assignment
+      LakeSql.sql(spark, """INSERT INTO ocspec_t
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer LIMIT 1
+        ON CONFLICT (c_custkey) DO UPDATE SET
+          c_acctbal = excluded.c_acctbal""")
+    }
+    intercept[IllegalArgumentException] { // duplicate keys in source
+      LakeSql.sql(spark, """INSERT INTO ocspec_t
+        SELECT 999 AS k, 'X' AS s, 1.0 AS b
+        UNION ALL SELECT 999, 'Y', 2.0
+        ON CONFLICT (c_custkey) DO NOTHING""")
+    }
+    LakeSql.sql(spark, "CREATE VIEW ocspec_v AS SELECT * FROM ocspec_t")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """INSERT INTO ocspec_v
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM customer LIMIT 1
+        ON CONFLICT (c_custkey) DO NOTHING""")
+    }
+    LakeSql.sql(spark, "DROP VIEW ocspec_v")
+    LakeSql.sql(spark, "DROP TABLE ocspec_t")
+  }
+
   test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
       "through DECIMAL(18,4)") {
     Sql.open(spark, sfDir)
