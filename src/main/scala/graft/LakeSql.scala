@@ -231,12 +231,6 @@ object LakeSql {
     m
   }
 
-  /** Current snapshot of `alias.name` through the attached catalog.
-    * Views are refused: a view's stored text binds names in ITS
-    * catalog's scope, and graft does not implement cross-catalog view
-    * scoping — loud refusal beats silently binding against the wrong
-    * catalog.
-    */
   /** (provider, path) of `alias.name` via the attached catalog — the
     * resolution a STREAMING reader needs (the DSv2 lake sources take
     * a path, and a stream's lifetime outlives any one statement).
@@ -256,14 +250,96 @@ object LakeSql {
     attachedEntries(s, alias).get(name) match {
       case Some(("deltalite", p)) => DeltaLite.snapshot(s, p)
       case Some(("iceberglite", p)) => IcebergLite.snapshot(s, p)
-      case Some(("view", _)) => throw new IllegalArgumentException(
-        s"$alias.$name is a view — views in attached catalogs are not " +
-          "supported (their text would bind in the wrong catalog scope)")
+      case Some(("view", text)) =>
+        // A view stored in an ATTACHED catalog binds its text in THAT
+        // catalog's scope (bare names resolve against the attached
+        // entries, never the primary catalog or session temp views —
+        // the wrong-scope hazard that used to force a refusal here).
+        require(viewDepth.get() < 16,
+          s"view chain deeper than 16 expanding $alias.$name — cycle?")
+        viewDepth.set(viewDepth.get() + 1)
+        try expandAttachedView(s, alias, name, text)
+        finally viewDepth.set(viewDepth.get() - 1)
       case Some((other, _)) =>
         throw new IllegalStateException(s"unknown provider $other")
       case None => throw new IllegalArgumentException(
         s"table $alias.$name not in attached catalog")
     }
+
+  /** Expand an attached-catalog view's stored SQL text with its OWN
+    * catalog as the resolution scope: bare relation names bind against
+    * `alias`'s entries, `other.t` qualified names bind through any
+    * attached catalog, and anything else refuses loudly — a view must
+    * never silently capture a primary-catalog table or a session temp
+    * view that happens to share a name (the classic cross-catalog
+    * scoping hazard; DuckDB scopes view bodies the same way).
+    */
+  private def expandAttachedView(s: SparkSession, alias: String,
+      name: String, text: String): DataFrame = {
+    val plan = s.sessionState.sqlParser.parsePlan(text)
+    val bound = bindRelationsDeep(plan, {
+      case r if r.multipartIdentifier.length == 2 &&
+          attached(s).contains(r.multipartIdentifier.head) =>
+        attachedTable(s, r.multipartIdentifier.head,
+          r.multipartIdentifier.last).queryExecution.analyzed
+      case r if r.multipartIdentifier.length == 1 =>
+        val n = r.multipartIdentifier.head
+        if (attachedEntries(s, alias).contains(n))
+          attachedTable(s, alias, n).queryExecution.analyzed
+        else throw new IllegalArgumentException(
+          s"view $alias.$name references $n, which is not in catalog " +
+            s"$alias — attached-view bodies bind only in their own " +
+            "catalog's scope")
+    })
+    Glue.dataFrame(s, bound)
+  }
+
+  /** Deep relation binder: applies `f` to every UnresolvedRelation in
+    * the plan INCLUDING those inside WITH-clause bodies —
+    * UnresolvedWith keeps `cteRelations` out of the children
+    * traversal, so a plain transform never sees them. CTE aliases are
+    * names the statement itself defines; references to them are never
+    * handed to `f`.
+    */
+  private def bindRelationsDeep(plan: LogicalPlan,
+      f: PartialFunction[UnresolvedRelation, LogicalPlan]): LogicalPlan = {
+    val cteNames = collectCteNames(plan)
+    def go(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, o) =>
+          (n, SubqueryAlias(sa.identifier, go(sa.child)), o)
+        })
+      case r: UnresolvedRelation
+          if !(r.multipartIdentifier.length == 1 &&
+            cteNames.contains(r.multipartIdentifier.head.toLowerCase)) &&
+            f.isDefinedAt(r) => f(r)
+    }
+    go(plan)
+  }
+
+  private def collectCteNames(plan: LogicalPlan): Set[String] = {
+    val direct = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase) ++
+          w.cteRelations.flatMap(t => collectCteNames(t._2.child))
+    }
+    direct.flatten.toSet
+  }
+
+  /** Every UnresolvedRelation in the plan, including inside CTE
+    * bodies (see [[bindRelationsDeep]]).
+    */
+  private def collectRelationsDeep(
+      plan: LogicalPlan): Seq[UnresolvedRelation] = {
+    val direct = plan.collectWithSubqueries {
+      case r: UnresolvedRelation => r
+    }
+    val inCtes = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.flatMap(t => collectRelationsDeep(t._2.child))
+    }.flatten
+    direct ++ inCtes
+  }
 
   // Guards view expansion: a view chain deeper than this is a cycle
   // (a real catalog stores the dependency graph; a depth cap gives the
@@ -441,6 +517,84 @@ object LakeSql {
   // path, return its plan string as one row. Expression ids (#123)
   // are normalized out so the output is stable across plans of the
   // same shape.
+  // ---- EXPORT / IMPORT DATABASE ------------------------------------
+  // DuckDB's whole-catalog backup/migrate UX (`EXPORT DATABASE 'dir'`
+  // writes every table + schema.sql; `IMPORT DATABASE 'dir'` loads it
+  // back). Graft's export lays out one parquet directory per TABLE
+  // (the data interchange everyone reads), a `schema.sql` of CREATE
+  // VIEW statements (views travel as TEXT, their defining contract),
+  // and a `manifest.json` naming each table's provider so import
+  // recreates it under the SAME lake format. Import lands table data
+  // under `<dir>/imported/<name>` — the export directory is the
+  // self-contained unit — and refuses name collisions loudly.
+  private val ExportDbRe =
+    """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\(\s*FORMAT\s+PARQUET\s*\))?\s*;?\s*""".r
+  private val ImportDbRe =
+    """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*""".r
+
+  private def hadoopFs(s: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  private def writeSmallFile(s: SparkSession, path: String,
+      content: String): Unit = {
+    val (fs, p) = hadoopFs(s, path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(s: SparkSession, path: String): String = {
+    val (fs, p) = hadoopFs(s, path)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def runExportDatabase(s: SparkSession, dir: String): Unit = {
+    require(dir.nonEmpty, "EXPORT DATABASE needs a non-empty path")
+    val (fs, p) = hadoopFs(s, dir)
+    fs.mkdirs(p)
+    val entries = catalog(s).toSeq.sortBy(_._1)
+    val views = entries.collect { case (n, ("view", text)) =>
+      s"CREATE VIEW $n AS $text" }
+    val tables = entries.filter(_._2._1 != "view")
+    tables.foreach { case (n, _) =>
+      table(s, n).write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    val arr = Json.createArrayNode()
+    tables.foreach { case (n, (provider, _)) =>
+      val o = arr.addObject(); o.put("name", n); o.put("provider", provider)
+    }
+    writeSmallFile(s, s"$dir/manifest.json", Json.writeValueAsString(arr))
+    writeSmallFile(s, s"$dir/schema.sql", views.mkString(";\n"))
+  }
+
+  private def runImportDatabase(s: SparkSession, dir: String): Unit = {
+    val arr = Json.readTree(readSmallFile(s, s"$dir/manifest.json"))
+    require(arr.isArray, s"malformed manifest at $dir/manifest.json")
+    arr.forEach { node =>
+      val n = node.get("name").asText()
+      val provider = node.get("provider").asText()
+      require(!catalog(s).contains(n),
+        s"IMPORT DATABASE: $n already exists in the catalog")
+      val df = s.read.parquet(s"$dir/$n.parquet")
+      val loc = s"${dir.stripSuffix("/")}/imported/$n"
+      if (provider == "deltalite") DeltaLite.create(s, loc, df, Seq.empty)
+      else IcebergLite.create(s, loc, df, Seq.empty)
+      registerEntry(s, n, provider, loc)
+    }
+    val schema = readSmallFile(s, s"$dir/schema.sql").trim
+    if (schema.nonEmpty)
+      schema.split(";\n").map(_.trim).filter(_.nonEmpty)
+        .foreach(stmt => sql(s, stmt))
+  }
+
   private val ExplainRe =
     """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.*)$""".r
 
@@ -460,6 +614,12 @@ object LakeSql {
     case DetachRe(alias) =>
       require(attached(s).remove(alias).isDefined,
         s"catalog $alias is not attached")
+      s.emptyDataFrame
+    case ExportDbRe(dir) =>
+      runExportDatabase(s, dir.trim)
+      s.emptyDataFrame
+    case ImportDbRe(dir) =>
+      runImportDatabase(s, dir.trim)
       s.emptyDataFrame
     case _ =>
       val st0 = expandMacros(s, statement)
@@ -1953,6 +2113,11 @@ object LakeSql {
           case other => throw new IllegalArgumentException(
             s"unsupported table spec: $other")
         }
+        attachedEntries(s, alias).get(name).foreach {
+          case ("view", _) => throw new IllegalArgumentException(
+            s"$alias.$name is a view; cannot CREATE TABLE over it")
+          case _ => ()
+        }
         if (!(attachedEntries(s, alias).contains(name) && ignoreIfExists)) {
           val provider = specProvider.map(_.toLowerCase)
             .getOrElse("deltalite")
@@ -2008,13 +2173,24 @@ object LakeSql {
         }
         if (parts.length == 2 && attached(s).contains(parts.head)) {
           // qualified drop writes through to the ATTACHED op log
-          val had = attachedEntries(s, parts.head).contains(parts.last)
-          if (had) appendOp(s, attached(s)(parts.head), "drop", parts.last)
-          else if (!ifExists) throw new IllegalArgumentException(
-            s"table ${parts.head}.${parts.last} not in attached catalog")
-        } else if (!dropEntry(s, parts.last) && !ifExists)
-          throw new IllegalArgumentException(
-            s"table ${parts.last} not in catalog")
+          attachedEntries(s, parts.head).get(parts.last) match {
+            case Some(("view", _)) => throw new IllegalArgumentException(
+              s"${parts.head}.${parts.last} is a view; use DROP VIEW")
+            case Some(_) =>
+              appendOp(s, attached(s)(parts.head), "drop", parts.last)
+            case None => if (!ifExists) throw new IllegalArgumentException(
+              s"table ${parts.head}.${parts.last} not in attached catalog")
+          }
+        } else {
+          require(parts.length == 1,
+            s"catalog ${parts.head} is not attached — cannot DROP " +
+              s"TABLE ${parts.mkString(".")}")
+          require(catalog(s).get(parts.last).forall(_._1 != "view"),
+            s"${parts.last} is a view; use DROP VIEW")
+          if (!dropEntry(s, parts.last) && !ifExists)
+            throw new IllegalArgumentException(
+              s"table ${parts.last} not in catalog")
+        }
         s.emptyDataFrame
       // CREATE [OR REPLACE] VIEW name AS SELECT … (Spark's grammar):
       // the view is its SQL TEXT in the catalog — re-planned against
@@ -2022,14 +2198,43 @@ object LakeSql {
       // log as tables, expanded by the binder wherever the name
       // appears.
       case cv: org.apache.spark.sql.catalyst.plans.logical.CreateView =>
-        val name = cv.child match {
-          case u: UnresolvedIdentifier => u.nameParts.last
+        val nameParts = cv.child match {
+          case u: UnresolvedIdentifier => u.nameParts
           case other => throw new IllegalArgumentException(
             s"unsupported CREATE VIEW target: $other")
         }
+        val name = nameParts.last
         val text = cv.originalText.getOrElse(
           throw new IllegalArgumentException(
             s"CREATE VIEW $name: no query text"))
+        if (nameParts.length == 2) {
+          // Qualified CREATE VIEW writes the view into the ATTACHED
+          // catalog's own op log; its text will bind in THAT catalog's
+          // scope on every read. An unknown qualifier refuses loudly
+          // (same rule as every other qualified-name path).
+          val alias = nameParts.head
+          require(attached(s).contains(alias),
+            s"catalog $alias is not attached — cannot CREATE VIEW " +
+              s"$alias.$name")
+          attachedEntries(s, alias).get(name).foreach {
+            case ("view", _) => ()
+            case (provider, _) => throw new IllegalArgumentException(
+              s"$alias.$name is a $provider table; cannot CREATE VIEW " +
+                "over it")
+          }
+          val exists = attachedEntries(s, alias).contains(name)
+          if (exists && !cv.replace) {
+            if (!cv.allowExisting) throw new IllegalArgumentException(
+              s"view $alias.$name already exists")
+          } else {
+            // Bind-at-create: expand the text once in the attached
+            // scope so a body that references the wrong catalog fails
+            // at CREATE VIEW, not at first read.
+            expandAttachedView(s, alias, name, text)
+            appendOp(s, attached(s)(alias), "register", name, "view", text)
+          }
+          return s.emptyDataFrame
+        }
         // Mirror DropView's direction guard: a registered lake TABLE
         // must not be silently shadowed (or misleadingly reported as
         // an existing view) by CREATE [OR REPLACE] VIEW.
@@ -2044,15 +2249,33 @@ object LakeSql {
         } else registerEntry(s, name, "view", text)
         s.emptyDataFrame
       case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>
-        val name = dv.child match {
-          case u: UnresolvedIdentifier => u.nameParts.last
+        val dvParts = dv.child match {
+          case u: UnresolvedIdentifier => u.nameParts
           case other => throw new IllegalArgumentException(
             s"unsupported DROP VIEW target: $other")
         }
-        require(catalog(s).get(name).forall(_._1 == "view"),
-          s"$name is a table; use DROP TABLE")
-        if (!dropEntry(s, name) && !dv.ifExists)
-          throw new IllegalArgumentException(s"view $name not in catalog")
+        val name = dvParts.last
+        if (dvParts.length == 2 && attached(s).contains(dvParts.head)) {
+          // qualified drop writes through to the ATTACHED op log
+          val alias = dvParts.head
+          attachedEntries(s, alias).get(name) match {
+            case Some(("view", _)) =>
+              appendOp(s, attached(s)(alias), "drop", name)
+            case Some((provider, _)) => throw new IllegalArgumentException(
+              s"$alias.$name is a $provider table; use DROP TABLE")
+            case None => if (!dv.ifExists)
+              throw new IllegalArgumentException(
+                s"view $alias.$name not in attached catalog")
+          }
+        } else {
+          require(dvParts.length == 1,
+            s"catalog ${dvParts.head} is not attached — cannot DROP " +
+              s"VIEW ${dvParts.mkString(".")}")
+          require(catalog(s).get(name).forall(_._1 == "view"),
+            s"$name is a table; use DROP TABLE")
+          if (!dropEntry(s, name) && !dv.ifExists)
+            throw new IllegalArgumentException(s"view $name not in catalog")
+        }
         s.emptyDataFrame
       case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
           _: MergeIntoTable =>
@@ -2146,28 +2369,27 @@ object LakeSql {
         def isAttachedRel(r: UnresolvedRelation): Boolean =
           r.multipartIdentifier.length == 2 &&
             attached(s).contains(r.multipartIdentifier.head)
-        val hasQualified = plan.collectWithSubqueries {
-          case r: UnresolvedRelation if isAttachedRel(r) => ()
-        }.nonEmpty
-        if (hasQualified) {
-          val bound = plan.transformUpWithSubqueries {
-            case r: UnresolvedRelation if isAttachedRel(r) =>
+        // Deep collection/binding: names inside WITH-clause bodies
+        // count too (UnresolvedWith hides cteRelations from plain
+        // traversal — a qualified name only mentioned inside a CTE
+        // must still trigger the substitution path).
+        val rels = collectRelationsDeep(plan)
+        if (rels.exists(isAttachedRel)) {
+          val bound = bindRelationsDeep(plan, {
+            case r if isAttachedRel(r) =>
               attachedTable(s, r.multipartIdentifier.head,
                 r.multipartIdentifier.last).queryExecution.analyzed
             // Only a BARE name may bind the primary catalog here: a
             // qualified name whose prefix is not an attached alias
             // (e.g. `foo.customer`) must fail resolution loudly, not
             // silently bind the bare `customer` entry.
-            case r: UnresolvedRelation
-                if r.multipartIdentifier.length == 1 &&
-                  catalog(s).contains(r.multipartIdentifier.last) =>
+            case r if r.multipartIdentifier.length == 1 &&
+                catalog(s).contains(r.multipartIdentifier.last) =>
               table(s, r.multipartIdentifier.last).queryExecution.analyzed
-          }
+          })
           Glue.dataFrame(s, bound)
         } else {
-          plan.collect { case r: UnresolvedRelation =>
-            r.multipartIdentifier.last
-          }.distinct.foreach { n =>
+          rels.map(_.multipartIdentifier.last).distinct.foreach { n =>
             catalog(s).get(n).foreach(_ =>
               table(s, n).createOrReplaceTempView(n))
           }

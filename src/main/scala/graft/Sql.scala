@@ -2148,7 +2148,100 @@ object Sql {
                          WHEN c_custkey > 100 THEN c_acctbal + 1000
                          ELSE c_acctbal END AS DOUBLE) AS bal
         FROM customer WHERE c_custkey <= 160
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+      // ------------------------------------------------------------- x78
+      // Views INSIDE attached catalogs — closing x71's documented
+      // refusal: CREATE VIEW alias.v stores the view's SQL TEXT in the
+      // attached root's own op log (durable — a re-attach under a new
+      // alias still sees it), and the text binds in the ATTACHED
+      // catalog's scope: the bare `ov_big` in the body resolves to
+      // lakeb's table even though the session has same-scoped primary
+      // temp views; a body naming a primary-only table refuses loudly
+      // (spec-pinned). Reads expand the text per statement (classic
+      // non-materialized contract) and the expanded subtree joins a
+      // primary table in ONE Catalyst plan.
+      GQuery("x78_sql_attached_view", (s, d) => {
+        open(s, d)
+        val rootB = graft.util.Scratch.dir("x78_other")
+        // try/finally: no leaked aliases on any failure path (x71 rule).
+        try {
+          LakeSql.script(s, s"""
+            ATTACH '$rootB' AS lakeb;
+            CREATE TABLE lakeb.ov_big USING deltalite
+              AS SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                 FROM orders WHERE o_totalprice > 100000;
+            CREATE VIEW lakeb.ov_open AS
+              SELECT o_orderkey, o_custkey, o_totalprice
+              FROM ov_big WHERE o_orderstatus = 'O';
+            DETACH lakeb;
+            ATTACH '$rootB' AS other""")
+          val out = LakeSql.sql(s, """
+            SELECT c_mktsegment, COUNT(*) AS n_open,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                     AS DOUBLE) AS total
+            FROM other.ov_open JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+          out.count() // materialize before the qualified drops
+          LakeSql.script(s,
+            "DROP VIEW other.ov_open; DROP TABLE other.ov_big; " +
+              "DETACH other")
+          out
+        } finally {
+          LakeSql.detachIfExists(s, "lakeb")
+          LakeSql.detachIfExists(s, "other")
+        }
+      }, Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_open,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+      // ------------------------------------------------------------- x79
+      // EXPORT DATABASE / IMPORT DATABASE — DuckDB's whole-catalog
+      // backup/migrate UX: every table lands as parquet (+ provider
+      // manifest), views travel as their SQL TEXT in schema.sql, and
+      // IMPORT recreates each table under its ORIGINAL lake format
+      // (deltalite table stays deltalite, iceberglite stays
+      // iceberglite) then replays the view DDL. The key round-trips a
+      // mixed-format catalog through a fresh session with an empty
+      // catalog and queries the re-imported VIEW — a dropped table,
+      // a format swap, or lost view text all change the answer.
+      // Fresh sessions keep the exported catalog exactly this key's
+      // three entries (repeat-stable under the shared driver session).
+      GQuery("x79_sql_export_database", (s0, d) => {
+        open(s0, d)
+        val s = s0.newSession()
+        open(s, d)
+        val root = graft.util.Scratch.dir("x79_src")
+        val exp = graft.util.Scratch.dir("x79_exp")
+        LakeSql.script(s, s"""
+          CREATE TABLE exp_nat USING deltalite LOCATION '$root/exp_nat'
+            AS SELECT n_nationkey, n_name FROM nation;
+          CREATE TABLE exp_cust USING iceberglite
+            LOCATION '$root/exp_cust'
+            AS SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+               WHERE c_acctbal > 7000;
+          CREATE VIEW exp_rich AS
+            SELECT n_name, COUNT(*) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                     AS bal
+            FROM exp_cust JOIN exp_nat ON c_nationkey = n_nationkey
+            GROUP BY n_name;
+          EXPORT DATABASE '$exp'""")
+        val s2 = s0.newSession()
+        LakeSql.sql(s2, s"IMPORT DATABASE '$exp'")
+        LakeSql.sql(s2,
+          "SELECT n_name, n, bal FROM exp_rich ORDER BY n_name")
+      }, Some("""
+        SELECT n_name, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 7000
+        GROUP BY n_name ORDER BY n_name"""))
     )
   }
 

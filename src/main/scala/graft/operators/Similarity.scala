@@ -733,6 +733,25 @@ object Similarity {
       (cents.localCheckpoint(), assigned.localCheckpoint())
     })
 
+  /** probes → candidate-list CTE suffix shared by the a03 oracle and
+    * a11's recall evaluation: each demo query routes to its 6 nearest
+    * refined centroids; candidates are those inverted lists, self
+    * excluded — the DuckDB replica of [[ivfTopK]]'s query path.
+    */
+  private val ivfProbeCandSql: String = s""",
+      probes AS MATERIALIZED (
+        SELECT q_id, q_nv, cid FROM (
+          SELECT v.vec_id AS q_id, v.nv AS q_nv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY list_inner_product(v.nv, c.cv) DESC, c.cid)
+                   AS rn
+          FROM nv v CROSS JOIN cents c WHERE v.vec_id < $NQueries)
+        WHERE rn <= 6),
+      cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id, p.q_nv, a.nv
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id <> p.q_id)"""
+
   val all: Seq[GQuery] = Seq(
     // Exact top-k has an exact oracle: DuckDB ranks by
     // list_cosine_similarity with the same (cos DESC, vec_id) tie-break.
@@ -788,19 +807,7 @@ object Similarity {
       val (corpus, qs) = demo(s, d)
       ivfTopK(corpus, qs, excludeSelf = true,
         model = Some(ivfModelMemo(s, d)))
-    }, Some(ivfOracleBase + s""",
-      probes AS MATERIALIZED (
-        SELECT q_id, q_nv, cid FROM (
-          SELECT v.vec_id AS q_id, v.nv AS q_nv, c.cid,
-                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                   ORDER BY list_inner_product(v.nv, c.cv) DESC, c.cid)
-                   AS rn
-          FROM nv v CROSS JOIN cents c WHERE v.vec_id < $NQueries)
-        WHERE rn <= 6),
-      cand AS (
-        SELECT DISTINCT p.q_id, a.vec_id, p.q_nv, a.nv
-        FROM assigned a JOIN probes p ON a.cid = p.cid
-        WHERE a.vec_id <> p.q_id)
+    }, Some(ivfOracleBase + ivfProbeCandSql + s"""
       SELECT q_id, neighbor_id, ROUND(CAST(cos AS DOUBLE), 4) AS cos, rnk
       FROM (
         SELECT q_id, vec_id AS neighbor_id,
@@ -1129,7 +1136,59 @@ object Similarity {
         .select(col("nv").as("q_nv"))
       mmrRerank(corpus.filter(col("vec_id") =!= 0), q0,
         k = 10, poolSize = 50, lambda = 0.7)
-    }, Some(mmrOracleSql(k = 10, poolSize = 50)))
+    }, Some(mmrOracleSql(k = 10, poolSize = 50))),
+
+    // ---------------------------------------------------------------- a11
+    // ANN quality MEASUREMENT as a first-class operator: recall@10 of
+    // the IVF path (a03) against the exact brute-force top-10 (a01),
+    // per query — the metric an ANN deployment watches when tuning
+    // nprobe/cells, computed inside the engine instead of offline.
+    // Both rankings are deterministic functions of the corpus with
+    // bit-identical DuckDB replicas, so the intersection counts carry
+    // a FULL oracle (no tolerance bands): the oracle recomputes exact
+    // and IVF top-10 and intersects. Scale shape: exact side is the
+    // a01 bruteforce (queries broadcast, one corpus scan), IVF side
+    // the a03 memoized index — the join/agg on (q_id, neighbor_id) is
+    // queries×k rows, metadata-sized at any corpus size. RecallSpec
+    // asserts the floor the gate data actually achieves.
+    GQuery("a11_recall_eval", (s, d) => {
+      val (corpus, qs) = demo(s, d)
+      val exact = bruteForceTopK(corpus, qs, excludeSelf = true)
+        .select(col("q_id"), col("neighbor_id"))
+      val approx = ivfTopK(corpus, qs, excludeSelf = true,
+        model = Some(ivfModelMemo(s, d)))
+        .select(col("q_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy(col("q_id"))
+    }, Some(ivfOracleBase + ivfProbeCandSql + s""",
+      ivf AS MATERIALIZED (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY list_inner_product(q_nv, nv) DESC, vec_id)
+                   AS rnk
+          FROM cand)
+        WHERE rnk <= 10),
+      exact AS MATERIALIZED (
+        SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_inner_product(q.nv, c.nv) DESC, c.vec_id)
+                   AS rnk
+          FROM nv q JOIN nv c
+            ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+        WHERE rnk <= 10)
+      SELECT e.q_id, COUNT(i.vec_id) AS n_hits,
+             CAST(COUNT(i.vec_id) AS DOUBLE) / 10 AS recall_at_10
+      FROM exact e LEFT JOIN ivf i
+        ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+      GROUP BY e.q_id ORDER BY e.q_id"""))
   )
 
   /** DuckDB oracle for [[mmrRerank]] with fixed parameters: the greedy

@@ -1131,7 +1131,45 @@ object Streaming {
       SELECT doc_id, lang, source, n_chars,
              CAST(n_chars // 4 AS BIGINT) AS approx_tokens
       FROM documents WHERE n_chars >= 100
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- st28
+    // SLIDING window aggregation (2 h length / 30 min slide per
+    // event_type) — the overlapping-window complement of st01's
+    // tumbling windows: each event lands in length/slide = 4 open
+    // windows, Spark expands the assignment with one Expand node and
+    // keeps ONE state row per (window, type) — live state is bounded
+    // by windows inside the watermark horizon × |event_type|, never by
+    // stream length. Append mode emits a window when the watermark
+    // passes its END, so overlapping windows close in slide-step
+    // cadence. Oracle: epoch-aligned bucket arithmetic (time_bucket −
+    // k·slide, k < 4 — exactly Spark's epoch-origin window assignment,
+    // engine-neutral because the session runs UTC) restricted to
+    // windows closed at end-of-stream.
+    GQuery("st28_stream_sliding_window", (s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,6)")).cast("double")
+            .as("total"))
+      runToEnd(s, agg, "append")
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP))
+                 - k.k * (INTERVAL 30 MINUTES) AS w_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total
+        FROM events, UNNEST(range(0, 4)) AS k(k)
+        GROUP BY 1, 2)
+      WHERE w_start + INTERVAL 2 HOUR
+              <= (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR
+                  FROM events)
+      ORDER BY w_start, event_type"""))
   )
 
   /** st09's stateful processor: per-user MapState[event_type → count].

@@ -5,4 +5,5 @@ object RegCount { def main(a: Array[String]): Unit = {
   println("DUPES=" + names.diff(names.distinct).mkString(","))
   val oracles = graft.Registry.all.count(_.oracle.isDefined)
   println("ORACLES=" + oracles)
+  if (a.contains("--names")) names.foreach(n => println("KEY " + n))
 } }

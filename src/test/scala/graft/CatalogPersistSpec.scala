@@ -134,6 +134,128 @@ class CatalogPersistSpec extends SparkSpec {
     LakeSql.sql(s1, "DETACH b")
   }
 
+  test("views in attached catalogs bind in THEIR catalog's scope, " +
+      "persist in the root, and refuse wrong-scope bodies") {
+    val rootB = graft.util.Scratch.dir("attach_view")
+    val s1 = spark.newSession()
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"ATTACH '$rootB' AS vb")
+    LakeSql.sql(s1, """CREATE TABLE vb.base USING deltalite
+      AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+         WHERE c_acctbal > 5000""")
+    // The body's bare `base` must bind vb.base even though the SESSION
+    // also resolves bare tpch names (open() registered temp views).
+    LakeSql.sql(s1, """CREATE VIEW vb.building AS
+      SELECT c_custkey, c_acctbal FROM base
+      WHERE c_mktsegment = 'BUILDING'""")
+    val want = Tables.customer(spark, sfDir)
+      .filter(col("c_acctbal") > 5000 &&
+        col("c_mktsegment") === "BUILDING").count()
+    assert(want > 0)
+    assert(LakeSql.sql(s1, "SELECT COUNT(*) AS n FROM vb.building")
+      .head.getLong(0) == want)
+    // A body naming a table that exists ONLY in the session/primary
+    // scope refuses at CREATE time (bind-at-create).
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s1,
+        "CREATE VIEW vb.bad AS SELECT * FROM customer")
+    }
+    // CTE aliases inside the body are in scope (not mistaken for
+    // missing catalog tables); view-on-view chains expand.
+    LakeSql.sql(s1, """CREATE VIEW vb.top3 AS
+      WITH ranked AS (
+        SELECT c_custkey, c_acctbal FROM building)
+      SELECT * FROM ranked ORDER BY c_acctbal DESC, c_custkey LIMIT 3""")
+    assert(LakeSql.sql(s1, "SELECT COUNT(*) AS n FROM vb.top3")
+      .head.getLong(0) == 3L)
+    // The view is TEXT in the attached root's op log: a fresh session
+    // re-attaching under a DIFFERENT alias sees it, and it re-plans
+    // against current table state (qualified DELETE shrinks it).
+    val s2 = spark.newSession()
+    Sql.open(s2, sfDir)
+    LakeSql.sql(s2, s"ATTACH '$rootB' AS other")
+    assert(LakeSql.sql(s2, "SELECT COUNT(*) AS n FROM other.building")
+      .head.getLong(0) == want)
+    LakeSql.sql(s2,
+      "DELETE FROM other.base WHERE c_mktsegment = 'BUILDING'")
+    assert(LakeSql.sql(s2, "SELECT COUNT(*) AS n FROM other.building")
+      .head.getLong(0) == 0L)
+    // Direction guards: DROP TABLE on a view / DROP VIEW on a table /
+    // CTAS over a view / DML into a view all refuse loudly.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, "DROP TABLE other.building")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, "DROP VIEW other.base")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, """CREATE TABLE other.building USING deltalite
+        AS SELECT 1 AS x""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, "DELETE FROM other.building WHERE c_custkey = 1")
+    }
+    // Unknown qualifier refuses (never silently lands in the primary).
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, "CREATE VIEW nosuch.v AS SELECT 1 AS x")
+    }
+    // DROP VIEW writes through the op log: s1's alias sees it vanish.
+    LakeSql.sql(s2, "DROP VIEW other.top3")
+    intercept[Exception] {
+      LakeSql.sql(s1, "SELECT COUNT(*) FROM vb.top3").collect()
+    }
+    LakeSql.sql(s2, "DETACH other")
+    LakeSql.sql(s1, "DETACH vb")
+  }
+
+  test("EXPORT DATABASE / IMPORT DATABASE round-trips a mixed-format " +
+      "catalog: providers preserved, views replay as text, imported " +
+      "tables are real lake tables, collisions refuse") {
+    val s1 = spark.newSession()
+    Sql.open(s1, sfDir)
+    val root = graft.util.Scratch.dir("expdb_src")
+    val exp = graft.util.Scratch.dir("expdb_out")
+    LakeSql.script(s1, s"""
+      CREATE TABLE ed_nat USING deltalite LOCATION '$root/ed_nat'
+        AS SELECT n_nationkey, n_name FROM nation;
+      CREATE TABLE ed_reg USING iceberglite LOCATION '$root/ed_reg'
+        AS SELECT r_regionkey, r_name FROM region;
+      CREATE VIEW ed_v AS
+        SELECT COUNT(*) AS n FROM ed_nat;
+      EXPORT DATABASE '$exp'""")
+    assert(new java.io.File(s"$exp/manifest.json").exists)
+    assert(new java.io.File(s"$exp/schema.sql").exists)
+    // Views are TEXT in schema.sql, not data dumps.
+    val schemaSql = scala.io.Source.fromFile(s"$exp/schema.sql").mkString
+    assert(schemaSql.contains("CREATE VIEW ed_v AS"))
+
+    val s2 = spark.newSession()
+    LakeSql.sql(s2, s"IMPORT DATABASE '$exp'")
+    // Providers preserved through the round-trip.
+    val provs = LakeSql.sql(s2,
+      """SELECT table_name, provider FROM graft_tables
+         ORDER BY table_name""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(provs("ed_nat") == "deltalite")
+    assert(provs("ed_reg") == "iceberglite")
+    assert(provs("ed_v") == "view")
+    // Data + the replayed view both answer in the fresh session (no
+    // tpch temp views registered here — everything resolves through
+    // the imported catalog).
+    assert(LakeSql.sql(s2, "SELECT COUNT(*) AS c FROM ed_reg")
+      .head.getLong(0) == 5L)
+    assert(LakeSql.sql(s2, "SELECT n FROM ed_v").head.getLong(0) == 25L)
+    // Imported tables are REAL lake tables: DML + time travel work.
+    LakeSql.sql(s2, "DELETE FROM ed_nat WHERE n_nationkey < 5")
+    assert(LakeSql.sql(s2, "SELECT n FROM ed_v").head.getLong(0) == 20L)
+    assert(LakeSql.sql(s2, "SELECT COUNT(*) AS c FROM ed_nat VERSION AS OF 0")
+      .head.getLong(0) == 25L)
+    // Name collisions refuse loudly (no silent overwrite).
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s2, s"IMPORT DATABASE '$exp'")
+    }
+  }
+
   test("without a catalog dir the catalog stays session-only") {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val root = graft.util.Scratch.dir("catsess")

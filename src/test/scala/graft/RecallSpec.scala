@@ -209,4 +209,24 @@ class RecallSpec extends SparkSpec {
       assert(math.abs(a - e).toDouble / e <= 0.20,
         s"approx distinct $a vs exact $e: relative error > 20%")
   }
+
+  test("a11 recall evaluation emits one row per demo query with " +
+      "recall in [0,1] and a usable mean on the gate data") {
+    val rows = Registry.byName("a11_recall_eval").fn(spark, sfDir)
+      .collect()
+    assert(rows.length == 8, s"expected 8 query rows, got ${rows.length}")
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_10") ==
+        r.getAs[Long]("n_hits") / 10.0)
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"a11 mean IVF recall@10 on $sfDir: $mean%.3f")
+    // Floor, not a pin: recall is a dial (nprobe/cells), and the demo
+    // corpus is near-orthogonal random vectors — the hardest case.
+    // sf0.001 measures ~1.0 (few cells, probes cover most of them);
+    // sf0.01 ~0.54 with nprobe=6 of ~25 cells.
+    assert(mean >= 0.5, f"mean recall@10 $mean%.3f below floor")
+  }
 }
