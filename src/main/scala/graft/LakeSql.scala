@@ -1757,9 +1757,24 @@ object LakeSql {
   private val CopyKeyword = "(?is)^\\s*COPY\\b.*".r
   private val SummarizeKeyword = "(?is)^\\s*SUMMARIZE\\b.*".r
 
-  private def parseCopyOptions(raw: String): Map[String, String] =
-    raw.split(",").map(_.trim).filter(_.nonEmpty).map { tok =>
-      val sp = tok.indexWhere(Character.isWhitespace)
+  private def parseCopyOptions(raw: String): Map[String, String] = {
+    // Split on TOP-LEVEL commas only: `PARTITION_BY (a, b)` is one
+    // option whose value keeps its parenthesized list intact.
+    val toks = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var inS = false; val cur = new StringBuilder
+    raw.foreach { c =>
+      if (inS) { cur += c; if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => toks += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) toks += cur.toString
+    toks.map(_.trim).filter(_.nonEmpty).map { tok =>
+      val sp = tok.indexWhere(c => Character.isWhitespace(c) || c == '(')
       if (sp < 0) (tok.toLowerCase, "")
       else {
         val v = tok.substring(sp).trim
@@ -1768,6 +1783,7 @@ object LakeSql {
         (tok.substring(0, sp).toLowerCase, unq)
       }
     }.toMap
+  }
 
   private[graft] def runCopy(s: SparkSession, statement: String): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1829,13 +1845,22 @@ object LakeSql {
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .write.mode("overwrite").format(fmt)
-      if (fmt == "csv") {
-        w = w.option("header", header.toString)
-        opts.get("delimiter").foreach(dl => w = w.option("sep", dl))
+      // PARTITION_BY (c1[, c2…]): hive-layout export — one directory
+      // per partition value, the layout every engine (and x65's
+      // read_parquet) prunes on.
+      opts.get("partition_by").foreach { v =>
+        val cols = v.stripPrefix("(").stripSuffix(")")
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "COPY: empty PARTITION_BY list")
+        cols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+          s"COPY: PARTITION_BY column $c not in the source"))
+        w = w.partitionBy(cols.toSeq: _*)
       }
       w.save(path)
       Seq(obs.get("n").asInstanceOf[Long]).toDF("count")
     } else {
+      require(!opts.contains("partition_by"),
+        "COPY FROM: PARTITION_BY applies only to COPY … TO")
       require(!isQuery, "COPY … FROM: the target must be a table name")
       val (provider, tpath) = catalog(s).get(source) match {
         case Some(("view", _)) => throw new IllegalArgumentException(

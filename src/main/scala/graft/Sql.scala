@@ -2241,7 +2241,37 @@ object Sql {
                  AS bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_acctbal > 7000
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+      // ------------------------------------------------------------- x80
+      // COPY … TO with PARTITION_BY — DuckDB's partitioned export
+      // (hive layout, one directory per partition value): the write
+      // shuffles nothing extra (partitionBy splits at the writer), and
+      // the layout is what every downstream engine prunes on — the
+      // spec pins that a filtered read of the export scans ONLY the
+      // matching partition directory. The key round-trips lineitem
+      // through a 3-way partitioned export and re-aggregates via
+      // read_parquet over the directory (partition discovery restores
+      // l_returnflag from the PATH — row loss, a mangled partition
+      // value, or a dropped partition column all hash-fail).
+      GQuery("x80_sql_copy_partitioned", (s, d) => {
+        open(s, d)
+        val dir = graft.util.Scratch.dir("x80") + "/lineitem_part"
+        LakeSql.sql(s, s"""
+          COPY (SELECT l_orderkey, l_quantity, l_returnflag
+                FROM lineitem)
+          TO '$dir' (FORMAT PARQUET, PARTITION_BY (l_returnflag))""")
+        LakeSql.sql(s, s"""
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS qty
+          FROM read_parquet('$dir')
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+      }, Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
     )
   }
 

@@ -449,6 +449,45 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("COPY TO PARTITION_BY writes hive layout, a filtered read " +
+      "prunes to one partition directory, misuse refuses") {
+    Sql.open(spark, sfDir)
+    val dir = Scratch.dir("copypart") + "/li"
+    val n = LakeSql.sql(spark, s"""
+      COPY (SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem)
+      TO '$dir' (FORMAT PARQUET, PARTITION_BY (l_returnflag))""")
+      .collect().head.getLong(0)
+    assert(n == Tables.lineitem(spark, sfDir).count())
+    // Hive layout: one directory per partition value, no flat files.
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(subdirs == Seq("l_returnflag=A", "l_returnflag=N",
+      "l_returnflag=R"))
+    // A filtered read prunes on the PATH: the scan carries a partition
+    // filter and reads only the matching directory's files.
+    val df = LakeSql.sql(spark, s"""
+      SELECT COUNT(*) AS cnt FROM read_parquet('$dir')
+      WHERE l_returnflag = 'R'""")
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+      .count()
+    assert(df.head.getLong(0) == want)
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("l_returnflag"),
+      s"expected a partition filter in the scan:\n$scan")
+    // Misuse refuses loudly: unknown partition column; FROM side.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""COPY (SELECT 1 AS x) TO '$dir/z'
+        (FORMAT PARQUET, PARTITION_BY (nope))""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""COPY copyspec_nosuch FROM '$dir'
+        (FORMAT PARQUET, PARTITION_BY (l_returnflag))""")
+    }
+  }
+
   test("COPY TO exports parquet and csv; COPY FROM loads both back " +
       "typed; counts returned; view targets and bad formats refuse") {
     Sql.open(spark, sfDir)
