@@ -168,6 +168,108 @@ object LakeSql {
     had
   }
 
+  // ---- BEGIN / COMMIT / ROLLBACK: transactions ---------------------
+  // DuckDB's Connection transaction UX (reference:duckdb:24-35 — every
+  // Query runs inside an explicit or auto transaction) re-expressed
+  // for lake tables as COMPENSATING transactions: statements commit
+  // through the formats normally (each commit stays durable and
+  // time-travelable), BEGIN records each table's pre-transaction
+  // version at FIRST touch plus an undo action per catalog mutation,
+  // ROLLBACK restores every touched table (DeltaLite.restore /
+  // IcebergLite.rollbackTo — metadata-only, nothing rewritten) and
+  // replays the catalog undos in reverse, COMMIT discards the undo
+  // log. Semantics vs a WAL engine, stated honestly: atomicity and
+  // durability hold (a rollback is complete and exact, across tables
+  // AND formats); isolation is per-statement — other sessions can
+  // observe intermediate commits before COMMIT, and the session is
+  // the table's single writer for the transaction's span (the lake
+  // formats' single-winner commit claims protect the log, but a
+  // concurrent writer's commits would be swept away by this
+  // session's restore). That is the standard compensation contract
+  // multi-table lakehouse pipelines use; true cross-table isolation
+  // needs a coordinating catalog service, out of scope by design.
+  private case class TxnState(
+      dmlBase: scala.collection.mutable.LinkedHashMap[
+        String, (String, Long)],
+      catalogUndo: scala.collection.mutable.ArrayBuffer[() => Unit])
+
+  private val txns = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, TxnState]())
+
+  private def txnOf(s: SparkSession): Option[TxnState] =
+    Option(txns.get(s))
+
+  /** Record `path`'s current version/snapshot the first time an active
+    * transaction touches it; no-op outside a transaction.
+    */
+  private def recordTableTouch(s: SparkSession, provider: String,
+      path: String): Unit =
+    txnOf(s).foreach { t =>
+      if (!t.dmlBase.contains(path)) {
+        val v = provider match {
+          case "deltalite" => DeltaLite.latestVersion(s, path)
+          case "iceberglite" => IcebergLite.currentSnapshotId(s, path)
+          case other => throw new IllegalArgumentException(
+            s"transactions do not cover provider $other")
+        }
+        t.dmlBase.put(path, (provider, v))
+      }
+    }
+
+  /** Record a catalog-mutation undo; no-op outside a transaction. */
+  private def recordCatalogUndo(s: SparkSession)(undo: => Unit): Unit =
+    txnOf(s).foreach(_.catalogUndo += (() => undo))
+
+  private def runBegin(s: SparkSession): Unit = {
+    require(txnOf(s).isEmpty, "a transaction is already active " +
+      "(nested BEGIN is not supported)")
+    txns.put(s, TxnState(scala.collection.mutable.LinkedHashMap.empty,
+      scala.collection.mutable.ArrayBuffer.empty))
+  }
+
+  private def runCommit(s: SparkSession): Unit = {
+    require(txnOf(s).isDefined, "COMMIT outside a transaction")
+    txns.remove(s)
+    ()
+  }
+
+  private def runRollback(s: SparkSession): Unit = {
+    val t = txnOf(s).getOrElse(
+      throw new IllegalArgumentException("ROLLBACK outside a transaction"))
+    // Deactivate FIRST: the restore/undo calls below must not record
+    // themselves into the transaction they are unwinding.
+    txns.remove(s)
+    // Tables first (restores work on paths, independent of catalog
+    // state), then catalog undos in reverse mutation order.
+    t.dmlBase.foreach {
+      case (path, ("deltalite", v)) => DeltaLite.restore(s, path, v)
+      case (path, ("iceberglite", v)) => IcebergLite.rollbackTo(s, path, v)
+      case (path, (other, _)) => throw new IllegalStateException(
+        s"unknown provider $other recorded for $path")
+    }
+    t.catalogUndo.reverseIterator.foreach(_.apply())
+  }
+
+  /** ROLLBACK if a transaction is active (cleanup hook for query
+    * closures: a failure mid-script must not leak an open transaction
+    * into the session's next statement).
+    */
+  def rollbackIfActive(s: SparkSession): Unit =
+    if (txnOf(s).isDefined) runRollback(s)
+
+  /** Statements whose effects have no undo action (catalog topology,
+    * whole-catalog IO, session macros) refuse inside a transaction —
+    * loud beats a ROLLBACK that silently leaves them standing.
+    */
+  private def requireNoTxn(s: SparkSession, what: String): Unit =
+    require(txnOf(s).isEmpty,
+      s"$what is not transactional — run it outside BEGIN…COMMIT")
+
+  private val BeginRe =
+    """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*""".r
+  private val CommitRe = """(?is)\s*COMMIT\s*;?\s*""".r
+  private val RollbackRe = """(?is)\s*ROLLBACK\s*;?\s*""".r
+
   // ---- ATTACH / DETACH: multi-catalog ------------------------------
   // DuckDB's hallmark entry-path UX (`ATTACH 'other.db' AS x` — the
   // Connection owns multiple catalogs, reference:duckdb:24-45):
@@ -603,22 +705,37 @@ object LakeSql {
     // through other macros at definition time — DuckDB expands at call
     // sites, late-binding redefinitions).
     case CreateMacroRe(orReplace, name, params, body) =>
+      requireNoTxn(s, "CREATE MACRO")
       createMacro(s, name, orReplace != null, params, body)
       s.emptyDataFrame
     case DropMacroRe(ifExists, name) =>
+      requireNoTxn(s, "DROP MACRO")
       dropMacro(s, name, ifExists != null)
       s.emptyDataFrame
+    case BeginRe() =>
+      runBegin(s)
+      s.emptyDataFrame
+    case CommitRe() =>
+      runCommit(s)
+      s.emptyDataFrame
+    case RollbackRe() =>
+      runRollback(s)
+      s.emptyDataFrame
     case AttachRe(dir, alias) =>
+      requireNoTxn(s, "ATTACH")
       runAttach(s, dir.trim, alias)
       s.emptyDataFrame
     case DetachRe(alias) =>
+      requireNoTxn(s, "DETACH")
       require(attached(s).remove(alias).isDefined,
         s"catalog $alias is not attached")
       s.emptyDataFrame
     case ExportDbRe(dir) =>
+      requireNoTxn(s, "EXPORT DATABASE")
       runExportDatabase(s, dir.trim)
       s.emptyDataFrame
     case ImportDbRe(dir) =>
+      requireNoTxn(s, "IMPORT DATABASE")
       runImportDatabase(s, dir.trim)
       s.emptyDataFrame
     case _ =>
@@ -1687,6 +1804,7 @@ object LakeSql {
           case None => throw new IllegalArgumentException(
             s"ON CONFLICT: table $tbl not in catalog")
         }
+        recordTableTouch(s, provider, path)
         val schema = table(s, tbl).schema
         val keys = splitTopCommas(keyList).map(_.trim)
         keys.foreach(k => require(
@@ -1845,6 +1963,10 @@ object LakeSql {
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("n"))
         .write.mode("overwrite").format(fmt)
+      if (fmt == "csv") {
+        w = w.option("header", header.toString)
+        opts.get("delimiter").foreach(dl => w = w.option("sep", dl))
+      }
       // PARTITION_BY (c1[, c2…]): hive-layout export — one directory
       // per partition value, the layout every engine (and x65's
       // read_parquet) prunes on.
@@ -1869,6 +1991,7 @@ object LakeSql {
         case None => throw new IllegalArgumentException(
           s"COPY FROM: table $source not in catalog")
       }
+      recordTableTouch(s, provider, tpath)
       // The TARGET's schema types the load (DuckDB rule): csv/json
       // columns land typed, in table column order. Parquet arrives
       // already typed, so its own schema is CHECKED against the
@@ -2155,6 +2278,7 @@ object LakeSql {
           if (provider == "deltalite") DeltaLite.create(s, loc, df, Seq.empty)
           else IcebergLite.create(s, loc, df, Seq.empty)
           appendOp(s, root, "register", name, provider, loc)
+          recordCatalogUndo(s) { appendOp(s, root, "drop", name) }
         }
         s.emptyDataFrame
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
@@ -2186,6 +2310,7 @@ object LakeSql {
           if (provider == "deltalite") DeltaLite.create(s, loc, df, partCols)
           else IcebergLite.create(s, loc, df, partCols)
           register(s, name, provider, loc)
+          recordCatalogUndo(s) { dropEntry(s, name); () }
         }
         s.emptyDataFrame
       case DropTable(child, ifExists, _) =>
@@ -2201,8 +2326,12 @@ object LakeSql {
           attachedEntries(s, parts.head).get(parts.last) match {
             case Some(("view", _)) => throw new IllegalArgumentException(
               s"${parts.head}.${parts.last} is a view; use DROP VIEW")
-            case Some(_) =>
-              appendOp(s, attached(s)(parts.head), "drop", parts.last)
+            case Some((prov, p)) =>
+              val root = attached(s)(parts.head)
+              appendOp(s, root, "drop", parts.last)
+              recordCatalogUndo(s) {
+                appendOp(s, root, "register", parts.last, prov, p)
+              }
             case None => if (!ifExists) throw new IllegalArgumentException(
               s"table ${parts.head}.${parts.last} not in attached catalog")
           }
@@ -2212,9 +2341,13 @@ object LakeSql {
               s"TABLE ${parts.mkString(".")}")
           require(catalog(s).get(parts.last).forall(_._1 != "view"),
             s"${parts.last} is a view; use DROP VIEW")
+          val prior = catalog(s).get(parts.last)
           if (!dropEntry(s, parts.last) && !ifExists)
             throw new IllegalArgumentException(
               s"table ${parts.last} not in catalog")
+          prior.foreach { case (prov, p) =>
+            recordCatalogUndo(s) { registerEntry(s, parts.last, prov, p) }
+          }
         }
         s.emptyDataFrame
       // CREATE [OR REPLACE] VIEW name AS SELECT … (Spark's grammar):
@@ -2247,7 +2380,8 @@ object LakeSql {
               s"$alias.$name is a $provider table; cannot CREATE VIEW " +
                 "over it")
           }
-          val exists = attachedEntries(s, alias).contains(name)
+          val priorView = attachedEntries(s, alias).get(name)
+          val exists = priorView.isDefined
           if (exists && !cv.replace) {
             if (!cv.allowExisting) throw new IllegalArgumentException(
               s"view $alias.$name already exists")
@@ -2256,7 +2390,15 @@ object LakeSql {
             // scope so a body that references the wrong catalog fails
             // at CREATE VIEW, not at first read.
             expandAttachedView(s, alias, name, text)
-            appendOp(s, attached(s)(alias), "register", name, "view", text)
+            val root = attached(s)(alias)
+            appendOp(s, root, "register", name, "view", text)
+            recordCatalogUndo(s) {
+              priorView match {
+                case Some((_, old)) =>
+                  appendOp(s, root, "register", name, "view", old)
+                case None => appendOp(s, root, "drop", name)
+              }
+            }
           }
           return s.emptyDataFrame
         }
@@ -2267,11 +2409,20 @@ object LakeSql {
           require(provider == "view",
             s"$name is a $provider table; cannot CREATE VIEW over it")
         }
-        val exists = catalog(s).contains(name)
+        val priorView = catalog(s).get(name)
+        val exists = priorView.isDefined
         if (exists && !cv.replace) {
           if (!cv.allowExisting)
             throw new IllegalArgumentException(s"view $name already exists")
-        } else registerEntry(s, name, "view", text)
+        } else {
+          registerEntry(s, name, "view", text)
+          recordCatalogUndo(s) {
+            priorView match {
+              case Some((_, old)) => registerEntry(s, name, "view", old)
+              case None => dropEntry(s, name); ()
+            }
+          }
+        }
         s.emptyDataFrame
       case dv: org.apache.spark.sql.catalyst.plans.logical.DropView =>
         val dvParts = dv.child match {
@@ -2284,8 +2435,12 @@ object LakeSql {
           // qualified drop writes through to the ATTACHED op log
           val alias = dvParts.head
           attachedEntries(s, alias).get(name) match {
-            case Some(("view", _)) =>
-              appendOp(s, attached(s)(alias), "drop", name)
+            case Some(("view", old)) =>
+              val root = attached(s)(alias)
+              appendOp(s, root, "drop", name)
+              recordCatalogUndo(s) {
+                appendOp(s, root, "register", name, "view", old)
+              }
             case Some((provider, _)) => throw new IllegalArgumentException(
               s"$alias.$name is a $provider table; use DROP TABLE")
             case None => if (!dv.ifExists)
@@ -2298,8 +2453,12 @@ object LakeSql {
               s"VIEW ${dvParts.mkString(".")}")
           require(catalog(s).get(name).forall(_._1 == "view"),
             s"$name is a table; use DROP TABLE")
+          val prior = catalog(s).get(name)
           if (!dropEntry(s, name) && !dv.ifExists)
             throw new IllegalArgumentException(s"view $name not in catalog")
+          prior.foreach { case (_, old) =>
+            recordCatalogUndo(s) { registerEntry(s, name, "view", old) }
+          }
         }
         s.emptyDataFrame
       case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
@@ -2436,7 +2595,11 @@ object LakeSql {
     catalog(s).get(name) match {
       case Some(("view", _)) => throw new IllegalArgumentException(
         s"$name is a view — ALTER targets must be lake tables")
-      case Some(pp) => pp
+      case Some(pp) =>
+        // Schema changes roll back with the table restore (both
+        // formats' restore paths reinstate the prior metadata).
+        recordTableTouch(s, pp._1, pp._2)
+        pp
       case None =>
         throw new IllegalArgumentException(s"table $name not in catalog")
     }
@@ -2455,26 +2618,31 @@ object LakeSql {
     // catalogs exactly like reads.
     def resolve(rel: LogicalPlan): (String, String) = {
       val parts = partsOf(rel)
-      if (parts.length == 2 && attached(s).contains(parts.head))
-        attachedEntries(s, parts.head).get(parts.last) match {
-          case Some(("view", _)) => throw new IllegalArgumentException(
-            s"${parts.mkString(".")} is a view — DML targets must be " +
-              "lake tables")
-          case Some(pp) => pp
-          case None => throw new IllegalArgumentException(
-            s"table ${parts.mkString(".")} not in attached catalog")
-        }
-      else {
-        val n = parts.last
-        tables.get(n).map(("deltalite", _)).getOrElse(
-          catalog(s).get(n) match {
+      val pp =
+        if (parts.length == 2 && attached(s).contains(parts.head))
+          attachedEntries(s, parts.head).get(parts.last) match {
             case Some(("view", _)) => throw new IllegalArgumentException(
-              s"$n is a view — DML targets must be lake tables")
-            case Some(pp) => pp
-            case None =>
-              throw new IllegalArgumentException(s"unknown lake table $n")
-          })
-      }
+              s"${parts.mkString(".")} is a view — DML targets must be " +
+                "lake tables")
+            case Some(e) => e
+            case None => throw new IllegalArgumentException(
+              s"table ${parts.mkString(".")} not in attached catalog")
+          }
+        else {
+          val n = parts.last
+          tables.get(n).map(("deltalite", _)).getOrElse(
+            catalog(s).get(n) match {
+              case Some(("view", _)) => throw new IllegalArgumentException(
+                s"$n is a view — DML targets must be lake tables")
+              case Some(e) => e
+              case None =>
+                throw new IllegalArgumentException(s"unknown lake table $n")
+            })
+        }
+      // Transaction hook: the DML target's pre-state anchors here
+      // (first touch wins; later touches of the same path are no-ops).
+      recordTableTouch(s, pp._1, pp._2)
+      pp
     }
     def pathOf(rel: LogicalPlan): String = resolve(rel)._2
     def isIceberg(rel: LogicalPlan): Boolean =

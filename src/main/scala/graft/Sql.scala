@@ -2271,7 +2271,72 @@ object Sql {
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                  AS qty
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+      // ------------------------------------------------------------- x81
+      // BEGIN / COMMIT / ROLLBACK — the Connection transaction UX
+      // (every DuckDB query runs in an explicit or auto transaction),
+      // as COMPENSATING transactions over lake tables: BEGIN anchors
+      // each table's pre-state at first touch, ROLLBACK restores every
+      // touched table via the formats' own metadata-only version
+      // pointers (DeltaLite.restore / IcebergLite.rollbackTo — nothing
+      // rewritten at any table size) and unwinds catalog DDL in
+      // reverse; COMMIT discards the undo log. The key's first
+      // transaction spans BOTH formats (a delta DELETE + UPDATE and an
+      // iceberg DELETE) and rolls back — the scalar n_nations column
+      // and the untouched balances hash-fail if any leg survived; the
+      // second commits an UPDATE + INSERT. Isolation caveats are
+      // documented at the implementation (LakeSql: per-statement
+      // visibility, single-writer span).
+      GQuery("x81_sql_transaction", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val base = graft.util.Scratch.dir("x81")
+        val t = s"txn_cust_$tag"
+        val t2 = s"txn_nat_$tag"
+        try {
+          LakeSql.script(s, s"""
+            CREATE TABLE $t USING deltalite LOCATION '$base/$t'
+              AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+                 WHERE c_custkey <= 200;
+            CREATE TABLE $t2 USING iceberglite LOCATION '$base/$t2'
+              AS SELECT n_nationkey, n_name FROM nation;
+            BEGIN TRANSACTION;
+            DELETE FROM $t WHERE c_custkey <= 100;
+            UPDATE $t SET c_acctbal = 0 WHERE c_custkey > 150;
+            DELETE FROM $t2 WHERE n_nationkey < 10;
+            ROLLBACK;
+            BEGIN;
+            UPDATE $t SET c_acctbal = c_acctbal + 100
+              WHERE c_custkey <= 50;
+            INSERT INTO $t
+              SELECT c_custkey + 1000 AS c_custkey, c_mktsegment,
+                     c_acctbal
+              FROM customer WHERE c_custkey <= 10;
+            COMMIT""")
+          val out = LakeSql.sql(s, s"""
+            SELECT c_custkey, c_mktsegment,
+                   CAST(c_acctbal AS DOUBLE) AS bal,
+                   (SELECT COUNT(*) FROM $t2) AS n_nations
+            FROM $t ORDER BY c_custkey""")
+          out.count() // materialize before the drops
+          LakeSql.script(s, s"DROP TABLE $t; DROP TABLE $t2")
+          out
+        } finally LakeSql.rollbackIfActive(s)
+      }, Some("""
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal
+                 + CASE WHEN c_custkey <= 50 THEN 100 ELSE 0 END
+                 AS DOUBLE) AS bal,
+               (SELECT COUNT(*) FROM nation) AS n_nations
+        FROM customer WHERE c_custkey <= 200
+        UNION ALL
+        SELECT c_custkey + 1000, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS bal,
+               (SELECT COUNT(*) FROM nation) AS n_nations
+        FROM customer WHERE c_custkey <= 10
+        ORDER BY c_custkey"""))
     )
   }
 

@@ -97,6 +97,13 @@ object IcebergLite {
     else readText(f, versionHint(table)).trim.toLong
   }
 
+  /** Id of the snapshot `main` currently points at — the anchor a
+    * later [[rollbackTo]] returns to (LakeSql transactions record it
+    * at first touch).
+    */
+  def currentSnapshotId(s: SparkSession, table: String): Long =
+    readMeta(s, table).currentSnapshot
+
   // ------------------------------------------------------------ schema
 
   /** One field of an Iceberg schema: the id is the column's identity
