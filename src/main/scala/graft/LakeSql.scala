@@ -619,6 +619,127 @@ object LakeSql {
   // path, return its plan string as one row. Expression ids (#123)
   // are normalized out so the output is stable across plans of the
   // same shape.
+  // ---- PREPARE / EXECUTE / DEALLOCATE ------------------------------
+  // DuckDB's SQL-level prepared statements (reference:duckdb:24-45's
+  // PreparedStatement leg, at the text entry): PREPARE stores the
+  // statement TEXT under a session-scoped name, EXECUTE binds the
+  // argument list — `?` left-to-right or `$n` ordinals (repeats and
+  // out-of-order allowed), the same marker rules as the x52 API path —
+  // through Spark's parser as TYPED LITERALS (never string splicing,
+  // so injection-safe), DEALLOCATE drops the name. Scope: queries
+  // (SELECT shapes); prepared DML refuses loudly.
+  private val preparedStmts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]())
+
+  private def preparedOf(s: SparkSession) = preparedStmts.synchronized {
+    var m = preparedStmts.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, String]
+      preparedStmts.put(s, m)
+    }
+    m
+  }
+
+  private val PrepareRe =
+    """(?is)\s*PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val ExecuteRe =
+    """(?is)\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\((.*)\))?\s*;?\s*""".r
+  private val DeallocRe =
+    """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+(?:ALL\s+)?TABLES\s*;?\s*""".r
+
+  private def stripLiteralBodies(q: String): String = {
+    val sb = new StringBuilder(q.length)
+    var inS = false
+    q.foreach { c =>
+      if (inS) { if (c == '\'') { inS = false; sb += c } else sb += ' ' }
+      else { if (c == '\'') inS = true; sb += c }
+    }
+    sb.toString
+  }
+
+  /** `$n` ordinals → reserved named parameters `:__pos_n` (Spark's
+    * parser has no `$n` grammar); string-literal bodies skipped.
+    */
+  private def rewriteOrdinals(text: String): String = {
+    val sb = new StringBuilder; var inS = false; var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!inS && c == '$' && i + 1 < text.length &&
+          text.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < text.length && text.charAt(j).isDigit) j += 1
+        sb ++= ":__pos_" + text.substring(i + 1, j); i = j
+      } else {
+        if (c == '\'') inS = !inS
+        sb += c; i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def runPrepare(s: SparkSession, name: String,
+      text: String): Unit = {
+    // Parse-at-PREPARE (the fail-early contract) on the same rewritten
+    // form EXECUTE runs; `?` markers parse natively.
+    val plan = s.sessionState.sqlParser.parsePlan(rewriteOrdinals(text))
+    require(!plan.isInstanceOf[DeleteFromTable] &&
+      !plan.isInstanceOf[UpdateTable] &&
+      !plan.isInstanceOf[InsertIntoStatement] &&
+      !plan.isInstanceOf[MergeIntoTable],
+      "PREPARE covers queries; prepared DML is not supported")
+    preparedOf(s).put(name, text)
+    ()
+  }
+
+  private def runExecute(s: SparkSession, name: String,
+      argsRaw: String): DataFrame = {
+    val text0 = preparedOf(s).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no prepared statement named $name (PREPARE it first)"))
+    val text = expandMacros(s, text0) // macros late-bind, like queries
+    val argExprs = splitTopCommas(argsRaw).map(_.trim).filter(_.nonEmpty)
+    // Each argument is a constant expression; evaluating it through a
+    // table-free SELECT keeps typing rules identical to any literal in
+    // a query (DATE '…', casts, arithmetic all work).
+    val vals: Seq[Any] = argExprs.map { a =>
+      val r = s.sql(s"SELECT $a").collect()
+      require(r.length == 1, s"EXECUTE argument is not scalar: $a")
+      r.head.get(0)
+    }
+    val scan = stripLiteralBodies(text)
+    require("""(?<!:):[A-Za-z_]""".r.findFirstIn(scan).isEmpty,
+      "EXECUTE binds positionally — use ? or $n markers in PREPARE, " +
+        "not named :placeholders")
+    val ordinals = """\$(\d+)""".r.findAllMatchIn(scan)
+      .map(_.group(1).toInt).toSeq
+    val hasQ = scan.contains("?")
+    require(!(hasQ && ordinals.nonEmpty),
+      "mixed parameter styles: ? and $n cannot combine in one statement")
+    // Cataloged lake tables the text references bind as temp views
+    // before the parameterized parse (the x52 resolution rule).
+    collectRelationsDeep(
+      s.sessionState.sqlParser.parsePlan(rewriteOrdinals(text)))
+      .map(_.multipartIdentifier.last).distinct.foreach { n =>
+        catalog(s).get(n).foreach(_ =>
+          table(s, n).createOrReplaceTempView(n))
+      }
+    if (ordinals.nonEmpty) {
+      require(ordinals.min >= 1 && ordinals.max <= vals.length,
+        s"ordinal $$${ordinals.max} out of range for ${vals.length} " +
+          "argument(s) ($n is 1-based)")
+      s.sql(rewriteOrdinals(text), vals.zipWithIndex
+        .map { case (v, k) => s"__pos_${k + 1}" -> v }.toMap)
+    } else {
+      val n = scan.count(_ == '?')
+      require(n == vals.length,
+        s"statement has $n ? marker(s) but ${vals.length} argument(s)")
+      s.sql(text, vals.toArray)
+    }
+  }
+
   // ---- EXPORT / IMPORT DATABASE ------------------------------------
   // DuckDB's whole-catalog backup/migrate UX (`EXPORT DATABASE 'dir'`
   // writes every table + schema.sql; `IMPORT DATABASE 'dir'` loads it
@@ -738,6 +859,24 @@ object LakeSql {
       requireNoTxn(s, "IMPORT DATABASE")
       runImportDatabase(s, dir.trim)
       s.emptyDataFrame
+    case PrepareRe(name, text) =>
+      requireNoTxn(s, "PREPARE") // session state; ROLLBACK can't undo it
+      runPrepare(s, name, text)
+      s.emptyDataFrame
+    case ExecuteRe(name, args) =>
+      runExecute(s, name, Option(args).getOrElse(""))
+    case DeallocRe(name) =>
+      requireNoTxn(s, "DEALLOCATE")
+      require(preparedOf(s).remove(name).isDefined,
+        s"no prepared statement named $name")
+      s.emptyDataFrame
+    case ShowTablesRe() =>
+      // DuckDB's SHOW TABLES: one `name` column over the catalog
+      // (tables AND views), alphabetical — sugar over graft_tables.
+      tablesMeta(s)
+        .select(org.apache.spark.sql.functions.col("table_name")
+          .as("name"))
+        .orderBy("name")
     case _ =>
       val st0 = expandMacros(s, statement)
       // File-reading table functions rewrite FIRST (pure text→text),

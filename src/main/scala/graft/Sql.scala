@@ -2336,7 +2336,69 @@ object Sql {
                CAST(c_acctbal AS DOUBLE) AS bal,
                (SELECT COUNT(*) FROM nation) AS n_nations
         FROM customer WHERE c_custkey <= 10
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+      // ------------------------------------------------------------- x82
+      // PREPARE / EXECUTE / DEALLOCATE at the SQL TEXT entry — the
+      // statement-level spelling of x52's API path (DuckDB's own
+      // client UX: PREPARE q AS …; EXECUTE q(args)): the text stores
+      // once, each EXECUTE binds `$n` ordinals (repeats allowed — $1
+      // binds both its sites) through the parser as typed literals,
+      // injection-safe by construction. The plan is identical to
+      // running the statement with inline literals — Catalyst folds
+      // the bound constants, so pushdown/pruning are unchanged.
+      GQuery("x82_sql_prepare_execute", (s, d) => {
+        open(s, d)
+        LakeSql.script(s, """
+          PREPARE seg_stats AS
+            SELECT $1 AS segment, COUNT(*) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)))
+                     AS DOUBLE) AS bal
+            FROM customer
+            WHERE c_mktsegment = $1 AND c_acctbal >= $2
+            GROUP BY ALL""")
+        val out = LakeSql.sql(s, "EXECUTE seg_stats('BUILDING', 0)")
+          .unionByName(
+            LakeSql.sql(s, "EXECUTE seg_stats('MACHINERY', 1000)"))
+        out.count() // materialize before the deallocate
+        LakeSql.sql(s, "DEALLOCATE seg_stats")
+        out
+      }, Some("""
+        SELECT 'BUILDING' AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS bal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
+        GROUP BY ALL
+        UNION ALL
+        SELECT 'MACHINERY' AS segment, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS bal
+        FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 1000
+        GROUP BY ALL""")),
+
+      // ------------------------------------------------------------- x83
+      // SHOW TABLES — the interactive catalog-listing sugar over
+      // graft_tables (x48's discovery views): one `name` column,
+      // tables AND views, alphabetical. A fresh session keeps the
+      // listing exactly this key's three entries, so the oracle is a
+      // pure VALUES literal.
+      GQuery("x83_sql_show_tables", (s0, d) => {
+        open(s0, d)
+        val s = s0.newSession()
+        open(s, d)
+        val base = graft.util.Scratch.dir("x83")
+        LakeSql.script(s, s"""
+          CREATE TABLE sh_reg USING deltalite LOCATION '$base/sh_reg'
+            AS SELECT r_regionkey, r_name FROM region;
+          CREATE TABLE sh_nat USING iceberglite LOCATION '$base/sh_nat'
+            AS SELECT n_nationkey, n_name FROM nation;
+          CREATE VIEW sh_v AS SELECT COUNT(*) AS n FROM sh_reg""")
+        LakeSql.sql(s, "SHOW TABLES")
+      }, Some("""
+        SELECT * FROM (VALUES ('sh_nat'), ('sh_reg'), ('sh_v')) t(name)
+        ORDER BY name"""))
     )
   }
 

@@ -95,4 +95,59 @@ class SqlPreparedSpec extends SparkSpec {
       Seq("BUILDING")).head.getLong(0)
     assert(n > 0)
   }
+
+  test("SQL-level PREPARE / EXECUTE / DEALLOCATE: ? and $n bind, " +
+      "lake tables resolve, args type through the parser, guards hold") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    // ? markers, bound left-to-right; DATE arithmetic in an argument.
+    LakeSql.sql(s, """PREPARE q1 AS
+      SELECT COUNT(*) AS n FROM orders
+      WHERE o_orderstatus = ? AND o_totalprice >= ?""")
+    val n1 = LakeSql.sql(s, "EXECUTE q1('O', 100000)").head.getLong(0)
+    val want1 = Tables.orders(s, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O")
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") >= 100000)
+      .count()
+    assert(n1 == want1 && n1 > 0)
+    // Arguments are expressions, typed by the parser (CAST works).
+    assert(LakeSql.sql(s,
+      "EXECUTE q1('F', CAST(200000 AS DOUBLE))").head.getLong(0) > 0)
+    // $n with a repeat: the same arg binds both sites.
+    LakeSql.sql(s, """PREPARE q2 AS
+      SELECT $1 AS seg, COUNT(*) AS n FROM customer
+      WHERE c_mktsegment = $1 AND c_acctbal >= $2 GROUP BY ALL""")
+    val r2 = LakeSql.sql(s, "EXECUTE q2('BUILDING', 500)").head
+    assert(r2.getString(0) == "BUILDING" && r2.getLong(1) > 0)
+    // Prepared text referencing a LAKE table resolves through the
+    // session catalog at EXECUTE time (current snapshot).
+    val base = graft.util.Scratch.dir("prepexec")
+    LakeSql.sql(s, s"""CREATE TABLE pe_t USING deltalite
+      LOCATION '$base/pe_t'
+      AS SELECT n_nationkey, n_name FROM nation""")
+    LakeSql.sql(s,
+      "PREPARE q3 AS SELECT COUNT(*) AS n FROM pe_t WHERE n_nationkey >= ?")
+    assert(LakeSql.sql(s, "EXECUTE q3(20)").head.getLong(0) == 5L)
+    LakeSql.sql(s, "DELETE FROM pe_t WHERE n_nationkey >= 20")
+    assert(LakeSql.sql(s, "EXECUTE q3(0)").head.getLong(0) == 20L)
+    // Guards: unknown name, arity mismatch, named placeholders,
+    // prepared DML, DEALLOCATE of a missing name.
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s, "EXECUTE nosuch(1)")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s, "EXECUTE q1('O')")
+    }
+    LakeSql.sql(s,
+      "PREPARE qn AS SELECT COUNT(*) AS n FROM nation WHERE n_name = :x")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s, "EXECUTE qn('JAPAN')")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s, "PREPARE bad AS DELETE FROM pe_t WHERE n_nationkey = ?")
+    }
+    LakeSql.sql(s, "DEALLOCATE q1")
+    intercept[IllegalArgumentException] { LakeSql.sql(s, "DEALLOCATE q1") }
+    intercept[IllegalArgumentException] { LakeSql.sql(s, "EXECUTE q1(1, 2)") }
+  }
 }
