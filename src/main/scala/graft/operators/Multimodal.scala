@@ -986,7 +986,47 @@ object Multimodal {
              'MJPG' AS handler, w AS width, h AS height,
              TRUE AS mean_err_ok
       FROM a, LATERAL unnest(range(0, nf, 2)) t(fno)
-      ORDER BY asset_id, frame_no"""))
+      ORDER BY asset_id, frame_no""")),
+
+    // ---------------------------------------------------------------- m18
+    // REAL GIF decode — the third lossless web image format after PNG
+    // (m13) and BMP (m08), completing the legacy-crawl codec set:
+    // assets are complete GIF89a files (functions/Gif.scala — real
+    // variable-width LZW with CLEAR/EOI and dictionary resets, 255-
+    // byte sub-block framing, a 256-entry grayscale global palette so
+    // the byte-per-pixel buffer round-trips losslessly), and the query
+    // runs the full decode (container walk, sub-block de-framing, LZW
+    // decompression). GIF is LOSSLESS, so the contract is m13's exact
+    // law: the decoded index stream md5-matches the oracle's
+    // independent re-derivation of the source bytes (text tiled to
+    // w·h) — any LZW, framing, or palette bug hash-fails. GifSpec
+    // additionally cross-validates against ImageIO both directions.
+    // One scan, codegen'd per-row expressions, no shuffle beyond the
+    // presentation sort — the corpus-wide decode shape.
+    GQuery("m18_gif_pixels", (s, d) => {
+      gifAssets(s, d)
+        .withColumn("dec", graft.functions.Gif.decode(col("payload")))
+        .select(col("asset_id"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.palette_size").as("palette_size"),
+          col("dec.min_code_size").as("min_code_size"),
+          length(col("dec.pixels")).cast("long").as("n_pixels"),
+          md5(col("dec.pixels")).as("pixel_md5"))
+        .orderBy(col("asset_id"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS asset_id, text,
+               CAST(16 + doc_id % 25 AS BIGINT) AS w,
+               CAST(10 + doc_id % 13 AS BIGINT) AS h
+        FROM documents)
+      SELECT asset_id, w AS width, h AS height,
+             CAST(256 AS BIGINT) AS palette_size,
+             CAST(8 AS BIGINT) AS min_code_size,
+             CAST(w * h AS BIGINT) AS n_pixels,
+             md5(substring(repeat(text,
+                   CAST(w * h / length(text) + 1 AS INT)),
+                 1, CAST(w * h AS INT))) AS pixel_md5
+      FROM a ORDER BY asset_id"""))
   )
 
   /** COMPLETE real PNGs built from the documents table: the pixel
@@ -1007,6 +1047,27 @@ object Multimodal {
           "AS INT)), 1, CAST(_plen AS INT)), 'UTF-8')"))
       .select(col("doc_id").as("asset_id"),
         graft.functions.Png.encode(col("_px"), col("_w"), col("_h"))
+          .as("payload"))
+
+  /** COMPLETE real GIF89a files built from the documents table: the
+    * pixel buffer is the doc text tiled to w·h byte-per-pixel indices
+    * (the m13 law — the oracle re-derives the SOURCE bytes exactly),
+    * encoded by [[graft.functions.GifRuntime.encode]] with real LZW
+    * and a grayscale identity palette, so the round-trip is lossless.
+    */
+  private[graft] def gifAssets(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      // one-row-group gate parquet would serialize the per-row LZW
+      // work onto one thread (the jpegAssets note); spread it first
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("_w", (pmod(col("doc_id"), lit(25)) + 16).cast("long"))
+      .withColumn("_h", (pmod(col("doc_id"), lit(13)) + 10).cast("long"))
+      .withColumn("_plen", col("_w") * col("_h"))
+      .withColumn("_px", expr(
+        "encode(substring(repeat(text, CAST(_plen / length(text) + 1 " +
+          "AS INT)), 1, CAST(_plen AS INT)), 'UTF-8')"))
+      .select(col("doc_id").as("asset_id"),
+        graft.functions.Gif.encode(col("_px"), col("_w"), col("_h"))
           .as("payload"))
 
   /** COMPLETE baseline JPEGs built from the documents table: pixel
