@@ -926,6 +926,13 @@ object LakeSql {
           sqlStatement(s, rewriteQualify(st))
         case _ if StarModifierKeyword.matches(st) =>
           sqlStatement(s, rewriteStarModifiers(s, st))
+        case _ if ColumnsFnKeyword.matches(st) =>
+          // re-enter the full route: the expanded text may still carry
+          // another rewritable form (FROM-first, QUALIFY, …)
+          sql(s, rewriteColumnsFn(s, st))
+        case _ if FromFirstKeyword.matches(st) &&
+            topLevelIndexOf(st, "SELECT") < 0 =>
+          sqlStatement(s, "SELECT * " + st.trim)
         case _ => sqlStatement(s, st)
       }
   }
@@ -1094,6 +1101,63 @@ object LakeSql {
       f => repMap.get(f.toLowerCase).map(e => s"$e AS $f").getOrElse(f))
     require(cols.nonEmpty, "EXCLUDE removed every column")
     s"SELECT ${cols.mkString(", ")} FROM $rel$tailSql"
+  }
+
+  // ---- FROM-first statements ---------------------------------------
+  // DuckDB's FROM-first syntax. `FROM t SELECT …` and a bare `FROM t`
+  // parse natively in BOTH engines (Spark's multi-insert FROM
+  // grammar), but the SELECT-less clause forms (`FROM t WHERE …`,
+  // `FROM t ORDER BY …`) are DuckDB-only. The rewrite is the
+  // definitional one — a missing select list means SELECT * — and
+  // runs AFTER the table-function rewrite, so
+  // `FROM read_parquet('…') WHERE …` composes.
+  private val FromFirstKeyword = "(?is)^\\s*FROM\\b.*".r
+
+  // ---- COLUMNS('regex') expansion ----------------------------------
+  // DuckDB's COLUMNS star expression: `COLUMNS('re')` expands to every
+  // column of the FROM relation whose name regex-MATCHES (partial,
+  // case-sensitive — DuckDB semantics), in table order; wrapped in a
+  // function call, `fn(COLUMNS('re'))` becomes one call per matching
+  // column. Output naming follows DuckDB: the bare column name by
+  // default, or an explicit `AS "alias_\0"` alias with `\0` replaced
+  // by each column name. Spark's parser has no COLUMNS grammar, so
+  // the text entry expands it against the relation's schema before
+  // the parse — same plan as writing the list by hand, so pushdown/
+  // pruning are untouched. Supported form: a single named FROM
+  // relation (the star-modifier rule); zero matches refuse loudly.
+  private val ColumnsFnKeyword = "(?is).*\\bCOLUMNS\\s*\\(\\s*'.*".r
+  private val ColumnsAggRe =
+    """(?s)([A-Za-z_]\w*)\s*\(\s*COLUMNS\s*\(\s*'([^']*)'\s*\)\s*\)(?:\s+AS\s+"([^"]*)")?""".r
+  private val ColumnsBareRe =
+    """(?s)COLUMNS\s*\(\s*'([^']*)'\s*\)""".r
+
+  private[graft] def rewriteColumnsFn(s: SparkSession,
+      statement: String): String = {
+    val fi = topLevelIndexOf(statement, "FROM")
+    require(fi >= 0, "COLUMNS(...) needs a FROM relation to expand against")
+    val rel = "(?s)^\\s*([A-Za-z_]\\w*)".r
+      .findFirstMatchIn(statement.substring(fi + 4)).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        "COLUMNS(...): supported form is a single named FROM relation"))
+    val fields = catalog(s).get(rel).map(_ => table(s, rel))
+      .getOrElse(s.table(rel)).schema.fieldNames.toSeq
+    def matching(re: String): Seq[String] = {
+      val p = java.util.regex.Pattern.compile(re)
+      val hit = fields.filter(f => p.matcher(f).find())
+      require(hit.nonEmpty, s"COLUMNS('$re') matches no column of $rel")
+      hit
+    }
+    val st1 = ColumnsAggRe.replaceAllIn(statement, m => {
+      val (fn, re, alias) = (m.group(1), m.group(2), m.group(3))
+      scala.util.matching.Regex.quoteReplacement(
+        matching(re).map { c =>
+          val name = if (alias == null) c else alias.replace("\\0", c)
+          s"$fn($c) AS $name"
+        }.mkString(", "))
+    })
+    ColumnsBareRe.replaceAllIn(st1, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        matching(m.group(1)).mkString(", ")))
   }
 
   // ---- shared micro-parsers for the DuckDB-syntax rewrites ---------

@@ -2398,9 +2398,67 @@ object Sql {
         LakeSql.sql(s, "SHOW TABLES")
       }, Some("""
         SELECT * FROM (VALUES ('sh_nat'), ('sh_reg'), ('sh_v')) t(name)
-        ORDER BY name"""))
+        ORDER BY name""")),
+
+      // ------------------------------------------------------------- x84
+      // GROUP BY ROLLUP — completes the grouping trio (x08 grouping
+      // sets, x72 cube): hierarchical subtotals in one pass. Native in
+      // both engines (one text, passthrough); Spark executes it as a
+      // single Expand + hash aggregate — one shuffle for all three
+      // grouping levels, the 100 TB shape for report rollups.
+      passthrough("x84_sql_rollup", """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY priority, status"""),
+
+      // ------------------------------------------------------------- x85
+      // FROM-first syntax — DuckDB's interactive idiom (`FROM t WHERE
+      // …` with the SELECT list omitted = SELECT *). ONE text both
+      // engines run: DuckDB native, graft by the definitional rewrite
+      // (LakeSql prepends SELECT * when a FROM-statement has no
+      // depth-0 SELECT); `FROM t SELECT …` forms parse natively in
+      // BOTH engines and are spec-covered. The rewrite happens before
+      // the parse, so predicate pushdown is exactly the SELECT * plan.
+      GQuery("x85_sql_from_first", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, FromFirstText)
+      }, Some(FromFirstText)),
+
+      // ------------------------------------------------------------- x86
+      // COLUMNS('regex') star expression — DuckDB's multi-column
+      // shorthand: one spelled aggregate fans out over every column
+      // whose name matches the regex, with the `AS "prefix_\0"` alias
+      // template naming each expansion. ONE text both engines run:
+      // DuckDB native, graft by schema-driven text expansion
+      // (LakeSql.rewriteColumnsFn — partial case-sensitive match in
+      // table order, DuckDB's exact naming rules), so the plan is
+      // identical to hand-writing the list: same scan pruning, same
+      // single aggregate. MIN/MAX keep the doubles order-insensitive
+      // (the money-summation rule).
+      GQuery("x86_sql_columns", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ColumnsFnText)
+      }, Some(ColumnsFnText))
     )
   }
+
+  private def FromFirstText = """
+    FROM orders
+    WHERE o_totalprice > 400000 AND o_orderstatus = 'O'"""
+
+  private def ColumnsFnText = """
+    SELECT l_returnflag,
+           MIN(COLUMNS('l_(quantity|extendedprice|discount)')) AS "min_\0",
+           MAX(COLUMNS('l_(quantity|extendedprice|discount)')) AS "max_\0",
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
 
   private def CatalogsMetaQuery: GQuery =
     // ------------------------------------------------------------- x74

@@ -1201,4 +1201,56 @@ class LakeSqlSpec extends SparkSpec {
     assert(rows.exists(r => r.getString(2).toLowerCase.contains("aggregate")
       && !r.isNullAt(3) && r.getLong(3) == groups), rows.mkString("\n"))
   }
+
+  test("FROM-first statements: SELECT-less forms rewrite to SELECT *, " +
+      "FROM…SELECT parses natively, table functions compose") {
+    Sql.open(spark, sfDir)
+    val want = Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 1).count()
+    assert(LakeSql.sql(spark,
+      "FROM nation WHERE n_regionkey = 1").count() == want)
+    // bare FROM = full SELECT *
+    assert(LakeSql.sql(spark, "FROM region").count() == 5)
+    assert(LakeSql.sql(spark, "FROM region").columns.length ==
+      Tables.region(spark, sfDir).columns.length)
+    // ORDER BY / LIMIT tails survive the rewrite
+    val top = LakeSql.sql(spark,
+      "FROM nation ORDER BY n_nationkey DESC LIMIT 3").collect()
+    assert(top.length == 3 && top.head.getAs[Int]("n_nationkey") == 24)
+    // FROM-first WITH a select list is native in both engines
+    assert(LakeSql.sql(spark,
+      "FROM nation SELECT n_name WHERE n_regionkey = 1").columns.toSeq
+      == Seq("n_name"))
+    // composes with the file table functions (rewrite order)
+    val p = s"${sfDir}/region.parquet"
+    assert(LakeSql.sql(spark,
+      s"FROM read_parquet('$p') WHERE r_regionkey > 2").count() == 2)
+  }
+
+  test("COLUMNS('regex') expands in table order with DuckDB naming: " +
+      "bare, inside aggregates, with \\0 alias templates; zero " +
+      "matches refuse") {
+    Sql.open(spark, sfDir)
+    // bare: projection in table order
+    val bare = LakeSql.sql(spark,
+      "SELECT COLUMNS('^n_') FROM nation WHERE n_nationkey = 3")
+    assert(bare.columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // aggregate: default naming is the bare column name
+    val agg = LakeSql.sql(spark,
+      "SELECT MAX(COLUMNS('n_(nationkey|regionkey)')) FROM nation")
+    assert(agg.columns.toSeq == Seq("n_nationkey", "n_regionkey"))
+    assert(agg.head.getInt(0) == 24 && agg.head.getInt(1) == 4)
+    // alias template: \0 substitutes each column name
+    val al = LakeSql.sql(spark, """SELECT
+      MIN(COLUMNS('n_(nationkey|regionkey)')) AS "lo_\0" FROM nation""")
+    assert(al.columns.toSeq == Seq("lo_n_nationkey", "lo_n_regionkey"))
+    // partial (unanchored) matching, DuckDB semantics
+    assert(LakeSql.sql(spark,
+      "SELECT COLUMNS('regionkey') FROM nation LIMIT 1")
+      .columns.toSeq == Seq("n_regionkey"))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT COLUMNS('zzz') FROM nation")
+    }
+  }
 }
