@@ -1252,5 +1252,14 @@ class LakeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark, "SELECT COLUMNS('zzz') FROM nation")
     }
+    // the expansion happens BEFORE the parse, so column pruning
+    // reaches the parquet scan: only matched columns + group key read
+    val plan = LakeSql.sql(spark, """SELECT l_returnflag,
+      MIN(COLUMNS('l_(quantity|discount)')) AS "lo_\0"
+      FROM lineitem GROUP BY l_returnflag""").queryExecution
+      .executedPlan.toString
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(rs.contains("l_returnflag") && rs.contains("l_quantity") &&
+      rs.contains("l_discount") && !rs.contains("l_extendedprice"), rs)
   }
 }
