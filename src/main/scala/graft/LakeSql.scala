@@ -886,9 +886,16 @@ object LakeSql {
       // the file path, so the view would resolve to a missing table in
       // any later session. The original text is stored and the rewrite
       // runs at expansion time (view reads re-enter this method).
-      val st = if (TableFnKeyword.matches(st0) &&
+      val st1 = if (TableFnKeyword.matches(st0) &&
           !CreateViewKeyword.matches(st0))
         rewriteTableFunctions(s, st0) else st0
+      // Series table functions bind the same way (pure text→text, a
+      // temp view over spark.range), same CREATE VIEW exclusion: the
+      // stored view text keeps generate_series(...) and re-binds on
+      // every read.
+      val st = if (SeriesFnKeyword.matches(st1) &&
+          !CreateViewKeyword.matches(st1))
+        rewriteSeriesFunctions(s, st1) else st1
       st match {
         // EXPLAIN ANALYZE must route before plain EXPLAIN (whose regex
         // would otherwise swallow ANALYZE into the inner statement).
@@ -1240,6 +1247,54 @@ object LakeSql {
       df.createOrReplaceTempView(v)
       v
     })
+
+  // ---- generate_series / range table functions ---------------------
+  // DuckDB's numeric series generators as FROM-position table
+  // functions. Bound to `spark.range(start, end, step)` — Spark's
+  // LAZY distributed range source (Range logical node: numSlices =
+  // default parallelism, rows generated inside whole-stage codegen,
+  // nothing materialized) — so a billion-row spine costs no memory
+  // and parallelizes like a scan. Semantics match DuckDB exactly:
+  // generate_series stop is INCLUSIVE, range stop is EXCLUSIVE, the
+  // 1-arg form counts from 0, a descending step needs start > stop,
+  // an empty interval yields zero rows (never an error), and the
+  // output column is named after the function. Literal args only
+  // (the bind happens at rewrite time, before Catalyst sees the
+  // statement); non-literal args refuse loudly below. Only rewrites
+  // in FROM/JOIN position, so window `RANGE BETWEEN …` frames and a
+  // scalar range() are untouched.
+  private val SeriesFnKeyword =
+    "(?is).*\\b(FROM|JOIN)\\s+(generate_series|range)\\s*\\(.*".r
+  private val SeriesFnRe =
+    ("""(?is)\b(FROM|JOIN)(\s+)(generate_series|range)\s*\(\s*""" +
+      """(-?\d+)\s*(?:,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?)?\)""").r
+
+  private[graft] def rewriteSeriesFunctions(s: SparkSession,
+      statement: String): String = {
+    val out = SeriesFnRe.replaceAllIn(statement, m => {
+      val fn = m.group(3).toLowerCase
+      val step = Option(m.group(6)).map(_.toLong).getOrElse(1L)
+      require(step != 0, s"$fn: step must be non-zero")
+      val (start, stop) = Option(m.group(5)).map(_.toLong) match {
+        case Some(b) => (m.group(4).toLong, b)
+        case None => (0L, m.group(4).toLong)
+      }
+      val endExcl =
+        if (fn == "generate_series") { if (step > 0) stop + 1 else stop - 1 }
+        else stop
+      val v = "__tf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$fn|$start|$endExcl|$step".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      s.range(start, endExcl, step).toDF(fn).createOrReplaceTempView(v)
+      scala.util.matching.Regex.quoteReplacement(
+        m.group(1) + m.group(2) + v)
+    })
+    require(!SeriesFnKeyword.matches(out),
+      "generate_series/range: only literal integer arguments are " +
+        "supported — generate_series(start, stop[, step]), " +
+        "range(start, stop[, step]), or the 1-arg form")
+    out
+  }
 
   // ---- USING SAMPLE at the text entry ------------------------------
   // A sample clause with DETERMINISTIC semantics: `FROM <table> USING

@@ -2443,9 +2443,44 @@ object Sql {
       GQuery("x86_sql_columns", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ColumnsFnText)
-      }, Some(ColumnsFnText))
+      }, Some(ColumnsFnText)),
+
+      // ------------------------------------------------------------- x87
+      // generate_series / range table functions — DuckDB's numeric
+      // series generators, the standard spine for gap-free reports
+      // (q43/q53 build date spines at the DataFrame level; this is
+      // the text-entry form). ONE text both engines run: DuckDB
+      // native, graft by binding the call to spark.range — the lazy
+      // distributed Range source, so a 10⁹-row spine materializes
+      // nothing and parallelizes like a scan. The key exercises both
+      // functions and both stop conventions in one statement: an
+      // INCLUSIVE generate_series(1, 12) month spine LEFT-JOINed to
+      // orders (months with no orders surface as zero rows — the
+      // spine semantics an inner join would hide) cross-checked
+      // against an EXCLUSIVE range(1, 13) spine (the = 12 months
+      // assertion rides in n_spine).
+      GQuery("x87_sql_series", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, SeriesText)
+      }, Some(SeriesText))
     )
   }
+
+  private def SeriesText = """
+    WITH spine AS (SELECT generate_series AS m FROM generate_series(1, 12)),
+         spine2 AS (SELECT range AS m FROM range(1, 13))
+    SELECT spine.m AS month_num,
+           (SELECT COUNT(*) FROM spine2) AS n_spine,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM spine
+    LEFT JOIN orders o
+      ON CAST(MONTH(o.o_orderdate) AS BIGINT) = spine.m
+         AND o.o_orderdate >= DATE '1995-01-01'
+         AND o.o_orderdate < DATE '1996-01-01'
+    GROUP BY spine.m
+    ORDER BY month_num"""
 
   private def FromFirstText = """
     FROM orders

@@ -1262,4 +1262,51 @@ class LakeSqlSpec extends SparkSpec {
     assert(rs.contains("l_returnflag") && rs.contains("l_quantity") &&
       rs.contains("l_discount") && !rs.contains("l_extendedprice"), rs)
   }
+
+  test("generate_series / range table functions: DuckDB stop " +
+      "conventions, 1-arg form, descending, empty, lazy Range source") {
+    Sql.open(spark, sfDir)
+    def vals(q: String): Seq[Long] =
+      LakeSql.sql(spark, q).collect().map(_.getLong(0)).toSeq
+    // generate_series stop is INCLUSIVE; range stop is EXCLUSIVE
+    assert(vals("SELECT generate_series FROM generate_series(1, 5)") ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+    assert(vals("SELECT range FROM range(1, 5)") == Seq(1L, 2L, 3L, 4L))
+    // 1-arg form counts from 0 (series inclusive, range exclusive)
+    assert(vals("SELECT generate_series FROM generate_series(3)") ==
+      Seq(0L, 1L, 2L, 3L))
+    assert(vals("SELECT range FROM range(3)") == Seq(0L, 1L, 2L))
+    // step: stride, descending, and the not-evenly-divisible stop
+    assert(vals("SELECT generate_series FROM generate_series(1, 10, 4)")
+      == Seq(1L, 5L, 9L))
+    assert(vals("SELECT range FROM range(5, 0, -2)") == Seq(5L, 3L, 1L))
+    // empty intervals yield zero rows, never an error
+    assert(vals("SELECT generate_series FROM generate_series(5, 1)")
+      .isEmpty)
+    assert(vals("SELECT range FROM range(0)").isEmpty)
+    // alias + JOIN position both bind
+    assert(LakeSql.sql(spark, """
+      SELECT g.generate_series + r.range AS s
+      FROM generate_series(1, 2) g JOIN range(1) r ON TRUE
+      ORDER BY s""").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // window RANGE frames are NOT table functions — untouched
+    val w = LakeSql.sql(spark, """
+      SELECT o_orderkey, SUM(o_totalprice) OVER (ORDER BY o_orderkey
+        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM orders WHERE o_orderkey <= 7""")
+    assert(w.count() > 0)
+    // refusals: zero step, non-literal args
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT * FROM generate_series(1, 5, 0)")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT * FROM range(1, n_nationkey)")
+    }
+    // the binding is Spark's lazy Range source (distributed,
+    // codegen-generated rows) — not a materialized array
+    val plan = LakeSql.sql(spark,
+      "SELECT generate_series FROM generate_series(1, 1000000)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Range ("), plan)
+  }
 }
