@@ -1269,9 +1269,82 @@ object LakeSql {
     ("""(?is)\b(FROM|JOIN)(\s+)(generate_series|range)\s*\(\s*""" +
       """(-?\d+)\s*(?:,\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?)?\)""").r
 
+  // Temporal form: generate_series(DATE|TIMESTAMP '…', …, INTERVAL n
+  // unit) — the calendar spine. DuckDB steps the interval
+  // CUMULATIVELY (Jan 31 +1 month → Feb 28 → Mar 28: a day clamp
+  // sticks), which is NOT start + i·step — Spark's sequence()
+  // multiplies and would give Mar 31 — so the series is generated at
+  // bind time with java.time (plusMonths clamps identically) and
+  // bound as a TimestampNTZ view (DuckDB's TIMESTAMP is naive; NTZ
+  // round-trips through parquet tz-independently). Calendar spines
+  // are bounded by construction (a century of hours < 10⁶ rows) and
+  // always the broadcast side of a spine join; the 10⁶ cap refuses
+  // the misuse loudly — an unbounded numeric series belongs to the
+  // lazy Range branch below.
+  private val TemporalSeriesRe =
+    ("""(?is)\b(FROM|JOIN)(\s+)(generate_series|range)\s*\(\s*""" +
+      """((?:DATE|TIMESTAMP)\s*'[^']+')\s*,\s*""" +
+      """((?:DATE|TIMESTAMP)\s*'[^']+')\s*,\s*""" +
+      """INTERVAL\s+'?(-?\d+)'?\s+([A-Za-z]+)\s*\)""").r
+
+  private def parseTsLiteral(lit: String): java.time.LocalDateTime = {
+    val body = lit.replaceAll("(?is)^(DATE|TIMESTAMP)\\s*'", "")
+      .stripSuffix("'").trim
+    if (body.contains(" ") || body.contains("T"))
+      java.time.LocalDateTime.parse(body.replace(' ', 'T'))
+    else java.time.LocalDate.parse(body).atStartOfDay
+  }
+
+  private def plusStep(t: java.time.LocalDateTime, n: Long,
+      unit: String): java.time.LocalDateTime =
+    unit.toLowerCase.stripSuffix("s") match {
+      case "year" => t.plusYears(n)
+      case "month" => t.plusMonths(n)
+      case "week" => t.plusWeeks(n)
+      case "day" => t.plusDays(n)
+      case "hour" => t.plusHours(n)
+      case "minute" => t.plusMinutes(n)
+      case "second" => t.plusSeconds(n)
+      case u => throw new IllegalArgumentException(
+        s"generate_series/range: unsupported interval unit $u")
+    }
+
+  private def rewriteTemporalSeries(s: SparkSession,
+      statement: String): String =
+    TemporalSeriesRe.replaceAllIn(statement, m => {
+      val fn = m.group(3).toLowerCase
+      val (start, stop) =
+        (parseTsLiteral(m.group(4)), parseTsLiteral(m.group(5)))
+      val n = m.group(6).toLong
+      val unit = m.group(7)
+      require(n != 0, s"$fn: interval step must be non-zero")
+      val asc = plusStep(start, n, unit).isAfter(start)
+      val inclusive = fn == "generate_series"
+      val buf = scala.collection.mutable.ArrayBuffer[java.time.LocalDateTime]()
+      var cur = start
+      def in(t: java.time.LocalDateTime): Boolean =
+        if (asc) t.isBefore(stop) || (inclusive && t == stop)
+        else t.isAfter(stop) || (inclusive && t == stop)
+      while (in(cur)) {
+        buf += cur
+        require(buf.size <= 1000000,
+          s"$fn: temporal series exceeds 1e6 rows — widen the step")
+        cur = plusStep(cur, n, unit)
+      }
+      val v = "__tf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$fn|$start|$stop|$n|$unit".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(10)
+      s.createDataset(buf.toSeq)(
+        org.apache.spark.sql.Encoders.LOCALDATETIME)
+        .toDF(fn).createOrReplaceTempView(v)
+      scala.util.matching.Regex.quoteReplacement(
+        m.group(1) + m.group(2) + v)
+    })
+
   private[graft] def rewriteSeriesFunctions(s: SparkSession,
       statement: String): String = {
-    val out = SeriesFnRe.replaceAllIn(statement, m => {
+    val st = rewriteTemporalSeries(s, statement)
+    val out = SeriesFnRe.replaceAllIn(st, m => {
       val fn = m.group(3).toLowerCase
       val step = Option(m.group(6)).map(_.toLong).getOrElse(1L)
       require(step != 0, s"$fn: step must be non-zero")

@@ -2462,9 +2462,43 @@ object Sql {
       GQuery("x87_sql_series", (s, d) => {
         open(s, d)
         LakeSql.sql(s, SeriesText)
-      }, Some(SeriesText))
+      }, Some(SeriesText)),
+
+      // ------------------------------------------------------------- x88
+      // Temporal generate_series — the CALENDAR spine (x87 covers the
+      // numeric form): monthly buckets over a date range, stepped the
+      // way DuckDB steps intervals (cumulatively, with sticky
+      // day-of-month clamps — NOT start + i·step). ONE text both
+      // engines run: DuckDB native, graft generating the spine at
+      // bind time with java.time (identical clamp semantics) into a
+      // TimestampNTZ view. The spine LEFT-JOINs order months so
+      // zero-order months survive as zero rows, and the join key is
+      // CAST(… AS DATE) on both sides so the engines' differing
+      // date_trunc return types (DATE vs TIMESTAMP) cannot skew the
+      // compare. Spines are broadcast-sized by construction — the
+      // fact side never reshuffles for them.
+      GQuery("x88_sql_temporal_series", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, TemporalSeriesText)
+      }, Some(TemporalSeriesText))
     )
   }
+
+  private def TemporalSeriesText = """
+    WITH spine AS (
+      SELECT CAST(generate_series AS DATE) AS month_start
+      FROM generate_series(DATE '1994-11-01', DATE '1995-12-01',
+                           INTERVAL 1 MONTH))
+    SELECT spine.month_start,
+           COUNT(o.o_orderkey) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_custs
+    FROM spine
+    LEFT JOIN orders o
+      ON CAST(DATE_TRUNC('month', o.o_orderdate) AS DATE)
+           = spine.month_start
+         AND o.o_orderpriority = '1-URGENT'
+    GROUP BY spine.month_start
+    ORDER BY spine.month_start"""
 
   private def SeriesText = """
     WITH spine AS (SELECT generate_series AS m FROM generate_series(1, 12)),

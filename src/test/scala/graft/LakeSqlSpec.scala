@@ -1309,4 +1309,50 @@ class LakeSqlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Range ("), plan)
   }
+
+  test("temporal generate_series/range: cumulative interval stepping " +
+      "with sticky day clamps, inclusive vs exclusive stop, NTZ type") {
+    def days(q: String): Seq[String] =
+      LakeSql.sql(spark, q).collect()
+        .map(_.getAs[java.time.LocalDateTime](0).toLocalDate.toString)
+        .toSeq
+    // DuckDB steps cumulatively: Jan 31 +1 month clamps to Feb 28 and
+    // the clamp STICKS (Mar 28, Apr 28) — not start + i*month (Mar 31)
+    assert(days("""SELECT generate_series FROM generate_series(
+        DATE '1995-01-31', DATE '1995-05-01', INTERVAL 1 MONTH)""") ==
+      Seq("1995-01-31", "1995-02-28", "1995-03-28", "1995-04-28"))
+    // generate_series stop INCLUSIVE, range stop EXCLUSIVE
+    assert(days("""SELECT generate_series FROM generate_series(
+        DATE '1995-01-01', DATE '1995-03-01', INTERVAL 1 MONTH)""") ==
+      Seq("1995-01-01", "1995-02-01", "1995-03-01"))
+    assert(days("""SELECT range FROM range(
+        DATE '1995-01-01', DATE '1995-03-01', INTERVAL 1 MONTH)""") ==
+      Seq("1995-01-01", "1995-02-01"))
+    // timestamps + sub-day units; descending
+    val hrs = LakeSql.sql(spark, """SELECT range FROM range(
+        TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-01-01 03:30:00',
+        INTERVAL 1 HOUR)""").collect()
+      .map(_.getAs[java.time.LocalDateTime](0).getHour).toSeq
+    assert(hrs == Seq(0, 1, 2, 3))
+    assert(days("""SELECT generate_series FROM generate_series(
+        DATE '1995-01-05', DATE '1995-01-02', INTERVAL -1 DAY)""") ==
+      Seq("1995-01-05", "1995-01-04", "1995-01-03", "1995-01-02"))
+    // empty interval; zero step refuses; runaway spine refuses
+    assert(days("""SELECT generate_series FROM generate_series(
+        DATE '1995-03-01', DATE '1995-01-01', INTERVAL 1 DAY)""").isEmpty)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT * FROM generate_series(
+        DATE '1995-01-01', DATE '1995-02-01', INTERVAL 0 DAY)""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT * FROM generate_series(
+        DATE '0001-01-01', DATE '9999-01-01', INTERVAL 1 SECOND)""")
+    }
+    // the column is TimestampNTZ (DuckDB's naive TIMESTAMP — the
+    // parquet round-trip is timezone-independent)
+    val tpe = LakeSql.sql(spark, """SELECT generate_series FROM
+        generate_series(DATE '1995-01-01', DATE '1995-01-02',
+        INTERVAL 1 DAY)""").schema.head.dataType
+    assert(tpe == org.apache.spark.sql.types.TimestampNTZType, tpe)
+  }
 }
