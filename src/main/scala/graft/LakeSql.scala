@@ -908,6 +908,7 @@ object LakeSql {
           val text = df.queryExecution.explainString(mode)
             .replaceAll("#\\d+", "#")
           Seq(text).toDF("plan")
+        case _ if ReturningKeyword.matches(st) => runReturning(s, st)
         case _ if OnConflictKeyword.matches(st) => runOnConflict(s, st)
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
@@ -2115,6 +2116,116 @@ object LakeSql {
   // keys in one statement the row that "wins" is insertion-order-
   // dependent in other engines — order a distributed source does not
   // have, so the ambiguity is rejected rather than decided silently.
+  // ---- DML RETURNING ------------------------------------------------
+  // DuckDB's `INSERT/UPDATE/DELETE … RETURNING <exprs>`: run the DML,
+  // return the affected rows projected through the expression list.
+  // The affected set comes from the lake formats' OWN versioning — no
+  // driver collect at any table size:
+  //   DELETE → the PRE-state version is pinned before the mutation and
+  //     the matching rows read lazily afterwards (time travel; the
+  //     rewritten files stay until vacuum);
+  //   UPDATE → the matching pre-state rows with the assignments applied
+  //     as a projection (the post-image, computed without re-scanning
+  //     the updated table);
+  //   INSERT → what the commit actually WROTE: deltalite reads only the
+  //     files the new version added (tableChanges' appends-only path,
+  //     O(new data)); iceberglite diffs the two snapshots (exceptAll —
+  //     multiset-correct; the O(new data) changelog is the delta-style
+  //     upgrade path). Reading back beats re-evaluating the insert's
+  //     query, which would diverge on non-deterministic sources.
+  // RETURNING * expands to the target table's columns. ON CONFLICT
+  // inserts refuse (the conflict filter makes "affected rows" a
+  // per-row decision the read-back cannot reconstruct portably).
+  private val ReturningKeyword =
+    "(?is)^\\s*(INSERT|UPDATE|DELETE)\\b.*\\bRETURNING\\b.*".r
+  private val ReturningRe =
+    """(?is)^\s*((?:INSERT|UPDATE|DELETE)\b.*?)\s+RETURNING\s+(.+?)\s*;?\s*$""".r
+
+  private[graft] def runReturning(s: SparkSession,
+      statement: String): DataFrame = {
+    require(!OnConflictKeyword.matches(statement),
+      "ON CONFLICT … RETURNING is not supported — use MERGE or split " +
+        "the statement")
+    val (dml, exprs) = statement match {
+      case ReturningRe(d, e) => (d, e)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported RETURNING form: $statement")
+    }
+    def resolveTarget(rel: LogicalPlan): (String, String) = {
+      val parts = partsOf(rel)
+      val pp =
+        if (parts.length == 2 && attached(s).contains(parts.head))
+          attachedEntries(s, parts.head).get(parts.last) match {
+            case Some(("view", _)) => throw new IllegalArgumentException(
+              s"${parts.mkString(".")} is a view — DML targets must be " +
+                "lake tables")
+            case Some(e) => e
+            case None => throw new IllegalArgumentException(
+              s"table ${parts.mkString(".")} not in attached catalog")
+          }
+        else catalog(s).get(parts.last) match {
+          case Some(("view", _)) => throw new IllegalArgumentException(
+            s"${parts.last} is a view — DML targets must be lake tables")
+          case Some(e) => e
+          case None => throw new IllegalArgumentException(
+            s"unknown lake table ${parts.last}")
+        }
+      pp
+    }
+    def snapshotAt(provider: String, path: String, v: Long): DataFrame =
+      if (provider == "iceberglite") IcebergLite.snapshot(s, path, v)
+      else DeltaLite.snapshot(s, path, v)
+    def versionOf(provider: String, path: String): Long =
+      if (provider == "iceberglite") IcebergLite.currentSnapshotId(s, path)
+      else DeltaLite.latestVersion(s, path)
+    def project(df: DataFrame): DataFrame = {
+      val sels = splitTopCommas(exprs).flatMap(e =>
+        if (e.trim == "*") df.columns.toSeq.map(c => s"`$c`") else Seq(e))
+      df.selectExpr(sels: _*)
+    }
+    s.sessionState.sqlParser.parsePlan(dml) match {
+      case DeleteFromTable(rel, cond) =>
+        val (provider, path) = resolveTarget(rel)
+        val pre = versionOf(provider, path)
+        execute(s, Map.empty, dml)
+        project(snapshotAt(provider, path, pre).filter(Glue.column(cond)))
+      case UpdateTable(rel, assignments, cond) =>
+        val (provider, path) = resolveTarget(rel)
+        val asg = assignments.map {
+          case Assignment(k: UnresolvedAttribute, v) =>
+            k.name.toLowerCase -> Glue.column(v)
+          case a => throw new IllegalArgumentException(
+            s"unsupported assignment $a")
+        }.toMap
+        val pred = cond.map(Glue.column).getOrElse(
+          org.apache.spark.sql.functions.lit(true))
+        val pre = versionOf(provider, path)
+        execute(s, Map.empty, dml)
+        val before = snapshotAt(provider, path, pre)
+        // the post-image: assignments evaluated over the PRE rows —
+        // exactly what updateWhere wrote for the matching rows
+        val post = before.filter(pred).select(before.columns.toSeq.map {
+          c => asg.getOrElse(c.toLowerCase,
+            org.apache.spark.sql.functions.col(s"`$c`")).as(c)
+        }: _*)
+        project(post)
+      case ins: InsertIntoStatement =>
+        val (provider, path) = resolveTarget(ins.table)
+        val pre = versionOf(provider, path)
+        execute(s, Map.empty, dml)
+        val inserted =
+          if (provider == "iceberglite") {
+            val post = IcebergLite.currentSnapshotId(s, path)
+            IcebergLite.snapshot(s, path, post)
+              .exceptAll(IcebergLite.snapshot(s, path, pre))
+          } else DeltaLite.tableChanges(s, path, pre)
+            .drop("_change_type")
+        project(inserted)
+      case other => throw new IllegalArgumentException(
+        s"RETURNING supports INSERT/UPDATE/DELETE, got: $other")
+    }
+  }
+
   private val OnConflictKeyword =
     "(?is)^\\s*INSERT\\b.*\\bON\\s+CONFLICT\\b.*".r
   private val OnConflictRe =
@@ -3009,11 +3120,12 @@ object LakeSql {
         // position — ignoring the flags would land values in the wrong
         // columns silently. Missing columns fill NULL (the SQL rule);
         // unknown source columns refuse.
+        lazy val targetSchema =
+          if (isIceberg(ins.table)) IcebergLite.snapshot(s, p).schema
+          else DeltaLite.snapshot(s, p).schema
         def alignByName(src: org.apache.spark.sql.DataFrame)
             : org.apache.spark.sql.DataFrame = {
-          val target =
-            if (isIceberg(ins.table)) IcebergLite.snapshot(s, p).schema
-            else DeltaLite.snapshot(s, p).schema
+          val target = targetSchema
           val byLower = src.columns.map(c => c.toLowerCase -> c).toMap
           val extra = src.columns.filterNot(c =>
             target.fieldNames.exists(_.equalsIgnoreCase(c)))
@@ -3035,7 +3147,22 @@ object LakeSql {
               s"INSERT column list names ${ins.userSpecifiedCols.length} " +
                 s"column(s) but the query produces ${df0.columns.length}")
             alignByName(df0.toDF(ins.userSpecifiedCols: _*))
-          } else df0
+          } else if (df0.columns.forall(c =>
+            targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))) {
+            // every source column names a target column → leave the
+            // name binding to the write path (which also computes any
+            // OMITTED generated/identity columns)
+            df0
+          } else {
+            // positional INSERT (the SQL rule): the query's columns map
+            // to the table's left-to-right — a bare VALUES tuple
+            // arrives as (col1, col2, …) and must land by position
+            require(df0.columns.length == targetSchema.fields.length,
+              s"INSERT provides ${df0.columns.length} column(s) but " +
+                s"the table has ${targetSchema.fields.length} — use a " +
+                "column list to insert a subset")
+            df0.toDF(targetSchema.fieldNames.toSeq: _*)
+          }
         (isIceberg(ins.table), ins.overwrite) match {
           case (true, false) => IcebergLite.append(s, p, df)
           case (true, true) => IcebergLite.overwrite(s, p, df)

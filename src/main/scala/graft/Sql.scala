@@ -2480,7 +2480,60 @@ object Sql {
       GQuery("x88_sql_temporal_series", (s, d) => {
         open(s, d)
         LakeSql.sql(s, TemporalSeriesText)
-      }, Some(TemporalSeriesText))
+      }, Some(TemporalSeriesText)),
+
+      // ------------------------------------------------------------- x89
+      // DML RETURNING — DuckDB's `INSERT/UPDATE/DELETE … RETURNING
+      // <exprs>` (the Connection DML-result UX). The affected rows come
+      // from the lake format's own versioning, never a driver collect:
+      // DELETE/UPDATE read the pinned pre-state version (time travel)
+      // with the predicate/post-image applied lazily; INSERT reads back
+      // what the commit actually wrote (deltalite: only the files the
+      // new version added — O(new data)). The key runs all three verbs
+      // against one deltalite table and unions the three result sets;
+      // the oracle derives each set from the raw table — a RETURNING
+      // that misses rows, returns pre-images for UPDATE, or re-emits
+      // unaffected rows hash-fails.
+      GQuery("x89_sql_returning", (s, d) => {
+        import org.apache.spark.sql.functions.lit
+        open(s, d)
+        val t = s"${graft.util.Scratch.dir("x89")}/cust"
+        LakeSql.sql(s, "DROP TABLE IF EXISTS x89c")
+        LakeSql.sql(s, s"""
+          CREATE TABLE x89c USING deltalite LOCATION '$t' AS
+          SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey <= 400""")
+        val ins = LakeSql.sql(s, """
+          INSERT INTO x89c
+          SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+          FROM customer WHERE c_custkey > 400 AND c_custkey <= 500
+          RETURNING c_custkey, CAST(c_acctbal AS DOUBLE) AS bal""")
+        val upd = LakeSql.sql(s, """
+          UPDATE x89c SET c_acctbal = c_acctbal + 100.0
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 100
+          RETURNING c_custkey, CAST(c_acctbal AS DOUBLE) AS bal""")
+        val del = LakeSql.sql(s, """
+          DELETE FROM x89c WHERE c_custkey > 450
+          RETURNING c_custkey, CAST(c_acctbal AS DOUBLE) AS bal""")
+        val out = ins.withColumn("op", lit("insert"))
+          .unionByName(upd.withColumn("op", lit("update")))
+          .unionByName(del.withColumn("op", lit("delete")))
+          .orderBy("op", "c_custkey")
+        LakeSql.sql(s, "DROP TABLE x89c")
+        out
+      }, Some("""
+        SELECT op, c_custkey, bal FROM (
+          SELECT 'insert' AS op, c_custkey,
+                 CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer WHERE c_custkey > 400 AND c_custkey <= 500
+          UNION ALL
+          SELECT 'update', c_custkey, CAST(c_acctbal + 100.0 AS DOUBLE)
+          FROM customer
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 100
+          UNION ALL
+          SELECT 'delete', c_custkey, CAST(c_acctbal AS DOUBLE)
+          FROM customer WHERE c_custkey > 450 AND c_custkey <= 500)
+        ORDER BY op, c_custkey"""))
     )
   }
 

@@ -1355,4 +1355,48 @@ class LakeSqlSpec extends SparkSpec {
         INTERVAL 1 DAY)""").schema.head.dataType
     assert(tpe == org.apache.spark.sql.types.TimestampNTZType, tpe)
   }
+
+  test("DML RETURNING: DELETE pre-image, UPDATE post-image, INSERT " +
+      "read-back on both providers, star expansion, refusals") {
+    Sql.open(spark, sfDir)
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"${Scratch.dir("returning")}/t"
+      LakeSql.sql(spark, "DROP TABLE IF EXISTS rt")
+      LakeSql.sql(spark, s"""
+        CREATE TABLE rt USING $provider LOCATION '$t' AS
+        SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+      // INSERT … RETURNING reads back what the commit wrote
+      val ins = LakeSql.sql(spark, """
+        INSERT INTO rt VALUES (97, 'ATLANTIS', 9), (98, 'LEMURIA', 9)
+        RETURNING n_nationkey, n_name""").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sorted
+      assert(ins.toSeq == Seq((97, "ATLANTIS"), (98, "LEMURIA")),
+        s"$provider: $ins")
+      // UPDATE … RETURNING returns the POST-image of matching rows
+      val upd = LakeSql.sql(spark, """
+        UPDATE rt SET n_regionkey = n_regionkey + 10
+        WHERE n_nationkey >= 97 RETURNING n_nationkey, n_regionkey""")
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+      assert(upd.toSeq == Seq((97, 19), (98, 19)), s"$provider: $upd")
+      assert(LakeSql.sql(spark,
+        "SELECT n_regionkey FROM rt WHERE n_nationkey = 97")
+        .collect().head.getInt(0) == 19, provider)
+      // DELETE … RETURNING * expands to the table columns and returns
+      // exactly the deleted rows
+      val del = LakeSql.sql(spark,
+        "DELETE FROM rt WHERE n_nationkey >= 97 RETURNING *")
+      assert(del.columns.toSeq ==
+        Seq("n_nationkey", "n_name", "n_regionkey"), provider)
+      assert(del.count() == 2, provider)
+      assert(LakeSql.sql(spark,
+        "SELECT COUNT(*) AS n FROM rt WHERE n_nationkey >= 97")
+        .collect().head.getLong(0) == 0, provider)
+      LakeSql.sql(spark, "DROP TABLE rt")
+    }
+    // ON CONFLICT … RETURNING refuses (affected set not reconstructible)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """INSERT INTO rt VALUES (1, 'X', 1)
+        ON CONFLICT (n_nationkey) DO NOTHING RETURNING n_nationkey""")
+    }
+  }
 }
