@@ -934,6 +934,10 @@ object LakeSql {
           sqlStatement(s, rewriteQualify(st))
         case _ if StarModifierKeyword.matches(st) =>
           sqlStatement(s, rewriteStarModifiers(s, st))
+        case _ if UnnestKeyword.matches(st) =>
+          // re-enter: the rewritten text may carry other forms
+          sql(s, rewriteUnnest(st))
+        case _ if ListFnKeyword.matches(st) => sql(s, rewriteListFns(st))
         case _ if ColumnsFnKeyword.matches(st) =>
           // re-enter the full route: the expanded text may still carry
           // another rewritable form (FROM-first, QUALIFY, …)
@@ -1167,6 +1171,45 @@ object LakeSql {
       scala.util.matching.Regex.quoteReplacement(
         matching(m.group(1)).mkString(", ")))
   }
+
+  // ---- UNNEST in the SELECT list ------------------------------------
+  // DuckDB's list flattener: `SELECT …, unnest(<list expr>) …` emits
+  // one row per element (NULL and empty lists emit none), the other
+  // select items repeating — exactly Spark's explode, a GENERATOR
+  // (rows expand inside the Generate operator on the scan's own
+  // partitioning, no shuffle, no UDF). The rewrite swaps the call for
+  // explode and, when the call carries no alias, names the output
+  // `unnest` (DuckDB's column naming). ONE unnest per statement:
+  // DuckDB zips multiple unnests positionally — a semantics Spark's
+  // single-generator rule can't express — so multiples refuse loudly
+  // instead of silently cross-producting.
+  private val UnnestKeyword = "(?is).*\\bunnest\\s*\\(.*".r
+
+  private[graft] def rewriteUnnest(statement: String): String = {
+    val hits = "(?i)\\bunnest\\s*\\(".r.findAllMatchIn(statement).toSeq
+    require(hits.size == 1,
+      "only one unnest() per statement is supported (DuckDB zips " +
+        "multiple unnests positionally — spell that as explode of " +
+        "arrays_zip instead)")
+    val m = hits.head
+    val (inner, rest) = takeParenGroup(statement.substring(m.end - 1))
+    val aliased = "(?is)^\\s*AS\\b.*".r.matches(rest)
+    statement.substring(0, m.start) +
+      s"explode($inner)" + (if (aliased) "" else " AS unnest") + rest
+  }
+
+  // ---- list lambda functions ----------------------------------------
+  // DuckDB's list_transform / list_filter are Spark's higher-order
+  // transform / filter with the SAME `x -> …` lambda grammar — only
+  // the names differ, so the rewrite is a name map. Both run as
+  // codegen'd array expressions over the scan (no UDF, no shuffle).
+  private val ListFnKeyword =
+    "(?is).*\\blist_(transform|filter)\\s*\\(.*".r
+
+  private[graft] def rewriteListFns(statement: String): String =
+    statement
+      .replaceAll("(?i)\\blist_transform\\s*\\(", "transform(")
+      .replaceAll("(?i)\\blist_filter\\s*\\(", "filter(")
 
   // ---- shared micro-parsers for the DuckDB-syntax rewrites ---------
 

@@ -2533,9 +2533,52 @@ object Sql {
           UNION ALL
           SELECT 'delete', c_custkey, CAST(c_acctbal AS DOUBLE)
           FROM customer WHERE c_custkey > 450 AND c_custkey <= 500)
-        ORDER BY op, c_custkey"""))
+        ORDER BY op, c_custkey""")),
+
+      // ------------------------------------------------------------- x90
+      // unnest() in the SELECT list — DuckDB's list flattener, the
+      // idiom for element-level work over array columns (embeddings,
+      // token lists, chunk arrays). ONE text both engines run: DuckDB
+      // native, graft by the explode rewrite (a GENERATOR — rows
+      // expand on the scan's own partitioning, zero shuffles before
+      // the presentation sort). The cast to DOUBLE is exact binary
+      // widening of the FLOAT components on both engines, so the
+      // hash compare is bit-exact.
+      GQuery("x90_sql_unnest", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, UnnestText)
+      }, Some(UnnestText)),
+
+      // ------------------------------------------------------------- x91
+      // list_transform / list_filter — DuckDB's list lambdas, which
+      // are Spark's higher-order transform/filter under different
+      // names (the `x -> …` lambda grammar is IDENTICAL). ONE text
+      // both engines run; graft's name-map rewrite keeps the whole
+      // element-level pipeline (filter → transform → unnest) inside
+      // codegen'd array expressions on the scan — no UDF, no shuffle.
+      // FLOAT arithmetic (x + x) and the > comparison are exact on
+      // both engines, so the unnested components hash bit-equal.
+      GQuery("x91_sql_list_lambda", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ListLambdaText)
+      }, Some(ListLambdaText))
     )
   }
+
+  private def ListLambdaText = """
+    SELECT vec_id, CAST(component AS DOUBLE) AS component
+    FROM (SELECT vec_id,
+                 unnest(list_transform(
+                   list_filter(embedding, x -> x > CAST(0 AS FLOAT)),
+                   x -> x + x)) AS component
+          FROM embeddings WHERE vec_id < 30)
+    ORDER BY vec_id, component"""
+
+  private def UnnestText = """
+    SELECT vec_id, label, CAST(component AS DOUBLE) AS component
+    FROM (SELECT vec_id, label, unnest(embedding) AS component
+          FROM embeddings WHERE vec_id < 40)
+    ORDER BY vec_id, component"""
 
   private def TemporalSeriesText = """
     WITH spine AS (

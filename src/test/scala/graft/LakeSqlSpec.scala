@@ -1399,4 +1399,46 @@ class LakeSqlSpec extends SparkSpec {
         ON CONFLICT (n_nationkey) DO NOTHING RETURNING n_nationkey""")
     }
   }
+
+  test("unnest(): element rows, DuckDB naming, NULL/empty drop, " +
+      "generator plan, multiple-unnest refusal") {
+    Sql.open(spark, sfDir)
+    // default column name is `unnest`; other select items repeat
+    val df = LakeSql.sql(spark, """
+      SELECT n_nationkey, unnest(ARRAY(1, 2)) FROM nation
+      WHERE n_nationkey < 2 ORDER BY n_nationkey, unnest""")
+    assert(df.columns.toSeq == Seq("n_nationkey", "unnest"))
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((0, 1), (0, 2), (1, 1), (1, 2)))
+    // NULL and empty lists emit no rows (DuckDB's rule = explode's)
+    val e = LakeSql.sql(spark, """
+      SELECT unnest(CASE WHEN n_nationkey = 0 THEN ARRAY(7)
+                         WHEN n_nationkey = 1 THEN ARRAY()
+                         ELSE NULL END) AS v
+      FROM nation WHERE n_nationkey < 3""").collect()
+    assert(e.map(_.getInt(0)).toSeq == Seq(7))
+    // the rewrite produces a GENERATOR on the scan partitioning — no
+    // exchange between the file scan and the Generate
+    val plan = LakeSql.sql(spark, """
+      SELECT unnest(embedding) AS c FROM embeddings""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // DuckDB zips multiple unnests — inexpressible as one generator,
+    // refused loudly
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT unnest(ARRAY(1)), unnest(ARRAY(2)) FROM nation")
+    }
+    // list_transform/list_filter are the Spark higher-order functions
+    // under DuckDB names — same lambda grammar, and they compose with
+    // unnest in one statement
+    val lam = LakeSql.sql(spark, """
+      SELECT n_nationkey,
+             unnest(list_transform(
+               list_filter(ARRAY(1, 2, 3, 4), x -> x % 2 = 0),
+               x -> x * 10)) AS v
+      FROM nation WHERE n_nationkey = 0 ORDER BY v""").collect()
+    assert(lam.map(_.getInt(1)).toSeq == Seq(20, 40))
+  }
 }
