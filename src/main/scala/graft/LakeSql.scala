@@ -938,6 +938,15 @@ object LakeSql {
           // re-enter: the rewritten text may carry other forms
           sql(s, rewriteUnnest(st))
         case _ if ListFnKeyword.matches(st) => sql(s, rewriteListFns(st))
+        case _ if StringSplitKeyword.matches(st) =>
+          sql(s, rewriteStringSplit(st))
+        // guard on CHANGED text: a statement whose only regexp_* calls
+        // are already in Spark form (3-arg regexp_extract) must fall
+        // through to the remaining cases, not re-enter forever
+        case _ if RegexpFnKeyword.matches(st) &&
+            rewriteRegexpFns(st) != st =>
+          sql(s, rewriteRegexpFns(st))
+        case _ if StrftimeKeyword.matches(st) => sql(s, rewriteStrftime(st))
         case _ if ColumnsFnKeyword.matches(st) =>
           // re-enter the full route: the expanded text may still carry
           // another rewritable form (FROM-first, QUALIFY, …)
@@ -1204,14 +1213,203 @@ object LakeSql {
   // the names differ, so the rewrite is a name map. Both run as
   // codegen'd array expressions over the scan (no UDF, no shuffle).
   private val ListFnKeyword =
-    "(?is).*\\blist_(transform|filter)\\s*\\(.*".r
+    ("(?is).*\\blist_(transform|filter|sort|min|max|reverse|concat|" +
+      "contains)\\s*\\(.*").r
 
-  private[graft] def rewriteListFns(statement: String): String =
-    statement
+  private[graft] def rewriteListFns(statement: String): String = {
+    // list_contains needs more than a name swap: DuckDB returns FALSE
+    // when the element is absent from a NULL-carrying list, Spark's
+    // array_contains returns NULL (three-valued logic) — the coalesce
+    // pins DuckDB's two-valued answer. Balanced-paren extraction so
+    // nested calls and commas inside the list argument survive.
+    var st = statement
+    var hit = "(?i)\\blist_contains\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      st = st.substring(0, m.start) +
+        s"coalesce(array_contains($inner), false)" + rest
+      hit = "(?i)\\blist_contains\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
       .replaceAll("(?i)\\blist_transform\\s*\\(", "transform(")
       .replaceAll("(?i)\\blist_filter\\s*\\(", "filter(")
+      // single-arg list_sort ≡ array_sort: ASC with NULLS LAST on both
+      // engines (Spark's sort_array would put NULLS FIRST — wrong);
+      // a two-arg list_sort('DESC') lands in array_sort's lambda slot
+      // and fails analysis loudly rather than silently re-ordering
+      .replaceAll("(?i)\\blist_sort\\s*\\(", "array_sort(")
+      .replaceAll("(?i)\\blist_min\\s*\\(", "array_min(")
+      .replaceAll("(?i)\\blist_max\\s*\\(", "array_max(")
+      .replaceAll("(?i)\\blist_reverse\\s*\\(", "reverse(")
+      .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
+  }
+
+  // ---- string_split ---------------------------------------------------
+  // DuckDB's string_split(s, sep) splits on a LITERAL separator;
+  // Spark's split(s, pattern) takes a Java REGEX — so the rewrite
+  // regex-quotes the separator character-by-character (a '.' separator
+  // must not match every character). Literal separators only: a
+  // computed separator expression can't be quoted at rewrite time and
+  // refuses loudly. DuckDB keeps trailing empty strings ('a,' → ['a',
+  // '']) and so does Spark's split with limit -1 — the rewrite pins
+  // that limit (Spark's default drops them).
+  private val StringSplitKeyword = "(?is).*\\bstring_split\\s*\\(.*".r
+
+  private[graft] def rewriteStringSplit(statement: String): String = {
+    var st = statement
+    var hit = "(?i)\\bstring_split\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"string_split takes (string, separator), got: $inner")
+      val sepLit = "^'(.*)'$".r.findFirstMatchIn(args(1).trim).getOrElse(
+        throw new IllegalArgumentException(
+          "string_split: the separator must be a string literal " +
+            "(it is regex-quoted at rewrite time)")).group(1)
+      val quoted = sepLit.flatMap {
+        case c if "\\^$.|?*+()[]{}".contains(c) => s"\\\\$c"
+        case '\'' => "''"
+        case c => c.toString
+      }
+      st = st.substring(0, m.start) +
+        s"split(${args.head}, '$quoted', -1)" + rest
+      hit = "(?i)\\bstring_split\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
+  }
+
+  // ---- regexp_matches / 2-arg regexp_extract --------------------------
+  // DuckDB's regexp_matches(s, re) is a partial-match boolean — exactly
+  // Spark's regexp_like (both SEARCH, neither anchors). regexp_extract
+  // diverges only in the default group: DuckDB's 2-arg form extracts
+  // the FULL match (group 0) while Spark's defaults to group 1 — the
+  // rewrite pins the explicit 0; 3-arg calls pass through untouched
+  // (same group semantics, and both engines return '' on no match).
+  // Patterns here stay in the shared RE2∩Java dialect (classes,
+  // quantifiers, anchors, alternation); engine-specific syntax would
+  // fail loudly at whichever engine rejects it.
+  private val RegexpFnKeyword =
+    "(?is).*\\bregexp_(matches|extract)\\s*\\(.*".r
+
+  private[graft] def rewriteRegexpFns(statement: String): String = {
+    var st = statement.replaceAll("(?i)\\bregexp_matches\\s*\\(",
+      "regexp_like(")
+    val re = "(?i)\\bregexp_extract\\s*\\(".r
+    var from = 0
+    var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+      (m.start + from, m.end + from))
+    while (hit.isDefined) {
+      val (s0, e0) = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2 || args.length == 3,
+        s"regexp_extract takes (string, pattern[, group]), got: $inner")
+      val fixed =
+        if (args.length == 2) s"regexp_extract($inner, 0)"
+        else s"regexp_extract($inner)"
+      st = st.substring(0, s0) + fixed + rest
+      from = s0 + fixed.length
+      hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+        (m.start + from, m.end + from))
+    }
+    st
+  }
+
+  // ---- strftime --------------------------------------------------------
+  // DuckDB's strftime(value, '%-format') → Spark's date_format with
+  // the % tokens translated to Java pattern letters. The format must
+  // be a literal (translated at rewrite time); literal characters that
+  // ARE Java pattern letters get quoted so they can never be
+  // interpreted (e.g. the T in an ISO stamp), and unknown % tokens
+  // refuse loudly rather than silently passing a wrong pattern.
+  private val StrftimeKeyword = "(?is).*\\bstrftime\\s*\\(.*".r
+  private val StrftimeMap = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+    'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
+    'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM",
+    'B' -> "MMMM", 'p' -> "a", 'G' -> "YYYY", 'V' -> "ww")
+
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    // literal runs are flushed as ONE quoted block — adjacent
+    // per-character quotes ('Q''t''r') would read as escaped quote
+    // characters in a Java pattern
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(_.isLetter) || s.contains('\''))
+        out.append("'").append(s.replace("'", "''")).append("'")
+      else out.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"dangling % in strftime format $fmt")
+        val t = fmt.charAt(i + 1)
+        if (t == '%') { lit.append('%'); i += 2 }
+        else {
+          flush()
+          out.append(StrftimeMap.getOrElse(t,
+            throw new IllegalArgumentException(
+              s"unsupported strftime token %$t in $fmt")))
+          i += 2
+        }
+      } else { lit.append(c); i += 1 }
+    }
+    flush()
+    out.toString
+  }
+
+  private[graft] def rewriteStrftime(statement: String): String = {
+    var st = statement
+    var hit = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"strftime takes (value, format), got: $inner")
+      val fmtLit = "^'(.*)'$".r.findFirstMatchIn(args(1).trim).getOrElse(
+        throw new IllegalArgumentException(
+          "strftime: the format must be a string literal (it is " +
+            "translated to a Java pattern at rewrite time)")).group(1)
+      // the Java pattern itself contains single quotes (quoted
+      // literals) — double them so the embedding SQL literal survives
+      val javaFmt = strftimeToJava(fmtLit).replace("'", "''")
+      st = st.substring(0, m.start) +
+        s"date_format(${args.head}, '$javaFmt')" + rest
+      hit = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
+  }
 
   // ---- shared micro-parsers for the DuckDB-syntax rewrites ---------
+
+  /** Split on top-level commas, treating '…' string literals as atoms
+    * (a comma inside a quoted separator must not split). Doubled ''
+    * escapes stay inside the literal naturally: the quote state just
+    * toggles twice.
+    */
+  private def splitTopCommasQuoted(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    text.foreach {
+      case '\'' => inStr = !inStr; cur.append('\'')
+      case ',' if depth == 0 && !inStr => out += cur.toString.trim; cur.clear()
+      case c =>
+        if (!inStr) { if (c == '(') depth += 1 else if (c == ')') depth -= 1 }
+        cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
 
   /** Split `text` on top-level commas (outside parens). */
   private def splitTopCommas(text: String): Seq[String] = {

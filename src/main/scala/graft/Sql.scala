@@ -2561,9 +2561,109 @@ object Sql {
       GQuery("x91_sql_list_lambda", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ListLambdaText)
-      }, Some(ListLambdaText))
+      }, Some(ListLambdaText)),
+
+      // ------------------------------------------------------------- x92
+      // list function suite — DuckDB's list_* vocabulary over array
+      // columns: sort (ASC NULLS LAST on both engines via array_sort),
+      // min/max (NULL-skipping on both), contains (coalesce-pinned to
+      // DuckDB's two-valued FALSE — Spark's three-valued NULL never
+      // leaks), composed with the x91 lambdas. All codegen'd array
+      // expressions on the scan; the sorted-negatives column checks
+      // ordering parity element-by-element under the hash.
+      GQuery("x92_sql_list_funcs", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ListFuncsText)
+      }, Some(ListFuncsText)),
+
+      // ------------------------------------------------------------- x93
+      // string_split + unnest — THE ad-hoc token pipeline at the text
+      // entry (t01/t05 are the DataFrame-level forms): split every
+      // document on the literal separator, flatten, aggregate token
+      // frequencies and document frequencies in one statement. ONE
+      // text both engines run; graft regex-quotes the literal
+      // separator into Spark's split (limit -1 pins DuckDB's
+      // keep-trailing-empties rule; both engines return [''] for
+      // empty input, verified) and the explode generator keeps the
+      // flatten on the scan partitioning — one shuffle total, on the
+      // token group key. DESC count with token tiebreak makes the
+      // top-50 deterministic.
+      GQuery("x93_sql_string_split", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, StringSplitText)
+      }, Some(StringSplitText)),
+
+      // ------------------------------------------------------------- x94
+      // regexp_matches + regexp_extract — the regex text-analysis
+      // surface at the SQL entry (t07's PII scan is the DataFrame
+      // form): per-language counts of pattern hits via FILTERed
+      // aggregates, plus a distinct-extraction count through the
+      // 2-arg regexp_extract whose default group DIVERGES between
+      // engines (DuckDB: full match; Spark: group 1) — graft pins
+      // group 0 in the rewrite, and a wrong pin would change
+      // distinct_nums and hash-fail. Patterns stay in the RE2∩Java
+      // shared dialect. regexp_like evaluates inside the scan's
+      // codegen'd filter — no UDF.
+      GQuery("x94_sql_regexp", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, RegexpText)
+      }, Some(RegexpText)),
+
+      // ------------------------------------------------------------- x95
+      // strftime — DuckDB's %-token timestamp formatting; graft
+      // translates the literal format to a Java date_format pattern
+      // at rewrite time (unknown %-tokens refuse; literal letters are
+      // quoted so they can never be interpreted as pattern letters).
+      // The key formats order dates three ways, including a format
+      // with a literal pattern-letter (the quarter 'Q' in "Qtr") —
+      // the case a naive translation corrupts silently.
+      GQuery("x95_sql_strftime", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, StrftimeText)
+      }, Some(StrftimeText))
     )
   }
+
+  private def RegexpText = """
+    SELECT lang,
+           COUNT(*) FILTER (WHERE regexp_matches(text, '[0-9]{2,}'))
+             AS with_nums,
+           COUNT(*) FILTER (WHERE regexp_matches(text, '^[A-Z]'))
+             AS cap_start,
+           COUNT(DISTINCT regexp_extract(text, '[0-9]+')) AS distinct_nums,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  private def StrftimeText = """
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS iso,
+           strftime(o_orderdate, '%d/%m/%Y') AS euro,
+           strftime(o_orderdate, 'Qtr %m of %Y') AS with_literals,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey <= 2000
+    GROUP BY 1, 2, 3 ORDER BY iso"""
+
+  private def StringSplitText = """
+    SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE lang = 'en')
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 50"""
+
+  private def ListFuncsText = """
+    SELECT vec_id,
+           CAST(list_min(embedding) AS DOUBLE) AS lo,
+           CAST(list_max(embedding) AS DOUBLE) AS hi,
+           list_contains(
+             list_transform(embedding, x -> x >= CAST(0.5 AS FLOAT)),
+             TRUE) AS has_big,
+           list_transform(
+             list_sort(list_filter(embedding,
+               x -> x < CAST(0 AS FLOAT))),
+             x -> CAST(x AS DOUBLE)) AS negs
+    FROM embeddings WHERE vec_id < 25 ORDER BY vec_id"""
 
   private def ListLambdaText = """
     SELECT vec_id, CAST(component AS DOUBLE) AS component

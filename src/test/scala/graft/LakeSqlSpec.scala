@@ -1440,5 +1440,79 @@ class LakeSqlSpec extends SparkSpec {
                x -> x * 10)) AS v
       FROM nation WHERE n_nationkey = 0 ORDER BY v""").collect()
     assert(lam.map(_.getInt(1)).toSeq == Seq(20, 40))
+    // list_* name maps: sort is ASC NULLS LAST (DuckDB's rule — Spark's
+    // sort_array would put NULLs first); contains is two-valued even
+    // over NULL-carrying lists (coalesce pins DuckDB's FALSE)
+    val lf = LakeSql.sql(spark, """
+      SELECT list_sort(ARRAY(3, 1, NULL, 2)) AS srt,
+             list_contains(ARRAY(1, 2, NULL), 5) AS absent,
+             list_contains(ARRAY(1, 2, NULL), 2) AS present,
+             list_min(ARRAY(3, 1, NULL)) AS mn,
+             list_max(ARRAY(3, 1, NULL)) AS mx,
+             list_reverse(ARRAY(1, 2, 3)) AS rev,
+             list_concat(ARRAY(1), ARRAY(2, 3)) AS cat
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(lf.getSeq[Any](0) == Seq(1, 2, 3, null), lf.getSeq[Any](0))
+    assert(!lf.getBoolean(1) && lf.getBoolean(2))
+    assert(lf.getInt(3) == 1 && lf.getInt(4) == 3)
+    assert(lf.getSeq[Int](5) == Seq(3, 2, 1))
+    assert(lf.getSeq[Int](6) == Seq(1, 2, 3))
+    // string_split: literal separator regex-quoted ('.' must not match
+    // every char), trailing empties kept (DuckDB's rule), computed
+    // separators refuse
+    val ss = LakeSql.sql(spark, """
+      SELECT string_split('a.b.', '.') AS dots,
+             string_split('x|y', '|') AS pipe,
+             string_split('a,', ',') AS trail
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(ss.getSeq[String](0) == Seq("a", "b", ""), ss.getSeq[String](0))
+    assert(ss.getSeq[String](1) == Seq("x", "y"))
+    assert(ss.getSeq[String](2) == Seq("a", ""))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT string_split(n_name, n_comment) FROM nation")
+    }
+  }
+
+  test("regexp_matches/regexp_extract/strftime rewrites: partial " +
+      "match, group-0 pin, %-token translation, literal quoting") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT regexp_matches('hello42', '[0-9]+') AS m1,
+             regexp_matches('hello', '^x') AS m2,
+             regexp_extract('a12b34', '[0-9]+') AS full_match,
+             regexp_extract('a12b34', '([a-z])([0-9]+)', 2) AS grp2,
+             regexp_extract('abc', '[0-9]+') AS none
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    // 2-arg regexp_extract = FULL match (DuckDB's group 0, not
+    // Spark's group-1 default); no match = '' on both engines
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "12" && r.getString(3) == "12" &&
+      r.getString(4) == "")
+    val f = LakeSql.sql(spark, """
+      SELECT strftime(DATE '1995-03-07', '%Y-%m-%d') AS iso,
+             strftime(DATE '1995-03-07', '%d/%m/%Y') AS euro,
+             strftime(TIMESTAMP '1995-03-07 14:05:09', '%H:%M:%S') AS tod,
+             strftime(DATE '1995-03-07', 'Qtr %m') AS lit
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(f.getString(0) == "1995-03-07" && f.getString(1) == "07/03/1995")
+    assert(f.getString(2) == "14:05:09")
+    // literal pattern-letters (Q, t, r) survive quoted, never
+    // interpreted as Java pattern tokens
+    assert(f.getString(3) == "Qtr 03", f.getString(3))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT strftime(DATE '1995-01-01', '%Q') FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT strftime(o_orderdate, o_orderpriority) FROM orders")
+    }
+    // a statement whose only regexp_* call is ALREADY in Spark form
+    // (3-arg regexp_extract) must not re-enter the rewrite forever
+    assert(LakeSql.sql(spark, """
+      SELECT regexp_extract('a12', '([0-9]+)', 1) AS g
+      FROM nation WHERE n_nationkey = 0""").collect()
+      .head.getString(0) == "12")
   }
 }
