@@ -947,6 +947,8 @@ object LakeSql {
             rewriteRegexpFns(st) != st =>
           sql(s, rewriteRegexpFns(st))
         case _ if StrftimeKeyword.matches(st) => sql(s, rewriteStrftime(st))
+        case _ if StructPackKeyword.matches(st) =>
+          sql(s, rewriteStructPack(st))
         case _ if ColumnsFnKeyword.matches(st) =>
           // re-enter the full route: the expanded text may still carry
           // another rewritable form (FROM-first, QUALIFY, …)
@@ -1384,6 +1386,34 @@ object LakeSql {
       st = st.substring(0, m.start) +
         s"date_format(${args.head}, '$javaFmt')" + rest
       hit = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
+  }
+
+  // ---- struct_pack ------------------------------------------------------
+  // DuckDB's struct constructor: struct_pack(name := expr, …) is
+  // Spark's named_struct('name', expr, …) — same nested-type model,
+  // same dot access on the result on both engines. Nested
+  // struct_pack calls resolve inside-out (each pass rewrites one call
+  // and rescans). Codegen'd CreateNamedStruct — no UDF.
+  private val StructPackKeyword = "(?is).*\\bstruct_pack\\s*\\(.*".r
+
+  private[graft] def rewriteStructPack(statement: String): String = {
+    var st = statement
+    var hit = "(?i)\\bstruct_pack\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val fields = splitTopCommasQuoted(inner).map { a =>
+        val mm = "(?s)^([A-Za-z_]\\w*)\\s*:=\\s*(.+)$".r
+          .findFirstMatchIn(a.trim).getOrElse(
+            throw new IllegalArgumentException(
+              s"struct_pack takes name := expr entries, got: $a"))
+        s"'${mm.group(1)}', ${mm.group(2)}"
+      }
+      st = st.substring(0, m.start) +
+        s"named_struct(${fields.mkString(", ")})" + rest
+      hit = "(?i)\\bstruct_pack\\s*\\(".r.findFirstMatchIn(st)
     }
     st
   }

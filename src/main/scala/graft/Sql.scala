@@ -2620,9 +2620,31 @@ object Sql {
       GQuery("x95_sql_strftime", (s, d) => {
         open(s, d)
         LakeSql.sql(s, StrftimeText)
-      }, Some(StrftimeText))
+      }, Some(StrftimeText)),
+
+      // ------------------------------------------------------------- x96
+      // struct_pack — DuckDB's struct constructor (nested-type
+      // modeling at the text entry); graft rewrites to named_struct
+      // (Spark's CreateNamedStruct — codegen'd, same nested-type
+      // model). The key packs a two-field struct INCLUDING a nested
+      // struct, dot-accesses both levels, and groups on the extracted
+      // fields — constructor, nesting, and access all under the hash.
+      GQuery("x96_sql_struct_pack", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, StructPackText)
+      }, Some(StructPackText))
     )
   }
+
+  private def StructPackText = """
+    SELECT s.hi AS hi, s.nest.lo AS lo, COUNT(*) AS n,
+           MIN(s.nest.k) AS k_min
+    FROM (SELECT struct_pack(
+                   hi := o_orderkey % 3,
+                   nest := struct_pack(lo := o_orderkey % 2,
+                                       k := o_orderkey)) AS s
+          FROM orders WHERE o_orderkey <= 5000)
+    GROUP BY s.hi, s.nest.lo ORDER BY hi, lo"""
 
   private def RegexpText = """
     SELECT lang,

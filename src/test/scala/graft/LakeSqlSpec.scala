@@ -1514,5 +1514,15 @@ class LakeSqlSpec extends SparkSpec {
       SELECT regexp_extract('a12', '([0-9]+)', 1) AS g
       FROM nation WHERE n_nationkey = 0""").collect()
       .head.getString(0) == "12")
+    // struct_pack → named_struct, nested inside-out, dot access works
+    val sp = LakeSql.sql(spark, """
+      SELECT struct_pack(a := 1, nest := struct_pack(b := 'x')).nest.b
+        AS deep,
+             struct_pack(a := 7).a AS shallow
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(sp.getString(0) == "x" && sp.getInt(1) == 7)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT struct_pack(1, 2) FROM nation")
+    }
   }
 }
