@@ -536,7 +536,9 @@ object Sql {
           ROUND(exp(CAST(o_orderkey % 5 AS DOUBLE)), 6) AS f_exp,
           ROUND(power(CAST(o_orderkey % 9 AS DOUBLE), 2.5), 6) AS f_power,
           md5(o_orderpriority) AS f_md5,
-          CAST(o_orderkey AS STRING) AS f_cast_str
+          CAST(o_orderkey AS STRING) AS f_cast_str,
+          TRY_CAST(o_orderpriority AS INTEGER) AS f_try_cast_bad,
+          TRY_CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS f_try_cast_ok
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey"""),
 
       // -------------------------------------------------------------- x47
