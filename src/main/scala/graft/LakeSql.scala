@@ -700,7 +700,9 @@ object LakeSql {
       throw new IllegalArgumentException(
         s"no prepared statement named $name (PREPARE it first)"))
     val text = expandMacros(s, text0) // macros late-bind, like queries
-    val argExprs = splitTopCommas(argsRaw).map(_.trim).filter(_.nonEmpty)
+    // quote-aware split: a string argument may carry a comma
+    // (EXECUTE q('a,b')) — the paren-only splitter would cut inside it
+    val argExprs = splitTopCommasQuoted(argsRaw).map(_.trim).filter(_.nonEmpty)
     // Each argument is a constant expression; evaluating it through a
     // table-free SELECT keeps typing rules identical to any literal in
     // a query (DATE '…', casts, arithmetic all work).
@@ -937,7 +939,13 @@ object LakeSql {
         case _ if UnnestKeyword.matches(st) =>
           // re-enter: the rewritten text may carry other forms
           sql(s, rewriteUnnest(st))
-        case _ if ListFnKeyword.matches(st) => sql(s, rewriteListFns(st))
+        // changed-text guards (same reason as the regexp_* case below):
+        // the bracket-slice keyword can match text the rewrite leaves
+        // alone, which must fall through, not re-enter forever
+        case _ if ListFnKeyword.matches(st) && rewriteListFns(st) != st =>
+          sql(s, rewriteListFns(st))
+        case _ if MapFnKeyword.matches(st) && rewriteMapFns(st) != st =>
+          sql(s, rewriteMapFns(st))
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1198,15 +1206,79 @@ object LakeSql {
 
   private[graft] def rewriteUnnest(statement: String): String = {
     val hits = "(?i)\\bunnest\\s*\\(".r.findAllMatchIn(statement).toSeq
-    require(hits.size == 1,
-      "only one unnest() per statement is supported (DuckDB zips " +
-        "multiple unnests positionally — spell that as explode of " +
-        "arrays_zip instead)")
+    require(hits.size <= 2,
+      "at most two unnest() calls per statement are supported (DuckDB " +
+        "zips them positionally; 3+ would need an n-ary zip rewrite)")
+    if (hits.size == 2) return rewriteUnnestZip(statement)
     val m = hits.head
     val (inner, rest) = takeParenGroup(statement.substring(m.end - 1))
     val aliased = "(?is)^\\s*AS\\b.*".r.matches(rest)
     statement.substring(0, m.start) +
       s"explode($inner)" + (if (aliased) "" else " AS unnest") + rest
+  }
+
+  /** TWO unnest() items in one SELECT list — DuckDB zips them
+    * positionally, padding the shorter list with NULL. Spark's
+    * single-generator rule can't host two explodes, so the rewrite is
+    * the zip identity: `zip_with(a, b, (l, r) -> struct(l, r))` (same
+    * NULL padding) exploded ONCE through a LATERAL VIEW injected after
+    * the FROM relation, with each unnest item swapped for the struct
+    * field. Still one Generate on the scan's own partitioning — zero
+    * extra shuffles. Both items must carry explicit aliases (two
+    * unnamed items would both claim DuckDB's `unnest` column name).
+    */
+  private def rewriteUnnestZip(statement: String): String = {
+    val AliasRe = "(?is)^\\s*AS\\s+([A-Za-z_]\\w*)".r
+    // (start, endAfterAlias, listExpr, alias) per unnest item
+    val items = "(?i)\\bunnest\\s*\\(".r.findAllMatchIn(statement).toSeq
+      .map { m =>
+        val (inner, rest) = takeParenGroup(statement.substring(m.end - 1))
+        val am = AliasRe.findFirstMatchIn(rest).getOrElse(
+          throw new IllegalArgumentException(
+            "zipped unnest items each need an explicit alias " +
+              "(unnest(e) AS name)"))
+        (m.start, statement.length - rest.length + am.end, inner,
+          am.group(1))
+      }
+    val Seq((s0, e0, x0, a0), (s1, e1, x1, a1)) = items
+    require(e0 <= s1, "zipped unnest items must be distinct SELECT items")
+    val rewritten = statement.substring(0, s0) +
+      s"__zs.__u0 AS $a0" + statement.substring(e0, s1) +
+      s"__zs.__u1 AS $a1" + statement.substring(e1)
+    // FROM of the unnest items' own SELECT: first FROM at the items'
+    // paren depth (scan starts where the first item sat, so depth is
+    // relative to that nesting level).
+    val f = topLevelIndexOf(rewritten, "FROM", s0)
+    require(f >= 0, "zipped unnest needs a FROM relation")
+    // Injection point: before the first same-depth WHERE/GROUP/ORDER/
+    // HAVING/LIMIT, or at the enclosing subquery's closing paren, or
+    // at end of text.
+    val stop = Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT")
+    var i = f + 4
+    var depth = 0
+    var inS = false
+    var at = rewritten.length
+    val up = rewritten.toUpperCase
+    while (i < rewritten.length && at == rewritten.length) {
+      val c = rewritten.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => if (depth == 0) at = i else depth -= 1
+        case _ =>
+          if (depth == 0 && stop.exists(k => up.startsWith(k, i) &&
+              !Character.isLetterOrDigit(rewritten.charAt(i - 1)) &&
+              (i + k.length >= rewritten.length ||
+                !Character.isLetterOrDigit(rewritten.charAt(i + k.length)))))
+            at = i
+      }
+      i += 1
+    }
+    rewritten.substring(0, at) +
+      s" LATERAL VIEW explode(zip_with($x0, $x1, " +
+      "(__l, __r) -> struct(__l AS __u0, __r AS __u1))) __zt AS __zs " +
+      rewritten.substring(at)
   }
 
   // ---- list lambda functions ----------------------------------------
@@ -1215,8 +1287,9 @@ object LakeSql {
   // the names differ, so the rewrite is a name map. Both run as
   // codegen'd array expressions over the scan (no UDF, no shuffle).
   private val ListFnKeyword =
-    ("(?is).*\\blist_(transform|filter|sort|min|max|reverse|concat|" +
-      "contains)\\s*\\(.*").r
+    ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse|concat|" +
+      "contains|slice)\\s*\\(|\\barray_to_string\\s*\\(|" +
+      "[A-Za-z_0-9]\\s*\\[\\s*\\d+\\s*:\\s*\\d+\\s*\\]).*").r
 
   private[graft] def rewriteListFns(statement: String): String = {
     // list_contains needs more than a name swap: DuckDB returns FALSE
@@ -1233,6 +1306,31 @@ object LakeSql {
         s"coalesce(array_contains($inner), false)" + rest
       hit = "(?i)\\blist_contains\\s*\\(".r.findFirstMatchIn(st)
     }
+    // list_slice(l, b, e): DuckDB bounds are 1-based INCLUSIVE both
+    // ends (and clamp past the list end) — Spark's slice(l, start,
+    // length) clamps the same way, so the translation is the length
+    // identity e-b+1.
+    hit = "(?i)\\blist_slice\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 3,
+        s"list_slice takes (list, begin, end), got: $inner")
+      st = st.substring(0, m.start) +
+        s"slice(${args(0)}, ${args(1)}, (${args(2)})-(${args(1)})+1)" + rest
+      hit = "(?i)\\blist_slice\\s*\\(".r.findFirstMatchIn(st)
+    }
+    // bracket slicing `l[2:4]` — DuckDB's 1-based inclusive list
+    // slice; literal integer bounds translate to the same slice()
+    // call (a computed bound would need the list_slice spelling).
+    st = """((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]""".r
+      .replaceAllIn(st, m => {
+        val (b, e) = (m.group(2).toInt, m.group(3).toInt)
+        require(b >= 1 && e >= b,
+          s"list slice bounds must satisfy 1 <= begin <= end: [$b:$e]")
+        s"slice(${m.group(1)}, $b, ${e - b + 1})"
+      })
     st
       .replaceAll("(?i)\\blist_transform\\s*\\(", "transform(")
       .replaceAll("(?i)\\blist_filter\\s*\\(", "filter(")
@@ -1245,6 +1343,42 @@ object LakeSql {
       .replaceAll("(?i)\\blist_max\\s*\\(", "array_max(")
       .replaceAll("(?i)\\blist_reverse\\s*\\(", "reverse(")
       .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
+      // same (list, delim[, null_str]) argument shape on both engines
+      .replaceAll("(?i)\\barray_to_string\\s*\\(", "array_join(")
+  }
+
+  // ---- MAP vocabulary -------------------------------------------------
+  // DuckDB's MAP type surface: `map(keys_list, values_list)` constructs
+  // (Spark: map_from_arrays — both preserve entry order),
+  // `list_value(...)` is DuckDB's explicit list constructor (Spark:
+  // array), and `map_extract(m, k)` returns a LIST — the value
+  // singleton, or the EMPTY list when the key is absent. Spark's
+  // try_element_at returns the bare value-or-NULL, so the rewrite
+  // rebuilds DuckDB's list contract with filter(array(...), not-null)
+  // — still a codegen'd expression tree, no UDF. map_keys/map_values/
+  // cardinality share names and entry order on both engines and pass
+  // through untouched.
+  private val MapFnKeyword =
+    ("(?is).*(\\bmap\\s*\\(|\\blist_value\\s*\\(|" +
+      "\\bmap_extract\\s*\\().*").r
+
+  private[graft] def rewriteMapFns(statement: String): String = {
+    var st = statement
+    var hit = "(?i)\\bmap_extract\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"map_extract takes (map, key), got: $inner")
+      st = st.substring(0, m.start) +
+        s"filter(array(try_element_at(${args(0)}, ${args(1)})), " +
+        "__e -> __e IS NOT NULL)" + rest
+      hit = "(?i)\\bmap_extract\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
+      .replaceAll("(?i)\\bmap\\s*\\(", "map_from_arrays(")
+      .replaceAll("(?i)\\blist_value\\s*\\(", "array(")
   }
 
   // ---- string_split ---------------------------------------------------
@@ -2474,13 +2608,25 @@ object LakeSql {
         execute(s, Map.empty, dml)
         val before = snapshotAt(provider, path, pre)
         // the post-image: assignments evaluated over the PRE rows —
-        // exactly what updateWhere wrote for the matching rows
-        val post = before.filter(pred).select(before.columns.toSeq.map {
-          c => asg.getOrElse(c.toLowerCase,
-            org.apache.spark.sql.functions.col(s"`$c`")).as(c)
-        }: _*)
+        // exactly what updateWhere wrote for the matching rows. Each
+        // applied assignment casts to the column's DECLARED type (the
+        // write path does the same), so RETURNING reports the value as
+        // STORED, not the expression's wider pre-cast type.
+        val post = before.filter(pred).select(before.schema.fields.toSeq
+          .map { f =>
+            asg.get(f.name.toLowerCase)
+              .map(_.cast(f.dataType))
+              .getOrElse(org.apache.spark.sql.functions.col(s"`${f.name}`"))
+              .as(f.name)
+          }: _*)
         project(post)
       case ins: InsertIntoStatement =>
+        // INSERT OVERWRITE ... RETURNING is refused: DuckDB has no
+        // INSERT OVERWRITE, and a diff-based RETURNING over a
+        // non-append commit would report the overwritten (deleted)
+        // pre-rows as if inserted.
+        require(!ins.overwrite,
+          "RETURNING is not supported on INSERT OVERWRITE")
         val (provider, path) = resolveTarget(ins.table)
         val pre = versionOf(provider, path)
         execute(s, Map.empty, dml)
@@ -2490,6 +2636,10 @@ object LakeSql {
             IcebergLite.snapshot(s, path, post)
               .exceptAll(IcebergLite.snapshot(s, path, pre))
           } else DeltaLite.tableChanges(s, path, pre)
+            // pin to the commit's ADDED rows: a non-appends-only
+            // change window also carries delete pre-images
+            .filter(org.apache.spark.sql.functions
+              .col("_change_type") === "insert")
             .drop("_change_type")
         project(inserted)
       case other => throw new IllegalArgumentException(
@@ -3418,21 +3568,24 @@ object LakeSql {
               s"INSERT column list names ${ins.userSpecifiedCols.length} " +
                 s"column(s) but the query produces ${df0.columns.length}")
             alignByName(df0.toDF(ins.userSpecifiedCols: _*))
+          } else if (df0.columns.length == targetSchema.fields.length) {
+            // positional INSERT (the SQL rule): a bare INSERT binds the
+            // query's columns to the table's left-to-right, EVEN when
+            // the source aliases happen to name target columns in a
+            // different order — SQL/DuckDB never bind a bare INSERT by
+            // name, so neither does graft (silent reorder otherwise)
+            df0.toDF(targetSchema.fieldNames.toSeq: _*)
           } else if (df0.columns.forall(c =>
             targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))) {
-            // every source column names a target column → leave the
-            // name binding to the write path (which also computes any
-            // OMITTED generated/identity columns)
+            // FEWER columns, each naming a target column → the
+            // omitted-generated/identity-column case; the write path
+            // binds by name and computes the omitted columns
             df0
           } else {
-            // positional INSERT (the SQL rule): the query's columns map
-            // to the table's left-to-right — a bare VALUES tuple
-            // arrives as (col1, col2, …) and must land by position
-            require(df0.columns.length == targetSchema.fields.length,
+            throw new IllegalArgumentException(
               s"INSERT provides ${df0.columns.length} column(s) but " +
                 s"the table has ${targetSchema.fields.length} — use a " +
                 "column list to insert a subset")
-            df0.toDF(targetSchema.fieldNames.toSeq: _*)
           }
         (isIceberg(ins.table), ins.overwrite) match {
           case (true, false) => IcebergLite.append(s, p, df)

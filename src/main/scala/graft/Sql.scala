@@ -2538,14 +2538,17 @@ object Sql {
         ORDER BY op, c_custkey""")),
 
       // ------------------------------------------------------------- x90
-      // unnest() in the SELECT list — DuckDB's list flattener, the
-      // idiom for element-level work over array columns (embeddings,
-      // token lists, chunk arrays). ONE text both engines run: DuckDB
-      // native, graft by the explode rewrite (a GENERATOR — rows
-      // expand on the scan's own partitioning, zero shuffles before
-      // the presentation sort). The cast to DOUBLE is exact binary
-      // widening of the FLOAT components on both engines, so the
-      // hash compare is bit-exact.
+      // TWO unnest() items in one SELECT — DuckDB ZIPS them
+      // positionally, padding the shorter list with NULL. ONE text
+      // both engines run: DuckDB native, graft by the zip identity —
+      // zip_with(a, b, struct) (same NULL padding) exploded ONCE
+      // through an injected LATERAL VIEW, so it is still a single
+      // Generate on the scan's own partitioning, zero extra shuffles.
+      // The two lists differ in length by construction (filter > 0 is
+      // a superset of filter > 0.25), so the NULL-padding rows are in
+      // the hash; single-item unnest stays covered under x91/x93's
+      // hashes. Casts to DOUBLE are exact binary widening of FLOAT on
+      // both engines — bit-exact hash compare.
       GQuery("x90_sql_unnest", (s, d) => {
         open(s, d)
         LakeSql.sql(s, UnnestText)
@@ -2570,9 +2573,15 @@ object Sql {
       // columns: sort (ASC NULLS LAST on both engines via array_sort),
       // min/max (NULL-skipping on both), contains (coalesce-pinned to
       // DuckDB's two-valued FALSE — Spark's three-valued NULL never
-      // leaks), composed with the x91 lambdas. All codegen'd array
-      // expressions on the scan; the sorted-negatives column checks
-      // ordering parity element-by-element under the hash.
+      // leaks), list_slice AND bracket slicing `l[3:6]` (1-based
+      // inclusive bounds → Spark slice's start+length, same clamping),
+      // composed with the x91 lambdas. All codegen'd array expressions
+      // on the scan. EVERY output column is scalar (the driver's
+      // comparator sorts+hashes rows through pandas, which cannot
+      // lexsort list cells): the sorted-negatives ordering check is
+      // serialized as a quantized CSV string — floor(x*1e4) is exact
+      // integer arithmetic on both engines, and BIGINT→STRING renders
+      // identically, so element order parity stays fully in the hash.
       GQuery("x92_sql_list_funcs", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ListFuncsText)
@@ -2634,9 +2643,121 @@ object Sql {
       GQuery("x96_sql_struct_pack", (s, d) => {
         open(s, d)
         LakeSql.sql(s, StructPackText)
-      }, Some(StructPackText))
+      }, Some(StructPackText)),
+
+      // ------------------------------------------------------------- x97
+      // MAP vocabulary — the third nested type of the dialect's data
+      // model (x92 LIST, x96 STRUCT): map construction from two lists
+      // (DuckDB map(ks, vs) → Spark map_from_arrays — both preserve
+      // entry order), cardinality, map_keys/map_values (shared names,
+      // shared order), and map_extract's LIST contract — the value
+      // singleton, or the EMPTY list when the key is absent — rebuilt
+      // on Spark as filter(array(try_element_at(…)), not-null), still
+      // a codegen'd expression tree. list_max over the extract
+      // scalarizes it for the hash: the singleton's value, or NULL for
+      // the missing key, on BOTH engines. ONE text both engines run.
+      GQuery("x97_sql_map", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, MapFuncsText)
+      }, Some(MapFuncsText)),
+
+      // ------------------------------------------------------------- x98
+      // match_bm25 TABLE MACRO — full-text relevance search as a
+      // query-a-corpus one-liner at the SQL entry (t14 is the
+      // DataFrame form). The macro body is the BM25 pipeline
+      // (tokenize → dl/df/tf → per-term partial scores), parameterized
+      // on the three query terms and k; the call site expands
+      // textually (x67 machinery), so the expanded query gets full
+      // Catalyst optimization — the IN filter prunes the token stream
+      // before any aggregate, df/corpus broadcast. Scores quantize
+      // through floor(x*1e4) (exact integer arithmetic on both
+      // engines); oracle = the call site inlined by hand, t14's oracle
+      // shape.
+      GQuery("x98_sql_match_bm25", (s, d) => {
+        open(s, d)
+        val out = LakeSql.script(s, MatchBm25Macro + """;
+          SELECT doc_id, n_terms, score
+          FROM match_bm25('vector', 'hash', 'merge', 15)""")
+        out.count() // materialize before the macro drops
+        LakeSql.sql(s, "DROP MACRO match_bm25")
+        out
+      }, Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        dl AS (
+          SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+          FROM toks GROUP BY doc_id),
+        corpus AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+          FROM dl),
+        tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM toks WHERE tok IN ('vector', 'hash', 'merge')
+          GROUP BY doc_id, tok),
+        df AS (
+          SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+        per_term AS (
+          SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                     (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000)
+                   AS BIGINT) AS mn
+          FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+          CROSS JOIN corpus)
+        SELECT doc_id, COUNT(*) AS n_terms,
+               ROUND(CAST(SUM(mn) AS DOUBLE) / 10000.0, 4) AS score
+        FROM per_term GROUP BY doc_id
+        ORDER BY SUM(mn) DESC, doc_id LIMIT 15"""))
     )
   }
+
+  private def MapFuncsText = """
+    SELECT rk,
+           CAST(cardinality(m) AS BIGINT) AS n_keys,
+           array_to_string(map_keys(m), ',') AS ks,
+           array_to_string(list_transform(map_values(m),
+             v -> CAST(v AS STRING)), ',') AS vs,
+           list_max(map_extract(m, 'n_nations')) AS n_nations,
+           list_max(map_extract(m, 'missing')) AS missing
+    FROM (SELECT rk, map(list_value('n_nations', 'min_nk', 'max_nk'),
+                         list_value(cnt, lo, hi)) AS m
+          FROM (SELECT n_regionkey AS rk,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(MIN(n_nationkey) AS BIGINT) AS lo,
+                       CAST(MAX(n_nationkey) AS BIGINT) AS hi
+                FROM nation GROUP BY n_regionkey))
+    ORDER BY rk"""
+
+  private def MatchBm25Macro = """
+    CREATE OR REPLACE MACRO match_bm25(t1, t2, t3, k) AS TABLE
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+        FROM toks GROUP BY doc_id),
+      corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+        FROM dl),
+      tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM toks WHERE tok IN (t1, t2, t3)
+        GROUP BY doc_id, tok),
+      df AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+      per_term AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR(
+                 LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                   (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000)
+                 AS BIGINT) AS mn
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN corpus)
+      SELECT doc_id, COUNT(*) AS n_terms,
+             ROUND(CAST(SUM(mn) AS DOUBLE) / 10000.0, 4) AS score
+      FROM per_term GROUP BY doc_id
+      ORDER BY SUM(mn) DESC, doc_id LIMIT k"""
 
   private def StructPackText = """
     SELECT s.hi AS hi, s.nest.lo AS lo, COUNT(*) AS n,
@@ -2683,10 +2804,17 @@ object Sql {
            list_contains(
              list_transform(embedding, x -> x >= CAST(0.5 AS FLOAT)),
              TRUE) AS has_big,
-           list_transform(
-             list_sort(list_filter(embedding,
-               x -> x < CAST(0 AS FLOAT))),
-             x -> CAST(x AS DOUBLE)) AS negs
+           array_to_string(
+             list_transform(
+               list_transform(
+                 list_sort(list_filter(embedding,
+                   x -> x < CAST(0 AS FLOAT))),
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT)),
+               x -> CAST(x AS STRING)),
+             ',') AS negs,
+           CAST(list_min(list_slice(embedding, 2, 5)) AS DOUBLE)
+             AS slice_lo,
+           CAST(list_max(embedding[3:6]) AS DOUBLE) AS bracket_hi
     FROM embeddings WHERE vec_id < 25 ORDER BY vec_id"""
 
   private def ListLambdaText = """
@@ -2699,10 +2827,14 @@ object Sql {
     ORDER BY vec_id, component"""
 
   private def UnnestText = """
-    SELECT vec_id, label, CAST(component AS DOUBLE) AS component
-    FROM (SELECT vec_id, label, unnest(embedding) AS component
-          FROM embeddings WHERE vec_id < 40)
-    ORDER BY vec_id, component"""
+    SELECT vec_id, CAST(pos AS DOUBLE) AS pos, CAST(big AS DOUBLE) AS big
+    FROM (SELECT vec_id,
+                 unnest(list_filter(embedding,
+                   x -> x > CAST(0 AS FLOAT))) AS pos,
+                 unnest(list_filter(embedding,
+                   x -> x > CAST(0.25 AS FLOAT))) AS big
+          FROM embeddings WHERE vec_id < 20)
+    ORDER BY vec_id, pos NULLS LAST, big NULLS LAST"""
 
   private def TemporalSeriesText = """
     WITH spine AS (

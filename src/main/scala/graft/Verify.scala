@@ -4,6 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Scalar-output lint: every oracle-gated key must emit ONLY atomic
+    * top-level columns — the driver's comparator sorts+hashes rows
+    * through pandas, and an array/map/struct cell crashes its lexsort
+    * (the r11 x92 failure mode). Declared rows-only keys (no oracle)
+    * are exempt: their outputs are engine-owned (EXPLAIN text etc.)
+    * and spec-asserted instead. Runs on every Verify dump, so a
+    * non-scalar column fails HERE, loudly, before the driver's gate.
+    */
+  def assertScalarOutput(name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (Registry.byName.get(name).exists(_.oracle.isDefined)) {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val bad = schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => true
+        case _ => false
+      })
+      require(bad.isEmpty,
+        s"$name: oracle-gated output must be scalar-only, but " +
+          bad.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", ") +
+          " is nested — serialize it (array_to_string/to_json) or " +
+          "unnest with an ordinal")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query names to (re)run.
@@ -18,9 +43,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        assertScalarOutput(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

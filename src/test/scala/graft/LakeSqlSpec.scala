@@ -1400,6 +1400,63 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("DML RETURNING edges: UPDATE reports the STORED (declared-type) " +
+      "value; INSERT OVERWRITE refuses; overwrite pre-rows never leak") {
+    Sql.open(spark, sfDir)
+    val t = s"${Scratch.dir("returning2")}/t"
+    LakeSql.sql(spark, "DROP TABLE IF EXISTS rt2")
+    LakeSql.sql(spark, s"""
+      CREATE TABLE rt2 USING deltalite LOCATION '$t' AS
+      SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 3""")
+    // the assignment expression is fractional, but the column is INT —
+    // RETURNING must report what the write path STORED (the cast
+    // value), not the expression's wider type
+    val upd = LakeSql.sql(spark, """
+      UPDATE rt2 SET n_regionkey = n_nationkey / 2 + 0.6
+      WHERE n_nationkey = 2 RETURNING n_nationkey, n_regionkey""")
+      .collect().head
+    val stored = LakeSql.sql(spark,
+      "SELECT n_regionkey FROM rt2 WHERE n_nationkey = 2")
+      .collect().head.getInt(0)
+    assert(upd.getInt(1) == stored, s"returned ${upd.getInt(1)} " +
+      s"but stored $stored")
+    // INSERT OVERWRITE … RETURNING refuses (a diff would report the
+    // overwritten pre-rows as inserted; DuckDB has no INSERT OVERWRITE)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """INSERT OVERWRITE rt2
+        SELECT n_nationkey, n_regionkey FROM nation
+        RETURNING n_nationkey""")
+    }
+    LakeSql.sql(spark, "DROP TABLE rt2")
+  }
+
+  test("bare INSERT binds POSITIONALLY even when source aliases name " +
+      "target columns in a different order") {
+    Sql.open(spark, sfDir)
+    val t = s"${Scratch.dir("posins")}/t"
+    LakeSql.sql(spark, "DROP TABLE IF EXISTS pi_t")
+    LakeSql.sql(spark, s"""
+      CREATE TABLE pi_t USING deltalite LOCATION '$t' AS
+      SELECT CAST(1 AS INT) AS a, CAST(2 AS INT) AS b
+      FROM nation WHERE n_nationkey < 0""")
+    // source columns are aliased (b, a) — SQL binds a bare INSERT
+    // left-to-right by POSITION, so 10 lands in a and 20 in b
+    LakeSql.sql(spark, """
+      INSERT INTO pi_t SELECT CAST(10 AS INT) AS b, CAST(20 AS INT) AS a
+      FROM nation WHERE n_nationkey = 0""")
+    val r = LakeSql.sql(spark, "SELECT a, b FROM pi_t").collect().head
+    assert((r.getInt(0), r.getInt(1)) == ((10, 20)),
+      s"positional INSERT reordered: $r")
+    // arity mismatch without a column list refuses loudly
+    intercept[Exception] {
+      LakeSql.sql(spark, """INSERT INTO pi_t
+        SELECT CAST(1 AS INT) AS a, CAST(2 AS INT) AS b,
+               CAST(3 AS INT) AS c
+        FROM nation WHERE n_nationkey = 0""")
+    }
+    LakeSql.sql(spark, "DROP TABLE pi_t")
+  }
+
   test("unnest(): element rows, DuckDB naming, NULL/empty drop, " +
       "generator plan, multiple-unnest refusal") {
     Sql.open(spark, sfDir)
@@ -1424,11 +1481,30 @@ class LakeSqlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Generate explode"), plan)
     assert(!plan.contains("Exchange"), plan)
-    // DuckDB zips multiple unnests — inexpressible as one generator,
-    // refused loudly
+    // TWO unnests ZIP positionally (DuckDB's rule), padding the
+    // shorter list with NULL — rewritten to one exploded zip_with
+    val z = LakeSql.sql(spark, """
+      SELECT n_nationkey, unnest(ARRAY(1, 2, 3)) AS a,
+             unnest(ARRAY(10, 20)) AS b
+      FROM nation WHERE n_nationkey = 0 ORDER BY a""").collect()
+    assert(z.map(r => (r.getInt(1),
+      if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq ==
+      Seq((1, 10), (2, 20), (3, -1)))
+    // the zip is still ONE generator — no exchange before the Generate
+    val zplan = LakeSql.sql(spark, """
+      SELECT unnest(embedding) AS a, unnest(embedding) AS b
+      FROM embeddings""").queryExecution.executedPlan.toString
+    assert(zplan.contains("Generate explode"), zplan)
+    assert(!zplan.contains("Exchange"), zplan)
+    // zipped items need explicit aliases (both would claim `unnest`)
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark,
         "SELECT unnest(ARRAY(1)), unnest(ARRAY(2)) FROM nation")
+    }
+    // 3+ unnests refuse loudly (n-ary zip not implemented)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT unnest(ARRAY(1)) AS a, " +
+        "unnest(ARRAY(2)) AS b, unnest(ARRAY(3)) AS c FROM nation")
     }
     // list_transform/list_filter are the Spark higher-order functions
     // under DuckDB names — same lambda grammar, and they compose with
@@ -1472,6 +1548,56 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark,
         "SELECT string_split(n_name, n_comment) FROM nation")
     }
+  }
+
+  test("list_slice / bracket slicing / array_to_string: 1-based " +
+      "inclusive bounds, end clamping, CSV serialization") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT list_slice(ARRAY(10, 20, 30, 40, 50), 2, 4) AS mid,
+             list_slice(ARRAY(10, 20, 30), 2, 9) AS clamped,
+             arr[2:3] AS brk,
+             array_to_string(ARRAY('a', 'b', 'c'), ',') AS csv
+      FROM (SELECT n_nationkey, ARRAY(10, 20, 30, 40) AS arr FROM nation)
+      WHERE n_nationkey = 0""").collect().head
+    assert(r.getSeq[Int](0) == Seq(20, 30, 40), r.getSeq[Int](0))
+    assert(r.getSeq[Int](1) == Seq(20, 30)) // clamps past the end
+    assert(r.getSeq[Int](2) == Seq(20, 30))
+    assert(r.getString(3) == "a,b,c")
+    // bracket bounds are validated at rewrite time: 0 is not a valid
+    // 1-based begin, and begin > end is refused (DuckDB returns [],
+    // but Spark's slice would error at runtime — refuse early instead)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT x[0:2] AS v FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT x[4:2] AS v FROM nation")
+    }
+  }
+
+  test("MAP vocabulary: map()/list_value construction, map_keys/" +
+      "map_values order, map_extract's list contract, cardinality") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT map(list_value('a', 'b'), list_value(1, 2)) AS m,
+             CAST(cardinality(map(list_value('a', 'b'),
+               list_value(1, 2))) AS BIGINT) AS n,
+             map_keys(map(list_value('a', 'b'), list_value(1, 2))) AS ks,
+             map_values(map(list_value('a', 'b'), list_value(1, 2))) AS vs,
+             map_extract(map(list_value('a', 'b'), list_value(1, 2)),
+               'b') AS hit,
+             map_extract(map(list_value('a', 'b'), list_value(1, 2)),
+               'z') AS miss
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getMap[String, Int](0) == Map("a" -> 1, "b" -> 2))
+    assert(r.getLong(1) == 2L)
+    // entry order preserved by construction on both engines
+    assert(r.getSeq[String](2) == Seq("a", "b"))
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+    // map_extract returns the value SINGLETON, or the EMPTY list for a
+    // missing key (DuckDB's list contract, not Spark's bare NULL)
+    assert(r.getSeq[Int](4) == Seq(2))
+    assert(r.getSeq[Int](5) == Seq.empty)
   }
 
   test("regexp_matches/regexp_extract/strftime rewrites: partial " +

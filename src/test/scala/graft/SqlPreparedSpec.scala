@@ -149,5 +149,11 @@ class SqlPreparedSpec extends SparkSpec {
     LakeSql.sql(s, "DEALLOCATE q1")
     intercept[IllegalArgumentException] { LakeSql.sql(s, "DEALLOCATE q1") }
     intercept[IllegalArgumentException] { LakeSql.sql(s, "EXECUTE q1(1, 2)") }
+    // A string argument containing a comma is ONE argument (the
+    // splitter is quote-aware, not just paren-aware).
+    LakeSql.sql(s, """PREPARE qc AS
+      SELECT COUNT(*) AS n FROM nation WHERE n_name = ? OR n_name = ?""")
+    assert(LakeSql.sql(s, "EXECUTE qc('a,b', 'NATION_7')")
+      .head.getLong(0) == 1L)
   }
 }
