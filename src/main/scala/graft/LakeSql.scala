@@ -1288,7 +1288,8 @@ object LakeSql {
   // codegen'd array expressions over the scan (no UDF, no shuffle).
   private val ListFnKeyword =
     ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse|concat|" +
-      "contains|slice)\\s*\\(|\\barray_to_string\\s*\\(|" +
+      "contains|slice|distinct|unique|position|indexof|sum)\\s*\\(|" +
+      "\\barray_to_string\\s*\\(|\\blen\\s*\\(|\\barray_length\\s*\\(|" +
       "[A-Za-z_0-9]\\s*\\[\\s*\\d+\\s*:\\s*\\d+\\s*\\]).*").r
 
   private[graft] def rewriteListFns(statement: String): String = {
@@ -1321,6 +1322,44 @@ object LakeSql {
         s"slice(${args(0)}, ${args(1)}, (${args(2)})-(${args(1)})+1)" + rest
       hit = "(?i)\\blist_slice\\s*\\(".r.findFirstMatchIn(st)
     }
+    // list_sum: DuckDB SKIPS NULL elements and returns NULL for an
+    // empty/all-NULL list — rebuilt as a guarded left-fold over the
+    // non-NULL elements. The fold accumulates in DOUBLE and walks the
+    // SAME element order as DuckDB's sum, so over DOUBLE inputs the
+    // result is bit-identical; integer inputs widen (DuckDB keeps the
+    // integer type), so texts cast — the x99 idiom is to transform
+    // elements to DOUBLE first.
+    hit = "(?i)\\blist_sum\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      st = st.substring(0, m.start) +
+        s"(CASE WHEN size(filter(($inner), __x -> __x IS NOT NULL)) = 0 " +
+        s"THEN NULL ELSE aggregate(filter(($inner), " +
+        "__x -> __x IS NOT NULL), CAST(0 AS DOUBLE), " +
+        "(__a, __x) -> __a + __x) END)" + rest
+      hit = "(?i)\\blist_sum\\s*\\(".r.findFirstMatchIn(st)
+    }
+    // list_distinct: DuckDB removes duplicates AND NULLs, element
+    // order UNSPECIFIED — texts must list_sort before comparing.
+    hit = "(?i)\\blist_distinct\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      st = st.substring(0, m.start) +
+        s"array_distinct(filter(($inner), __x -> __x IS NOT NULL))" + rest
+      hit = "(?i)\\blist_distinct\\s*\\(".r.findFirstMatchIn(st)
+    }
+    // list_unique: the COUNT of distinct non-NULL elements.
+    hit = "(?i)\\blist_unique\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      st = st.substring(0, m.start) +
+        s"size(array_distinct(filter(($inner), __x -> __x IS NOT NULL)))" +
+        rest
+      hit = "(?i)\\blist_unique\\s*\\(".r.findFirstMatchIn(st)
+    }
     // bracket slicing `l[2:4]` — DuckDB's 1-based inclusive list
     // slice; literal integer bounds translate to the same slice()
     // call (a computed bound would need the list_slice spelling).
@@ -1345,6 +1384,14 @@ object LakeSql {
       .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
       // same (list, delim[, null_str]) argument shape on both engines
       .replaceAll("(?i)\\barray_to_string\\s*\\(", "array_join(")
+      // 1-based hit or 0 on miss on BOTH engines (NULL list → NULL)
+      .replaceAll("(?i)\\blist_position\\s*\\(", "array_position(")
+      .replaceAll("(?i)\\blist_indexof\\s*\\(", "array_position(")
+      // DuckDB's len()/array_length() on a LIST = Spark's size/
+      // array_size; a string argument fails analysis loudly (use
+      // length(), which both engines share)
+      .replaceAll("(?i)\\blen\\s*\\(", "size(")
+      .replaceAll("(?i)\\barray_length\\s*\\(", "array_size(")
   }
 
   // ---- MAP vocabulary -------------------------------------------------

@@ -2708,9 +2708,45 @@ object Sql {
         SELECT doc_id, COUNT(*) AS n_terms,
                ROUND(CAST(SUM(mn) AS DOUBLE) / 10000.0, 4) AS score
         FROM per_term GROUP BY doc_id
-        ORDER BY SUM(mn) DESC, doc_id LIMIT 15"""))
+        ORDER BY SUM(mn) DESC, doc_id LIMIT 15""")),
+
+      // ------------------------------------------------------------- x99
+      // list function extras — the rest of DuckDB's everyday list
+      // vocabulary, each with its engine-divergence pinned empirically
+      // against DuckDB 1.0: len/array_length (= size; BIGINT vs INT
+      // cast-pinned), list_unique (COUNT of distinct non-NULL
+      // elements), list_distinct (removes dups AND NULLs, order
+      // UNSPECIFIED — the text list_sorts before serializing),
+      // list_sum (skips NULLs, NULL on empty — rebuilt as a guarded
+      // left-fold in DOUBLE, same element order so bit-identical over
+      // the text's pre-widened DOUBLE elements), list_position (1-based
+      // hit, 0 on miss on BOTH engines), and flatten (shared name, no
+      // rewrite). All codegen'd array expressions on the scan; every
+      // output column scalar (the x92 serialization rule).
+      GQuery("x99_sql_list_extras", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ListExtrasText)
+      }, Some(ListExtrasText))
     )
   }
+
+  private def ListExtrasText = """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n,
+           CAST(list_unique(list_transform(embedding,
+             x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)))
+             AS BIGINT) AS uniq_deciles,
+           array_to_string(list_transform(
+             list_sort(list_distinct(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)))),
+             x -> CAST(x AS STRING)), ',') AS deciles,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE))) AS DOUBLE) AS total,
+           CAST(list_position(list_transform(embedding,
+             x -> x > CAST(0.3 AS FLOAT)), TRUE) AS BIGINT) AS first_big,
+           CAST(list_max(flatten(list_value(list_slice(embedding, 1, 3),
+             embedding[4:6]))) AS DOUBLE) AS flat_max
+    FROM embeddings WHERE vec_id < 25 ORDER BY vec_id"""
 
   private def MapFuncsText = """
     SELECT rk,

@@ -258,6 +258,15 @@ object DeltaLite {
     * marks). Replay starts from the newest checkpoint ≤ `version` when
     * one exists — O(commits since checkpoint), not O(table lifetime) —
     * and walks only the JSON commits after it.
+    *
+    * Snapshot state is DRIVER-resident by design — the same contract
+    * as Delta's own driver-side Snapshot: the action list is one
+    * FileEntry (~hundreds of bytes) per LIVE FILE, so the practical
+    * ceiling is file count, not data size. At ~1 GB of driver heap per
+    * ~2M live files, a 100 TB table compacted to ≥100 MB files (~1M
+    * files) replays comfortably; a table pathologically fragmented far
+    * past that needs compaction (OPTIMIZE — s11/s50) before anything
+    * else would work either.
     */
   private def replay(s: SparkSession, table: String, version: Long): State = {
     val f = fs(s, new Path(table))

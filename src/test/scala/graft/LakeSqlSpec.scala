@@ -1575,6 +1575,36 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("list extras: len, list_unique/list_distinct NULL handling, " +
+      "list_sum skip-NULL + NULL-on-empty, list_position 0-on-miss") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT CAST(len(ARRAY(7, 8, 9)) AS BIGINT) AS n,
+             CAST(list_unique(ARRAY(3, 1, NULL, 3, 2, 1)) AS BIGINT)
+               AS uniq,
+             list_sort(list_distinct(ARRAY(3, 1, NULL, 3, 2, 1))) AS dst,
+             list_sum(ARRAY(CAST(1.5 AS DOUBLE), NULL, 2.5)) AS total,
+             list_sum(list_filter(ARRAY(CAST(1 AS DOUBLE)),
+               x -> x > 5)) AS empty_sum,
+             CAST(list_position(ARRAY(10, 20, 30), 20) AS BIGINT) AS hit,
+             CAST(list_indexof(ARRAY(10, 20, 30), 99) AS BIGINT) AS miss,
+             flatten(ARRAY(ARRAY(1, 2), ARRAY(3))) AS flat,
+             CAST(array_length(ARRAY(1, 2)) AS BIGINT) AS alen
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getLong(0) == 3L)
+    // list_unique counts distinct NON-NULL elements (DuckDB 1.0: 3)
+    assert(r.getLong(1) == 3L)
+    // list_distinct removes dups AND NULLs (order pinned by list_sort)
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3), r.getSeq[Int](2))
+    // list_sum skips NULL elements; an empty fold is NULL, not 0
+    assert(r.getDouble(3) == 4.0)
+    assert(r.isNullAt(4))
+    // 1-based position; 0 on miss (both engines)
+    assert(r.getLong(5) == 2L && r.getLong(6) == 0L)
+    assert(r.getSeq[Int](7) == Seq(1, 2, 3))
+    assert(r.getLong(8) == 2L)
+  }
+
   test("MAP vocabulary: map()/list_value construction, map_keys/" +
       "map_values order, map_extract's list contract, cardinality") {
     Sql.open(spark, sfDir)
