@@ -946,6 +946,8 @@ object LakeSql {
           sql(s, rewriteListFns(st))
         case _ if MapFnKeyword.matches(st) && rewriteMapFns(st) != st =>
           sql(s, rewriteMapFns(st))
+        case _ if JsonFnKeyword.matches(st) && rewriteJsonFns(st) != st =>
+          sql(s, rewriteJsonFns(st))
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1392,6 +1394,50 @@ object LakeSql {
       // length(), which both engines share)
       .replaceAll("(?i)\\blen\\s*\\(", "size(")
       .replaceAll("(?i)\\barray_length\\s*\\(", "array_size(")
+  }
+
+  // ---- JSON operators -------------------------------------------------
+  // DuckDB's JSON extraction surface mapped onto Spark's codegen'd
+  // get_json_object: `j ->> 'key'` and json_extract_string(j, 'path')
+  // both return the UNQUOTED text of the matched value (number → its
+  // digits, missing → NULL) — exactly get_json_object's contract, so
+  // the rewrite is a path-normalizing name map ('key' → '$.key';
+  // $-paths, nested fields and 0-based [i] array steps pass through
+  // unchanged on both engines). json_keys → json_object_keys (both
+  // return keys in DOCUMENT order). json_array_length shares its name
+  // and array behavior (objects diverge: DuckDB 0, Spark NULL — texts
+  // use it on arrays). json_extract (the JSON-typed, quote-keeping
+  // form) stays unmapped and fails analysis loudly.
+  private val JsonFnKeyword =
+    ("(?is).*(\\bjson_extract_string\\s*\\(|\\bjson_keys\\s*\\(|" +
+      "->>).*").r
+
+  private[graft] def rewriteJsonFns(statement: String): String = {
+    var st = statement
+    def norm(p: String): String = if (p.startsWith("$")) p else "$." + p
+    // j ->> 'key' — (qualified) identifier LHS, literal path RHS
+    st = """((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*->>\s*'([^']+)'""".r
+      .replaceAllIn(st, m => scala.util.matching.Regex.quoteReplacement(
+        s"get_json_object(${m.group(1)}, '${norm(m.group(2))}')"))
+    var hit = "(?i)\\bjson_extract_string\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"json_extract_string takes (json, 'path'), got: $inner")
+      val PathRe = "^'([^']*)'$".r
+      val path = args(1).trim match {
+        case PathRe(p) => norm(p)
+        case other => throw new IllegalArgumentException(
+          "json_extract_string needs a literal path (a computed path " +
+            s"cannot be normalized at rewrite time): $other")
+      }
+      st = st.substring(0, m.start) +
+        s"get_json_object(${args(0)}, '$path')" + rest
+      hit = "(?i)\\bjson_extract_string\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st.replaceAll("(?i)\\bjson_keys\\s*\\(", "json_object_keys(")
   }
 
   // ---- MAP vocabulary -------------------------------------------------

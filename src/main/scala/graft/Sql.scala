@@ -2726,9 +2726,43 @@ object Sql {
       GQuery("x99_sql_list_extras", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ListExtrasText)
-      }, Some(ListExtrasText))
+      }, Some(ListExtrasText)),
+
+      // ------------------------------------------------------------ x100
+      // JSON operators — DuckDB's extraction surface over the events
+      // stream's REAL JSON props column: `->>` and json_extract_string
+      // (both return the UNQUOTED matched text, missing → NULL —
+      // exactly Spark get_json_object's contract, so the rewrite is a
+      // path-normalizing name map: 'key' → '$.key', $-paths/nested
+      // fields/0-based [i] array steps pass through), json_keys →
+      // json_object_keys (document order on both), json_array_length
+      // (shared name, used on an array). Everything lands in Spark's
+      // codegen'd JsonPath evaluator — no UDF; the extraction feeds
+      // typed aggregation (CAST → SUM/MIN/COUNT DISTINCT), proving the
+      // values round-trip as data, not display text. ONE text both
+      // engines run; SUM is cast-pinned (DuckDB sums BIGINT→HUGEINT).
+      GQuery("x100_sql_json", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, JsonOpsText)
+      }, Some(JsonOpsText))
     )
   }
+
+  private def JsonOpsText = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(DISTINCT json_extract_string(props, '$.k'))
+             AS k_distinct,
+           MIN(CAST(json_extract_string(props, 'k') AS BIGINT)) AS k_min,
+           COUNT(*) FILTER (WHERE
+             json_extract_string(props, '$.zz') IS NULL) AS miss_null,
+           MIN(json_extract_string('{"z": 1, "a": {"b": [10, 20]}}',
+             '$.a.b[1]')) AS nested,
+           MIN(array_to_string(json_keys(props), ',')) AS ks,
+           CAST(MIN(json_array_length('[[1], 2, 3, 4]')) AS BIGINT)
+             AS arr_len
+    FROM events GROUP BY event_type ORDER BY event_type"""
 
   private def ListExtrasText = """
     SELECT vec_id,

@@ -1605,6 +1605,36 @@ class LakeSqlSpec extends SparkSpec {
     assert(r.getLong(8) == 2L)
   }
 
+  test("JSON operators: ->> and json_extract_string unquote, path " +
+      "normalization, missing-key NULL, json_keys document order") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT j ->> 's' AS s_val,
+             json_extract_string(j, '$.a.b[1]') AS nested,
+             json_extract_string(j, 'num') AS num_text,
+             json_extract_string(j, '$.zz') AS missing,
+             array_to_string(json_keys(j), ',') AS ks,
+             CAST(json_array_length('[[1], 2, 3]') AS BIGINT) AS alen
+      FROM (SELECT '{"z": 1, "s": "hi", "a": {"b": [10, 20]},
+                     "num": 42}' AS j
+            FROM nation WHERE n_nationkey = 0)""").collect().head
+    // unquoted text of the match (string value without quotes)
+    assert(r.getString(0) == "hi")
+    // nested field + 0-based array step through a $-path
+    assert(r.getString(1) == "20")
+    // bare key normalizes to $.key; numbers extract as their digits
+    assert(r.getString(2) == "42")
+    assert(r.isNullAt(3))
+    // document order, both engines
+    assert(r.getString(4) == "z,s,a,num", r.getString(4))
+    assert(r.getLong(5) == 3L)
+    // computed paths can't be normalized at rewrite time — refuse
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT json_extract_string(n_name, n_comment) FROM nation")
+    }
+  }
+
   test("MAP vocabulary: map()/list_value construction, map_keys/" +
       "map_values order, map_extract's list contract, cardinality") {
     Sql.open(spark, sfDir)
