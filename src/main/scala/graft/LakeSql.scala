@@ -1365,13 +1365,20 @@ object LakeSql {
     // bracket slicing `l[2:4]` — DuckDB's 1-based inclusive list
     // slice; literal integer bounds translate to the same slice()
     // call (a computed bound would need the list_slice spelling).
-    st = """((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]""".r
-      .replaceAllIn(st, m => {
+    // Applied OUTSIDE string literals only: 'doc[1:2]' in a text
+    // value must survive untouched (a slice can't span a quote, so
+    // the segment-wise application is exact).
+    val BracketRe =
+      """((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]""".r
+    st = st.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg // inside a literal
+      else BracketRe.replaceAllIn(seg, m => {
         val (b, e) = (m.group(2).toInt, m.group(3).toInt)
         require(b >= 1 && e >= b,
           s"list slice bounds must satisfy 1 <= begin <= end: [$b:$e]")
         s"slice(${m.group(1)}, $b, ${e - b + 1})"
       })
+    }.mkString("'")
     st
       .replaceAll("(?i)\\blist_transform\\s*\\(", "transform(")
       .replaceAll("(?i)\\blist_filter\\s*\\(", "filter(")

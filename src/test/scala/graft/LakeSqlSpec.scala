@@ -1557,13 +1557,16 @@ class LakeSqlSpec extends SparkSpec {
       SELECT list_slice(ARRAY(10, 20, 30, 40, 50), 2, 4) AS mid,
              list_slice(ARRAY(10, 20, 30), 2, 9) AS clamped,
              arr[2:3] AS brk,
-             array_to_string(ARRAY('a', 'b', 'c'), ',') AS csv
+             array_to_string(ARRAY('a', 'b', 'c'), ',') AS csv,
+             'doc[1:2]' AS lit
       FROM (SELECT n_nationkey, ARRAY(10, 20, 30, 40) AS arr FROM nation)
       WHERE n_nationkey = 0""").collect().head
     assert(r.getSeq[Int](0) == Seq(20, 30, 40), r.getSeq[Int](0))
     assert(r.getSeq[Int](1) == Seq(20, 30)) // clamps past the end
     assert(r.getSeq[Int](2) == Seq(20, 30))
     assert(r.getString(3) == "a,b,c")
+    // slice syntax inside a STRING LITERAL survives untouched
+    assert(r.getString(4) == "doc[1:2]")
     // bracket bounds are validated at rewrite time: 0 is not a valid
     // 1-based begin, and begin > end is refused (DuckDB returns [],
     // but Spark's slice would error at runtime — refuse early instead)
