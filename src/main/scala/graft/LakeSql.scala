@@ -1290,7 +1290,8 @@ object LakeSql {
   // codegen'd array expressions over the scan (no UDF, no shuffle).
   private val ListFnKeyword =
     ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse|concat|" +
-      "contains|slice|distinct|unique|position|indexof|sum)\\s*\\(|" +
+      "contains|slice|distinct|unique|position|indexof|sum|has_any|" +
+      "has_all)\\s*\\(|" +
       "\\barray_to_string\\s*\\(|\\blen\\s*\\(|\\barray_length\\s*\\(|" +
       "[A-Za-z_0-9]\\s*\\[\\s*\\d+\\s*:\\s*\\d+\\s*\\]).*").r
 
@@ -1341,6 +1342,39 @@ object LakeSql {
         "__x -> __x IS NOT NULL), CAST(0 AS DOUBLE), " +
         "(__a, __x) -> __a + __x) END)" + rest
       hit = "(?i)\\blist_sum\\s*\\(".r.findFirstMatchIn(st)
+    }
+    // list_has_any(a, b): TRUE iff the lists share a non-NULL element
+    // (DuckDB 1.0: NULLs never match — [1,NULL] vs [NULL] is FALSE),
+    // FALSE for empties, NULL for a NULL list. Spark's arrays_overlap
+    // alone diverges (returns NULL when a NULL element exists and no
+    // other match), so both sides pre-filter NULLs — after which
+    // arrays_overlap is two-valued except on NULL input, matching.
+    hit = "(?i)\\blist_has_any\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"list_has_any takes (list, list), got: $inner")
+      st = st.substring(0, m.start) +
+        s"arrays_overlap(filter((${args(0)}), __x -> __x IS NOT NULL), " +
+        s"filter((${args(1)}), __x -> __x IS NOT NULL))" + rest
+      hit = "(?i)\\blist_has_any\\s*\\(".r.findFirstMatchIn(st)
+    }
+    // list_has_all(a, b): TRUE iff every non-NULL element of b is in a
+    // (DuckDB ignores NULL needles; an empty needle list is trivially
+    // TRUE; a NULL list is NULL) — rebuilt as an empty array_except.
+    hit = "(?i)\\blist_has_all\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"list_has_all takes (list, list), got: $inner")
+      st = st.substring(0, m.start) +
+        s"(size(array_except(filter((${args(1)}), " +
+        s"__x -> __x IS NOT NULL), (${args(0)}))) = 0)" + rest
+      hit = "(?i)\\blist_has_all\\s*\\(".r.findFirstMatchIn(st)
     }
     // list_distinct: DuckDB removes duplicates AND NULLs, element
     // order UNSPECIFIED — texts must list_sort before comparing.

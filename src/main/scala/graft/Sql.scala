@@ -2779,7 +2779,15 @@ object Sql {
            CAST(list_position(list_transform(embedding,
              x -> x > CAST(0.3 AS FLOAT)), TRUE) AS BIGINT) AS first_big,
            CAST(list_max(flatten(list_value(list_slice(embedding, 1, 3),
-             embedding[4:6]))) AS DOUBLE) AS flat_max
+             embedding[4:6]))) AS DOUBLE) AS flat_max,
+           list_has_any(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)),
+             list_value(CAST(3 AS BIGINT), CAST(4 AS BIGINT)))
+             AS has_hot,
+           list_has_all(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)),
+             list_value(CAST(-1 AS BIGINT), CAST(0 AS BIGINT)))
+             AS has_core
     FROM embeddings WHERE vec_id < 25 ORDER BY vec_id"""
 
   private def MapFuncsText = """

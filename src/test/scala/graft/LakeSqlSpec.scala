@@ -1606,6 +1606,26 @@ class LakeSqlSpec extends SparkSpec {
     assert(r.getLong(5) == 2L && r.getLong(6) == 0L)
     assert(r.getSeq[Int](7) == Seq(1, 2, 3))
     assert(r.getLong(8) == 2L)
+    // list_has_any / list_has_all with DuckDB 1.0's NULL rules:
+    // NULLs never match has_any; NULL needles are ignored by has_all;
+    // an empty needle list is trivially TRUE
+    val h = LakeSql.sql(spark, """
+      SELECT list_has_any(ARRAY(1, 2), ARRAY(2, 3)) AS any_hit,
+             list_has_any(ARRAY(1), ARRAY(3)) AS any_miss,
+             list_has_any(ARRAY(1, NULL), ARRAY(NULL)) AS any_null,
+             list_has_all(ARRAY(1, 2, 3), ARRAY(2, 3)) AS all_hit,
+             list_has_all(ARRAY(1, 2), ARRAY(2, 9)) AS all_miss,
+             list_has_all(ARRAY(1, 2), list_filter(ARRAY(1),
+               x -> x > 5)) AS all_empty,
+             list_has_all(ARRAY(1, NULL), ARRAY(CAST(NULL AS INT)))
+               AS all_null,
+             levenshtein('kitten', 'sitting') AS lev
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(h.getBoolean(0) && !h.getBoolean(1) && !h.getBoolean(2))
+    assert(h.getBoolean(3) && !h.getBoolean(4))
+    assert(h.getBoolean(5) && h.getBoolean(6))
+    // levenshtein is a shared-name passthrough (same edit distance)
+    assert(h.getInt(7) == 3)
   }
 
   test("JSON operators: ->> and json_extract_string unquote, path " +
