@@ -2260,12 +2260,17 @@ object LakeSql {
   // SQL spelling both engines print (BIGINT/DOUBLE/VARCHAR/…), so the
   // same statement oracle-checks against DuckDB's own DESCRIBE of the
   // same parquet. Metadata-only — no data IO.
-  private val DescribeKeyword = "(?is)^\\s*DESCRIBE\\s+\\w+\\s*$".r
+  // DESCRIBE <table> and DESCRIBE <SELECT …> (DuckDB describes any
+  // query's result schema — the analysis runs, nothing executes).
+  private val DescribeKeyword =
+    "(?is)^\\s*DESCRIBE\\s+(\\w+\\s*|SELECT\\b.*|WITH\\b.*|FROM\\b.*)$".r
 
   private def runDescribe(s: SparkSession, statement: String): DataFrame = {
-    val name = "(?is)^\\s*DESCRIBE\\s+(\\w+)\\s*$".r
+    val body = "(?is)^\\s*DESCRIBE\\s+(.+?)\\s*$".r
       .findFirstMatchIn(statement).get.group(1)
-    val schema = sql(s, s"SELECT * FROM $name").schema
+    val schema =
+      if ("(?is)^(SELECT|WITH|FROM)\\b.*".r.matches(body)) sql(s, body).schema
+      else sql(s, s"SELECT * FROM $body").schema
     import org.apache.spark.sql.types._
     def sqlName(dt: DataType): String = dt match {
       case LongType => "BIGINT"

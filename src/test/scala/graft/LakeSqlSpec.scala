@@ -805,6 +805,14 @@ class LakeSqlSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(lake == Map("c_custkey" -> "BIGINT", "c_mktsegment" -> "VARCHAR"))
     LakeSql.sql(spark, s"DROP TABLE $t")
+    // DESCRIBE <query>: any SELECT's RESULT schema, analysis-only —
+    // the aggregate's output type, not the input column's
+    val dq = LakeSql.sql(spark, """DESCRIBE SELECT c_mktsegment,
+      COUNT(*) AS n, AVG(c_acctbal) AS bal
+      FROM customer GROUP BY c_mktsegment""").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(dq == Map("c_mktsegment" -> "VARCHAR", "n" -> "BIGINT",
+      "bal" -> "DOUBLE"), dq)
   }
 
   test("read_parquet / read_csv table functions bind files at the " +
