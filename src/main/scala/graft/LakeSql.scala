@@ -948,6 +948,9 @@ object LakeSql {
           sql(s, rewriteMapFns(st))
         case _ if JsonFnKeyword.matches(st) && rewriteJsonFns(st) != st =>
           sql(s, rewriteJsonFns(st))
+        case _ if NullsModKeyword.matches(st) &&
+            rewriteNullsModifier(st) != st =>
+          sql(s, rewriteNullsModifier(st))
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1435,6 +1438,39 @@ object LakeSql {
       // length(), which both engines share)
       .replaceAll("(?i)\\blen\\s*\\(", "size(")
       .replaceAll("(?i)\\barray_length\\s*\\(", "array_size(")
+  }
+
+  // ---- IGNORE NULLS / RESPECT NULLS placement ------------------------
+  // DuckDB spells the null-skipping modifier INSIDE the window
+  // function's parens — `last_value(x IGNORE NULLS)` — while Spark's
+  // grammar takes it OUTSIDE — `last_value(x) IGNORE NULLS`. Same
+  // semantics (lag/lead/first_value/last_value/nth_value all support
+  // it natively on both engines); the rewrite just moves the modifier
+  // across the closing paren, balanced-paren-aware so CASE arguments
+  // survive.
+  private val NullsModKeyword =
+    "(?is).*\\b(IGNORE|RESPECT)\\s+NULLS\\s*\\).*".r
+
+  private[graft] def rewriteNullsModifier(statement: String): String = {
+    var st = statement
+    val FnRe =
+      "(?i)\\b(first_value|last_value|lag|lead|nth_value)\\s*\\(".r
+    val ModRe = "(?is)^(.*?)\\s+(IGNORE|RESPECT)\\s+NULLS\\s*$".r
+    var changed = true
+    while (changed) {
+      changed = false
+      for (m <- FnRe.findAllMatchIn(st).toSeq if !changed) {
+        val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+        inner match {
+          case ModRe(args, mod) =>
+            st = st.substring(0, m.start) +
+              s"${m.group(1)}($args) ${mod.toUpperCase} NULLS" + rest
+            changed = true
+          case _ =>
+        }
+      }
+    }
+    st
   }
 
   // ---- JSON operators -------------------------------------------------

@@ -2744,9 +2744,43 @@ object Sql {
       GQuery("x100_sql_json", (s, d) => {
         open(s, d)
         LakeSql.sql(s, JsonOpsText)
-      }, Some(JsonOpsText))
+      }, Some(JsonOpsText)),
+
+      // ------------------------------------------------------------ x101
+      // IGNORE NULLS window modifier — the gap-fill/LOCF idiom at the
+      // SQL entry (q53 is the DataFrame form): DuckDB spells the
+      // modifier INSIDE the call parens, Spark OUTSIDE — graft moves
+      // it across the paren (balanced-aware, the CASE argument
+      // survives), landing on Spark's NATIVE IGNORE NULLS window
+      // evaluation — no UDF, one window exchange on the partition
+      // key. last_value = carry-forward, first_value = backfill,
+      // lag = previous non-NULL; the unique (custkey, orderkey)
+      // ordering makes every frame deterministic, so all three
+      // modifier placements are fully under the hash.
+      GQuery("x101_sql_ignore_nulls", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, IgnoreNullsText)
+      }, Some(IgnoreNullsText))
     )
   }
+
+  private def IgnoreNullsText = """
+    SELECT o_custkey, o_orderkey,
+           CAST(last_value(CASE WHEN o_orderstatus = 'F'
+                                THEN o_totalprice END IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS locf_f_price,
+           CAST(first_value(CASE WHEN o_orderstatus = 'F'
+                                 THEN o_totalprice END IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+             AS DOUBLE) AS first_f_price,
+           CAST(lag(CASE WHEN o_orderstatus = 'F'
+                         THEN o_totalprice END IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+             AS DOUBLE) AS prev_f_price
+    FROM orders WHERE o_custkey <= 300
+    ORDER BY o_custkey, o_orderkey"""
 
   private def JsonOpsText = """
     SELECT event_type,

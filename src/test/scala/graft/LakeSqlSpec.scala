@@ -1636,6 +1636,30 @@ class LakeSqlSpec extends SparkSpec {
     assert(h.getInt(7) == 3)
   }
 
+  test("IGNORE NULLS placement: DuckDB's in-paren modifier moves to " +
+      "Spark's post-paren grammar; CASE args survive; RESPECT NULLS") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT i,
+             last_value(CASE WHEN x > 0 THEN x END IGNORE NULLS)
+               OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS locf,
+             last_value(x RESPECT NULLS)
+               OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS raw
+      FROM (SELECT n_nationkey AS i,
+                   CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey
+                        ELSE NULL END AS x
+            FROM nation WHERE n_nationkey < 4)
+      ORDER BY i""").collect()
+    // x = [0, NULL, 2, NULL]; the CASE x>0 guard also drops the 0:
+    // locf = [NULL, NULL, 2, 2 carried]; raw = x verbatim
+    assert(r.map(row => (row.getInt(0),
+      if (row.isNullAt(1)) -1 else row.getInt(1),
+      if (row.isNullAt(2)) -1 else row.getInt(2))).toSeq ==
+      Seq((0, -1, 0), (1, -1, -1), (2, 2, 2), (3, 2, -1)))
+  }
+
   test("JSON operators: ->> and json_extract_string unquote, path " +
       "normalization, missing-key NULL, json_keys document order") {
     Sql.open(spark, sfDir)
