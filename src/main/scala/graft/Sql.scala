@@ -2782,21 +2782,38 @@ object Sql {
     FROM orders WHERE o_custkey <= 300
     ORDER BY o_custkey, o_orderkey"""
 
+  // The distinct count lives in its OWN aggregate, joined back on the
+  // group key: mixing COUNT(DISTINCT …) with a STRING-typed MIN in one
+  // Aggregate makes Spark's planner expand the input and drop the
+  // string-buffered aggregate to the sort-based ObjectHashAggregate
+  // fallback — measured 4.7 s vs 0.5 s for this split ON 100K ROWS
+  // (and the regression grows with data). Both engines run the same
+  // split text; DuckDB is indifferent, Spark gets two cheap
+  // hash-aggregate scans instead of one sorting one.
   private def JsonOpsText = """
-    SELECT event_type,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
-           COUNT(DISTINCT json_extract_string(props, '$.k'))
-             AS k_distinct,
-           MIN(CAST(json_extract_string(props, 'k') AS BIGINT)) AS k_min,
-           COUNT(*) FILTER (WHERE
-             json_extract_string(props, '$.zz') IS NULL) AS miss_null,
-           MIN(json_extract_string('{"z": 1, "a": {"b": [10, 20]}}',
-             '$.a.b[1]')) AS nested,
-           MIN(array_to_string(json_keys(props), ',')) AS ks,
-           CAST(MIN(json_array_length('[[1], 2, 3, 4]')) AS BIGINT)
-             AS arr_len
-    FROM events GROUP BY event_type ORDER BY event_type"""
+    WITH agg AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+             MIN(CAST(json_extract_string(props, 'k') AS BIGINT))
+               AS k_min,
+             COUNT(*) FILTER (WHERE
+               json_extract_string(props, '$.zz') IS NULL) AS miss_null,
+             MIN(json_extract_string('{"z": 1, "a": {"b": [10, 20]}}',
+               '$.a.b[1]')) AS nested,
+             MIN(array_to_string(json_keys(props), ',')) AS ks,
+             CAST(MIN(json_array_length('[[1], 2, 3, 4]')) AS BIGINT)
+               AS arr_len
+      FROM events GROUP BY event_type),
+    d AS (
+      SELECT event_type, COUNT(*) AS k_distinct
+      FROM (SELECT DISTINCT event_type,
+                   json_extract_string(props, '$.k') AS kv FROM events)
+      GROUP BY event_type)
+    SELECT event_type, n, k_sum, k_distinct, k_min, miss_null, nested,
+           ks, arr_len
+    FROM agg JOIN d USING (event_type)
+    ORDER BY event_type"""
 
   private def ListExtrasText = """
     SELECT vec_id,
