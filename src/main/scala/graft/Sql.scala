@@ -550,10 +550,19 @@ object Sql {
       // rounded on identical inputs, exact median. Engine-specific
       // definitions (skewness/kurtosis bias correction) are excluded
       // by construction.
+      // The distinct count lives in its own aggregate joined back on
+      // the group key (the x100 lesson): co-located with the median's
+      // object buffer it would ride the Expand through the sort-based
+      // fallback — split, the plan is two independent hash aggregates
+      // (measured 1.8 s → 1.0 s at sf0.1, and the gap grows with data).
       passthrough("x47_sql_agg_functions", """
+        WITH d AS (
+          SELECT o_orderstatus, COUNT(*) AS a_count_distinct
+          FROM (SELECT DISTINCT o_orderstatus, o_custkey FROM orders)
+          GROUP BY o_orderstatus),
+        agg AS (
         SELECT o_orderstatus,
           COUNT(*) AS a_count,
-          COUNT(DISTINCT o_custkey) AS a_count_distinct,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS a_sum,
           CAST(AVG(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(16,6))
             AS a_avg,
@@ -576,7 +585,13 @@ object Sql {
           ROUND(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)) / 1000.0,
             4) AS a_covar_k,
           CAST(median(o_orderkey) AS DOUBLE) AS a_median
-        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+        FROM orders GROUP BY o_orderstatus)
+        SELECT o_orderstatus, a_count, a_count_distinct, a_sum, a_avg,
+               a_min, a_max, a_bool_and, a_bool_or, a_max_by, a_min_by,
+               a_bit_and, a_bit_or, a_bit_xor, a_stddev, a_var_m,
+               a_corr, a_covar_k, a_median
+        FROM agg JOIN d USING (o_orderstatus)
+        ORDER BY o_orderstatus"""),
 
       // -------------------------------------------------------------- x48
       // Catalog-level DATA DISCOVERY (reference:metadata:25,33,38-39 —
