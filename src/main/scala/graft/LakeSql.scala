@@ -1598,11 +1598,39 @@ object LakeSql {
   // quantifiers, anchors, alternation); engine-specific syntax would
   // fail loudly at whichever engine rejects it.
   private val RegexpFnKeyword =
-    "(?is).*\\bregexp_(matches|extract)\\s*\\(.*".r
+    "(?is).*\\bregexp_(matches|extract|replace)\\s*\\(.*".r
 
   private[graft] def rewriteRegexpFns(statement: String): String = {
     var st = statement.replaceAll("(?i)\\bregexp_matches\\s*\\(",
       "regexp_like(")
+    // regexp_replace: DuckDB's 'g' flag = GLOBAL replacement, which is
+    // Spark's (only) behavior — the flag drops and the call passes
+    // through. The 3-arg form stays untouched (it is Spark's global
+    // form, and the re-entry idempotency rule requires already-
+    // rewritten calls to fall through, same as 3-arg regexp_extract);
+    // NOTE this means DuckDB's first-match-only default is NOT
+    // reproduced — spell the 'g' the gated text uses. A 4-arg call
+    // with any OTHER flag refuses loudly.
+    val rr = "(?i)\\bregexp_replace\\s*\\(".r
+    var rrFrom = 0
+    var rrHit = rr.findFirstMatchIn(st.substring(rrFrom)).map(m =>
+      (m.start + rrFrom, m.end + rrFrom))
+    while (rrHit.isDefined) {
+      val (s0, e0) = rrHit.get
+      val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
+      val args = splitTopCommasQuoted(inner)
+      val fixed =
+        if (args.length == 4) {
+          require(args(3).trim == "'g'",
+            s"regexp_replace flag ${args(3).trim} is not supported " +
+              "(only 'g' — Spark's replacement is always global)")
+          s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)})"
+        } else s"regexp_replace($inner)"
+      st = st.substring(0, s0) + fixed + rest
+      rrFrom = s0 + fixed.length
+      rrHit = rr.findFirstMatchIn(st.substring(rrFrom)).map(m =>
+        (m.start + rrFrom, m.end + rrFrom))
+    }
     val re = "(?i)\\bregexp_extract\\s*\\(".r
     var from = 0
     var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
@@ -1631,7 +1659,7 @@ object LakeSql {
   // ARE Java pattern letters get quoted so they can never be
   // interpreted (e.g. the T in an ISO stamp), and unknown % tokens
   // refuse loudly rather than silently passing a wrong pattern.
-  private val StrftimeKeyword = "(?is).*\\bstrftime\\s*\\(.*".r
+  private val StrftimeKeyword = "(?is).*\\bstr[fp]time\\s*\\(.*".r
   private val StrftimeMap = Map(
     'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
     'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss",
@@ -1673,23 +1701,29 @@ object LakeSql {
 
   private[graft] def rewriteStrftime(statement: String): String = {
     var st = statement
-    var hit = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(st)
-    while (hit.isDefined) {
-      val m = hit.get
-      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
-      val args = splitTopCommasQuoted(inner)
-      require(args.length == 2,
-        s"strftime takes (value, format), got: $inner")
-      val fmtLit = "^'(.*)'$".r.findFirstMatchIn(args(1).trim).getOrElse(
-        throw new IllegalArgumentException(
-          "strftime: the format must be a string literal (it is " +
-            "translated to a Java pattern at rewrite time)")).group(1)
-      // the Java pattern itself contains single quotes (quoted
-      // literals) — double them so the embedding SQL literal survives
-      val javaFmt = strftimeToJava(fmtLit).replace("'", "''")
-      st = st.substring(0, m.start) +
-        s"date_format(${args.head}, '$javaFmt')" + rest
-      hit = "(?i)\\bstrftime\\s*\\(".r.findFirstMatchIn(st)
+    // strftime (format) and strptime (parse) share the %-token
+    // translation table: one maps onto date_format, the other onto
+    // to_timestamp with the SAME Java pattern.
+    for ((duck, spark) <- Seq("strftime" -> "date_format",
+        "strptime" -> "to_timestamp")) {
+      var hit = s"(?i)\\b$duck\\s*\\(".r.findFirstMatchIn(st)
+      while (hit.isDefined) {
+        val m = hit.get
+        val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+        val args = splitTopCommasQuoted(inner)
+        require(args.length == 2,
+          s"$duck takes (value, format), got: $inner")
+        val fmtLit = "^'(.*)'$".r.findFirstMatchIn(args(1).trim).getOrElse(
+          throw new IllegalArgumentException(
+            s"$duck: the format must be a string literal (it is " +
+              "translated to a Java pattern at rewrite time)")).group(1)
+        // the Java pattern itself contains single quotes (quoted
+        // literals) — double them so the embedding SQL literal survives
+        val javaFmt = strftimeToJava(fmtLit).replace("'", "''")
+        st = st.substring(0, m.start) +
+          s"$spark(${args.head}, '$javaFmt')" + rest
+        hit = s"(?i)\\b$duck\\s*\\(".r.findFirstMatchIn(st)
+      }
     }
     st
   }

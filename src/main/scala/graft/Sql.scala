@@ -507,6 +507,8 @@ object Sql {
           lower(o_orderpriority) AS f_lower,
           reverse(o_orderpriority) AS f_reverse,
           substr(o_orderpriority, 3, 4) AS f_substr,
+          split_part(o_orderpriority, '-', 2) AS f_split_part,
+          split_part(o_orderpriority, '-', 9) AS f_split_oob,
           replace(o_orderpriority, '-', '_') AS f_replace,
           trim(concat(' ', o_orderstatus, ' ')) AS f_trim,
           trim(LEADING 'x' FROM concat('xx', o_orderstatus)) AS f_ltrim,
@@ -2920,6 +2922,9 @@ object Sql {
            COUNT(*) FILTER (WHERE regexp_matches(text, '^[A-Z]'))
              AS cap_start,
            COUNT(DISTINCT regexp_extract(text, '[0-9]+')) AS distinct_nums,
+           CAST(SUM(CAST(length(text) AS BIGINT) -
+             length(regexp_replace(text, '[aeiou]', '', 'g')))
+             AS BIGINT) AS vowels,
            COUNT(*) AS n
     FROM documents GROUP BY lang ORDER BY lang"""
 
@@ -2927,6 +2932,8 @@ object Sql {
     SELECT strftime(o_orderdate, '%Y-%m-%d') AS iso,
            strftime(o_orderdate, '%d/%m/%Y') AS euro,
            strftime(o_orderdate, 'Qtr %m of %Y') AS with_literals,
+           MIN(strptime(strftime(o_orderdate, '%d/%m/%Y'),
+             '%d/%m/%Y')) AS parsed_back,
            COUNT(*) AS n
     FROM orders
     WHERE o_orderkey <= 2000

@@ -1741,6 +1741,31 @@ class LakeSqlSpec extends SparkSpec {
     // literal pattern-letters (Q, t, r) survive quoted, never
     // interpreted as Java pattern tokens
     assert(f.getString(3) == "Qtr 03", f.getString(3))
+    // strptime: the SAME %-token table drives parsing (to_timestamp)
+    val p = LakeSql.sql(spark, """
+      SELECT strptime('07/03/1995', '%d/%m/%Y') AS ts,
+             strptime('1995-03-07 14:05:09', '%Y-%m-%d %H:%M:%S') AS tt
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(p.getTimestamp(0).toString == "1995-03-07 00:00:00.0")
+    assert(p.getTimestamp(1).toString == "1995-03-07 14:05:09.0")
+    // regexp_replace: the 'g' flag (global) drops onto Spark's
+    // always-global replace; other flags refuse; 3-arg (already-Spark
+    // global form) falls through unchanged
+    val rr = LakeSql.sql(spark, """
+      SELECT regexp_replace('a1b22c', '[0-9]+', '#', 'g') AS g,
+             regexp_replace('a1b22c', '[0-9]+', '#') AS bare
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(rr.getString(0) == "a#b#c" && rr.getString(1) == "a#b#c")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT regexp_replace('A', 'a', 'x', 'i') FROM nation")
+    }
+    // split_part: shared name, 1-based, '' when out of range
+    val spp = LakeSql.sql(spark, """
+      SELECT split_part('a|b|c', '|', 2) AS hit,
+             split_part('a|b|c', '|', 9) AS oob
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(spp.getString(0) == "b" && spp.getString(1) == "")
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark,
         "SELECT strftime(DATE '1995-01-01', '%Q') FROM nation")
