@@ -1294,7 +1294,7 @@ object LakeSql {
   private val ListFnKeyword =
     ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse|concat|" +
       "contains|slice|distinct|unique|position|indexof|sum|has_any|" +
-      "has_all)\\s*\\(|" +
+      "has_all|aggregate)\\s*\\(|" +
       "\\barray_to_string\\s*\\(|\\blen\\s*\\(|\\barray_length\\s*\\(|" +
       "[A-Za-z_0-9]\\s*\\[\\s*\\d+\\s*:\\s*\\d+\\s*\\]).*").r
 
@@ -1305,7 +1305,42 @@ object LakeSql {
     // pins DuckDB's two-valued answer. Balanced-paren extraction so
     // nested calls and commas inside the list argument survive.
     var st = statement
-    var hit = "(?i)\\blist_contains\\s*\\(".r.findFirstMatchIn(st)
+    // list_aggregate(l, 'name'[, arg]) — DuckDB's dispatch sugar;
+    // rewritten FIRST into the named forms this same pass then
+    // translates ('sum'→list_sum's guarded fold, 'min'/'max',
+    // 'count' = non-NULL count, 'string_agg' → array_to_string which
+    // skips NULLs on both engines).
+    var hit = "(?i)\\blist_aggregate\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length >= 2,
+        s"list_aggregate takes (list, 'fn'[, arg]), got: $inner")
+      val FnLit = "^'([A-Za-z_]+)'$".r
+      val fn = args(1).trim match {
+        case FnLit(f) => f.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: the function name must be a literal: $other")
+      }
+      val out = fn match {
+        case "sum" => s"list_sum(${args(0)})"
+        case "min" => s"list_min(${args(0)})"
+        case "max" => s"list_max(${args(0)})"
+        case "count" =>
+          s"size(filter((${args(0)}), __x -> __x IS NOT NULL))"
+        case "string_agg" =>
+          require(args.length == 3,
+            "list_aggregate(l, 'string_agg', separator)")
+          s"array_to_string(${args(0)}, ${args(2)})"
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: unsupported function '$other' (sum, min, " +
+            "max, count, string_agg)")
+      }
+      st = st.substring(0, m.start) + out + rest
+      hit = "(?i)\\blist_aggregate\\s*\\(".r.findFirstMatchIn(st)
+    }
+    hit = "(?i)\\blist_contains\\s*\\(".r.findFirstMatchIn(st)
     while (hit.isDefined) {
       val m = hit.get
       val (inner, rest) = takeParenGroup(st.substring(m.end - 1))

@@ -2855,7 +2855,10 @@ object Sql {
            list_has_all(list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)),
              list_value(CAST(-1 AS BIGINT), CAST(0 AS BIGINT)))
-             AS has_core
+             AS has_core,
+           CAST(list_aggregate(list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10) AS BIGINT)),
+             'max') AS BIGINT) AS max_decile
     FROM embeddings WHERE vec_id < 25 ORDER BY vec_id"""
 
   private def MapFuncsText = """

@@ -1634,6 +1634,25 @@ class LakeSqlSpec extends SparkSpec {
     assert(h.getBoolean(5) && h.getBoolean(6))
     // levenshtein is a shared-name passthrough (same edit distance)
     assert(h.getInt(7) == 3)
+    // list_aggregate dispatch sugar: sum/min/max/count/string_agg,
+    // DuckDB's NULL rules riding the underlying rewrites
+    val la = LakeSql.sql(spark, """
+      SELECT list_aggregate(ARRAY(CAST(1.5 AS DOUBLE), NULL, 2.5),
+               'sum') AS s,
+             list_aggregate(ARRAY(3, 1, 2), 'min') AS mn,
+             list_aggregate(ARRAY(3, 1, 2), 'max') AS mx,
+             CAST(list_aggregate(ARRAY(1, NULL, 2), 'count') AS BIGINT)
+               AS cnt,
+             list_aggregate(ARRAY('b', 'a'), 'string_agg', ',') AS sa
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(la.getDouble(0) == 4.0)
+    assert(la.getInt(1) == 1 && la.getInt(2) == 3)
+    assert(la.getLong(3) == 2L) // NULLs don't count
+    assert(la.getString(4) == "b,a")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT list_aggregate(ARRAY(1), 'histogram') FROM nation")
+    }
   }
 
   test("IGNORE NULLS placement: DuckDB's in-paren modifier moves to " +
