@@ -951,6 +951,8 @@ object LakeSql {
         case _ if NullsModKeyword.matches(st) &&
             rewriteNullsModifier(st) != st =>
           sql(s, rewriteNullsModifier(st))
+        case _ if StringAggKeyword.matches(st) =>
+          sql(s, rewriteStringAgg(st))
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1473,6 +1475,40 @@ object LakeSql {
       // length(), which both engines share)
       .replaceAll("(?i)\\blen\\s*\\(", "size(")
       .replaceAll("(?i)\\barray_length\\s*\\(", "array_size(")
+  }
+
+  // ---- string_agg with in-aggregate ORDER BY --------------------------
+  // DuckDB orders an aggregate's input INSIDE the call —
+  // `string_agg(x, sep ORDER BY y)`; Spark 4 spells the same thing as
+  // `listagg(x, sep) WITHIN GROUP (ORDER BY y)`. Both skip NULL
+  // inputs. The ORDER BY is REQUIRED at this entry: an unordered
+  // string_agg is concatenation in partition-arrival order —
+  // nondeterministic on any parallel engine — so graft refuses it
+  // rather than hashing luck.
+  private val StringAggKeyword = "(?is).*\\bstring_agg\\s*\\(.*".r
+
+  private[graft] def rewriteStringAgg(statement: String): String = {
+    var st = statement
+    var hit = "(?i)\\bstring_agg\\s*\\(".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"string_agg takes (expr, separator ORDER BY …), got: $inner")
+      val SepOrder = "(?is)^(.+?)\\s+ORDER\\s+BY\\s+(.+)$".r
+      val (sep, order) = args(1).trim match {
+        case SepOrder(s0, o) => (s0, o)
+        case _ => throw new IllegalArgumentException(
+          "string_agg needs ORDER BY inside the call (unordered " +
+            "concatenation is partition-arrival-order — " +
+            "nondeterministic): string_agg(x, sep ORDER BY y)")
+      }
+      st = st.substring(0, m.start) +
+        s"listagg(${args(0)}, $sep) WITHIN GROUP (ORDER BY $order)" + rest
+      hit = "(?i)\\bstring_agg\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
   }
 
   // ---- IGNORE NULLS / RESPECT NULLS placement ------------------------

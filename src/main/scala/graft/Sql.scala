@@ -2777,9 +2777,31 @@ object Sql {
       GQuery("x101_sql_ignore_nulls", (s, d) => {
         open(s, d)
         LakeSql.sql(s, IgnoreNullsText)
-      }, Some(IgnoreNullsText))
+      }, Some(IgnoreNullsText)),
+
+      // ------------------------------------------------------------ x102
+      // string_agg with in-aggregate ORDER BY — DuckDB's ordered
+      // concatenation (`string_agg(x, sep ORDER BY y)`) rewritten to
+      // Spark 4's listagg WITHIN GROUP — the SAME deterministic
+      // ordered-aggregate, both engines skipping NULL inputs (q49 is
+      // the DataFrame form). The ORDER BY is REQUIRED at this entry:
+      // unordered concatenation is partition-arrival order on any
+      // parallel engine and graft refuses it. DESC order with a
+      // filtered NULL-carrying input puts the ordering, the NULL
+      // skipping and the separator all under the hash.
+      GQuery("x102_sql_string_agg", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, StringAggText)
+      }, Some(StringAggText))
     )
   }
+
+  private def StringAggText = """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name DESC) AS names,
+           string_agg(CASE WHEN n_nationkey % 2 = 0 THEN n_name END,
+             '|' ORDER BY n_nationkey) AS evens
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
 
   private def IgnoreNullsText = """
     SELECT o_custkey, o_orderkey,

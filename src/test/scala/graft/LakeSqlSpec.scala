@@ -1679,6 +1679,23 @@ class LakeSqlSpec extends SparkSpec {
       Seq((0, -1, 0), (1, -1, -1), (2, 2, 2), (3, 2, -1)))
   }
 
+  test("string_agg: in-aggregate ORDER BY onto listagg WITHIN GROUP; " +
+      "NULL inputs skipped; unordered form refuses") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT string_agg(x, ',' ORDER BY x) AS asc_all,
+             string_agg(x, '|' ORDER BY x DESC) AS desc_all
+      FROM (SELECT CASE WHEN n_nationkey = 1 THEN NULL
+                        ELSE concat('v', n_nationkey) END AS x
+            FROM nation WHERE n_nationkey < 3)""").collect().head
+    assert(r.getString(0) == "v0,v2") // NULL skipped, ordered
+    assert(r.getString(1) == "v2|v0")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT string_agg(n_name, ',') FROM nation")
+    }
+  }
+
   test("JSON operators: ->> and json_extract_string unquote, path " +
       "normalization, missing-key NULL, json_keys document order") {
     Sql.open(spark, sfDir)
