@@ -953,6 +953,8 @@ object LakeSql {
           sql(s, rewriteNullsModifier(st))
         case _ if StringAggKeyword.matches(st) =>
           sql(s, rewriteStringAgg(st))
+        case _ if DateFnKeyword.matches(st) && rewriteDateFns(st) != st =>
+          sql(s, rewriteDateFns(st))
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1475,6 +1477,60 @@ object LakeSql {
       // length(), which both engines share)
       .replaceAll("(?i)\\blen\\s*\\(", "size(")
       .replaceAll("(?i)\\barray_length\\s*\\(", "array_size(")
+  }
+
+  // ---- date_diff / date_part pins --------------------------------------
+  // DuckDB's date_diff counts PARTITION-BOUNDARY crossings (month of
+  // Jan-31 → Feb-01 is 1), not elapsed full units — so the rewrite is
+  // the boundary identity per unit: day → datediff(b, a) (calendar-day
+  // delta, same rule), month → 12·year+month delta, year → year delta.
+  // Other units refuse (hour/minute boundary semantics on timestamps
+  // aren't what Spark's timestampdiff computes). date_part shares its
+  // name and unit vocabulary EXCEPT 'dow' (DuckDB: Sunday=0..6; Spark
+  // extract: Sunday=1..7) — pinned as dayofweek(x)-1.
+  private val DateFnKeyword =
+    ("(?is).*(\\bdate_diff\\s*\\(|\\bdatediff\\s*\\(\\s*'|" +
+      "\\bdate_part\\s*\\(\\s*'dow').*").r
+
+  private[graft] def rewriteDateFns(statement: String): String = {
+    var st = statement
+    for (name <- Seq("date_diff", "datediff")) {
+      var hit = ("(?i)\\b" + name + "\\s*\\(\\s*'").r.findFirstMatchIn(st)
+      while (hit.isDefined) {
+        val m = hit.get
+        val open = st.indexOf('(', m.start)
+        val (inner, rest) = takeParenGroup(st.substring(open))
+        val args = splitTopCommasQuoted(inner)
+        require(args.length == 3,
+          s"$name takes ('unit', start, end), got: $inner")
+        val unit = args(0).trim.stripPrefix("'").stripSuffix("'")
+          .toLowerCase
+        val (a, b) = (args(1), args(2))
+        val out = unit match {
+          case "day" => s"datediff($b, $a)"
+          case "month" =>
+            s"((year($b) * 12 + month($b)) - (year($a) * 12 + month($a)))"
+          case "year" => s"(year($b) - year($a))"
+          case other => throw new IllegalArgumentException(
+            s"$name: unsupported unit '$other' (day, month, year — " +
+              "sub-day boundary counting differs from Spark's " +
+              "elapsed-unit timestampdiff)")
+        }
+        st = st.substring(0, m.start) + out + rest
+        hit = ("(?i)\\b" + name + "\\s*\\(\\s*'").r.findFirstMatchIn(st)
+      }
+    }
+    var hit = "(?i)\\bdate_part\\s*\\(\\s*'dow'\\s*,".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val open = st.indexOf('(', m.start)
+      val (inner, rest) = takeParenGroup(st.substring(open))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2, s"date_part takes ('unit', value)")
+      st = st.substring(0, m.start) + s"(dayofweek(${args(1)}) - 1)" + rest
+      hit = "(?i)\\bdate_part\\s*\\(\\s*'dow'\\s*,".r.findFirstMatchIn(st)
+    }
+    st
   }
 
   // ---- string_agg with in-aggregate ORDER BY --------------------------

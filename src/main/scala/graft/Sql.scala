@@ -2792,9 +2792,40 @@ object Sql {
       GQuery("x102_sql_string_agg", (s, d) => {
         open(s, d)
         LakeSql.sql(s, StringAggText)
-      }, Some(StringAggText))
+      }, Some(StringAggText)),
+
+      // ------------------------------------------------------------ x103
+      // datetime vocabulary pins — date_diff counts PARTITION-BOUNDARY
+      // crossings in DuckDB (month of Jan-31 → Feb-01 is 1), not
+      // elapsed full units, so graft rewrites the boundary identity
+      // per unit (day → datediff; month → 12·year+month delta; year →
+      // year delta; sub-day units refuse). date_part shares names and
+      // values EXCEPT 'dow' (DuckDB Sunday=0, Spark's extract
+      // Sunday=1) — pinned as dayofweek−1; 'doy', last_day and
+      // date_trunc are shared-name passthroughs (trunc result
+      // cast-pinned: DuckDB returns DATE, Spark TIMESTAMP). All
+      // codegen'd date arithmetic on the scan.
+      GQuery("x103_sql_date_diff", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, DateDiffText)
+      }, Some(DateDiffText))
     )
   }
+
+  private def DateDiffText = """
+    SELECT o_orderpriority,
+           CAST(SUM(date_diff('day', o_orderdate, DATE '1998-12-31'))
+             AS BIGINT) AS day_sum,
+           CAST(MAX(date_diff('month', o_orderdate, DATE '1998-12-31'))
+             AS BIGINT) AS mon_max,
+           CAST(MIN(date_diff('year', o_orderdate, DATE '1998-12-31'))
+             AS BIGINT) AS yr_min,
+           CAST(SUM(date_part('dow', o_orderdate)) AS BIGINT) AS dow_sum,
+           CAST(MAX(date_part('doy', o_orderdate)) AS BIGINT) AS doy_max,
+           MAX(last_day(o_orderdate)) AS last_d,
+           MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_m
+    FROM orders WHERE o_orderkey <= 20000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private def StringAggText = """
     SELECT n_regionkey,

@@ -1679,6 +1679,29 @@ class LakeSqlSpec extends SparkSpec {
       Seq((0, -1, 0), (1, -1, -1), (2, 2, 2), (3, 2, -1)))
   }
 
+  test("date_diff boundary semantics + date_part 'dow' pin") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT date_diff('month', DATE '2021-01-31', DATE '2021-02-01')
+               AS m_boundary,
+             date_diff('day', DATE '2021-02-02', DATE '2021-01-31')
+               AS d_neg,
+             date_diff('year', DATE '2020-12-31', DATE '2021-01-01')
+               AS y_boundary,
+             CAST(date_part('dow', DATE '2021-03-07') AS BIGINT)
+               AS dow_sunday
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    // boundary crossings, NOT elapsed units (DuckDB's rule)
+    assert(r.getInt(0) == 1 && r.getInt(1) == -2 && r.getInt(2) == 1)
+    // 2021-03-07 is a Sunday: DuckDB dow = 0 (Spark's dayofweek = 1)
+    assert(r.getLong(3) == 0L)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT date_diff('hour', " +
+        "TIMESTAMP '2021-01-01 00:30:00', " +
+        "TIMESTAMP '2021-01-01 01:00:00') FROM nation")
+    }
+  }
+
   test("string_agg: in-aggregate ORDER BY onto listagg WITHIN GROUP; " +
       "NULL inputs skipped; unordered form refuses") {
     Sql.open(spark, sfDir)
