@@ -938,31 +938,42 @@ object LakeSql {
           sqlStatement(s, rewriteStarModifiers(s, st))
         case _ if UnnestKeyword.matches(st) =>
           // re-enter: the rewritten text may carry other forms
-          sql(s, rewriteUnnest(st))
+          val recursive =
+            "(?i)\\brecursive\\s*:=\\s*true".r.findFirstIn(st).isDefined
+          val df = sql(s, rewriteUnnest(st))
+          if (recursive) {
+            // one flatten level handled; a 3-plus-level list still has
+            // a LIST element type at the generator — refuse instead of
+            // silently emitting list rows where DuckDB fully flattens
+            val stillNested = df.queryExecution.analyzed.collect {
+              case g: org.apache.spark.sql.catalyst.plans.logical
+                  .Generate =>
+                g.generatorOutput.exists(_.dataType
+                  .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+            }.exists(identity)
+            require(!stillNested,
+              "unnest(recursive := true) supports 2-level nested lists" +
+                " (one flatten); this input is nested deeper — flatten" +
+                " it explicitly first")
+          }
+          df
         // changed-text guards (same reason as the regexp_* case below):
-        // the bracket-slice keyword can match text the rewrite leaves
-        // alone, which must fall through, not re-enter forever
-        case _ if ListFnKeyword.matches(st) && rewriteListFns(st) != st =>
-          sql(s, rewriteListFns(st))
-        case _ if MapFnKeyword.matches(st) && rewriteMapFns(st) != st =>
-          sql(s, rewriteMapFns(st))
-        case _ if JsonFnKeyword.matches(st) && rewriteJsonFns(st) != st =>
-          sql(s, rewriteJsonFns(st))
-        case _ if NullsModKeyword.matches(st) &&
-            rewriteNullsModifier(st) != st =>
-          sql(s, rewriteNullsModifier(st))
+        // a keyword can match text the rewrite leaves alone, which must
+        // fall through, not re-enter forever. Each extractor computes
+        // its rewrite ONCE (guard and recursion share the result).
+        case ListFnRewrite(r) => sql(s, r)
+        case MapFnRewrite(r) => sql(s, r)
+        case JsonFnRewrite(r) => sql(s, r)
+        case NullsModRewrite(r) => sql(s, r)
         case _ if StringAggKeyword.matches(st) =>
           sql(s, rewriteStringAgg(st))
-        case _ if DateFnKeyword.matches(st) && rewriteDateFns(st) != st =>
-          sql(s, rewriteDateFns(st))
+        case DateFnRewrite(r) => sql(s, r)
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
         // are already in Spark form (3-arg regexp_extract) must fall
         // through to the remaining cases, not re-enter forever
-        case _ if RegexpFnKeyword.matches(st) &&
-            rewriteRegexpFns(st) != st =>
-          sql(s, rewriteRegexpFns(st))
+        case RegexpFnRewrite(r) => sql(s, r)
         case _ if StrftimeKeyword.matches(st) => sql(s, rewriteStrftime(st))
         case _ if StructPackKeyword.matches(st) =>
           sql(s, rewriteStructPack(st))
@@ -976,6 +987,37 @@ object LakeSql {
         case _ => sqlStatement(s, st)
       }
   }
+
+  /** Changed-text rewrite guard: matches when the keyword regex hits
+    * AND the rewrite actually changes the statement — computing the
+    * rewrite ONCE (the old `rewriteX(st) != st` guards ran every
+    * multi-regex rewrite twice per dispatched statement).
+    */
+  private final class Rewritten(keyword: scala.util.matching.Regex,
+      rewrite: String => String) {
+    def unapply(st: String): Option[String] =
+      if (!keyword.matches(st)) None
+      else { val r = rewrite(st); if (r != st) Some(r) else None }
+  }
+  private lazy val ListFnRewrite = new Rewritten(ListFnKeyword, rewriteListFns)
+  private lazy val MapFnRewrite = new Rewritten(MapFnKeyword, rewriteMapFns)
+  private lazy val JsonFnRewrite = new Rewritten(JsonFnKeyword, rewriteJsonFns)
+  private lazy val NullsModRewrite =
+    new Rewritten(NullsModKeyword, rewriteNullsModifier)
+  private lazy val DateFnRewrite = new Rewritten(DateFnKeyword, rewriteDateFns)
+  private lazy val RegexpFnRewrite =
+    new Rewritten(RegexpFnKeyword, rewriteRegexpFns)
+
+  /** Apply `f` to the segments of `st` OUTSIDE single-quoted string
+    * literals only (SQL's doubled-quote escape survives: the '' yields
+    * an empty even segment, and parity stays correct for the rest).
+    * Same split technique as the bracket-slice rewrite — a rewrite can
+    * never span a quote boundary.
+    */
+  private def outsideLiterals(st: String)(f: String => String): String =
+    st.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg else f(seg)
+    }.mkString("'")
 
   // ---- QUALIFY at the text entry -----------------------------------
   // DuckDB filters on window results with `… QUALIFY <pred>` (its
@@ -1222,8 +1264,27 @@ object LakeSql {
     val m = hits.head
     val (inner, rest) = takeParenGroup(statement.substring(m.end - 1))
     val aliased = "(?is)^\\s*AS\\b.*".r.matches(rest)
+    // unnest(x, recursive := true): DuckDB flattens ALL nesting levels;
+    // graft rewrites ONE level — flatten then explode, NULL inner
+    // lists dropped first (pinned: recursive unnest skips them, while
+    // Spark's flatten would NULL the whole result). Still one Generate
+    // on the scan partitioning. The dispatcher refuses 3-plus-level
+    // inputs AFTER analysis (the generator's element type is still a
+    // list there — silently emitting list rows would diverge).
+    val args = splitTopCommasQuoted(inner)
+    val body =
+      if (args.length == 2 &&
+          "(?is)^recursive\\s*:=\\s*true$".r.matches(args(1).trim))
+        s"explode(flatten(filter((${args(0)}), __e -> __e IS NOT NULL)))"
+      else {
+        require(args.length == 1 || !args.last.trim.toLowerCase
+          .startsWith("recursive"),
+          s"unnest: unsupported argument form: $inner " +
+            "(only unnest(x) and unnest(x, recursive := true))")
+        s"explode($inner)"
+      }
     statement.substring(0, m.start) +
-      s"explode($inner)" + (if (aliased) "" else " AS unnest") + rest
+      body + (if (aliased) "" else " AS unnest") + rest
   }
 
   /** TWO unnest() items in one SELECT list — DuckDB zips them
@@ -1251,6 +1312,55 @@ object LakeSql {
       }
     val Seq((s0, e0, x0, a0), (s1, e1, x1, a1)) = items
     require(e0 <= s1, "zipped unnest items must be distinct SELECT items")
+    // Both items must sit in the SAME SELECT list: zipping across
+    // scopes (a UNION ALL of two single-unnest branches, or an outer
+    // query plus a subquery) would inject the LATERAL VIEW into the
+    // first scope and leave the second item's struct-field reference
+    // unresolved — refuse with the one-per-scope rule instead. Same
+    // paren depth, and no SELECT keyword at that depth between them.
+    def depthAt(idx: Int): Int = {
+      var i = 0; var d = 0; var inS = false
+      while (i < idx) {
+        val c = statement.charAt(i)
+        if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      d
+    }
+    val d0 = depthAt(s0)
+    def selectBetween: Boolean = {
+      var i = e0; var d = depthAt(e0); var inS = false
+      val up = statement.toUpperCase
+      var found = false
+      while (i < s1 && !found) {
+        val c = statement.charAt(i)
+        if (inS) { if (c == '\'') inS = false }
+        else c match {
+          case '\'' => inS = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+            if (d <= d0 && up.startsWith("SELECT", i) &&
+                (i == 0 || !Character.isLetterOrDigit(
+                  statement.charAt(i - 1))) &&
+                (i + 6 >= statement.length ||
+                  !Character.isLetterOrDigit(statement.charAt(i + 6))))
+              found = true
+        }
+        i += 1
+      }
+      found
+    }
+    require(depthAt(s1) == d0 && !selectBetween,
+      "the two unnest() calls sit in different SELECT scopes — DuckDB " +
+        "zips unnests positionally only within ONE select list; use " +
+        "one unnest per SELECT instead")
     val rewritten = statement.substring(0, s0) +
       s"__zs.__u0 AS $a0" + statement.substring(e0, s1) +
       s"__zs.__u1 AS $a1" + statement.substring(e1)
@@ -1355,7 +1465,9 @@ object LakeSql {
     // list_slice(l, b, e): DuckDB bounds are 1-based INCLUSIVE both
     // ends (and clamp past the list end) — Spark's slice(l, start,
     // length) clamps the same way, so the translation is the length
-    // identity e-b+1.
+    // identity e-b+1, floored at 0: DuckDB returns [] when e < b
+    // (pinned: list_slice([1,2,3,4], 4, 2) = []) where a bare negative
+    // length would throw at Spark runtime.
     hit = "(?i)\\blist_slice\\s*\\(".r.findFirstMatchIn(st)
     while (hit.isDefined) {
       val m = hit.get
@@ -1364,7 +1476,8 @@ object LakeSql {
       require(args.length == 3,
         s"list_slice takes (list, begin, end), got: $inner")
       st = st.substring(0, m.start) +
-        s"slice(${args(0)}, ${args(1)}, (${args(2)})-(${args(1)})+1)" + rest
+        s"slice(${args(0)}, ${args(1)}, " +
+        s"greatest((${args(2)})-(${args(1)})+1, 0))" + rest
       hit = "(?i)\\blist_slice\\s*\\(".r.findFirstMatchIn(st)
     }
     // list_sum: DuckDB SKIPS NULL elements and returns NULL for an
@@ -1450,33 +1563,39 @@ object LakeSql {
       if (i % 2 == 1) seg // inside a literal
       else BracketRe.replaceAllIn(seg, m => {
         val (b, e) = (m.group(2).toInt, m.group(3).toInt)
-        require(b >= 1 && e >= b,
-          s"list slice bounds must satisfy 1 <= begin <= end: [$b:$e]")
-        s"slice(${m.group(1)}, $b, ${e - b + 1})"
+        require(b >= 1 && e >= 1,
+          s"list slice bounds must be 1-based positive: [$b:$e] " +
+            "(negative/from-end bounds are not supported)")
+        // e < b is DuckDB's EMPTY slice ([1,2,3,4][4:2] = []), not an
+        // error — same floor-at-0 rule as the list_slice rewrite
+        s"slice(${m.group(1)}, $b, ${math.max(e - b + 1, 0)})"
       })
     }.mkString("'")
-    st
-      .replaceAll("(?i)\\blist_transform\\s*\\(", "transform(")
-      .replaceAll("(?i)\\blist_filter\\s*\\(", "filter(")
-      // single-arg list_sort ≡ array_sort: ASC with NULLS LAST on both
-      // engines (Spark's sort_array would put NULLS FIRST — wrong);
-      // a two-arg list_sort('DESC') lands in array_sort's lambda slot
-      // and fails analysis loudly rather than silently re-ordering
-      .replaceAll("(?i)\\blist_sort\\s*\\(", "array_sort(")
-      .replaceAll("(?i)\\blist_min\\s*\\(", "array_min(")
-      .replaceAll("(?i)\\blist_max\\s*\\(", "array_max(")
-      .replaceAll("(?i)\\blist_reverse\\s*\\(", "reverse(")
-      .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
-      // same (list, delim[, null_str]) argument shape on both engines
-      .replaceAll("(?i)\\barray_to_string\\s*\\(", "array_join(")
-      // 1-based hit or 0 on miss on BOTH engines (NULL list → NULL)
-      .replaceAll("(?i)\\blist_position\\s*\\(", "array_position(")
-      .replaceAll("(?i)\\blist_indexof\\s*\\(", "array_position(")
-      // DuckDB's len()/array_length() on a LIST = Spark's size/
-      // array_size; a string argument fails analysis loudly (use
-      // length(), which both engines share)
-      .replaceAll("(?i)\\blen\\s*\\(", "size(")
-      .replaceAll("(?i)\\barray_length\\s*\\(", "array_size(")
+    // name maps applied OUTSIDE string literals only — len( and
+    // array_to_string( are collision-prone tokens that must survive
+    // untouched inside a quoted data value like 'len(x)'
+    outsideLiterals(st)(
+      _.replaceAll("(?i)\\blist_transform\\s*\\(", "transform(")
+        .replaceAll("(?i)\\blist_filter\\s*\\(", "filter(")
+        // single-arg list_sort ≡ array_sort: ASC with NULLS LAST on both
+        // engines (Spark's sort_array would put NULLS FIRST — wrong);
+        // a two-arg list_sort('DESC') lands in array_sort's lambda slot
+        // and fails analysis loudly rather than silently re-ordering
+        .replaceAll("(?i)\\blist_sort\\s*\\(", "array_sort(")
+        .replaceAll("(?i)\\blist_min\\s*\\(", "array_min(")
+        .replaceAll("(?i)\\blist_max\\s*\\(", "array_max(")
+        .replaceAll("(?i)\\blist_reverse\\s*\\(", "reverse(")
+        .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
+        // same (list, delim[, null_str]) argument shape on both engines
+        .replaceAll("(?i)\\barray_to_string\\s*\\(", "array_join(")
+        // 1-based hit or 0 on miss on BOTH engines (NULL list → NULL)
+        .replaceAll("(?i)\\blist_position\\s*\\(", "array_position(")
+        .replaceAll("(?i)\\blist_indexof\\s*\\(", "array_position(")
+        // DuckDB's len()/array_length() on a LIST = Spark's size/
+        // array_size; a string argument fails analysis loudly (use
+        // length(), which both engines share)
+        .replaceAll("(?i)\\blen\\s*\\(", "size(")
+        .replaceAll("(?i)\\barray_length\\s*\\(", "array_size("))
   }
 
   // ---- date_diff / date_part pins --------------------------------------
@@ -1506,15 +1625,33 @@ object LakeSql {
         val unit = args(0).trim.stripPrefix("'").stripSuffix("'")
           .toLowerCase
         val (a, b) = (args(1), args(2))
+        // sub-day units: DuckDB counts unit-GRID boundary crossings
+        // (hour of 10:59:59 → 11:00:00 is 1; 10:00:00 → 10:59:59 is
+        // 0; negatives symmetric) — the epoch-grid identity
+        // floor(epoch_us(b)/unit) - floor(epoch_us(a)/unit). The
+        // session runs UTC (GraftSession pins it), so the epoch grid
+        // IS the wall-clock grid and DATE operands land on midnight
+        // exactly as DuckDB's implicit cast does. floor() over DOUBLE
+        // is exact here: |unix_micros| < 2^53 for any testdata date.
+        def grid(micros: Long): String =
+          s"(CAST(floor(unix_micros(CAST($b AS TIMESTAMP)) / $micros" +
+            s".0) AS BIGINT) - CAST(floor(unix_micros(CAST($a AS " +
+            s"TIMESTAMP)) / $micros.0) AS BIGINT))"
         val out = unit match {
           case "day" => s"datediff($b, $a)"
           case "month" =>
             s"((year($b) * 12 + month($b)) - (year($a) * 12 + month($a)))"
           case "year" => s"(year($b) - year($a))"
+          case "hour" => grid(3600000000L)
+          case "minute" => grid(60000000L)
+          case "second" => grid(1000000L)
+          case "millisecond" => grid(1000L)
+          case "microsecond" =>
+            s"(unix_micros(CAST($b AS TIMESTAMP)) - " +
+              s"unix_micros(CAST($a AS TIMESTAMP)))"
           case other => throw new IllegalArgumentException(
-            s"$name: unsupported unit '$other' (day, month, year — " +
-              "sub-day boundary counting differs from Spark's " +
-              "elapsed-unit timestampdiff)")
+            s"$name: unsupported unit '$other' (year, month, day, " +
+              "hour, minute, second, millisecond, microsecond)")
         }
         st = st.substring(0, m.start) + out + rest
         hit = ("(?i)\\b" + name + "\\s*\\(\\s*'").r.findFirstMatchIn(st)
@@ -1614,11 +1751,92 @@ object LakeSql {
   // form) stays unmapped and fails analysis loudly.
   private val JsonFnKeyword =
     ("(?is).*(\\bjson_extract_string\\s*\\(|\\bjson_keys\\s*\\(|" +
-      "->>).*").r
+      "->).*").r
+
+  /** Index of the single DEPTH-0 `->` (not `->>`, not inside a string
+    * literal) in `text`, or -1 when there are zero or several — a
+    * lambda's arrow always sits at depth ≥ 1 inside its enclosing
+    * call, so a depth-0 arrow is the JSON operator.
+    */
+  private def topLevelArrowIndex(text: String): Int = {
+    var i = 0; var depth = 0; var inS = false
+    var at = -1; var n = 0
+    while (i < text.length - 1) {
+      val c = text.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '-' if depth == 0 && text.charAt(i + 1) == '>' &&
+            (i + 2 >= text.length || text.charAt(i + 2) != '>') =>
+          at = i; n += 1; i += 1
+        case '-' if text.charAt(i + 1) == '>' => i += 2 // ->> skips
+        case _ =>
+      }
+      i += 1
+    }
+    if (n == 1) at else -1
+  }
 
   private[graft] def rewriteJsonFns(statement: String): String = {
     var st = statement
     def norm(p: String): String = if (p.startsWith("$")) p else "$." + p
+    // CAST(j -> 'path' AS T[]) — DuckDB's lateral-expansion idiom (no
+    // json_each table function exists in 1.0): the JSON-typed -> step
+    // casts to a LIST, usually straight under unnest(). Spark's
+    // equivalent is from_json over the raw JSON text of the matched
+    // value — NULL on a missing path on both engines, so unnest/
+    // explode emits zero rows for it. The -> must be the CAST
+    // argument's single top-level arrow (a lambda's -> always sits
+    // inside its enclosing call's parens, one level down).
+    var castHit = "(?i)\\bCAST\\s*\\(".r.findFirstMatchIn(st)
+    var castFrom = 0
+    while (castHit.isDefined) {
+      val m = castHit.get
+      val open = st.indexOf('(', m.start + castFrom)
+      val (inner, _) = takeParenGroup(st.substring(open))
+      val ElemRe = ("(?is)^(.*\\S)\\s+AS\\s+" +
+        "(BIGINT|INTEGER|INT|DOUBLE|FLOAT|VARCHAR|STRING|BOOLEAN)" +
+        "\\s*\\[\\s*\\]\\s*$").r
+      val rewritten = inner match {
+        case _ if topLevelArrowIndex(inner) < 0 => None
+        case ElemRe(body, tpe) =>
+          val at = topLevelArrowIndex(body)
+          if (at < 0) None
+          else {
+            val lhs = body.substring(0, at).trim
+            val PathLit = "(?s)^'([^']*)'$".r
+            val path = body.substring(at + 2).trim match {
+              case PathLit(p) => norm(p)
+              case other => throw new IllegalArgumentException(
+                "CAST(json -> path AS list): the path must be a " +
+                  s"string literal, got: $other")
+            }
+            val spark = tpe.toUpperCase match {
+              case "BIGINT" => "bigint"
+              case "INTEGER" | "INT" => "int"
+              case "DOUBLE" => "double"
+              case "FLOAT" => "float"
+              case "VARCHAR" | "STRING" => "string"
+              case "BOOLEAN" => "boolean"
+            }
+            Some(s"from_json(get_json_object($lhs, '$path'), " +
+              s"'array<$spark>')")
+          }
+        case _ => None
+      }
+      rewritten match {
+        case Some(r) =>
+          st = st.substring(0, m.start + castFrom) + r +
+            st.substring(open + inner.length + 2)
+          castFrom = m.start + castFrom + r.length
+        case None =>
+          castFrom = m.start + castFrom + m.matched.length
+      }
+      castHit = "(?i)\\bCAST\\s*\\(".r.findFirstMatchIn(
+        st.substring(castFrom))
+    }
     // j ->> 'key' — (qualified) identifier LHS, literal path RHS
     st = """((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*->>\s*'([^']+)'""".r
       .replaceAllIn(st, m => scala.util.matching.Regex.quoteReplacement(
@@ -1673,9 +1891,11 @@ object LakeSql {
         "__e -> __e IS NOT NULL)" + rest
       hit = "(?i)\\bmap_extract\\s*\\(".r.findFirstMatchIn(st)
     }
-    st
-      .replaceAll("(?i)\\bmap\\s*\\(", "map_from_arrays(")
-      .replaceAll("(?i)\\blist_value\\s*\\(", "array(")
+    // literal-aware name maps: map( is the single most collision-prone
+    // token in the surface — a data value like 'map(a)' must survive
+    outsideLiterals(st)(
+      _.replaceAll("(?i)\\bmap\\s*\\(", "map_from_arrays(")
+        .replaceAll("(?i)\\blist_value\\s*\\(", "array("))
   }
 
   // ---- string_split ---------------------------------------------------
@@ -1730,14 +1950,25 @@ object LakeSql {
   private[graft] def rewriteRegexpFns(statement: String): String = {
     var st = statement.replaceAll("(?i)\\bregexp_matches\\s*\\(",
       "regexp_like(")
-    // regexp_replace: DuckDB's 'g' flag = GLOBAL replacement, which is
-    // Spark's (only) behavior — the flag drops and the call passes
-    // through. The 3-arg form stays untouched (it is Spark's global
-    // form, and the re-entry idempotency rule requires already-
-    // rewritten calls to fall through, same as 3-arg regexp_extract);
-    // NOTE this means DuckDB's first-match-only default is NOT
-    // reproduced — spell the 'g' the gated text uses. A 4-arg call
-    // with any OTHER flag refuses loudly.
+    // regexp_replace: DuckDB's DEFAULT is FIRST-match-only
+    // (pinned: regexp_replace('aaa','a','b') = 'baa'); the 'g' flag is
+    // global — which is Spark's ONLY behavior. So: 'g' (and one extra
+    // arg dropping to Spark's 3-arg global form) passes through, and
+    // the bare 3-arg / explicit-'' form rewrites to the anchored
+    // first-match identity — `(?s)^(.*?)(?:p)` replaced with `$1r`:
+    // the ^ anchor admits exactly one (the leftmost) match, (?s) keeps
+    // the lazy prefix spanning newlines, and the (?:…) wrap preserves
+    // p's own precedence. Constraints checked at rewrite time (loud
+    // refusal otherwise): literal pattern without its own ^/\A/(?m)
+    // anchor (the injected prefix would defeat it) and without
+    // backreferences (the prefix group shifts numbering); literal
+    // replacement without $/\ (Spark's replacement-string
+    // metacharacters — DuckDB's \1 group syntax has no unshifted
+    // equivalent here). Rewritten calls are tagged with an inline
+    // /*graft*/ comment (lexed as whitespace by Spark) so the finder
+    // skips them on re-entry — an UNTAGGED already-Spark-form call
+    // cannot be told apart from DuckDB's first-match default, which is
+    // exactly the silent divergence this rewrite closes.
     val rr = "(?i)\\bregexp_replace\\s*\\(".r
     var rrFrom = 0
     var rrHit = rr.findFirstMatchIn(st.substring(rrFrom)).map(m =>
@@ -1746,13 +1977,47 @@ object LakeSql {
       val (s0, e0) = rrHit.get
       val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
       val args = splitTopCommasQuoted(inner)
-      val fixed =
-        if (args.length == 4) {
-          require(args(3).trim == "'g'",
-            s"regexp_replace flag ${args(3).trim} is not supported " +
-              "(only 'g' — Spark's replacement is always global)")
-          s"regexp_replace(${args(0)}, ${args(1)}, ${args(2)})"
-        } else s"regexp_replace($inner)"
+      require(args.length == 3 || args.length == 4,
+        s"regexp_replace takes (string, pattern, replacement[, flags])," +
+          s" got: $inner")
+      val flag =
+        if (args.length == 4) args(3).trim.stripPrefix("'").stripSuffix("'")
+        else ""
+      val fixed = flag match {
+        case "g" =>
+          s"regexp_replace/*graft:g*/(${args(0)}, ${args(1)}, ${args(2)})"
+        case "" =>
+          val LitRe = "(?s)^'(.*)'$".r
+          val pat = args(1).trim match {
+            case LitRe(p) => p
+            case other => throw new IllegalArgumentException(
+              "regexp_replace without 'g' is FIRST-match-only in DuckDB" +
+                " — the rewrite needs a literal pattern (got: " + other +
+                "); spell the 'g' flag for global replacement")
+          }
+          val rep = args(2).trim match {
+            case LitRe(r) => r
+            case other => throw new IllegalArgumentException(
+              "regexp_replace without 'g' needs a literal replacement " +
+                s"(got: $other); spell the 'g' flag for global " +
+                "replacement")
+          }
+          require(!pat.contains("^") && !pat.contains("\\A") &&
+            !pat.contains("(?m"),
+            "first-match regexp_replace: pattern anchors (^, \\A, (?m) " +
+              s"would be defeated by the injected prefix: '$pat'")
+          require(!"\\\\\\d".r.findFirstIn(pat).isDefined,
+            "first-match regexp_replace: backreferences in the pattern " +
+              "shift under the injected prefix group: '" + pat + "'")
+          require(!rep.contains("$") && !rep.contains("\\"),
+            "first-match regexp_replace: replacement must be free of " +
+              s"$$/\\ metacharacters: '$rep'")
+          s"regexp_replace/*graft:1*/(${args(0)}, " +
+            s"'(?s)^(.*?)(?:$pat)', '$$1$rep')"
+        case other => throw new IllegalArgumentException(
+          s"regexp_replace flag '$other' is not supported ('' = " +
+            "first-match, 'g' = global)")
+      }
       st = st.substring(0, s0) + fixed + rest
       rrFrom = s0 + fixed.length
       rrHit = rr.findFirstMatchIn(st.substring(rrFrom)).map(m =>

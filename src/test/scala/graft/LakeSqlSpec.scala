@@ -1575,14 +1575,23 @@ class LakeSqlSpec extends SparkSpec {
     assert(r.getString(3) == "a,b,c")
     // slice syntax inside a STRING LITERAL survives untouched
     assert(r.getString(4) == "doc[1:2]")
-    // bracket bounds are validated at rewrite time: 0 is not a valid
-    // 1-based begin, and begin > end is refused (DuckDB returns [],
-    // but Spark's slice would error at runtime — refuse early instead)
+    // begin > end is DuckDB's EMPTY slice, not an error — pinned:
+    // [1,2,3,4][4:2] = [] and list_slice([1,2,3,4], 4, 2) = []; the
+    // rewrite floors the slice length at 0 on both spellings (a bare
+    // e-b+1 length would throw at Spark runtime)
+    val e = LakeSql.sql(spark, """
+      SELECT arr[4:2] AS brk_empty,
+             list_slice(arr, 4, 2) AS ls_empty,
+             list_slice(arr, n_nationkey + 4, n_nationkey + 2)
+               AS computed_empty
+      FROM (SELECT n_nationkey, ARRAY(10, 20, 30, 40) AS arr FROM nation)
+      WHERE n_nationkey = 0""").collect().head
+    assert(e.getSeq[Int](0).isEmpty && e.getSeq[Int](1).isEmpty &&
+      e.getSeq[Int](2).isEmpty)
+    // bracket bounds stay 1-based positive: 0 (and negative from-end
+    // indexes, which DuckDB counts from the tail) refuse at rewrite time
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark, "SELECT x[0:2] AS v FROM nation")
-    }
-    intercept[IllegalArgumentException] {
-      LakeSql.sql(spark, "SELECT x[4:2] AS v FROM nation")
     }
   }
 
@@ -1679,6 +1688,84 @@ class LakeSqlSpec extends SparkSpec {
       Seq((0, -1, 0), (1, -1, -1), (2, 2, 2), (3, 2, -1)))
   }
 
+  test("rewrite literal-safety + zip scope: name maps never touch " +
+      "quoted data values; cross-scope unnest zip refuses") {
+    Sql.open(spark, sfDir)
+    // collision-prone tokens inside STRING LITERALS survive the name
+    // maps (len(, map(, array_to_string( are rewritten outside quotes
+    // only — same split technique as bracket slicing)
+    val r = LakeSql.sql(spark, """
+      SELECT 'len(x)' AS lit_len, 'map(a)' AS lit_map,
+             'array_to_string(v)' AS lit_ats,
+             CAST(len(ARRAY(1, 2)) AS BIGINT) AS real_len,
+             array_to_string(map_keys(map(ARRAY('k'), ARRAY(1))), '')
+               AS real_map
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getString(0) == "len(x)" && r.getString(1) == "map(a)")
+    assert(r.getString(2) == "array_to_string(v)")
+    assert(r.getLong(3) == 2L && r.getString(4) == "k")
+    // two unnest() calls in DIFFERENT SELECT scopes refuse loudly
+    // (DuckDB zips positionally only within one select list) instead
+    // of failing analysis with an unresolved __zs reference
+    val ex1 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT unnest(ARRAY(1)) AS a FROM nation UNION ALL " +
+          "SELECT unnest(ARRAY(2)) AS a FROM nation")
+    }
+    assert(ex1.getMessage.contains("different SELECT scopes"))
+    val ex2 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT unnest(ARRAY(1)) AS a, (SELECT MAX(u) FROM (SELECT " +
+          "unnest(ARRAY(2)) AS u FROM nation)) AS b FROM nation")
+    }
+    assert(ex2.getMessage.contains("different SELECT scopes"))
+  }
+
+  test("recursive unnest: one flatten level, NULL inner lists skipped, " +
+      "deeper nesting refuses after analysis") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT CAST(e AS DOUBLE) AS e
+      FROM (SELECT unnest(list_value(list_value(1.5, 2.5), NULL,
+              list_value(3.5)), recursive := true) AS e
+            FROM nation WHERE n_nationkey = 0)
+      ORDER BY e""").collect().map(_.getDouble(0)).toSeq
+    assert(r == Seq(1.5, 2.5, 3.5), r)
+    // a 3-level list still has LIST element rows after one flatten —
+    // loud refusal, not silent divergence from DuckDB's full flatten
+    val ex = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT unnest(list_value(list_value(list_value(1))), " +
+          "recursive := true) AS e FROM nation")
+    }
+    assert(ex.getMessage.contains("nested deeper"))
+  }
+
+  test("CAST(json -> path AS T[]): lateral JSON expansion via " +
+      "from_json; missing path emits zero rows under unnest") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT CAST(e AS BIGINT) AS e
+      FROM (SELECT unnest(CAST(('{"a":[1,2,' || CAST(n_nationkey + 5
+              AS STRING) || ']}') -> '$.a' AS BIGINT[])) AS e
+            FROM nation WHERE n_nationkey = 0)
+      ORDER BY e""").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 2L, 5L), r)
+    // VARCHAR[] cast unquotes string elements; missing path → NULL →
+    // zero generated rows (both pinned in DuckDB)
+    val v = LakeSql.sql(spark, """
+      SELECT array_to_string(CAST('{"t":["x","y"]}' -> '$.t'
+               AS VARCHAR[]), '|') AS tags,
+             CAST(size(CAST('{"a":[1]}' -> '$.zz' AS BIGINT[]))
+               AS BIGINT) AS missing_size
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(v.getString(0) == "x|y" && v.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT CAST(n_comment -> n_name AS BIGINT[]) FROM nation")
+    }
+  }
+
   test("date_diff boundary semantics + date_part 'dow' pin") {
     Sql.open(spark, sfDir)
     val r = LakeSql.sql(spark, """
@@ -1695,10 +1782,34 @@ class LakeSqlSpec extends SparkSpec {
     assert(r.getInt(0) == 1 && r.getInt(1) == -2 && r.getInt(2) == 1)
     // 2021-03-07 is a Sunday: DuckDB dow = 0 (Spark's dayofweek = 1)
     assert(r.getLong(3) == 0L)
+    // sub-day units count unit-GRID crossings too (pinned: hour of
+    // 10:59:59 → 11:00:00 is 1; a 59:59 span inside one hour is 0;
+    // negatives symmetric; DATE operands cast to midnight, 24 h/day)
+    val sub = LakeSql.sql(spark, """
+      SELECT date_diff('hour', TIMESTAMP '2020-01-01 10:59:59',
+               TIMESTAMP '2020-01-01 11:00:00') AS h1,
+             date_diff('hour', TIMESTAMP '2020-01-01 10:00:00',
+               TIMESTAMP '2020-01-01 10:59:59') AS h0,
+             date_diff('hour', TIMESTAMP '2020-01-02 01:00:00',
+               TIMESTAMP '2020-01-01 23:59:00') AS hneg,
+             date_diff('hour', DATE '2020-01-01', DATE '2020-01-02')
+               AS hday,
+             date_diff('minute', TIMESTAMP '2020-01-01 10:59:59',
+               TIMESTAMP '2020-01-01 11:01:01') AS mi,
+             date_diff('second', TIMESTAMP '2020-01-01 10:59:59.9',
+               TIMESTAMP '2020-01-01 11:00:00.1') AS se,
+             date_diff('millisecond', TIMESTAMP '2020-01-01 10:00:00.0001',
+               TIMESTAMP '2020-01-01 10:00:00.0009') AS ms0,
+             date_diff('microsecond', TIMESTAMP '2020-01-01 10:59:59.9995',
+               TIMESTAMP '2020-01-01 11:00:00.0005') AS us
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(sub.getLong(0) == 1L && sub.getLong(1) == 0L &&
+      sub.getLong(2) == -2L && sub.getLong(3) == 24L)
+    assert(sub.getLong(4) == 2L && sub.getLong(5) == 1L &&
+      sub.getLong(6) == 0L && sub.getLong(7) == 1000L)
     intercept[IllegalArgumentException] {
-      LakeSql.sql(spark, "SELECT date_diff('hour', " +
-        "TIMESTAMP '2021-01-01 00:30:00', " +
-        "TIMESTAMP '2021-01-01 01:00:00') FROM nation")
+      LakeSql.sql(spark, "SELECT date_diff('week', " +
+        "DATE '2021-01-01', DATE '2021-02-01') FROM nation")
     }
   }
 
@@ -1808,16 +1919,36 @@ class LakeSqlSpec extends SparkSpec {
     assert(p.getTimestamp(0).toString == "1995-03-07 00:00:00.0")
     assert(p.getTimestamp(1).toString == "1995-03-07 14:05:09.0")
     // regexp_replace: the 'g' flag (global) drops onto Spark's
-    // always-global replace; other flags refuse; 3-arg (already-Spark
-    // global form) falls through unchanged
+    // always-global replace; the BARE 3-arg form (and the explicit ''
+    // flag) is DuckDB's FIRST-match-only default — rewritten to the
+    // anchored identity (pinned: 'aaa'/'a'→'baa', 'xaxbxc'/'x(.)'
+    // →'yxbxc'); other flags refuse
     val rr = LakeSql.sql(spark, """
       SELECT regexp_replace('a1b22c', '[0-9]+', '#', 'g') AS g,
-             regexp_replace('a1b22c', '[0-9]+', '#') AS bare
+             regexp_replace('aaa', 'a', 'b') AS first1,
+             regexp_replace('xaxbxc', 'x(.)', 'y') AS first2,
+             regexp_replace('a1b22c', '[0-9]+', '#', '') AS first3
       FROM nation WHERE n_nationkey = 0""").collect().head
-    assert(rr.getString(0) == "a#b#c" && rr.getString(1) == "a#b#c")
+    assert(rr.getString(0) == "a#b#c" && rr.getString(1) == "baa")
+    assert(rr.getString(2) == "yxbxc" && rr.getString(3) == "a#b22c")
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark,
         "SELECT regexp_replace('A', 'a', 'x', 'i') FROM nation")
+    }
+    // the first-match rewrite's loud refusals: non-literal pattern,
+    // ^-anchored pattern (defeated by the injected prefix), and
+    // $/\ metacharacters in the replacement
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT regexp_replace(n_name, n_comment, 'x') FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT regexp_replace('abc', '^a', 'x') FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT regexp_replace('abc', 'a', '$0x') FROM nation")
     }
     // split_part: shared name, 1-based, '' when out of range
     val spp = LakeSql.sql(spark, """
