@@ -2629,9 +2629,13 @@ object Sql {
       // 2-arg regexp_extract whose default group DIVERGES between
       // engines (DuckDB: full match; Spark: group 1) — graft pins
       // group 0 in the rewrite, and a wrong pin would change
-      // distinct_nums and hash-fail. Patterns stay in the RE2∩Java
-      // shared dialect. regexp_like evaluates inside the scan's
-      // codegen'd filter — no UDF.
+      // distinct_nums and hash-fail. regexp_replace covers BOTH
+      // replacement modes: the 'g' flag (global on both engines) and
+      // the bare 3-arg default, which is FIRST-match-only in DuckDB —
+      // graft's anchored-identity rewrite; a silently-global Spark
+      // passthrough would shift first_vowel and hash-fail. Patterns
+      // stay in the RE2∩Java shared dialect. regexp_like evaluates
+      // inside the scan's codegen'd filter — no UDF.
       GQuery("x94_sql_regexp", (s, d) => {
         open(s, d)
         LakeSql.sql(s, RegexpText)
@@ -2808,9 +2812,96 @@ object Sql {
       GQuery("x103_sql_date_diff", (s, d) => {
         open(s, d)
         LakeSql.sql(s, DateDiffText)
-      }, Some(DateDiffText))
+      }, Some(DateDiffText)),
+
+      // ------------------------------------------------------------ x104
+      // sub-day date_diff units — hour/minute/second/millisecond/
+      // microsecond, everyday SQL in event pipelines. DuckDB counts
+      // unit-GRID boundary crossings (hour of 10:59:59 → 11:00:00 is
+      // 1, a 59:59 span inside one hour is 0); graft rewrites the
+      // epoch-grid identity floor(unix_micros/unit) difference — the
+      // session runs UTC so the epoch grid IS the wall grid, and DATE
+      // operands cast to midnight exactly as DuckDB's implicit cast.
+      // All codegen'd timestamp arithmetic on the scan; negatives,
+      // DATE/TIMESTAMP mixing and interval-shifted operands are all
+      // under the hash.
+      GQuery("x104_sql_date_diff_subday", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, DateDiffSubdayText)
+      }, Some(DateDiffSubdayText)),
+
+      // ------------------------------------------------------------ x105
+      // lateral JSON expansion — DuckDB 1.0 has NO json_each table
+      // function; its idiom is unnest(CAST(j -> 'path' AS T[])), the
+      // JSON-typed arrow cast to a LIST. graft rewrites the cast to
+      // from_json(get_json_object(…)) and the unnest to explode — ONE
+      // Generate on the scan's own partitioning, zero extra shuffles,
+      // no UDF. A missing path is NULL on both engines, so its rows
+      // vanish under the generator (the odd-key branch pins that), and
+      // the VARCHAR[] cast unquotes string elements (scalar-serialized
+      // via array_to_string for the hash).
+      GQuery("x105_sql_json_each", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, JsonEachText)
+      }, Some(JsonEachText)),
+
+      // ------------------------------------------------------------ x106
+      // recursive unnest — DuckDB's unnest(x, recursive := true)
+      // flattens nested lists to scalars. graft rewrites one nesting
+      // level (flatten → explode, still a single Generate on the scan)
+      // with NULL inner lists dropped first — pinned: DuckDB skips
+      // them, while a bare Spark flatten would NULL the whole row out.
+      // Inputs nested 3+ deep REFUSE after analysis (the generator
+      // element would still be a list — silently emitting list rows is
+      // exactly the divergence the loud-refusal rule exists for).
+      GQuery("x106_sql_unnest_recursive", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, UnnestRecursiveText)
+      }, Some(UnnestRecursiveText))
     )
   }
+
+  private def DateDiffSubdayText = """
+    SELECT event_type,
+           CAST(SUM(date_diff('hour', ts,
+             TIMESTAMP '2024-02-01 00:00:00')) AS BIGINT) AS hr_sum,
+           CAST(MAX(date_diff('minute', ts,
+             TIMESTAMP '2024-02-01 00:00:00')) AS BIGINT) AS min_max,
+           CAST(MIN(date_diff('second', ts,
+             TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS sec_min,
+           CAST(MAX(date_diff('hour', CAST(ts AS DATE), ts)) AS BIGINT)
+             AS midnight_hr_max,
+           CAST(MIN(date_diff('millisecond', ts,
+             ts + INTERVAL 1 SECOND)) AS BIGINT) AS ms_fixed,
+           CAST(MAX(date_diff('microsecond', ts,
+             TIMESTAMP '2024-01-01 01:00:00')) AS BIGINT) AS us_max
+    FROM events WHERE event_id <= 8000
+    GROUP BY event_type ORDER BY event_type"""
+
+  private def JsonEachText = """
+    SELECT event_type, elem, COUNT(*) AS n,
+           MIN(tags) AS tags_min
+    FROM (SELECT event_type,
+                 unnest(CAST(doc -> '$.a' AS BIGINT[])) AS elem,
+                 array_to_string(CAST(doc -> '$.t' AS VARCHAR[]), '|')
+                   AS tags
+          FROM (SELECT event_type,
+                       CASE WHEN CAST(props ->> 'k' AS BIGINT) % 2 = 0
+                            THEN '{"a": [1, 2, ' ||
+                              CAST(CAST(props ->> 'k' AS BIGINT)
+                                AS STRING) || '], "t": ["lo", "hi"]}'
+                            ELSE '{"b": [9], "t": ["odd"]}' END AS doc
+                FROM events WHERE event_id <= 5000))
+    GROUP BY event_type, elem
+    ORDER BY event_type, elem"""
+
+  private def UnnestRecursiveText = """
+    SELECT vec_id, CAST(e AS DOUBLE) AS e
+    FROM (SELECT vec_id,
+                 unnest(list_value(list_slice(embedding, 1, 2), NULL,
+                   list_slice(embedding, 5, 6)), recursive := true) AS e
+          FROM embeddings WHERE vec_id < 25)
+    ORDER BY vec_id, e"""
 
   private def DateDiffText = """
     SELECT o_orderpriority,
@@ -2981,6 +3072,9 @@ object Sql {
            CAST(SUM(CAST(length(text) AS BIGINT) -
              length(regexp_replace(text, '[aeiou]', '', 'g')))
              AS BIGINT) AS vowels,
+           CAST(SUM(CAST(length(text) AS BIGINT) -
+             length(regexp_replace(text, '[aeiou]', '')))
+             AS BIGINT) AS first_vowel,
            COUNT(*) AS n
     FROM documents GROUP BY lang ORDER BY lang"""
 
