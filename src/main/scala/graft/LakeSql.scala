@@ -2497,9 +2497,30 @@ object LakeSql {
   // it — the default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW:
   // a RANGE CURRENT ROW end spans the full peer set) or an explicit
   // RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW|UNBOUNDED
-  // FOLLOWING. ROWS frames (which can cut a peer group mid-way) and
-  // bounded RANGE offsets refuse loudly. Cost: the peer aggregate
-  // rides the SAME exchange (its partition keys are a superset of the
+  // FOLLOWING. ROWS frames and bounded RANGE offsets refuse loudly.
+  //
+  // The ROWS-frame form IS expressible — the identity is written down
+  // here for the record: peer groups are contiguous under the window
+  // ordering, so with a row ordinal rn = ROW_NUMBER() OVER (PARTITION
+  // BY p ORDER BY k) injected by a subquery wrap, frame∩peers of a
+  // ROWS BETWEEN a PRECEDING AND b FOLLOWING frame is exactly
+  //   AGG(e) OVER (PARTITION BY p, k-values ORDER BY rn
+  //                RANGE BETWEEN a PRECEDING AND b FOLLOWING)
+  // (rn is strictly increasing, so RANGE-on-rn = the ROWS offsets),
+  // and the guarded subtraction proceeds as in the RANGE forms. It
+  // stays REFUSED anyway, on determinism grounds rather than
+  // expressibility: a ROWS frame cuts peer groups at a position
+  // determined by the tie order, which SQL leaves unspecified — with
+  // a non-total ORDER BY, DuckDB's own EXCLUDE GROUP/TIES result over
+  // a ROWS frame varies with arbitrary tie placement (unhashable on
+  // ANY parallel engine, same class as unordered string_agg); with a
+  // total ORDER BY every peer group is a single row and the exclusion
+  // degenerates to EXCLUDE CURRENT ROW, which x68 already covers. So
+  // every deterministic instance of the construct is already
+  // expressible at this entry, and the nondeterministic ones refuse —
+  // the same refuse-or-exact rule the rest of the surface follows.
+  // Cost note for the supported forms: the peer aggregate rides the
+  // SAME exchange (its partition keys are a superset of the
   // window's), so no extra shuffle at any scale.
   private val FrameExcludeGroupKeyword =
     "(?is).*\\bEXCLUDE\\s+(GROUP|TIES)\\b.*".r

@@ -1,0 +1,204 @@
+package graft.tools
+
+import scala.util.Random
+
+/** Differential fuzz harness, Spark half (round-12 verdict item 8).
+  *
+  * The SQL text entry's rewrite surface (QUALIFY/COLUMNS/list/JSON/
+  * regexp/datetime/string_agg/…) is large enough that hand-written
+  * gated keys under-sample it — silent cross-engine divergences of the
+  * x94 class (DuckDB first-match regexp_replace vs Spark global) hide
+  * in the combinations no key spells. This tool generates SEEDED
+  * random statements in the shared dialect from pools of PINNED
+  * features only, runs each through `LakeSql.sql`, and dumps results +
+  * statements for `tools/fuzz_diff.py` to replay in DuckDB and diff.
+  *
+  * Determinism rules baked into the generator (hash-comparable on any
+  * engine): every statement ORDER BYs its key or group column; sums
+  * only over BIGINT-cast integer expressions (no float accumulation
+  * order); string aggregation always carries in-aggregate ORDER BY;
+  * regex pool stays in the RE2∩Java shared dialect with no anchors or
+  * backreferences (the first-match rewrite's own constraint set).
+  *
+  * A statement the entry REFUSES (IllegalArgumentException) is
+  * recorded as refused — a loud refusal is contract behavior, not a
+  * divergence. A Spark analysis error likewise records as an error;
+  * only statements BOTH engines run get value-diffed.
+  *
+  * Usage: runMain graft.tools.FuzzGen <sfDir> <outDir> [count] [seed]
+  */
+object FuzzGen {
+  private final case class Col(name: String, kind: String) // s/i/d
+
+  private val nationCols = Seq(Col("n_nationkey", "i"),
+    Col("n_regionkey", "i"), Col("n_name", "s"), Col("n_comment", "s"))
+  private val orderCols = Seq(Col("o_orderkey", "i"), Col("o_custkey", "i"),
+    Col("o_orderpriority", "s"), Col("o_orderstatus", "s"),
+    Col("o_clerk", "s"), Col("o_orderdate", "d"))
+
+  // RE2∩Java, no anchors, no backreferences, no $/\ in replacements —
+  // the first-match rewrite's constraint set, so every pattern works
+  // in BOTH replacement modes
+  private val patterns =
+    Seq("[aeiou]", "[0-9]+", "[a-z]{3}", " ", "a.", "(a|e)n", "l+")
+  private val replacements = Seq("", "*", "X", "__")
+  private val formats = Seq("'%Y-%m-%d'", "'%d/%m/%Y'", "'Qtr %m of %Y'")
+  private val units =
+    Seq("day", "month", "year", "hour", "minute", "second")
+
+  private def pick[T](r: Random, xs: Seq[T]): T = xs(r.nextInt(xs.size))
+
+  private def sCol(r: Random, cols: Seq[Col]): String =
+    pick(r, cols.filter(_.kind == "s")).name
+  private def iCol(r: Random, cols: Seq[Col]): String =
+    pick(r, cols.filter(_.kind == "i")).name
+
+  /** Integer-valued scalar expression (exact on both engines). */
+  private def intExpr(r: Random, cols: Seq[Col]): String = {
+    val hasDate = cols.exists(_.kind == "d")
+    r.nextInt(if (hasDate) 9 else 7) match {
+      case 0 => s"CAST(len(string_split(${sCol(r, cols)}, ' ')) AS BIGINT)"
+      case 1 =>
+        s"CAST(length(regexp_replace(${sCol(r, cols)}, " +
+          s"'${pick(r, patterns)}', '${pick(r, replacements)}', 'g')) " +
+          "AS BIGINT)"
+      case 2 => // FIRST-match replace — the x94-class divergence zone
+        s"CAST(length(regexp_replace(${sCol(r, cols)}, " +
+          s"'${pick(r, patterns)}', '${pick(r, replacements)}')) " +
+          "AS BIGINT)"
+      case 3 =>
+        s"(CASE WHEN regexp_matches(${sCol(r, cols)}, " +
+          s"'${pick(r, patterns)}') THEN 1 ELSE 0 END)"
+      case 4 =>
+        s"CAST(list_unique(list_transform(string_split(" +
+          s"${sCol(r, cols)}, ' '), x -> length(x))) AS BIGINT)"
+      case 5 => s"(${iCol(r, cols)} % ${2 + r.nextInt(7)})"
+      case 6 =>
+        s"CAST(length(array_to_string(list_slice(" +
+          s"string_split(lower(${sCol(r, cols)}), ' '), 1, " +
+          s"${1 + r.nextInt(4)}), '|')) AS BIGINT)"
+      case 7 =>
+        val d = pick(r, cols.filter(_.kind == "d")).name
+        s"date_diff('${pick(r, units)}', $d, TIMESTAMP " +
+          "'1996-06-30 12:00:00')"
+      case 8 =>
+        val d = pick(r, cols.filter(_.kind == "d")).name
+        s"CAST(date_part('${pick(r, Seq("dow", "doy"))}', $d) AS BIGINT)"
+    }
+  }
+
+  /** String-valued scalar expression. */
+  private def strExpr(r: Random, cols: Seq[Col]): String = {
+    val hasDate = cols.exists(_.kind == "d")
+    r.nextInt(if (hasDate) 6 else 5) match {
+      case 0 => s"regexp_extract(${sCol(r, cols)}, '${pick(r, patterns)}')"
+      case 1 =>
+        s"regexp_replace(${sCol(r, cols)}, '${pick(r, patterns)}', " +
+          s"'${pick(r, replacements)}')"
+      case 2 =>
+        s"array_to_string(list_sort(string_split(lower(" +
+          s"${sCol(r, cols)}), ' ')), '|')"
+      case 3 => s"upper(${sCol(r, cols)})"
+      case 4 =>
+        s"json_extract_string('{\"k\": ' || CAST(${iCol(r, cols)} " +
+          s"AS STRING) || '}', 'k')"
+      case 5 =>
+        val d = pick(r, cols.filter(_.kind == "d")).name
+        s"strftime($d, ${pick(r, formats)})"
+    }
+  }
+
+  private def pred(r: Random, cols: Seq[Col], keyCap: Long): String =
+    r.nextInt(4) match {
+      case 0 => s"${iCol(r, cols)} % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"
+      case 1 => s"regexp_matches(${sCol(r, cols)}, '${pick(r, patterns)}')"
+      case 2 => s"${sCol(r, cols)} LIKE '%${('a' + r.nextInt(26)).toChar}%'"
+      case 3 => s"${iCol(r, cols)} <= $keyCap"
+    }
+
+  private def aggExpr(r: Random, cols: Seq[Col]): String =
+    r.nextInt(6) match {
+      case 0 => s"CAST(SUM(${intExpr(r, cols)}) AS BIGINT)"
+      case 1 => s"CAST(MAX(${intExpr(r, cols)}) AS BIGINT)"
+      case 2 => s"CAST(MIN(${intExpr(r, cols)}) AS BIGINT)"
+      case 3 => s"MIN(${strExpr(r, cols)})"
+      case 4 => s"COUNT(DISTINCT ${strExpr(r, cols)})"
+      case 5 =>
+        s"COUNT(*) FILTER (WHERE ${pred(r, cols, 1000)})"
+    }
+
+  private[tools] def statement(r: Random, i: Int): String = {
+    val (table, cols, key, group, keyCap) =
+      if (r.nextBoolean())
+        ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
+      else ("orders", orderCols, "o_orderkey",
+        pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
+    r.nextInt(3) match {
+      case 0 => // grouped aggregate
+        s"SELECT $group, COUNT(*) AS n, ${aggExpr(r, cols)} AS a1, " +
+          s"${aggExpr(r, cols)} AS a2 FROM $table " +
+          s"WHERE ${pred(r, cols, keyCap)} AND $key <= $keyCap " +
+          s"GROUP BY $group ORDER BY $group"
+      case 1 => // per-row scalars, key-ordered
+        s"SELECT $key, ${intExpr(r, cols)} AS s1, " +
+          s"${strExpr(r, cols)} AS s2 FROM $table " +
+          s"WHERE ${pred(r, cols, keyCap)} AND $key <= ${keyCap / 2} " +
+          s"ORDER BY $key"
+      case 2 => // ordered string aggregation per group
+        s"SELECT $group, string_agg(${strExpr(r, cols)}, ',' " +
+          s"ORDER BY $key) AS sa, COUNT(*) AS n FROM $table " +
+          s"WHERE $key <= ${keyCap / 2} GROUP BY $group ORDER BY $group"
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val count = if (args.length > 2) args(2).toInt else 300
+    val seed = if (args.length > 3) args(3).toLong else 13L
+    val spark = graft.GraftSession
+      .builder("local[8]", shufflePartitions = 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Sql.open(spark, sfDir)
+    new java.io.File(outDir).mkdirs()
+    val r = new Random(seed)
+    val entries = (0 until count).map { i =>
+      val sql = statement(r, i)
+      val name = f"fuzz_$i%04d"
+      val status =
+        try {
+          val df = graft.LakeSql.sql(spark, sql)
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          "ran"
+        } catch {
+          case e: IllegalArgumentException => "refused: " + e.getMessage
+          case e: Throwable =>
+            "error: " + e.getClass.getSimpleName + " " +
+              Option(e.getMessage).getOrElse("").take(160)
+        }
+      (name, sql, status)
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = entries.map { case (n, sql, st) =>
+      s"${q(n)}: {${q("sql")}: ${q(sql)}, ${q("status")}: ${q(st)}}"
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/statements.json"),
+      json.getBytes("UTF-8"))
+    val ran = entries.count(_._3 == "ran")
+    val refused = entries.count(_._3.startsWith("refused"))
+    val errored = count - ran - refused
+    println(s"FUZZ ran=$ran refused=$refused error=$errored seed=$seed")
+    entries.filter(_._3.startsWith("error")).take(10).foreach { e =>
+      println(s"  ${e._1}: ${e._3}\n    ${e._2}")
+    }
+    spark.stop()
+  }
+}
