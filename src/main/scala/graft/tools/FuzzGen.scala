@@ -31,10 +31,10 @@ object FuzzGen {
   private final case class Col(name: String, kind: String) // s/i/d
 
   private val nationCols = Seq(Col("n_nationkey", "i"),
-    Col("n_regionkey", "i"), Col("n_name", "s"), Col("n_comment", "s"))
+    Col("n_regionkey", "i"), Col("n_name", "s"))
   private val orderCols = Seq(Col("o_orderkey", "i"), Col("o_custkey", "i"),
     Col("o_orderpriority", "s"), Col("o_orderstatus", "s"),
-    Col("o_clerk", "s"), Col("o_orderdate", "d"))
+    Col("o_orderdate", "d"))
 
   // RE2∩Java, no anchors, no backreferences, no $/\ in replacements —
   // the first-match rewrite's constraint set, so every pattern works
