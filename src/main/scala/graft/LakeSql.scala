@@ -1541,6 +1541,30 @@ object LakeSql {
         s"array_distinct(filter(($inner), __x -> __x IS NOT NULL))" + rest
       hit = "(?i)\\blist_distinct\\s*\\(".r.findFirstMatchIn(st)
     }
+    // array_to_string(l, sep): DuckDB joins the NON-NULL elements and
+    // returns NULL when there are none (empty or all-NULL list —
+    // pinned: array_to_string([], ',') IS NULL, [NULL] IS NULL,
+    // ['a',NULL,'b'] = 'a,b'); Spark's array_join returns '' for the
+    // first two — the guard pins DuckDB's NULL. 2-arg only (DuckDB
+    // 1.0's macro takes exactly (arr, sep); a 3-arg call refuses).
+    // literal-aware find: the token inside a quoted data value (an odd
+    // number of quotes precedes it) must survive untouched
+    def atsHit(s0: String) = "(?i)\\barray_to_string\\s*\\(".r
+      .findAllMatchIn(s0)
+      .find(m => s0.substring(0, m.start).count(_ == '\'') % 2 == 0)
+    hit = atsHit(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        s"array_to_string takes (list, separator), got: $inner")
+      st = st.substring(0, m.start) +
+        s"(CASE WHEN size(filter((${args(0)}), " +
+        s"__x -> __x IS NOT NULL)) = 0 THEN NULL " +
+        s"ELSE array_join(${args(0)}, ${args(1)}) END)" + rest
+      hit = atsHit(st)
+    }
     // list_unique: the COUNT of distinct non-NULL elements.
     hit = "(?i)\\blist_unique\\s*\\(".r.findFirstMatchIn(st)
     while (hit.isDefined) {
@@ -1586,8 +1610,6 @@ object LakeSql {
         .replaceAll("(?i)\\blist_max\\s*\\(", "array_max(")
         .replaceAll("(?i)\\blist_reverse\\s*\\(", "reverse(")
         .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
-        // same (list, delim[, null_str]) argument shape on both engines
-        .replaceAll("(?i)\\barray_to_string\\s*\\(", "array_join(")
         // 1-based hit or 0 on miss on BOTH engines (NULL list → NULL)
         .replaceAll("(?i)\\blist_position\\s*\\(", "array_position(")
         .replaceAll("(?i)\\blist_indexof\\s*\\(", "array_position(")
@@ -1945,7 +1967,7 @@ object LakeSql {
   // quantifiers, anchors, alternation); engine-specific syntax would
   // fail loudly at whichever engine rejects it.
   private val RegexpFnKeyword =
-    "(?is).*\\bregexp_(matches|extract|replace)\\s*\\(.*".r
+    "(?is).*\\bregexp_(matches|extract(_all)?|replace)\\s*\\(.*".r
 
   private[graft] def rewriteRegexpFns(statement: String): String = {
     var st = statement.replaceAll("(?i)\\bregexp_matches\\s*\\(",
@@ -2023,23 +2045,30 @@ object LakeSql {
       rrHit = rr.findFirstMatchIn(st.substring(rrFrom)).map(m =>
         (m.start + rrFrom, m.end + rrFrom))
     }
-    val re = "(?i)\\bregexp_extract\\s*\\(".r
-    var from = 0
-    var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
-      (m.start + from, m.end + from))
-    while (hit.isDefined) {
-      val (s0, e0) = hit.get
-      val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
-      val args = splitTopCommasQuoted(inner)
-      require(args.length == 2 || args.length == 3,
-        s"regexp_extract takes (string, pattern[, group]), got: $inner")
-      val fixed =
-        if (args.length == 2) s"regexp_extract($inner, 0)"
-        else s"regexp_extract($inner)"
-      st = st.substring(0, s0) + fixed + rest
-      from = s0 + fixed.length
-      hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+    // regexp_extract_all shares regexp_extract's default-group
+    // divergence (DuckDB: full match; Spark: group 1 — a 2-arg call
+    // with a group-carrying pattern silently returns DIFFERENT
+    // elements) — same pin, explicit group 0. Handled BEFORE
+    // regexp_extract so the _all suffix is never half-matched.
+    for (name <- Seq("regexp_extract_all", "regexp_extract")) {
+      val re = ("(?i)\\b" + name + "\\s*\\(").r
+      var from = 0
+      var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
         (m.start + from, m.end + from))
+      while (hit.isDefined) {
+        val (s0, e0) = hit.get
+        val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
+        val args = splitTopCommasQuoted(inner)
+        require(args.length == 2 || args.length == 3,
+          s"$name takes (string, pattern[, group]), got: $inner")
+        val fixed =
+          if (args.length == 2) s"$name($inner, 0)"
+          else s"$name($inner)"
+        st = st.substring(0, s0) + fixed + rest
+        from = s0 + fixed.length
+        hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+          (m.start + from, m.end + from))
+      }
     }
     st
   }

@@ -3075,6 +3075,8 @@ object Sql {
            CAST(SUM(CAST(length(text) AS BIGINT) -
              length(regexp_replace(text, '[aeiou]', '')))
              AS BIGINT) AS first_vowel,
+           CAST(SUM(length(array_to_string(regexp_extract_all(text,
+             '([0-9])[0-9]*'), ','))) AS BIGINT) AS all_nums_len,
            COUNT(*) AS n
     FROM documents GROUP BY lang ORDER BY lang"""
 

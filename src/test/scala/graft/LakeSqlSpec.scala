@@ -1704,6 +1704,22 @@ class LakeSqlSpec extends SparkSpec {
     assert(r.getString(0) == "len(x)" && r.getString(1) == "map(a)")
     assert(r.getString(2) == "array_to_string(v)")
     assert(r.getLong(3) == 2L && r.getString(4) == "k")
+    // array_to_string pins DuckDB's NULL contract: NULL when the list
+    // has zero non-NULL elements (empty or all-NULL — Spark's
+    // array_join would give ''), NULL elements skipped otherwise
+    val ats = LakeSql.sql(spark, """
+      SELECT array_to_string(list_filter(ARRAY(1), x -> x > 5), ',')
+               AS empty_j,
+             array_to_string(ARRAY(CAST(NULL AS STRING)), ',')
+               AS allnull_j,
+             array_to_string(ARRAY('a', NULL, 'b'), ',') AS skip_j
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(ats.isNullAt(0) && ats.isNullAt(1))
+    assert(ats.getString(2) == "a,b")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT array_to_string(ARRAY('a'), ',', 'N') FROM nation")
+    }
     // two unnest() calls in DIFFERENT SELECT scopes refuse loudly
     // (DuckDB zips positionally only within one select list) instead
     // of failing analysis with an unresolved __zs reference
@@ -1935,6 +1951,17 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark,
         "SELECT regexp_replace('A', 'a', 'x', 'i') FROM nation")
     }
+    // regexp_extract_all shares the default-group pin: 2-arg returns
+    // FULL matches (DuckDB group 0), not Spark's group-1 default —
+    // pinned: duckdb regexp_extract_all('a1b22c','([0-9])[0-9]*') =
+    // ['1','22'], spark 2-arg unpinned would give ['1','2']
+    val rea = LakeSql.sql(spark, """
+      SELECT array_to_string(regexp_extract_all('a1b22c',
+               '([0-9])[0-9]*'), ',') AS full_matches,
+             array_to_string(regexp_extract_all('a1b22c',
+               '([0-9])[0-9]*', 1), ',') AS group1
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(rea.getString(0) == "1,22" && rea.getString(1) == "1,2")
     // the first-match rewrite's loud refusals: non-literal pattern,
     // ^-anchored pattern (defeated by the injected prefix), and
     // $/\ metacharacters in the replacement
