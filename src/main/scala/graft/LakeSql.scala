@@ -968,6 +968,7 @@ object LakeSql {
         case _ if StringAggKeyword.matches(st) =>
           sql(s, rewriteStringAgg(st))
         case DateFnRewrite(r) => sql(s, r)
+        case MathFnRewrite(r) => sql(s, r)
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1005,6 +1006,7 @@ object LakeSql {
   private lazy val NullsModRewrite =
     new Rewritten(NullsModKeyword, rewriteNullsModifier)
   private lazy val DateFnRewrite = new Rewritten(DateFnKeyword, rewriteDateFns)
+  private lazy val MathFnRewrite = new Rewritten(MathFnKeyword, rewriteMathFns)
   private lazy val RegexpFnRewrite =
     new Rewritten(RegexpFnKeyword, rewriteRegexpFns)
 
@@ -1918,6 +1920,88 @@ object LakeSql {
     outsideLiterals(st)(
       _.replaceAll("(?i)\\bmap\\s*\\(", "map_from_arrays(")
         .replaceAll("(?i)\\blist_value\\s*\\(", "array("))
+  }
+
+  // ---- scalar math/string pins ---------------------------------------
+  // Four shared-name scalar divergences found by the round-13 probe
+  // sweep (each pinned empirically in both engines):
+  //   log(x)    — DuckDB log10, Spark NATURAL log → rewrite to log10;
+  //               the 2-arg log(base, x) agrees and passes through.
+  //   left/right(s, n<0) — DuckDB drops |n| from the OTHER end
+  //               ('abc',-1 → 'ab'/'bc'), Spark returns '' → rebuilt
+  //               as a substr CASE exact on every pinned edge (0,
+  //               ±beyond-length, NULL n → NULL).
+  //   substr(s, 0, L) — DuckDB's window rule [0,L)∩[1,∞) drops one
+  //               char ('abcdef',0,3 → 'ab'), Spark treats 0 as 1
+  //               ('abc') → literal-0 starts shift to (1, L-1); the
+  //               2-arg substr(s, 0) agrees (whole string) and
+  //               negative starts agree (from-end on both engines).
+  //   a // b    — DuckDB's // divides integrally ONLY for integer
+  //               operands (7.0 // 2 = 3.5, pinned) — a blind DIV
+  //               rewrite would silently diverge on fractional
+  //               operands, so // REFUSES loudly with the portable
+  //               spellings.
+  // CAST(fractional → integer) stays DOCUMENTED-divergent, not
+  // rewritten: DuckDB ROUNDS (half-even on DOUBLE, half-away on
+  // DECIMAL — pinned: CAST(2.5::DOUBLE AS INT)=2, CAST(2.5 AS INT)=3)
+  // while Spark TRUNCATES; the rounding mode depends on the operand's
+  // runtime type, which a text rewrite cannot see. Spell round()/
+  // bround() explicitly on fractional casts — integral values (every
+  // gated text) agree on both engines. DATE - DATE is likewise typed
+  // (DuckDB INT days, Spark INTERVAL) — date_diff is the portable
+  // spelling (x103).
+  private val MathFnKeyword =
+    ("(?is).*(\\blog\\s*\\(|\\bleft\\s*\\(|\\bright\\s*\\(|" +
+      "\\bsubstr(ing)?\\s*\\(\\s*[^,()]+,\\s*0\\s*,|//).*").r
+
+  private[graft] def rewriteMathFns(statement: String): String = {
+    var st = statement
+    val dslash = st.split("'", -1).zipWithIndex.exists { case (seg, i) =>
+      i % 2 == 0 && seg.contains("//")
+    }
+    if (dslash) throw new IllegalArgumentException(
+      "// (integer division) is not supported: DuckDB's // divides " +
+        "integrally only for INTEGER operands (7.0 // 2 = 3.5) — " +
+        "spell `a DIV b` for integer division or `/` for division")
+    def loop(name: String)(fix: Seq[String] => Option[String]): Unit = {
+      val re = ("(?i)\\b" + name + "\\s*\\(").r
+      var from = 0
+      var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+        (m.start + from, m.end + from))
+      while (hit.isDefined) {
+        val (s0, e0) = hit.get
+        val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
+        val out = fix(splitTopCommasQuoted(inner))
+          .getOrElse(st.substring(s0, e0) + inner + ")")
+        st = st.substring(0, s0) + out + rest
+        from = s0 + out.length
+        hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+          (m.start + from, m.end + from))
+      }
+    }
+    loop("log") {
+      case Seq(x) => Some(s"log10($x)")
+      case _ => None // 2-arg log(base, x) agrees on both engines
+    }
+    loop("left") {
+      case Seq(s, n) => Some(
+        s"substr($s, 1, (CASE WHEN ($n) >= 0 THEN ($n) WHEN ($n) < 0 " +
+          s"THEN greatest(length($s) + ($n), 0) END))")
+      case _ => None
+    }
+    loop("right") {
+      case Seq(s, n) => Some(
+        s"(CASE WHEN ($n) < 0 THEN substr($s, 1 - ($n)) " +
+          s"WHEN ($n) >= 0 THEN " +
+          s"substr($s, greatest(length($s) - ($n) + 1, 1)) END)")
+      case _ => None
+    }
+    for (name <- Seq("substring", "substr")) loop(name) {
+      case Seq(s, b, l) if b.trim == "0" =>
+        Some(s"$name($s, 1, ($l) - 1)")
+      case _ => None
+    }
+    st
   }
 
   // ---- string_split ---------------------------------------------------

@@ -2857,9 +2857,40 @@ object Sql {
       GQuery("x106_sql_unnest_recursive", (s, d) => {
         open(s, d)
         LakeSql.sql(s, UnnestRecursiveText)
-      }, Some(UnnestRecursiveText))
+      }, Some(UnnestRecursiveText)),
+
+      // ------------------------------------------------------------ x107
+      // scalar math/string pins — the round-13 probe sweep's findings
+      // under one hash: log(x) is LOG10 in DuckDB but NATURAL log in
+      // Spark (the single most dangerous shared-name divergence found
+      // — every query using log() got silently different numbers),
+      // rewritten to log10; 2-arg log(base, x) agrees. left/right with
+      // NEGATIVE lengths drop |n| from the other end in DuckDB where
+      // Spark returns '' — rebuilt as substr CASEs exact on every
+      // pinned edge. substr 0-start drops a character under DuckDB's
+      // window rule. The log columns quantize via round(x*1000) —
+      // both engines compute the same IEEE double and round half-away
+      // on it (pinned), so the BIGINT is exact.
+      GQuery("x107_sql_scalar_pins", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ScalarPinsText)
+      }, Some(ScalarPinsText))
     )
   }
+
+  private def ScalarPinsText = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(round(log(CAST(o_orderkey + 1 AS DOUBLE))
+             * 1000) AS BIGINT)) AS BIGINT) AS log10_sum,
+           CAST(MAX(CAST(round(log(2, CAST(o_orderkey + 2 AS DOUBLE))
+             * 1000) AS BIGINT)) AS BIGINT) AS log2_max,
+           MIN(left(o_orderstatus || o_orderpriority, -3)) AS l_neg,
+           MAX(right(o_orderstatus || o_orderpriority, -2)) AS r_neg,
+           MIN(substr(o_orderpriority, 0, 4)) AS s0,
+           MAX(left(o_orderpriority, 20)) AS l_over,
+           MIN(right(o_orderpriority, 0)) AS r_zero
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private def DateDiffSubdayText = """
     SELECT event_type,

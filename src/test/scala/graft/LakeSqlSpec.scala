@@ -1737,6 +1737,45 @@ class LakeSqlSpec extends SparkSpec {
     assert(ex2.getMessage.contains("different SELECT scopes"))
   }
 
+  test("scalar math/string pins: log is log10, left/right negative " +
+      "lengths, substr 0-start, // refuses") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT CAST(round(log(CAST(100 AS DOUBLE)) * 1000) AS BIGINT)
+               AS log10_m,
+             CAST(round(log(2, CAST(8 AS DOUBLE)) * 1000) AS BIGINT)
+               AS log2_m,
+             left('abc', -1) AS l_neg, right('abc', -1) AS r_neg,
+             left('abc', 0) AS l_zero, right('abc', 0) AS r_zero,
+             left('abc', 5) AS l_over, right('abc', -5) AS r_under,
+             left('abc', 2) AS l_pos, right('abc', 2) AS r_pos,
+             substr('abcdef', 0, 3) AS s0,
+             substr('abcdef', -2, 2) AS s_neg
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 3000L) // log10, base
+    assert(r.getString(2) == "ab" && r.getString(3) == "bc")
+    assert(r.getString(4) == "" && r.getString(5) == "")
+    assert(r.getString(6) == "abc" && r.getString(7) == "")
+    assert(r.getString(8) == "ab" && r.getString(9) == "bc")
+    assert(r.getString(10) == "ab" && r.getString(11) == "ef")
+    // NULL length propagates (greatest would otherwise swallow it)
+    val n = LakeSql.sql(spark, """
+      SELECT left('abc', CAST(NULL AS INT)) AS ln,
+             right('abc', CAST(NULL AS INT)) AS rn
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1))
+    // // refuses loudly (DuckDB divides integrally only for integer
+    // operands — 7.0 // 2 = 3.5, pinned — so DIV is not a safe map)
+    val ex = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT n_nationkey // 3 FROM nation")
+    }
+    assert(ex.getMessage.contains("DIV"))
+    // '//' inside a string literal survives (URL in data)
+    assert(LakeSql.sql(spark, """
+      SELECT 'http://x' AS u FROM nation WHERE n_nationkey = 0""")
+      .collect().head.getString(0) == "http://x")
+  }
+
   test("recursive unnest: one flatten level, NULL inner lists skipped, " +
       "deeper nesting refuses after analysis") {
     Sql.open(spark, sfDir)
