@@ -915,8 +915,16 @@ object LakeSql {
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
         case _ if PivotKeyword.matches(st) => runPivot(s, st)
+        // statement-level rewrites RE-ENTER the full dispatch (each
+        // removes its own trigger keyword, so no loop): round-13 fuzz
+        // found that routing these to sqlStatement() skipped the whole
+        // function-rewrite layer — a DISTINCT ON statement containing
+        // log() ran Spark's NATURAL log where DuckDB computes log10,
+        // silently wrong values (and every dialect function under
+        // QUALIFY/UNPIVOT/ORDER BY ALL/ASOF/star-modifiers failed
+        // analysis instead of rewriting)
         case _ if UnpivotKeyword.matches(st) =>
-          sqlStatement(s, rewriteUnpivot(st))
+          sql(s, rewriteUnpivot(st))
         case _ if DescribeKeyword.matches(st) => runDescribe(s, st)
         case _ if SampleKeyword.matches(st) => sql(s, rewriteSample(st))
         case _ if FrameExcludeGroupKeyword.matches(st) =>
@@ -926,16 +934,16 @@ object LakeSql {
         case _ if GroupsFrameKeyword.matches(st) =>
           sql(s, rewriteGroupsFrame(st))
         case _ if DistinctOnKeyword.matches(st) =>
-          sqlStatement(s, rewriteDistinctOn(st))
+          sql(s, rewriteDistinctOn(st))
         case _ if UnionByNameKeyword.matches(st) => runUnionByName(s, st)
         case _ if OrderByAllKeyword.matches(st) =>
-          sqlStatement(s, rewriteOrderByAll(st))
+          sql(s, rewriteOrderByAll(st))
         case _ if AsOfJoinKeyword.matches(st) =>
-          sqlStatement(s, rewriteAsOfJoins(st))
+          sql(s, rewriteAsOfJoins(st))
         case _ if QualifyKeyword.matches(st) =>
-          sqlStatement(s, rewriteQualify(st))
+          sql(s, rewriteQualify(st))
         case _ if StarModifierKeyword.matches(st) =>
-          sqlStatement(s, rewriteStarModifiers(s, st))
+          sql(s, rewriteStarModifiers(s, st))
         case _ if UnnestKeyword.matches(st) =>
           // re-enter: the rewritten text may carry other forms
           val recursive =
@@ -984,7 +992,7 @@ object LakeSql {
           sql(s, rewriteColumnsFn(s, st))
         case _ if FromFirstKeyword.matches(st) &&
             topLevelIndexOf(st, "SELECT") < 0 =>
-          sqlStatement(s, "SELECT * " + st.trim)
+          sql(s, "SELECT * " + st.trim)
         case _ => sqlStatement(s, st)
       }
   }

@@ -56,7 +56,8 @@ object FuzzGen {
   /** Integer-valued scalar expression (exact on both engines). */
   private def intExpr(r: Random, cols: Seq[Col]): String = {
     val hasDate = cols.exists(_.kind == "d")
-    r.nextInt(if (hasDate) 9 else 7) match {
+    val n = r.nextInt(if (hasDate) 12 else 10)
+    (if (!hasDate && n >= 7) n + 2 else n) match {
       case 0 => s"CAST(len(string_split(${sCol(r, cols)}, ' ')) AS BIGINT)"
       case 1 =>
         s"CAST(length(regexp_replace(${sCol(r, cols)}, " +
@@ -77,6 +78,15 @@ object FuzzGen {
         s"CAST(length(array_to_string(list_slice(" +
           s"string_split(lower(${sCol(r, cols)}), ' '), 1, " +
           s"${1 + r.nextInt(4)}), '|')) AS BIGINT)"
+      case 9 => // negative-length left/right (the x107 pin zone)
+        s"CAST(length(${pick(r, Seq("left", "right"))}(" +
+          s"${sCol(r, cols)}, ${r.nextInt(7) - 3})) AS BIGINT)"
+      case 10 => // log is log10 in the dialect; operand kept >= 1
+        s"CAST(round(log(CAST(${iCol(r, cols)} + 2 AS DOUBLE)) * 100) " +
+          "AS BIGINT)"
+      case 11 =>
+        s"CAST(length(substr(${sCol(r, cols)}, 0, " +
+          s"${1 + r.nextInt(5)})) AS BIGINT)"
       case 7 =>
         val d = pick(r, cols.filter(_.kind == "d")).name
         s"date_diff('${pick(r, units)}', $d, TIMESTAMP " +
@@ -133,7 +143,7 @@ object FuzzGen {
         ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
       else ("orders", orderCols, "o_orderkey",
         pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
-    r.nextInt(3) match {
+    r.nextInt(7) match {
       case 0 => // grouped aggregate
         s"SELECT $group, COUNT(*) AS n, ${aggExpr(r, cols)} AS a1, " +
           s"${aggExpr(r, cols)} AS a2 FROM $table " +
@@ -148,6 +158,24 @@ object FuzzGen {
         s"SELECT $group, string_agg(${strExpr(r, cols)}, ',' " +
           s"ORDER BY $key) AS sa, COUNT(*) AS n FROM $table " +
           s"WHERE $key <= ${keyCap / 2} GROUP BY $group ORDER BY $group"
+      case 3 => // QUALIFY over a ranked window (alias-referenced)
+        s"SELECT $key, $group, ROW_NUMBER() OVER (PARTITION BY $group " +
+          s"ORDER BY $key) AS rn FROM $table WHERE $key <= $keyCap " +
+          s"QUALIFY rn <= ${1 + r.nextInt(4)} ORDER BY $group, $key"
+      case 4 => // DISTINCT ON: first row per group under a total order
+        s"SELECT DISTINCT ON ($group) $group, $key, " +
+          s"${intExpr(r, cols)} AS v FROM $table " +
+          s"WHERE $key <= $keyCap ORDER BY $group, $key"
+      case 5 => // unnest of a split list, one generator
+        s"SELECT $key, unnest(string_split(lower(${sCol(r, cols)}), " +
+          s"' ')) AS tok FROM $table WHERE $key <= ${math.min(keyCap, 40L)} " +
+          s"ORDER BY $key, tok"
+      case 6 => // CTE + join back on the group key
+        s"WITH g AS (SELECT $group AS gk, COUNT(*) AS cnt FROM $table " +
+          s"WHERE $key <= $keyCap GROUP BY $group) " +
+          s"SELECT t.$key, g.cnt, (t.$key % ${2 + r.nextInt(5)}) AS v " +
+          s"FROM $table t JOIN g ON t.$group = g.gk " +
+          s"WHERE t.$key <= ${keyCap / 4} ORDER BY t.$key"
     }
   }
 
