@@ -1958,9 +1958,24 @@ object LakeSql {
   // gated text) agree on both engines. DATE - DATE is likewise typed
   // (DuckDB INT days, Spark INTERVAL) — date_diff is the portable
   // spelling (x103).
+  // Second pinned batch (round 13): arg_max/arg_min are Spark's
+  // max_by/min_by (NULL order keys skipped by both — pinned);
+  // quantile_cont is Spark's exact interpolated percentile (identical
+  // on DOUBLE inputs — 1.75 = 1.75; DECIMAL inputs are typed-divergent
+  // in DuckDB ITSELF, which quantizes to the input scale and switches
+  // median to the discrete quantile — documented in SURVEY §6, cast to
+  // DOUBLE for cross-engine results); printf is format_string (same
+  // C-style directives); regexp_split_to_array is split with limit -1
+  // (both keep leading/trailing empties — pinned); epoch/epoch_ms/
+  // epoch_us rebuild from unix_micros (fractional seconds preserved:
+  // 1577836801.5 = 1577836801.5). quantile_disc and DuckDB's
+  // python-style format() stay unmapped — loud analysis failures.
   private val MathFnKeyword =
     ("(?is).*(\\blog\\s*\\(|\\bleft\\s*\\(|\\bright\\s*\\(|" +
-      "\\bsubstr(ing)?\\s*\\(\\s*[^,()]+,\\s*0\\s*,|//).*").r
+      "\\bsubstr(ing)?\\s*\\(\\s*[^,()]+,\\s*0\\s*,|//|" +
+      "\\barg_(max|min)\\s*\\(|\\bquantile_cont\\s*\\(|" +
+      "\\bprintf\\s*\\(|\\bregexp_split_to_array\\s*\\(|" +
+      "\\bepoch(_ms|_us)?\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2009,7 +2024,31 @@ object LakeSql {
         Some(s"$name($s, 1, ($l) - 1)")
       case _ => None
     }
-    st
+    loop("regexp_split_to_array") {
+      case Seq(s, re) => Some(s"split($s, $re, -1)")
+      case args => throw new IllegalArgumentException(
+        "regexp_split_to_array takes (string, pattern), got: " +
+          args.mkString(", "))
+    }
+    loop("epoch") {
+      case Seq(x) =>
+        Some(s"(unix_micros(CAST($x AS TIMESTAMP)) / 1000000.0)")
+      case _ => None
+    }
+    loop("epoch_ms") {
+      case Seq(x) =>
+        Some(s"(unix_micros(CAST($x AS TIMESTAMP)) DIV 1000)")
+      case _ => None
+    }
+    loop("epoch_us") {
+      case Seq(x) => Some(s"unix_micros(CAST($x AS TIMESTAMP))")
+      case _ => None
+    }
+    outsideLiterals(st)(
+      _.replaceAll("(?i)\\barg_max\\s*\\(", "max_by(")
+        .replaceAll("(?i)\\barg_min\\s*\\(", "min_by(")
+        .replaceAll("(?i)\\bquantile_cont\\s*\\(", "percentile(")
+        .replaceAll("(?i)\\bprintf\\s*\\(", "format_string("))
   }
 
   // ---- string_split ---------------------------------------------------

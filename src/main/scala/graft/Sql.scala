@@ -2874,9 +2874,46 @@ object Sql {
       GQuery("x107_sql_scalar_pins", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ScalarPinsText)
-      }, Some(ScalarPinsText))
+      }, Some(ScalarPinsText)),
+
+      // ------------------------------------------------------------ x108
+      // aggregate/format vocabulary — arg_max/arg_min (Spark max_by/
+      // min_by, NULL order keys skipped by both, keyed on the UNIQUE
+      // order key so ties can't decide), quantile_cont (Spark's exact
+      // interpolated percentile — identical on DOUBLE; DECIMAL inputs
+      // are typed-divergent in DuckDB itself, documented §6), printf
+      // (format_string, same C-style), epoch/epoch_ms/epoch_us (from
+      // unix_micros; the UTC session makes the epoch grid shared), and
+      // regexp_split_to_array (split with limit -1 — both engines keep
+      // leading/trailing empties). percentile is one exchange per
+      // group; everything else map-side.
+      GQuery("x108_sql_agg_pins", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, AggPinsText)
+      }, Some(AggPinsText))
     )
   }
+
+  private def AggPinsText = """
+    SELECT o_orderpriority,
+           arg_max(o_orderstatus, o_orderkey) AS last_status,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           CAST(round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5)
+             * 100) AS BIGINT) AS med_price_c,
+           CAST(round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25)
+             * 100) AS BIGINT) AS q1_price_c,
+           MIN(printf('%s#%d', o_orderstatus,
+             CAST(o_orderkey % 10 AS BIGINT))) AS fmt_min,
+           CAST(MIN(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+             AS epoch_s_min,
+           CAST(MAX(epoch_ms(CAST(o_orderdate AS TIMESTAMP)))
+             AS BIGINT) AS epoch_ms_max,
+           CAST(MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
+             AS BIGINT) AS epoch_us_min,
+           CAST(SUM(len(regexp_split_to_array(o_orderpriority, '-')))
+             AS BIGINT) AS parts_sum
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private def ScalarPinsText = """
     SELECT o_orderpriority,

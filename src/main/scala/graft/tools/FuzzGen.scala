@@ -127,7 +127,10 @@ object FuzzGen {
     }
 
   private def aggExpr(r: Random, cols: Seq[Col]): String =
-    r.nextInt(6) match {
+    r.nextInt(7) match {
+      case 6 =>
+        s"CAST(round(quantile_cont(CAST(${iCol(r, cols)} AS DOUBLE), " +
+          s"0.${25 * (1 + r.nextInt(3))}) * 100) AS BIGINT)"
       case 0 => s"CAST(SUM(${intExpr(r, cols)}) AS BIGINT)"
       case 1 => s"CAST(MAX(${intExpr(r, cols)}) AS BIGINT)"
       case 2 => s"CAST(MIN(${intExpr(r, cols)}) AS BIGINT)"

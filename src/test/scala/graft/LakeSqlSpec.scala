@@ -1764,6 +1764,29 @@ class LakeSqlSpec extends SparkSpec {
              right('abc', CAST(NULL AS INT)) AS rn
       FROM nation WHERE n_nationkey = 0""").collect().head
     assert(n.isNullAt(0) && n.isNullAt(1))
+    // second batch: arg_max/min names, quantile_cont = exact
+    // interpolated percentile on DOUBLE, printf directives, epoch
+    // family keeps fractional seconds, regexp_split_to_array keeps
+    // leading/trailing empties
+    val b = LakeSql.sql(spark, """
+      SELECT arg_max(n_name, n_nationkey) AS amax,
+             arg_min(n_name, n_nationkey) AS amin,
+             CAST(round(quantile_cont(CAST(n_nationkey AS DOUBLE),
+               0.25) * 100) AS BIGINT) AS q1,
+             printf('%s#%d', 'x', 7) AS fmt,
+             CAST(epoch(TIMESTAMP '2020-01-01 00:00:01.5') * 10
+               AS BIGINT) AS ep,
+             CAST(epoch_ms(TIMESTAMP '2020-01-01 00:00:01.5')
+               AS BIGINT) AS epms,
+             CAST(epoch_us(TIMESTAMP '2020-01-01 00:00:01.5')
+               AS BIGINT) AS epus,
+             array_to_string(regexp_split_to_array('1a1', '[0-9]+'),
+               '.') AS sp
+      FROM nation""").collect().head
+    assert(b.getString(3) == "x#7")
+    assert(b.getLong(4) == 15778368015L && b.getLong(5) == 1577836801500L)
+    assert(b.getLong(6) == 1577836801500000L && b.getString(7) == ".a.")
+    assert(b.getLong(2) == 600L) // 25 keys: quantile .25 of 0..24 = 6
     // // refuses loudly (DuckDB divides integrally only for integer
     // operands — 7.0 // 2 = 3.5, pinned — so DIV is not a safe map)
     val ex = intercept[IllegalArgumentException] {
