@@ -1817,6 +1817,13 @@ class LakeSqlSpec extends SparkSpec {
           "recursive := true) AS e FROM nation")
     }
     assert(ex.getMessage.contains("nested deeper"))
+    // flatten + explode is still ONE Generate on the scan partitioning
+    val plan = LakeSql.sql(spark, """
+      SELECT unnest(list_value(list_slice(embedding, 1, 2),
+               list_slice(embedding, 3, 4)), recursive := true) AS e
+      FROM embeddings""").queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("CAST(json -> path AS T[]): lateral JSON expansion via " +
@@ -1842,6 +1849,14 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark,
         "SELECT CAST(n_comment -> n_name AS BIGINT[]) FROM nation")
     }
+    // the lateral expansion is ONE Generate on the scan's own
+    // partitioning — no exchange between the file scan and the explode
+    val plan = LakeSql.sql(spark, """
+      SELECT unnest(CAST(('{"a":[1,' || CAST(n_nationkey AS STRING)
+               || ']}') -> '$.a' AS BIGINT[])) AS e
+      FROM nation""").queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 
   test("date_diff boundary semantics + date_part 'dow' pin") {
