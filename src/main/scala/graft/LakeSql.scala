@@ -1970,12 +1970,20 @@ object LakeSql {
   // epoch_us rebuild from unix_micros (fractional seconds preserved:
   // 1577836801.5 = 1577836801.5). quantile_disc and DuckDB's
   // python-style format() stay unmapped — loud analysis failures.
+  // Third pinned batch: sha256(x) = Spark's sha2(x, 256) (same hex,
+  // pinned); ends_with = endswith; to_hex = hex (both 'FF'); and the
+  // nastiest find of the probe sweeps — 2-arg ltrim/rtrim/trim take
+  // (string, chars) in DuckDB but (trimStr, string) in Spark: the SAME
+  // call with SWAPPED argument meaning, silently different values
+  // unless the trim set is symmetric — the rewrite swaps the
+  // arguments. 1-arg and TRIM(LEADING … FROM …) forms agree untouched.
   private val MathFnKeyword =
     ("(?is).*(\\blog\\s*\\(|\\bleft\\s*\\(|\\bright\\s*\\(|" +
       "\\bsubstr(ing)?\\s*\\(\\s*[^,()]+,\\s*0\\s*,|//|" +
       "\\barg_(max|min)\\s*\\(|\\bquantile_cont\\s*\\(|" +
       "\\bprintf\\s*\\(|\\bregexp_split_to_array\\s*\\(|" +
-      "\\bepoch(_ms|_us)?\\s*\\().*").r
+      "\\bepoch(_ms|_us)?\\s*\\(|\\bsha256\\s*\\(|\\bends_with\\s*\\(|" +
+      "\\bto_hex\\s*\\(|\\b[lr]?trim\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2044,11 +2052,27 @@ object LakeSql {
       case Seq(x) => Some(s"unix_micros(CAST($x AS TIMESTAMP))")
       case _ => None
     }
+    loop("sha256") {
+      case Seq(x) => Some(s"sha2($x, 256)")
+      case args => throw new IllegalArgumentException(
+        s"sha256 takes one argument, got: ${args.mkString(", ")}")
+    }
+    // 2-arg trims: DuckDB (string, chars) → Spark (trimStr, string) —
+    // the SAME call shape with swapped argument meaning. The swapped
+    // call carries the inline /*graft*/ tag (lexed as whitespace) so
+    // the finder skips it on dispatch re-entry — an untagged swap
+    // would ping-pong back on the next pass.
+    for (name <- Seq("ltrim", "rtrim", "trim")) loop(name) {
+      case Seq(s0, chars) => Some(s"$name/*graft*/($chars, $s0)")
+      case _ => None // 1-arg and TRIM(LEADING … FROM …) forms agree
+    }
     outsideLiterals(st)(
       _.replaceAll("(?i)\\barg_max\\s*\\(", "max_by(")
         .replaceAll("(?i)\\barg_min\\s*\\(", "min_by(")
         .replaceAll("(?i)\\bquantile_cont\\s*\\(", "percentile(")
-        .replaceAll("(?i)\\bprintf\\s*\\(", "format_string("))
+        .replaceAll("(?i)\\bprintf\\s*\\(", "format_string(")
+        .replaceAll("(?i)\\bends_with\\s*\\(", "endswith(")
+        .replaceAll("(?i)\\bto_hex\\s*\\(", "hex("))
   }
 
   // ---- string_split ---------------------------------------------------
@@ -2060,10 +2084,14 @@ object LakeSql {
   // refuses loudly. DuckDB keeps trailing empty strings ('a,' → ['a',
   // '']) and so does Spark's split with limit -1 — the rewrite pins
   // that limit (Spark's default drops them).
-  private val StringSplitKeyword = "(?is).*\\bstring_split\\s*\\(.*".r
+  private val StringSplitKeyword =
+    "(?is).*\\bstring_(split|to_array)\\s*\\(.*".r
 
   private[graft] def rewriteStringSplit(statement: String): String = {
-    var st = statement
+    // string_to_array is DuckDB's alias for string_split — same
+    // (string, literal separator) shape, same rewrite
+    var st = outsideLiterals(statement)(
+      _.replaceAll("(?i)\\bstring_to_array\\s*\\(", "string_split("))
     var hit = "(?i)\\bstring_split\\s*\\(".r.findFirstMatchIn(st)
     while (hit.isDefined) {
       val m = hit.get

@@ -2911,7 +2911,14 @@ object Sql {
            CAST(MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)))
              AS BIGINT) AS epoch_us_min,
            CAST(SUM(len(regexp_split_to_array(o_orderpriority, '-')))
-             AS BIGINT) AS parts_sum
+             AS BIGINT) AS parts_sum,
+           MIN(sha256(o_orderpriority)) AS sha_min,
+           MAX(ltrim(o_orderpriority, '0123456789-')) AS lt_max,
+           MIN(trim(o_orderstatus || ' ' || o_orderpriority,
+             ' 12345')) AS tr_min,
+           COUNT(*) FILTER (WHERE ends_with(o_orderpriority, 'T'))
+             AS ew_n,
+           MIN(to_hex(CAST(o_orderkey % 300 AS BIGINT))) AS hex_min
     FROM orders WHERE o_orderkey <= 4000
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 

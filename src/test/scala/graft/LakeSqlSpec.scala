@@ -1787,6 +1787,26 @@ class LakeSqlSpec extends SparkSpec {
     assert(b.getLong(4) == 15778368015L && b.getLong(5) == 1577836801500L)
     assert(b.getLong(6) == 1577836801500000L && b.getString(7) == ".a.")
     assert(b.getLong(2) == 600L) // 25 keys: quantile .25 of 0..24 = 6
+    // third batch: sha256 = sha2-256 (same hex), ends_with/to_hex name
+    // maps, string_to_array = string_split, and the SWAPPED-argument
+    // 2-arg trims (DuckDB (string, chars) vs Spark (trimStr, string) —
+    // unswapped, 'xxabcxx' trimmed by 'x' would return the trim SET)
+    val h = LakeSql.sql(spark, """
+      SELECT sha256('a') AS sh,
+             ends_with('abc', 'bc') AS ew,
+             to_hex(255) AS hx,
+             ltrim('xxabcxx', 'x') AS lt,
+             rtrim('xxabcxx', 'x') AS rt,
+             trim('xxabcxx', 'x') AS tr,
+             trim('  pad  ') AS tr1,
+             array_to_string(string_to_array('a,b', ','), '|') AS sta
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(h.getString(0) ==
+      "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb")
+    assert(h.getBoolean(1) && h.getString(2) == "FF")
+    assert(h.getString(3) == "abcxx" && h.getString(4) == "xxabc")
+    assert(h.getString(5) == "abc" && h.getString(6) == "pad")
+    assert(h.getString(7) == "a|b")
     // // refuses loudly (DuckDB divides integrally only for integer
     // operands — 7.0 // 2 = 3.5, pinned — so DIV is not a safe map)
     val ex = intercept[IllegalArgumentException] {
