@@ -108,7 +108,15 @@ object FuzzGen {
       case 2 =>
         s"array_to_string(list_sort(string_split(lower(" +
           s"${sCol(r, cols)}), ' ')), '|')"
-      case 3 => s"upper(${sCol(r, cols)})"
+      case 3 => r.nextInt(4) match {
+        case 0 => s"upper(${sCol(r, cols)})"
+        case 1 => // swapped-argument 2-arg trims (the x108 pin zone)
+          s"${pick(r, Seq("ltrim", "rtrim", "trim"))}(" +
+            s"${sCol(r, cols)}, '${pick(r, Seq("AEIOU", "0123456789-",
+              " RF", "a e"))}')"
+        case 2 => s"substr(sha256(${sCol(r, cols)}), 1, 8)"
+        case 3 => s"to_hex(CAST(${iCol(r, cols)} % 4096 AS BIGINT))"
+      }
       case 4 =>
         s"json_extract_string('{\"k\": ' || CAST(${iCol(r, cols)} " +
           s"AS STRING) || '}', 'k')"
