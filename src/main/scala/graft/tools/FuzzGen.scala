@@ -154,7 +154,7 @@ object FuzzGen {
         ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
       else ("orders", orderCols, "o_orderkey",
         pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
-    r.nextInt(7) match {
+    r.nextInt(11) match {
       case 0 => // grouped aggregate
         s"SELECT $group, COUNT(*) AS n, ${aggExpr(r, cols)} AS a1, " +
           s"${aggExpr(r, cols)} AS a2 FROM $table " +
@@ -187,6 +187,30 @@ object FuzzGen {
           s"SELECT t.$key, g.cnt, (t.$key % ${2 + r.nextInt(5)}) AS v " +
           s"FROM $table t JOIN g ON t.$group = g.gk " +
           s"WHERE t.$key <= ${keyCap / 4} ORDER BY t.$key"
+      case 7 => // window aggregates over a TOTAL order (deterministic)
+        val frame = pick(r, Seq(
+          s"ROWS BETWEEN ${1 + r.nextInt(3)} PRECEDING AND CURRENT ROW",
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+          s"ROWS BETWEEN CURRENT ROW AND ${1 + r.nextInt(3)} FOLLOWING"))
+        s"SELECT $key, CAST(SUM($key % 17) OVER (PARTITION BY $group " +
+          s"ORDER BY $key $frame) AS BIGINT) AS w1, " +
+          s"CAST(lag($key, ${1 + r.nextInt(2)}) OVER (ORDER BY $key) " +
+          s"AS BIGINT) AS w2 FROM $table WHERE $key <= ${keyCap / 2} " +
+          s"ORDER BY $key"
+      case 8 => // IGNORE NULLS placement (in-paren, the x101 rewrite)
+        s"SELECT $key, CAST(last_value(CASE WHEN $key % 3 = 0 THEN " +
+          s"$key END IGNORE NULLS) OVER (ORDER BY $key ROWS BETWEEN " +
+          s"UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS locf " +
+          s"FROM $table WHERE $key <= ${keyCap / 2} ORDER BY $key"
+      case 9 => // set operations with an explicit NULL-safe order
+        val op = pick(r, Seq("EXCEPT", "INTERSECT", "UNION"))
+        s"SELECT $group FROM $table WHERE ${pred(r, cols, keyCap)} " +
+          s"$op SELECT $group FROM $table WHERE ${pred(r, cols, keyCap)} " +
+          s"ORDER BY $group"
+      case 10 => // ROLLUP with the NULL total row pinned NULLS FIRST
+        s"SELECT $group, COUNT(*) AS n, CAST(SUM($key % 13) AS BIGINT) " +
+          s"AS v FROM $table WHERE $key <= $keyCap " +
+          s"GROUP BY ROLLUP($group) ORDER BY $group NULLS FIRST"
     }
   }
 
