@@ -1641,7 +1641,7 @@ object LakeSql {
   // extract: Sunday=1..7) — pinned as dayofweek(x)-1.
   private val DateFnKeyword =
     ("(?is).*(\\bdate_diff\\s*\\(|\\bdatediff\\s*\\(\\s*'|" +
-      "\\bdate_part\\s*\\(\\s*'dow').*").r
+      "\\bdate_part\\s*\\(\\s*'(dow|epoch)').*").r
 
   private[graft] def rewriteDateFns(statement: String): String = {
     var st = statement
@@ -1698,6 +1698,21 @@ object LakeSql {
       require(args.length == 2, s"date_part takes ('unit', value)")
       st = st.substring(0, m.start) + s"(dayofweek(${args(1)}) - 1)" + rest
       hit = "(?i)\\bdate_part\\s*\\(\\s*'dow'\\s*,".r.findFirstMatchIn(st)
+    }
+    // date_part('epoch', x): DuckDB's fractional epoch seconds
+    // (pinned: 1577836801.5) — Spark's extract has no epoch field, so
+    // rebuild from unix_micros like the epoch() function rewrite.
+    hit = "(?i)\\bdate_part\\s*\\(\\s*'epoch'\\s*,".r.findFirstMatchIn(st)
+    while (hit.isDefined) {
+      val m = hit.get
+      val open = st.indexOf('(', m.start)
+      val (inner, rest) = takeParenGroup(st.substring(open))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2, s"date_part takes ('unit', value)")
+      st = st.substring(0, m.start) +
+        s"(unix_micros(CAST(${args(1)} AS TIMESTAMP)) / " +
+        "CAST(1000000 AS DOUBLE))" + rest
+      hit = "(?i)\\bdate_part\\s*\\(\\s*'epoch'\\s*,".r.findFirstMatchIn(st)
     }
     st
   }
@@ -2040,7 +2055,8 @@ object LakeSql {
     }
     loop("epoch") {
       case Seq(x) =>
-        Some(s"(unix_micros(CAST($x AS TIMESTAMP)) / 1000000.0)")
+        Some(s"(unix_micros(CAST($x AS TIMESTAMP)) / " +
+          "CAST(1000000 AS DOUBLE))")
       case _ => None
     }
     loop("epoch_ms") {

@@ -1920,6 +1920,12 @@ class LakeSqlSpec extends SparkSpec {
       sub.getLong(2) == -2L && sub.getLong(3) == 24L)
     assert(sub.getLong(4) == 2L && sub.getLong(5) == 1L &&
       sub.getLong(6) == 0L && sub.getLong(7) == 1000L)
+    // date_part('epoch') = fractional epoch seconds (pinned)
+    val ep = LakeSql.sql(spark, """
+      SELECT date_part('epoch', TIMESTAMP '2020-01-01 00:00:01.5')
+        AS e FROM nation WHERE n_nationkey = 0""")
+      .collect().head
+    assert(ep.getDouble(0) == 1577836801.5)
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark, "SELECT date_diff('week', " +
         "DATE '2021-01-01', DATE '2021-02-01') FROM nation")
