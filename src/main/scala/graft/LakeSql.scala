@@ -1998,7 +1998,8 @@ object LakeSql {
       "\\barg_(max|min)\\s*\\(|\\bquantile_cont\\s*\\(|" +
       "\\bprintf\\s*\\(|\\bregexp_split_to_array\\s*\\(|" +
       "\\bepoch(_ms|_us)?\\s*\\(|\\bsha256\\s*\\(|\\bends_with\\s*\\(|" +
-      "\\bto_hex\\s*\\(|\\b[lr]?trim\\s*\\().*").r
+      "\\bto_hex\\s*\\(|\\b[lr]?trim\\s*\\(|\\bskewness\\s*\\(|" +
+      "\\bkurtosis\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2072,6 +2073,31 @@ object LakeSql {
       case Seq(x) => Some(s"sha2($x, 256)")
       case args => throw new IllegalArgumentException(
         s"sha256 takes one argument, got: ${args.mkString(", ")}")
+    }
+    // skewness/kurtosis: DuckDB computes the SAMPLE-corrected
+    // statistics (adjusted Fisher–Pearson G1 / sample excess G2) while
+    // Spark's same-named aggregates are the POPULATION g1/g2 — pinned:
+    // skew {1,2,2,3,9} DuckDB 1.9694 vs Spark 1.3211; the correction
+    // identities G1 = g1·√(n(n−1))/(n−2) and
+    // G2 = (n−1)/((n−2)(n−3))·((n+1)·g2 + 6) reproduce DuckDB exactly
+    // (both pinned cases bit-equal), with NULL below the minimum n
+    // (DuckDB: skewness n<3, kurtosis n<4 — the CASE guard also keeps
+    // ANSI Spark off the zero divisor). COUNT($x) rides the same
+    // aggregate/window context. /*graft*/ tags stop re-entry.
+    loop("skewness") {
+      case Seq(x) => Some(
+        s"(CASE WHEN count($x) < 3 THEN NULL ELSE " +
+          s"skewness/*graft*/($x) * sqrt(CAST(count($x) AS DOUBLE) * " +
+          s"(count($x) - 1)) / (count($x) - 2) END)")
+      case _ => None
+    }
+    loop("kurtosis") {
+      case Seq(x) => Some(
+        s"(CASE WHEN count($x) < 4 THEN NULL ELSE " +
+          s"(CAST(count($x) AS DOUBLE) - 1) / ((count($x) - 2) * " +
+          s"(count($x) - 3)) * ((count($x) + 1) * " +
+          s"kurtosis/*graft*/($x) + 6) END)")
+      case _ => None
     }
     // 2-arg trims: DuckDB (string, chars) → Spark (trimStr, string) —
     // the SAME call shape with swapped argument meaning. The swapped

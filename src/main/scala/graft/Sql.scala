@@ -549,9 +549,10 @@ object Sql {
       // accept — counts, exact-decimal sum/avg, extremes, boolean and
       // bitwise aggregates, argument extremes (over a UNIQUE decimal
       // ordering value — ties would be engine-arbitrary), moments
-      // rounded on identical inputs, exact median. Engine-specific
-      // definitions (skewness/kurtosis bias correction) are excluded
-      // by construction.
+      // rounded on identical inputs, exact median. skewness/kurtosis
+      // were excluded here for their bias-correction divergence —
+      // round 13 closed it with the exact correction identities, and
+      // x108 carries them under its hash.
       // The distinct count lives in its own aggregate joined back on
       // the group key (the x100 lesson): co-located with the median's
       // object buffer it would ride the Expand through the sort-based
@@ -2918,7 +2919,9 @@ object Sql {
              ' 12345')) AS tr_min,
            COUNT(*) FILTER (WHERE ends_with(o_orderpriority, 'T'))
              AS ew_n,
-           MIN(to_hex(CAST(o_orderkey % 300 AS BIGINT))) AS hex_min
+           MIN(to_hex(CAST(o_orderkey % 300 AS BIGINT))) AS hex_min,
+           ROUND(skewness(CAST(o_totalprice AS DOUBLE)), 4) AS skew_c,
+           ROUND(kurtosis(CAST(o_totalprice AS DOUBLE)), 4) AS kurt_c
     FROM orders WHERE o_orderkey <= 4000
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 

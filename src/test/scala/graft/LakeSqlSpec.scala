@@ -1807,6 +1807,20 @@ class LakeSqlSpec extends SparkSpec {
     assert(h.getString(3) == "abcxx" && h.getString(4) == "xxabc")
     assert(h.getString(5) == "abc" && h.getString(6) == "pad")
     assert(h.getString(7) == "a|b")
+    // skewness/kurtosis: DuckDB's SAMPLE-corrected G1/G2 (pinned:
+    // skew {1,2,2,3,9} = 1.9694 vs Spark's population 1.3211; kurt
+    // {1,2,2,3,9} = 4.0692) — the correction identities reproduce
+    // them; below minimum n both are NULL (DuckDB's rule, and the
+    // guard keeps ANSI Spark off the zero divisor)
+    val mo = LakeSql.sql(spark, """
+      SELECT ROUND(skewness(v), 4) AS sk, ROUND(kurtosis(v), 4) AS ku,
+             skewness(CASE WHEN v < 2 THEN v END) AS sk_n1,
+             kurtosis(CASE WHEN v <= 2.5 THEN v END) AS ku_n3
+      FROM (SELECT unnest(list_value(CAST(1 AS DOUBLE), 2, 2, 3, 9))
+              AS v FROM nation WHERE n_nationkey = 0)""").collect().head
+    assert(mo.getDouble(0) == 1.9694 && mo.getDouble(1) == 4.0692,
+      (mo.getDouble(0), mo.getDouble(1)))
+    assert(mo.isNullAt(2) && mo.isNullAt(3))
     // // refuses loudly (DuckDB divides integrally only for integer
     // operands — 7.0 // 2 = 3.5, pinned — so DIV is not a safe map)
     val ex = intercept[IllegalArgumentException] {
