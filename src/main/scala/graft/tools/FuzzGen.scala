@@ -136,9 +136,15 @@ object FuzzGen {
 
   private def aggExpr(r: Random, cols: Seq[Col]): String =
     r.nextInt(7) match {
-      case 6 =>
-        s"CAST(round(quantile_cont(CAST(${iCol(r, cols)} AS DOUBLE), " +
-          s"0.${25 * (1 + r.nextInt(3))}) * 100) AS BIGINT)"
+      case 6 => r.nextInt(3) match {
+        case 0 =>
+          s"CAST(round(quantile_cont(CAST(${iCol(r, cols)} AS DOUBLE), " +
+            s"0.${25 * (1 + r.nextInt(3))}) * 100) AS BIGINT)"
+        case 1 => // sample-corrected moments (the probe-5 pin zone)
+          s"ROUND(skewness(CAST(${iCol(r, cols)} % 37 AS DOUBLE)), 4)"
+        case 2 =>
+          s"ROUND(kurtosis(CAST(${iCol(r, cols)} % 23 AS DOUBLE)), 4)"
+      }
       case 0 => s"CAST(SUM(${intExpr(r, cols)}) AS BIGINT)"
       case 1 => s"CAST(MAX(${intExpr(r, cols)}) AS BIGINT)"
       case 2 => s"CAST(MIN(${intExpr(r, cols)}) AS BIGINT)"
