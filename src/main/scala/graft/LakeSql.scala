@@ -378,7 +378,7 @@ object LakeSql {
     */
   private def expandAttachedView(s: SparkSession, alias: String,
       name: String, text: String): DataFrame = {
-    val plan = s.sessionState.sqlParser.parsePlan(text)
+    val plan = s.sessionState.sqlParser.parsePlan(normLit(text))
     val bound = bindRelationsDeep(plan, {
       case r if r.multipartIdentifier.length == 2 &&
           attached(s).contains(r.multipartIdentifier.head) =>
@@ -684,7 +684,8 @@ object LakeSql {
       text: String): Unit = {
     // Parse-at-PREPARE (the fail-early contract) on the same rewritten
     // form EXECUTE runs; `?` markers parse natively.
-    val plan = s.sessionState.sqlParser.parsePlan(rewriteOrdinals(text))
+    val plan = s.sessionState.sqlParser.parsePlan(
+      normLit(rewriteOrdinals(text)))
     require(!plan.isInstanceOf[DeleteFromTable] &&
       !plan.isInstanceOf[UpdateTable] &&
       !plan.isInstanceOf[InsertIntoStatement] &&
@@ -707,7 +708,7 @@ object LakeSql {
     // table-free SELECT keeps typing rules identical to any literal in
     // a query (DATE '…', casts, arithmetic all work).
     val vals: Seq[Any] = argExprs.map { a =>
-      val r = s.sql(s"SELECT $a").collect()
+      val r = s.sql(normLit(s"SELECT $a")).collect()
       require(r.length == 1, s"EXECUTE argument is not scalar: $a")
       r.head.get(0)
     }
@@ -723,7 +724,7 @@ object LakeSql {
     // Cataloged lake tables the text references bind as temp views
     // before the parameterized parse (the x52 resolution rule).
     collectRelationsDeep(
-      s.sessionState.sqlParser.parsePlan(rewriteOrdinals(text)))
+      s.sessionState.sqlParser.parsePlan(normLit(rewriteOrdinals(text))))
       .map(_.multipartIdentifier.last).distinct.foreach { n =>
         catalog(s).get(n).foreach(_ =>
           table(s, n).createOrReplaceTempView(n))
@@ -732,13 +733,13 @@ object LakeSql {
       require(ordinals.min >= 1 && ordinals.max <= vals.length,
         s"ordinal $$${ordinals.max} out of range for ${vals.length} " +
           "argument(s) ($n is 1-based)")
-      s.sql(rewriteOrdinals(text), vals.zipWithIndex
+      s.sql(normLit(rewriteOrdinals(text)), vals.zipWithIndex
         .map { case (v, k) => s"__pos_${k + 1}" -> v }.toMap)
     } else {
       val n = scan.count(_ == '?')
       require(n == vals.length,
         s"statement has $n ? marker(s) but ${vals.length} argument(s)")
-      s.sql(text, vals.toArray)
+      s.sql(normLit(text), vals.toArray)
     }
   }
 
@@ -952,10 +953,16 @@ object LakeSql {
           if (recursive) {
             // one flatten level handled; a 3-plus-level list still has
             // a LIST element type at the generator — refuse instead of
-            // silently emitting list rows where DuckDB fully flattens
+            // silently emitting list rows where DuckDB fully flattens.
+            // Scoped to the REWRITE'S OWN Generate (the one whose
+            // generator explodes a flatten()) — a separate, legitimate
+            // array-of-array explode elsewhere in the same statement
+            // must not trip the guard.
             val stillNested = df.queryExecution.analyzed.collect {
               case g: org.apache.spark.sql.catalyst.plans.logical
-                  .Generate =>
+                  .Generate if g.generator.exists(
+                    _.isInstanceOf[org.apache.spark.sql.catalyst
+                      .expressions.Flatten]) =>
                 g.generatorOutput.exists(_.dataType
                   .isInstanceOf[org.apache.spark.sql.types.ArrayType])
             }.exists(identity)
@@ -969,6 +976,28 @@ object LakeSql {
         // a keyword can match text the rewrite leaves alone, which must
         // fall through, not re-enter forever. Each extractor computes
         // its rewrite ONCE (guard and recursion share the result).
+        case ListLitRewrite(r) =>
+          val df = sql(s, r)
+          // the 1-based subscript rewrite cannot see types: a MAP
+          // subscript diverges (DuckDB map[k] returns a LIST, [] on
+          // miss — not element_at's scalar), so the rewrite's own
+          // try_element_at(…, nullif(…, 0)) shape over a MapType child
+          // refuses after analysis instead of silently mismatching
+          val mapSub = df.queryExecution.analyzed.exists(
+            p => p.expressions.exists(_.exists {
+              case t: org.apache.spark.sql.catalyst.expressions
+                  .TryElementAt =>
+                t.left.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.MapType] &&
+                  t.right.isInstanceOf[org.apache.spark.sql.catalyst
+                    .expressions.NullIf]
+              case _ => false
+            }))
+          require(!mapSub,
+            "subscript on a MAP diverges (DuckDB map[key] returns a " +
+              "LIST, [] on miss) — spell map_extract()/element_at() " +
+              "explicitly")
+          df
         case ListFnRewrite(r) => sql(s, r)
         case MapFnRewrite(r) => sql(s, r)
         case JsonFnRewrite(r) => sql(s, r)
@@ -1008,6 +1037,8 @@ object LakeSql {
       if (!keyword.matches(st)) None
       else { val r = rewrite(st); if (r != st) Some(r) else None }
   }
+  private lazy val ListLitRewrite =
+    new Rewritten(ListLiteralKeyword, rewriteListLiterals)
   private lazy val ListFnRewrite = new Rewritten(ListFnKeyword, rewriteListFns)
   private lazy val MapFnRewrite = new Rewritten(MapFnKeyword, rewriteMapFns)
   private lazy val JsonFnRewrite = new Rewritten(JsonFnKeyword, rewriteJsonFns)
@@ -1027,6 +1058,23 @@ object LakeSql {
   private def outsideLiterals(st: String)(f: String => String): String =
     st.split("'", -1).zipWithIndex.map { case (seg, i) =>
       if (i % 2 == 1) seg else f(seg)
+    }.mkString("'")
+
+  /** Literal-dialect normalization, applied at EVERY Spark-parser
+    * boundary (parsePlan / s.sql on user-derived text): the shared
+    * dialect keeps backslashes in string literals RAW ('\d+' is four
+    * characters in DuckDB) while Spark's default parser folds them as
+    * escapes ('\d' → 'd' — every backslash-carrying regex was silently
+    * a DIFFERENT pattern per engine). Doubling each backslash inside
+    * single-quoted segments makes Spark's fold reproduce the raw text,
+    * and also restores the quote boundary for a trailing backslash
+    * ('a\' would otherwise swallow the closing quote as \'). Quote
+    * doubling ('') is shared by both engines and passes through. All
+    * text-level rewrites run BEFORE this, on the raw dialect.
+    */
+  private[graft] def normLit(text: String): String =
+    text.split("'", -1).zipWithIndex.map { case (seg, i) =>
+      if (i % 2 == 1) seg.replace("\\", "\\\\") else seg
     }.mkString("'")
 
   // ---- QUALIFY at the text entry -----------------------------------
@@ -1418,7 +1466,7 @@ object LakeSql {
   private val ListFnKeyword =
     ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse|concat|" +
       "contains|slice|distinct|unique|position|indexof|sum|has_any|" +
-      "has_all|aggregate)\\s*\\(|" +
+      "has_all|aggregate|extract|element)\\s*\\(|" +
       "\\barray_to_string\\s*\\(|\\blen\\s*\\(|\\barray_length\\s*\\(|" +
       "[A-Za-z_0-9]\\s*\\[\\s*\\d+\\s*:\\s*\\d+\\s*\\]).*").r
 
@@ -1575,6 +1623,23 @@ object LakeSql {
         s"ELSE array_join(${args(0)}, ${args(1)}) END)" + rest
       hit = atsHit(st)
     }
+    // list_extract / list_element: DuckDB's 1-based element access
+    // (the function form of l[i]) — same try_element_at + nullif(0)
+    // pin as the subscript rewrite (l[0] = NULL, negative = from-end,
+    // out-of-range = NULL on both engines).
+    for (name <- Seq("list_extract", "list_element")) {
+      hit = ("(?i)\\b" + name + "\\s*\\(").r.findFirstMatchIn(st)
+      while (hit.isDefined) {
+        val m = hit.get
+        val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+        val args = splitTopCommasQuoted(inner)
+        require(args.length == 2,
+          s"$name takes (list, index), got: $inner")
+        st = st.substring(0, m.start) +
+          s"try_element_at(${args(0)}, nullif((${args(1)}), 0))" + rest
+        hit = ("(?i)\\b" + name + "\\s*\\(").r.findFirstMatchIn(st)
+      }
+    }
     // list_unique: the COUNT of distinct non-NULL elements.
     hit = "(?i)\\blist_unique\\s*\\(".r.findFirstMatchIn(st)
     while (hit.isDefined) {
@@ -1628,6 +1693,189 @@ object LakeSql {
         // length(), which both engines share)
         .replaceAll("(?i)\\blen\\s*\\(", "size(")
         .replaceAll("(?i)\\barray_length\\s*\\(", "array_size("))
+  }
+
+  // ---- list literals, comprehensions, and 1-based subscripts -------
+  // DuckDB's `[a, b, c]` literal is Spark's array(a, b, c); the
+  // comprehension `[expr FOR x IN l]` / `[… IF pred]` is textual sugar
+  // over the SAME higher-order functions x91 maps — transform(l,
+  // x -> expr) and transform(filter(l, x -> pred), x -> expr) — so the
+  // whole pipeline stays codegen'd array expressions on the scan (no
+  // UDF, no shuffle, zero exchanges added). Nested comprehensions
+  // compose by recursion (pinned: [[y*2 FOR y IN x] FOR x IN ll] =
+  // transform(ll, x -> transform(x, y -> y*2)), DuckDB [[2,4],[6]]).
+  // Subscripts: DuckDB's l[i] is 1-BASED with l[0] = NULL, l[-1] =
+  // last, out-of-range = NULL — Spark's bare l[i] is 0-based (the
+  // nastiest silent-divergence shape there is), so ident[expr]
+  // rewrites to try_element_at(l, nullif(i, 0)) (pinned equal on all
+  // four edges). A STRING-literal subscript refuses: DuckDB's
+  // map['key'] returns a LIST ([] on miss) and struct['field'] is
+  // field access — neither matches element_at, so the ambiguity is
+  // loud. Chained subscripts after ')'/']' likewise refuse rather
+  // than fall through to Spark's 0-based parse.
+  private val ListLiteralKeyword = "(?is).*\\[.*".r
+  private val CompKeywords = Set("IN", "AND", "OR", "NOT", "THEN",
+    "ELSE", "WHEN", "CASE", "SELECT", "WHERE", "HAVING", "BY", "AS",
+    "IF", "ALL", "ANY", "SOME", "BETWEEN", "LIKE", "ILIKE", "IS",
+    "VALUES", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+    "DISTINCT", "ON", "SET", "RETURNING", "FROM", "JOIN", "USING")
+
+  /** Index of the matching `]` for the `[` at `open` (quote- and
+    * nesting-aware).
+    */
+  private def matchBracket(text: String, open: Int): Int = {
+    var i = open; var depth = 0; var inS = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced brackets in: ${text.substring(open)}")
+  }
+
+  /** First depth-0 (parens AND brackets), word-bounded, outside-quotes
+    * occurrence of word `kw` in `text` from `from`, or -1.
+    */
+  private def topLevelWord(text: String, kw: String, from: Int = 0): Int = {
+    var i = from; var dp = 0; var db = 0; var inS = false
+    val up = text.toUpperCase
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => dp += 1
+        case ')' => dp -= 1
+        case '[' => db += 1
+        case ']' => db -= 1
+        case _ =>
+          if (dp == 0 && db == 0 && up.startsWith(kw, i) &&
+              (i == 0 || !isIdentChar(text.charAt(i - 1))) &&
+              (i + kw.length >= text.length ||
+                !isIdentChar(text.charAt(i + kw.length)))) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private[graft] def rewriteListLiterals(statement: String): String = {
+    // phase 1: literal / comprehension brackets (recursive descent)
+    def comprehendOrArray(inner0: String): String = {
+      val inner = process(inner0)
+      val forIdx = topLevelWord(inner, "FOR")
+      if (forIdx < 0) return s"array(${inner.trim})"
+      require(topLevelWord(inner, "FOR", forIdx + 3) < 0,
+        "list comprehension: one FOR per bracket " +
+          s"(nest brackets for multiple): $inner")
+      val expr = inner.substring(0, forIdx).trim
+      val VarIn = "(?is)^\\s*([A-Za-z_]\\w*)\\s+IN\\b".r
+      val tail = inner.substring(forIdx + 3)
+      val vm = VarIn.findFirstMatchIn(tail).getOrElse(
+        throw new IllegalArgumentException(
+          s"list comprehension: expected `FOR <var> IN <list>`: $inner"))
+      val v = vm.group(1)
+      val rest = tail.substring(vm.end)
+      val ifIdx = topLevelWord(rest, "IF")
+      if (ifIdx < 0) s"transform(${rest.trim}, $v -> $expr)"
+      else {
+        val lst = rest.substring(0, ifIdx).trim
+        val pred = rest.substring(ifIdx + 2).trim
+        require(pred.nonEmpty, s"list comprehension: empty IF: $inner")
+        s"transform(filter($lst, $v -> $pred), $v -> $expr)"
+      }
+    }
+    def process(text: String): String = {
+      val out = new StringBuilder
+      var i = 0; var inS = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (inS) { out.append(c); if (c == '\'') inS = false; i += 1 }
+        else c match {
+          case '\'' => inS = true; out.append(c); i += 1
+          case '[' =>
+            // subscript position = the bracket follows a primary
+            // (identifier not a keyword, ')', ']', or a string) —
+            // those stay for phase 2 / the slice rewrite / the loud
+            // chained-subscript guard
+            val trimmed = out.reverseIterator.dropWhile(_.isWhitespace)
+            val prev = if (trimmed.hasNext) Some(trimmed.next()) else None
+            val word = out.toString.reverseIterator
+              .dropWhile(_.isWhitespace).takeWhile(isIdentChar)
+              .toSeq.reverse.mkString
+            val subscript = prev.exists(p =>
+              isIdentChar(p) || p == ')' || p == ']' || p == '\'') &&
+              !(word.nonEmpty && CompKeywords(word.toUpperCase))
+            if (subscript) { out.append(c); i += 1 }
+            else {
+              val close = matchBracket(text, i)
+              var emitted = comprehendOrArray(text.substring(i + 1, close))
+              i = close + 1
+              // subscripts chained directly onto the literal —
+              // [10,20,30][-1] is pinned DuckDB (1-based, from-end);
+              // each wraps in the same try_element_at + nullif form
+              var more = true
+              while (more) {
+                var j = i
+                while (j < text.length && text.charAt(j).isWhitespace) j += 1
+                if (j < text.length && text.charAt(j) == '[') {
+                  val c2 = matchBracket(text, j)
+                  val idx = process(text.substring(j + 1, c2)).trim
+                  require(topLevelWord(idx, "FOR") < 0 &&
+                    !idx.contains(":"),
+                    s"slicing a list literal is not supported: [$idx]")
+                  emitted =
+                    s"try_element_at($emitted, nullif(($idx), 0))"
+                  i = c2 + 1
+                } else more = false
+              }
+              out.append(emitted)
+            }
+          case _ => out.append(c); i += 1
+        }
+      }
+      out.toString
+    }
+    var st = process(statement)
+    // phase 2: identifier subscripts (non-slice — `:` excluded; empty
+    // `[]` type suffixes excluded). Iterate to a fixpoint for nesting
+    // like l[a[1]] (the inner match rewrites first).
+    val SubRe = ("((?:[A-Za-z_]\\w*\\.)?[A-Za-z_]\\w*)\\s*\\[" +
+      "\\s*([^\\[\\]:]+?)\\s*\\]").r
+    var changed = true
+    while (changed) {
+      val next = outsideLiterals(st)(seg =>
+        SubRe.replaceAllIn(seg, m => {
+          val idx = m.group(2).trim
+          require(!"(?s)^'.*'$".r.matches(idx),
+            s"string-keyed subscript ${m.group(1)}[$idx] is ambiguous " +
+              "(DuckDB map['key'] returns a LIST, struct['field'] is " +
+              "field access) — spell element_at()/map_extract() or " +
+              "struct.field explicitly")
+          java.util.regex.Matcher.quoteReplacement(
+            s"try_element_at(${m.group(1)}, nullif(($idx), 0))")
+        }))
+      changed = next != st
+      st = next
+    }
+    // phase 3: a bracket still following ')' or ']' would parse as
+    // Spark's 0-BASED subscript — silently off by one — so it refuses
+    outsideLiterals(st) { seg =>
+      val m = "[)\\]]\\s*\\[".r.findFirstIn(seg)
+      require(m.isEmpty,
+        "subscript on a parenthesized/array expression is not " +
+          s"supported (Spark's bare [] is 0-based) — bind the " +
+          s"expression to a column first or use element_at(): …${m.get}…")
+      seg
+    }
+    st
   }
 
   // ---- date_diff / date_part pins --------------------------------------
@@ -1818,7 +2066,13 @@ object LakeSql {
         case '-' if depth == 0 && text.charAt(i + 1) == '>' &&
             (i + 2 >= text.length || text.charAt(i + 2) != '>') =>
           at = i; n += 1; i += 1
-        case '-' if text.charAt(i + 1) == '>' => i += 2 // ->> skips
+        case '-' if text.charAt(i + 1) == '>' =>
+          // skip exactly the token (the loop adds one more): '->>' is
+          // 3 chars (i += 2), a depth>0 lambda '->' is 2 (i += 1) — a
+          // 3-char skip there would swallow the char right after the
+          // arrow (e.g. `x ->(…)`'s paren) and corrupt depth tracking
+          if (i + 2 < text.length && text.charAt(i + 2) == '>') i += 2
+          else i += 1
         case _ =>
       }
       i += 1
@@ -1999,7 +2253,7 @@ object LakeSql {
       "\\bprintf\\s*\\(|\\bregexp_split_to_array\\s*\\(|" +
       "\\bepoch(_ms|_us)?\\s*\\(|\\bsha256\\s*\\(|\\bends_with\\s*\\(|" +
       "\\bto_hex\\s*\\(|\\b[lr]?trim\\s*\\(|\\bskewness\\s*\\(|" +
-      "\\bkurtosis\\s*\\().*").r
+      "\\bkurtosis\\s*\\(|\\bquantile_disc\\s*\\(|\\bformat\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2010,22 +2264,55 @@ object LakeSql {
       "// (integer division) is not supported: DuckDB's // divides " +
         "integrally only for INTEGER operands (7.0 // 2 = 3.5) — " +
         "spell `a DIV b` for integer division or `/` for division")
-    def loop(name: String)(fix: Seq[String] => Option[String]): Unit = {
+    // literal-aware find (same quote-parity guard as atsHit): a
+    // collision-prone token inside a quoted data value like
+    // 'trim(a, b)' must survive untouched — an odd number of quotes
+    // before the match start means the match sits inside a literal.
+    // loopOver additionally captures a trailing OVER clause (paren
+    // form or named window) so window-context rewrites can attach it
+    // to every aggregate they emit.
+    def loopOver(name: String)(
+        fix: (Seq[String], String) => Option[String]): Unit = {
       val re = ("(?i)\\b" + name + "\\s*\\(").r
       var from = 0
       var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
         (m.start + from, m.end + from))
       while (hit.isDefined) {
         val (s0, e0) = hit.get
-        val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
-        val out = fix(splitTopCommasQuoted(inner))
-          .getOrElse(st.substring(s0, e0) + inner + ")")
-        st = st.substring(0, s0) + out + rest
-        from = s0 + out.length
+        if (st.substring(0, s0).count(_ == '\'') % 2 == 1) {
+          from = e0 // inside a string literal — leave untouched
+        } else {
+          val (inner, rest0) = takeParenGroup(st.substring(e0 - 1))
+          // trailing OVER: `OVER (…)` (consume the balanced group) or
+          // `OVER name` (a WINDOW-clause reference, kept by name)
+          val OverParen = "(?is)^\\s*OVER\\s*\\(".r
+          val OverName = "(?is)^\\s*OVER\\s+([A-Za-z_]\\w*)".r
+          val (ov, rest) = OverParen.findFirstMatchIn(rest0) match {
+            case Some(om) =>
+              val (oin, orest) = takeParenGroup(rest0.substring(om.end - 1))
+              (s" OVER ($oin)", orest)
+            case None => OverName.findFirstMatchIn(rest0) match {
+              case Some(om) =>
+                (s" OVER ${om.group(1)}", rest0.substring(om.end))
+              case None => ("", rest0)
+            }
+          }
+          fix(splitTopCommasQuoted(inner), ov) match {
+            case Some(out) =>
+              st = st.substring(0, s0) + out + rest
+              from = s0 + out.length
+            case None => // keep verbatim, OVER clause included
+              from = s0 + (st.substring(s0, e0) + inner + ")").length
+          }
+        }
         hit = re.findFirstMatchIn(st.substring(from)).map(m =>
           (m.start + from, m.end + from))
       }
     }
+    def loop(name: String)(fix: Seq[String] => Option[String]): Unit =
+      // scalar rewrites never own a window — any captured OVER text is
+      // re-emitted verbatim after the rewritten call
+      loopOver(name)((args, ov) => fix(args).map(_ + ov))
     loop("log") {
       case Seq(x) => Some(s"log10($x)")
       case _ => None // 2-arg log(base, x) agrees on both engines
@@ -2082,22 +2369,90 @@ object LakeSql {
     // G2 = (n−1)/((n−2)(n−3))·((n+1)·g2 + 6) reproduce DuckDB exactly
     // (both pinned cases bit-equal), with NULL below the minimum n
     // (DuckDB: skewness n<3, kurtosis n<4 — the CASE guard also keeps
-    // ANSI Spark off the zero divisor). COUNT($x) rides the same
-    // aggregate/window context. /*graft*/ tags stop re-entry.
-    loop("skewness") {
-      case Seq(x) => Some(
-        s"(CASE WHEN count($x) < 3 THEN NULL ELSE " +
-          s"skewness/*graft*/($x) * sqrt(CAST(count($x) AS DOUBLE) * " +
-          s"(count($x) - 1)) / (count($x) - 2) END)")
+    // ANSI Spark off the zero divisor). A windowed call rewrites the
+    // same way — the identity is per-frame, so the captured OVER
+    // clause attaches to EVERY inner aggregate (the whole CASE cannot
+    // carry the window) and count rides the same frame as the moment.
+    // /*graft*/ tags stop re-entry.
+    loopOver("skewness") {
+      case (Seq(x), ov) => Some(
+        s"(CASE WHEN count($x)$ov < 3 THEN NULL ELSE " +
+          s"skewness/*graft*/($x)$ov * sqrt(CAST(count($x)$ov AS DOUBLE) " +
+          s"* (count($x)$ov - 1)) / (count($x)$ov - 2) END)")
       case _ => None
     }
-    loop("kurtosis") {
-      case Seq(x) => Some(
-        s"(CASE WHEN count($x) < 4 THEN NULL ELSE " +
-          s"(CAST(count($x) AS DOUBLE) - 1) / ((count($x) - 2) * " +
-          s"(count($x) - 3)) * ((count($x) + 1) * " +
-          s"kurtosis/*graft*/($x) + 6) END)")
+    loopOver("kurtosis") {
+      case (Seq(x), ov) => Some(
+        s"(CASE WHEN count($x)$ov < 4 THEN NULL ELSE " +
+          s"(CAST(count($x)$ov AS DOUBLE) - 1) / ((count($x)$ov - 2) * " +
+          s"(count($x)$ov - 3)) * ((count($x)$ov + 1) * " +
+          s"kurtosis/*graft*/($x)$ov + 6) END)")
       case _ => None
+    }
+    // quantile_disc(x, p): DuckDB's DISCRETE quantile returns the
+    // element at rank max(1, ceil(p·n)) — pinned on seven cases incl.
+    // duplicates, even n, and fractional p ({1,2} p=0.5 → 1, n=7
+    // p=0.5 → the 4th). Spark's percentile_approx at high accuracy
+    // selects the SAME rank (all pins bit-equal); accuracy 1e6 keeps
+    // it exact below a million rows per group while staying a BOUNDED
+    // sketch above — at 100 TB the group summary compresses instead
+    // of buffering every value (DuckDB's own quantile_disc holds the
+    // full sorted list). The list-percentile form rides the same call
+    // (percentile_approx takes an array of percentages).
+    loop("quantile_disc") {
+      case Seq(x, p) => Some(s"percentile_approx($x, $p, 1000000)")
+      case args => throw new IllegalArgumentException(
+        s"quantile_disc takes (value, percentage[s]), got: " +
+          args.mkString(", "))
+    }
+    // format(fmt, args…): DuckDB's fmt-style brace template. The bare
+    // `{}` placeholder is format_string's %s (same rendering on every
+    // pinned type: BIGINT, DOUBLE '2.0'/'1.5', DECIMAL, DATE, BOOLEAN
+    // — both engines print the bare value); `{{`/`}}` are literal
+    // braces; a literal % must escape to %% (format_string treats it
+    // as a directive where fmt does not). Positional `{0}`, named
+    // `{name}` and spec-carrying `{:d}` forms REFUSE loudly — their
+    // numeric/padding renderings diverge per type. NULL-in → NULL-out
+    // is pinned (DuckDB nulls the WHOLE result when ANY argument is
+    // NULL; Spark format_string prints 'null'), so the rewrite guards
+    // with a CASE over every argument.
+    loop("format") {
+      case Seq() | Seq(_) => throw new IllegalArgumentException(
+        "format takes (template, arg, …) with at least one argument")
+      case fmt +: rest =>
+        val LitRe = "(?s)^'(.*)'$".r
+        val tpl = fmt.trim match {
+          case LitRe(t) => t
+          case other => throw new IllegalArgumentException(
+            s"format: the template must be a string literal, got: $other")
+        }
+        // tokenize: {{ }} escapes first, then bare {} holes; any other
+        // brace use refuses
+        val sb = new StringBuilder
+        var i = 0
+        var holes = 0
+        while (i < tpl.length) {
+          if (tpl.startsWith("{{", i)) { sb.append('{'); i += 2 }
+          else if (tpl.startsWith("}}", i)) { sb.append('}'); i += 2 }
+          else if (tpl.startsWith("{}", i)) { sb.append("%s"); i += 2
+            holes += 1 }
+          else tpl.charAt(i) match {
+            case '{' | '}' => throw new IllegalArgumentException(
+              "format: only bare {} placeholders are supported " +
+                "(positional {n}, named {name} and spec {:…} forms " +
+                s"diverge between engines): '$tpl'")
+            case '%' => sb.append("%%"); i += 1
+            case c => sb.append(c); i += 1
+          }
+        }
+        require(holes == rest.length,
+          s"format: template has $holes placeholder(s) but " +
+            s"${rest.length} argument(s) were passed: '$tpl'")
+        val nullGuard = rest.map(a => s"($a) IS NULL").mkString(" OR ")
+        // tpl is the literal's INNER text — doubled-quote escapes are
+        // still doubled and pass through the tokenizer verbatim
+        Some(s"(CASE WHEN $nullGuard THEN NULL ELSE " +
+          s"format_string('${sb.toString}', ${rest.mkString(", ")}) END)")
     }
     // 2-arg trims: DuckDB (string, chars) → Spark (trimStr, string) —
     // the SAME call shape with swapped argument meaning. The swapped
@@ -2145,8 +2500,11 @@ object LakeSql {
         throw new IllegalArgumentException(
           "string_split: the separator must be a string literal " +
             "(it is regex-quoted at rewrite time)")).group(1)
+      // ONE backslash per metachar: the session parses literals RAW
+      // (escapedStringLiterals=true), so '\.' reaches the regex engine
+      // as-is — a doubled '\\.' would be backslash-quote-dot
       val quoted = sepLit.flatMap {
-        case c if "\\^$.|?*+()[]{}".contains(c) => s"\\\\$c"
+        case c if "\\^$.|?*+()[]{}".contains(c) => s"\\$c"
         case '\'' => "''"
         case c => c.toString
       }
@@ -2225,7 +2583,24 @@ object LakeSql {
                 s"(got: $other); spell the 'g' flag for global " +
                 "replacement")
           }
-          require(!pat.contains("^") && !pat.contains("\\A") &&
+          // a ^ INSIDE a character class ([^0-9] negation, [a^] literal)
+          // is not an anchor — only a top-level (unescaped, outside
+          // [...]) caret defeats the injected prefix and refuses
+          def anchorCaret(p: String): Boolean = {
+            var i = 0; var inClass = false
+            while (i < p.length) {
+              p.charAt(i) match {
+                case '\\' => i += 1 // escaped char — \^ is a literal
+                case '[' if !inClass => inClass = true
+                case ']' if inClass => inClass = false
+                case '^' if !inClass => return true
+                case _ =>
+              }
+              i += 1
+            }
+            false
+          }
+          require(!anchorCaret(pat) && !pat.contains("\\A") &&
             !pat.contains("(?m"),
             "first-match regexp_replace: pattern anchors (^, \\A, (?m) " +
               s"would be defeated by the injected prefix: '$pat'")
@@ -2235,6 +2610,34 @@ object LakeSql {
           require(!rep.contains("$") && !rep.contains("\\"),
             "first-match regexp_replace: replacement must be free of " +
               s"$$/\\ metacharacters: '$rep'")
+          // the prefix back-reference stays NUMBERED ($1): Spark's
+          // regexp_replace does NOT resolve ${name} references (pinned:
+          // it substitutes empty — Java-only syntax). $1 before a
+          // digit-leading replacement is resolved GREEDILY-legal by
+          // Java ('$19' = group 19 only if it exists, else group 1 +
+          // literal '9'), so the shape is ambiguous ONLY when the
+          // pattern carries 10+ capture groups — counted class- and
+          // escape-aware, refused there, safe below
+          def countGroups(p: String): Int = {
+            var i = 0; var inClass = false; var n = 0
+            while (i < p.length) {
+              p.charAt(i) match {
+                case '\\' => i += 1
+                case '[' if !inClass => inClass = true
+                case ']' if inClass => inClass = false
+                case '(' if !inClass =>
+                  if (i + 1 >= p.length || p.charAt(i + 1) != '?') n += 1
+                case _ =>
+              }
+              i += 1
+            }
+            n
+          }
+          require(!(rep.headOption.exists(_.isDigit) &&
+              countGroups(pat) + 1 >= 10),
+            "first-match regexp_replace: a digit-leading replacement " +
+              "after a 10+-group pattern would absorb into the $1 " +
+              s"prefix reference: '$rep'")
           s"regexp_replace/*graft:1*/(${args(0)}, " +
             s"'(?s)^(.*?)(?:$pat)', '$$1$rep')"
         case other => throw new IllegalArgumentException(
@@ -2416,15 +2819,24 @@ object LakeSql {
     out.result()
   }
 
-  /** Consume a leading parenthesized group: returns (inner, rest). */
+  /** Consume a leading parenthesized group: returns (inner, rest).
+    * Quote-aware: parens inside single-quoted string literals do not
+    * count toward the balance (a literal like '%log(%' must not
+    * mis-close the group; SQL's doubled-quote escape flips the state
+    * twice, so parity stays correct).
+    */
   private def takeParenGroup(text: String): (String, String) = {
     val open = text.indexOf('(')
     require(open >= 0 && text.substring(0, open).isBlank,
       "expected a parenthesized list")
     var depth = 0
     var i = open
+    var inS = false
     while (i < text.length) {
-      text.charAt(i) match {
+      val c = text.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
         case '(' => depth += 1
         case ')' =>
           depth -= 1
@@ -3147,7 +3559,7 @@ object LakeSql {
       val v = "__ubn_" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(8)
       res.createOrReplaceTempView(v)
-      val out = s.sql(s"SELECT * FROM $v $orderClause")
+      val out = s.sql(normLit(s"SELECT * FROM $v $orderClause"))
       s.catalog.dropTempView(v) // plan resolved eagerly; safe to drop
       out
     }
@@ -3440,7 +3852,7 @@ object LakeSql {
         if (e.trim == "*") df.columns.toSeq.map(c => s"`$c`") else Seq(e))
       df.selectExpr(sels: _*)
     }
-    s.sessionState.sqlParser.parsePlan(dml) match {
+    s.sessionState.sqlParser.parsePlan(normLit(dml)) match {
       case DeleteFromTable(rel, cond) =>
         val (provider, path) = resolveTarget(rel)
         val pre = versionOf(provider, path)
@@ -3959,7 +4371,10 @@ object LakeSql {
     text
   }
 
-  private def sqlStatement(s: SparkSession, statement: String): DataFrame =
+  private def sqlStatement(s: SparkSession, statement0: String): DataFrame = {
+    // the LAST text-level stop before Spark's parser — literal dialect
+    // normalizes here (and in every sibling parse site)
+    val statement = normLit(statement0)
     s.sessionState.sqlParser.parsePlan(statement) match {
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
           partitioning, query, spec, _, ignoreIfExists, _)
@@ -4295,6 +4710,7 @@ object LakeSql {
           s.sql(statement)
         }
     }
+  }
 
   /** Resolve an ALTER TABLE target plan to (provider, path) through the
     * session catalog.
@@ -4362,7 +4778,7 @@ object LakeSql {
     def pathOf(rel: LogicalPlan): String = resolve(rel)._2
     def isIceberg(rel: LogicalPlan): Boolean =
       resolve(rel)._1 == "iceberglite"
-    s.sessionState.sqlParser.parsePlan(sql) match {
+    s.sessionState.sqlParser.parsePlan(normLit(sql)) match {
       case DeleteFromTable(rel, cond) =>
         val p = pathOf(rel)
         if (isIceberg(rel)) IcebergLite.deleteWhere(s, p, Glue.column(cond))

@@ -12,12 +12,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // the ENGINE session builder, not a bare one: specs must run under
+    // the product configuration (raw string literals, UTC, AQE,
+    // extensions) — a conf drift here tests a session no user gets
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4)
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
