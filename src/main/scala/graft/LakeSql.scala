@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.Glue
 
 import graft.sources.{DeltaLite, IcebergLite}
@@ -269,6 +269,117 @@ object LakeSql {
     """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*""".r
   private val CommitRe = """(?is)\s*COMMIT\s*;?\s*""".r
   private val RollbackRe = """(?is)\s*ROLLBACK\s*;?\s*""".r
+
+  // ---- SET / PRAGMA / RESET session options ------------------------
+  // The highest-frequency migration blocker: every real script opens
+  // with `SET threads=…` / `PRAGMA memory_limit=…` (the reference
+  // engine itself issues SET in safe mode, reference:duckdb:118-125).
+  // Three tiers, all pinned in the spec:
+  //   MAPPED — an equivalent Spark session conf exists and applies:
+  //     threads → spark.sql.shuffle.partitions (the parallelism
+  //     advisory; the prior value is remembered so RESET restores IT,
+  //     not Spark's global default), TimeZone → accepted only as UTC
+  //     (the engine session pins UTC — every epoch-grid date identity
+  //     depends on it, so a non-UTC SET refuses loudly instead of
+  //     silently skewing timestamps).
+  //   IGNORABLE — pure resource/UX knobs with no query semantics
+  //     (memory_limit, progress bars, object cache, insertion order,
+  //     checkpointing, temp dirs, profiling outputs): warn-and-ignore
+  //     no-ops behind the explicit spark.graft.sql.lenientSet flag,
+  //     loud refusals without it (a silent default would hide that
+  //     the knob did nothing).
+  //   EVERYTHING ELSE — refused loudly, including semantic options
+  //     (default_null_order, default_order, …) that MUST never be
+  //     ignored: they change answers.
+  // A dotted name (spark.sql.*) falls through to Spark's own SET.
+  private val SetOptionRe =
+    ("(?is)^\\s*SET\\s+(?:(SESSION|GLOBAL|LOCAL)\\s+)?([A-Za-z_]\\w*)" +
+      "\\s*(?:=|\\bTO\\b)\\s*(.+?)\\s*;?\\s*$").r
+  private val ResetOptionRe =
+    "(?is)^\\s*RESET\\s+([A-Za-z_]\\w*)\\s*;?\\s*$".r
+  private val PragmaRe =
+    "(?is)^\\s*PRAGMA\\s+([A-Za-z_]\\w*)\\s*(?:=\\s*(.+?))?\\s*;?\\s*$".r
+  private val PragmaCallRe =
+    "(?is)^\\s*PRAGMA\\s+([A-Za-z_]\\w*)\\s*\\(.*$".r
+
+  private val IgnorableOptions = Set(
+    "memory_limit", "max_memory", "enable_progress_bar",
+    "disable_progress_bar", "progress_bar_time", "enable_object_cache",
+    "preserve_insertion_order", "checkpoint_threshold",
+    "wal_autocheckpoint", "temp_directory", "max_temp_directory_size",
+    "enable_profiling", "profiling_output", "explain_output",
+    "worker_threads", "external_threads", "force_compression",
+    "force_bitpacking_mode", "autoinstall_known_extensions",
+    "autoload_known_extensions", "enable_http_metadata_cache")
+
+  // per-session prior values for mapped options, so RESET restores the
+  // session's own baseline rather than Spark's global default
+  private val priorConf = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]())
+  private def priors(s: SparkSession) = priorConf.synchronized {
+    var m = priorConf.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, String]
+      priorConf.put(s, m)
+    }
+    m
+  }
+
+  private def lenientSet(s: SparkSession): Boolean =
+    s.conf.get("spark.graft.sql.lenientSet", "false").toBoolean
+
+  private def runSetOption(s: SparkSession, scope: String, name0: String,
+      value0: String): Unit = {
+    val name = name0.toLowerCase
+    require(scope == null || !scope.equalsIgnoreCase("LOCAL"),
+      "SET LOCAL (transaction-scoped options) is not supported — " +
+        "use plain SET")
+    val value = value0.trim.stripPrefix("'").stripSuffix("'")
+    name match {
+      case "threads" =>
+        val n = try value.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"SET threads expects an integer, got: $value0") }
+        require(n >= 1, s"SET threads expects a positive integer, got $n")
+        priors(s).getOrElseUpdate("spark.sql.shuffle.partitions",
+          s.conf.get("spark.sql.shuffle.partitions"))
+        s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      case "timezone" =>
+        require(value.equalsIgnoreCase("UTC"),
+          s"SET TimeZone='$value' is not supported: the engine session " +
+            "pins UTC (the epoch-grid date/timestamp identities depend " +
+            "on it)")
+      case _ if IgnorableOptions(name) =>
+        require(lenientSet(s),
+          s"option '$name' has no Spark equivalent — set " +
+            "spark.graft.sql.lenientSet=true to warn-and-ignore " +
+            "resource/UX options, or drop the statement")
+        System.err.println(
+          s"graft: ignoring SET $name=$value (no Spark equivalent; " +
+            "lenientSet is on)")
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized or semantic option '$name' — graft maps threads/" +
+          "TimeZone, warn-ignores resource knobs under " +
+          "spark.graft.sql.lenientSet, and refuses the rest (semantic " +
+          "options like default_null_order change answers)")
+    }
+  }
+
+  private def runResetOption(s: SparkSession, name0: String): Unit =
+    name0.toLowerCase match {
+      case "threads" =>
+        priors(s).remove("spark.sql.shuffle.partitions")
+          .foreach(s.conf.set("spark.sql.shuffle.partitions", _))
+      case "timezone" => () // pinned UTC — already the baseline
+      case n if IgnorableOptions(n) =>
+        require(lenientSet(s),
+          s"option '$n' has no Spark equivalent — set " +
+            "spark.graft.sql.lenientSet=true to warn-and-ignore it")
+        System.err.println(s"graft: ignoring RESET $n")
+      case n => throw new IllegalArgumentException(
+        s"unrecognized option '$n' in RESET")
+    }
 
   // ---- ATTACH / DETACH: multi-catalog ------------------------------
   // DuckDB's hallmark entry-path UX (`ATTACH 'other.db' AS x` — the
@@ -845,6 +956,33 @@ object LakeSql {
     case RollbackRe() =>
       runRollback(s)
       s.emptyDataFrame
+    // session options route BEFORE everything (scripts open with them);
+    // dotted names (spark.sql.*) fall through to Spark's own SET
+    case SetOptionRe(scope, name, value) =>
+      runSetOption(s, scope, name, value)
+      s.emptyDataFrame
+    case ResetOptionRe(name) =>
+      runResetOption(s, name)
+      s.emptyDataFrame
+    case PragmaRe(name, value) =>
+      if (value != null) runSetOption(s, null, name, value)
+      else {
+        val n = name.toLowerCase
+        require(IgnorableOptions(n),
+          s"PRAGMA $name is not supported (assignment pragmas map to " +
+            "SET; resource/UX pragmas warn-ignore under " +
+            "spark.graft.sql.lenientSet; the rest refuse)")
+        require(lenientSet(s),
+          s"PRAGMA $n has no Spark equivalent — set " +
+            "spark.graft.sql.lenientSet=true to warn-and-ignore it")
+        System.err.println(s"graft: ignoring PRAGMA $n (lenientSet on)")
+      }
+      s.emptyDataFrame
+    case PragmaCallRe(name) =>
+      throw new IllegalArgumentException(
+        s"call-form PRAGMA $name(...) is not supported — table pragmas " +
+          "(table_info, database_size, …) have first-class spellings: " +
+          "DESCRIBE <t>, SHOW TABLES, SUMMARIZE <t>")
     case AttachRe(dir, alias) =>
       requireNoTxn(s, "ATTACH")
       runAttach(s, dir.trim, alias)
@@ -1766,7 +1904,12 @@ object LakeSql {
     -1
   }
 
-  private[graft] def rewriteListLiterals(statement: String): String = {
+  private[graft] def rewriteListLiterals(statement0: String): String = {
+    // ARRAY[1, 2] is the SQL-standard spelling of the [1, 2] literal
+    // (same value in DuckDB) — fold the keyword away so phase 1 sees a
+    // plain literal bracket
+    val statement = outsideLiterals(statement0)(
+      _.replaceAll("(?i)\\bARRAY\\s*\\[", "["))
     // phase 1: literal / comprehension brackets (recursive descent)
     def comprehendOrArray(inner0: String): String = {
       val inner = process(inner0)
@@ -1843,28 +1986,68 @@ object LakeSql {
       }
       out.toString
     }
-    var st = process(statement)
-    // phase 2: identifier subscripts (non-slice — `:` excluded; empty
-    // `[]` type suffixes excluded). Iterate to a fixpoint for nesting
-    // like l[a[1]] (the inner match rewrites first).
-    val SubRe = ("((?:[A-Za-z_]\\w*\\.)?[A-Za-z_]\\w*)\\s*\\[" +
-      "\\s*([^\\[\\]:]+?)\\s*\\]").r
-    var changed = true
-    while (changed) {
-      val next = outsideLiterals(st)(seg =>
-        SubRe.replaceAllIn(seg, m => {
-          val idx = m.group(2).trim
-          require(!"(?s)^'.*'$".r.matches(idx),
-            s"string-keyed subscript ${m.group(1)}[$idx] is ambiguous " +
-              "(DuckDB map['key'] returns a LIST, struct['field'] is " +
-              "field access) — spell element_at()/map_extract() or " +
-              "struct.field explicitly")
-          java.util.regex.Matcher.quoteReplacement(
-            s"try_element_at(${m.group(1)}, nullif(($idx), 0))")
-        }))
-      changed = next != st
-      st = next
+    // phase 2: identifier subscripts, as a quote-aware scanner (a
+    // segment-split regex could never SEE a string-literal index —
+    // m['key'] would silently fall through to Spark's own map access).
+    // Chained subscripts on an identifier (l[1][2]) wrap inside-out;
+    // slices (top-level ':' in the content) stay for the slice
+    // rewrite; empty [] type suffixes (VARCHAR[]) pass through.
+    def subscripts(text: String): String = {
+      val out = new StringBuilder
+      var i = 0; var inS = false
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (inS) { out.append(c); if (c == '\'') inS = false; i += 1 }
+        else if (c == '\'') { inS = true; out.append(c); i += 1 }
+        else if (isIdentChar(c) || c == '.') {
+          val start = i
+          while (i < text.length && (isIdentChar(text.charAt(i)) ||
+            text.charAt(i) == '.')) i += 1
+          val ident = text.substring(start, i)
+          var j = i
+          while (j < text.length && text.charAt(j).isWhitespace) j += 1
+          val isPrimary = ident.nonEmpty && !ident.head.isDigit &&
+            ident.head != '.' && !CompKeywords(ident.toUpperCase)
+          if (isPrimary && j < text.length && text.charAt(j) == '[') {
+            var cur = ident
+            var k = j
+            var halted = false
+            while (!halted && k < text.length && text.charAt(k) == '[') {
+              val close = matchBracket(text, k)
+              val content = subscripts(text.substring(k + 1, close)).trim
+              // a colon outside quotes = slice (or :: cast) — leave
+              // for the slice rewrite / a loud parse
+              val sliceLike = {
+                var m = 0; var q = false; var colon = false
+                while (m < content.length && !colon) {
+                  val cc = content.charAt(m)
+                  if (q) { if (cc == '\'') q = false }
+                  else if (cc == '\'') q = true
+                  else if (cc == ':') colon = true
+                  m += 1
+                }
+                colon
+              }
+              if (content.isEmpty || sliceLike)
+                halted = true // slice / type suffix — leave verbatim
+              else {
+                require(!"(?s)^'.*'$".r.matches(content),
+                  s"string-keyed subscript $ident[$content] is " +
+                    "ambiguous (DuckDB map['key'] returns a LIST, " +
+                    "struct['field'] is field access) — spell " +
+                    "element_at()/map_extract() or struct.field")
+                cur = s"try_element_at($cur, nullif(($content), 0))"
+                k = close + 1
+              }
+            }
+            out.append(cur)
+            i = k
+          } else out.append(ident)
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
     }
+    var st = subscripts(process(statement))
     // phase 3: a bracket still following ')' or ']' would parse as
     // Spark's 0-BASED subscript — silently off by one — so it refuses
     outsideLiterals(st) { seg =>
@@ -3758,12 +3941,54 @@ object LakeSql {
   /** Run a multi-statement script through [[sql]], one statement at a
     * time in order; returns the LAST statement's result (the DuckDB
     * multi-query contract).
+    *
+    * Fail-fast by default. With spark.graft.sql.scriptOnError=skip
+    * (explicit opt-in for migration scripts), a failing statement is
+    * RECORDED and skipped instead of killing the whole script — the
+    * result is the last SUCCESSFUL statement's rows, and the collected
+    * refusals are readable via [[lastScriptErrors]] (also logged).
+    * At least one statement must succeed; `skip` never turns a fully
+    * failing script into silence.
     */
   def script(s: SparkSession, text: String): DataFrame = {
     val stmts = splitStatements(text)
     require(stmts.nonEmpty, "empty script")
-    stmts.map(st => sql(s, st)).last
+    val skip = s.conf.get("spark.graft.sql.scriptOnError", "fail") match {
+      case "fail" => false
+      case "skip" => true
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.sql.scriptOnError must be fail|skip, got: $other")
+    }
+    scriptErrs.put(s, Seq.empty)
+    if (!skip) stmts.map(st => sql(s, st)).last
+    else {
+      var last: Option[DataFrame] = None
+      val errs = Seq.newBuilder[(String, String)]
+      stmts.foreach { st =>
+        try last = Some(sql(s, st))
+        catch { case e: Exception =>
+          val head = st.linesIterator.next().take(80)
+          errs += head -> e.getMessage
+          System.err.println(
+            s"graft: scriptOnError=skip — skipped `$head…`: " +
+              s"${e.getMessage}")
+        }
+      }
+      scriptErrs.put(s, errs.result())
+      last.getOrElse(throw new IllegalArgumentException(
+        "scriptOnError=skip: every statement in the script failed — " +
+          scriptErrs.get(s).map(_._2).mkString("; ")))
+    }
   }
+
+  private val scriptErrs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Seq[(String, String)]]())
+
+  /** (statement head, error message) per statement skipped by the last
+    * [[script]] run under scriptOnError=skip; empty after a clean run.
+    */
+  def lastScriptErrors(s: SparkSession): Seq[(String, String)] =
+    Option(scriptErrs.get(s)).getOrElse(Seq.empty)
 
   // ---- INSERT … ON CONFLICT at the text entry ----------------------
   // The upsert SHORTHAND (DuckDB/Postgres spelling) over lake tables,
@@ -4890,11 +5115,73 @@ object LakeSql {
             "only WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN " +
               "INSERT * is supported (unconditional upsert form)")
         }
-        require(m.notMatchedBySourceActions.isEmpty,
-          "WHEN NOT MATCHED BY SOURCE is not supported")
         val src = Glue.dataFrame(s, m.sourceTable)
-        if (isIceberg(m.targetTable)) IcebergLite.merge(s, p, src, keys)
-        else DeltaLite.merge(s, p, src, keys)
+        if (m.notMatchedBySourceActions.isEmpty) {
+          if (isIceberg(m.targetTable)) IcebergLite.merge(s, p, src, keys)
+          else DeltaLite.merge(s, p, src, keys)
+        } else {
+          // WHEN NOT MATCHED BY SOURCE — the CDC full-sync idiom:
+          // target rows whose key is ABSENT from the source DELETE or
+          // UPDATE (optional AND narrows which). The clause semantically
+          // touches every target row (any file can hold a non-matching
+          // key), so this path computes the post-merge content — source
+          // rows replace/insert by key, absent-keyed target rows pass
+          // through the BY SOURCE action — and commits it as ONE atomic
+          // overwrite (old files stay time-travelable). That full
+          // rewrite is the honest cost of full-sync on ANY engine; the
+          // keyed pruned-copy-on-write path above stays untouched for
+          // plain upserts.
+          import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+          require(m.notMatchedBySourceActions.length == 1,
+            "one WHEN NOT MATCHED BY SOURCE clause is supported")
+          val tgt = if (isIceberg(m.targetTable)) IcebergLite.snapshot(s, p)
+            else DeltaLite.snapshot(s, p)
+          val srcCols = src.select(tgt.schema.fieldNames.map(col).toSeq: _*)
+          // one source row per key: with SET * replacement, which copy
+          // wins is ambiguous — same rule as the keyed merge path
+          val dup = srcCols.groupBy(keys.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).count()
+          require(dup == 0L,
+            "merge: duplicate source keys — SET * replacement is " +
+              "ambiguous; dedup the source")
+          val keyDf = srcCols.select(keys.map(col): _*).distinct()
+          val absent = tgt.join(keyDf, keys, "left_anti")
+          val kept = m.notMatchedBySourceActions.head match {
+            case DeleteAction(cond) =>
+              // delete where cond holds (NULL = not deleted, SQL rule);
+              // no condition deletes every absent-keyed row
+              cond match {
+                case None => absent.limit(0)
+                case Some(c) =>
+                  absent.filter(not(coalesce(Glue.column(c), lit(false))))
+              }
+            case UpdateAction(cond, assignments, false) =>
+              val assigned = assignments.map {
+                case Assignment(k: UnresolvedAttribute, v) =>
+                  k.nameParts.last -> Glue.column(v)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported BY SOURCE assignment: $other")
+              }.toMap
+              require(!assigned.keySet.exists(keys.contains),
+                "BY SOURCE UPDATE must not reassign merge keys")
+              val gate = cond.map(c =>
+                coalesce(Glue.column(c), lit(false)))
+              absent.select(tgt.schema.fieldNames.map { f =>
+                assigned.get(f) match {
+                  case None => col(f)
+                  case Some(v) => (gate match {
+                    case None => v
+                    case Some(g) => when(g, v).otherwise(col(f))
+                  }).as(f)
+                }
+              }.toSeq: _*)
+            case other => throw new IllegalArgumentException(
+              s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+          }
+          val merged = srcCols.unionByName(kept)
+          if (isIceberg(m.targetTable)) IcebergLite.overwrite(s, p, merged)
+          else DeltaLite.overwrite(s, p, merged)
+        }
         p
       case other =>
         throw new IllegalArgumentException(

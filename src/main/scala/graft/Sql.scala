@@ -1330,6 +1330,12 @@ object Sql {
       // upsert contract, and the source is an arbitrary subquery run
       // through the session views. Matched rows (500–1000) update to
       // the +50 balance; unmatched source rows (1001–1200) insert.
+      // Then the CDC full-sync clauses: WHEN NOT MATCHED BY SOURCE
+      // AND k < 100 THEN DELETE (absent-keyed rows 1–99 drop) and a
+      // third merge whose BY SOURCE UPDATE bumps absent keys > 1150 —
+      // each an atomic overwrite commit (full-sync touches every row
+      // by definition; plain upserts keep the pruned path). The oracle
+      // replays the three-way net effect from the raw table.
       GQuery("x39_sql_lake_merge", (s, d) => {
         open(s, d)
         val tag = java.util.UUID.randomUUID().toString
@@ -1348,6 +1354,25 @@ object Sql {
             ON $name.c_custkey = src.c_custkey
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *""")
+          // full-sync 300–900 back to raw balances; absent keys < 100
+          // delete (rows 1–99 drop; 100–299 and 901–1200 survive)
+          LakeSql.sql(s, s"""MERGE INTO $name USING (
+              SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_custkey >= 300 AND c_custkey <= 900) AS src
+            ON $name.c_custkey = src.c_custkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND c_custkey < 100 THEN DELETE""")
+          // sync 100–1000 to raw; absent keys > 1150 get +25 on top of
+          // their +50 (the conditional BY SOURCE UPDATE shape)
+          LakeSql.sql(s, s"""MERGE INTO $name USING (
+              SELECT c_custkey, c_name, c_acctbal FROM customer
+              WHERE c_custkey >= 100 AND c_custkey <= 1000) AS src
+            ON $name.c_custkey = src.c_custkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND c_custkey > 1150
+              THEN UPDATE SET c_acctbal = c_acctbal + 25""")
           name
         }
         val dn = build("deltalite")
@@ -1363,9 +1388,10 @@ object Sql {
       }, Some("""
         WITH merged AS (
           SELECT c_custkey, c_name,
-                 CASE WHEN c_custkey >= 500 THEN c_acctbal + 50
+                 CASE WHEN c_custkey > 1150 THEN c_acctbal + 75
+                      WHEN c_custkey > 1000 THEN c_acctbal + 50
                       ELSE c_acctbal END AS c_acctbal
-          FROM customer WHERE c_custkey <= 1200)
+          FROM customer WHERE c_custkey >= 100 AND c_custkey <= 1200)
         SELECT phase, c_custkey, c_name, c_acctbal FROM (
           SELECT 'delta' AS phase, * FROM merged
           UNION ALL
@@ -2891,9 +2917,104 @@ object Sql {
       GQuery("x108_sql_agg_pins", (s, d) => {
         open(s, d)
         LakeSql.sql(s, AggPinsText)
-      }, Some(AggPinsText))
+      }, Some(AggPinsText)),
+
+      // ------------------------------------------------------------ x109
+      // SET / PRAGMA / RESET session options — every real migration
+      // script opens with them (reference:duckdb:118-125 shows the
+      // engine itself issuing SET in safe mode). Three pinned tiers:
+      // threads MAPS to the shuffle-partition advisory (RESET restores
+      // the session's own prior, not Spark's global default); resource
+      // knobs (memory_limit, progress bars, insertion order) warn-and-
+      // ignore behind the explicit spark.graft.sql.lenientSet flag and
+      // REFUSE without it; unknown/semantic options always refuse. The
+      // script runs the same text DuckDB accepts, and the final query
+      // rides the adjusted parallelism.
+      GQuery("x109_sql_set_pragma", (s, d) => {
+        open(s, d)
+        val prior = s.conf.get("spark.graft.sql.lenientSet", "false")
+        s.conf.set("spark.graft.sql.lenientSet", "true")
+        try LakeSql.script(s, SetPragmaText)
+        finally s.conf.set("spark.graft.sql.lenientSet", prior)
+      }, Some(SetPragmaText)),
+
+      // ------------------------------------------------------------ x110
+      // quantile_disc + format() — the two unmapped names x107/x108
+      // documented as loud failures, now pinned. DISCRETE quantile is
+      // the element at rank ceil(p·n) (seven dual-engine pins incl.
+      // duplicates and even n) = percentile_approx at accuracy 1e6 —
+      // exact below a million rows per group, a BOUNDED sketch above
+      // (DuckDB's own quantile_disc buffers the full sorted list).
+      // format() is the brace template → format_string translation:
+      // {} = %s (same rendering on every pinned type), {{/}} literal
+      // braces, % escapes to %%, NULL-in → NULL-out via a CASE guard
+      // (DuckDB nulls the WHOLE result; format_string prints 'null'),
+      // and positional/named/spec braces refuse loudly.
+      GQuery("x110_sql_quantile_format", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, QuantileFormatText)
+      }, Some(QuantileFormatText)),
+
+      // ------------------------------------------------------------ x111
+      // list literals, comprehensions, 1-based subscripts — [a, b, c]
+      // is array(); [expr FOR x IN l IF p] is transform(filter())
+      // (nested comprehensions COMPOSE by recursion — pinned
+      // [[x+y FOR y …] FOR x …] both engines); l[i]/list_extract are
+      // 1-BASED with l[0] = NULL, l[-1] = last, out-of-range = NULL —
+      // Spark's bare [] is 0-based, the nastiest silent off-by-one in
+      // the dialect, pinned via try_element_at + nullif(0). Everything
+      // stays codegen'd array expressions on the scan — no UDF, no
+      // added exchange.
+      GQuery("x111_sql_list_comprehension", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ListComprehensionText)
+      }, Some(ListComprehensionText))
     )
   }
+
+  private def SetPragmaText = """
+    SET threads=4;
+    SET memory_limit='512MB';
+    PRAGMA memory_limit='256MB';
+    PRAGMA enable_progress_bar;
+    SET preserve_insertion_order=false;
+    SET GLOBAL threads=8;
+    RESET threads;
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private def QuantileFormatText = """
+    SELECT o_orderpriority,
+           CAST(quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5)
+             AS DOUBLE) AS qd_med,
+           CAST(quantile_disc(CAST(o_totalprice AS DOUBLE), 0.25)
+             AS DOUBLE) AS qd_q1,
+           CAST(quantile_disc(o_orderkey, 0.9) AS BIGINT) AS qd_key,
+           MIN(format('{} has {} for {}', o_orderstatus,
+             o_orderkey % 7, o_orderpriority)) AS fmt_min,
+           MAX(format('pct {}% {{x}}', o_orderkey % 100)) AS fmt_pct,
+           MIN(coalesce(format('{}!', nullif(o_orderstatus,
+             o_orderstatus)), 'wasnull')) AS fmt_null,
+           COUNT(*) AS n
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  private def ListComprehensionText = """
+    SELECT o_orderkey AS k,
+           array_to_string([CAST(x * 2 AS BIGINT)
+             FOR x IN [o_orderkey % 5, o_orderkey % 7, o_orderkey % 11]
+             IF x > 2], ',') AS comp,
+           array_to_string([upper(s)
+             FOR s IN [o_orderstatus, o_orderpriority]], '|') AS comp2,
+           array_to_string(flatten([[CAST(x + y AS BIGINT)
+             FOR y IN [1, 2]] FOR x IN [10, 20]]), ',') AS nested,
+           CAST([o_orderkey % 5, o_orderkey % 7][2] AS BIGINT) AS sub2,
+           CAST(list_extract([o_orderkey % 5, o_orderkey % 7,
+             o_orderkey % 11], -1) AS BIGINT) AS sub_last
+    FROM orders WHERE o_orderkey <= 2000 ORDER BY k"""
 
   private def AggPinsText = """
     SELECT o_orderpriority,

@@ -252,13 +252,15 @@ class LakeSqlSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *""")
     }
-    // NOT MATCHED BY SOURCE: unsupported.
+    // NOT MATCHED BY SOURCE executes via the full-sync overwrite path —
+    // covered by its own spec below; two BY SOURCE clauses refuse.
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark, s"""MERGE INTO $t USING customer AS src
         ON $t.c_custkey = src.c_custkey
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        WHEN NOT MATCHED BY SOURCE AND c_acctbal < 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = 1.0""")
     }
   }
 
@@ -2123,6 +2125,332 @@ class LakeSqlSpec extends SparkSpec {
     assert(sp.getString(0) == "x" && sp.getInt(1) == 7)
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark, "SELECT struct_pack(1, 2) FROM nation")
+    }
+  }
+
+  test("SET/PRAGMA/RESET tiers: threads maps with prior-restoring " +
+      "RESET, TimeZone pins UTC, resource knobs gate on lenientSet, " +
+      "semantic/unknown options refuse, dotted names fall through") {
+    Sql.open(spark, sfDir)
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    // mapped tier: threads -> shuffle-partition advisory
+    LakeSql.sql(spark, "SET threads=7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    LakeSql.sql(spark, "SET GLOBAL threads TO 9")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "9")
+    LakeSql.sql(spark, "RESET threads")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
+    // RESET of a never-set mapped option is a no-op
+    LakeSql.sql(spark, "RESET threads")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
+    // TimeZone: UTC accepted (the pinned baseline), anything else loud
+    LakeSql.sql(spark, "SET TimeZone='UTC'")
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SET TimeZone='America/New_York'")
+    }
+    // ignorable tier gates on the explicit flag
+    spark.conf.set("spark.graft.sql.lenientSet", "false")
+    val e1 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SET memory_limit='1GB'")
+    }
+    assert(e1.getMessage.contains("lenientSet"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "PRAGMA enable_progress_bar")
+    }
+    spark.conf.set("spark.graft.sql.lenientSet", "true")
+    try {
+      LakeSql.sql(spark, "SET memory_limit='1GB'") // warn-and-ignore
+      LakeSql.sql(spark, "PRAGMA memory_limit='256MB'")
+      LakeSql.sql(spark, "PRAGMA enable_progress_bar")
+      LakeSql.sql(spark, "RESET memory_limit")
+    } finally spark.conf.set("spark.graft.sql.lenientSet", "false")
+    // unknown and semantic options ALWAYS refuse (even lenient)
+    spark.conf.set("spark.graft.sql.lenientSet", "true")
+    try {
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "SET no_such_option=1")
+      }
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "SET default_null_order='NULLS FIRST'")
+      }
+      intercept[IllegalArgumentException] {
+        LakeSql.sql(spark, "PRAGMA no_such_pragma")
+      }
+    } finally spark.conf.set("spark.graft.sql.lenientSet", "false")
+    // txn-scoped SET LOCAL refuses; call-form pragmas name the
+    // first-class spellings
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SET LOCAL threads=2")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "PRAGMA table_info('nation')")
+    }
+    assert(e2.getMessage.contains("DESCRIBE"), e2.getMessage)
+    // dotted names fall through to Spark's own SET
+    LakeSql.sql(spark, "SET spark.graft.sql.lenientSet=true")
+    assert(spark.conf.get("spark.graft.sql.lenientSet") == "true")
+    spark.conf.set("spark.graft.sql.lenientSet", "false")
+    // a script headed by options runs end-to-end (the x109 shape)
+    spark.conf.set("spark.graft.sql.lenientSet", "true")
+    try {
+      val out = LakeSql.script(spark, """
+        SET threads=4;
+        PRAGMA memory_limit='128MB';
+        SELECT COUNT(*) AS n FROM nation""")
+      assert(out.collect().head.getLong(0) == 25L)
+      LakeSql.sql(spark, "RESET threads")
+    } finally spark.conf.set("spark.graft.sql.lenientSet", "false")
+  }
+
+  test("list literals/comprehensions/subscripts: array(), " +
+      "transform/filter sugar, nesting, 1-based access edges, loud " +
+      "refusals for map/string-keyed/chained subscripts") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT [1, 2, 3] AS lit,
+             [x * 2 FOR x IN [1, 2, 3] IF x > 1] AS comp,
+             [upper(s) FOR s IN ['a', 'b']] AS noif,
+             [x FOR x IN [1, 2, 3] IF x > 1 AND x < 3] AS andif,
+             flatten([[x + y FOR y IN [1, 2]] FOR x IN [10, 20]])
+               AS nested,
+             [10, 20, 30][-1] AS fromEnd,
+             [10, 20, 30][0] AS zeroIdx,
+             [10, 20, 30][4] AS oob,
+             list_extract([10, 20], 2) AS le,
+             list_element([10, 20], 9) AS leOob
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) == Seq(4, 6))
+    assert(r.getSeq[String](2) == Seq("A", "B"))
+    assert(r.getSeq[Int](3) == Seq(2))
+    assert(r.getSeq[Int](4) == Seq(11, 12, 21, 22))
+    assert(r.getInt(5) == 30 && r.isNullAt(6) && r.isNullAt(7))
+    assert(r.getInt(8) == 20 && r.isNullAt(9))
+    // comprehension over a COLUMN list — the bracket after the
+    // comprehension's own IN keyword must read as a literal, not a
+    // subscript on the identifier "IN" (neither engine supports a
+    // top-level `x IN [list]`; both refuse it at parse)
+    val c = LakeSql.sql(spark, """
+      SELECT [x FOR x IN [n_nationkey, n_regionkey] IF x >= 0] AS cols
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(c.getSeq[Int](0) == Seq(0, 0))
+    // refusals: two FORs in one bracket, empty IF, string-keyed,
+    // chained-on-paren, MAP-typed subscript
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT [x FOR x IN [1] FOR y IN [2]] FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT [x FOR x IN [1] IF ] FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT m['a'] FROM (SELECT map(['a'], [1]) AS m)")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT (ARRAY(1, 2))[1] FROM nation WHERE n_nationkey = 0")
+    }
+    // computed key on a MAP: textually indistinguishable from an array
+    // subscript — the analysis-time guard refuses on the MapType child
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """
+        SELECT m[k] FROM (SELECT map(['a'], [1]) AS m, 'a' AS k)""")
+    }
+  }
+
+  test("quantile_disc rank pins and format() brace-template pins") {
+    Sql.open(spark, sfDir)
+    // the seven dual-engine rank pins: element at max(1, ceil(p*n))
+    val q = LakeSql.sql(spark, """
+      SELECT quantile_disc(x, 0.1) AS p10, quantile_disc(x, 0.3) AS p30,
+             quantile_disc(x, 0.5) AS p50, quantile_disc(x, 0.9) AS p90
+      FROM (VALUES (1), (1), (2), (9), (9), (9), (10)) t(x)""")
+      .collect().head
+    assert(Seq(q.getInt(0), q.getInt(1), q.getInt(2), q.getInt(3)) ==
+      Seq(1, 2, 9, 10))
+    val q2 = LakeSql.sql(spark, """
+      SELECT quantile_disc(x, 0.49) AS a, quantile_disc(x, 0.5) AS b,
+             quantile_disc(x, 0.51) AS c
+      FROM (VALUES (1), (2)) t(x)""").collect().head
+    assert(Seq(q2.getInt(0), q2.getInt(1), q2.getInt(2)) == Seq(1, 1, 2))
+    // format(): {} holes, {{}} literal braces, literal % escaped,
+    // NULL-in -> NULL-out (DuckDB nulls the WHOLE result)
+    val f = LakeSql.sql(spark, """
+      SELECT format('{} has {} pts', 'ab', 3) AS basic,
+             format('a{{b}}c {} d', 7) AS braces,
+             format('pct {}%', 5) AS pct,
+             format('{} {}', NULL, 1) AS nullin,
+             format('{}', 2.0) AS dbl
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(f.getString(0) == "ab has 3 pts")
+    assert(f.getString(1) == "a{b}c 7 d")
+    assert(f.getString(2) == "pct 5%")
+    assert(f.isNullAt(3))
+    assert(f.getString(4) == "2.0")
+    // refusals: positional/named/spec braces, hole-count mismatch,
+    // computed template
+    for (bad <- Seq(
+        "SELECT format('{0} {1}', 'a', 'b') FROM nation",
+        "SELECT format('{name}', 'a') FROM nation",
+        "SELECT format('{:d}', 42) FROM nation",
+        "SELECT format('{} {}', 1) FROM nation",
+        "SELECT format(n_name, 1) FROM nation",
+        "SELECT format('plain') FROM nation"))
+      intercept[IllegalArgumentException] { LakeSql.sql(spark, bad) }
+  }
+
+  test("windowed skewness/kurtosis: the moment correction attaches " +
+      "the OVER clause to every inner aggregate; named windows work; " +
+      "sub-minimum frames are NULL") {
+    Sql.open(spark, sfDir)
+    // dual-engine pin (sf0.001, o_orderkey <= 200, 1-URGENT):
+    // DuckDB 0.0105 / -1.3675
+    val w = LakeSql.sql(spark, """
+      SELECT ROUND(skewness(CAST(o_totalprice AS DOUBLE))
+               OVER (PARTITION BY o_orderpriority), 4) AS sk,
+             ROUND(kurtosis(CAST(o_totalprice AS DOUBLE))
+               OVER (PARTITION BY o_orderpriority), 4) AS ku
+      FROM orders WHERE o_orderkey <= 200
+        AND o_orderpriority = '1-URGENT' LIMIT 1""").collect().head
+    assert(w.getDouble(0) == 0.0105 && w.getDouble(1) == -1.3675,
+      (w.getDouble(0), w.getDouble(1)))
+    // named-window reference (OVER w) rides the same rewrite
+    val nw = LakeSql.sql(spark, """
+      SELECT ROUND(skewness(CAST(o_totalprice AS DOUBLE)) OVER w, 4)
+               AS sk
+      FROM orders WHERE o_orderkey <= 200
+        AND o_orderpriority = '1-URGENT'
+      WINDOW w AS (PARTITION BY o_orderpriority) LIMIT 1""")
+      .collect().head
+    assert(nw.getDouble(0) == 0.0105)
+    // a 2-row partition is below skewness's minimum n -> NULL
+    val small = LakeSql.sql(spark, """
+      SELECT skewness(x) OVER (PARTITION BY g) AS sk
+      FROM (VALUES (1, 1.0), (1, 2.0)) t(g, x) LIMIT 1""")
+      .collect().head
+    assert(small.isNullAt(0))
+  }
+
+  test("literal-dialect safety: collision tokens inside string " +
+      "values survive every rewrite pass; backslashes in literals " +
+      "keep their raw shared-dialect meaning") {
+    Sql.open(spark, sfDir)
+    val lit = LakeSql.sql(spark, """
+      SELECT 'trim(a, b)' AS t1, 'log(x) + left(s, 2)' AS t2,
+             'skewness(v) OVER w' AS t3, '[1, 2][1]' AS t4,
+             'format({}) epoch(' AS t5, 'quantile_disc(x, 0.5)' AS t6
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(lit.getString(0) == "trim(a, b)")
+    assert(lit.getString(1) == "log(x) + left(s, 2)")
+    assert(lit.getString(2) == "skewness(v) OVER w")
+    assert(lit.getString(3) == "[1, 2][1]")
+    assert(lit.getString(4) == "format({}) epoch(")
+    assert(lit.getString(5) == "quantile_disc(x, 0.5)")
+    // raw backslash semantics (normLit at the parser boundary):
+    // '\d' is a DIGIT class (Spark's default fold would read 'd'),
+    // '\[' a literal bracket, and a trailing backslash does not
+    // swallow the closing quote
+    val bs = LakeSql.sql(spark, """
+      SELECT regexp_matches('a7', '\d') AS dig,
+             regexp_matches('d', '\d') AS lit_d,
+             regexp_replace('u [x] v', '\[[a-z]*\]', 'B', 'g') AS cls,
+             length('a\') AS trail
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(bs.getBoolean(0) && !bs.getBoolean(1))
+    assert(bs.getString(2) == "u B v")
+    assert(bs.getInt(3) == 2)
+  }
+
+  test("scriptOnError=skip: failing statements are recorded and " +
+      "skipped, the last successful result returns, default stays " +
+      "fail-fast, all-fail still throws") {
+    Sql.open(spark, sfDir)
+    // default: fail-fast (unchanged behavior)
+    intercept[Exception] {
+      LakeSql.script(spark,
+        "SELECT 1 AS a; SELECT no_such_fn_xyz(1); SELECT 2 AS b")
+    }
+    spark.conf.set("spark.graft.sql.scriptOnError", "skip")
+    try {
+      val out = LakeSql.script(spark, """
+        SELECT 1 AS a;
+        SELECT no_such_fn_xyz(1) AS broken;
+        SET definitely_not_an_option = 1;
+        SELECT COUNT(*) AS n FROM nation""")
+      assert(out.collect().head.getLong(0) == 25L)
+      val errs = LakeSql.lastScriptErrors(spark)
+      assert(errs.length == 2, errs)
+      // the final result is the last SUCCESSFUL statement even when
+      // the tail fails
+      val out2 = LakeSql.script(spark,
+        "SELECT 7 AS v; SELECT no_such_fn_xyz(1)")
+      assert(out2.collect().head.getInt(0) == 7)
+      assert(LakeSql.lastScriptErrors(spark).length == 1)
+      // every statement failing is still loud
+      intercept[IllegalArgumentException] {
+        LakeSql.script(spark, "SELECT no_such_fn_xyz(1)")
+      }
+      // unknown mode refuses
+      spark.conf.set("spark.graft.sql.scriptOnError", "maybe")
+      intercept[IllegalArgumentException] {
+        LakeSql.script(spark, "SELECT 1")
+      }
+    } finally spark.conf.set("spark.graft.sql.scriptOnError", "fail")
+    // a clean run clears the error list
+    LakeSql.script(spark, "SELECT 1 AS a")
+    assert(LakeSql.lastScriptErrors(spark).isEmpty)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: delete and conditional " +
+      "update net effects on both formats; refusals for multiple " +
+      "clauses and key reassignment") {
+    Sql.open(spark, sfDir)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(8)
+    val root = graft.util.Scratch.dir("x39spec")
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"bs_${provider.take(4)}_$tag"
+      LakeSql.sql(spark, s"""CREATE TABLE $t USING $provider
+        LOCATION '$root/$t'
+        AS SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_custkey <= 20""")
+      // sync keys 5-15; absent keys < 3 delete
+      LakeSql.sql(spark, s"""MERGE INTO $t USING (
+          SELECT c_custkey, c_acctbal + 1 AS c_acctbal FROM customer
+          WHERE c_custkey BETWEEN 5 AND 15) AS src
+        ON $t.c_custkey = src.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND c_custkey < 3 THEN DELETE""")
+      val afterDelete = LakeSql.sql(spark,
+        s"SELECT MIN(c_custkey) AS mn, COUNT(*) AS n FROM $t")
+        .collect().head
+      assert(afterDelete.getLong(0) == 3L &&
+        afterDelete.getLong(1) == 18L, s"$provider: $afterDelete")
+      // unconditional BY SOURCE UPDATE on an empty-key source region
+      LakeSql.sql(spark, s"""MERGE INTO $t USING (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_custkey BETWEEN 3 AND 18) AS src
+        ON $t.c_custkey = src.c_custkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_acctbal = 0""")
+      val zeroed = LakeSql.sql(spark,
+        s"SELECT COUNT(*) AS z FROM $t WHERE c_acctbal = 0")
+        .collect().head
+      assert(zeroed.getLong(0) == 2L, s"$provider: $zeroed") // 19, 20
+      intercept[Exception] {
+        LakeSql.sql(spark, s"""MERGE INTO $t USING (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey <= 5) AS src
+          ON $t.c_custkey = src.c_custkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE
+            THEN UPDATE SET c_custkey = c_custkey + 1""")
+      }
+      LakeSql.sql(spark, s"DROP TABLE $t")
     }
   }
 }
