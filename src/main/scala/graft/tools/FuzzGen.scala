@@ -160,7 +160,7 @@ object FuzzGen {
         ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
       else ("orders", orderCols, "o_orderkey",
         pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
-    r.nextInt(11) match {
+    r.nextInt(17) match {
       case 0 => // grouped aggregate
         s"SELECT $group, COUNT(*) AS n, ${aggExpr(r, cols)} AS a1, " +
           s"${aggExpr(r, cols)} AS a2 FROM $table " +
@@ -217,6 +217,46 @@ object FuzzGen {
         s"SELECT $group, COUNT(*) AS n, CAST(SUM($key % 13) AS BIGINT) " +
           s"AS v FROM $table WHERE $key <= $keyCap " +
           s"GROUP BY ROLLUP($group) ORDER BY $group NULLS FIRST"
+      // ---- composition templates (r13 verdict item 5): pinned
+      // functions INSIDE clause/statement rewrites — the r13 bug class
+      // (rewrites skipping rewrites) was an interaction bug, so the
+      // grammar must sample interactions, not just features alone.
+      case 11 => // pinned aggregate inside HAVING (post-GROUP filter)
+        s"SELECT $group, COUNT(*) AS n, " +
+          s"CAST(SUM(${intExpr(r, cols)}) AS BIGINT) AS v FROM $table " +
+          s"WHERE $key <= $keyCap GROUP BY $group " +
+          s"HAVING CAST(SUM(${intExpr(r, cols)}) AS BIGINT) > " +
+          s"${r.nextInt(25)} ORDER BY $group"
+      case 12 => // moments OVER a window (the x108 windowed-form fix):
+        // whole-partition frame — order-insensitive, so hashable
+        val fn = pick(r, Seq("skewness", "kurtosis"))
+        s"SELECT $key, ROUND($fn(CAST($key % ${17 + r.nextInt(20)} AS " +
+          s"DOUBLE)) OVER (PARTITION BY $group), 4) AS mw FROM $table " +
+          s"WHERE $key <= $keyCap ORDER BY $key"
+      case 13 => // trim-swap / log / sha256 pins UNDER QUALIFY
+        s"SELECT $key, $group, ${strExpr(r, cols)} AS s1, " +
+          s"CAST(round(log(CAST($key + 2 AS DOUBLE)) * 100) AS BIGINT) " +
+          s"AS lg, ROW_NUMBER() OVER (PARTITION BY $group ORDER BY " +
+          s"$key) AS rn FROM $table WHERE $key <= $keyCap " +
+          s"QUALIFY rn <= ${1 + r.nextInt(3)} ORDER BY $group, $key"
+      case 14 => // pinned exprs in CASE branches + TRY_CAST + negative
+        // literals (unary minus adjacent to rewrite-scanned tokens)
+        s"SELECT $key, (CASE WHEN ${pred(r, cols, keyCap)} THEN " +
+          s"${intExpr(r, cols)} ELSE (${intExpr(r, cols)}) * -1 END) " +
+          s"AS c1, TRY_CAST(regexp_extract(${sCol(r, cols)}, '[0-9]+') " +
+          s"AS BIGINT) AS tc, CAST(($key - ${5 + r.nextInt(40)}) % " +
+          s"${2 + r.nextInt(6)} AS BIGINT) AS neg FROM $table " +
+          s"WHERE $key <= ${keyCap / 2} ORDER BY $key"
+      case 15 => // FROM-first statement carrying pinned scalars (the
+        // statement-rewrite path must re-enter function dispatch)
+        s"FROM $table SELECT $key, ${strExpr(r, cols)} AS s1, " +
+          s"${intExpr(r, cols)} AS v WHERE $key <= ${keyCap / 2} " +
+          s"ORDER BY $key"
+      case 16 => // COLUMNS fan-out + a pinned log() in the SAME select
+        s"SELECT $group, MIN(COLUMNS('key')) AS " + "\"mn_\\0\"" +
+          s", CAST(round(log(CAST(MAX($key) + 2 AS DOUBLE)) * 100) AS " +
+          s"BIGINT) AS lg, COUNT(*) AS n FROM $table " +
+          s"WHERE $key <= $keyCap GROUP BY $group ORDER BY $group"
     }
   }
 
