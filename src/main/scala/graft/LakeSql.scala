@@ -1144,6 +1144,7 @@ object LakeSql {
           sql(s, rewriteStringAgg(st))
         case DateFnRewrite(r) => sql(s, r)
         case MathFnRewrite(r) => sql(s, r)
+        case OpPinRewrite(r) => sql(s, r)
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1184,6 +1185,8 @@ object LakeSql {
     new Rewritten(NullsModKeyword, rewriteNullsModifier)
   private lazy val DateFnRewrite = new Rewritten(DateFnKeyword, rewriteDateFns)
   private lazy val MathFnRewrite = new Rewritten(MathFnKeyword, rewriteMathFns)
+  private lazy val OpPinRewrite =
+    new Rewritten(OpPinKeyword, rewriteOperatorPins)
   private lazy val RegexpFnRewrite =
     new Rewritten(RegexpFnKeyword, rewriteRegexpFns)
 
@@ -2431,7 +2434,7 @@ object LakeSql {
   // arguments. 1-arg and TRIM(LEADING … FROM …) forms agree untouched.
   private val MathFnKeyword =
     ("(?is).*(\\blog\\s*\\(|\\bleft\\s*\\(|\\bright\\s*\\(|" +
-      "\\bsubstr(ing)?\\s*\\(\\s*[^,()]+,\\s*0\\s*,|//|" +
+      "\\bsubstr(ing)?\\s*\\(\\s*[^,()]+,\\s*0\\s*,|" +
       "\\barg_(max|min)\\s*\\(|\\bquantile_cont\\s*\\(|" +
       "\\bprintf\\s*\\(|\\bregexp_split_to_array\\s*\\(|" +
       "\\bepoch(_ms|_us)?\\s*\\(|\\bsha256\\s*\\(|\\bends_with\\s*\\(|" +
@@ -2440,13 +2443,6 @@ object LakeSql {
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
-    val dslash = st.split("'", -1).zipWithIndex.exists { case (seg, i) =>
-      i % 2 == 0 && seg.contains("//")
-    }
-    if (dslash) throw new IllegalArgumentException(
-      "// (integer division) is not supported: DuckDB's // divides " +
-        "integrally only for INTEGER operands (7.0 // 2 = 3.5) — " +
-        "spell `a DIV b` for integer division or `/` for division")
     // literal-aware find (same quote-parity guard as atsHit): a
     // collision-prone token inside a quoted data value like
     // 'trim(a, b)' must survive untouched — an odd number of quotes
@@ -2694,6 +2690,338 @@ object LakeSql {
       st = st.substring(0, m.start) +
         s"split(${args.head}, '$quoted', -1)" + rest
       hit = "(?i)\\bstring_split\\s*\\(".r.findFirstMatchIn(st)
+    }
+    st
+  }
+
+  // ---- operator vocabulary pins -------------------------------------
+  // DuckDB's expression operators that Spark either assigns a
+  // DIFFERENT meaning (the silent class) or lacks entirely:
+  //
+  //   `^` / `**`  POWER in DuckDB — but `^` is bitwise XOR in Spark:
+  //               2 ^ 3 is 8.0 there and 1 here, the nastiest
+  //               shared-spelling divergence on the surface. Rewritten
+  //               to power() by tight-operand capture. Probed
+  //               precedence makes tight capture EXACT: `^` binds
+  //               tighter than every binary arithmetic op (1-3^2=-8,
+  //               2*3^2=18, 2^3%5=3.0) and looser than `::` casts and
+  //               a unary sign in operand position (-3^2=9,
+  //               '3'::INT^2=9); chains are left-associative
+  //               (2^3^2=64), reproduced by iterating on the FIRST
+  //               occurrence. Result is DOUBLE on both engines.
+  //   `//`        INTEGER division for INTEGER operands, truncating
+  //               toward zero (-7//2=-3) — Spark's infix `div` has the
+  //               SAME truncation, precedence level and left-
+  //               associativity (probed 3*5//2=7, 5//2*3=6), so the
+  //               operator swaps for ` div ` with the divisor wrapped
+  //               in nullif(·, 0): DuckDB yields NULL on a zero
+  //               divisor where ANSI Spark would error. A DECIMAL/
+  //               DOUBLE operand changes DuckDB's `//` into PLAIN
+  //               division (7//2.0 = 3.5) — a float LITERAL operand
+  //               refuses loudly; non-literal float operands are the
+  //               documented typed contract (`//` here is integer
+  //               division, as DuckDB's own docs state).
+  //   `~` / `!~`  FULL-match regex in DuckDB ('abc' ~ 'b' is FALSE —
+  //               unlike Postgres's partial match) → rlike against
+  //               \A(?:p)\z, pattern literal backslash-doubled for
+  //               Spark's string parser. The left operand must be
+  //               syntactically atomic: `~` binds LOOSER than || and
+  //               arithmetic ('a'||'bc' ~ 'abc' is true in DuckDB), so
+  //               an operator immediately before the captured operand
+  //               refuses loudly instead of silently rebinding.
+  //               Non-literal patterns refuse (same x94 contract).
+  //   `~~` / `!~~`  LIKE / NOT LIKE — same precedence level, pure
+  //               token swap.
+  //   `^@`        starts_with → startswith() (shared NULL semantics).
+  //
+  // All scans are quote-aware (single-quoted literals, '' escapes), so
+  // regex patterns carrying ^/~ inside literals survive untouched; the
+  // emitted text contains none of the trigger tokens outside literals,
+  // so dispatch re-entry terminates.
+  private val OpPinKeyword = "(?s).*(\\^|~|//|\\*\\*).*".r
+
+  /** One forward scan: literal mask + close-paren → open-paren map. */
+  private def opScanState(st: String): (Array[Boolean], Map[Int, Int]) = {
+    val inLit = new Array[Boolean](st.length)
+    val stack = scala.collection.mutable.Stack[Int]()
+    val close = scala.collection.mutable.Map[Int, Int]()
+    var inS = false
+    var i = 0
+    while (i < st.length) {
+      val c = st.charAt(i)
+      if (inS) { inLit(i) = true; if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true; inLit(i) = true
+        case '(' => stack.push(i)
+        case ')' => if (stack.nonEmpty) close(i) = stack.pop()
+        case _ =>
+      }
+      i += 1
+    }
+    (inLit, close.toMap)
+  }
+
+  private def isOpIdC(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c == '.' || c == '$'
+
+  /** First index ≥ 0 outside literals where `hit(i)` is true, or -1. */
+  private def opFindFirst(st: String, inLit: Array[Boolean],
+      hit: Int => Boolean): Int = {
+    var i = 0
+    while (i < st.length) {
+      if (!inLit(i) && hit(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Start index (inclusive) of the tight operand ending just before
+    * `end0` (exclusive): balanced paren group with optional attached
+    * function name, `::`-cast chains, (qualified) identifiers, number
+    * and string literals. Throws on anything else.
+    */
+  private def opTightLeft(st: String, end0: Int, inLit: Array[Boolean],
+      close: Map[Int, Int]): Int = {
+    var j = end0
+    while (j > 0 && st.charAt(j - 1).isWhitespace) j -= 1
+    require(j > 0, "operator pin: missing left operand")
+    def unitStart(j0: Int): Int = {
+      var jj = j0
+      val c = st.charAt(jj - 1)
+      if (c == ')') {
+        val o = close.getOrElse(jj - 1, -1)
+        require(o >= 0, "operator pin: unbalanced parens in left operand")
+        jj = o
+        while (jj > 0 && isOpIdC(st.charAt(jj - 1))) jj -= 1
+        jj
+      } else if (c == '\'') {
+        jj -= 1
+        while (jj > 0 && inLit(jj - 1)) jj -= 1
+        jj
+      } else if (isOpIdC(c)) {
+        while (jj > 0 && isOpIdC(st.charAt(jj - 1))) jj -= 1
+        jj
+      } else throw new IllegalArgumentException(
+        "cannot capture the left operand of a pinned operator " +
+          s"before: …${st.substring(math.max(0, j0 - 24), j0)} — " +
+          "parenthesize it")
+    }
+    var s = unitStart(j)
+    while (s >= 2 && st.charAt(s - 1) == ':' && st.charAt(s - 2) == ':')
+      s = unitStart(s - 2)
+    s
+  }
+
+  /** Extend a captured left-operand start over a unary sign when the
+    * sign itself sits in operand position (preceded by nothing, an
+    * opening paren/comma/operator, or a keyword) — DuckDB binds the
+    * sign tighter than `^` (-3^2 = 9), so power's left operand keeps
+    * it, while `1 - 3^2` = -8 keeps the binary minus outside.
+    */
+  private def opIncludeUnarySign(st: String, s: Int): Int = {
+    var k = s
+    while (k > 0 && st.charAt(k - 1).isWhitespace) k -= 1
+    if (k == 0 || (st.charAt(k - 1) != '-' && st.charAt(k - 1) != '+'))
+      return s
+    var p = k - 1
+    while (p > 0 && st.charAt(p - 1).isWhitespace) p -= 1
+    val unary = p == 0 || "(,=<>+-*/%^|&".contains(st.charAt(p - 1)) || {
+      if (isOpIdC(st.charAt(p - 1))) {
+        var q = p
+        while (q > 0 && isOpIdC(st.charAt(q - 1))) q -= 1
+        CompKeywords.contains(st.substring(q, p).toUpperCase)
+      } else false
+    }
+    if (unary) k - 1 else s
+  }
+
+  /** End index (exclusive) of the tight operand starting at/after
+    * `start0`: optional unary signs, then literal / number (with
+    * scientific suffix) / (qualified) identifier with optional
+    * attached call / balanced paren group, then `::`-cast chains.
+    */
+  private def opTightRight(st: String, start0: Int,
+      inLit: Array[Boolean], close: Map[Int, Int]): Int = {
+    val open = close.map(_.swap)
+    var i = start0
+    def skipWs(k0: Int): Int = {
+      var k = k0
+      while (k < st.length && st.charAt(k).isWhitespace) k += 1
+      k
+    }
+    i = skipWs(i)
+    require(i < st.length, "operator pin: missing right operand")
+    while (i < st.length && (st.charAt(i) == '-' || st.charAt(i) == '+'))
+      i = skipWs(i + 1)
+    def unitEnd(i0: Int): Int = {
+      require(i0 < st.length, "operator pin: missing right operand")
+      var ii = i0
+      val c = st.charAt(ii)
+      if (c == '\'') {
+        ii += 1
+        while (ii < st.length && inLit(ii)) ii += 1
+        ii
+      } else if (c == '(') {
+        val cl = open.getOrElse(ii, -1)
+        require(cl >= 0, "operator pin: unbalanced parens in right operand")
+        cl + 1
+      } else if (c.isDigit ||
+          (c == '.' && ii + 1 < st.length && st.charAt(ii + 1).isDigit)) {
+        while (ii < st.length &&
+            (st.charAt(ii).isDigit || st.charAt(ii) == '.')) ii += 1
+        if (ii < st.length && (st.charAt(ii) == 'e' || st.charAt(ii) == 'E')
+            && ii + 1 < st.length &&
+            (st.charAt(ii + 1).isDigit || ((st.charAt(ii + 1) == '-' ||
+              st.charAt(ii + 1) == '+') && ii + 2 < st.length &&
+              st.charAt(ii + 2).isDigit))) {
+          ii += 2
+          while (ii < st.length && st.charAt(ii).isDigit) ii += 1
+        }
+        ii
+      } else if (isOpIdC(c)) {
+        while (ii < st.length && isOpIdC(st.charAt(ii))) ii += 1
+        val k = skipWs(ii)
+        if (k < st.length && st.charAt(k) == '(') {
+          val cl = open.getOrElse(k, -1)
+          require(cl >= 0,
+            "operator pin: unbalanced parens in right operand")
+          cl + 1
+        } else ii
+      } else throw new IllegalArgumentException(
+        "cannot capture the right operand of a pinned operator " +
+          s"at: ${st.substring(i0, math.min(st.length, i0 + 24))}… — " +
+          "parenthesize it")
+    }
+    var e = unitEnd(i)
+    while (e + 1 < st.length && st.charAt(e) == ':' &&
+        st.charAt(e + 1) == ':')
+      e = unitEnd(skipWs(e + 2))
+    e
+  }
+
+  /** Refuse when the captured left operand is preceded by a binary
+    * operator that binds TIGHTER than the comparison-level `~`/`^@` —
+    * tight capture would silently rebind ('a'||'bc' ~ 'abc' groups the
+    * concat first in DuckDB).
+    */
+  private def opRequireAtomicLeftContext(st: String, s: Int,
+      op: String): Unit = {
+    var p = s
+    while (p > 0 && st.charAt(p - 1).isWhitespace) p -= 1
+    require(p == 0 || !"|&+-*/%^<>=".contains(st.charAt(p - 1)),
+      s"$op after an operator expression is ambiguous here — " +
+        "parenthesize the left operand")
+  }
+
+  /** Wrap a raw regex (as read from a DuckDB literal, '' already
+    * re-doubled) in the full-match anchors. The session parses
+    * literals RAW (escapedStringLiterals=true — the shared-dialect
+    * normalization), so the pattern embeds verbatim with SINGLE
+    * backslashes, exactly as DuckDB's parser would deliver it.
+    */
+  private def opSparkPatternLiteral(quoted: String): String =
+    "'\\A(?:" + quoted + ")\\z'"
+
+  private[graft] def rewriteOperatorPins(st0: String): String = {
+    var st = st0
+    // longest tokens first so shorter scans never see their remains
+    def swap(tok: String, rep: String): Unit = {
+      val sb = new StringBuilder
+      var i = 0; var inS = false
+      while (i < st.length) {
+        val c = st.charAt(i)
+        if (inS) { sb += c; if (c == '\'') inS = false; i += 1 }
+        else if (c == '\'') { inS = true; sb += c; i += 1 }
+        else if (st.startsWith(tok, i)) { sb ++= rep; i += tok.length }
+        else { sb += c; i += 1 }
+      }
+      st = sb.toString
+    }
+    swap("!~~", " NOT LIKE ")
+    swap("~~", " LIKE ")
+    // ^@ starts_with — before the power scan (shares '^')
+    var more = true
+    while (more) {
+      val (inLit, close) = opScanState(st)
+      val idx = opFindFirst(st, inLit, i => st.startsWith("^@", i))
+      if (idx < 0) more = false
+      else {
+        val ls = opTightLeft(st, idx, inLit, close)
+        opRequireAtomicLeftContext(st, ls, "^@")
+        val re = opTightRight(st, idx + 2, inLit, close)
+        st = st.substring(0, ls) + "startswith(" +
+          st.substring(ls, idx).trim + ", " +
+          st.substring(idx + 2, re).trim + ")" + st.substring(re)
+      }
+    }
+    // ~ / !~ full-match regex
+    more = true
+    while (more) {
+      val (inLit, close) = opScanState(st)
+      val idx = opFindFirst(st, inLit, i => st.charAt(i) == '~')
+      if (idx < 0) more = false
+      else {
+        val neg = idx > 0 && st.charAt(idx - 1) == '!'
+        val opStart = if (neg) idx - 1 else idx
+        val ls = opTightLeft(st, opStart, inLit, close)
+        opRequireAtomicLeftContext(st, ls, "~")
+        val rs = {
+          var k = idx + 1
+          while (k < st.length && st.charAt(k).isWhitespace) k += 1
+          k
+        }
+        require(rs < st.length && st.charAt(rs) == '\'',
+          "~ / !~ (full-match regex) needs a LITERAL pattern — " +
+            "computed patterns are not supported")
+        val re = opTightRight(st, rs, inLit, close)
+        val quoted = st.substring(rs + 1, re - 1) // '' escapes kept
+        val call = s"rlike(${st.substring(ls, opStart).trim}, " +
+          opSparkPatternLiteral(quoted) + ")"
+        st = st.substring(0, ls) +
+          (if (neg) s"(NOT $call)" else call) + st.substring(re)
+      }
+    }
+    // ** then ^ — power, left-assoc by first-occurrence iteration
+    for (tok <- Seq("**", "^")) {
+      more = true
+      while (more) {
+        val (inLit, close) = opScanState(st)
+        val idx = opFindFirst(st, inLit, i => st.startsWith(tok, i) &&
+          (tok == "**" || i + 1 >= st.length || st.charAt(i + 1) != '@'))
+        if (idx < 0) more = false
+        else {
+          val ls0 = opTightLeft(st, idx, inLit, close)
+          val ls = opIncludeUnarySign(st, ls0)
+          val re = opTightRight(st, idx + tok.length, inLit, close)
+          st = st.substring(0, ls) + "power(" +
+            st.substring(ls, idx).trim + ", " +
+            st.substring(idx + tok.length, re).trim + ")" +
+            st.substring(re)
+        }
+      }
+    }
+    // // integer division → infix div (same precedence/associativity),
+    // divisor nullif-guarded (DuckDB: NULL on zero divisor)
+    more = true
+    while (more) {
+      val (inLit, close) = opScanState(st)
+      val idx = opFindFirst(st, inLit, i => st.startsWith("//", i))
+      if (idx < 0) more = false
+      else {
+        val ls = opTightLeft(st, idx, inLit, close)
+        val re = opTightRight(st, idx + 2, inLit, close)
+        val (l, r) =
+          (st.substring(ls, idx).trim, st.substring(idx + 2, re).trim)
+        def floatLit(x: String) =
+          x.matches("""[+-]?\d+\.\d*([eE][+-]?\d+)?""") ||
+            x.matches("""[+-]?\d+[eE][+-]?\d+""")
+        require(!floatLit(l) && !floatLit(r),
+          s"// with a non-integer operand is PLAIN division in DuckDB " +
+            s"(7 // 2.0 = 3.5) — spell `/`, or cast to an integer type " +
+            s"for integer division: $l // $r")
+        st = st.substring(0, idx) + " div nullif((" + r + "), 0)" +
+          st.substring(re)
+      }
     }
     st
   }

@@ -2968,9 +2968,48 @@ object Sql {
       GQuery("x111_sql_list_comprehension", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ListComprehensionText)
-      }, Some(ListComprehensionText))
+      }, Some(ListComprehensionText)),
+
+      // ------------------------------------------------------------ x112
+      // operator vocabulary pins — the expression operators where the
+      // SAME spelling computes a DIFFERENT thing on each engine (the
+      // silent class above all silent classes): `^`/`**` are POWER in
+      // DuckDB but `^` is bitwise XOR in Spark (2^3 = 8.0 vs 1),
+      // rewritten to power() by precedence-exact tight-operand capture
+      // (probed: -3^2=9 sign-tight, 1-3^2=-8 binary-loose, 2*3^2=18,
+      // left-assoc 2^3^2=64, `::` casts bind tighter); `//` is integer
+      // division → Spark's infix `div` (same truncation toward zero,
+      // same multiplicative precedence) with the divisor
+      // nullif-guarded — DuckDB's zero divisor yields NULL, pinned
+      // under the hash via the % 3 column; `~`/`!~` are FULL-match
+      // regex ('abc' ~ 'b' is FALSE, unlike Postgres) → rlike against
+      // \A(?:p)\z; `~~`/`!~~` are LIKE/NOT LIKE; `^@` is starts_with.
+      // All scans quote-aware, so `^`-anchored regex LITERALS survive
+      // untouched; everything stays codegen'd scalar expressions on
+      // the scan — zero exchanges added.
+      GQuery("x112_sql_operators", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, OperatorPinsText)
+      }, Some(OperatorPinsText))
     )
   }
+
+  private def OperatorPinsText = """
+    SELECT o_orderkey,
+           (o_orderkey % 9 + 2) ^ 2 AS pw,
+           2 ** (o_orderkey % 5) AS pw2,
+           -(o_orderkey % 4) ^ 2 AS pw_sign,
+           o_orderkey // 7 AS idiv,
+           (3 - o_orderkey % 7) // 2 AS idiv_neg,
+           o_orderkey // (o_orderkey % 3) AS idiv_zero,
+           (o_orderpriority ~ '[0-9]-[A-Z]+') AS fm,
+           (o_orderpriority !~ '.*URGENT') AS nfm,
+           (o_orderstatus ~~ 'O%') AS lk,
+           (o_orderpriority !~~ '%MED%') AS nlk,
+           (o_orderpriority ^@ '1-') AS sw
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey"""
 
   private def SetPragmaText = """
     SET threads=4;

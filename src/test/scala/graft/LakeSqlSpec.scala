@@ -2453,4 +2453,51 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark, s"DROP TABLE $t")
     }
   }
+
+  test("operator pins: ^/** power, // integer division, ~/!~ " +
+      "full-match regex, ~~/!~~ LIKE, ^@ starts_with") {
+    Sql.open(spark, sfDir)
+    // power: 2^3 is XOR=1 in bare Spark, 8.0 in the dialect; sign and
+    // precedence pins are the probed DuckDB parses
+    val r = LakeSql.sql(spark, """SELECT 2 ^ 3 AS a, 2 ** 3 ** 2 AS b,
+      -3 ^ 2 AS c, 1 - 3 ^ 2 AS d, 2 * 3 ^ 2 AS e, 2 ^ -2 AS f,
+      '3'::INT ^ 2 AS g""").collect().head
+    assert(r.getDouble(0) == 8.0 && r.getDouble(1) == 64.0 &&
+      r.getDouble(2) == 9.0 && r.getDouble(3) == -8.0 &&
+      r.getDouble(4) == 18.0 && r.getDouble(5) == 0.25 &&
+      r.getDouble(6) == 9.0)
+    // // integer division: truncation toward zero, left-assoc, same
+    // precedence as *, NULL on a zero divisor (DuckDB's rule)
+    val d2 = LakeSql.sql(spark, """SELECT 7 // 2 AS a, -7 // 2 AS b,
+      10 // 3 // 2 AS c, 3 * 5 // 2 AS d, 5 // 2 * 3 AS e,
+      7 // 0 AS z""").collect().head
+    assert(d2.getLong(0) == 3L && d2.getLong(1) == -3L &&
+      d2.getLong(2) == 1L && d2.getLong(3) == 7L &&
+      d2.getLong(4) == 6L && d2.isNullAt(5))
+    // ~ is FULL-match ('abc' ~ 'b' = false — probed DuckDB), ~~ LIKE
+    val s3 = LakeSql.sql(spark, """SELECT 'abc' ~ 'a.c' AS a,
+      'abc' ~ 'b' AS b, 'abc' !~ 'z.*' AS c, 'a.c' ~ 'a\.c' AS d,
+      'abc' ~~ 'a%' AS e, 'abc' !~~ 'z%' AS f, 'abc' ^@ 'ab' AS g,
+      'abc' ^@ 'b' AS h""").collect().head
+    assert(s3.getBoolean(0) && !s3.getBoolean(1) && s3.getBoolean(2) &&
+      s3.getBoolean(3) && s3.getBoolean(4) && s3.getBoolean(5) &&
+      s3.getBoolean(6) && !s3.getBoolean(7))
+    // trigger tokens inside string LITERALS survive untouched
+    val lit = LakeSql.sql(spark,
+      "SELECT regexp_replace('x^y', '\\^', '~', 'g') AS t, " +
+        "'a // b ** c' AS raw").collect().head
+    assert(lit.getString(0) == "x~y" && lit.getString(1) == "a // b ** c")
+    // loud refusals: rebinding left context, float-literal //,
+    // computed ~ pattern
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT 'a' || 'bc' ~ 'abc' AS x")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT 7 // 2.0 AS x")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT o_orderstatus ~ o_orderstatus AS x FROM orders")
+    }
+  }
 }
