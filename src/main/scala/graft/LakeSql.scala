@@ -1145,6 +1145,8 @@ object LakeSql {
         case DateFnRewrite(r) => sql(s, r)
         case MathFnRewrite(r) => sql(s, r)
         case OpPinRewrite(r) => sql(s, r)
+        case TimeBucketRewrite(r) => sql(s, r)
+        case OrderedAggRewrite(r) => sql(s, r)
         case _ if StringSplitKeyword.matches(st) =>
           sql(s, rewriteStringSplit(st))
         // guard on CHANGED text: a statement whose only regexp_* calls
@@ -1187,6 +1189,10 @@ object LakeSql {
   private lazy val MathFnRewrite = new Rewritten(MathFnKeyword, rewriteMathFns)
   private lazy val OpPinRewrite =
     new Rewritten(OpPinKeyword, rewriteOperatorPins)
+  private lazy val TimeBucketRewrite =
+    new Rewritten(TimeBucketKeyword, rewriteTimeBucket)
+  private lazy val OrderedAggRewrite =
+    new Rewritten(OrderedAggKeyword, rewriteOrderedListAgg)
   private lazy val RegexpFnRewrite =
     new Rewritten(RegexpFnKeyword, rewriteRegexpFns)
 
@@ -3022,6 +3028,159 @@ object LakeSql {
         st = st.substring(0, idx) + " div nullif((" + r + "), 0)" +
           st.substring(re)
       }
+    }
+    st
+  }
+
+  // ---- time_bucket ---------------------------------------------------
+  // DuckDB's time_bucket(INTERVAL, ts) — the report-grid primitive.
+  // Probed alignment rule: EVERY second/minute/hour/day/week multiple
+  // aligns to the origin 2000-01-03 00:00:00 UTC (epoch 946857600 —
+  // verified for 3/4/5/6/7/10/14-day, 7-hour, 90-minute, 11-second
+  // buckets: (bucket − origin) % width = 0 on all, while 2000-01-01
+  // leaves remainder 2 on the day multiples). Rewritten to exact
+  // INTEGER arithmetic on the shared epoch grid (the UTC session):
+  //   timestamp_micros((u − O) − pmod(u − O, W) + O),  u = unix_micros
+  // pmod keeps the floor semantics for pre-origin timestamps (probed:
+  // 1999 inputs bucket DOWN). MONTH/YEAR multiples are calendar
+  // buckets floored on the month ordinal since 2000-01 (probed:
+  // '5 months' 1999-05 → 1999-03, '3 months' → 1999-04, years ride
+  // the 12-multiple) → make_timestamp over the floored ordinal.
+  // All codegen'd scalar arithmetic on the scan — no UDF, no shuffle.
+  // The 3-arg origin/offset form refuses; DATE inputs return
+  // TIMESTAMP here where DuckDB preserves DATE (documented — wrap in
+  // CAST(... AS DATE) for the DATE form).
+  private val TimeBucketKeyword = "(?is).*\\btime_bucket\\s*\\(.*".r
+
+  private val TimeBucketInterval =
+    "(?i)^INTERVAL\\s+'(\\d+)\\s+(second|minute|hour|day|week|month|year)s?'$".r
+
+  private[graft] def rewriteTimeBucket(statement: String): String = {
+    var st = statement
+    val re = "(?i)\\btime_bucket\\s*\\(".r
+    var from = 0
+    var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+      (m.start + from, m.end + from))
+    while (hit.isDefined) {
+      val (hs, he) = hit.get
+      // quote-parity guard: a literal like 'time_bucket(x)' survives
+      if (st.substring(0, hs).count(_ == '\'') % 2 == 1) {
+        from = hs + 1
+        hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+          (m.start + from, m.end + from))
+      } else {
+      val (inner, rest) = takeParenGroup(st.substring(he - 1))
+      val args = splitTopCommasQuoted(inner)
+      require(args.length == 2,
+        "time_bucket takes (INTERVAL literal, timestamp) — the 3-arg " +
+          s"origin/offset form is not supported: $inner")
+      val iv = TimeBucketInterval.findFirstMatchIn(args.head.trim)
+        .getOrElse(throw new IllegalArgumentException(
+          "time_bucket: the bucket width must be a literal " +
+            s"INTERVAL 'n unit': ${args.head}"))
+      val n = iv.group(1).toLong
+      require(n > 0, "time_bucket: zero-width bucket")
+      val unit = iv.group(2).toLowerCase
+      val ts = args(1).trim
+      val out = unit match {
+        case "month" | "year" =>
+          val nm = if (unit == "year") n * 12 else n
+          val ord = s"((year($ts) - 2000) * 12 + month($ts) - 1)"
+          val b = s"($ord - pmod($ord, $nm))"
+          s"make_timestamp(2000 + CAST(($b - pmod($b, 12)) / 12 AS INT)," +
+            s" CAST(pmod($b, 12) AS INT) + 1, 1, 0, 0, 0)"
+        case _ =>
+          val micros = unit match {
+            case "second" => 1000000L
+            case "minute" => 60L * 1000000L
+            case "hour" => 3600L * 1000000L
+            case "day" => 86400L * 1000000L
+            case "week" => 7L * 86400L * 1000000L
+          }
+          val w = n * micros
+          val o = 946857600000000L // 2000-01-03 00:00:00 UTC
+          // CAST tolerates DATE and TIMESTAMP_NTZ inputs (the parquet
+          // reader surfaces unadjusted micros as NTZ); the UTC session
+          // makes the cast value-preserving. DuckDB returns DATE for a
+          // DATE input where this stays TIMESTAMP — documented; wrap
+          // in CAST(… AS DATE) for the date-typed grid.
+          val u = s"(unix_micros(CAST($ts AS TIMESTAMP)) - ${o}L)"
+          s"timestamp_micros($u - pmod($u, ${w}L) + ${o}L)"
+      }
+      st = st.substring(0, hs) + out + rest
+      from = 0
+      hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+        (m.start + from, m.end + from))
+      }
+    }
+    st
+  }
+
+  // ---- ordered list / array_agg ---------------------------------------
+  // DuckDB's list(x ORDER BY k [ASC|DESC]) / array_agg(…) — ordered
+  // collection with NULL ELEMENTS KEPT (probed: list(x ORDER BY k)
+  // over a NULL x yields [NULL, …]; Spark's bare collect_list DROPS
+  // nulls — a silent divergence) and NULLS-LAST key order in BOTH
+  // directions (probed ASC [3,1,2] / DESC [1,3,2] on a NULL key).
+  // Rewritten to the struct-carry identity:
+  //   transform(array_sort(collect_list(struct(k AS __k, x AS __v)),
+  //             (a, b) -> <null-last comparator>), s -> s.__v)
+  // — the struct is never null, so collect_list keeps null values; the
+  // explicit comparator pins the key order including NULL keys. One
+  // aggregation, the sort is per-group post-aggregate. The ORDER BY is
+  // REQUIRED (DuckDB's bare list() is partition-arrival order — the
+  // unordered-string_agg refusal class); DISTINCT and multi-key ORDER
+  // BY refuse loudly. Ties on equal keys are unspecified on BOTH
+  // engines (DuckDB docs: input order — which is itself parallel-
+  // nondeterministic), so hashable statements use a unique key.
+  private val OrderedAggKeyword =
+    "(?is).*\\b(list|array_agg)\\s*\\(.*".r
+
+  private[graft] def rewriteOrderedListAgg(statement: String): String = {
+    var st = statement
+    val re = "(?i)\\b(list|array_agg)\\s*\\(".r
+    var from = 0
+    var hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+      (m.start + from, m.end + from))
+    while (hit.isDefined) {
+      val (s0, e0) = hit.get
+      // quote-parity guard: skip matches inside string literals
+      if (st.substring(0, s0).count(_ == '\'') % 2 == 1) {
+        from = s0 + 1
+      } else {
+        val (inner, rest) = takeParenGroup(st.substring(e0 - 1))
+        require(!inner.trim.toUpperCase.startsWith("DISTINCT"),
+          "list/array_agg DISTINCT is not supported — dedupe in a " +
+            "subquery, then aggregate")
+        val ob = topLevelWord(inner, "ORDER")
+        require(ob >= 0,
+          "list/array_agg without ORDER BY is partition-arrival order " +
+            "— not deterministic on any parallel engine; add ORDER BY")
+        val expr = inner.substring(0, ob).trim
+        val keyPart = inner.substring(ob)
+          .replaceFirst("(?is)^ORDER\\s+BY\\s+", "").trim
+        require(topLevelWord(keyPart, "ORDER") < 0 &&
+          splitTopCommasQuoted(keyPart).length == 1,
+          s"list/array_agg: single ORDER BY key only: $keyPart")
+        val (key, desc) =
+          if (keyPart.toUpperCase.endsWith(" DESC"))
+            (keyPart.dropRight(5).trim, true)
+          else if (keyPart.toUpperCase.endsWith(" ASC"))
+            (keyPart.dropRight(4).trim, false)
+          else (keyPart, false)
+        val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+        val cmp = "(a, b) -> CASE " +
+          "WHEN a.__k IS NULL AND b.__k IS NULL THEN 0 " +
+          "WHEN a.__k IS NULL THEN 1 WHEN b.__k IS NULL THEN -1 " +
+          s"WHEN a.__k < b.__k THEN $lt WHEN a.__k > b.__k THEN $gt " +
+          "ELSE 0 END"
+        st = st.substring(0, s0) +
+          s"transform(array_sort(collect_list(struct(($key) AS __k, " +
+          s"($expr) AS __v)), $cmp), s -> s.__v)" + rest
+        from = 0
+      }
+      hit = re.findFirstMatchIn(st.substring(from)).map(m =>
+        (m.start + from, m.end + from))
     }
     st
   }

@@ -2990,9 +2990,89 @@ object Sql {
       GQuery("x112_sql_operators", (s, d) => {
         open(s, d)
         LakeSql.sql(s, OperatorPinsText)
-      }, Some(OperatorPinsText))
+      }, Some(OperatorPinsText)),
+
+      // ------------------------------------------------------------ x113
+      // shared aggregate/window vocabulary — probed NATIVE matches
+      // needing no rewrite, pinned under one hash so a regression in
+      // EITHER engine's semantics (or a future rewrite accidentally
+      // capturing them) fails the gate: mode (tie-free by
+      // construction), median (interpolated, DOUBLE out even for
+      // BIGINT in — both engines), bit_and/bit_or/bit_xor, bool_and/
+      // bool_or, ntile/cume_dist/percent_rank/nth_value over a total
+      // order, << >> arithmetic shifts, count(DISTINCT). One text,
+      // zero rewrites, one exchange for the aggregate + one window
+      // sort that AQE shares across the four window columns.
+      GQuery("x113_sql_shared_agg_window", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, SharedAggWindowText)
+      }, Some(SharedAggWindowText)),
+
+      // ------------------------------------------------------------ x114
+      // time_bucket + ordered list/array_agg — the report-grid and
+      // ordered-collection primitives. time_bucket rewrites to exact
+      // integer epoch arithmetic on the probed 2000-01-03 origin
+      // (every second→week multiple verified; month/year bucket on
+      // the month ordinal since 2000-01), all codegen'd scalars on
+      // the scan. list(x ORDER BY k)/array_agg keep NULL ELEMENTS
+      // (Spark's collect_list drops them — closed via the struct-
+      // carry identity) and pin NULLS-LAST key order both directions
+      // with an explicit comparator; bare list() refuses (arrival
+      // order). The key buckets events three ways and checksums a
+      // per-group ordered top-k through the x92 list vocabulary.
+      GQuery("x114_sql_time_bucket_list", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, TimeBucketListText)
+      }, Some(TimeBucketListText))
     )
   }
+
+  private def SharedAggWindowText = """
+    WITH w AS (
+      SELECT o_orderkey, o_orderstatus,
+             ntile(4) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey) AS nt,
+             round(cume_dist() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey), 6) AS cd,
+             round(percent_rank() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey), 6) AS pr,
+             nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS nv,
+             (o_orderkey << 3) AS shl, (o_orderkey >> 2) AS shr
+      FROM orders WHERE o_orderkey <= 4000)
+    SELECT o_orderstatus, nt, COUNT(*) AS n,
+           CAST(SUM(nv) AS BIGINT) AS snv,
+           CAST(SUM(shl + shr) AS BIGINT) AS ssh,
+           ROUND(SUM(cd), 4) AS scd, ROUND(SUM(pr), 4) AS spr,
+           mode(CASE WHEN o_orderkey % 3 = 0 THEN 99
+                     ELSE o_orderkey % 7 END) AS md,
+           CAST(median(o_orderkey) AS DOUBLE) AS med,
+           bit_and(o_orderkey % 256) AS ba,
+           bit_or(o_orderkey % 256) AS bo,
+           bit_xor(o_orderkey % 256) AS bx,
+           bool_and(o_orderkey % 5 < 4) AS band,
+           bool_or(o_orderkey % 997 = 0) AS bor,
+           count(DISTINCT o_orderkey % 64) AS cdk
+    FROM w GROUP BY o_orderstatus, nt
+    ORDER BY o_orderstatus, nt"""
+
+  private def TimeBucketListText = """
+    SELECT event_type,
+           time_bucket(INTERVAL '6 hours', ts) AS b6h,
+           time_bucket(INTERVAL '2 days', ts) AS b2d,
+           time_bucket(INTERVAL '1 month', ts) AS bmo,
+           COUNT(*) AS n,
+           array_to_string(
+             list_slice(list(event_id ORDER BY event_id DESC), 1, 5),
+             ',') AS top5,
+           array_to_string(
+             list_slice(array_agg(event_id % 10 ORDER BY event_id), 1, 8),
+             ',') AS first8
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY 1, 2, 3, 4
+    ORDER BY event_type, b6h"""
 
   private def OperatorPinsText = """
     SELECT o_orderkey,

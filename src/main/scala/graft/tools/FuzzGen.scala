@@ -56,8 +56,17 @@ object FuzzGen {
   /** Integer-valued scalar expression (exact on both engines). */
   private def intExpr(r: Random, cols: Seq[Col]): String = {
     val hasDate = cols.exists(_.kind == "d")
-    val n = r.nextInt(if (hasDate) 12 else 10)
+    val n = r.nextInt(if (hasDate) 15 else 13)
     (if (!hasDate && n >= 7) n + 2 else n) match {
+      case 12 => // ^ / ** power pins (x112): XOR in bare Spark
+        s"CAST((${iCol(r, cols)} % ${3 + r.nextInt(5)}) " +
+          s"${pick(r, Seq("^", "**"))} ${2 + r.nextInt(2)} AS BIGINT)"
+      case 13 => // // integer division incl. the NULL-on-zero divisor
+        s"(${iCol(r, cols)} // ${pick(r, Seq("3", "7",
+          s"(${iCol(r, cols)} % 4)"))})"
+      case 14 => // full-match ~ and ^@ as CASE conditions
+        s"(CASE WHEN ${sCol(r, cols)} ${pick(r, Seq("~ '[A-Za-z ]+'",
+          "~ '[a-z]+'", "!~ '.*[0-9].*'", "^@ 'A'"))} THEN 1 ELSE 0 END)"
       case 0 => s"CAST(len(string_split(${sCol(r, cols)}, ' ')) AS BIGINT)"
       case 1 =>
         s"CAST(length(regexp_replace(${sCol(r, cols)}, " +
@@ -160,7 +169,7 @@ object FuzzGen {
         ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
       else ("orders", orderCols, "o_orderkey",
         pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
-    r.nextInt(17) match {
+    r.nextInt(18) match {
       case 0 => // grouped aggregate
         s"SELECT $group, COUNT(*) AS n, ${aggExpr(r, cols)} AS a1, " +
           s"${aggExpr(r, cols)} AS a2 FROM $table " +
@@ -257,6 +266,24 @@ object FuzzGen {
           s", CAST(round(log(CAST(MAX($key) + 2 AS DOUBLE)) * 100) AS " +
           s"BIGINT) AS lg, COUNT(*) AS n FROM $table " +
           s"WHERE $key <= $keyCap GROUP BY $group ORDER BY $group"
+      case 17 if cols.exists(_.kind == "d") => // time_bucket grid +
+        // ordered-list checksum (x114) + shared agg names (x113)
+        val d = pick(r, cols.filter(_.kind == "d")).name
+        val iv = pick(r, Seq("6 hours", "2 days", "1 week", "3 months"))
+        s"SELECT time_bucket(INTERVAL '$iv', $d) AS b, COUNT(*) AS n, " +
+          s"array_to_string(list_slice(list($key % 50 ORDER BY $key" +
+          s"${pick(r, Seq("", " DESC"))}), 1, ${3 + r.nextInt(5)}), " +
+          s"'|') AS lk, CAST(median($key) * 2 AS BIGINT) AS md2, " +
+          s"bit_xor($key % ${32 + r.nextInt(64)}) AS bx " +
+          s"FROM $table WHERE $key <= $keyCap GROUP BY 1 ORDER BY b"
+      case 17 => // no-date table: shared agg names alone
+        s"SELECT $group, CAST(median($key) * 2 AS BIGINT) AS md2, " +
+          s"bit_and($key % 16) AS ba, bit_or($key % 16) AS bo, " +
+          s"bit_xor($key % ${16 + r.nextInt(48)}) AS bx, " +
+          s"bool_and(${pred(r, cols, keyCap)}) AS bnd, " +
+          s"array_to_string(list($key % 9 ORDER BY $key DESC), '') AS lk " +
+          s"FROM $table WHERE $key <= $keyCap GROUP BY $group " +
+          s"ORDER BY $group"
     }
   }
 

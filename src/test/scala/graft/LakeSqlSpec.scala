@@ -2500,4 +2500,48 @@ class LakeSqlSpec extends SparkSpec {
         "SELECT o_orderstatus ~ o_orderstatus AS x FROM orders")
     }
   }
+
+  test("time_bucket epoch-grid rewrite and ordered list/array_agg " +
+      "struct-carry identity") {
+    Sql.open(spark, sfDir)
+    // probed DuckDB pins: 2000-01-03 origin for every sub-month unit
+    val tb = LakeSql.sql(spark, """SELECT
+      time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-03-05 10:37:22') AS a,
+      time_bucket(INTERVAL '7 hours', TIMESTAMP '2024-03-05 10:37:22') AS b,
+      time_bucket(INTERVAL '2 days', TIMESTAMP '2024-03-06 10:00:00') AS c,
+      time_bucket(INTERVAL '1 week', TIMESTAMP '2024-03-05 10:00:00') AS d,
+      time_bucket(INTERVAL '5 months', TIMESTAMP '1999-05-05 00:00:00') AS e,
+      time_bucket(INTERVAL '2 years', TIMESTAMP '1999-05-05 00:00:00') AS f
+      """).collect().head
+    def s(i: Int) = tb.getTimestamp(i).toInstant.toString
+    assert(s(0) == "2024-03-05T10:30:00Z" && s(1) == "2024-03-05T04:00:00Z")
+    assert(s(2) == "2024-03-05T00:00:00Z" && s(3) == "2024-03-04T00:00:00Z")
+    assert(s(4) == "1999-03-01T00:00:00Z" && s(5) == "1998-01-01T00:00:00Z")
+    // ordered collection: NULL values kept, NULL keys last both ways
+    val l = LakeSql.sql(spark, """SELECT
+      list(x ORDER BY k) AS a, array_agg(x ORDER BY k DESC) AS b,
+      list(x ORDER BY x) AS c
+      FROM (VALUES (1, 3), (2, CAST(NULL AS INT)), (3, 1)) v(x, k)
+      """).collect().head
+    assert(l.getSeq[Int](0) == Seq(3, 1, 2))
+    assert(l.getSeq[Int](1) == Seq(1, 3, 2))
+    assert(l.getSeq[Int](2) == Seq(1, 2, 3))
+    val nv = LakeSql.sql(spark,
+      """SELECT list(x ORDER BY x) AS a
+         FROM (VALUES (CAST(NULL AS INT)), (5), (2)) v(x)""")
+      .collect().head.getSeq[Any](0)
+    assert(nv == Seq(2, 5, null))
+    // refusals: bare list(), DISTINCT, 3-arg time_bucket
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT list(o_orderkey) AS x FROM orders")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark,
+        "SELECT list(DISTINCT o_orderkey ORDER BY o_orderkey) AS x FROM orders")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT time_bucket(INTERVAL '1 day', ts, " +
+        "TIMESTAMP '2001-01-01 00:00:00') AS x FROM events")
+    }
+  }
 }
