@@ -935,7 +935,12 @@ object LakeSql {
   private val ExplainRe =
     """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+(.*)$""".r
 
-  def sql(s: SparkSession, statement: String): DataFrame = statement match {
+  def sql(s: SparkSession, statement0: String): DataFrame = {
+    // lexical sugar first (quote-aware, idempotent): dollar-quoted
+    // strings → standard literals, numeric underscore separators
+    // stripped — both DuckDB parser features Spark's lexer lacks
+    val statement = normalizeLexicalSugar(statement0)
+    statement match {
     // Macro DDL routes BEFORE expansion (a macro body must not expand
     // through other macros at definition time — DuckDB expands at call
     // sites, late-binding redefinitions).
@@ -1165,6 +1170,73 @@ object LakeSql {
           sql(s, "SELECT * " + st.trim)
         case _ => sqlStatement(s, st)
       }
+    }
+  }
+
+  /** Dollar-quoted strings ($tag$…$tag$ → '…' with '' escaping) and
+    * numeric underscore separators (1_000_000 → 1000000) — DuckDB
+    * lexer features with no Spark equivalent, normalized before any
+    * dispatch so every route (including the pre-expansion DDL regexes)
+    * sees standard text. Quote-aware: a `$tag$` or `1_000` inside an
+    * existing single-quoted literal survives; `$1`-style EXECUTE
+    * ordinals never match (the tag grammar excludes digit starts).
+    */
+  private[graft] def normalizeLexicalSugar(st0: String): String = {
+    var st = st0
+    if (st.indexOf('$') >= 0) {
+      val open = "\\$([A-Za-z_]\\w*)?\\$".r
+      var done = false
+      while (!done) {
+        // find the first opener OUTSIDE single quotes
+        val hit = open.findAllMatchIn(st).find(m =>
+          st.substring(0, m.start).count(_ == '\'') % 2 == 0)
+        hit match {
+          case Some(m) =>
+            val tag = m.matched
+            val closeAt = st.indexOf(tag, m.end)
+            if (closeAt < 0) done = true // lone $…$ (e.g. money col?) — leave
+            else {
+              val content = st.substring(m.end, closeAt)
+              st = st.substring(0, m.start) + "'" +
+                content.replace("'", "''") + "'" +
+                st.substring(closeAt + tag.length)
+            }
+          case None => done = true
+        }
+      }
+    }
+    if (st.indexOf('_') >= 0 &&
+        "(?<![\\w$])\\d[\\d_]*_[\\d_]*\\d".r.findFirstIn(st).isDefined) {
+      // strip underscores inside numeric literals only — scan with
+      // both quote kinds respected so quoted identifiers keep theirs
+      val sb = new StringBuilder
+      var i = 0; var inS = false; var inD = false
+      while (i < st.length) {
+        val c = st.charAt(i)
+        if (inS) { sb += c; if (c == '\'') inS = false; i += 1 }
+        else if (inD) { sb += c; if (c == '"') inD = false; i += 1 }
+        else if (c == '\'') { inS = true; sb += c; i += 1 }
+        else if (c == '"') { inD = true; sb += c; i += 1 }
+        else if (c.isDigit && (i == 0 || {
+          val p = st.charAt(i - 1) // '.' allowed: fraction digits
+          !(p.isLetterOrDigit || p == '_' || p == '$')
+        })) {
+          var j = i
+          while (j < st.length &&
+              (st.charAt(j).isDigit || st.charAt(j) == '_')) j += 1
+          val tok = st.substring(i, j)
+          // a trailing ident char means this is part of an identifier
+          // (1_000e5 also stays — loud, not silently reinterpreted)
+          val t = if (j < st.length) st.charAt(j) else ' '
+          if (t.isLetter || t == '_' || t == '$') sb ++= tok
+          else if (tok.endsWith("_")) sb ++= tok
+          else sb ++= tok.replace("_", "")
+          i = j
+        } else { sb += c; i += 1 }
+      }
+      st = sb.toString
+    }
+    st
   }
 
   /** Changed-text rewrite guard: matches when the keyword regex hits
@@ -2077,11 +2149,38 @@ object LakeSql {
   // delta, same rule), month → 12·year+month delta, year → year delta.
   // Other units refuse (hour/minute boundary semantics on timestamps
   // aren't what Spark's timestampdiff computes). date_part shares its
-  // name and unit vocabulary EXCEPT 'dow' (DuckDB: Sunday=0..6; Spark
-  // extract: Sunday=1..7) — pinned as dayofweek(x)-1.
+  // name and unit vocabulary EXCEPT the pinned fields below, and
+  // EXTRACT(field FROM x) is the SAME vocabulary in the SQL-standard
+  // spelling — probed divergences, identical for both spellings:
+  //   dow          DuckDB Sunday=0..6; Spark extract Sunday=1..7 —
+  //                SILENT wrong values → dayofweek(x)-1
+  //   isodow       DuckDB Mon=1..Sun=7; Spark has no such field →
+  //                weekday(x)+1
+  //   epoch        DuckDB fractional epoch seconds (1709600523.5);
+  //                Spark refuses the field → unix_micros/1e6 DOUBLE
+  //   second       DuckDB INTEGER seconds-in-minute (3 for 03.456789);
+  //                Spark extract returns DECIMAL WITH the fraction —
+  //                SILENT wrong values → exact integer pmod on
+  //                unix_micros (no float rounding at ms boundaries)
+  //   millisecond  DuckDB includes the seconds (3456) — same pmod grid
+  //   microsecond  DuckDB includes the seconds (3456789) — same grid
+  private val ExtractPins: Map[String, String => String] = Map(
+    "dow" -> (x => s"(dayofweek($x) - 1)"),
+    "isodow" -> (x => s"(weekday($x) + 1)"),
+    "epoch" -> (x =>
+      s"(unix_micros(CAST($x AS TIMESTAMP)) / CAST(1000000 AS DOUBLE))"),
+    "second" -> (x =>
+      s"(pmod(unix_micros(CAST($x AS TIMESTAMP)), 60000000L) div 1000000L)"),
+    "millisecond" -> (x =>
+      s"(pmod(unix_micros(CAST($x AS TIMESTAMP)), 60000000L) div 1000L)"),
+    "microsecond" -> (x =>
+      s"pmod(unix_micros(CAST($x AS TIMESTAMP)), 60000000L)"))
+
   private val DateFnKeyword =
     ("(?is).*(\\bdate_diff\\s*\\(|\\bdatediff\\s*\\(\\s*'|" +
-      "\\bdate_part\\s*\\(\\s*'(dow|epoch)').*").r
+      "\\bdate_part\\s*\\(\\s*'(dow|isodow|epoch|second|millisecond|" +
+      "microsecond)'|\\bextract\\s*\\(\\s*(dow|isodow|epoch|second|" +
+      "millisecond|microsecond)\\b).*").r
 
   private[graft] def rewriteDateFns(statement: String): String = {
     var st = statement
@@ -2129,30 +2228,49 @@ object LakeSql {
         hit = ("(?i)\\b" + name + "\\s*\\(\\s*'").r.findFirstMatchIn(st)
       }
     }
-    var hit = "(?i)\\bdate_part\\s*\\(\\s*'dow'\\s*,".r.findFirstMatchIn(st)
-    while (hit.isDefined) {
-      val m = hit.get
-      val open = st.indexOf('(', m.start)
-      val (inner, rest) = takeParenGroup(st.substring(open))
-      val args = splitTopCommasQuoted(inner)
-      require(args.length == 2, s"date_part takes ('unit', value)")
-      st = st.substring(0, m.start) + s"(dayofweek(${args(1)}) - 1)" + rest
-      hit = "(?i)\\bdate_part\\s*\\(\\s*'dow'\\s*,".r.findFirstMatchIn(st)
+    // date_part('field', x) for every pinned field
+    for ((field, fix) <- ExtractPins) {
+      val re = ("(?i)\\bdate_part\\s*\\(\\s*'" + field + "'\\s*,").r
+      var hit = re.findFirstMatchIn(st)
+      while (hit.isDefined) {
+        val m = hit.get
+        val open = st.indexOf('(', m.start)
+        val (inner, rest) = takeParenGroup(st.substring(open))
+        val args = splitTopCommasQuoted(inner)
+        require(args.length == 2, s"date_part takes ('unit', value)")
+        st = st.substring(0, m.start) + fix(args(1).trim) + rest
+        hit = re.findFirstMatchIn(st)
+      }
     }
-    // date_part('epoch', x): DuckDB's fractional epoch seconds
-    // (pinned: 1577836801.5) — Spark's extract has no epoch field, so
-    // rebuild from unix_micros like the epoch() function rewrite.
-    hit = "(?i)\\bdate_part\\s*\\(\\s*'epoch'\\s*,".r.findFirstMatchIn(st)
-    while (hit.isDefined) {
-      val m = hit.get
-      val open = st.indexOf('(', m.start)
-      val (inner, rest) = takeParenGroup(st.substring(open))
-      val args = splitTopCommasQuoted(inner)
-      require(args.length == 2, s"date_part takes ('unit', value)")
-      st = st.substring(0, m.start) +
-        s"(unix_micros(CAST(${args(1)} AS TIMESTAMP)) / " +
-        "CAST(1000000 AS DOUBLE))" + rest
-      hit = "(?i)\\bdate_part\\s*\\(\\s*'epoch'\\s*,".r.findFirstMatchIn(st)
+    // EXTRACT(field FROM x) — the SQL-standard spelling of the same
+    // pinned fields; unpinned fields (year/month/day/hour/minute/doy/
+    // week/quarter) are probed SHARED and pass through untouched.
+    val exRe = "(?i)\\bextract\\s*\\(".r
+    var from = 0
+    var exHit = exRe.findFirstMatchIn(st.substring(from)).map(m =>
+      (m.start + from, m.end + from))
+    while (exHit.isDefined) {
+      val (hs, he) = exHit.get
+      val quoteGuarded = st.substring(0, hs).count(_ == '\'') % 2 == 1
+      var advanced = false
+      if (!quoteGuarded) {
+        val (inner, rest) = takeParenGroup(st.substring(he - 1))
+        val fi = topLevelWord(inner, "FROM")
+        if (fi >= 0) {
+          val field = inner.substring(0, fi).trim.toLowerCase
+          ExtractPins.get(field) match {
+            case Some(fix) =>
+              val x = inner.substring(fi + 4).trim
+              st = st.substring(0, hs) + fix(x) + rest
+              from = 0
+              advanced = true
+            case None => ()
+          }
+        }
+      }
+      if (!advanced) from = hs + 1
+      exHit = exRe.findFirstMatchIn(st.substring(from)).map(m =>
+        (m.start + from, m.end + from))
     }
     st
   }
@@ -2445,7 +2563,8 @@ object LakeSql {
       "\\bprintf\\s*\\(|\\bregexp_split_to_array\\s*\\(|" +
       "\\bepoch(_ms|_us)?\\s*\\(|\\bsha256\\s*\\(|\\bends_with\\s*\\(|" +
       "\\bto_hex\\s*\\(|\\b[lr]?trim\\s*\\(|\\bskewness\\s*\\(|" +
-      "\\bkurtosis\\s*\\(|\\bquantile_disc\\s*\\(|\\bformat\\s*\\().*").r
+      "\\bkurtosis\\s*\\(|\\bquantile_disc\\s*\\(|\\bformat\\s*\\(|" +
+      "\\bstrpos\\s*\\(|\\bunicode\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2545,6 +2664,20 @@ object LakeSql {
       case Seq(x) => Some(s"sha2($x, 256)")
       case args => throw new IllegalArgumentException(
         s"sha256 takes one argument, got: ${args.mkString(", ")}")
+    }
+    // strpos ≡ instr (probed: both 1-based, 0 on miss)
+    loop("strpos") {
+      case Seq(a, b) => Some(s"instr($a, $b)")
+      case args => throw new IllegalArgumentException(
+        s"strpos takes (string, search), got: ${args.mkString(", ")}")
+    }
+    // unicode(s): first-char codepoint; DuckDB pins '' → -1 where
+    // Spark's ascii('') is 0 (NULL → NULL on both)
+    loop("unicode") {
+      case Seq(x) => Some(
+        s"(CASE WHEN ($x) = '' THEN -1 ELSE ascii($x) END)")
+      case args => throw new IllegalArgumentException(
+        s"unicode takes one argument, got: ${args.mkString(", ")}")
     }
     // skewness/kurtosis: DuckDB computes the SAMPLE-corrected
     // statistics (adjusted Fisher–Pearson G1 / sample excess G2) while
@@ -2744,7 +2877,34 @@ object LakeSql {
   // regex patterns carrying ^/~ inside literals survive untouched; the
   // emitted text contains none of the trigger tokens outside literals,
   // so dispatch re-entry terminates.
-  private val OpPinKeyword = "(?s).*(\\^|~|//|\\*\\*).*".r
+  private val OpPinKeyword =
+    "(?is).*(\\^|~|//|\\*\\*|\\bglob\\b|[=!<>]\\s*(any|all)\\s*\\().*".r
+
+  /** Translate a DuckDB GLOB pattern (probed: `*` any run, `?` one
+    * char, `[ab]`/`[!ab]` classes, everything else LITERAL — `.` does
+    * not match-any) into a Java regex for the \A…\z full-match wrap.
+    */
+  private def globToRegex(g: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '*' => sb ++= ".*"
+        case '?' => sb += '.'
+        case '[' =>
+          val j = g.indexOf(']', i + 1)
+          require(j > 0, s"GLOB: unterminated bracket class in: $g")
+          var cls = g.substring(i + 1, j)
+          if (cls.startsWith("!")) cls = "^" + cls.substring(1)
+          sb ++= "[" + cls + "]"
+          i = j
+        case c if "\\^$.|+(){}".contains(c) => sb += '\\'; sb += c
+        case c => sb += c
+      }
+      i += 1
+    }
+    sb.toString
+  }
 
   /** One forward scan: literal mask + close-paren → open-paren map. */
   private def opScanState(st: String): (Array[Boolean], Map[Int, Int]) = {
@@ -2945,6 +3105,44 @@ object LakeSql {
     }
     swap("!~~", " NOT LIKE ")
     swap("~~", " LIKE ")
+    // quantified comparisons: `= ANY (subquery)` IS the standard IN,
+    // `<> ALL` / `!= ALL` is NOT IN — identical NULL semantics (both
+    // probed NULL on null-carrying misses); Spark's parser has no
+    // ANY/ALL comparison grammar, so other operators stay loud parse
+    // errors (spell MIN/MAX scalar subqueries)
+    st = outsideLiterals(st)(
+      _.replaceAll("(?i)(?<![<>!=])=\\s*ANY(?=\\s*\\()", " IN ")
+        .replaceAll("(?i)(<>|!=)\\s*ALL(?=\\s*\\()", " NOT IN "))
+    // GLOB: full-match shell pattern (probed: '.' literal, '*'/'?'
+    // wildcards, [!a] negated class) → rlike \A…\z, literal patterns
+    // only; DuckDB has no NOT GLOB grammar, so none here either
+    var moreGlob = true
+    while (moreGlob) {
+      val (inLit, close) = opScanState(st)
+      val up = st.toUpperCase
+      val idx = opFindFirst(st, inLit, i => up.startsWith("GLOB", i) &&
+        (i == 0 || !isOpIdC(st.charAt(i - 1))) &&
+        (i + 4 >= st.length || !isOpIdC(st.charAt(i + 4))))
+      if (idx < 0) moreGlob = false
+      else {
+        val ls = opTightLeft(st, idx, inLit, close)
+        opRequireAtomicLeftContext(st, ls, "GLOB")
+        val rs = {
+          var k = idx + 4
+          while (k < st.length && st.charAt(k).isWhitespace) k += 1
+          k
+        }
+        require(rs < st.length && st.charAt(rs) == '\'',
+          "GLOB needs a LITERAL pattern — computed patterns are not " +
+            "supported")
+        val re = opTightRight(st, rs, inLit, close)
+        val quoted = st.substring(rs + 1, re - 1)
+        st = st.substring(0, ls) +
+          s"rlike(${st.substring(ls, idx).trim}, " +
+          opSparkPatternLiteral(globToRegex(quoted)) + ")" +
+          st.substring(re)
+      }
+    }
     // ^@ starts_with — before the power scan (shares '^')
     var more = true
     while (more) {

@@ -3023,9 +3023,49 @@ object Sql {
       GQuery("x114_sql_time_bucket_list", (s, d) => {
         open(s, d)
         LakeSql.sql(s, TimeBucketListText)
-      }, Some(TimeBucketListText))
+      }, Some(TimeBucketListText)),
+
+      // ------------------------------------------------------------ x115
+      // EXTRACT-field pins + lexer sugar + quantified comparisons —
+      // the probe-sweep-6 batch: EXTRACT(dow) is Sunday=0 in DuckDB
+      // but Sunday=1 in Spark's extract (SILENT wrong values — x103
+      // pinned only the date_part spelling), EXTRACT(second) is the
+      // INTEGER seconds-in-minute there but a fraction-carrying
+      // DECIMAL here (silent again) — both pinned via exact integer
+      // pmod arithmetic on unix_micros, with isodow/epoch/millisecond/
+      // microsecond riding the same grid in BOTH spellings. GLOB is a
+      // full-match shell pattern → rlike \A…\z with '.' literal
+      // (probed). `= ANY (sub)` IS standard IN / `<> ALL` NOT IN —
+      // token swaps with identical NULL semantics. Dollar-quoted
+      // strings and numeric underscore literals normalize at the
+      // lexer layer (quote-aware). strpos ≡ instr; unicode('') = -1
+      // pinned against Spark's ascii('') = 0.
+      GQuery("x115_sql_extract_lexer", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ExtractLexerText)
+      }, Some(ExtractLexerText))
     )
   }
+
+  private def ExtractLexerText = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(EXTRACT(dow FROM ts)) AS BIGINT) AS sdow,
+           CAST(SUM(EXTRACT(isodow FROM ts)) AS BIGINT) AS siso,
+           CAST(SUM(EXTRACT(second FROM ts)) AS BIGINT) AS ssec,
+           CAST(SUM(EXTRACT(millisecond FROM ts)) AS BIGINT) AS sms,
+           CAST(SUM(EXTRACT(microsecond FROM ts)) AS BIGINT) AS sus,
+           MIN(CAST(FLOOR(EXTRACT(epoch FROM ts)) AS BIGINT)) AS mep,
+           COUNT(*) FILTER (WHERE event_type GLOB '[cp]*') AS ng,
+           MIN(strpos(event_type, 'i')) AS sp,
+           MIN(unicode(event_type)) AS uc,
+           1_000_000 // 7 AS lex,
+           $q$it's $$ worth$q$ AS dollar
+    FROM events
+    WHERE event_id <= 50_000
+      AND user_id = ANY (SELECT user_id FROM events
+                         WHERE event_id % 5 = 0)
+    GROUP BY event_type ORDER BY event_type"""
 
   private def SharedAggWindowText = """
     WITH w AS (

@@ -1740,7 +1740,7 @@ class LakeSqlSpec extends SparkSpec {
   }
 
   test("scalar math/string pins: log is log10, left/right negative " +
-      "lengths, substr 0-start, // refuses") {
+      "lengths, substr 0-start, // integer-divides") {
     Sql.open(spark, sfDir)
     val r = LakeSql.sql(spark, """
       SELECT CAST(round(log(CAST(100 AS DOUBLE)) * 1000) AS BIGINT)
@@ -1823,12 +1823,16 @@ class LakeSqlSpec extends SparkSpec {
     assert(mo.getDouble(0) == 1.9694 && mo.getDouble(1) == 4.0692,
       (mo.getDouble(0), mo.getDouble(1)))
     assert(mo.isNullAt(2) && mo.isNullAt(3))
-    // // refuses loudly (DuckDB divides integrally only for integer
-    // operands — 7.0 // 2 = 3.5, pinned — so DIV is not a safe map)
+    // // integer-divides since the x112 operator pins (float LITERAL
+    // operands still refuse — DuckDB's 7 // 2.0 = 3.5 is plain
+    // division, pinned)
+    assert(LakeSql.sql(spark,
+      "SELECT n_nationkey // 3 AS d FROM nation WHERE n_nationkey = 7")
+      .collect().head.getLong(0) == 2L)
     val ex = intercept[IllegalArgumentException] {
-      LakeSql.sql(spark, "SELECT n_nationkey // 3 FROM nation")
+      LakeSql.sql(spark, "SELECT n_nationkey // 3.0 FROM nation")
     }
-    assert(ex.getMessage.contains("DIV"))
+    assert(ex.getMessage.contains("non-integer"))
     // '//' inside a string literal survives (URL in data)
     assert(LakeSql.sql(spark, """
       SELECT 'http://x' AS u FROM nation WHERE n_nationkey = 0""")
@@ -2543,5 +2547,49 @@ class LakeSqlSpec extends SparkSpec {
       LakeSql.sql(spark, "SELECT time_bucket(INTERVAL '1 day', ts, " +
         "TIMESTAMP '2001-01-01 00:00:00') AS x FROM events")
     }
+  }
+
+  test("EXTRACT-field pins, GLOB, quantified comparisons, and lexer " +
+      "sugar (dollar quotes, numeric underscores)") {
+    Sql.open(spark, sfDir)
+    val ex = LakeSql.sql(spark, """SELECT
+      EXTRACT(dow FROM DATE '2024-03-03') AS sun,
+      EXTRACT(dow FROM DATE '2024-03-05') AS tue,
+      EXTRACT(isodow FROM DATE '2024-03-03') AS isun,
+      EXTRACT(second FROM TIMESTAMP '2024-03-05 01:02:03.456789') AS s,
+      EXTRACT(millisecond FROM TIMESTAMP '2024-03-05 01:02:03.456789') AS ms,
+      EXTRACT(microsecond FROM TIMESTAMP '2024-03-05 01:02:03.456789') AS us,
+      date_part('second', TIMESTAMP '2024-03-05 01:02:03.456789') AS s2,
+      EXTRACT(doy FROM DATE '2024-03-05') AS doy
+      """).collect().head
+    assert(ex.getInt(0) == 0 && ex.getInt(1) == 2 && ex.getInt(2) == 7)
+    assert(ex.getLong(3) == 3L && ex.getLong(4) == 3456L &&
+      ex.getLong(5) == 3456789L && ex.getLong(6) == 3L)
+    assert(ex.getInt(7) == 65)
+    val ep = LakeSql.sql(spark, "SELECT EXTRACT(epoch FROM TIMESTAMP " +
+      "'2024-03-05 01:02:03.5') AS e").collect().head
+    assert(ep.getDouble(0) == 1709600523.5)
+    // GLOB: probed shell semantics — '.' literal, classes, negation
+    val g = LakeSql.sql(spark, """SELECT 'abc.txt' GLOB '*.txt' AS a,
+      'abc' GLOB 'a?c' AS b, 'x' GLOB '[!a]' AS c, 'axb' GLOB 'a.b' AS d
+      """).collect().head
+    assert(g.getBoolean(0) && g.getBoolean(1) && g.getBoolean(2) &&
+      !g.getBoolean(3))
+    // = ANY / <> ALL are IN / NOT IN
+    val qa = LakeSql.sql(spark, """SELECT
+      3 = ANY (SELECT * FROM (VALUES (1),(3)) v(x)) AS a,
+      5 <> ALL (SELECT * FROM (VALUES (1),(3)) v(x)) AS b""")
+      .collect().head
+    assert(qa.getBoolean(0) && qa.getBoolean(1))
+    // lexer sugar + name pins
+    val lx = LakeSql.sql(spark, """SELECT 1_000_000 // 7 AS a,
+      1_000.5 AS b, $tag$it's $$ raw$tag$ AS c,
+      strpos('abcb', 'b') AS d, unicode('') AS e,
+      'keep_$1_000$_literal' AS f""").collect().head
+    assert(lx.getLong(0) == 142857L)
+    assert(lx.getDecimal(1).doubleValue == 1000.5)
+    assert(lx.getString(2) == "it's $$ raw")
+    assert(lx.getInt(3) == 2 && lx.getInt(4) == -1)
+    assert(lx.getString(5) == "keep_$1_000$_literal")
   }
 }
