@@ -64,9 +64,10 @@ object FuzzGen {
       case 13 => // // integer division incl. the NULL-on-zero divisor
         s"(${iCol(r, cols)} // ${pick(r, Seq("3", "7",
           s"(${iCol(r, cols)} % 4)"))})"
-      case 14 => // full-match ~ and ^@ as CASE conditions
+      case 14 => // full-match ~, GLOB, ^@ as CASE conditions
         s"(CASE WHEN ${sCol(r, cols)} ${pick(r, Seq("~ '[A-Za-z ]+'",
-          "~ '[a-z]+'", "!~ '.*[0-9].*'", "^@ 'A'"))} THEN 1 ELSE 0 END)"
+          "~ '[a-z]+'", "!~ '.*[0-9].*'", "^@ 'A'", "GLOB '[A-Z]*'",
+          "GLOB '?-*'", "GLOB '*a*'"))} THEN 1 ELSE 0 END)"
       case 0 => s"CAST(len(string_split(${sCol(r, cols)}, ' ')) AS BIGINT)"
       case 1 =>
         s"CAST(length(regexp_replace(${sCol(r, cols)}, " +
@@ -102,7 +103,15 @@ object FuzzGen {
           "'1996-06-30 12:00:00')"
       case 8 =>
         val d = pick(r, cols.filter(_.kind == "d")).name
-        s"CAST(date_part('${pick(r, Seq("dow", "doy"))}', $d) AS BIGINT)"
+        r.nextInt(3) match {
+          case 0 => s"CAST(date_part('${pick(r, Seq("dow", "doy"))}', " +
+            s"$d) AS BIGINT)"
+          case 1 => // EXTRACT spelling of the pinned fields (x115)
+            s"CAST(EXTRACT(${pick(r, Seq("dow", "isodow", "doy",
+              "week", "second"))} FROM $d) AS BIGINT)"
+          case 2 => // lexer sugar rides any statement (x115)
+            s"(${iCol(r, cols)} % 1_0${1 + r.nextInt(8)})"
+        }
     }
   }
 
