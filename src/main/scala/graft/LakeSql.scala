@@ -1236,6 +1236,14 @@ object LakeSql {
       }
       st = sb.toString
     }
+    // CTE materialization hints: `WITH c AS [NOT] MATERIALIZED (…)` —
+    // a DuckDB planner hint with no Spark grammar; semantics are
+    // unchanged without it (Spark decides reuse itself), so the hint
+    // strips (the trailing `(` keeps plain `AS materialized` aliases
+    // untouched)
+    if ("(?i)\\bMATERIALIZED\\b".r.findFirstIn(st).isDefined)
+      st = outsideLiterals(st)(
+        _.replaceAll("(?i)\\bAS\\s+(NOT\\s+)?MATERIALIZED\\s*\\(", "AS ("))
     st
   }
 
@@ -3727,7 +3735,15 @@ object LakeSql {
   // and applied BEFORE every other route, so file reads compose with
   // QUALIFY, EXPLAIN, SUMMARIZE, scripts, …
   private val TableFnKeyword =
-    "(?is).*\\bread_(parquet|csv|json)\\s*\\(.*".r
+    ("(?is).*(\\bread_(parquet|csv|json)\\s*\\(|" +
+      "\\b(from|join)\\s+'[^']+\\.(parquet|csv|json)').*").r
+
+  // DuckDB's bare-file-name relation: `FROM 'x.parquet'` routes by
+  // extension to the matching read_* table function, which the block
+  // below then binds — one rule, same view machinery, so `FROM
+  // 'f.parquet' t WHERE …` and JOINs compose unchanged.
+  private val FileFromRe =
+    "(?is)\\b(FROM|JOIN)\\s+'([^']+\\.(parquet|csv|json))'".r
   private val CreateViewKeyword =
     "(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\b.*".r
   private val TableFnRe =
@@ -3735,7 +3751,13 @@ object LakeSql {
       """(?:,\s*header\s*=\s*(true|false)\s*)?\)""").r
 
   private[graft] def rewriteTableFunctions(s: SparkSession,
-      statement: String): String =
+      statement0: String): String = {
+    // COPY has its own `FROM '<path>'` grammar (the import direction)
+    // — the bare-file-relation rule must not capture it
+    val statement =
+      if ("(?is)^\\s*COPY\\b.*".r.matches(statement0)) statement0
+      else FileFromRe.replaceAllIn(statement0, m =>
+        s"${m.group(1)} read_${m.group(3).toLowerCase}('${m.group(2)}')")
     TableFnRe.replaceAllIn(statement, m => {
       val kind = m.group(1).toLowerCase
       val path = m.group(2)
@@ -3759,6 +3781,7 @@ object LakeSql {
       df.createOrReplaceTempView(v)
       v
     })
+  }
 
   // ---- generate_series / range table functions ---------------------
   // DuckDB's numeric series generators as FROM-position table

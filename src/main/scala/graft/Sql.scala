@@ -1859,13 +1859,20 @@ object Sql {
       // the WHERE pushes into the parquet scan like any table read.
       // Oracle = the same query over the raw view (net effect — the
       // file IS the table).
+      // r14: the bare-file spelling `FROM '<path>.parquet'` (DuckDB's
+      // shortest form — extension-routed to the same table-function
+      // binding) and a MATERIALIZED CTE hint (stripped; Spark decides
+      // reuse itself) ride the same gated hash.
       GQuery("x65_sql_read_parquet", (s, d) => {
         LakeSql.sql(s, s"""
+          WITH src AS MATERIALIZED (
+            SELECT l_returnflag, l_quantity
+            FROM '$d/lineitem.parquet'
+            WHERE l_quantity <= 20)
           SELECT l_returnflag, COUNT(*) AS n,
                  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
                    AS qty
-          FROM read_parquet('$d/lineitem.parquet')
-          WHERE l_quantity <= 20
+          FROM src
           GROUP BY l_returnflag ORDER BY l_returnflag""")
       }, Some("""
         SELECT l_returnflag, COUNT(*) AS n,

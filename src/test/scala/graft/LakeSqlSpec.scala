@@ -2592,4 +2592,25 @@ class LakeSqlSpec extends SparkSpec {
     assert(lx.getInt(3) == 2 && lx.getInt(4) == -1)
     assert(lx.getString(5) == "keep_$1_000$_literal")
   }
+
+  test("bare-file FROM routes by extension; CTE MATERIALIZED hints " +
+      "strip; literals survive") {
+    Sql.open(spark, sfDir)
+    val n = LakeSql.sql(spark,
+      s"SELECT count(*) AS n FROM '$sfDir/nation.parquet'")
+      .collect().head.getLong(0)
+    assert(n == 25L)
+    val j = LakeSql.sql(spark, s"""
+      WITH r AS MATERIALIZED (
+        SELECT r_regionkey FROM '$sfDir/region.parquet')
+      SELECT count(*) AS n FROM '$sfDir/nation.parquet' nt
+      JOIN r ON nt.n_regionkey = r.r_regionkey""")
+      .collect().head.getLong(0)
+    assert(j == 25L)
+    val lit = LakeSql.sql(spark,
+      "SELECT 'FROM ''x.parquet'' stays' AS l, " +
+        "'AS MATERIALIZED (hint)' AS m").collect().head
+    assert(lit.getString(0) == "FROM 'x.parquet' stays")
+    assert(lit.getString(1) == "AS MATERIALIZED (hint)")
+  }
 }
