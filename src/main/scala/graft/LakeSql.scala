@@ -1492,14 +1492,20 @@ object LakeSql {
   // the parse — same plan as writing the list by hand, so pushdown/
   // pruning are untouched. Supported form: a single named FROM
   // relation (the star-modifier rule); zero matches refuse loudly.
-  private val ColumnsFnKeyword = "(?is).*\\bCOLUMNS\\s*\\(\\s*'.*".r
+  private val ColumnsFnKeyword =
+    "(?is).*\\bCOLUMNS\\s*\\(\\s*('|\\*).*".r
   private val ColumnsAggRe =
     """(?s)([A-Za-z_]\w*)\s*\(\s*COLUMNS\s*\(\s*'([^']*)'\s*\)\s*\)(?:\s+AS\s+"([^"]*)")?""".r
   private val ColumnsBareRe =
     """(?s)COLUMNS\s*\(\s*'([^']*)'\s*\)""".r
 
   private[graft] def rewriteColumnsFn(s: SparkSession,
-      statement: String): String = {
+      statement0: String): String = {
+    // COLUMNS(*) — DuckDB's all-columns form (probed: expands to every
+    // column in table order, fn(COLUMNS(*)) fans out like the regex
+    // form) — IS the regex form with the match-everything pattern
+    val statement = outsideLiterals(statement0)(
+      _.replaceAll("(?i)\\bCOLUMNS\\s*\\(\\s*\\*\\s*\\)", "COLUMNS('.*')"))
     val fi = topLevelIndexOf(statement, "FROM")
     require(fi >= 0, "COLUMNS(...) needs a FROM relation to expand against")
     val rel = "(?s)^\\s*([A-Za-z_]\\w*)".r
@@ -2572,7 +2578,9 @@ object LakeSql {
       "\\bepoch(_ms|_us)?\\s*\\(|\\bsha256\\s*\\(|\\bends_with\\s*\\(|" +
       "\\bto_hex\\s*\\(|\\b[lr]?trim\\s*\\(|\\bskewness\\s*\\(|" +
       "\\bkurtosis\\s*\\(|\\bquantile_disc\\s*\\(|\\bformat\\s*\\(|" +
-      "\\bstrpos\\s*\\(|\\bunicode\\s*\\().*").r
+      "\\bstrpos\\s*\\(|\\bunicode\\s*\\(|\\beditdist3\\s*\\(|" +
+      "\\bto_(years|months|days|hours|minutes|seconds)\\s*\\(|" +
+      "\\bhistogram\\s*\\(|\\bhash\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2672,6 +2680,49 @@ object LakeSql {
       case Seq(x) => Some(s"sha2($x, 256)")
       case args => throw new IllegalArgumentException(
         s"sha256 takes one argument, got: ${args.mkString(", ")}")
+    }
+    // editdist3 is DuckDB's levenshtein alias (probed equal)
+    loop("editdist3") {
+      case Seq(a, b) => Some(s"levenshtein($a, $b)")
+      case args => throw new IllegalArgumentException(
+        s"editdist3 takes two strings, got: ${args.mkString(", ")}")
+    }
+    // to_days/to_hours/… INTERVAL constructors → make_interval slots
+    // (probed: DATE/TIMESTAMP + to_*(n) arithmetic matches, month-end
+    // clamping included). make_interval(y, mo, weeks, d, h, mi, s).
+    for ((name, slot) <- Seq("to_years" -> 0, "to_months" -> 1,
+        "to_days" -> 3, "to_hours" -> 4, "to_minutes" -> 5,
+        "to_seconds" -> 6))
+      loop(name) {
+        case Seq(n) =>
+          val a = Array.fill(7)("0"); a(slot) = s"($n)"
+          Some(s"make_interval(${a.mkString(", ")})")
+        case args => throw new IllegalArgumentException(
+          s"$name takes one number, got: ${args.mkString(", ")}")
+      }
+    // histogram(x): DuckDB's value→count MAP, keys ascending, NULLs
+    // skipped, empty → NULL (probed). The distinct+filter-count
+    // identity keeps ONE collect_list buffer (Catalyst dedups the
+    // identical aggregates); the per-distinct filter pass is
+    // O(d·n) per group, post-aggregation.
+    loop("histogram") {
+      case Seq(x) => Some(
+        s"(CASE WHEN size(collect_list($x)) = 0 THEN NULL ELSE " +
+          s"map_from_entries(transform(array_sort(array_distinct(" +
+          s"collect_list($x))), __hv -> struct(__hv, " +
+          s"size(filter(collect_list($x), __hy -> __hy = __hv))))) END)")
+      case args => throw new IllegalArgumentException(
+        s"histogram takes one argument, got: ${args.mkString(", ")}")
+    }
+    // hash(): both engines HAVE it with DIFFERENT functions (DuckDB's
+    // own 64-bit vs Spark's 32-bit Murmur3) — same spelling, silently
+    // different values on every input; the one honest mapping is none
+    loop("hash") {
+      case args => throw new IllegalArgumentException(
+        "hash() is engine-specific (DuckDB's 64-bit hash vs Spark's " +
+          "Murmur3) — the same call returns DIFFERENT values per " +
+          "engine; use md5()/sha256()/xxhash64() for a portable hash: " +
+          s"hash(${args.mkString(", ")})")
     }
     // strpos ≡ instr (probed: both 1-based, 0 on miss)
     loop("strpos") {
@@ -3292,7 +3343,8 @@ object LakeSql {
         case "month" | "year" =>
           val nm = if (unit == "year") n * 12 else n
           val ord = s"((year($ts) - 2000) * 12 + month($ts) - 1)"
-          val b = s"($ord - pmod($ord, $nm))"
+          // pmod(x, 1) = 0 — skip it for the common 1-month grid
+          val b = if (nm == 1L) ord else s"($ord - pmod($ord, $nm))"
           s"make_timestamp(2000 + CAST(($b - pmod($b, 12)) / 12 AS INT)," +
             s" CAST(pmod($b, 12) AS INT) + 1, 1, 0, 0, 0)"
         case _ =>

@@ -3050,9 +3050,46 @@ object Sql {
       GQuery("x115_sql_extract_lexer", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ExtractLexerText)
-      }, Some(ExtractLexerText))
+      }, Some(ExtractLexerText)),
+
+      // ------------------------------------------------------------ x116
+      // function vocabulary batch 7 — histogram(x) (DuckDB's
+      // value→count MAP, keys ascending, NULLs skipped, empty→NULL)
+      // via the distinct+filter-count identity over ONE deduped
+      // collect_list buffer; editdist3 ≡ levenshtein (probed);
+      // to_days/to_hours/to_minutes/… INTERVAL constructors →
+      // make_interval slots with month-end clamping shared; and the
+      // probed NATIVE matches pinned under the hash: levenshtein,
+      // translate (both delete unmatched from-chars), bit_count, md5,
+      // TIMESTAMP + INTERVAL arithmetic. hash() REFUSES loudly — both
+      // engines own that spelling with different functions (64-bit
+      // DuckDB hash vs 32-bit Murmur3), silently different values on
+      // every input. One aggregate exchange; histogram's filter pass
+      // is post-aggregation per group.
+      GQuery("x116_sql_fn_vocab", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, FnVocabText)
+      }, Some(FnVocabText))
     )
   }
+
+  private def FnVocabText = """
+    SELECT o_orderstatus,
+           array_to_string(map_keys(histogram(o_orderkey % 5)), ',')
+             AS hk,
+           array_to_string(map_values(histogram(o_orderkey % 5)), ',')
+             AS hv,
+           CAST(SUM(levenshtein(o_orderpriority, 'URGENT')) AS BIGINT)
+             AS lev,
+           CAST(SUM(editdist3(o_orderstatus, 'O')) AS BIGINT) AS ed,
+           MIN(translate(o_orderpriority, '-AEIOU', '_')) AS tr,
+           CAST(SUM(bit_count(CAST(o_orderkey AS BIGINT))) AS BIGINT)
+             AS bc,
+           MIN(md5(o_orderpriority)) AS mh,
+           MIN(CAST(o_orderdate AS TIMESTAMP) + to_days(30)) AS d30,
+           MAX(CAST(o_orderdate AS TIMESTAMP) + to_minutes(90)) AS m90
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   private def ExtractLexerText = """
     SELECT event_type,

@@ -153,7 +153,7 @@ object FuzzGen {
     }
 
   private def aggExpr(r: Random, cols: Seq[Col]): String =
-    r.nextInt(7) match {
+    r.nextInt(9) match {
       case 6 => r.nextInt(3) match {
         case 0 =>
           s"CAST(round(quantile_cont(CAST(${iCol(r, cols)} AS DOUBLE), " +
@@ -163,6 +163,12 @@ object FuzzGen {
         case 2 =>
           s"ROUND(kurtosis(CAST(${iCol(r, cols)} % 23 AS DOUBLE)), 4)"
       }
+      case 7 => // histogram serialized through map_keys/map_values
+        s"array_to_string(map_${pick(r, Seq("keys", "values"))}(" +
+          s"histogram(${iCol(r, cols)} % ${3 + r.nextInt(6)})), '|')"
+      case 8 => // levenshtein / editdist3 (x116 pins)
+        s"CAST(SUM(${pick(r, Seq("levenshtein", "editdist3"))}(" +
+          s"${sCol(r, cols)}, 'URGENT')) AS BIGINT)"
       case 0 => s"CAST(SUM(${intExpr(r, cols)}) AS BIGINT)"
       case 1 => s"CAST(MAX(${intExpr(r, cols)}) AS BIGINT)"
       case 2 => s"CAST(MIN(${intExpr(r, cols)}) AS BIGINT)"

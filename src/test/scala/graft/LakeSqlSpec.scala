@@ -2613,4 +2613,28 @@ class LakeSqlSpec extends SparkSpec {
     assert(lit.getString(0) == "FROM 'x.parquet' stays")
     assert(lit.getString(1) == "AS MATERIALIZED (hint)")
   }
+
+  test("fn vocabulary batch 7: histogram map identity, editdist3, " +
+      "to_* interval constructors, hash() refusal") {
+    Sql.open(spark, sfDir)
+    val h = LakeSql.sql(spark, """SELECT histogram(x) AS h
+      FROM (VALUES (1), (CAST(NULL AS INT)), (2), (2)) v(x)""")
+      .collect().head.getMap[Int, Int](0)
+    assert(h == Map(1 -> 1, 2 -> 2))
+    val he = LakeSql.sql(spark, """SELECT histogram(x) AS h
+      FROM (VALUES (CAST(NULL AS INT))) v(x) WHERE x IS NOT NULL""")
+      .collect().head
+    assert(he.isNullAt(0))
+    val r = LakeSql.sql(spark, """SELECT editdist3('abc','axc') AS e,
+      DATE '2024-01-01' + to_days(30) AS d,
+      TIMESTAMP '2024-01-01 00:00:00' + to_minutes(90) AS t""")
+      .collect().head
+    assert(r.getInt(0) == 1)
+    assert(r.getDate(1).toString == "2024-01-31")
+    assert(r.getTimestamp(2).toInstant.toString == "2024-01-01T01:30:00Z")
+    val ex = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, "SELECT hash(o_orderkey) AS x FROM orders")
+    }
+    assert(ex.getMessage.contains("engine-specific"))
+  }
 }
