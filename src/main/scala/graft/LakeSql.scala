@@ -1181,8 +1181,67 @@ object LakeSql {
     * existing single-quoted literal survives; `$1`-style EXECUTE
     * ordinals never match (the tag grammar excludes digit starts).
     */
-  private[graft] def normalizeLexicalSugar(st0: String): String = {
-    var st = st0
+  /** Strip SQL comments (`--` to end of line, `/* … */` with DuckDB's
+    * NESTING — probed: `/* a /* nested */ b */` parses) outside
+    * single-quoted literals, double-quoted identifiers AND
+    * dollar-quoted strings, replacing each with one space. Without
+    * this, a quote inside a comment flips literal-parity for every
+    * quote-aware rewrite downstream — probed silent wrong values:
+    * `SELECT /* it's */ log(100)` computed ln, `/* don't */ 2 ^ 3`
+    * stayed XOR. The engine's own `/*graft*/` re-entry tags survive
+    * verbatim (stripping them would re-trigger the tagged rewrites on
+    * dispatch re-entry).
+    */
+  private[graft] def stripComments(st0: String): String = {
+    if (st0.indexOf("--") < 0 && st0.indexOf("/*") < 0) return st0
+    val dollarOpen = "^\\$([A-Za-z_]\\w*)?\\$".r
+    val sb = new StringBuilder
+    var i = 0; var inS = false; var inD = false
+    while (i < st0.length) {
+      val c = st0.charAt(i)
+      if (inS) { sb += c; if (c == '\'') inS = false; i += 1 }
+      else if (inD) { sb += c; if (c == '"') inD = false; i += 1 }
+      else if (c == '\'') { inS = true; sb += c; i += 1 }
+      else if (c == '"') { inD = true; sb += c; i += 1 }
+      else if (c == '$') {
+        dollarOpen.findFirstIn(st0.substring(i)) match {
+          case Some(tag) =>
+            val closeAt = st0.indexOf(tag, i + tag.length)
+            if (closeAt >= 0) {
+              sb ++= st0.substring(i, closeAt + tag.length)
+              i = closeAt + tag.length
+            } else { sb += c; i += 1 }
+          case None => sb += c; i += 1
+        }
+      }
+      else if (c == '-' && i + 1 < st0.length && st0.charAt(i + 1) == '-') {
+        while (i < st0.length && st0.charAt(i) != '\n') i += 1
+        sb += ' '
+      }
+      else if (st0.startsWith("/*graft", i)) {
+        // every /*graft…*/ re-entry tag variant (/*graft*/, /*graft:g*/,
+        // /*graft:1*/) survives verbatim
+        val end = st0.indexOf("*/", i)
+        require(end >= 0, "unterminated /*graft tag")
+        sb ++= st0.substring(i, end + 2)
+        i = end + 2
+      }
+      else if (c == '/' && i + 1 < st0.length && st0.charAt(i + 1) == '*') {
+        var depth = 1; i += 2
+        while (i < st0.length && depth > 0) {
+          if (st0.startsWith("/*", i)) { depth += 1; i += 2 }
+          else if (st0.startsWith("*/", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
+        sb += ' '
+      }
+      else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private[graft] def normalizeLexicalSugar(st00: String): String = {
+    var st = stripComments(st00)
     if (st.indexOf('$') >= 0) {
       val open = "\\$([A-Za-z_]\\w*)?\\$".r
       var done = false

@@ -179,6 +179,17 @@ object FuzzGen {
     }
 
   private[tools] def statement(r: Random, i: Int): String = {
+    val s = statement0(r, i)
+    // a third of statements carry a QUOTE-bearing comment right after
+    // SELECT — the literal-parity interaction zone the comment
+    // stripper exists for (both engines lex it as whitespace)
+    if (r.nextInt(3) == 0)
+      s.replaceFirst("SELECT ", "SELECT " + pick(r, Seq(
+        "/* it's a comment */ ", "/* don\"t */ ", "/* plain */ ")))
+    else s
+  }
+
+  private def statement0(r: Random, i: Int): String = {
     val (table, cols, key, group, keyCap) =
       if (r.nextBoolean())
         ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)

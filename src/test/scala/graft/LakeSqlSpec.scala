@@ -2637,4 +2637,27 @@ class LakeSqlSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("engine-specific"))
   }
+
+  test("SQL comments strip quote-safely: pinned rewrites fire after " +
+      "quote-carrying comments; literals, dollar quotes and graft " +
+      "re-entry tags survive") {
+    Sql.open(spark, sfDir)
+    // before the fix these were SILENT wrong values (ln and XOR): the
+    // apostrophe in the comment flipped literal parity for every
+    // quote-aware rewrite downstream
+    val r = LakeSql.sql(spark, """SELECT /* it's */ log(100) AS lg,
+      /* don't */ 2 ^ 3 AS pw,
+      1 /* a /* nested */ b */ + 1 AS n,
+      'lit -- keep' AS a, 'lit /* keep */' AS b,
+      regexp_replace('aaa', 'a', 'b') AS fm -- tag must survive re-entry
+      """).collect().head
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 8.0 &&
+      r.getInt(2) == 2)
+    assert(r.getString(3) == "lit -- keep" &&
+      r.getString(4) == "lit /* keep */")
+    assert(r.getString(5) == "baa")
+    val d = LakeSql.sql(spark,
+      "SELECT $q$dollar -- keep /* this */$q$ AS d").collect().head
+    assert(d.getString(0) == "dollar -- keep /* this */")
+  }
 }
