@@ -5415,10 +5415,85 @@ object LakeSql {
     text
   }
 
+  /** Pin DuckDB's default NULL ordering — NULLS LAST for BOTH ASC and
+    * DESC (probed) — onto every ORDER BY item that doesn't spell one,
+    * at every nesting level (statement, subquery+LIMIT, OVER windows,
+    * WITHIN GROUP). Spark's ASC default is NULLS FIRST, so without the
+    * pin `ORDER BY x LIMIT 2` returns a DIFFERENT ROW SET (probed:
+    * DuckDB (1,2) vs Spark (NULL,1)) and `ROW_NUMBER() OVER (ORDER BY
+    * x)` ranks NULLs 1..k instead of last — both silent. Runs at the
+    * TERMINAL parse stop, after every textual rewrite that re-parses
+    * ORDER BY lists (DISTINCT ON, frames, string_agg, ordered list),
+    * so their item grammars stay pristine; idempotent (explicit
+    * NULLS FIRST/LAST is left alone).
+    */
+  private[graft] def pinNullOrder(st: String): String = {
+    if ("(?i)\\bORDER\\s+BY\\b".r.findFirstIn(st).isEmpty) return st
+    val terminators = Set("ROWS", "RANGE", "GROUPS", "LIMIT", "OFFSET",
+      "FETCH", "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY",
+      "HAVING")
+    // collect EVERY insertion point first, apply once in descending
+    // order — a window ORDER BY nested inside another ORDER BY's item
+    // would otherwise shift the outer item's recorded end
+    val inserts = scala.collection.mutable.ArrayBuffer[Int]()
+    val obs = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(st).toSeq
+    for (m <- obs
+         if st.substring(0, m.start).count(_ == '\'') % 2 == 0) {
+      // walk the item list; collect each item's end position
+      var i = m.end
+      var depth = 0
+      var itemStart = i
+      var lastNonWs = -1
+      val itemEnds = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+      var done = false
+      var inS = false
+      while (i < st.length && !done) {
+        val c = st.charAt(i)
+        if (inS) { if (c == '\'') inS = false; i += 1 }
+        else c match {
+          case '\'' => inS = true; lastNonWs = i; i += 1
+          case '(' | '[' => depth += 1; lastNonWs = i; i += 1
+          case ')' | ']' =>
+            if (depth == 0) { // enclosing close — list ends here
+              if (lastNonWs >= itemStart) itemEnds += ((itemStart, lastNonWs + 1))
+              done = true
+            } else { depth -= 1; lastNonWs = i; i += 1 }
+          case ',' if depth == 0 =>
+            if (lastNonWs >= itemStart) itemEnds += ((itemStart, lastNonWs + 1))
+            i += 1; itemStart = i; lastNonWs = -1
+          case _ if c.isLetter && depth == 0 &&
+              (i == 0 || !isOpIdC(st.charAt(i - 1))) => {
+            var j = i
+            while (j < st.length && isOpIdC(st.charAt(j))) j += 1
+            val word = st.substring(i, j).toUpperCase
+            if (terminators.contains(word)) {
+              if (lastNonWs >= itemStart) itemEnds += ((itemStart, lastNonWs + 1))
+              done = true
+            } else { lastNonWs = j - 1; i = j }
+          }
+          case _ =>
+            if (!c.isWhitespace) lastNonWs = i
+            i += 1
+        }
+      }
+      if (!done && lastNonWs >= itemStart)
+        itemEnds += ((itemStart, lastNonWs + 1))
+      for ((s0, e0) <- itemEnds) {
+        val item = st.substring(s0, e0)
+        if (!"(?is).*\\bNULLS\\s+(FIRST|LAST)\\s*$".r.matches(item) &&
+            item.trim.nonEmpty)
+          inserts += e0
+      }
+    }
+    val sb = new StringBuilder(st)
+    for (p <- inserts.distinct.sorted.reverse) sb.insert(p, " NULLS LAST")
+    sb.toString
+  }
+
   private def sqlStatement(s: SparkSession, statement0: String): DataFrame = {
     // the LAST text-level stop before Spark's parser — literal dialect
     // normalizes here (and in every sibling parse site)
-    val statement = normLit(statement0)
+    val statement = pinNullOrder(normLit(statement0))
     s.sessionState.sqlParser.parsePlan(statement) match {
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
           partitioning, query, spec, _, ignoreIfExists, _)

@@ -195,7 +195,7 @@ object FuzzGen {
         ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
       else ("orders", orderCols, "o_orderkey",
         pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
-    r.nextInt(18) match {
+    r.nextInt(19) match {
       case 0 => // grouped aggregate
         s"SELECT $group, COUNT(*) AS n, ${aggExpr(r, cols)} AS a1, " +
           s"${aggExpr(r, cols)} AS a2 FROM $table " +
@@ -302,6 +302,13 @@ object FuzzGen {
           s"'|') AS lk, CAST(median($key) * 2 AS BIGINT) AS md2, " +
           s"bit_xor($key % ${32 + r.nextInt(64)}) AS bx " +
           s"FROM $table WHERE $key <= $keyCap GROUP BY 1 ORDER BY b"
+      case 18 => // nullable ORDER BY: the NULLS-LAST default pin zone
+        // (single NULL key keeps ranks and the LIMIT row set exact)
+        val nk = 1 + r.nextInt((keyCap / 2).toInt)
+        s"SELECT $key, CAST(ROW_NUMBER() OVER (ORDER BY " +
+          s"nullif($key, $nk)) AS BIGINT) AS rn FROM $table " +
+          s"WHERE $key <= ${keyCap / 2} " +
+          s"ORDER BY nullif($key, $nk) LIMIT ${5 + r.nextInt(15)}"
       case 17 => // no-date table: shared agg names alone
         s"SELECT $group, CAST(median($key) * 2 AS BIGINT) AS md2, " +
           s"bit_and($key % 16) AS ba, bit_or($key % 16) AS bo, " +

@@ -991,12 +991,14 @@ class LakeSqlSpec extends SparkSpec {
         if (r.isNullAt(5)) null else r.getDouble(5),
         if (r.isNullAt(6)) null else r.getDouble(6)))
     // hand-computed (frame = k' <= k; GROUP drops all peers, TIES
-    // drops peers but keeps self):
+    // drops peers but keeps self). Output order follows the r14
+    // NULLS-LAST default pin (DuckDB's): the NULL-v row sorts AFTER
+    // its (1,2) peers, where bare Spark would put it first.
     val want = Seq(
       (1, 1, 10.0, null, 0L, 10.0, 10.0),
-      (1, 2, null, 10.0, 1L, 10.0, 10.0),
       (1, 2, 20.0, 10.0, 1L, 30.0, 15.0),
       (1, 2, 40.0, 10.0, 1L, 50.0, 25.0),
+      (1, 2, null, 10.0, 1L, 10.0, 10.0),
       (1, 3, 50.0, 70.0, 4L, 120.0, 30.0),
       (2, 1, null, null, 0L, null, null))
     assert(got.toSeq == want, got.mkString(", "))
@@ -2659,5 +2661,35 @@ class LakeSqlSpec extends SparkSpec {
     val d = LakeSql.sql(spark,
       "SELECT $q$dollar -- keep /* this */$q$ AS d").collect().head
     assert(d.getString(0) == "dollar -- keep /* this */")
+  }
+
+  test("NULL ordering pins to DuckDB's NULLS LAST default at every " +
+      "level: ORDER BY + LIMIT row set, window ranks, DESC; explicit " +
+      "NULLS FIRST honored") {
+    Sql.open(spark, sfDir)
+    val lim = LakeSql.sql(spark, """SELECT x FROM (VALUES (2),
+      (CAST(NULL AS INT)),(1)) v(x) ORDER BY x LIMIT 2""")
+      .collect().map(_.get(0)).toSeq
+    assert(lim == Seq(1, 2)) // bare Spark returns (NULL, 1)
+    val rn = LakeSql.sql(spark, """SELECT x, ROW_NUMBER() OVER
+      (ORDER BY x) AS rn FROM (VALUES (2),(CAST(NULL AS INT)),(1)) v(x)
+      ORDER BY rn""").collect().map(r => (r.get(0), r.getInt(1))).toSeq
+    assert(rn == Seq((1, 1), (2, 2), (null, 3))) // bare: NULL ranks 1
+    val desc = LakeSql.sql(spark, """SELECT x FROM (VALUES (2),
+      (CAST(NULL AS INT)),(1)) v(x) ORDER BY x DESC""")
+      .collect().map(_.get(0)).toSeq
+    assert(desc == Seq(2, 1, null))
+    val nf = LakeSql.sql(spark, """SELECT x FROM (VALUES (2),
+      (CAST(NULL AS INT)),(1)) v(x) ORDER BY x NULLS FIRST""")
+      .collect().map(_.get(0)).toSeq
+    assert(nf == Seq(null, 1, 2))
+    // literals survive; frame keywords bound the item list
+    val fr = LakeSql.sql(spark, """SELECT x, CAST(SUM(x) OVER (ORDER BY
+      x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+      FROM (VALUES (2),(CAST(NULL AS INT)),(1)) v(x) ORDER BY x""")
+      .collect().map(r => (r.get(0), r.get(1))).toSeq
+    assert(fr == Seq((1, 1L), (2, 3L), (null, 2L)))
+    assert(LakeSql.sql(spark, "SELECT 'ORDER BY x' AS l")
+      .collect().head.getString(0) == "ORDER BY x")
   }
 }
