@@ -1976,7 +1976,9 @@ object LakeSql {
         .replaceAll("(?i)\\blist_min\\s*\\(", "array_min(")
         .replaceAll("(?i)\\blist_max\\s*\\(", "array_max(")
         .replaceAll("(?i)\\blist_reverse\\s*\\(", "reverse(")
-        .replaceAll("(?i)\\blist_concat\\s*\\(", "concat(")
+        // the tag keeps the concat NULL-skip pin (x117) off this
+        // ARRAY concat — list_concat is NULL-propagating on both
+        .replaceAll("(?i)\\blist_concat\\s*\\(", "concat/*graft*/(")
         // 1-based hit or 0 on miss on BOTH engines (NULL list → NULL)
         .replaceAll("(?i)\\blist_position\\s*\\(", "array_position(")
         .replaceAll("(?i)\\blist_indexof\\s*\\(", "array_position(")
@@ -2639,7 +2641,7 @@ object LakeSql {
       "\\bkurtosis\\s*\\(|\\bquantile_disc\\s*\\(|\\bformat\\s*\\(|" +
       "\\bstrpos\\s*\\(|\\bunicode\\s*\\(|\\beditdist3\\s*\\(|" +
       "\\bto_(years|months|days|hours|minutes|seconds)\\s*\\(|" +
-      "\\bhistogram\\s*\\(|\\bhash\\s*\\().*").r
+      "\\bhistogram\\s*\\(|\\bhash\\s*\\(|\\bconcat\\s*\\().*").r
 
   private[graft] def rewriteMathFns(statement: String): String = {
     var st = statement
@@ -2899,11 +2901,34 @@ object LakeSql {
       case Seq(s0, chars) => Some(s"$name/*graft*/($chars, $s0)")
       case _ => None // 1-arg and TRIM(LEADING … FROM …) forms agree
     }
+    // printf: DuckDB NULLs the WHOLE result when ANY argument is NULL
+    // (probed: printf('%s-%d', NULL, 5) → NULL) where format_string
+    // prints 'null' — the same whole-result guard format() carries
+    loop("printf") {
+      case args if args.length >= 2 =>
+        val guard = args.tail.map(a => s"($a) IS NULL").mkString(" OR ")
+        Some(s"(CASE WHEN $guard THEN NULL ELSE " +
+          s"format_string(${args.mkString(", ")}) END)")
+      case args if args.length == 1 =>
+        Some(s"format_string(${args.head})")
+      case _ => None
+    }
+    // concat: DuckDB SKIPS NULL arguments (probed: concat('a', NULL,
+    // 'b') = 'ab', all-NULL = '') where Spark's concat is
+    // NULL-propagating — concat_ws('') IS DuckDB's concat for the
+    // string operands the shared dialect covers (DuckDB casts every
+    // argument to VARCHAR; list operands stringify there, so they are
+    // out of the dialect). list_concat's array emission carries the
+    // /*graft*/ tag and keeps Spark's NULL-propagating array concat.
+    loop("concat") {
+      case args if args.nonEmpty =>
+        Some(s"concat_ws('', ${args.mkString(", ")})")
+      case _ => None
+    }
     outsideLiterals(st)(
       _.replaceAll("(?i)\\barg_max\\s*\\(", "max_by(")
         .replaceAll("(?i)\\barg_min\\s*\\(", "min_by(")
         .replaceAll("(?i)\\bquantile_cont\\s*\\(", "percentile(")
-        .replaceAll("(?i)\\bprintf\\s*\\(", "format_string(")
         .replaceAll("(?i)\\bends_with\\s*\\(", "endswith(")
         .replaceAll("(?i)\\bto_hex\\s*\\(", "hex("))
   }
@@ -4044,8 +4069,11 @@ object LakeSql {
         (m.group(1), m.group(2).toDouble, splitTopCommas(m.group(3)))
       require(pct > 0 && pct < 100, s"USING SAMPLE: percent $pct out of (0, 100)")
       val threshold = "%03x".format(math.floor(4096.0 * pct / 100.0).toInt)
+      // the tag keeps the x117 NULL-skip concat pin off this internal
+      // hash key: a NULL key component must NULL the whole key (so the
+      // row drops), matching the oracle's NULL-propagating || replay
       val key = keys.map(k => s"CAST($k AS STRING)")
-        .mkString("CONCAT(", ", '-', ", ")")
+        .mkString("CONCAT/*graft*/(", ", '-', ", ")")
       scala.util.matching.Regex.quoteReplacement(
         s"FROM (SELECT * FROM $tbl WHERE " +
           s"SUBSTR(MD5($key), 1, 3) < '$threshold') $tbl")

@@ -3069,9 +3069,38 @@ object Sql {
       GQuery("x116_sql_fn_vocab", (s, d) => {
         open(s, d)
         LakeSql.sql(s, FnVocabText)
-      }, Some(FnVocabText))
+      }, Some(FnVocabText)),
+
+      // ------------------------------------------------------------ x117
+      // concat NULL-skip + printf NULL-propagation — two probed SILENT
+      // divergences in the most-used string builders: DuckDB's concat
+      // SKIPS NULL arguments ('a',NULL,'b' → 'ab'; all-NULL → '')
+      // where Spark's concat NULLs the result → rewritten to
+      // concat_ws('') (DuckDB casts every concat operand to VARCHAR,
+      // so this IS its concat; list_concat's array emission stays
+      // tagged on Spark's native array concat); printf NULLs the
+      // WHOLE result when ANY argument is NULL where format_string
+      // prints 'null' → the same CASE guard format() carries. The
+      // NULL-bearing branches sit under the hash via nullif-carrying
+      // arguments; ordering rides the x-wide NULLS-LAST default pin.
+      GQuery("x117_sql_concat_printf", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, ConcatPrintfText)
+      }, Some(ConcatPrintfText))
     )
   }
+
+  private def ConcatPrintfText = """
+    SELECT o_orderkey,
+           concat(o_orderstatus, nullif(o_orderpriority, '1-URGENT'),
+                  '|', o_orderkey % 7) AS cat,
+           concat(nullif(o_orderstatus, o_orderstatus)) AS cat_allnull,
+           printf('%s #%d', nullif(o_orderstatus, 'O'),
+                  o_orderkey % 100) AS pf,
+           printf('[%5d]', o_orderkey % 1000) AS pf_pad
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey"""
 
   private def FnVocabText = """
     SELECT o_orderstatus,

@@ -135,9 +135,17 @@ object FuzzGen {
         case 2 => s"substr(sha256(${sCol(r, cols)}), 1, 8)"
         case 3 => s"to_hex(CAST(${iCol(r, cols)} % 4096 AS BIGINT))"
       }
-      case 4 =>
-        s"json_extract_string('{\"k\": ' || CAST(${iCol(r, cols)} " +
-          s"AS STRING) || '}', 'k')"
+      case 4 => r.nextInt(3) match {
+        case 0 =>
+          s"json_extract_string('{\"k\": ' || CAST(${iCol(r, cols)} " +
+            s"AS STRING) || '}', 'k')"
+        case 1 => // concat NULL-skip pin (x117)
+          s"concat(${sCol(r, cols)}, nullif(${sCol(r, cols)}, " +
+            s"${sCol(r, cols)}), '-', ${iCol(r, cols)} % 9)"
+        case 2 => // printf NULL-propagation pin (x117)
+          s"printf('%s:%d', nullif(${sCol(r, cols)}, 'URGENT'), " +
+            s"${iCol(r, cols)} % 50)"
+      }
       case 5 =>
         val d = pick(r, cols.filter(_.kind == "d")).name
         s"strftime($d, ${pick(r, formats)})"

@@ -15,7 +15,7 @@ object SqlProbe {
     // (sbt's runMain arg lexer rejects backslashes)
     val texts = args.toSeq.flatMap { a =>
       if (a.startsWith("@"))
-        scala.io.Source.fromFile(a.drop(1)).getLines()
+        scala.io.Source.fromFile(a.drop(1), "UTF-8").getLines()
           .map(_.trim).filter(_.nonEmpty).toSeq
       else Seq(a)
     }

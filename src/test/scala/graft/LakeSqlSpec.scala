@@ -2692,4 +2692,19 @@ class LakeSqlSpec extends SparkSpec {
     assert(LakeSql.sql(spark, "SELECT 'ORDER BY x' AS l")
       .collect().head.getString(0) == "ORDER BY x")
   }
+
+  test("concat skips NULL arguments; printf NULLs on any NULL " +
+      "argument; list_concat keeps array semantics") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """SELECT concat('a', NULL, 'b') AS c,
+      concat(NULL, NULL) AS cn, concat('x', 1, 'y') AS cx,
+      printf('%s-%d', NULL, 5) AS pf, printf('%s-%d', 'a', 5) AS p2,
+      printf('plain') AS p3, list_concat([1, 2], [3]) AS lc""")
+      .collect().head
+    assert(r.getString(0) == "ab" && r.getString(1) == "" &&
+      r.getString(2) == "x1y")
+    assert(r.isNullAt(3) && r.getString(4) == "a-5" &&
+      r.getString(5) == "plain")
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3))
+  }
 }
