@@ -6058,7 +6058,12 @@ object LakeSql {
             "one WHEN NOT MATCHED BY SOURCE clause is supported")
           val tgt = if (isIceberg(m.targetTable)) IcebergLite.snapshot(s, p)
             else DeltaLite.snapshot(s, p)
+          // the source is consumed three times below (dup check, key
+          // anti-join, final union) — cache it once at CDC-source size
+          // so the plan reads the source scan exactly once
           val srcCols = src.select(tgt.schema.fieldNames.map(col).toSeq: _*)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
           // one source row per key: with SET * replacement, which copy
           // wins is ambiguous — same rule as the keyed merge path
           val dup = srcCols.groupBy(keys.map(col): _*)
@@ -6103,6 +6108,7 @@ object LakeSql {
           val merged = srcCols.unionByName(kept)
           if (isIceberg(m.targetTable)) IcebergLite.overwrite(s, p, merged)
           else DeltaLite.overwrite(s, p, merged)
+          } finally srcCols.unpersist(false)
         }
         p
       case other =>

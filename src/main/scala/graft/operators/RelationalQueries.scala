@@ -194,10 +194,22 @@ object RelationalQueries {
 
     // ---------------------------------------------------------------- q09
     GQuery("q09_distinct", (s, d) => {
-      T.lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"))
+      // §5 aggregate-shape rule: three COUNT(DISTINCT)s co-located in
+      // ONE aggregate plan as Expand ×3 of the lineitem input. Instead
+      // dedup the (partkey, suppkey) pair once — one shuffle with
+      // map-side partial dedup — and derive all three counts from that
+      // ~10× smaller distinct set; the two single-column distincts sit
+      // on top of the SAME pair-distinct subplan, so ReuseExchange
+      // runs the big shuffle once. 1-row branches join by broadcast.
+      val pairs = T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val nParts = pairs.select(col("l_partkey")).distinct()
+        .agg(count(lit(1)).as("n_parts"))
+      val nSupps = pairs.select(col("l_suppkey")).distinct()
+        .agg(count(lit(1)).as("n_supps"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_part_supp"))
+      nParts.crossJoin(broadcast(nSupps)).crossJoin(broadcast(nPairs))
+        .select(col("n_parts"), col("n_supps"), col("n_part_supp"))
     }, Some("""
       SELECT COUNT(DISTINCT l_partkey) AS n_parts,
              COUNT(DISTINCT l_suppkey) AS n_supps,
@@ -607,11 +619,20 @@ object RelationalQueries {
     // engine-neutral sketch twins remain q55/q56 (KMV / sampled
     // quantiles).
     GQuery("q30_approx_distinct", (s, d) => {
-      T.lineitem(s, d).agg(
+      // §5 aggregate-shape rule: two distinct columns + two HLL
+      // sketches in one aggregate plan as Expand ×4 of lineitem.
+      // Split per column: each branch pairs ONE COUNT(DISTINCT) with
+      // its HLL twin, which Catalyst plans via the no-Expand
+      // single-distinct path (partial dedup on the distinct column,
+      // HLL partials alongside); the 1-row branches join by broadcast.
+      val l = T.lineitem(s, d)
+      val parts = l.agg(
         count_distinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+      val orders = l.agg(
         count_distinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_orderkey")).as("ao"))
+      parts.crossJoin(broadcast(orders))
         .select(col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) * 20L <=
             col("exact_parts") * 3L).as("parts_ok"),
