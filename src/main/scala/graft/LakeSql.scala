@@ -346,10 +346,29 @@ object LakeSql {
           s.conf.get("spark.sql.shuffle.partitions"))
         s.conf.set("spark.sql.shuffle.partitions", n.toString)
       case "timezone" =>
-        require(value.equalsIgnoreCase("UTC"),
-          s"SET TimeZone='$value' is not supported: the engine session " +
-            "pins UTC (the epoch-grid date/timestamp identities depend " +
-            "on it)")
+        // Tiered non-UTC support: any valid Olson/offset zone is
+        // ACCEPTED and applied to the Spark session (wall-clock
+        // statement classes behave identically on both engines under
+        // the same session zone, so a non-UTC migration script no
+        // longer dies on line 1). What stays UTC-only is the
+        // epoch-GRID rewrite families — their DuckDB-parity
+        // identities are proven under the UTC session only; those
+        // statements refuse while a non-UTC zone is active (see
+        // guardEpochGrid). UTC-equivalent spellings (Etc/UTC, GMT,
+        // +00:00, Z) normalize to the baseline "UTC".
+        val zid = try java.time.ZoneId.of(value) catch {
+          case e: java.time.DateTimeException =>
+            throw new IllegalArgumentException(
+              s"SET TimeZone='$value' is not a valid zone id " +
+                s"(${e.getMessage})")
+        }
+        val norm =
+          if (zid.normalized() == java.time.ZoneOffset.UTC ||
+              zid.getId == "GMT" || zid.getId == "Etc/GMT") "UTC"
+          else zid.getId
+        priors(s).getOrElseUpdate("spark.sql.session.timeZone",
+          s.conf.get("spark.sql.session.timeZone", "UTC"))
+        s.conf.set("spark.sql.session.timeZone", norm)
       case _ if IgnorableOptions(name) =>
         require(lenientSet(s),
           s"option '$name' has no Spark equivalent — set " +
@@ -371,7 +390,9 @@ object LakeSql {
       case "threads" =>
         priors(s).remove("spark.sql.shuffle.partitions")
           .foreach(s.conf.set("spark.sql.shuffle.partitions", _))
-      case "timezone" => () // pinned UTC — already the baseline
+      case "timezone" =>
+        priors(s).remove("spark.sql.session.timeZone")
+          .foreach(s.conf.set("spark.sql.session.timeZone", _))
       case n if IgnorableOptions(n) =>
         require(lenientSet(s),
           s"option '$n' has no Spark equivalent — set " +
@@ -380,6 +401,53 @@ object LakeSql {
       case n => throw new IllegalArgumentException(
         s"unrecognized option '$n' in RESET")
     }
+
+  // ---- epoch-grid guard for the non-UTC timezone tier --------------
+  // SET TimeZone='<olson>' is accepted (runSetOption above) because
+  // wall-clock statement classes — extract dow/year/month, date_diff
+  // day/month/year, strftime rendering, string/number work — behave
+  // identically on both engines under the SAME session zone. The
+  // epoch-GRID rewrite families do NOT carry that proof: their parity
+  // identities (floor(unix_micros/unit) boundary grids, epoch()
+  // seconds rebuilds, time_bucket's 2000-01-03 origin alignment, the
+  // sub-second EXTRACT pmod grids) were probed under the UTC session,
+  // where the epoch grid IS the wall-clock grid. Under another zone
+  // they would run with unproven parity, so each refuses loudly while
+  // a non-UTC zone is active, naming the dependency.
+  // each probe's match START must be code (a function-name token can
+  // only begin outside a string literal), so a quote-parity check at
+  // the start position keeps "literal mentions" from tripping the
+  // guard while the unit/field literal INSIDE the call still matches
+  private val GridDependentProbes: Seq[(String, scala.util.matching.Regex)] =
+    Seq(
+      "date_diff/datediff with a sub-day unit (the " +
+        "floor(unix_micros/unit) boundary-crossing grid)" ->
+        ("(?is)\\b(?:date_diff|datediff)\\s*\\(\\s*'(?:hour|minute|" +
+          "second|millisecond|microsecond)'").r,
+      "epoch()/epoch_ms()/epoch_us() (UTC epoch-seconds rebuild from " +
+        "unix_micros)" ->
+        "(?is)\\bepoch(?:_ms|_us)?\\s*\\(".r,
+      "time_bucket (integer arithmetic on the 2000-01-03 UTC origin " +
+        "grid)" ->
+        "(?is)\\btime_bucket\\s*\\(".r,
+      "EXTRACT/date_part of epoch/second/millisecond/microsecond " +
+        "(the unix_micros pmod grid)" ->
+        ("(?is)(?:\\bextract\\s*\\(\\s*|\\bdate_part\\s*\\(\\s*')" +
+          "(?:epoch|second|millisecond|microsecond)\\b").r)
+
+  private def guardEpochGrid(s: SparkSession, st: String): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone", "UTC")
+    if (tz != "UTC") {
+      for ((what, re) <- GridDependentProbes;
+           m <- re.findAllMatchIn(st)
+           if st.substring(0, m.start).count(_ == '\'') % 2 == 0)
+        throw new IllegalArgumentException(
+          s"statement uses $what, whose DuckDB-parity rewrite is " +
+            s"proven under the UTC session only; the session TimeZone " +
+            s"is '$tz' — SET TimeZone='UTC' before this statement, or " +
+            "keep the non-UTC zone and avoid the epoch-grid family")
+    }
+  }
 
   // ---- ATTACH / DETACH: multi-catalog ------------------------------
   // DuckDB's hallmark entry-path UX (`ATTACH 'other.db' AS x` — the
@@ -1025,6 +1093,10 @@ object LakeSql {
         .orderBy("name")
     case _ =>
       val st0 = expandMacros(s, statement)
+      // non-UTC timezone tier: epoch-grid rewrite families refuse
+      // while a non-UTC session zone is active (macro-expanded text,
+      // so a grid call can't hide inside a macro body)
+      guardEpochGrid(s, st0)
       // File-reading table functions rewrite FIRST (pure text→text),
       // so they compose with every other route below — EXCEPT inside
       // CREATE VIEW: a durable view stores its SQL text, and rewriting

@@ -3086,9 +3086,47 @@ object Sql {
       GQuery("x117_sql_concat_printf", (s, d) => {
         open(s, d)
         LakeSql.sql(s, ConcatPrintfText)
-      }, Some(ConcatPrintfText))
+      }, Some(ConcatPrintfText)),
+
+      // ------------------------------------------------------------ x118
+      // non-UTC session timezone tier — SET TimeZone='<olson>' now
+      // ACCEPTS any valid zone instead of refusing everything but UTC
+      // (a migration script written in a non-UTC locale used to die on
+      // line 1). Wall-clock statement classes (EXTRACT dow, strftime
+      // rendering, DATE arithmetic, date_diff day/month/year) behave
+      // identically on both engines under the SAME session zone and
+      // run freely; the epoch-GRID rewrite families (sub-day
+      // date_diff, epoch*(), time_bucket, sub-second EXTRACT) carry
+      // UTC-only parity proofs and refuse loudly while the zone is
+      // active, naming the dependency. The script runs the same text
+      // DuckDB executes (its bundled ICU accepts the zone);
+      // localCheckpoint forces execution WHILE the zone is active,
+      // and RESET restores the session's own prior for the keys that
+      // follow. Everything stays codegen'd scalar work on the scan.
+      GQuery("x118_sql_set_timezone", (s, d) => {
+        open(s, d)
+        try LakeSql.script(s, SetTimezoneText).localCheckpoint(true)
+        finally LakeSql.sql(s, "RESET TimeZone")
+      }, Some(SetTimezoneText))
     )
   }
+
+  private def SetTimezoneText = """
+    SET TimeZone='America/New_York';
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(EXTRACT(dow FROM (DATE '1995-01-01'
+             + CAST(o_orderkey % 365 AS INTEGER)))) AS BIGINT) AS sdow,
+           CAST(SUM(date_diff('day', DATE '1995-01-01',
+             DATE '1995-01-01' + CAST(o_orderkey % 365 AS INTEGER)))
+             AS BIGINT) AS sdd,
+           CAST(SUM(date_diff('month', DATE '1995-01-01',
+             DATE '1995-01-01' + CAST(o_orderkey % 365 AS INTEGER)))
+             AS BIGINT) AS sdm,
+           MIN(strftime(DATE '1995-01-01'
+             + CAST(o_orderkey % 365 AS INTEGER), '%Y-%m-%d')) AS mind
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private def ConcatPrintfText = """
     SELECT o_orderkey,

@@ -2149,10 +2149,13 @@ class LakeSqlSpec extends SparkSpec {
     // RESET of a never-set mapped option is a no-op
     LakeSql.sql(spark, "RESET threads")
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prior)
-    // TimeZone: UTC accepted (the pinned baseline), anything else loud
+    // TimeZone: UTC and UTC-equivalent spellings keep the baseline;
+    // garbage refuses loudly (the non-UTC tier has its own test)
     LakeSql.sql(spark, "SET TimeZone='UTC'")
+    LakeSql.sql(spark, "SET TimeZone='Etc/UTC'")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     intercept[IllegalArgumentException] {
-      LakeSql.sql(spark, "SET TimeZone='America/New_York'")
+      LakeSql.sql(spark, "SET TimeZone='Not/A_Zone'")
     }
     // ignorable tier gates on the explicit flag
     spark.conf.set("spark.graft.sql.lenientSet", "false")
@@ -2206,6 +2209,59 @@ class LakeSqlSpec extends SparkSpec {
       assert(out.collect().head.getLong(0) == 25L)
       LakeSql.sql(spark, "RESET threads")
     } finally spark.conf.set("spark.graft.sql.lenientSet", "false")
+  }
+
+  test("non-UTC TimeZone tier: valid zones apply to the session and " +
+      "RESET restores; wall-clock classes run; epoch-grid families " +
+      "refuse naming the dependency; literals don't trip the guard") {
+    Sql.open(spark, sfDir)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    LakeSql.sql(spark, "SET TimeZone='America/New_York'")
+    try {
+      assert(spark.conf.get("spark.sql.session.timeZone") ==
+        "America/New_York")
+      // ACCEPTED classes under the active zone: DATE arithmetic,
+      // EXTRACT dow, strftime rendering, day/month date_diff — all
+      // wall-clock, executed (collected) while the zone is active,
+      // values identical to the UTC session because DATE ops are
+      // zone-independent
+      val r = LakeSql.sql(spark, """
+        SELECT EXTRACT(dow FROM DATE '1995-03-15') AS dw,
+               date_diff('day', DATE '1995-01-01', DATE '1995-03-15')
+                 AS dd,
+               date_diff('month', DATE '1995-01-01', DATE '1995-03-15')
+                 AS dm,
+               strftime(DATE '1995-03-15', '%Y-%m') AS ym
+        FROM nation WHERE n_nationkey = 0""").collect().head
+      assert(r.getInt(0) == 3 && r.getInt(1) == 73 &&
+        r.getInt(2) == 2 && r.getString(3) == "1995-03")
+      // REFUSED classes: each epoch-grid family names the dependency
+      for (bad <- Seq(
+          "SELECT date_diff('hour', ts, ts) FROM events LIMIT 1",
+          "SELECT epoch(ts) FROM events LIMIT 1",
+          "SELECT epoch_ms(ts) FROM events LIMIT 1",
+          "SELECT time_bucket(INTERVAL '6 hours', ts) FROM events " +
+            "LIMIT 1",
+          "SELECT EXTRACT(second FROM ts) FROM events LIMIT 1",
+          "SELECT date_part('epoch', ts) FROM events LIMIT 1")) {
+        val e = intercept[IllegalArgumentException](
+          LakeSql.sql(spark, bad))
+        assert(e.getMessage.contains("UTC"), s"$bad -> ${e.getMessage}")
+        assert(e.getMessage.contains("America/New_York"), e.getMessage)
+      }
+      // a string LITERAL containing an epoch-grid spelling must not
+      // trip the guard
+      val lit = LakeSql.sql(spark,
+        "SELECT 'call epoch(x) later' AS s FROM nation LIMIT 1")
+        .collect().head.getString(0)
+      assert(lit == "call epoch(x) later")
+      // RESET restores the session's own prior and re-opens the grid
+      LakeSql.sql(spark, "RESET TimeZone")
+      assert(spark.conf.get("spark.sql.session.timeZone") == prior)
+      LakeSql.sql(spark,
+        "SELECT date_diff('hour', ts, ts) FROM events LIMIT 1")
+        .collect()
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
   test("list literals/comprehensions/subscripts: array(), " +
