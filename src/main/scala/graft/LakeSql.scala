@@ -1128,6 +1128,7 @@ object LakeSql {
           Seq(text).toDF("plan")
         case _ if ReturningKeyword.matches(st) => runReturning(s, st)
         case _ if OnConflictKeyword.matches(st) => runOnConflict(s, st)
+        case _ if InsertOrKeyword.matches(st) => runInsertOr(s, st)
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
         case _ if PivotKeyword.matches(st) => runPivot(s, st)
@@ -5059,8 +5060,76 @@ object LakeSql {
     "(?is)^\\s*INSERT\\b.*\\bON\\s+CONFLICT\\b.*".r
   private val OnConflictRe =
     ("""(?is)^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s+(.+?)\s+ON\s+""" +
-      """CONFLICT\s*\(\s*([^)]+?)\s*\)\s*DO\s+""" +
+      """CONFLICT\s*(?:\(\s*([^)]+?)\s*\))?\s*DO\s+""" +
       """(NOTHING|UPDATE\s+SET\s+(.+?))\s*;?\s*$""").r
+
+  /** The table's DECLARED conflict columns (the `graft.keys` property
+    * set at CREATE TABLE … TBLPROPERTIES), if any — the PK stand-in
+    * that gives bare INSERT OR REPLACE / OR IGNORE and key-less
+    * ON CONFLICT their keys.
+    */
+  private def declaredKeys(s: SparkSession, provider: String,
+      path: String): Option[Seq[String]] = {
+    val props =
+      if (provider == "iceberglite") IcebergLite.tableProperties(s, path)
+      else DeltaLite.tableConfig(s, path)
+    props.get("graft.keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+  }
+
+  // INSERT OR REPLACE / OR IGNORE — DuckDB's PK-implied upsert
+  // shorthand. The conflict columns come from the table's declared
+  // graft.keys property; a keyless table keeps the loud refusal
+  // (there is no primary key to imply the conflict target). Each form
+  // rewrites to the explicit ON CONFLICT statement it abbreviates —
+  // REPLACE = full-row DO UPDATE (the format's pruned copy-on-write
+  // keyed merge), IGNORE = DO NOTHING (keyed anti-join append) — so
+  // the two spellings share one verified code path.
+  private val InsertOrKeyword =
+    "(?is)^\\s*INSERT\\s+OR\\s+(?:REPLACE|IGNORE)\\b.*".r
+  private val InsertOrRe =
+    ("""(?is)^\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\s+""" +
+      """([A-Za-z_]\w*)\s+(.+?)\s*;?\s*$""").r
+
+  private[graft] def runInsertOr(s: SparkSession,
+      statement: String): DataFrame = statement match {
+    case InsertOrRe(mode, tbl, source) =>
+      val (provider, path) = catalog(s).get(tbl) match {
+        case Some(("view", _)) => throw new IllegalArgumentException(
+          s"$tbl is a view — INSERT OR $mode targets must be lake tables")
+        case Some(pp) => pp
+        case None => throw new IllegalArgumentException(
+          s"INSERT OR $mode: table $tbl not in catalog")
+      }
+      val keys = declaredKeys(s, provider, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT OR ${mode.toUpperCase} needs the table's conflict " +
+            s"columns and $tbl declares none — declare them at CREATE " +
+            "TABLE with TBLPROPERTIES ('graft.keys'='k1,k2'), or " +
+            "spell INSERT … ON CONFLICT (<keys>) DO " +
+            (if (mode.equalsIgnoreCase("IGNORE")) "NOTHING" else "UPDATE")))
+      val expanded =
+        if (mode.equalsIgnoreCase("IGNORE"))
+          s"INSERT INTO $tbl $source ON CONFLICT " +
+            s"(${keys.mkString(", ")}) DO NOTHING"
+        else {
+          val schema = table(s, tbl).schema
+          val nonKeys = schema.fieldNames
+            .filterNot(f => keys.exists(_.equalsIgnoreCase(f)))
+          require(nonKeys.nonEmpty,
+            s"INSERT OR REPLACE on $tbl: every column is a declared " +
+              "key, so REPLACE cannot change any row — use INSERT OR " +
+              "IGNORE")
+          s"INSERT INTO $tbl $source ON CONFLICT " +
+            s"(${keys.mkString(", ")}) DO UPDATE SET " +
+            nonKeys.map(f => s"$f = excluded.$f").mkString(", ")
+        }
+      runOnConflict(s, expanded)
+    case _ => throw new IllegalArgumentException(
+      "unsupported INSERT OR REPLACE/IGNORE form — supported: INSERT " +
+        "OR {REPLACE|IGNORE} INTO <table> <select>")
+  }
 
   private[graft] def runOnConflict(s: SparkSession,
       statement: String): DataFrame = {
@@ -5077,7 +5146,16 @@ object LakeSql {
         }
         recordTableTouch(s, provider, path)
         val schema = table(s, tbl).schema
-        val keys = splitTopCommas(keyList).map(_.trim)
+        // bare ON CONFLICT (no column list) resolves to the table's
+        // declared graft.keys; keyless tables keep the loud refusal
+        val keys =
+          if (keyList != null) splitTopCommas(keyList).map(_.trim)
+          else declaredKeys(s, provider, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"ON CONFLICT without a column list needs declared " +
+                s"conflict columns and $tbl declares none — declare " +
+                "them at CREATE TABLE with TBLPROPERTIES " +
+                "('graft.keys'='k1,k2'), or spell ON CONFLICT (<keys>)"))
         keys.foreach(k => require(
           schema.fieldNames.exists(_.equalsIgnoreCase(k)),
           s"conflict column $k is not a column of $tbl"))
@@ -5603,13 +5681,16 @@ object LakeSql {
         // other catalog's own sessions see the table.
         val alias = nameParts.head; val name = nameParts.last
         val root = attached(s)(alias)
-        val (specProvider, specLocation) = spec match {
-          case t: TableSpec => (t.provider, t.location)
+        val (specProvider, specLocation, specProps) = spec match {
+          case t: TableSpec => (t.provider, t.location, t.properties)
           case t: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
-            (t.provider, t.location)
+            (t.provider, t.location, t.properties)
           case other => throw new IllegalArgumentException(
             s"unsupported table spec: $other")
         }
+        require(specProps.isEmpty,
+          "TBLPROPERTIES on CTAS into an attached catalog is not " +
+            "supported — create the table in the primary catalog")
         attachedEntries(s, alias).get(name).foreach {
           case ("view", _) => throw new IllegalArgumentException(
             s"$alias.$name is a view; cannot CREATE TABLE over it")
@@ -5634,11 +5715,11 @@ object LakeSql {
           partitioning, query, spec, _, ignoreIfExists, _) =>
         val name = nameParts.last
         // The parser hands an UnresolvedTableSpec; both spec shapes
-        // expose provider/location.
-        val (specProvider, specLocation) = spec match {
-          case t: TableSpec => (t.provider, t.location)
+        // expose provider/location/properties.
+        val (specProvider, specLocation, specProps) = spec match {
+          case t: TableSpec => (t.provider, t.location, t.properties)
           case t: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
-            (t.provider, t.location)
+            (t.provider, t.location, t.properties)
           case other => throw new IllegalArgumentException(
             s"unsupported table spec: $other")
         }
@@ -5656,8 +5737,27 @@ object LakeSql {
               s"only identity partitioning supported, got $t")
           }
           val df = Glue.dataFrame(s, query)
-          if (provider == "deltalite") DeltaLite.create(s, loc, df, partCols)
-          else IcebergLite.create(s, loc, df, partCols)
+          // TBLPROPERTIES: graft.keys declares the table's conflict
+          // columns (the PK stand-in that gives bare INSERT OR
+          // REPLACE / OR IGNORE and key-less ON CONFLICT their keys);
+          // anything else refuses loudly rather than persisting a
+          // property no code reads.
+          val unknown = specProps.keySet.filterNot(_ == "graft.keys")
+          require(unknown.isEmpty,
+            s"unsupported table properties ${unknown.mkString(", ")} — " +
+              "graft.keys (declared conflict columns) is the supported " +
+              "key space")
+          val config = specProps.get("graft.keys").map { v =>
+            val ks = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(ks.nonEmpty, "graft.keys must name at least one column")
+            ks.foreach(k => require(
+              df.schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+              s"graft.keys column $k is not a column of the table"))
+            Map("graft.keys" -> ks.mkString(","))
+          }.getOrElse(Map.empty[String, String])
+          if (provider == "deltalite")
+            DeltaLite.create(s, loc, df, partCols, config = config)
+          else IcebergLite.create(s, loc, df, partCols, properties = config)
           register(s, name, provider, loc)
           recordCatalogUndo(s) { dropEntry(s, name); () }
         }

@@ -3107,7 +3107,60 @@ object Sql {
         open(s, d)
         try LakeSql.script(s, SetTimezoneText).localCheckpoint(true)
         finally LakeSql.sql(s, "RESET TimeZone")
-      }, Some(SetTimezoneText))
+      }, Some(SetTimezoneText)),
+
+      // ------------------------------------------------------------ x119
+      // Declared table keys → INSERT OR REPLACE / OR IGNORE — DuckDB's
+      // PK-implied upsert shorthand, previously a documented refusal
+      // (x77 demanded explicit conflict columns). A graft.keys table
+      // property at CREATE TABLE … TBLPROPERTIES declares the conflict
+      // columns once, persisted in the FORMAT'S OWN metadata (Delta
+      // configuration / Iceberg properties — it travels with the
+      // table, not the session); bare INSERT OR REPLACE (full-row
+      // keyed copy-on-write merge), INSERT OR IGNORE (keyed anti-join
+      // append) and key-less ON CONFLICT all resolve against it, each
+      // expanding to the explicit ON CONFLICT statement it abbreviates
+      // so the shorthand shares x77's verified path (incl. the
+      // source-key-uniqueness check). Keyless tables keep the loud
+      // refusal naming the property. The oracle replays the net effect
+      // of the three-statement sequence over the base table.
+      GQuery("x119_sql_insert_or_replace", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val name = s"keyed_cust_$tag"
+        val loc = s"${graft.util.Scratch.dir("x119")}/$name"
+        LakeSql.sql(s, s"""CREATE TABLE $name USING deltalite
+          LOCATION '$loc' TBLPROPERTIES ('graft.keys'='c_custkey')
+          AS SELECT c_custkey, c_name, c_acctbal, c_nationkey
+             FROM customer WHERE c_custkey % 2 = 0""")
+        LakeSql.sql(s, s"""INSERT OR REPLACE INTO $name
+          SELECT c_custkey, c_name, c_acctbal + 1000, c_nationkey
+          FROM customer WHERE c_custkey % 4 <= 1""")
+        LakeSql.sql(s, s"""INSERT OR IGNORE INTO $name
+          SELECT c_custkey, c_name, c_acctbal - 500, c_nationkey
+          FROM customer WHERE c_custkey % 3 = 0""")
+        LakeSql.sql(s, s"""INSERT INTO $name
+          SELECT c_custkey, c_name, c_acctbal, c_nationkey
+          FROM customer WHERE c_custkey % 12 = 7
+          ON CONFLICT DO NOTHING""")
+        val out = LakeSql.sql(s, s"""
+          SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+          FROM $name ORDER BY c_custkey""")
+        out.count() // materialize before DROP
+        LakeSql.sql(s, s"DROP TABLE $name")
+        out
+      }, Some("""
+        SELECT c_custkey, c_name,
+               CAST(CASE WHEN c_custkey % 4 <= 1 THEN c_acctbal + 1000
+                         WHEN c_custkey % 4 = 2 THEN c_acctbal
+                         WHEN c_custkey % 3 = 0 THEN c_acctbal - 500
+                         ELSE c_acctbal END AS DOUBLE) AS bal
+        FROM customer
+        WHERE c_custkey % 4 <= 2
+           OR (c_custkey % 4 = 3
+               AND (c_custkey % 3 = 0 OR c_custkey % 12 = 7))
+        ORDER BY c_custkey"""))
     )
   }
 

@@ -1371,16 +1371,26 @@ object DeltaLite {
 
   def create(s: SparkSession, table: String, df: DataFrame,
       partitionColumns: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      config: Map[String, String] = Map.empty): Unit = {
     require(latestVersion(s, table) < 0, s"table already exists at $table")
     partitionColumns.foreach(pc => require(df.schema.fieldNames.contains(pc),
       s"partition column $pc not in data"))
     writeCommit(s, table, 0L,
       protocolAction +:
-        metaDataAction(table, df.schema.json, partitionColumns) +:
+        metaDataAction(table, df.schema.json, partitionColumns, config) +:
         stagedAdds(s, table, df, df.schema, partitionColumns) ++:
         txn.map { case (app, tv) => txnAction(app, tv) }.toSeq,
       operation = "CREATE TABLE")
+  }
+
+  /** The table's metadata configuration (the `delta.constraints.*` /
+    * `graft.*` key space) at the current version.
+    */
+  def tableConfig(s: SparkSession, table: String): Map[String, String] = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    replay(s, table, v).config
   }
 
   /** Append `df` as a new version. */

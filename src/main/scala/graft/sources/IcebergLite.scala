@@ -227,7 +227,11 @@ object IcebergLite {
       // stamping existed read back as 0 (match any modern instant);
       // snapshots with no entry yet (just committed) are stamped at
       // metadata-write time.
-      snapshotTs: Map[Long, Long] = Map.empty) {
+      snapshotTs: Map[Long, Long] = Map.empty,
+      // Table properties (spec top-level `properties` map) — the
+      // `graft.*` key space (e.g. graft.keys for declared conflict
+      // columns). Carried through every metadata rewrite.
+      properties: Map[String, String] = Map.empty) {
     def partCols: Seq[PartitionField] = colsOfSpec(defaultSpecId)
     def partColNames: Seq[String] = partCols.map(_.name)
     def colsOfSpec(specId: Int): Seq[PartitionField] =
@@ -334,8 +338,13 @@ object IcebergLite {
       sn.get("snapshot-id").asLong() ->
         (if (sn.has("timestamp-ms")) sn.get("timestamp-ms").asLong(0L)
          else 0L)).toMap
+    val props =
+      if (n.has("properties"))
+        n.get("properties").fields().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+      else Map.empty[String, String] // pre-properties table
     Meta(schemas, curId, specs, defSpec, curSnap, snaps,
-      orders, defOrder, refs, parents, snapTs)
+      orders, defOrder, refs, parents, snapTs, props)
   }
 
   // --------------------------------------------------------- manifests
@@ -542,6 +551,11 @@ object IcebergLite {
     }
     n.put("default-sort-order-id", meta.defaultSortOrderId)
     n.put("current-snapshot-id", meta.currentSnapshot)
+    if (meta.properties.nonEmpty) {
+      val po = n.putObject("properties")
+      meta.properties.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => po.put(k, v) }
+    }
     // `main` always tracks the current snapshot (the Iceberg-spec
     // invariant); other refs carry their own pinned/advanced heads.
     val refsNode = n.putObject("refs")
@@ -612,8 +626,10 @@ object IcebergLite {
     * assigned in schema order and never change afterwards.
     */
   def create(s: SparkSession, table: String, df: DataFrame,
-      partitionColumns: Seq[String] = Nil): Long =
-    createWithSpec(s, table, df, partitionColumns.map(identityField))
+      partitionColumns: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Long =
+    createWithSpec(s, table, df, partitionColumns.map(identityField),
+      properties)
 
   /** Create with an explicit partition spec — the entry point for
     * HIDDEN partitioning ([[dayField]]): e.g.
@@ -621,7 +637,8 @@ object IcebergLite {
     * the UTC day of `ts` while queries keep filtering on `ts` itself.
     */
   def createWithSpec(s: SparkSession, table: String, df: DataFrame,
-      spec: Seq[PartitionField]): Long = {
+      spec: Seq[PartitionField],
+      properties: Map[String, String] = Map.empty): Long = {
     require(currentVersion(s, table) < 0, s"table already exists at $table")
     spec.foreach { pc =>
       require(df.schema.fieldNames.contains(pc.source),
@@ -644,8 +661,13 @@ object IcebergLite {
     val schema = schemaFromStruct(1, df.schema)
     val m = writeManifest(s, table, df, schema, 0, spec, seq = 1L)
     commitSnapshot(s, table,
-      Meta(Seq(schema), 1, Seq(0 -> spec), 0, 0L, Nil), Seq(m))
+      Meta(Seq(schema), 1, Seq(0 -> spec), 0, 0L, Nil,
+        properties = properties), Seq(m))
   }
+
+  /** The table's properties map (spec top-level `properties`). */
+  def tableProperties(s: SparkSession, table: String): Map[String, String] =
+    readMeta(s, table).properties
 
   /** Append as a NEW snapshot: its manifest list is the previous
     * snapshot's manifests — reused by reference, the Iceberg metadata

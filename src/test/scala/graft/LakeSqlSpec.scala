@@ -613,6 +613,74 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(spark, "DROP TABLE ocspec_t")
   }
 
+  test("graft.keys declared at CREATE TABLE: bare INSERT OR REPLACE / " +
+      "OR IGNORE and key-less ON CONFLICT resolve against it on BOTH " +
+      "formats; keyless tables refuse naming the property; unknown " +
+      "properties and non-column keys refuse at CREATE") {
+    Sql.open(spark, sfDir)
+    val base = Scratch.dir("keyspec")
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"keyspec_$provider"
+      LakeSql.sql(spark, s"""CREATE TABLE $t USING $provider
+        LOCATION '$base/$t' TBLPROPERTIES ('graft.keys'='c_custkey')
+        AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey <= 20""")
+      // OR REPLACE: keys 10..30 — 11 replaced, 10 inserted
+      LakeSql.sql(spark, s"""INSERT OR REPLACE INTO $t
+        SELECT c_custkey, 'REP', 1.5 FROM customer
+        WHERE c_custkey >= 10 AND c_custkey <= 30""")
+      assert(LakeSql.sql(spark,
+        s"SELECT COUNT(*) FROM $t WHERE c_mktsegment = 'REP'")
+        .collect().head.getLong(0) == 21)
+      // OR IGNORE: keys 25..35 — 25..30 exist and keep 'REP'
+      LakeSql.sql(spark, s"""INSERT OR IGNORE INTO $t
+        SELECT c_custkey, 'IGN', 2.5 FROM customer
+        WHERE c_custkey >= 25 AND c_custkey <= 35""")
+      assert(LakeSql.sql(spark,
+        s"SELECT COUNT(*) FROM $t WHERE c_mktsegment = 'IGN'")
+        .collect().head.getLong(0) == 5) // 31..35 only
+      // key-less ON CONFLICT resolves the declared keys
+      LakeSql.sql(spark, s"""INSERT INTO $t
+        SELECT c_custkey, 'OC', 3.5 FROM customer
+        WHERE c_custkey >= 34 AND c_custkey <= 38
+        ON CONFLICT DO NOTHING""")
+      assert(LakeSql.sql(spark, s"SELECT COUNT(*) FROM $t")
+        .collect().head.getLong(0) == 39) // keys 0..38
+      LakeSql.sql(spark, s"DROP TABLE $t")
+    }
+    // keyless table: the shorthand refuses, NAMING the property
+    LakeSql.sql(spark, s"""CREATE TABLE keyspec_bare USING deltalite
+      LOCATION '$base/bare'
+      AS SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 5""")
+    for (stmt <- Seq(
+        "INSERT OR REPLACE INTO keyspec_bare SELECT 9, 1.0",
+        "INSERT OR IGNORE INTO keyspec_bare SELECT 9, 1.0",
+        "INSERT INTO keyspec_bare SELECT 9, 1.0 ON CONFLICT DO NOTHING")) {
+      val e = intercept[IllegalArgumentException](LakeSql.sql(spark, stmt))
+      assert(e.getMessage.contains("graft.keys"), s"$stmt -> ${e.getMessage}")
+    }
+    LakeSql.sql(spark, "DROP TABLE keyspec_bare")
+    // CREATE-side validation: unknown property, non-column key
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""CREATE TABLE keyspec_unknown USING deltalite
+        LOCATION '$base/unk' TBLPROPERTIES ('some.prop'='x')
+        AS SELECT 1 AS a""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, s"""CREATE TABLE keyspec_badkey USING deltalite
+        LOCATION '$base/bad' TBLPROPERTIES ('graft.keys'='nope')
+        AS SELECT 1 AS a""")
+    }
+    // all-columns-keyed REPLACE refuses (cannot change any row)
+    LakeSql.sql(spark, s"""CREATE TABLE keyspec_allkey USING deltalite
+      LOCATION '$base/allkey' TBLPROPERTIES ('graft.keys'='a')
+      AS SELECT 1 AS a""")
+    val eAll = intercept[IllegalArgumentException](LakeSql.sql(spark,
+      "INSERT OR REPLACE INTO keyspec_allkey SELECT 2"))
+    assert(eAll.getMessage.contains("INSERT OR IGNORE"), eAll.getMessage)
+    LakeSql.sql(spark, "DROP TABLE keyspec_allkey")
+  }
+
   test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
       "through DECIMAL(18,4)") {
     Sql.open(spark, sfDir)
