@@ -1036,8 +1036,16 @@ object DeltaLite {
     * safely (one wins, one gets a clean IOException the retry paths
     * catch) and readers never observe a torn or empty commit.
     */
+  /** TEST SEAM: runs between an operation's log READ (the version its
+    * commit was built from) and its COMMIT — a deterministic stand-in
+    * for a concurrent writer landing mid-operation. No-op in
+    * production; ConflictSpec points it at a competing commit.
+    */
+  @volatile private[graft] var interleaveForTest: () => Unit = () => ()
+
   private def writeCommit(s: SparkSession, table: String, v: Long,
       actions: Seq[String], operation: String = "WRITE"): Unit = {
+    interleaveForTest()
     val p = commitPath(table, v)
     // Every commit leads with a commitInfo action naming its operation
     // (the Delta protocol's DESCRIBE HISTORY source). Timestamp is

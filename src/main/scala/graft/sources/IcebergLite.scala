@@ -231,7 +231,14 @@ object IcebergLite {
       // Table properties (spec top-level `properties` map) — the
       // `graft.*` key space (e.g. graft.keys for declared conflict
       // columns). Carried through every metadata rewrite.
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      // The metadata VERSION this Meta was read from (-1 = fresh
+      // create). NOT serialized — it exists so the commit claims
+      // exactly readVersion+1: a concurrent writer who committed
+      // first makes the claim fail LOUDLY instead of this writer
+      // silently publishing a metadata file built from a stale
+      // snapshot (last-writer-wins, the lost-update anomaly).
+      readVersion: Long = -1L) {
     def partCols: Seq[PartitionField] = colsOfSpec(defaultSpecId)
     def partColNames: Seq[String] = partCols.map(_.name)
     def colsOfSpec(specId: Int): Seq[PartitionField] =
@@ -344,7 +351,7 @@ object IcebergLite {
           .map(e => e.getKey -> e.getValue.asText()).toMap
       else Map.empty[String, String] // pre-properties table
     Meta(schemas, curId, specs, defSpec, curSnap, snaps,
-      orders, defOrder, refs, parents, snapTs, props)
+      orders, defOrder, refs, parents, snapTs, props, readVersion = v)
   }
 
   // --------------------------------------------------------- manifests
@@ -582,22 +589,54 @@ object IcebergLite {
     n
   }
 
-  /** Exclusive metadata-version claim (single-writer; a real catalog
-    * arbitrates the swap).
+  /** Write `text` to `p` as an exclusive CLAIM (overwrite=false): a
+    * concurrent writer who claimed the name first turns this writer's
+    * commit into a loud conflict instead of a silent lost update.
+    */
+  private def claimWrite(f: FileSystem, p: Path, text: String,
+      table: String): Unit =
+    try writeFile(f, p, text, overwrite = false)
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        val cme = new java.util.ConcurrentModificationException(
+          s"concurrent writer committed to $table first ($p already " +
+            "claimed) — this commit was built from a stale snapshot; " +
+            "re-run the operation on the fresh snapshot")
+        cme.initCause(e)
+        throw cme
+    }
+
+  /** Exclusive metadata-version claim: the commit publishes exactly
+    * `readVersion + 1` of the Meta it was BUILT from — if a concurrent
+    * writer got there first the claim fails with a loud
+    * ConcurrentModificationException (re-run on the fresh snapshot)
+    * instead of silently discarding the winner's snapshot by
+    * publishing a stale-based metadata file one version later.
+    * (The version-hint pointer swap itself is last-write — a real
+    * catalog arbitrates that; the conflict DETECTION is here.)
     */
   private def writeMetadata(s: SparkSession, table: String,
       meta: Meta): Unit = {
     val f = fs(s, metaDir(table))
     f.mkdirs(metaDir(table))
-    val v = currentVersion(s, table) + 1
-    writeFile(f, metadataFile(table, v),
-      Json.writeValueAsString(metadataNode(table, meta)), overwrite = false)
+    val v = if (meta.readVersion >= 0) meta.readVersion + 1
+      else currentVersion(s, table) + 1
+    claimWrite(f, metadataFile(table, v),
+      Json.writeValueAsString(metadataNode(table, meta)), table)
     writeFile(f, versionHint(table), v.toString, overwrite = true)
   }
+
+  /** TEST SEAM: runs between an operation's metadata READ (the Meta
+    * its commit was built from) and its COMMIT — a deterministic
+    * stand-in for a concurrent writer landing mid-operation. No-op in
+    * production; ConflictSpec points it at a competing commit.
+    */
+  @volatile private[graft] var interleaveForTest: () => Unit = () => ()
 
   private def commitSnapshot(s: SparkSession, table: String, meta: Meta,
       manifests: Seq[String], advance: Boolean = true,
       parent: Option[Long] = None): Long = {
+    interleaveForTest()
     val f = fs(s, metaDir(table))
     f.mkdirs(metaDir(table))
     val snapId = meta.snapshots.map(_._1).foldLeft(0L)(math.max) + 1
@@ -605,8 +644,12 @@ object IcebergLite {
     val listRoot = Json.createObjectNode()
     val arr = listRoot.putArray("manifests")
     manifests.foreach(arr.add)
-    writeFile(f, new Path(table, listRel), Json.writeValueAsString(listRoot),
-      overwrite = false)
+    // the snapshot id is max+1 over the Meta this commit was built
+    // from, so two racing writers compute the SAME id — the claim on
+    // the manifest-list name catches the conflict even before the
+    // metadata-version claim does
+    claimWrite(f, new Path(table, listRel),
+      Json.writeValueAsString(listRoot), table)
     // Lineage: the new snapshot's parent is the state it was built
     // from — the current snapshot unless the caller (branch append)
     // says otherwise. 0 = root (first snapshot of the table).
