@@ -861,17 +861,78 @@ object LakeSql {
 
   private def runPrepare(s: SparkSession, name: String,
       text: String): Unit = {
-    // Parse-at-PREPARE (the fail-early contract) on the same rewritten
-    // form EXECUTE runs; `?` markers parse natively.
-    val plan = s.sessionState.sqlParser.parsePlan(
-      normLit(rewriteOrdinals(text)))
-    require(!plan.isInstanceOf[DeleteFromTable] &&
-      !plan.isInstanceOf[UpdateTable] &&
-      !plan.isInstanceOf[InsertIntoStatement] &&
-      !plan.isInstanceOf[MergeIntoTable],
+    // Prepared DML refuses (head-detectable — statement-level DML
+    // always leads with its verb).
+    require("(?is)^\\s*(INSERT|UPDATE|DELETE|MERGE)\\b".r
+      .findFirstIn(text).isEmpty,
       "PREPARE covers queries; prepared DML is not supported")
+    // Parse-at-PREPARE (the fail-early contract) on the same rewritten
+    // form EXECUTE runs; `?` markers parse natively. A body in
+    // DIALECT-ONLY grammar (operator pins like ^@, list sugar, …)
+    // fails Spark's parser here but rewrites fine at EXECUTE, so a
+    // ParseException on a query-shaped head defers validation to
+    // EXECUTE instead of refusing text the entry accepts inline
+    // (round-15 script fuzz).
+    try { s.sessionState.sqlParser.parsePlan(
+      normLit(rewriteOrdinals(text))); () }
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        if ("(?is)^\\s*(SELECT|WITH|FROM|VALUES)\\b".r
+            .findFirstIn(text).isEmpty) throw e
+    }
     preparedOf(s).put(name, text)
     ()
+  }
+
+  /** Render an EXECUTE argument VALUE as a SQL literal of the same
+    * type — the values were already evaluated from constant
+    * expressions, so this is typed literal rendering (strings quote-
+    * escaped), never raw splicing of user text.
+    */
+  private def renderLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case b: Byte => b.toString
+    case sh: Short => sh.toString
+    case i: Int => i.toString
+    case l: Long => s"CAST($l AS BIGINT)"
+    case f: Float => s"CAST('$f' AS FLOAT)"
+    case d: Double => s"CAST('$d' AS DOUBLE)"
+    case d: java.math.BigDecimal =>
+      s"CAST('$d' AS DECIMAL(${d.precision}, ${d.scale}))"
+    case d: scala.math.BigDecimal =>
+      s"CAST('$d' AS DECIMAL(${d.precision}, ${d.scale}))"
+    case d: java.sql.Date => s"DATE '$d'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case t: java.time.Instant => s"TIMESTAMP '$t'"
+    case other => throw new IllegalArgumentException(
+      s"EXECUTE argument type ${other.getClass.getSimpleName} has no " +
+        "literal rendering")
+  }
+
+  /** Substitute `?` / `$n` markers (OUTSIDE string literals only) with
+    * the rendered argument literals.
+    */
+  private def bindMarkers(text: String, vals: Seq[Any],
+      ordinals: Boolean): String = {
+    val sb = new StringBuilder; var inS = false; var i = 0; var qIdx = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inS) { if (c == '\'') inS = false; sb += c; i += 1 }
+      else if (c == '\'') { inS = true; sb += c; i += 1 }
+      else if (!ordinals && c == '?') {
+        sb ++= renderLiteral(vals(qIdx)); qIdx += 1; i += 1
+      } else if (ordinals && c == '$' && i + 1 < text.length &&
+          text.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < text.length && text.charAt(j).isDigit) j += 1
+        sb ++= renderLiteral(vals(text.substring(i + 1, j).toInt - 1))
+        i = j
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   private def runExecute(s: SparkSession, name: String,
@@ -900,25 +961,25 @@ object LakeSql {
     val hasQ = scan.contains("?")
     require(!(hasQ && ordinals.nonEmpty),
       "mixed parameter styles: ? and $n cannot combine in one statement")
-    // Cataloged lake tables the text references bind as temp views
-    // before the parameterized parse (the x52 resolution rule).
-    collectRelationsDeep(
-      s.sessionState.sqlParser.parsePlan(normLit(rewriteOrdinals(text))))
-      .map(_.multipartIdentifier.last).distinct.foreach { n =>
-        catalog(s).get(n).foreach(_ =>
-          table(s, n).createOrReplaceTempView(n))
-      }
+    // Bind by typed-literal SUBSTITUTION (quote-aware, markers inside
+    // string literals untouched), then re-enter the FULL dispatch —
+    // the body is dialect text and must pass through every rewrite
+    // layer exactly as if the user had typed it with the literals
+    // inline. Round-15 script fuzz found the old parameterized
+    // s.sql(text, args) path BYPASSING the rewrite layer: list/array/
+    // operator vocabulary in a prepared body failed to resolve at
+    // EXECUTE while the same text ran fine inline. Lake-table names
+    // resolve through the dispatch like any other statement.
     if (ordinals.nonEmpty) {
       require(ordinals.min >= 1 && ordinals.max <= vals.length,
         s"ordinal $$${ordinals.max} out of range for ${vals.length} " +
           "argument(s) ($n is 1-based)")
-      s.sql(normLit(rewriteOrdinals(text)), vals.zipWithIndex
-        .map { case (v, k) => s"__pos_${k + 1}" -> v }.toMap)
+      sql(s, bindMarkers(text, vals, ordinals = true))
     } else {
       val n = scan.count(_ == '?')
       require(n == vals.length,
         s"statement has $n ? marker(s) but ${vals.length} argument(s)")
-      s.sql(normLit(text), vals.toArray)
+      sql(s, bindMarkers(text, vals, ordinals = false))
     }
   }
 

@@ -28,33 +28,33 @@ import scala.util.Random
   * Usage: runMain graft.tools.FuzzGen <sfDir> <outDir> [count] [seed]
   */
 object FuzzGen {
-  private final case class Col(name: String, kind: String) // s/i/d
+  private[tools] final case class Col(name: String, kind: String) // s/i/d
 
-  private val nationCols = Seq(Col("n_nationkey", "i"),
+  private[tools] val nationCols = Seq(Col("n_nationkey", "i"),
     Col("n_regionkey", "i"), Col("n_name", "s"))
-  private val orderCols = Seq(Col("o_orderkey", "i"), Col("o_custkey", "i"),
+  private[tools] val orderCols = Seq(Col("o_orderkey", "i"), Col("o_custkey", "i"),
     Col("o_orderpriority", "s"), Col("o_orderstatus", "s"),
     Col("o_orderdate", "d"))
 
   // RE2∩Java, no anchors, no backreferences, no $/\ in replacements —
   // the first-match rewrite's constraint set, so every pattern works
   // in BOTH replacement modes
-  private val patterns =
+  private[tools] val patterns =
     Seq("[aeiou]", "[0-9]+", "[a-z]{3}", " ", "a.", "(a|e)n", "l+")
-  private val replacements = Seq("", "*", "X", "__")
-  private val formats = Seq("'%Y-%m-%d'", "'%d/%m/%Y'", "'Qtr %m of %Y'")
-  private val units =
+  private[tools] val replacements = Seq("", "*", "X", "__")
+  private[tools] val formats = Seq("'%Y-%m-%d'", "'%d/%m/%Y'", "'Qtr %m of %Y'")
+  private[tools] val units =
     Seq("day", "month", "year", "hour", "minute", "second")
 
-  private def pick[T](r: Random, xs: Seq[T]): T = xs(r.nextInt(xs.size))
+  private[tools] def pick[T](r: Random, xs: Seq[T]): T = xs(r.nextInt(xs.size))
 
-  private def sCol(r: Random, cols: Seq[Col]): String =
+  private[tools] def sCol(r: Random, cols: Seq[Col]): String =
     pick(r, cols.filter(_.kind == "s")).name
-  private def iCol(r: Random, cols: Seq[Col]): String =
+  private[tools] def iCol(r: Random, cols: Seq[Col]): String =
     pick(r, cols.filter(_.kind == "i")).name
 
   /** Integer-valued scalar expression (exact on both engines). */
-  private def intExpr(r: Random, cols: Seq[Col]): String = {
+  private[tools] def intExpr(r: Random, cols: Seq[Col]): String = {
     val hasDate = cols.exists(_.kind == "d")
     val n = r.nextInt(if (hasDate) 15 else 13)
     (if (!hasDate && n >= 7) n + 2 else n) match {
@@ -116,7 +116,7 @@ object FuzzGen {
   }
 
   /** String-valued scalar expression. */
-  private def strExpr(r: Random, cols: Seq[Col]): String = {
+  private[tools] def strExpr(r: Random, cols: Seq[Col]): String = {
     val hasDate = cols.exists(_.kind == "d")
     r.nextInt(if (hasDate) 6 else 5) match {
       case 0 => s"regexp_extract(${sCol(r, cols)}, '${pick(r, patterns)}')"
@@ -152,7 +152,7 @@ object FuzzGen {
     }
   }
 
-  private def pred(r: Random, cols: Seq[Col], keyCap: Long): String =
+  private[tools] def pred(r: Random, cols: Seq[Col], keyCap: Long): String =
     r.nextInt(4) match {
       case 0 => s"${iCol(r, cols)} % ${2 + r.nextInt(5)} = ${r.nextInt(2)}"
       case 1 => s"regexp_matches(${sCol(r, cols)}, '${pick(r, patterns)}')"
@@ -160,7 +160,7 @@ object FuzzGen {
       case 3 => s"${iCol(r, cols)} <= $keyCap"
     }
 
-  private def aggExpr(r: Random, cols: Seq[Col]): String =
+  private[tools] def aggExpr(r: Random, cols: Seq[Col]): String =
     r.nextInt(9) match {
       case 6 => r.nextInt(3) match {
         case 0 =>

@@ -1,0 +1,158 @@
+package graft.tools
+
+import scala.util.Random
+import FuzzGen.{intExpr, nationCols, orderCols, pick, pred, strExpr}
+
+/** Differential fuzz harness, SCRIPT half (round-14 verdict item 6).
+  *
+  * FuzzGen saturates the per-STATEMENT grammar; the untested surface
+  * after round 14 was statement INTERACTION — BEGIN/ROLLBACK
+  * interleavings over DML, macros calling macros under the rewrite
+  * layer, PREPARE/EXECUTE with rewritten bodies, CTAS + DML + read
+  * sequences sharing session state. This tool generates SEEDED random
+  * multi-statement SCRIPTS in the shared dialect, runs each through
+  * `LakeSql.script`, and dumps the LAST statement's result for
+  * `tools/fuzz_diff.py` (unchanged — DuckDB's execute() runs a whole
+  * script and yields the last result) to replay and value-diff.
+  *
+  * Shared-dialect constraints: CTAS is the bare `CREATE TABLE t AS
+  * SELECT …` both engines parse (graft defaults provider deltalite
+  * under the session warehouse — point spark.sql.warehouse.dir at a
+  * scratch root); per-script table/macro/prepared names are
+  * i-suffixed so scripts stay independent in BOTH sessions; every
+  * final SELECT orders by its key; all value expressions come from
+  * FuzzGen's pinned pools.
+  *
+  * Usage: runMain graft.tools.FuzzScript <sfDir> <outDir> [count] [seed]
+  */
+object FuzzScript {
+
+  private[tools] def script(r: Random, i: Int): String = {
+    val (table, cols, key, group, keyCap) =
+      if (r.nextBoolean())
+        ("nation", nationCols, "n_nationkey", "n_regionkey", 25L)
+      else ("orders", orderCols, "o_orderkey",
+        pick(r, Seq("o_orderpriority", "o_orderstatus")), 2000L)
+    val t = s"fz${i}_t"
+    val ctas =
+      s"CREATE TABLE $t AS SELECT $key AS k, $group AS g, " +
+        s"CAST(${intExpr(r, cols)} AS BIGINT) AS v, " +
+        s"${strExpr(r, cols)} AS s FROM $table WHERE $key <= $keyCap"
+    def dml(n: Int): String = r.nextInt(3) match {
+      case 0 => s"DELETE FROM $t WHERE k % ${2 + r.nextInt(5)} = " +
+        s"${r.nextInt(2)}"
+      case 1 => s"UPDATE $t SET v = v + ${1 + r.nextInt(90)} " +
+        s"WHERE k % ${2 + r.nextInt(4)} = ${r.nextInt(2)}"
+      case 2 => s"INSERT INTO $t SELECT $key + ${10000 * n}, $group, " +
+        s"CAST($key % ${3 + r.nextInt(9)} AS BIGINT), " +
+        s"lower(${FuzzGen.sCol(r, cols)}) FROM $table " +
+        s"WHERE $key <= ${keyCap / 4}"
+    }
+    val finalSelect =
+      s"SELECT k, g, v, s FROM $t ORDER BY k, g, v, s"
+    r.nextInt(6) match {
+      case 0 => // txn ROLLBACK: DML unwinds, final state = CTAS state
+        s"""$ctas;
+           |BEGIN TRANSACTION;
+           |${dml(1)};
+           |${dml(2)};
+           |ROLLBACK;
+           |$finalSelect""".stripMargin
+      case 1 => // txn COMMIT: DML sticks
+        s"""$ctas;
+           |BEGIN TRANSACTION;
+           |${dml(1)};
+           |${dml(2)};
+           |COMMIT;
+           |$finalSelect""".stripMargin
+      case 2 => // macros calling macros under the rewrite layer
+        val m1 = s"fz${i}_m1"; val m2 = s"fz${i}_m2"; val ms = s"fz${i}_ms"
+        s"""CREATE MACRO $m1(x) AS x * ${2 + r.nextInt(4)} + 1;
+           |CREATE MACRO $ms(z) AS length(regexp_replace(z,
+           |  '${pick(r, FuzzGen.patterns)}',
+           |  '${pick(r, FuzzGen.replacements)}', 'g'));
+           |CREATE MACRO $m2(x, z) AS $m1(x) + $ms(z) % ${3 + r.nextInt(6)};
+           |SELECT $key, CAST($m2($key % 21, ${FuzzGen.sCol(r, cols)})
+           |    AS BIGINT) AS mv,
+           |  ${strExpr(r, cols)} AS s1
+           |FROM $table WHERE $key <= ${keyCap / 2} ORDER BY $key"""
+          .stripMargin
+      case 3 => // PREPARE/EXECUTE with a rewritten body + ? params
+        val p = s"fz${i}_p"
+        s"""PREPARE $p AS SELECT $group, COUNT(*) AS n,
+           |  CAST(SUM(${intExpr(r, cols)}) AS BIGINT) AS a1,
+           |  MIN(${strExpr(r, cols)}) AS s1
+           |FROM $table WHERE $key <= ? AND $key % ? = 0
+           |GROUP BY $group ORDER BY $group;
+           |EXECUTE $p(${keyCap / (1 + r.nextInt(3))}, ${2 + r.nextInt(4)})"""
+          .stripMargin
+      case 4 => // plain CTAS + DML sequence, no txn
+        s"""$ctas;
+           |${dml(1)};
+           |${dml(2)};
+           |${dml(3)};
+           |$finalSelect""".stripMargin
+      case 5 => // macro body inside a PREPARE body (late-bound twice)
+        val m = s"fz${i}_m"; val p = s"fz${i}_p"
+        s"""CREATE MACRO $m(x) AS x % ${5 + r.nextInt(9)} + ${r.nextInt(3)};
+           |PREPARE $p AS SELECT $key, CAST($m($key) AS BIGINT) AS mv,
+           |  ${strExpr(r, cols)} AS s1
+           |FROM $table WHERE $key <= ? ORDER BY $key;
+           |EXECUTE $p(${keyCap / 2})""".stripMargin
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val count = if (args.length > 2) args(2).toInt else 120
+    val seed = if (args.length > 3) args(3).toLong else 13L
+    val scratch = graft.util.Scratch.dir(s"fuzzscript_$seed")
+    val spark = graft.GraftSession
+      .builder("local[8]", shufflePartitions = 8)
+      .config("spark.sql.warehouse.dir", scratch.toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Sql.open(spark, sfDir)
+    new java.io.File(outDir).mkdirs()
+    val r = new Random(seed)
+    val entries = (0 until count).map { i =>
+      val sql = script(r, i)
+      val name = f"fuzz_$i%04d"
+      val status =
+        try {
+          val df = graft.LakeSql.script(spark, sql)
+          df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          "ran"
+        } catch {
+          case e: IllegalArgumentException => "refused: " + e.getMessage
+          case e: Throwable =>
+            "error: " + e.getClass.getSimpleName + " " +
+              Option(e.getMessage).getOrElse("").take(160)
+        }
+      (name, sql, status)
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = entries.map { case (n, sql, st) =>
+      s"${q(n)}: {${q("sql")}: ${q(sql)}, ${q("status")}: ${q(st)}}"
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/statements.json"),
+      json.getBytes("UTF-8"))
+    val ran = entries.count(_._3 == "ran")
+    val refused = entries.count(_._3.startsWith("refused"))
+    val errored = count - ran - refused
+    println(s"FUZZ ran=$ran refused=$refused error=$errored seed=$seed")
+    entries.filter(_._3.startsWith("error")).take(10).foreach { e =>
+      println(s"  ${e._1}: ${e._3}\n    ${e._2}")
+    }
+    spark.stop()
+  }
+}

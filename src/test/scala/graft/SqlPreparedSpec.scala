@@ -156,4 +156,30 @@ class SqlPreparedSpec extends SparkSpec {
     assert(LakeSql.sql(s, "EXECUTE qc('a,b', 'NATION_7')")
       .head.getLong(0) == 1L)
   }
+
+  test("a prepared body in DIALECT grammar rewrites at EXECUTE like " +
+      "inline text (round-15 script-fuzz finding: the parameterized " +
+      "bind bypassed the rewrite layer); markers inside string " +
+      "literals survive binding") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    // dialect vocabulary: ^@ operator pin, array_to_string/list_sort
+    // aliases, // integer division — none parse in bare Spark
+    LakeSql.sql(s, """PREPARE qd AS SELECT n_nationkey,
+      CASE WHEN n_name ^@ 'NATION_1' THEN 1 ELSE 0 END AS sw,
+      array_to_string(list_sort(string_split(lower(n_name), '_')), '|')
+        AS parts,
+      n_nationkey // 7 AS idiv
+      FROM nation WHERE n_nationkey <= ? ORDER BY n_nationkey""")
+    val rows = LakeSql.sql(s, "EXECUTE qd(14)").collect()
+    assert(rows.length == 15)
+    assert(rows(14).getInt(1) == 1) // NATION_14 ^@ 'NATION_1'
+    assert(rows(3).getString(2) == "3|nation")
+    assert(rows(14).getLong(3) == 2L) // 14 // 7
+    // a ? INSIDE a string literal is text, not a marker
+    LakeSql.sql(s, """PREPARE qm AS SELECT
+      concat('?', n_name) AS c FROM nation WHERE n_nationkey = ?""")
+    assert(LakeSql.sql(s, "EXECUTE qm(2)").head.getString(0)
+      == "?NATION_2")
+  }
 }

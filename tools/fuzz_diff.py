@@ -14,6 +14,13 @@ Outcome classes:
   refused/error entries from the Spark side are echoed for visibility
              (loud refusals are contract behavior, not divergences).
 
+Also replays multi-statement SCRIPTS (graft.tools.FuzzScript): the
+python client can't run a whole script in one execute(), so entries
+split on ';' (the generators never put ';' inside a literal) and run
+statement-by-statement, diffing the LAST statement's result; a failed
+script rolls back any dangling transaction so scripts stay
+independent.
+
 Usage: python3 tools/fuzz_diff.py <sfDir> <fuzzOutDir>
 Exit 1 iff any DIFF.
 """
@@ -22,6 +29,14 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def run_script(con, sql):
+    cur = None
+    for st in sql.split(";"):
+        if st.strip():
+            cur = con.execute(st)
+    return cur.fetchdf()
 
 
 def main(sfdir, outdir):
@@ -48,8 +63,12 @@ def main(sfdir, outdir):
             n_diff += 1
             continue
         try:
-            want = con.execute(sql).fetchdf()
+            want = run_script(con, sql)
         except Exception as e:
+            try:
+                con.execute("ROLLBACK")
+            except Exception:
+                pass
             n_sparkonly += 1
             print(f"SPARK_ONLY {name}: duckdb: {str(e)[:120]}\n  {sql}")
             continue
