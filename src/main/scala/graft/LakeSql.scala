@@ -1081,6 +1081,15 @@ object LakeSql {
       requireNoTxn(s, "DROP MACRO")
       dropMacro(s, name, ifExists != null)
       s.emptyDataFrame
+    case CreateTypeRe(name, valsRaw) =>
+      requireNoTxn(s, "CREATE TYPE") // session state; ROLLBACK can't undo
+      createEnumType(s, name, valsRaw)
+      s.emptyDataFrame
+    case DropTypeRe(ifExists, name) =>
+      requireNoTxn(s, "DROP TYPE")
+      require(enumsOf(s).remove(name.toLowerCase).isDefined ||
+        ifExists != null, s"type $name does not exist")
+      s.emptyDataFrame
     case BeginRe() =>
       runBegin(s)
       s.emptyDataFrame
@@ -1153,11 +1162,15 @@ object LakeSql {
           .as("name"))
         .orderBy("name")
     case _ =>
-      val st0 = expandMacros(s, statement)
+      val stM = expandMacros(s, statement)
       // non-UTC timezone tier: epoch-grid rewrite families refuse
       // while a non-UTC session zone is active (macro-expanded text,
       // so a grid call can't hide inside a macro body)
-      guardEpochGrid(s, st0)
+      guardEpochGrid(s, stM)
+      // session ENUM types: casts/enum_range over registered type
+      // names rewrite to validated VARCHAR work (after macro
+      // expansion, so a macro body can carry an enum cast)
+      val st0 = if (enumsOf(s).nonEmpty) rewriteEnumTypes(s, stM) else stM
       // File-reading table functions rewrite FIRST (pure text→text),
       // so they compose with every other route below — EXCEPT inside
       // CREATE VIEW: a durable view stores its SQL text, and rewriting
@@ -5477,6 +5490,105 @@ object LakeSql {
           col("n_nonnull"), col("n_distinct"), col("min_v"), col("max_v"))
     }
     branches.reduce(_.unionByName(_)).orderBy(col("col_name"))
+  }
+
+  // ---- CREATE TYPE … AS ENUM ---------------------------------------
+  // DuckDB's ENUM types (§6 non-goal until round 15), as a SESSION
+  // tier: `CREATE TYPE t AS ENUM ('a','b',…)` registers the value
+  // list; `CAST(e AS t)` rewrites to a VALIDATED VARCHAR — in-range
+  // values pass through as strings (exactly how DuckDB renders an
+  // enum), NULL stays NULL, and an out-of-range value raises at
+  // runtime (DuckDB's conversion error, equally loud); `enum_range
+  // (NULL::t)` becomes the literal value array. All codegen'd scalar
+  // CASE work on the scan — no UDF, no exchange. Scope stated
+  // honestly: types are session-scoped (macros are durable-catalog;
+  // enum DDL durability is future work), the `x::t` cast shorthand
+  // refuses naming the CAST spelling (general tight-operand capture
+  // belongs to the x112 pin layer), and enum ORDER follows the string
+  // values (DuckDB orders by declaration position — a documented
+  // divergence; declare values in lexical order where order matters).
+  private val enumTypes = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[String]]]())
+
+  private def enumsOf(s: SparkSession) = enumTypes.synchronized {
+    var m = enumTypes.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+      enumTypes.put(s, m)
+    }
+    m
+  }
+
+  private val CreateTypeRe =
+    ("""(?is)^\s*CREATE\s+TYPE\s+([A-Za-z_]\w*)\s+AS\s+ENUM\s*""" +
+      """\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val DropTypeRe =
+    """(?is)^\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+
+  private def createEnumType(s: SparkSession, name: String,
+      valsRaw: String): Unit = {
+    val vals = splitTopCommasQuoted(valsRaw).map(_.trim).map { v =>
+      require(v.length >= 2 && v.head == '\'' && v.last == '\'',
+        s"CREATE TYPE $name: ENUM values must be string literals, got $v")
+      v.substring(1, v.length - 1).replace("''", "'")
+    }
+    require(vals.nonEmpty, s"CREATE TYPE $name: empty ENUM")
+    require(vals.distinct.length == vals.length,
+      s"CREATE TYPE $name: duplicate ENUM values")
+    require(enumsOf(s).putIfAbsent(name.toLowerCase, vals).isEmpty,
+      s"type $name already exists")
+  }
+
+  private def rewriteEnumTypes(s: SparkSession, st0: String): String = {
+    var st = st0
+    for ((name, vals) <- enumsOf(s).toSeq.sortBy(_._1)) {
+      val list = vals.map(v => "'" + v.replace("'", "''") + "'")
+        .mkString(", ")
+      // enum_range over the type (both NULL spellings) → value array
+      st = st.replaceAll(
+        "(?i)\\benum_range\\s*\\(\\s*NULL\\s*::\\s*" + name + "\\s*\\)",
+        s"array($list)")
+      st = st.replaceAll(
+        "(?i)\\benum_range\\s*\\(\\s*CAST\\s*\\(\\s*NULL\\s+AS\\s+" +
+          name + "\\s*\\)\\s*\\)",
+        s"array($list)")
+      // CAST(e AS name) → validated VARCHAR (loop: one cast per pass)
+      val castRe = "(?i)\\bCAST\\s*\\(".r
+      var cont = true
+      while (cont) {
+        cont = false
+        castRe.findAllMatchIn(st).find { m =>
+          st.substring(0, m.start).count(_ == '\'') % 2 == 0 && {
+            val open = st.indexOf('(', m.start)
+            val (inner, _) = takeParenGroup(st.substring(open))
+            val asIdx = topLevelIndexOf(inner, "AS")
+            asIdx >= 0 &&
+              inner.substring(asIdx + 2).trim.equalsIgnoreCase(name)
+          }
+        }.foreach { m =>
+          val open = st.indexOf('(', m.start)
+          val (inner, rest) = takeParenGroup(st.substring(open))
+          val asIdx = topLevelIndexOf(inner, "AS")
+          val e = inner.substring(0, asIdx).trim
+          val repl = s"(CASE WHEN CAST(($e) AS STRING) IS NULL THEN " +
+            s"CAST(NULL AS STRING) WHEN CAST(($e) AS STRING) IN " +
+            s"($list) THEN CAST(($e) AS STRING) ELSE " +
+            s"CAST(raise_error(concat('invalid input for enum $name: '," +
+            s" CAST(($e) AS STRING))) AS STRING) END)"
+          st = st.substring(0, m.start) + repl + rest
+          cont = true
+        }
+      }
+      st = st.replaceAll("(?i)\\bNULL\\s*::\\s*" + name + "\\b",
+        "CAST(NULL AS STRING)")
+      if (("(?i)::\\s*" + name + "\\b").r.findAllMatchIn(st).exists(m =>
+          st.substring(0, m.start).count(_ == '\'') % 2 == 0))
+        throw new IllegalArgumentException(
+          s"'x::$name' enum casts are supported only as CAST(x AS " +
+            s"$name) or NULL::$name — spell the CAST")
+    }
+    st
   }
 
   // ---- CREATE MACRO at the text entry ------------------------------

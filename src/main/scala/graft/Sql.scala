@@ -3160,9 +3160,36 @@ object Sql {
         WHERE c_custkey % 4 <= 2
            OR (c_custkey % 4 = 3
                AND (c_custkey % 3 = 0 OR c_custkey % 12 = 7))
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+      // ------------------------------------------------------------ x120
+      // CREATE TYPE … AS ENUM — the §6 ENUM non-goal, now a session
+      // tier: the type registers its value list; CAST(e AS type)
+      // rewrites to a VALIDATED VARCHAR (in-range values pass as
+      // strings — exactly how DuckDB renders an enum — NULL stays
+      // NULL, out-of-range raises at runtime, as loud as DuckDB's
+      // conversion error); enum_range(NULL::type) becomes the literal
+      // value array. All codegen'd CASE/IN work on the scan — zero
+      // exchanges added. The script runs the same text DuckDB
+      // executes; the DROP TYPE teardown keeps the shared session
+      // clean for sibling keys.
+      GQuery("x120_sql_enum", (s, d) => {
+        open(s, d)
+        try LakeSql.script(s, EnumText)
+        finally LakeSql.sql(s, "DROP TYPE IF EXISTS x120_tier")
+      }, Some(EnumText))
     )
   }
+
+  private def EnumText = """
+    CREATE TYPE x120_tier AS ENUM ('LOW', 'MEDIUM', 'HIGH');
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice < 60000 THEN 'LOW'
+                     WHEN o_totalprice < 160000 THEN 'MEDIUM'
+                     ELSE 'HIGH' END AS x120_tier) AS tier,
+           array_to_string(enum_range(NULL::x120_tier), ',') AS rng
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey"""
 
   private def SetTimezoneText = """
     SET TimeZone='America/New_York';

@@ -681,6 +681,45 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(spark, "DROP TABLE keyspec_allkey")
   }
 
+  test("CREATE TYPE … AS ENUM: casts validate against the value list " +
+      "(NULL passes, out-of-range raises), enum_range yields the " +
+      "array, ::type shorthand refuses naming CAST, DROP TYPE and " +
+      "duplicate-create guard") {
+    Sql.open(spark, sfDir)
+    LakeSql.sql(spark, "CREATE TYPE espec_mood AS ENUM ('sad','ok','happy')")
+    val r = LakeSql.sql(spark, """
+      SELECT CAST('ok' AS espec_mood) AS a,
+             CAST(nullif('x','x') AS espec_mood) AS b,
+             array_to_string(enum_range(NULL::espec_mood), ',') AS rng
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getString(0) == "ok" && r.isNullAt(1) &&
+      r.getString(2) == "sad,ok,happy")
+    // an out-of-range value raises at runtime, like DuckDB's
+    // conversion error
+    val bad = intercept[Exception](LakeSql.sql(spark,
+      "SELECT CAST('angry' AS espec_mood) AS a FROM nation LIMIT 1")
+      .collect())
+    assert(bad.getMessage.contains("espec_mood") ||
+      Option(bad.getCause).exists(_.getMessage.contains("espec_mood")),
+      bad.getMessage)
+    // a literal containing the cast spelling must not rewrite
+    val lit = LakeSql.sql(spark,
+      "SELECT 'CAST(x AS espec_mood)' AS s FROM nation LIMIT 1")
+      .collect().head.getString(0)
+    assert(lit == "CAST(x AS espec_mood)")
+    // the :: shorthand refuses, naming the CAST spelling
+    val e2 = intercept[IllegalArgumentException](LakeSql.sql(spark,
+      "SELECT n_name::espec_mood FROM nation LIMIT 1"))
+    assert(e2.getMessage.contains("CAST"), e2.getMessage)
+    // duplicate create refuses; DROP removes; casts then fail analysis
+    intercept[IllegalArgumentException](LakeSql.sql(spark,
+      "CREATE TYPE espec_mood AS ENUM ('a')"))
+    LakeSql.sql(spark, "DROP TYPE espec_mood")
+    intercept[Exception](LakeSql.sql(spark,
+      "SELECT CAST('ok' AS espec_mood) AS a FROM nation LIMIT 1"))
+    LakeSql.sql(spark, "DROP TYPE IF EXISTS espec_mood") // no-op, quiet
+  }
+
   test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
       "through DECIMAL(18,4)") {
     Sql.open(spark, sfDir)
