@@ -1069,6 +1069,69 @@ object LakeSql {
     // strings → standard literals, numeric underscore separators
     // stripped — both DuckDB parser features Spark's lexer lacks
     val statement = normalizeLexicalSugar(statement0)
+    val out = sqlDispatch(s, statement)
+    maybeLintFractionalCast(s, out)
+    out
+  }
+
+  /** Opt-in divergence lint (spark.graft.sql.lintFractionalCast=true):
+    * §6 documents CAST(fractional → integer) as typed-divergent —
+    * DuckDB ROUNDS where Spark TRUNCATES — and the divergence is
+    * SILENT at runtime. With the flag on, every dispatched statement
+    * whose analyzed plan casts a fractional-typed child (FLOAT/
+    * DOUBLE/DECIMAL with scale > 0) to an integral type logs a
+    * warning per site naming the remedy (wrap the operand in round()/
+    * bround() to pin one mode). Off by default: integral-VALUED
+    * fractional expressions cast to BIGINT are a legitimate,
+    * divergence-free idiom (every gated key uses it), so default-on
+    * would be noise. [[lastFractionalCastSites]] exposes the last
+    * statement's site count for specs.
+    */
+  private val fracCastSites = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Integer]())
+
+  private[graft] def lastFractionalCastSites(s: SparkSession): Int =
+    Option(fracCastSites.get(s)).fold(0)(_.intValue)
+
+  private def maybeLintFractionalCast(s: SparkSession,
+      df: DataFrame): Unit =
+    if (s.conf.get("spark.graft.sql.lintFractionalCast", "false")
+        .toBoolean) {
+      import org.apache.spark.sql.types._
+      def fractional(t: DataType): Boolean = t match {
+        case DoubleType | FloatType => true
+        case d: DecimalType => d.scale > 0
+        case _ => false
+      }
+      def integral(t: DataType): Boolean = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val n = try {
+        val sites = df.queryExecution.analyzed.collectWithSubqueries {
+          case p => p.expressions.flatMap(_.collect {
+            case c: org.apache.spark.sql.catalyst.expressions.Cast
+                if fractional(c.child.dataType) && integral(c.dataType) &&
+                  // an explicit round()/bround() operand IS the remedy
+                  // (the mode is pinned) — stay quiet on it
+                  !c.child.isInstanceOf[
+                    org.apache.spark.sql.catalyst.expressions.Round] &&
+                  !c.child.isInstanceOf[
+                    org.apache.spark.sql.catalyst.expressions.BRound] =>
+              c
+          })
+        }.flatten
+        sites.foreach(c => System.err.println(
+          s"graft lint: CAST(${c.child.dataType.simpleString} AS " +
+            s"${c.dataType.simpleString}) TRUNCATES in Spark but ROUNDS " +
+            "in DuckDB — silent divergence on non-integral values; wrap " +
+            s"the operand in round()/bround() to pin one mode: ${c.sql}"))
+        sites.length
+      } catch { case _: Exception => 0 } // side-effect-only results skip
+      fracCastSites.put(s, Integer.valueOf(n))
+    }
+
+  private def sqlDispatch(s: SparkSession, statement: String): DataFrame = {
     statement match {
     // Macro DDL routes BEFORE expansion (a macro body must not expand
     // through other macros at definition time — DuckDB expands at call

@@ -50,7 +50,7 @@ object FuzzScript {
     }
     val finalSelect =
       s"SELECT k, g, v, s FROM $t ORDER BY k, g, v, s"
-    r.nextInt(6) match {
+    r.nextInt(7) match {
       case 0 => // txn ROLLBACK: DML unwinds, final state = CTAS state
         s"""$ctas;
            |BEGIN TRANSACTION;
@@ -99,6 +99,21 @@ object FuzzScript {
            |  ${strExpr(r, cols)} AS s1
            |FROM $table WHERE $key <= ? ORDER BY $key;
            |EXECUTE $p(${keyCap / 2})""".stripMargin
+      case 6 => // ENUM type: validated cast + enum_range (x120 tier)
+        val ty = s"fz${i}_ty"
+        val labels = Seq("ALPHA", "BETA", "GAMMA", "DELTA")
+          .take(2 + r.nextInt(3))
+        val m = labels.length
+        val branches = labels.zipWithIndex.map { case (l, j) =>
+          if (j == m - 1) s"ELSE '$l'"
+          else s"WHEN $key % $m = $j THEN '$l'"
+        }
+        s"""CREATE TYPE $ty AS ENUM (${labels.map("'" + _ + "'").mkString(", ")});
+           |SELECT $key,
+           |  CAST(CASE ${branches.mkString(" ")} END AS $ty) AS lab,
+           |  array_to_string(enum_range(NULL::$ty), '|') AS rng,
+           |  ${intExpr(r, cols)} AS v
+           |FROM $table WHERE $key <= ${keyCap / 2} ORDER BY $key""".stripMargin
     }
   }
 

@@ -720,6 +720,29 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(spark, "DROP TYPE IF EXISTS espec_mood") // no-op, quiet
   }
 
+  test("fractional-cast lint (opt-in): counts CAST(fractional -> " +
+      "integral) sites in the analyzed plan; integral-source casts " +
+      "and the default-off state are silent") {
+    Sql.open(spark, sfDir)
+    val prior = spark.conf
+      .get("spark.graft.sql.lintFractionalCast", "false")
+    spark.conf.set("spark.graft.sql.lintFractionalCast", "true")
+    try {
+      LakeSql.sql(spark, """SELECT CAST(c_acctbal AS BIGINT) AS b,
+        CAST(c_acctbal AS INT) AS i FROM customer LIMIT 1""")
+      assert(LakeSql.lastFractionalCastSites(spark) >= 2)
+      // integral-source casts are not flagged
+      LakeSql.sql(spark,
+        "SELECT CAST(c_custkey AS INT) AS i FROM customer LIMIT 1")
+      assert(LakeSql.lastFractionalCastSites(spark) == 0)
+      // rounding the operand clears the fractional child
+      LakeSql.sql(spark,
+        "SELECT CAST(round(c_acctbal) AS BIGINT) AS b FROM customer " +
+          "LIMIT 1")
+      assert(LakeSql.lastFractionalCastSites(spark) == 0)
+    } finally spark.conf.set("spark.graft.sql.lintFractionalCast", prior)
+  }
+
   test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
       "through DECIMAL(18,4)") {
     Sql.open(spark, sfDir)
