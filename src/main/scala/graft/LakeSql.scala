@@ -1359,6 +1359,7 @@ object LakeSql {
           sql(s, rewriteStringAgg(st))
         case DateFnRewrite(r) => sql(s, r)
         case MathFnRewrite(r) => sql(s, r)
+        case TypeAliasRewrite(r) => sql(s, r)
         case OpPinRewrite(r) => sql(s, r)
         case TimeBucketRewrite(r) => sql(s, r)
         case OrderedAggRewrite(r) => sql(s, r)
@@ -1544,6 +1545,8 @@ object LakeSql {
     new Rewritten(OrderedAggKeyword, rewriteOrderedListAgg)
   private lazy val RegexpFnRewrite =
     new Rewritten(RegexpFnKeyword, rewriteRegexpFns)
+  private lazy val TypeAliasRewrite =
+    new Rewritten(TypeAliasKeyword, rewriteTypeAliases)
 
   /** Apply `f` to the segments of `st` OUTSIDE single-quoted string
     * literals only (SQL's doubled-quote escape survives: the '' yields
@@ -2461,8 +2464,100 @@ object LakeSql {
     "microsecond" -> (x =>
       s"pmod(unix_micros(CAST($x AS TIMESTAMP)), 60000000L)"))
 
+  // ---- DuckDB type-alias pins (probed round 15) --------------------
+  // Bare VARCHAR — DuckDB's default string spelling, in half its
+  // documentation examples — is REFUSED by Spark's parser
+  // (DATATYPE_MISSING_SIZE), killing migration scripts on line 1;
+  // TEXT/BLOB/BYTEA/INTn/SIGNED/HUGEINT/FLOAT4/FLOAT8/BOOL/LOGICAL/
+  // DOUBLE PRECISION are the same loud class. Bare NUMERIC/DECIMAL is
+  // WORSE — SILENT: DuckDB's unsized default is DECIMAL(18,3) where
+  // Spark's is DECIMAL(10,0), so CAST(1.5 AS DECIMAL) reads 1.500
+  // there and 2 here. All pinned in TYPE POSITIONS only — CAST/
+  // TRY_CAST targets and `::` suffixes — so a COLUMN named text/char
+  // is never touched. Sized VARCHAR(n)/CHAR(n) casts are probed
+  // SHARED (neither engine truncates or pads in cast position) and
+  // pass through. Unsigned U*INT has no Spark equivalent and refuses
+  // loudly naming the signed widening. HUGEINT maps to DECIMAL(38,0)
+  // — covers ±1e38-1 of hugeint's ±1.7e38; the extreme band overflows
+  // LOUDLY under ANSI, never silently.
+  private val TypeAliasMap: Seq[(String, String)] = Seq(
+    "double\\s+precision" -> "DOUBLE",
+    "varchar" -> "STRING", "bpchar" -> "STRING", "char" -> "STRING",
+    "text" -> "STRING",
+    "blob" -> "BINARY", "bytea" -> "BINARY", "varbinary" -> "BINARY",
+    "int1" -> "TINYINT", "int2" -> "SMALLINT", "int4" -> "INT",
+    "int8" -> "BIGINT", "signed" -> "INT",
+    "float4" -> "FLOAT", "float8" -> "DOUBLE",
+    "hugeint" -> "DECIMAL(38,0)",
+    "numeric" -> "DECIMAL(18,3)", "decimal" -> "DECIMAL(18,3)",
+    "bool" -> "BOOLEAN", "logical" -> "BOOLEAN")
+  private val UnsignedTypeRe =
+    "(?i)^u(?:tinyint|smallint|integer|bigint|hugeint)$".r
+  private val TypeAliasKeyword =
+    ("(?is).*\\b(varchar|bpchar|char|text|blob|bytea|varbinary|int1|" +
+      "int2|int4|int8|signed|hugeint|numeric|decimal|float4|float8|" +
+      "bool|logical|double\\s+precision|utinyint|usmallint|uinteger|" +
+      "ubigint|uhugeint)\\b.*").r
+
+  private def mapTypeAlias(raw: String): Option[String] = {
+    val t = raw.trim
+    if (UnsignedTypeRe.matches(t))
+      throw new IllegalArgumentException(
+        s"unsigned type $t has no Spark equivalent — widen to the " +
+          "next signed type (UTINYINT→SMALLINT, USMALLINT→INT, " +
+          "UINTEGER→BIGINT, UBIGINT/UHUGEINT→DECIMAL(38,0)) " +
+          "explicitly if the range loss is acceptable")
+    TypeAliasMap.collectFirst {
+      case (alias, mapped) if ("(?i)^" + alias + "$").r.matches(t) =>
+        mapped
+    }
+  }
+
+  private[graft] def rewriteTypeAliases(st0: String): String = {
+    var st = st0
+    // `::alias` suffix positions (quote-aware; a following '(' means
+    // a sized spelling, which is shared and passes through)
+    for ((alias, mapped) <- TypeAliasMap)
+      st = outsideLiterals(st)(_.replaceAll(
+        "(?i)(::\\s*)" + alias + "\\b(?!\\s*\\()", "$1" + mapped))
+    st = outsideLiterals(st) { seg =>
+      val bad = ("(?i)::\\s*(u(?:tinyint|smallint|integer|bigint|" +
+        "hugeint))\\b").r.findFirstMatchIn(seg)
+      bad.foreach(m => mapTypeAlias(m.group(1)))
+      seg
+    }
+    // CAST / TRY_CAST targets: paren-group scan, top-level AS
+    val castRe = "(?i)\\b(try_)?cast\\s*\\(".r
+    var cont = true
+    while (cont) {
+      cont = false
+      castRe.findAllMatchIn(st).find { m =>
+        st.substring(0, m.start).count(_ == '\'') % 2 == 0 && {
+          val open = st.indexOf('(', m.start)
+          val (inner, _) = takeParenGroup(st.substring(open))
+          val asIdx = topLevelIndexOf(inner, "AS")
+          asIdx >= 0 && {
+            val t = inner.substring(asIdx + 2).trim
+            UnsignedTypeRe.matches(t) || mapTypeAlias(t).isDefined
+          }
+        }
+      }.foreach { m =>
+        val fn = if (m.group(1) != null) "try_cast" else "cast"
+        val open = st.indexOf('(', m.start)
+        val (inner, rest) = takeParenGroup(st.substring(open))
+        val asIdx = topLevelIndexOf(inner, "AS")
+        val e = inner.substring(0, asIdx).trim
+        val mapped = mapTypeAlias(inner.substring(asIdx + 2).trim).get
+        st = st.substring(0, m.start) + s"$fn($e AS $mapped)" + rest
+        cont = true
+      }
+    }
+    st
+  }
+
   private val DateFnKeyword =
     ("(?is).*(\\bdate_diff\\s*\\(|\\bdatediff\\s*\\(\\s*'|" +
+      "\\bdate_?trunc\\s*\\(\\s*'|" +
       "\\bdate_part\\s*\\(\\s*'(dow|isodow|epoch|second|millisecond|" +
       "microsecond)'|\\bextract\\s*\\(\\s*(dow|isodow|epoch|second|" +
       "millisecond|microsecond)\\b).*").r
@@ -2512,6 +2607,41 @@ object LakeSql {
         st = st.substring(0, m.start) + out + rest
         hit = ("(?i)\\b" + name + "\\s*\\(\\s*'").r.findFirstMatchIn(st)
       }
+    }
+    // date_trunc / datetrunc — probed typed divergence (round 15):
+    // DuckDB returns DATE for day-and-coarser units where Spark stays
+    // TIMESTAMP (silent once the value renders: CAST(... AS VARCHAR)
+    // gives '2021-03-01' vs '2021-03-01 00:00:00'); and Spark returns
+    // SILENT NULL for any unit it doesn't know, where DuckDB's
+    // decade/century/millennium work — so unshared units refuse
+    // loudly instead of nulling. Day-and-coarser calls wrap in
+    // CAST(… AS DATE); sub-day units are value- and type-shared on
+    // both engines and pass through. The /*graft*/ tag stops
+    // re-entry.
+    if ("(?i)\\bdatetrunc\\s*\\(".r.findFirstIn(st).isDefined)
+      st = outsideLiterals(st)(
+        _.replaceAll("(?i)\\bdatetrunc\\s*\\(", "date_trunc("))
+    val truncRe = "(?i)\\bdate_trunc\\s*\\(\\s*'([A-Za-z]+)'\\s*,".r
+    var truncHit = truncRe.findFirstMatchIn(st)
+    while (truncHit.isDefined) {
+      val m = truncHit.get
+      val unit = m.group(1).toLowerCase
+      val open = st.indexOf('(', m.start)
+      val (inner, rest) = takeParenGroup(st.substring(open))
+      val out = unit match {
+        case "day" | "week" | "month" | "quarter" | "year" =>
+          s"CAST(date_trunc/*graft*/($inner) AS DATE)"
+        case "hour" | "minute" | "second" | "millisecond" |
+             "microsecond" =>
+          s"date_trunc/*graft*/($inner)"
+        case other => throw new IllegalArgumentException(
+          s"date_trunc unit '$other' is not shared (Spark would " +
+            "return NULL silently) — supported: year, quarter, " +
+            "month, week, day, hour, minute, second, millisecond, " +
+            "microsecond")
+      }
+      st = st.substring(0, m.start) + out + rest
+      truncHit = truncRe.findFirstMatchIn(st)
     }
     // date_part('field', x) for every pinned field
     for ((field, fix) <- ExtractPins) {

@@ -3177,9 +3177,75 @@ object Sql {
         open(s, d)
         try LakeSql.script(s, EnumText)
         finally LakeSql.sql(s, "DROP TYPE IF EXISTS x120_tier")
-      }, Some(EnumText))
+      }, Some(EnumText)),
+
+      // ------------------------------------------------------------ x121
+      // date_trunc typed pin (probed round 15): DuckDB returns DATE
+      // for day-and-coarser units where Spark stays TIMESTAMP — a
+      // silent divergence once the value RENDERS (CAST(... AS
+      // VARCHAR) gives '1995-03-01' vs '1995-03-01 00:00:00') or
+      // enters DATE arithmetic; and Spark NULLs silently on units it
+      // doesn't know where DuckDB's decade works. Day-and-coarser
+      // calls now wrap in CAST(… AS DATE) engine-wide (the per-key
+      // CAST workarounds in x46/x88 become redundant), sub-day units
+      // pass through (shared), unshared units refuse loudly. The
+      // gated text puts the string RENDERING of a truncated value
+      // under the hash — the exact form that silently diverged —
+      // plus every shared unit and the datetrunc alias. Codegen'd
+      // scalars on the scan; the one exchange is the final ORDER BY.
+      GQuery("x121_sql_date_trunc", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, DateTruncText)
+      }, Some(DateTruncText)),
+
+      // ------------------------------------------------------------ x122
+      // type-alias pins (probed round 15): bare VARCHAR — DuckDB's
+      // default string spelling — REFUSED at Spark's parser
+      // (DATATYPE_MISSING_SIZE), killing scripts on line 1; TEXT/
+      // BLOB/INTn/SIGNED/HUGEINT/FLOAT4/8/BOOL/DOUBLE PRECISION are
+      // the same loud class; bare NUMERIC/DECIMAL is SILENT — DuckDB
+      // defaults DECIMAL(18,3) where Spark defaults DECIMAL(10,0),
+      // so CAST(1.5 AS DECIMAL) reads 1.500 vs 2. All mapped in TYPE
+      // POSITIONS only (CAST/TRY_CAST targets, :: suffixes — columns
+      // named text/char are never touched); sized VARCHAR(n)/CHAR(n)
+      // probed shared; unsigned U*INT refuses naming the signed
+      // widening. The gated text puts the DECIMAL(18,3) default and
+      // every mapped alias under the hash.
+      GQuery("x122_sql_type_aliases", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, TypeAliasText)
+      }, Some(TypeAliasText))
     )
   }
+
+  private def TypeAliasText = """
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL) AS VARCHAR) AS dec_def,
+           CAST(o_orderkey AS VARCHAR) AS s_key,
+           o_orderpriority::VARCHAR AS s_pri,
+           CAST(o_orderkey % 100 AS INT1) AS i1,
+           CAST(o_orderkey AS INT2) % 1000 AS i2,
+           CAST(o_orderkey AS INT8) AS i8,
+           CAST(CAST(o_orderkey AS HUGEINT) AS BIGINT) % 7 AS h7,
+           CAST(CAST(o_totalprice AS NUMERIC) AS DOUBLE) AS nmr,
+           CAST(o_orderkey % 2 AS BOOL) AS b,
+           CAST(o_totalprice AS DOUBLE PRECISION) AS dp,
+           length(CAST('ab' AS TEXT)) AS t2
+    FROM orders WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey"""
+
+  private def DateTruncText = """
+    SELECT o_orderkey,
+           date_trunc('day', o_orderdate) AS d_day,
+           date_trunc('week', o_orderdate) AS d_wk,
+           datetrunc('month', o_orderdate) AS d_mo,
+           date_trunc('quarter', o_orderdate) AS d_qt,
+           date_trunc('year', o_orderdate) AS d_yr,
+           CAST(date_trunc('month', o_orderdate) AS VARCHAR) AS d_str,
+           date_trunc('hour', o_orderdate) AS t_hr,
+           date_trunc('minute', o_orderdate) AS t_min
+    FROM orders WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey"""
 
   private def EnumText = """
     CREATE TYPE x120_tier AS ENUM ('LOW', 'MEDIUM', 'HIGH');

@@ -743,6 +743,45 @@ class LakeSqlSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.sql.lintFractionalCast", prior)
   }
 
+  test("type-alias pins: bare VARCHAR/TEXT/INTn/BOOL map in cast " +
+      "positions, bare DECIMAL takes DuckDB's (18,3) default, sized " +
+      "spellings and same-named columns pass through, unsigned " +
+      "refuses naming the widening; date_trunc day-and-coarser " +
+      "yields DATE and unshared units refuse") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT CAST(1.5 AS VARCHAR) AS a, 2.5::VARCHAR AS a2,
+             CAST(1.5 AS DECIMAL) AS d, CAST(5 AS INT8) AS i8,
+             CAST(1 AS BOOL) AS b,
+             CAST('abcdef' AS VARCHAR(3)) AS sized
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getString(0) == "1.5" && r.getString(1) == "2.5")
+    assert(r.getDecimal(2).toPlainString == "1.500") // NOT Spark's (10,0)
+    assert(r.getLong(3) == 5L && r.getBoolean(4))
+    assert(r.getString(5) == "abcdef") // sized cast: no truncation
+    val eU = intercept[IllegalArgumentException](LakeSql.sql(spark,
+      "SELECT CAST(1 AS UBIGINT) FROM nation LIMIT 1"))
+    assert(eU.getMessage.contains("signed"), eU.getMessage)
+    // a column ALIAS named like a type is untouched
+    assert(LakeSql.sql(spark,
+      "SELECT 'x' AS text FROM nation LIMIT 1").columns.head == "text")
+    // date_trunc: day-and-coarser is DATE (string-renders date-only,
+    // the probed silent divergence), sub-day stays TIMESTAMP,
+    // unshared units refuse loudly instead of Spark's silent NULL
+    val dt = LakeSql.sql(spark, """
+      SELECT CAST(date_trunc('month', TIMESTAMP '2021-03-15 13:45:12')
+               AS VARCHAR) AS m,
+             datetrunc('week', TIMESTAMP '2021-03-15 13:45:12') AS w,
+             date_trunc('hour', TIMESTAMP '2021-03-15 13:45:12') AS h
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(dt.getString(0) == "2021-03-01")
+    assert(dt.get(1).isInstanceOf[java.sql.Date])
+    assert(dt.get(2).isInstanceOf[java.sql.Timestamp])
+    val eT = intercept[IllegalArgumentException](LakeSql.sql(spark,
+      "SELECT date_trunc('decade', o_orderdate) FROM orders LIMIT 1"))
+    assert(eT.getMessage.contains("NULL silently"), eT.getMessage)
+  }
+
   test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
       "through DECIMAL(18,4)") {
     Sql.open(spark, sfDir)
