@@ -103,7 +103,7 @@ object FuzzGen {
           "'1996-06-30 12:00:00')"
       case 8 =>
         val d = pick(r, cols.filter(_.kind == "d")).name
-        r.nextInt(3) match {
+        r.nextInt(5) match {
           case 0 => s"CAST(date_part('${pick(r, Seq("dow", "doy"))}', " +
             s"$d) AS BIGINT)"
           case 1 => // EXTRACT spelling of the pinned fields (x115)
@@ -111,6 +111,13 @@ object FuzzGen {
               "week", "second"))} FROM $d) AS BIGINT)"
           case 2 => // lexer sugar rides any statement (x115)
             s"(${iCol(r, cols)} % 1_0${1 + r.nextInt(8)})"
+          case 3 => // date_trunc DATE pin (x121): trunc, diff back to
+            // an integer grid — day-and-coarser yields DATE both sides
+            s"date_diff('day', date_trunc('${pick(r, Seq("week",
+              "month", "quarter", "year"))}', $d), $d)"
+          case 4 => // type-alias pins (x122): INTn / bare-DECIMAL
+            // defaults under arithmetic
+            s"CAST(CAST(${iCol(r, cols)} AS INT8) % 97 AS BIGINT)"
         }
     }
   }
@@ -126,7 +133,11 @@ object FuzzGen {
       case 2 =>
         s"array_to_string(list_sort(string_split(lower(" +
           s"${sCol(r, cols)}), ' ')), '|')"
-      case 3 => r.nextInt(4) match {
+      case 3 => r.nextInt(5) match {
+        case 4 => // bare-VARCHAR / bare-DECIMAL alias pins (x122): the
+          // (18,3) default renders with its three decimals both sides
+          s"CAST(CAST(${iCol(r, cols)} % 89 + 0.5 AS DECIMAL) " +
+            "AS VARCHAR)"
         case 0 => s"upper(${sCol(r, cols)})"
         case 1 => // swapped-argument 2-arg trims (the x108 pin zone)
           s"${pick(r, Seq("ltrim", "rtrim", "trim"))}(" +
