@@ -1247,9 +1247,10 @@ object LakeSql {
       // Series table functions bind the same way (pure text→text, a
       // temp view over spark.range), same CREATE VIEW exclusion: the
       // stored view text keeps generate_series(...) and re-binds on
-      // every read.
-      val st = if (SeriesFnKeyword.matches(st1) &&
-          !CreateViewKeyword.matches(st1))
+      // every read. The gate is ANY series token (not just FROM/JOIN
+      // position) so scalar-list forms route too (round 15).
+      val st = if ("(?is).*\\b(generate_series|range)\\s*\\(.*".r
+            .matches(st1) && !CreateViewKeyword.matches(st1))
         rewriteSeriesFunctions(s, st1) else st1
       st match {
         // EXPLAIN ANALYZE must route before plain EXPLAIN (whose regex
@@ -1969,9 +1970,9 @@ object LakeSql {
   // the names differ, so the rewrite is a name map. Both run as
   // codegen'd array expressions over the scan (no UDF, no shuffle).
   private val ListFnKeyword =
-    ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse|concat|" +
-      "contains|slice|distinct|unique|position|indexof|sum|has_any|" +
-      "has_all|aggregate|extract|element)\\s*\\(|" +
+    ("(?is).*(\\blist_(transform|filter|sort|min|max|reverse(_sort)?|" +
+      "concat|contains|slice|distinct|unique|position|indexof|sum|" +
+      "has_any|has_all|aggregate|extract|element)\\s*\\(|" +
       "\\barray_to_string\\s*\\(|\\blen\\s*\\(|\\barray_length\\s*\\(|" +
       "[A-Za-z_0-9]\\s*\\[\\s*\\d+\\s*:\\s*\\d+\\s*\\]).*").r
 
@@ -2175,6 +2176,20 @@ object LakeSql {
         s"slice(${m.group(1)}, $b, ${math.max(e - b + 1, 0)})"
       })
     }.mkString("'")
+    // list_reverse_sort(x) ≡ sort_array(x, false): DESC with NULLS
+    // LAST on both engines (probed [3, NULL, 1] → [3, 1, NULL] both);
+    // a second argument (DuckDB's null-order modifier) refuses loudly
+    var lrsHit = "(?i)\\blist_reverse_sort\\s*\\(".r.findFirstMatchIn(st)
+    while (lrsHit.isDefined) {
+      val m = lrsHit.get
+      val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+      require(splitTopCommasQuoted(inner).length == 1,
+        "list_reverse_sort takes ONE argument (the null-order " +
+          "modifier is not supported — DESC NULLS LAST is the pinned " +
+          "order)")
+      st = st.substring(0, m.start) + s"sort_array($inner, false)" + rest
+      lrsHit = "(?i)\\blist_reverse_sort\\s*\\(".r.findFirstMatchIn(st)
+    }
     // name maps applied OUTSIDE string literals only — len( and
     // array_to_string( are collision-prone tokens that must survive
     // untouched inside a quoted data value like 'len(x)'
@@ -4377,7 +4392,69 @@ object LakeSql {
       "generate_series/range: only literal integer arguments are " +
         "supported — generate_series(start, stop[, step]), " +
         "range(start, stop[, step]), or the 1-arg form")
-    out
+    rewriteScalarSeries(out)
+  }
+
+  /** Scalar/list forms (round 15): generate_series / range in
+    * EXPRESSION position return DuckDB's BIGINT LIST (arguments may
+    * be expressions — unlike the table form, nothing materializes).
+    * Spark's sequence() is the twin EXCEPT on empty ranges, where it
+    * AUTO-REVERSES (sequence(1, 0) = [1, 0]) while DuckDB yields [] —
+    * the CASE guard pins the empty answer for the 1/2-arg forms
+    * (probed: generate_series(5,1) = [] = range(5,1)); the 3-arg
+    * forms map direct, where a direction-mismatched step is [] there
+    * and a LOUD sequence error here — never silent. generate_series
+    * stop is INCLUSIVE, range stop EXCLUSIVE, 1-arg starts at 0 —
+    * same contract as the table forms above.
+    */
+  private[graft] def rewriteScalarSeries(st0: String): String = {
+    var st = st0
+    val re = "(?i)\\b(generate_series|range)\\s*\\(".r
+    var from = 0
+    var go = true
+    while (go) {
+      go = false
+      re.findAllMatchIn(st).find(m => m.start >= from &&
+          st.substring(0, m.start).count(_ == '\'') % 2 == 0)
+        .foreach { m =>
+          // a FROM/JOIN-position call that survived the table pass has
+          // non-literal args — leave it for the loud table-form refusal
+          val before = st.substring(0, m.start).reverse.dropWhile(c =>
+            c.isWhitespace).takeWhile(c => c.isLetter).reverse
+          if (before.equalsIgnoreCase("FROM") ||
+              before.equalsIgnoreCase("JOIN")) {
+            from = m.end; go = true
+          } else {
+            val fn = m.group(1).toLowerCase
+            val open = st.indexOf('(', m.start)
+            val (inner, rest) = takeParenGroup(st.substring(open))
+            val args = splitTopCommasQuoted(inner).map(_.trim)
+            require(args.nonEmpty && args.length <= 3,
+              s"$fn takes 1-3 arguments, got: $inner")
+            def B(x: String) = s"CAST(($x) AS BIGINT)"
+            val empty = "CAST(array() AS ARRAY<BIGINT>)"
+            val incl = fn == "generate_series"
+            val out = args match {
+              case Seq(n) =>
+                val hi = if (incl) B(n) else s"${B(n)} - 1"
+                s"(CASE WHEN ${B(n)} ${if (incl) "<" else "<="} 0 " +
+                  s"THEN $empty ELSE sequence(0, $hi) END)"
+              case Seq(a, b) =>
+                val hi = if (incl) B(b) else s"${B(b)} - 1"
+                s"(CASE WHEN ${B(a)} ${if (incl) ">" else ">="} ${B(b)} " +
+                  s"THEN $empty ELSE sequence(${B(a)}, $hi) END)"
+              case Seq(a, b, s3) =>
+                val hi = if (incl) B(b)
+                  else s"${B(b)} + (CASE WHEN ${B(s3)} < 0 THEN 1 " +
+                    "ELSE -1 END)"
+                s"sequence(${B(a)}, $hi, ${B(s3)})"
+            }
+            st = st.substring(0, m.start) + out + rest
+            from = 0; go = true
+          }
+        }
+    }
+    st
   }
 
   // ---- USING SAMPLE at the text entry ------------------------------

@@ -3214,9 +3214,40 @@ object Sql {
       GQuery("x122_sql_type_aliases", (s, d) => {
         open(s, d)
         LakeSql.sql(s, TypeAliasText)
-      }, Some(TypeAliasText))
+      }, Some(TypeAliasText)),
+
+      // ------------------------------------------------------------ x123
+      // scalar series + list_reverse_sort (round 15): generate_series
+      // / range in EXPRESSION position return DuckDB's BIGINT list
+      // with EXPRESSION arguments (the table forms stay literal-only
+      // temp views); Spark's sequence is the twin EXCEPT empty
+      // ranges, where it AUTO-REVERSES (sequence(5,1) = [5..1]) while
+      // DuckDB yields [] — the CASE guard pins the empty answer, the
+      // nastiest silent shape in the family. 1-arg starts at 0,
+      // generate_series stop inclusive / range exclusive, negative
+      // 3-arg steps shared. list_reverse_sort ≡ sort_array(x, false)
+      // — DESC NULLS LAST probed identical. All codegen'd array
+      // expressions on the scan; one ORDER BY exchange.
+      GQuery("x123_sql_series_list", (s, d) => {
+        open(s, d)
+        LakeSql.sql(s, SeriesListText)
+      }, Some(SeriesListText))
     )
   }
+
+  private def SeriesListText = """
+    SELECT n_nationkey AS k,
+           array_to_string(range(n_nationkey % 5), ',') AS r1,
+           array_to_string(generate_series(n_nationkey % 4), ',') AS g1,
+           array_to_string(range(n_nationkey,
+             n_nationkey + (n_nationkey % 3)), ',') AS r2,
+           array_to_string(generate_series(n_nationkey % 7, 3), ',')
+             AS g2,
+           array_to_string(range(10, 0, -3), ',') AS r3,
+           array_to_string(generate_series(1, 9, 4), ',') AS g3,
+           array_to_string(list_reverse_sort(
+             [n_nationkey % 5, n_nationkey % 3, 7]), ',') AS lrs
+    FROM nation ORDER BY k"""
 
   private def TypeAliasText = """
     SELECT o_orderkey,

@@ -782,6 +782,35 @@ class LakeSqlSpec extends SparkSpec {
     assert(eT.getMessage.contains("NULL silently"), eT.getMessage)
   }
 
+  test("scalar series: range/generate_series lists with expression " +
+      "args, EMPTY on inverted 1/2-arg ranges (sequence would " +
+      "auto-reverse), negative 3-arg steps; list_reverse_sort is " +
+      "DESC NULLS LAST; table forms unaffected") {
+    Sql.open(spark, sfDir)
+    val r = LakeSql.sql(spark, """
+      SELECT range(3) AS a, generate_series(3) AS b,
+             range(5, 1) AS empty1, generate_series(5, 1) AS empty2,
+             range(5, 1, -2) AS neg, generate_series(1, 9, 3) AS pos,
+             range(n_nationkey, n_nationkey + 2) AS expr_args,
+             list_reverse_sort([3, NULL, 1]) AS lrs
+      FROM nation WHERE n_nationkey = 4""").collect().head
+    assert(r.getSeq[Long](0) == Seq(0L, 1L, 2L))
+    assert(r.getSeq[Long](1) == Seq(0L, 1L, 2L, 3L))
+    assert(r.getSeq[Long](2).isEmpty && r.getSeq[Long](3).isEmpty)
+    assert(r.getSeq[Long](4) == Seq(5L, 3L))
+    assert(r.getSeq[Long](5) == Seq(1L, 4L, 7L))
+    assert(r.getSeq[Long](6) == Seq(4L, 5L))
+    assert(r.getSeq[Any](7) == Seq(3, 1, null))
+    // table position still binds through the temp-view path
+    assert(LakeSql.sql(spark,
+      "SELECT COUNT(*) AS n FROM generate_series(1, 5)")
+      .collect().head.getLong(0) == 5L)
+    // the 2-arg null-order modifier refuses loudly
+    intercept[IllegalArgumentException](LakeSql.sql(spark,
+      "SELECT list_reverse_sort([1, 2], 'NULLS FIRST') FROM nation " +
+        "LIMIT 1"))
+  }
+
   test("SUMMARIZE profiles a table name or a SELECT; doubles render " +
       "through DECIMAL(18,4)") {
     Sql.open(spark, sfDir)
