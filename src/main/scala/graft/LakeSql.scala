@@ -872,9 +872,23 @@ object LakeSql {
     // fails Spark's parser here but rewrites fine at EXECUTE, so a
     // ParseException on a query-shaped head defers validation to
     // EXECUTE instead of refusing text the entry accepts inline
-    // (round-15 script fuzz).
-    try { s.sessionState.sqlParser.parsePlan(
-      normLit(rewriteOrdinals(text))); () }
+    // (round-15 script fuzz). When the parse DOES succeed, the plan
+    // type check catches CTE-led DML (`WITH … INSERT/UPDATE/…`) that
+    // the head regex misses — WITH matches the query-shape head but
+    // the statement is still DML (r15 advisor finding).
+    try {
+      val plan = s.sessionState.sqlParser.parsePlan(
+        normLit(rewriteOrdinals(text)))
+      import org.apache.spark.sql.catalyst.plans.logical._
+      val dml = plan.collectFirst {
+        case _: InsertIntoStatement => "INSERT"
+        case _: UpdateTable => "UPDATE"
+        case _: DeleteFromTable => "DELETE"
+        case _: MergeIntoTable => "MERGE"
+      }
+      require(dml.isEmpty,
+        "PREPARE covers queries; prepared DML is not supported")
+    }
     catch {
       case e: org.apache.spark.sql.catalyst.parser.ParseException =>
         if ("(?is)^\\s*(SELECT|WITH|FROM|VALUES)\\b".r
@@ -904,7 +918,11 @@ object LakeSql {
     case d: scala.math.BigDecimal =>
       s"CAST('$d' AS DECIMAL(${d.precision}, ${d.scale}))"
     case d: java.sql.Date => s"DATE '$d'"
-    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    // Rendered via toInstant (ISO-8601 UTC with trailing Z), NOT
+    // toString: toString formats in the JVM default zone with no zone
+    // marker, so re-parsing under a different session TimeZone (x118)
+    // would silently shift the instant (r15 advisor finding).
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toInstant}'"
     case d: java.time.LocalDate => s"DATE '$d'"
     case t: java.time.Instant => s"TIMESTAMP '$t'"
     case other => throw new IllegalArgumentException(
@@ -5815,14 +5833,19 @@ object LakeSql {
     for ((name, vals) <- enumsOf(s).toSeq.sortBy(_._1)) {
       val list = vals.map(v => "'" + v.replace("'", "''") + "'")
         .mkString(", ")
-      // enum_range over the type (both NULL spellings) → value array
-      st = st.replaceAll(
+      // enum_range over the type (both NULL spellings) → value array.
+      // Quote-aware like every other text rewrite: a string literal
+      // that happens to contain these spellings must pass through
+      // untouched (r15 advisor finding), so the replaceAll runs only
+      // on outside-literal segments.
+      val arrRepl =
+        java.util.regex.Matcher.quoteReplacement(s"array($list)")
+      st = outsideLiterals(st)(_.replaceAll(
         "(?i)\\benum_range\\s*\\(\\s*NULL\\s*::\\s*" + name + "\\s*\\)",
-        s"array($list)")
-      st = st.replaceAll(
+        arrRepl).replaceAll(
         "(?i)\\benum_range\\s*\\(\\s*CAST\\s*\\(\\s*NULL\\s+AS\\s+" +
           name + "\\s*\\)\\s*\\)",
-        s"array($list)")
+        arrRepl))
       // CAST(e AS name) → validated VARCHAR (loop: one cast per pass)
       val castRe = "(?i)\\bCAST\\s*\\(".r
       var cont = true
@@ -5850,8 +5873,8 @@ object LakeSql {
           cont = true
         }
       }
-      st = st.replaceAll("(?i)\\bNULL\\s*::\\s*" + name + "\\b",
-        "CAST(NULL AS STRING)")
+      st = outsideLiterals(st)(_.replaceAll(
+        "(?i)\\bNULL\\s*::\\s*" + name + "\\b", "CAST(NULL AS STRING)"))
       if (("(?i)::\\s*" + name + "\\b").r.findAllMatchIn(st).exists(m =>
           st.substring(0, m.start).count(_ == '\'') % 2 == 0))
         throw new IllegalArgumentException(

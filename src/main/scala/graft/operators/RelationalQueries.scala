@@ -201,11 +201,20 @@ object RelationalQueries {
       // ~10× smaller distinct set; the two single-column distincts sit
       // on top of the SAME pair-distinct subplan, so ReuseExchange
       // runs the big shuffle once. 1-row branches join by broadcast.
+      // The single-column branches filter NULL keys before counting:
+      // SQL COUNT(DISTINCT col) excludes NULLs, while count(lit(1))
+      // over a distinct() would keep the NULL group — on TPC-H the
+      // keys are non-null so both agree, but the operator must hold
+      // for nullable inputs too (r15 advisor finding). The filters
+      // sit ABOVE the shared pair-distinct subplan, so ReuseExchange
+      // still runs the big shuffle once.
       val pairs = T.lineitem(s, d)
         .select(col("l_partkey"), col("l_suppkey")).distinct()
-      val nParts = pairs.select(col("l_partkey")).distinct()
+      val nParts = pairs.select(col("l_partkey"))
+        .filter(col("l_partkey").isNotNull).distinct()
         .agg(count(lit(1)).as("n_parts"))
-      val nSupps = pairs.select(col("l_suppkey")).distinct()
+      val nSupps = pairs.select(col("l_suppkey"))
+        .filter(col("l_suppkey").isNotNull).distinct()
         .agg(count(lit(1)).as("n_supps"))
       val nPairs = pairs.agg(count(lit(1)).as("n_part_supp"))
       nParts.crossJoin(broadcast(nSupps)).crossJoin(broadcast(nPairs))

@@ -707,6 +707,13 @@ class LakeSqlSpec extends SparkSpec {
       "SELECT 'CAST(x AS espec_mood)' AS s FROM nation LIMIT 1")
       .collect().head.getString(0)
     assert(lit == "CAST(x AS espec_mood)")
+    // …and neither may literals containing the enum_range / NULL::type
+    // spellings (r15 advisor: those replaceAlls were not quote-aware)
+    val lit2 = LakeSql.sql(spark, """SELECT
+      'enum_range(NULL::espec_mood)' AS a, 'NULL::espec_mood' AS b
+      FROM nation LIMIT 1""").collect().head
+    assert(lit2.getString(0) == "enum_range(NULL::espec_mood)" &&
+      lit2.getString(1) == "NULL::espec_mood", lit2.toString)
     // the :: shorthand refuses, naming the CAST spelling
     val e2 = intercept[IllegalArgumentException](LakeSql.sql(spark,
       "SELECT n_name::espec_mood FROM nation LIMIT 1"))

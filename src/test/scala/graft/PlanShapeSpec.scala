@@ -1,8 +1,7 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-import org.apache.spark.sql.execution.ExpandExec
+import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
 
 /** Mechanical plan-shape gate: the §5 "scan aggs no shuffle / joins
   * one shuffle max" claims, previously prose + spot specs, asserted
@@ -15,20 +14,26 @@ import org.apache.spark.sql.execution.ExpandExec
   */
 class PlanShapeSpec extends SparkSpec {
 
-  private def planOf(name: String): DataFrame = {
+  // The executedPlan MUST be forced while adaptive.enabled is still
+  // false: it is a lazy val, and if first touched after the finally
+  // restores AQE the root is an AdaptiveSparkPlanExec leaf whose
+  // children are invisible to collectWithSubqueries — every bound
+  // would pass vacuously (r15 advisor finding; ShuffleCount.scala
+  // already did this correctly).
+  private def planOf(name: String): SparkPlan = {
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try Registry.byName(name).fn(spark, sfDir)
+    try Registry.byName(name).fn(spark, sfDir).queryExecution.executedPlan
     finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
-  private def shuffles(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collectWithSubqueries {
+  private def shuffles(plan: SparkPlan): Int =
+    plan.collectWithSubqueries {
       case e: ShuffleExchangeLike => e
     }.size
 
-  private def expands(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collectWithSubqueries {
+  private def expands(plan: SparkPlan): Int =
+    plan.collectWithSubqueries {
       case e: ExpandExec => e
     }.size
 

@@ -146,6 +146,17 @@ class SqlPreparedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       LakeSql.sql(s, "PREPARE bad AS DELETE FROM pe_t WHERE n_nationkey = ?")
     }
+    // CTE-led DML is still DML: WITH matches the query-shape head the
+    // deferred-parse path accepts, so the refusal must come from the
+    // parsed plan type, not the head regex (r15 advisor finding).
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s, """PREPARE bad2 AS WITH g AS (SELECT 20 AS k)
+        DELETE FROM pe_t WHERE n_nationkey IN (SELECT k FROM g)""")
+    }
+    intercept[IllegalArgumentException] {
+      LakeSql.sql(s, """PREPARE bad3 AS WITH g AS (SELECT 1 AS a)
+        INSERT INTO pe_t SELECT a, 'x' FROM g""")
+    }
     LakeSql.sql(s, "DEALLOCATE q1")
     intercept[IllegalArgumentException] { LakeSql.sql(s, "DEALLOCATE q1") }
     intercept[IllegalArgumentException] { LakeSql.sql(s, "EXECUTE q1(1, 2)") }
@@ -181,5 +192,22 @@ class SqlPreparedSpec extends SparkSpec {
       concat('?', n_name) AS c FROM nation WHERE n_nationkey = ?""")
     assert(LakeSql.sql(s, "EXECUTE qm(2)").head.getString(0)
       == "?NATION_2")
+  }
+
+  test("EXECUTE timestamp arguments keep their instant under a " +
+      "non-UTC session TimeZone (r15 advisor: toString splices JVM-" +
+      "default wall text with no zone marker, shifting on re-parse)") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    LakeSql.sql(s, "SET TimeZone = 'Asia/Tokyo'")
+    try {
+      LakeSql.sql(s, "PREPARE qt AS SELECT CAST(? AS STRING) AS t")
+      // literal evaluates under Tokyo (instant 2024-03-01T00:00Z);
+      // the round-trip through renderLiteral + re-parse + CAST must
+      // return the SAME wall text, i.e. the same instant.
+      val got = LakeSql.sql(s,
+        "EXECUTE qt(TIMESTAMP '2024-03-01 09:00:00')").head.getString(0)
+      assert(got == "2024-03-01 09:00:00", got)
+    } finally LakeSql.sql(s, "SET TimeZone = 'UTC'")
   }
 }
