@@ -26,6 +26,22 @@ object Dedup {
   private val NBands = 16
   private val BandRows = 4 // 16 bands × 4 rows = 64 perms
   private val ShingleN = 3
+
+  /** Default over-full-bucket cap for the LSH candidate joins. Within
+    * a bucket the pairing is quadratic, and real crawl corpora HAVE
+    * hot buckets (boilerplate, mirrored pages) — a 10⁶-member bucket
+    * means 5·10¹¹ candidate pairs from ONE reducer, the classic
+    * near-dup scale killer. Buckets over the cap are DROPPED from
+    * candidate generation (the production convention): a bucket that
+    * hot is boilerplate whose members are all-pairs-similar anyway —
+    * exact dedup (d01) and the pipeline's exact-edge union are the
+    * right tool for it, not pairwise verification. 10 000 bounds any
+    * one bucket at ~5·10⁷ comparisons while sitting far above honest
+    * band-collision sizes at gate scale (sf0.01 max exact-dup cluster
+    * = 1, sf0.1 = 2), so gate results are unchanged with the guard
+    * LIVE. Pass `maxBucket = 0` to disable.
+    */
+  val DefaultMaxBucket = 10000
   private[operators] val (permsA, permsB) = TextHash.makePerms(seed = 42L, NPerm)
   private def permA = permsA
   private def permB = permsB
@@ -59,14 +75,36 @@ object Dedup {
           .as(Seq("band", "bkey")))
   }
 
+  /** Drop rows whose (bucket-key) group exceeds `maxBucket` members.
+    * The q34 hotKeys idiom: aggregate ONLY the over-full keys (map-side
+    * partial combine; the over-threshold set is tiny by construction —
+    * it is the boilerplate clusters) and broadcast anti-join, so the
+    * band table itself gains NO new shuffle and the signature pass
+    * stays pipelined. `maxBucket <= 0` disables the guard.
+    */
+  private def capBuckets(bt: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bt
+    else {
+      val kcols = keys.map(col)
+      val hot = bt.groupBy(kcols: _*)
+        .agg(count(lit(1)).as("_bn")).filter(col("_bn") > maxBucket)
+        .select(kcols: _*)
+      bt.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band, with
     * the number of shared bands. Self-equi-join on (band, bkey):
     * Catalyst plans a shuffled hash join keyed by the bucket, so work
-    * is per-bucket, never all-pairs.
+    * is per-bucket, never all-pairs — and buckets over `maxBucket`
+    * members are dropped first (see [[DefaultMaxBucket]]), bounding
+    * the per-bucket quadratic term on boilerplate-heavy corpora.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val bt = minhashBandTable(docs, idCol, textCol)
+      textCol: String = "text",
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bt = capBuckets(minhashBandTable(docs, idCol, textCol),
+      Seq("band", "bkey"), maxBucket)
     val a = bt.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val b = bt.select(col("band").as("band2"), col("bkey").as("bkey2"),
       col("doc_id").as("doc_b"))
@@ -81,12 +119,15 @@ object Dedup {
     * verify, capped at `maxHamming`.
     */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 24): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 24,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = Scale.widen(docs, col(idCol)) // no-op on well-split scans
       .select(col(idCol).as("doc_id"),
         FastText.simhash64(col(textCol)).as("sim"))
-    val bands = sigs.select(col("doc_id"), col("sim"),
-      posexplode(TextHash.simhashBands(col("sim"))).as(Seq("band", "bkey")))
+    val bands = capBuckets(
+      sigs.select(col("doc_id"), col("sim"),
+        posexplode(TextHash.simhashBands(col("sim"))).as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), maxBucket)
     val a = bands.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = bands.select(col("band").as("band2"), col("bkey").as("bkey2"),
@@ -193,15 +234,23 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, theta: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       limit: Int = 0, dim: Int = -1, tables: Int = 4,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8, maxBucket: Int = 0): DataFrame = {
+    // maxBucket is OPT-IN here, unlike the minhash/simhash defaults:
+    // hyperplane buckets number a fixed 2^nBits per table, so bucket
+    // size grows ∝ corpus size by design and a live default cap would
+    // silently empty the result at scale. The scale dial for THIS
+    // operator is tables×nBits (more bits → smaller buckets); the cap
+    // exists for callers who also want a hard per-bucket bound.
     val d = VectorOps.dimOf(embeddings, vecCol, dim)
     val planes = (0 until tables).map(t =>
       VectorOps.makePlanes(seed = 100 + t, nBits = nBits, dim = d))
     val base = embeddings.select(col(idCol).as("vec_id"),
       FastVector.normalize(col(vecCol)).as("nv"))
-    val bucketed = base.select(col("vec_id"), col("nv"),
-      posexplode(FastVector.hyperplaneBuckets(col("nv"), planes))
-        .as(Seq("tbl", "bucket")))
+    val bucketed = capBuckets(
+      base.select(col("vec_id"), col("nv"),
+        posexplode(FastVector.hyperplaneBuckets(col("nv"), planes))
+          .as(Seq("tbl", "bucket"))),
+      Seq("tbl", "bucket"), maxBucket)
     val a = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("vec_a"), col("nv").as("nv_a"))
     val b = bucketed.select(col("tbl").as("tbl2"),

@@ -1,22 +1,20 @@
 package graft.tools
 
-import graft.{GraftSession, Registry}
+import graft.{GraftSession, Registry, Sql}
 
-/** Dump the physical plan of the named queries — the source of the
-  * explain snippets in docs/PLANS.md (`runMain graft.tools.PlanDump
-  * <sfDir> <q1,q2,...>`).
-  */
+/** Dump a registered key's executed plan (AQE off) for shape audits. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(",").toSeq
     val spark = GraftSession.builder("local[8]", shufflePartitions = 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"=== $n")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    Sql.open(spark, sfDir)
+    args(1).split(",").foreach { n =>
+      println(s"==== $n ====")
       println(Registry.byName(n).fn(spark, sfDir)
-        .queryExecution.executedPlan.toString.take(6000))
+        .queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

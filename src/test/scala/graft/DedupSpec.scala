@@ -28,6 +28,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L)) })
   }
 
+  test("over-full LSH buckets are dropped: a planted 1000-member hot " +
+      "cluster (the boilerplate/mirror shape) contributes ZERO " +
+      "candidate pairs under the cap instead of ~500k quadratic ones, " +
+      "while honest near-dup pairs still surface") {
+    // 1000 copies of one boilerplate page (ids 1000..1999) — every
+    // band bucket it hashes to holds 1000 members — plus the planted
+    // near-dup pair (1, 2) and unrelated docs.
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 76).map(i => s"w$i") ++ Seq("x", "y", "z", "q"))
+      .mkString(" ")
+    val boiler = (1 to 70).map(i => s"b$i").mkString(" ")
+    val hot = (Seq(1L -> base, 2L -> near) ++
+      (3L to 40L).map(i => i -> (1 to 60).map(j => s"u${i}_$j").mkString(" ")) ++
+      (1000L to 1999L).map(i => i -> boiler)).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidatePairs(hot, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.forall { case (a, b) => a < 1000L && b < 1000L },
+      s"hot-cluster pairs leaked: ${capped.count(p => p._1 >= 1000L)}")
+    assert(capped.contains((1L, 2L)), "honest near-dup pair lost")
+    // candidate volume is bounded by the non-hot corpus, not 1000²/2
+    assert(capped.length < 100, s"unbounded candidates: ${capped.length}")
+    // simhash: same guard, same planted cluster
+    val simCapped = Dedup.simhashPairs(hot, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simCapped.forall { case (a, b) => a < 1000L && b < 1000L })
+    assert(simCapped.length < 100)
+    // the default cap (10000) sits above this cluster: uncapped and
+    // default-capped agree here, i.e. the guard is inert below its
+    // threshold (the gate-data property d02/d03 rely on)
+    val dflt = Dedup.minhashCandidatePairs(hot).count()
+    val off = Dedup.minhashCandidatePairs(hot, maxBucket = 0).count()
+    assert(dflt == off && dflt >= 1000L * 999L / 2)
+  }
+
   test("ngram Jaccard ranks exact copy above near-dup, in [0,1]") {
     val j = Dedup.ngramJaccard(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -50,7 +50,13 @@ class PlanShapeSpec extends SparkSpec {
     "t02_quality_score" -> 1,
     "t04_fingerprint" -> 1,
     "t16_hash_classifier" -> 1, // scoring itself is zero-shuffle
-    "d03_simhash" -> 1,
+    // d03 carries the r16 over-full-bucket guard: +1 exchange for the
+    // hot-bucket count aggregate (partial-combined — it shuffles one
+    // row per mapper-distinct bucket, not the band table) and +1
+    // duplicated scan-widen repartition on the count branch (the
+    // guard's broadcast IS reused across both join sides). Still zero
+    // shuffles of the band table beyond the widen.
+    "d03_simhash" -> 3,
     "m01_binary_meta" -> 1,
     "x111_sql_list_comprehension" -> 1,
     "x112_sql_operators" -> 1,
