@@ -302,6 +302,123 @@ object LakeSql {
   private val PragmaCallRe =
     "(?is)^\\s*PRAGMA\\s+([A-Za-z_]\\w*)\\s*\\(.*$".r
 
+  // ---- INSTALL / LOAD extension tier -------------------------------
+  // The reference's extension lifecycle (reference:duckdb:30-52 — the
+  // worked INSTALL/LOAD postgres example: LoadStatement → PhysicalLoad
+  // → InstallExtension / LoadExternalExtension). This engine has no
+  // dynamic-extension machinery — every capability those extensions
+  // add is either NATIVE here or has a first-class graft path — so the
+  // statements are warn-ignored under spark.graft.sql.lenientSet (a
+  // migration script opening with INSTALL httpfs; LOAD httpfs; runs)
+  // and refused by default with the SAME message naming the built-in.
+  private val InstallExtRe =
+    ("(?is)^\\s*(FORCE\\s+)?INSTALL\\s+['\"]?([A-Za-z0-9_\\-]+)['\"]?" +
+      "\\s*(?:FROM\\s+('[^']*'|\\S+))?\\s*;?\\s*$").r
+  private val LoadExtRe =
+    "(?is)^\\s*LOAD\\s+['\"]?([A-Za-z0-9_\\-]+)['\"]?\\s*;?\\s*$".r
+
+  /** What each known extension name maps to HERE — the message names
+    * the native equivalent so a script author knows what to use (or
+    * that nothing is needed at all).
+    */
+  private val ExtensionAnalogs = Map(
+    "parquet" -> "parquet reads/writes are native (spark.read.parquet)",
+    "json" -> "JSON reads and functions are native (read_json / to_json)",
+    "httpfs" -> ("remote filesystems are native via Hadoop FileSystems " +
+      "(s3a://, abfs://, https:// paths on spark.read)"),
+    "azure" -> "Azure storage is native via Hadoop abfs:// paths",
+    "aws" -> "S3 is native via Hadoop s3a:// paths",
+    "postgres" -> ("external databases scan via spark.read.jdbc " +
+      "(the s51 path: filter-pushed dim scan, broadcast to lake facts)"),
+    "postgres_scanner" -> ("external databases scan via spark.read.jdbc " +
+      "(the s51 path)"),
+    "mysql" -> "external databases scan via spark.read.jdbc (the s51 path)",
+    "sqlite" -> "external databases scan via spark.read.jdbc (the s51 path)",
+    "sqlite_scanner" ->
+      "external databases scan via spark.read.jdbc (the s51 path)",
+    "delta" -> "Delta tables are native (USING deltalite)",
+    "iceberg" -> "Iceberg tables are native (USING iceberglite)",
+    "icu" -> ("timezone-aware work is native (SET TimeZone + session-" +
+      "zone semantics)"),
+    "fts" -> "full-text scoring is native (match_bm25)",
+    "vss" -> ("vector similarity is native (the a01-a06 ANN operators: " +
+      "graft_dot, IVF/LSH top-k)"),
+    "tpch" -> "TPC-H data ships as the test parquet tables",
+    "tpcds" -> "no generator here - supply parquet inputs",
+    "excel" -> "no Excel reader here - convert to parquet/csv first",
+    "spatial" -> "no spatial types here")
+
+  private def runInstallLoad(s: SparkSession, verb: String,
+      ext: String): Unit = {
+    val name = ext.toLowerCase
+    val analog = ExtensionAnalogs.getOrElse(name,
+      "no graft equivalent is known for this extension")
+    require(lenientSet(s),
+      s"$verb $ext: graft has no dynamic-extension machinery — " +
+        s"$analog. Set spark.graft.sql.lenientSet=true to " +
+        "warn-and-ignore extension statements in migration scripts.")
+    System.err.println(
+      s"graft: ignoring $verb $ext ($analog; lenientSet on)")
+  }
+
+  // ---- CREATE INDEX tier --------------------------------------------
+  // Secondary B-tree indexes don't exist on a lake engine; the honest
+  // analogs are s24's per-file bloom SKIPPING index (point lookups,
+  // single column, deltalite) and s18's OPTIMIZE … ZORDER BY
+  // (multi-column clustering for range stats). A single-column CREATE
+  // INDEX on a deltalite table ROUTES to BloomIndex.build — same user
+  // intent (fast point lookup), honest implementation — and registers
+  // the name session-side so DROP INDEX works; everything else refuses
+  // naming the analog. UNIQUE refuses always: a constraint the engine
+  // won't enforce must never be silently accepted.
+  private val CreateIndexRe =
+    ("(?is)^\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(?:IF\\s+NOT\\s+EXISTS" +
+      "\\s+)?([A-Za-z_]\\w*)\\s+ON\\s+([A-Za-z_]\\w*)\\s*" +
+      "\\((.*)\\)\\s*;?\\s*$").r
+  private val DropIndexRe =
+    "(?is)^\\s*DROP\\s+INDEX\\s+(?:(IF\\s+EXISTS)\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*$".r
+
+  // per-session name → (table path, column); the index FILE is durable
+  // on the table (_index/bloom-<col>.json), the NAME binding is
+  // session-scoped like prepared statements
+  private val namedIndexes = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]())
+  private def indexesOf(s: SparkSession) = namedIndexes.synchronized {
+    var m = namedIndexes.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+      namedIndexes.put(s, m)
+    }
+    m
+  }
+
+  private def runCreateIndex(s: SparkSession, unique: Boolean,
+      idxName: String, table: String, colsRaw: String): Unit = {
+    require(!unique,
+      "CREATE UNIQUE INDEX is not supported: the engine will not " +
+        "enforce a uniqueness constraint, and accepting one silently " +
+        "would be a lie — deduplicate explicitly (d01/q35 idioms)")
+    val cols = colsRaw.split(",").map(_.trim).filter(_.nonEmpty)
+    require(cols.length == 1 && "^[A-Za-z_]\\w*$".r.matches(cols.head),
+      s"CREATE INDEX on ${cols.length} column(s)/expression(s): only a " +
+        "single plain column routes to the bloom skipping index " +
+        "(point-lookup data skipping); for multi-column clustering " +
+        s"use OPTIMIZE $table ZORDER BY (${colsRaw.trim})")
+    val (prov, path) = catalog(s).getOrElse(table.toLowerCase,
+      throw new IllegalArgumentException(
+        s"CREATE INDEX: table $table is not in the catalog"))
+    require(prov == "deltalite",
+      s"CREATE INDEX routes to the per-file bloom index, which lives " +
+        s"on deltalite tables; $table uses $prov")
+    graft.sources.BloomIndex.build(s, path, cols.head)
+    indexesOf(s).put(idxName.toLowerCase, (path, cols.head))
+    System.err.println(
+      s"graft: CREATE INDEX $idxName built a per-file bloom SKIPPING " +
+        s"index on $table(${cols.head}) — point-lookup file pruning, " +
+        "not a B-tree (no ordered range-seek)")
+  }
+
   private val IgnorableOptions = Set(
     "memory_limit", "max_memory", "enable_progress_bar",
     "disable_progress_bar", "progress_bar_time", "enable_object_cache",
@@ -1207,6 +1324,27 @@ object LakeSql {
         s"call-form PRAGMA $name(...) is not supported — table pragmas " +
           "(table_info, database_size, …) have first-class spellings: " +
           "DESCRIBE <t>, SHOW TABLES, SUMMARIZE <t>")
+    case InstallExtRe(force, ext, _) =>
+      runInstallLoad(s,
+        if (force != null) "FORCE INSTALL" else "INSTALL", ext)
+      s.emptyDataFrame
+    case LoadExtRe(ext) =>
+      runInstallLoad(s, "LOAD", ext)
+      s.emptyDataFrame
+    case CreateIndexRe(unique, idxName, table, cols) =>
+      requireNoTxn(s, "CREATE INDEX")
+      runCreateIndex(s, unique != null, idxName, table, cols)
+      s.emptyDataFrame
+    case DropIndexRe(ifExists, idxName) =>
+      requireNoTxn(s, "DROP INDEX")
+      indexesOf(s).remove(idxName.toLowerCase) match {
+        case Some((path, column)) =>
+          graft.sources.BloomIndex.drop(s, path, column); ()
+        case None => require(ifExists != null,
+          s"no index named $idxName in this session (index NAMES are " +
+            "session-scoped; the bloom file itself lives on the table)")
+      }
+      s.emptyDataFrame
     case AttachRe(dir, alias) =>
       requireNoTxn(s, "ATTACH")
       runAttach(s, dir.trim, alias)

@@ -3231,9 +3231,40 @@ object Sql {
       GQuery("x123_sql_series_list", (s, d) => {
         open(s, d)
         LakeSql.sql(s, SeriesListText)
-      }, Some(SeriesListText))
+      }, Some(SeriesListText)),
+
+      // ------------------------------------------------------------ x124
+      // INSTALL/LOAD extension tier (reference:duckdb:30-52 — the
+      // worked LoadStatement→PhysicalLoad example). Graft has no
+      // dynamic-extension machinery; every capability the common
+      // extensions add is native here (parquet/json readers, httpfs→
+      // Hadoop filesystems, postgres→the s51 JDBC path, fts→
+      // match_bm25, vss→the ANN keys). Under lenientSet the
+      // statements warn-ignore NAMING the built-in, so a migration
+      // script opening with LOAD runs unchanged; without the flag
+      // they refuse with the same message. The gated script is the
+      // exact text both engines execute: offline DuckDB LOADs its
+      // bundled parquet/json no-op-style, graft warn-ignores, and the
+      // query behind them must still hash-match. INSTALL spellings
+      // (incl. FORCE and FROM repo) are spec-pinned instead — DuckDB
+      // cannot INSTALL offline, so they'd kill the oracle, not graft.
+      GQuery("x124_sql_install_load", (s, d) => {
+        open(s, d)
+        val prior = s.conf.get("spark.graft.sql.lenientSet", "false")
+        s.conf.set("spark.graft.sql.lenientSet", "true")
+        try LakeSql.script(s, InstallLoadText)
+        finally s.conf.set("spark.graft.sql.lenientSet", prior)
+      }, Some(InstallLoadText))
     )
   }
+
+  private def InstallLoadText = """
+    LOAD parquet;
+    LOAD json;
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(o_orderkey % 97) AS BIGINT) AS chk
+    FROM orders WHERE o_orderkey <= 4000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   private def SeriesListText = """
     SELECT n_nationkey AS k,

@@ -180,4 +180,22 @@ object BloomIndex {
     DeltaLite.readSubset(s, table, kept)
       .filter(col(column).isin(values: _*))
   }
+
+  /** Whether an index for `column` exists on `table`. */
+  def exists(s: SparkSession, table: String, column: String): Boolean =
+    fs(s, indexPath(table, column)).exists(indexPath(table, column))
+
+  /** Delete the index manifest and its sidecar directory. Returns
+    * whether an index existed. Queries after a drop simply read every
+    * live file again — removal can never change answers.
+    */
+  def drop(s: SparkSession, table: String, column: String): Boolean = {
+    val p = indexPath(table, column)
+    val f = fs(s, p)
+    val existed = f.exists(p)
+    if (existed) f.delete(p, false)
+    val dir = new Path(table, sidecarDir(column))
+    if (f.exists(dir)) f.delete(dir, true)
+    existed
+  }
 }

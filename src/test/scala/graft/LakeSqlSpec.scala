@@ -2968,4 +2968,80 @@ class LakeSqlSpec extends SparkSpec {
       r.getString(5) == "plain")
     assert(r.getSeq[Int](6) == Seq(1, 2, 3))
   }
+
+  test("INSTALL/LOAD extension tier: refused by default NAMING the " +
+      "native equivalent; warn-ignored under lenientSet (all " +
+      "spellings: INSTALL, FORCE INSTALL, FROM repo, quoted, LOAD); " +
+      "a migration script opening with them runs") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    // default: loud refusal, message names the built-in analog
+    val e1 = intercept[IllegalArgumentException](
+      LakeSql.sql(s, "INSTALL httpfs"))
+    assert(e1.getMessage.contains("Hadoop") &&
+      e1.getMessage.contains("lenientSet"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      LakeSql.sql(s, "LOAD postgres"))
+    assert(e2.getMessage.contains("jdbc"), e2.getMessage)
+    // unknown extension still refuses, with the generic message
+    val e3 = intercept[IllegalArgumentException](
+      LakeSql.sql(s, "INSTALL frobnicator"))
+    assert(e3.getMessage.contains("no graft equivalent"), e3.getMessage)
+    // lenientSet: every spelling warn-ignores
+    s.conf.set("spark.graft.sql.lenientSet", "true")
+    try {
+      LakeSql.sql(s, "INSTALL httpfs")
+      LakeSql.sql(s, "FORCE INSTALL parquet")
+      LakeSql.sql(s, "INSTALL postgres FROM community")
+      LakeSql.sql(s, "INSTALL 'json'")
+      LakeSql.sql(s, "LOAD httpfs;")
+      // the worked migration-script shape: extension prelude + query
+      val n = LakeSql.script(s, """
+        INSTALL httpfs;
+        LOAD httpfs;
+        SELECT COUNT(*) AS n FROM nation""").collect().head.getLong(0)
+      assert(n == 25L)
+    } finally s.conf.set("spark.graft.sql.lenientSet", "false")
+    // LOAD DATA (Spark's own statement shape) does not match the tier
+    intercept[Exception](LakeSql.sql(s,
+      "LOAD DATA INPATH '/nope' INTO TABLE nation"))
+  }
+
+  test("CREATE INDEX tier: a single-column index on a deltalite table " +
+      "routes to the per-file bloom skipping index (s24's analog) and " +
+      "DROP INDEX removes it; UNIQUE / multi-column / non-deltalite " +
+      "refuse naming the honest alternative") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("createindex")
+    LakeSql.sql(s, s"""CREATE TABLE ci_t USING deltalite
+      LOCATION '$base/ci_t'
+      AS SELECT c_custkey, c_name, c_nationkey FROM customer""")
+    LakeSql.sql(s, "CREATE INDEX ci_idx ON ci_t(c_custkey)")
+    assert(graft.sources.BloomIndex.exists(s, s"$base/ci_t", "c_custkey"))
+    // the index is queryable through the API surface it builds for
+    val (kept, total) = graft.sources.BloomIndex.pruneInfo(
+      s, s"$base/ci_t", "c_custkey", Seq(1L))
+    assert(total >= 1 && kept <= total)
+    // IF NOT EXISTS spelling parses; rebuild is idempotent
+    LakeSql.sql(s, "CREATE INDEX IF NOT EXISTS ci_idx ON ci_t(c_custkey)")
+    LakeSql.sql(s, "DROP INDEX ci_idx")
+    assert(!graft.sources.BloomIndex.exists(s, s"$base/ci_t", "c_custkey"))
+    intercept[IllegalArgumentException](LakeSql.sql(s, "DROP INDEX ci_idx"))
+    LakeSql.sql(s, "DROP INDEX IF EXISTS ci_idx") // quiet
+    // refusals: UNIQUE (unenforceable constraint), multi-column
+    // (names ZORDER), unknown table, expression column
+    val eu = intercept[IllegalArgumentException](LakeSql.sql(s,
+      "CREATE UNIQUE INDEX u_idx ON ci_t(c_custkey)"))
+    assert(eu.getMessage.contains("enforce"), eu.getMessage)
+    val em = intercept[IllegalArgumentException](LakeSql.sql(s,
+      "CREATE INDEX m_idx ON ci_t(c_custkey, c_nationkey)"))
+    assert(em.getMessage.contains("ZORDER"), em.getMessage)
+    intercept[IllegalArgumentException](LakeSql.sql(s,
+      "CREATE INDEX n_idx ON no_such_table(x)"))
+    val ee = intercept[IllegalArgumentException](LakeSql.sql(s,
+      "CREATE INDEX e_idx ON ci_t(lower(c_name))"))
+    assert(ee.getMessage.contains("single plain column"), ee.getMessage)
+    LakeSql.sql(s, "DROP TABLE ci_t")
+  }
 }
