@@ -1423,6 +1423,8 @@ object LakeSql {
         case _ if ReturningKeyword.matches(st) => runReturning(s, st)
         case _ if OnConflictKeyword.matches(st) => runOnConflict(s, st)
         case _ if InsertOrKeyword.matches(st) => runInsertOr(s, st)
+        case _ if isUpdateFrom(st) => runUpdateFrom(s, st)
+        case _ if isDeleteUsing(st) => runDeleteUsing(s, st)
         case _ if CopyKeyword.matches(st) => runCopy(s, st)
         case _ if SummarizeKeyword.matches(st) => runSummarize(s, st)
         case _ if PivotKeyword.matches(st) => runPivot(s, st)
@@ -5629,6 +5631,173 @@ object LakeSql {
     case _ => throw new IllegalArgumentException(
       "unsupported INSERT OR REPLACE/IGNORE form — supported: INSERT " +
         "OR {REPLACE|IGNORE} INTO <table> <select>")
+  }
+
+  // ---- UPDATE … FROM / DELETE … USING (join-DML) --------------------
+  // The Postgres/DuckDB join-DML idiom every migration script uses:
+  //   UPDATE t [AS a] SET col = expr, … FROM src [AS b] [WHERE cond]
+  //   DELETE FROM t [AS a] USING src [AS b] [WHERE cond]
+  // A target row is affected iff ≥1 source row satisfies cond; SET
+  // expressions see the matching source row's columns. Multi-match is
+  // AMBIGUOUS for UPDATE (which source row's values win?) — Postgres
+  // picks an arbitrary row; graft REFUSES loudly, matching MERGE's
+  // one-source-row-per-target contract (x39). DELETE is multi-match-
+  // insensitive (deleting twice = once) and runs without the check.
+  // Execution is the full-rewrite-DML class (BASELINE.md): the
+  // post-state is ONE declarative plan — LEFT OUTER join for UPDATE,
+  // LEFT ANTI for DELETE, both keyed so Catalyst broadcasts a small
+  // source — committed as one atomic overwrite (old files stay
+  // time-travelable). A no-op statement (zero matches) commits
+  // nothing. Detection is TOP-LEVEL keyword position (depth-0,
+  // quote-aware): `SET a = (SELECT … FROM …)` has no top-level FROM
+  // and stays on the single-table pruned copy-on-write path.
+  private val UpdateHeadRe =
+    ("(?is)^\\s*UPDATE\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+SET\\b(.*)$").r
+  private val DeleteUsingHeadRe =
+    ("(?is)^\\s*DELETE\\s+FROM\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\b(.*)$").r
+
+  private[graft] def isUpdateFrom(st: String): Boolean = st match {
+    case UpdateHeadRe(_, _, rest) => topLevelIndexOf(rest, "FROM") >= 0
+    case _ => false
+  }
+  private[graft] def isDeleteUsing(st: String): Boolean =
+    DeleteUsingHeadRe.matches(st)
+
+  /** Parse the single source relation of a join-DML statement:
+    * a table/view name or `(subquery) [AS] alias`. Returns
+    * (FROM-position SQL, alias).
+    */
+  private def parseJoinDmlSource(spec0: String,
+      what: String): (String, String) = {
+    val spec = spec0.trim
+    require(splitTopCommasQuoted(spec).length == 1 &&
+        topLevelIndexOf(spec, "JOIN") < 0,
+      s"$what supports ONE source relation — pre-join into a " +
+        "subquery or view")
+    if (spec.startsWith("(")) {
+      val (inner, after) = takeParenGroup(spec)
+      "(?is)^(?:AS\\s+)?([A-Za-z_]\\w*)\\s*$".r.findFirstMatchIn(
+          after.trim) match {
+        case Some(m) => (s"($inner)", m.group(1))
+        case None => throw new IllegalArgumentException(
+          s"$what: a subquery source needs an alias — (…) AS s")
+      }
+    } else "(?is)^([A-Za-z_]\\w*)(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?$".r
+        .findFirstMatchIn(spec) match {
+      case Some(m) =>
+        (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))
+      case None => throw new IllegalArgumentException(
+        s"$what source must be a table name or (subquery) AS alias, " +
+          s"got: $spec")
+    }
+  }
+
+  private def joinDmlTarget(s: SparkSession, tbl: String,
+      what: String): (String, String) = catalog(s).get(tbl) match {
+    case Some(("view", _)) => throw new IllegalArgumentException(
+      s"$tbl is a view — $what targets must be lake tables")
+    case Some(pp) => pp
+    case None => throw new IllegalArgumentException(
+      s"$what: table $tbl not in catalog")
+  }
+
+  private[graft] def runUpdateFrom(s: SparkSession, st: String): DataFrame = {
+    import s.implicits._
+    val UpdateHeadRe(tbl, aliasOpt, rest) = st
+    val fromIdx = topLevelIndexOf(rest, "FROM")
+    val setText = rest.substring(0, fromIdx)
+    val afterFrom = rest.substring(fromIdx + 4)
+    val whereIdx = topLevelIndexOf(afterFrom, "WHERE")
+    val (srcSpec, cond) =
+      if (whereIdx >= 0) (afterFrom.substring(0, whereIdx),
+        afterFrom.substring(whereIdx + 5).trim.stripSuffix(";").trim)
+      else (afterFrom.trim.stripSuffix(";"), "TRUE")
+    val (provider, path) = joinDmlTarget(s, tbl, "UPDATE … FROM")
+    recordTableTouch(s, provider, path)
+    val schema = table(s, tbl).schema
+    val ta = Option(aliasOpt).getOrElse(tbl)
+    val (srcSql, sa) = parseJoinDmlSource(srcSpec, "UPDATE … FROM")
+    require(!sa.equalsIgnoreCase(ta),
+      s"source alias $sa collides with the target alias")
+    val assigns = splitTopCommasQuoted(setText).filter(_.nonEmpty).map {
+      item =>
+        val eq = item.indexOf('=')
+        require(eq > 0, s"bad SET item: $item")
+        val colParts = item.substring(0, eq).trim.split("\\.")
+        val cname = colParts.last.trim
+        require(colParts.length <= 2 &&
+            "^[A-Za-z_]\\w*$".r.matches(cname) &&
+            (colParts.length == 1 ||
+              colParts(0).trim.equalsIgnoreCase(ta)),
+          s"SET must assign target columns, got: ${item.substring(0, eq)}")
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(cname)),
+          s"UPDATE … FROM: unknown column $cname")
+        (cname, item.substring(eq + 1).trim)
+    }
+    require(assigns.nonEmpty, "UPDATE … FROM: empty SET list")
+    require(assigns.map(_._1.toLowerCase).distinct.length == assigns.length,
+      "UPDATE … FROM: a column is assigned twice")
+    // one source row per target row, or the SET replacement is
+    // ambiguous — count the join vs the semi-join (no row identity
+    // needed; both counts run in one statement)
+    val counts = sql(s, s"""SELECT
+      (SELECT COUNT(*) FROM $tbl AS $ta JOIN $srcSql AS $sa
+         ON ($cond)) AS nj,
+      (SELECT COUNT(*) FROM $tbl AS $ta LEFT SEMI JOIN $srcSql AS $sa
+         ON ($cond)) AS nm""").head
+    val (nj, nm) = (counts.getLong(0), counts.getLong(1))
+    require(nj == nm,
+      s"UPDATE … FROM: ${nj - nm} surplus match(es) — some target row " +
+        "matches more than one source row and SET replacement is " +
+        "ambiguous; dedup the source or tighten the condition (the " +
+        "MERGE one-source-row-per-target contract)")
+    if (nm > 0) {
+      val colsSql = schema.fields.map { f =>
+        assigns.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, e)) =>
+            s"CASE WHEN $sa.__gf_m THEN CAST(($e) AS ${f.dataType.sql}) " +
+              s"ELSE $ta.${f.name} END AS ${f.name}"
+          case None => s"$ta.${f.name} AS ${f.name}"
+        }
+      }.mkString(", ")
+      val post = sql(s, s"""SELECT $colsSql FROM $tbl AS $ta
+        LEFT JOIN (SELECT __gf_src.*, TRUE AS __gf_m
+                   FROM $srcSql AS __gf_src) AS $sa ON ($cond)""")
+      if (provider == "iceberglite") IcebergLite.overwrite(s, path, post)
+      else DeltaLite.overwrite(s, path, post)
+    }
+    Seq(nm).toDF("count")
+  }
+
+  private[graft] def runDeleteUsing(s: SparkSession,
+      st: String): DataFrame = {
+    import s.implicits._
+    val DeleteUsingHeadRe(tbl, aliasOpt, rest) = st
+    val whereIdx = topLevelIndexOf(rest, "WHERE")
+    val (srcSpec, cond) =
+      if (whereIdx >= 0) (rest.substring(0, whereIdx),
+        rest.substring(whereIdx + 5).trim.stripSuffix(";").trim)
+      else (rest.trim.stripSuffix(";"), "TRUE")
+    val (provider, path) = joinDmlTarget(s, tbl, "DELETE … USING")
+    recordTableTouch(s, provider, path)
+    val schema = table(s, tbl).schema
+    val ta = Option(aliasOpt).getOrElse(tbl)
+    val (srcSql, sa) = parseJoinDmlSource(srcSpec, "DELETE … USING")
+    require(!sa.equalsIgnoreCase(ta),
+      s"source alias $sa collides with the target alias")
+    val nDel = sql(s, s"""SELECT COUNT(*) AS n FROM $tbl AS $ta
+      LEFT SEMI JOIN $srcSql AS $sa ON ($cond)""").head.getLong(0)
+    if (nDel > 0) {
+      val keepCols = schema.fieldNames
+        .map(f => s"$ta.$f AS $f").mkString(", ")
+      val post = sql(s, s"""SELECT $keepCols FROM $tbl AS $ta
+        LEFT ANTI JOIN $srcSql AS $sa ON ($cond)""")
+      if (provider == "iceberglite") IcebergLite.overwrite(s, path, post)
+      else DeltaLite.overwrite(s, path, post)
+    }
+    Seq(nDel).toDF("count")
   }
 
   private[graft] def runOnConflict(s: SparkSession,

@@ -3254,7 +3254,76 @@ object Sql {
         s.conf.set("spark.graft.sql.lenientSet", "true")
         try LakeSql.script(s, InstallLoadText)
         finally s.conf.set("spark.graft.sql.lenientSet", prior)
-      }, Some(InstallLoadText))
+      }, Some(InstallLoadText)),
+
+      // ------------------------------------------------------------ x125
+      // UPDATE … FROM / DELETE … USING — the Postgres/DuckDB join-DML
+      // idiom (r16). A target row is affected iff ≥1 source row
+      // satisfies the condition; SET expressions see the matching
+      // source row's columns; multi-match REFUSES loudly (MERGE's
+      // one-source-row-per-target contract — Postgres silently picks
+      // an arbitrary row, the worst possible default). Runs on BOTH
+      // lake formats; execution is the full-rewrite-DML class
+      // (BASELINE.md): post-state as one declarative plan (LEFT OUTER
+      // join for UPDATE, LEFT ANTI for DELETE — the grouped source
+      // broadcasts), committed as one atomic overwrite. The ORACLE is
+      // DuckDB's NATIVE UPDATE…FROM / DELETE…USING on a temp table —
+      // not a hand-replayed SELECT — so the semantics themselves are
+      // cross-checked engine-to-engine.
+      GQuery("x125_sql_update_from", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val root = graft.util.Scratch.dir("x125")
+        def build(provider: String): String = {
+          val name = s"jdml_${provider.take(4)}_$tag"
+          LakeSql.sql(s, s"""CREATE TABLE $name USING $provider
+            LOCATION '$root/$name'
+            AS SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal,
+                      c_nationkey
+               FROM customer WHERE c_custkey <= 1000""")
+          LakeSql.sql(s, s"""UPDATE $name SET bal = bal + s.extra
+            FROM (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS extra
+                  FROM orders WHERE o_orderkey <= 20000
+                  GROUP BY o_custkey) AS s
+            WHERE $name.c_custkey = s.o_custkey""")
+          LakeSql.sql(s, s"""DELETE FROM $name USING nation n
+            WHERE $name.c_nationkey = n.n_nationkey
+              AND n.n_name IN ('NATION_3', 'NATION_7')""")
+          name
+        }
+        val dn = build("deltalite")
+        val in = build("iceberglite")
+        val out = LakeSql.sql(s, s"""
+          SELECT 'delta' AS phase, c_custkey, c_name, bal, c_nationkey
+          FROM $dn
+          UNION ALL
+          SELECT 'ice' AS phase, c_custkey, c_name, bal, c_nationkey
+          FROM $in
+          ORDER BY phase, c_custkey""")
+        out.count() // materialize before DROP
+        LakeSql.sql(s, s"DROP TABLE $dn")
+        LakeSql.sql(s, s"DROP TABLE $in")
+        out
+      }, Some("""
+        CREATE OR REPLACE TEMP TABLE x125_t AS
+          SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal,
+                 c_nationkey
+          FROM customer WHERE c_custkey <= 1000;
+        UPDATE x125_t SET bal = bal + s.extra
+          FROM (SELECT o_custkey, CAST(COUNT(*) AS DOUBLE) AS extra
+                FROM orders WHERE o_orderkey <= 20000
+                GROUP BY o_custkey) AS s
+          WHERE x125_t.c_custkey = s.o_custkey;
+        DELETE FROM x125_t USING nation n
+          WHERE x125_t.c_nationkey = n.n_nationkey
+            AND n.n_name IN ('NATION_3', 'NATION_7');
+        SELECT 'delta' AS phase, c_custkey, c_name, bal, c_nationkey
+        FROM x125_t
+        UNION ALL
+        SELECT 'ice' AS phase, c_custkey, c_name, bal, c_nationkey
+        FROM x125_t
+        ORDER BY phase, c_custkey"""))
     )
   }
 

@@ -2969,6 +2969,76 @@ class LakeSqlSpec extends SparkSpec {
     assert(r.getSeq[Int](6) == Seq(1, 2, 3))
   }
 
+  test("UPDATE … FROM / DELETE … USING join-DML: matched rows update " +
+      "from the source row's columns / delete; multi-match refuses " +
+      "loudly (MERGE's contract); subquery sources and aliases work; " +
+      "SET-subquery FROM stays on the single-table path; both formats") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("joindml")
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"jd_${provider.take(4)}"
+      LakeSql.sql(s, s"""CREATE TABLE $t USING $provider
+        LOCATION '$base/$t'
+        AS SELECT n_nationkey AS k, n_name AS name,
+                  CAST(0.0 AS DOUBLE) AS bal FROM nation""")
+      // source table for the joins
+      LakeSql.sql(s, s"""CREATE TABLE ${t}_src USING $provider
+        LOCATION '$base/${t}_src'
+        AS SELECT n_nationkey AS sk, CAST(n_nationkey * 10 AS DOUBLE)
+             AS amt FROM nation WHERE n_nationkey < 10""")
+      // UPDATE … FROM a table source, qualified refs, returns count
+      val n1 = LakeSql.sql(s, s"""UPDATE $t SET bal = s.amt
+        FROM ${t}_src AS s WHERE $t.k = s.sk""").head.getLong(0)
+      assert(n1 == 10L)
+      val bal3 = LakeSql.sql(s,
+        s"SELECT bal FROM $t WHERE k = 3").head.getDouble(0)
+      assert(bal3 == 30.0)
+      // unmatched rows untouched
+      assert(LakeSql.sql(s,
+        s"SELECT bal FROM $t WHERE k = 15").head.getDouble(0) == 0.0)
+      // UPDATE … FROM a subquery source; SET may mix source + target
+      val n2 = LakeSql.sql(s, s"""UPDATE $t AS tt
+        SET bal = tt.bal + q.extra
+        FROM (SELECT sk, amt / 10 AS extra FROM ${t}_src) AS q
+        WHERE tt.k = q.sk AND q.extra >= 5""").head.getLong(0)
+      assert(n2 == 5L) // sk 5..9
+      assert(LakeSql.sql(s,
+        s"SELECT bal FROM $t WHERE k = 7").head.getDouble(0) == 77.0)
+      // multi-match refuses (two source rows hit one target row)
+      val em = intercept[IllegalArgumentException](LakeSql.sql(s,
+        s"""UPDATE $t SET bal = s.amt FROM ${t}_src AS s
+            WHERE $t.k = s.sk % 5 AND $t.k < 2"""))
+      assert(em.getMessage.contains("ambiguous"), em.getMessage)
+      // DELETE … USING (multi-match fine for delete)
+      val n3 = LakeSql.sql(s, s"""DELETE FROM $t USING ${t}_src AS s
+        WHERE $t.k = s.sk % 5""").head.getLong(0)
+      assert(n3 == 5L) // k 0..4, each matched twice, deleted once
+      assert(LakeSql.sql(s, s"SELECT COUNT(*) AS n FROM $t")
+        .head.getLong(0) == 20L)
+      // a SET-expression subquery containing FROM is NOT join-DML —
+      // it stays on the single-table pruned path
+      LakeSql.sql(s, s"""UPDATE $t SET bal =
+        (SELECT MAX(amt) FROM ${t}_src) WHERE k = 20""")
+      assert(LakeSql.sql(s,
+        s"SELECT bal FROM $t WHERE k = 20").head.getDouble(0) == 90.0)
+      // a zero-match join-DML commits nothing (no new version)
+      val v0 = LakeSql.sql(s,
+        s"SELECT COUNT(*) AS n FROM $t").head.getLong(0)
+      val n4 = LakeSql.sql(s, s"""DELETE FROM $t USING ${t}_src AS s
+        WHERE $t.k = s.sk + 1000""").head.getLong(0)
+      assert(n4 == 0L && LakeSql.sql(s,
+        s"SELECT COUNT(*) AS n FROM $t").head.getLong(0) == v0)
+      // guards: view target, unknown column, multi-relation source
+      intercept[IllegalArgumentException](LakeSql.sql(s,
+        s"UPDATE $t SET nope = 1 FROM ${t}_src s WHERE $t.k = s.sk"))
+      intercept[IllegalArgumentException](LakeSql.sql(s,
+        s"DELETE FROM $t USING ${t}_src a, ${t}_src b WHERE 1=1"))
+      LakeSql.sql(s, s"DROP TABLE $t")
+      LakeSql.sql(s, s"DROP TABLE ${t}_src")
+    }
+  }
+
   test("INSTALL/LOAD extension tier: refused by default NAMING the " +
       "native equivalent; warn-ignored under lenientSet (all " +
       "spellings: INSTALL, FORCE INSTALL, FROM repo, quoted, LOAD); " +
