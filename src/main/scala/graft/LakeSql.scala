@@ -89,8 +89,40 @@ object LakeSql {
             case "register" => m.put(n.get("name").asText(),
               (n.get("provider").asText(), n.get("path").asText()))
             case "drop" => m.remove(n.get("name").asText())
+            // type ops live in the SAME numbered log (one durable
+            // catalog history) but hydrate a different map — see
+            // replayTypeOps; they are no-ops for the table view.
+            case "type_register" | "type_drop" =>
             case other => throw new IllegalStateException(
               s"unknown catalog op '$other' in $fp")
+          }
+        }
+    }
+  }
+
+  /** Replay ONLY the type ops of a durable catalog into `em` — the
+    * ENUM half of the op log (x120 types survive sessions like views
+    * and macros do, the x45/x57 idiom).
+    */
+  private def replayTypeOps(s: SparkSession, dir: String,
+      em: scala.collection.concurrent.TrieMap[String, Seq[String]]):
+      Unit = {
+    val p = opsDir(dir)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (f.exists(p)) {
+      f.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        .foreach { fp =>
+          val in = f.open(fp)
+          val n = try Json.readTree(in) finally in.close()
+          n.get("op").asText() match {
+            case "type_register" =>
+              val vals = Json.readTree(n.get("path").asText())
+              val b = Seq.newBuilder[String]
+              vals.elements().forEachRemaining(v => b += v.asText())
+              em.put(n.get("name").asText(), b.result())
+            case "type_drop" => em.remove(n.get("name").asText())
+            case _ =>
           }
         }
     }
@@ -104,7 +136,8 @@ object LakeSql {
     val node = Json.createObjectNode()
     node.put("op", op)
     node.put("name", name)
-    if (op == "register") { node.put("provider", provider)
+    if (op == "register" || op == "type_register") {
+      node.put("provider", provider)
       node.put("path", path) }
     val bytes = (Json.writeValueAsString(node) + "\n").getBytes("UTF-8")
     var v = f.listStatus(p).count(_.getPath.getName.endsWith(".json")).toLong
@@ -1285,8 +1318,7 @@ object LakeSql {
       s.emptyDataFrame
     case DropTypeRe(ifExists, name) =>
       requireNoTxn(s, "DROP TYPE")
-      require(enumsOf(s).remove(name.toLowerCase).isDefined ||
-        ifExists != null, s"type $name does not exist")
+      dropEnumType(s, name, ifExists != null)
       s.emptyDataFrame
     case BeginRe() =>
       runBegin(s)
@@ -6110,6 +6142,10 @@ object LakeSql {
     var m = enumTypes.get(s)
     if (m == null) {
       m = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+      // First type touch in this session: hydrate from the durable op
+      // log when one is configured — re-opened catalogs keep their
+      // ENUMs like they keep views and macros (r16).
+      catalogDir(s).foreach(dir => replayTypeOps(s, dir, m))
       enumTypes.put(s, m)
     }
     m
@@ -6133,6 +6169,22 @@ object LakeSql {
       s"CREATE TYPE $name: duplicate ENUM values")
     require(enumsOf(s).putIfAbsent(name.toLowerCase, vals).isEmpty,
       s"type $name already exists")
+    // write-through to the durable catalog op log (values as a JSON
+    // array in the generic path field — a value may contain commas)
+    catalogDir(s).foreach { dir =>
+      val arr = Json.createArrayNode()
+      vals.foreach(arr.add)
+      appendOp(s, dir, "type_register", name.toLowerCase, "enum",
+        Json.writeValueAsString(arr))
+    }
+  }
+
+  private def dropEnumType(s: SparkSession, name: String,
+      ifExists: Boolean): Unit = {
+    val had = enumsOf(s).remove(name.toLowerCase).isDefined
+    require(had || ifExists, s"type $name does not exist")
+    if (had)
+      catalogDir(s).foreach(appendOp(s, _, "type_drop", name.toLowerCase))
   }
 
   private def rewriteEnumTypes(s: SparkSession, st0: String): String = {

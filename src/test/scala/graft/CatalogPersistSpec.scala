@@ -69,6 +69,50 @@ class CatalogPersistSpec extends SparkSpec {
     LakeSql.sql(s3, s"DROP TABLE $name")
   }
 
+  test("CREATE TYPE persists through the durable catalog: a new " +
+      "session keeps the ENUM (casts validate, enum_range yields the " +
+      "values), DROP TYPE journals, and type ops never surface as " +
+      "catalog tables") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = graft.util.Scratch.dir("typepersist")
+    val ty = s"mood_$tag"
+
+    val s1 = spark.newSession()
+    s1.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"CREATE TYPE $ty AS ENUM ('sad', 'ok, fine', 'happy')")
+
+    // restart stand-in: brand-new session, same catalog dir
+    val s2 = spark.newSession()
+    s2.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s2, sfDir)
+    val r = LakeSql.sql(s2, s"""
+      SELECT CAST('ok, fine' AS $ty) AS a,
+             array_to_string(enum_range(NULL::$ty), '|') AS rng
+      FROM nation WHERE n_nationkey = 0""").collect().head
+    assert(r.getString(0) == "ok, fine" &&
+      r.getString(1) == "sad|ok, fine|happy", r.toString)
+    // out-of-range still raises in the replayed session
+    intercept[Exception](LakeSql.sql(s2,
+      s"SELECT CAST('angry' AS $ty) AS a FROM nation LIMIT 1").collect())
+    // duplicate create refuses against the REPLAYED registry
+    intercept[IllegalArgumentException](LakeSql.sql(s2,
+      s"CREATE TYPE $ty AS ENUM ('x')"))
+    // the type never shows up as a catalog table entry
+    assert(!LakeSql.tablesMeta(s2).collect()
+      .exists(_.getString(0).contains(tag)))
+    // DROP journals: a third session no longer has it
+    LakeSql.sql(s2, s"DROP TYPE $ty")
+    val s3 = spark.newSession()
+    s3.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s3, sfDir)
+    intercept[Exception](LakeSql.sql(s3,
+      s"SELECT CAST('ok, fine' AS $ty) AS a FROM nation LIMIT 1").collect())
+    // and CREATE works again after the durable drop
+    LakeSql.sql(s3, s"CREATE TYPE $ty AS ENUM ('re')")
+    LakeSql.sql(s3, s"DROP TYPE $ty")
+  }
+
   test("ATTACH binds a second durable root: qualified CTAS writes to " +
       "ITS op log, a fresh session re-attaches and sees the table, " +
       "cross-catalog joins plan, DETACH unbinds") {
