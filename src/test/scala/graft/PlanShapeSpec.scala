@@ -74,6 +74,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(over.isEmpty, over.mkString("; "))
   }
 
+  // Pipeline families (r16, the VERDICT item-8 extension): dedup/ANN/
+  // text keys whose §5 claims were prose-only. Bounds are the measured
+  // honest shapes at r16 — a regression that resurfaces a shuffle
+  // (lost broadcast in the bucket guard, a global sort sneaking into
+  // d16's gram sharding, a second pass in the scoring keys) fails here
+  // before it costs anything at scale. Ceilings, not equalities:
+  // memoized evidence (d14's localCheckpoint) may legitimately REMOVE
+  // exchanges on a warm session.
+  private val pipelineBounds = Seq(
+    "d02_minhash_lsh" -> 3, // band self-join + over-full-bucket guard agg
+    "d04_ngram_jaccard" -> 3, // candidate join + two shingle-set joins
+    "d05_embedding_neardup" -> 2, // bucket self-join + pair dedup agg
+    "a01_cosine_topk_bruteforce" -> 2, // partial top-k + final merge
+    "a02_ann_lsh" -> 3, // bucket probe join + dedup + topk
+    "a03_ivf_ann" -> 3, // probe-confined: centroid assign + cluster join
+    "a05_range_search" -> 1, // scan-side filter, one output ordering
+    "d10_span_dedup" -> 4, // gram shard + span merge + per-doc window
+    "d14_dedup_pipeline" -> 4, // candidates + verify + CC + anti-join
+    "d16_exact_substring" -> 6, // gram sharding, no global sort
+    "t10_gopher_quality" -> 1, // pure scan-side scoring
+    "t15_clean_pipeline" -> 1, // scan-side cleaning, one ordering
+    "t17_bpe_tokens" -> 1) // scan-side tokenization
+
+  test("pipeline-family exchange ceilings hold (dedup/ANN/text keys: " +
+      "bucket-local joins and scan-side scoring, never corpus-wide " +
+      "extra passes)") {
+    Sql.open(spark, sfDir)
+    val over = pipelineBounds.flatMap { case (name, max) =>
+      val n = shuffles(planOf(name))
+      if (n > max) Some(s"$name: $n exchanges (bound $max)") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+
   test("q09/q30 plan without Expand (the r14 aggregate-shape finding: " +
       "co-located COUNT(DISTINCT)s expanded the scan x3/x4) and within " +
       "their split-aggregate exchange budget") {
