@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.graft.Glue
 
 import graft.sources.{DeltaLite, IcebergLite}
@@ -2704,6 +2704,42 @@ object LakeSql {
       "bool|logical|double\\s+precision|utinyint|usmallint|uinteger|" +
       "ubigint|uhugeint)\\b.*").r
 
+  /** Map dialect type aliases in COLUMN-DEFINITION position — the
+    * r16 column-definition CREATE TABLE tier means `g VARCHAR` now
+    * appears in DDL, where the ::/CAST rules don't look. Per-item:
+    * the token AFTER the column name is the type; constraint items
+    * (PRIMARY KEY (…), CHECK …) and sized spellings (VARCHAR(10),
+    * DECIMAL(12,2) — shared grammar) pass through untouched, and a
+    * column NAMED like an alias is never touched (only the
+    * type-position token maps).
+    */
+  private def rewriteColumnDefTypes(st: String): String = {
+    val head = ("(?is)^(\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS" +
+      "\\s+)?[A-Za-z_]\\w*\\s*)\\(").r.findFirstMatchIn(st)
+    head match {
+      case None => st
+      case Some(m) =>
+        val (inner, rest) = takeParenGroup(st.substring(m.end - 1))
+        val constraintHead =
+          "(?is)^\\s*(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b".r
+        val colRe =
+          "(?is)^(\\s*[A-Za-z_]\\w*\\s+)([A-Za-z_]\\w*(?:\\s+PRECISION)?)(.*)$".r
+        val items = splitTopCommasQuoted(inner).map { item =>
+          if (constraintHead.findFirstIn(item).isDefined) item
+          else colRe.findFirstMatchIn(item) match {
+            case Some(cm) if !cm.group(3).trim.startsWith("(") =>
+              mapTypeAlias(cm.group(2)) match {
+                case Some(mapped) =>
+                  cm.group(1) + mapped + cm.group(3)
+                case None => item
+              }
+            case _ => item
+          }
+        }
+        st.substring(0, m.end - 1) + "(" + items.mkString(", ") + ")" + rest
+    }
+  }
+
   private def mapTypeAlias(raw: String): Option[String] = {
     val t = raw.trim
     if (UnsignedTypeRe.matches(t))
@@ -2719,7 +2755,7 @@ object LakeSql {
   }
 
   private[graft] def rewriteTypeAliases(st0: String): String = {
-    var st = st0
+    var st = rewriteColumnDefTypes(st0)
     // `::alias` suffix positions (quote-aware; a following '(' means
     // a sized spelling, which is shared and passes through)
     for ((alias, mapped) <- TypeAliasMap)
@@ -6498,6 +6534,89 @@ object LakeSql {
     // normalizes here (and in every sibling parse site)
     val statement = pinNullOrder(normLit(statement0))
     s.sessionState.sqlParser.parsePlan(statement) match {
+      // Column-definition CREATE TABLE (r16) — the most common
+      // migration-script statement: `CREATE TABLE t (k BIGINT PRIMARY
+      // KEY, …)`. Creates an EMPTY lake table with the declared
+      // schema; PRIMARY KEY (column- or table-level — Spark 4 parses
+      // both into a PrimaryKeyConstraint) maps to the graft.keys
+      // declared-conflict-columns property (x119), which is exactly
+      // what a PK means to this engine: the implied key of INSERT OR
+      // REPLACE / OR IGNORE / key-less ON CONFLICT. Uniqueness is NOT
+      // enforced on plain INSERT (no lake engine enforces it on
+      // append) — the keyed-DML paths check source-key uniqueness
+      // loudly, and CREATE UNIQUE INDEX stays refused for the same
+      // honesty reason. Other constraints (CHECK/UNIQUE/FK) refuse.
+      case ct: CreateTable =>
+        val nameParts = ct.name match {
+          case u: UnresolvedIdentifier => u.nameParts
+          case other => throw new IllegalArgumentException(
+            s"unsupported CREATE TABLE target: $other")
+        }
+        require(nameParts.length == 1,
+          "column-definition CREATE TABLE creates in the primary " +
+            "catalog only (no qualified names)")
+        val name = nameParts.last
+        val spec = ct.tableSpec match {
+          case t: org.apache.spark.sql.catalyst.plans.logical
+              .UnresolvedTableSpec => t
+          case other => throw new IllegalArgumentException(
+            s"unsupported table spec: $other")
+        }
+        ct.columns.foreach { c =>
+          require(c.defaultValue.isEmpty && c.generationExpression.isEmpty
+              && c.identityColumnSpec.isEmpty,
+            s"column ${c.name}: DEFAULT/GENERATED/IDENTITY are not " +
+              "supported in column-definition CREATE TABLE")
+        }
+        val pk = spec.constraints.flatMap {
+          case p: org.apache.spark.sql.catalyst.expressions
+              .PrimaryKeyConstraint => p.columns
+          case other => throw new IllegalArgumentException(
+            s"unsupported table constraint " +
+              s"${other.getClass.getSimpleName} — PRIMARY KEY maps to " +
+              "graft.keys; CHECK/UNIQUE/FOREIGN KEY are not enforced " +
+              "here and refuse rather than silently persisting")
+        }
+        val unknownProps = spec.properties.keySet.filterNot(_ == "graft.keys")
+        require(unknownProps.isEmpty,
+          s"unsupported table properties ${unknownProps.mkString(", ")}")
+        val explicitKeys = spec.properties.get("graft.keys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        require(explicitKeys.isEmpty || pk.isEmpty ||
+            explicitKeys.get.map(_.toLowerCase).sorted ==
+              pk.map(_.toLowerCase).sorted,
+          "PRIMARY KEY and TBLPROPERTIES graft.keys disagree — declare " +
+            "the key once")
+        val keys = explicitKeys.getOrElse(pk)
+        val schema = ct.tableSchema
+        keys.foreach(k => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"key column $k is not a column of the table"))
+        if (!(catalog(s).contains(name) && ct.ignoreIfExists)) {
+          val provider = spec.provider.map(_.toLowerCase)
+            .getOrElse("deltalite")
+          require(Set("deltalite", "iceberglite").contains(provider),
+            s"unsupported provider $provider")
+          val loc = spec.location.getOrElse(
+            s"${s.sessionState.conf.warehousePath.stripSuffix("/")}/$name")
+          val partCols = ct.partitioning.map {
+            case t if t.name == "identity" && t.references.length == 1 =>
+              t.references.head.fieldNames.mkString(".")
+            case t => throw new IllegalArgumentException(
+              s"only identity partitioning supported, got $t")
+          }
+          val empty = s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          val config = if (keys.nonEmpty)
+            Map("graft.keys" -> keys.mkString(",")) else Map.empty[String, String]
+          if (provider == "deltalite")
+            DeltaLite.create(s, loc, empty, partCols, config = config)
+          else IcebergLite.create(s, loc, empty, partCols,
+            properties = config)
+          register(s, name, provider, loc)
+          recordCatalogUndo(s) { dropEntry(s, name); () }
+        }
+        s.emptyDataFrame
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),
           partitioning, query, spec, _, ignoreIfExists, _)
           if nameParts.length == 2 && attached(s).contains(nameParts.head) =>
@@ -6737,7 +6856,13 @@ object LakeSql {
         s.emptyDataFrame
       case _: DeleteFromTable | _: UpdateTable | _: InsertIntoStatement |
           _: MergeIntoTable =>
-        execute(s, Map.empty, statement)
+        // Pass the RAW text: execute() normLits at ITS parse site, and
+        // handing it the already-normalized `statement` doubled every
+        // backslash in string literals a second time — an INSERT whose
+        // source carried '\d'-style regex (or the GLOB rewrite's \A…\z
+        // pattern) silently matched literal backslashes instead (r16
+        // script-fuzz finding, the r13 bug class on the DML route).
+        execute(s, Map.empty, pinNullOrder(statement0))
         s.emptyDataFrame
       // ALTER TABLE … ADD COLUMNS / RENAME COLUMN: metadata-only
       // schema evolution on either provider — zero data IO at any
@@ -6999,11 +7124,26 @@ object LakeSql {
                 s"the table has ${targetSchema.fields.length} — use a " +
                 "column list to insert a subset")
           }
+        // Implicit INSERT coercion (the SQL rule both engines apply):
+        // each bound source column CASTs to its target column's
+        // declared type — an INT into a STRING column renders, an
+        // incompatible value fails LOUDLY at write time (ANSI), and a
+        // mismatched physical type never lands in a data file (r16
+        // fuzz finding: an uncast INT32 landed under a STRING schema
+        // and poisoned every later read of the table).
+        val coerced = df.select(df.columns.toSeq.map { c =>
+          val f = targetSchema.fields
+            .find(_.name.equalsIgnoreCase(c)).get
+          if (f.dataType == df.schema(c).dataType)
+            org.apache.spark.sql.functions.col(c)
+          else org.apache.spark.sql.functions.col(c)
+            .cast(f.dataType).as(c)
+        }: _*)
         (isIceberg(ins.table), ins.overwrite) match {
-          case (true, false) => IcebergLite.append(s, p, df)
-          case (true, true) => IcebergLite.overwrite(s, p, df)
-          case (false, false) => DeltaLite.append(s, p, df)
-          case (false, true) => DeltaLite.overwrite(s, p, df)
+          case (true, false) => IcebergLite.append(s, p, coerced)
+          case (true, true) => IcebergLite.overwrite(s, p, coerced)
+          case (false, false) => DeltaLite.append(s, p, coerced)
+          case (false, true) => DeltaLite.overwrite(s, p, coerced)
         }
         p
       // MERGE INTO … USING … ON <key equalities> WHEN MATCHED THEN

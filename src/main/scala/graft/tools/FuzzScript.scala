@@ -50,7 +50,7 @@ object FuzzScript {
     }
     val finalSelect =
       s"SELECT k, g, v, s FROM $t ORDER BY k, g, v, s"
-    r.nextInt(7) match {
+    r.nextInt(10) match {
       case 0 => // txn ROLLBACK: DML unwinds, final state = CTAS state
         s"""$ctas;
            |BEGIN TRANSACTION;
@@ -114,6 +114,54 @@ object FuzzScript {
            |  array_to_string(enum_range(NULL::$ty), '|') AS rng,
            |  ${intExpr(r, cols)} AS v
            |FROM $table WHERE $key <= ${keyCap / 2} ORDER BY $key""".stripMargin
+      case 7 => // keyed DML over a PK column-def table (x119 + r16
+        // column-definition CREATE TABLE — both engines parse the SAME
+        // DDL, DuckDB enforcing the PK, graft mapping it to
+        // graft.keys). Plain INSERTs keep keys DISJOINT (DuckDB would
+        // error on a dup where a lake append would not — that
+        // asymmetry is x119's documented tier, not fuzz's target).
+        val m = 2 + r.nextInt(4)
+        s"""CREATE TABLE $t (k BIGINT PRIMARY KEY, g VARCHAR, v BIGINT);
+           |INSERT INTO $t SELECT $key, $group,
+           |  CAST(${intExpr(r, cols)} AS BIGINT) FROM $table
+           |  WHERE $key <= ${keyCap / 2};
+           |INSERT OR REPLACE INTO $t SELECT $key,
+           |  upper(CAST($group AS VARCHAR)),
+           |  CAST($key % ${3 + r.nextInt(7)} AS BIGINT) FROM $table
+           |  WHERE $key <= ${keyCap / 4} AND $key % $m = 0;
+           |INSERT OR IGNORE INTO $t SELECT $key,
+           |  lower(CAST($group AS VARCHAR)),
+           |  CAST(-1 AS BIGINT) FROM $table WHERE $key <= ${keyCap * 3 / 4};
+           |SELECT k, g, v FROM $t ORDER BY k, g, v""".stripMargin
+      case 8 => // enum + macro + PREPARE composed (the three newest
+        // statement families in one script, r16 verdict item 9)
+        val ty = s"fz${i}_ty"; val m = s"fz${i}_m"; val p = s"fz${i}_p"
+        val labels = Seq("LOW", "MID", "HIGH").take(2 + r.nextInt(2))
+        val n = labels.length // modulo == label count, so ELSE always lands
+        val branches = labels.zipWithIndex.map { case (l, j) =>
+          if (j == n - 1) s"ELSE '$l'" else s"WHEN x % $n = $j THEN '$l'"
+        }
+        s"""CREATE TYPE $ty AS ENUM (${labels.map("'" + _ + "'").mkString(", ")});
+           |CREATE MACRO $m(x) AS CAST(CASE ${branches.mkString(" ")} END
+           |  AS $ty);
+           |PREPARE $p AS SELECT $key, $m($key % 97) AS lab,
+           |  array_to_string(enum_range(NULL::$ty), '|') AS rng,
+           |  CAST(${intExpr(r, cols)} AS BIGINT) AS v
+           |FROM $table WHERE $key <= ? ORDER BY $key;
+           |EXECUTE $p(${keyCap / (1 + r.nextInt(3))})""".stripMargin
+      case 9 => // join-DML: UPDATE … FROM / DELETE … USING (x125) —
+        // grouped/keyed sources, so multi-match never trips the guard
+        val mm = 2 + r.nextInt(4)
+        s"""$ctas;
+           |UPDATE $t SET v = v + s.x
+           |  FROM (SELECT $key AS sk, CAST($key % ${5 + r.nextInt(9)}
+           |        AS BIGINT) AS x FROM $table
+           |        WHERE $key <= ${keyCap / 2}) AS s
+           |  WHERE $t.k = s.sk;
+           |DELETE FROM $t USING (SELECT $key AS dk FROM $table
+           |    WHERE $key % $mm = ${r.nextInt(2)}) AS dsrc
+           |  WHERE $t.k = dsrc.dk;
+           |$finalSelect""".stripMargin
     }
   }
 

@@ -3039,6 +3039,83 @@ class LakeSqlSpec extends SparkSpec {
     }
   }
 
+  test("column-definition CREATE TABLE: empty lake table with the " +
+      "declared schema; PRIMARY KEY (column- and table-level) maps to " +
+      "graft.keys so INSERT OR REPLACE/IGNORE work; " +
+      "CHECK/FK/DEFAULT refuse; both formats; VARCHAR alias survives") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("coldef")
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"cd_${provider.take(4)}"
+      LakeSql.sql(s, s"""CREATE TABLE $t (
+        k BIGINT PRIMARY KEY, g VARCHAR, v BIGINT)
+        USING $provider LOCATION '$base/$t'""")
+      // empty at birth, schema as declared
+      assert(LakeSql.sql(s, s"SELECT COUNT(*) AS n FROM $t")
+        .head.getLong(0) == 0L)
+      val sch = LakeSql.table(s, t).schema
+      assert(sch.fieldNames.toSeq == Seq("k", "g", "v"))
+      // (nullability is advisory on the lake read path — parquet scans
+      // relax it — so only names/types are pinned here)
+      assert(sch("g").dataType ==
+        org.apache.spark.sql.types.StringType)
+      // the PK is the declared key: bare INSERT OR REPLACE works
+      LakeSql.sql(s, s"INSERT INTO $t SELECT 1, 'a', 10")
+      LakeSql.sql(s, s"INSERT INTO $t SELECT 2, 'b', 20")
+      LakeSql.sql(s, s"INSERT OR REPLACE INTO $t SELECT 2, 'B', 99")
+      LakeSql.sql(s, s"INSERT OR IGNORE INTO $t SELECT 1, 'zzz', 0")
+      val rows = LakeSql.sql(s,
+        s"SELECT k, g, v FROM $t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows == Seq((1L, "a", 10L), (2L, "B", 99L)), rows.toString)
+      LakeSql.sql(s, s"DROP TABLE $t")
+    }
+    // table-level PRIMARY KEY spelling, two columns
+    LakeSql.sql(s, s"""CREATE TABLE cd_tl (
+      a BIGINT, b STRING, v DOUBLE, PRIMARY KEY (a, b))
+      USING deltalite LOCATION '$base/cd_tl'""")
+    LakeSql.sql(s, "INSERT INTO cd_tl SELECT 1, 'x', 1.0")
+    LakeSql.sql(s, "INSERT OR REPLACE INTO cd_tl SELECT 1, 'x', 2.0")
+    assert(LakeSql.sql(s, "SELECT v FROM cd_tl").head.getDouble(0) == 2.0)
+    LakeSql.sql(s, "DROP TABLE cd_tl")
+    // refusals: CHECK constraint, DEFAULT value, FK
+    intercept[Exception](LakeSql.sql(s,
+      s"CREATE TABLE cd_bad1 (k INT, CHECK (k > 0)) USING deltalite " +
+        s"LOCATION '$base/b1'"))
+    intercept[Exception](LakeSql.sql(s,
+      s"CREATE TABLE cd_bad2 (k INT DEFAULT 5) USING deltalite " +
+        s"LOCATION '$base/b2'"))
+  }
+
+  test("DML statements keep backslash regex literals RAW (r16 script-" +
+      "fuzz finding: the DML route normalized literals twice, so a " +
+      "'\\d' pattern — or the GLOB rewrite's \\A…\\z — silently " +
+      "matched literal backslashes and computed wrong values)") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("dmlnormlit")
+    LakeSql.sql(s, s"""CREATE TABLE dnl_t USING deltalite
+      LOCATION '$base/dnl_t'
+      AS SELECT n_nationkey AS k, CAST(0 AS BIGINT) AS m,
+                CAST(0 AS BIGINT) AS g FROM nation""")
+    // regexp with \d and a GLOB char-class through INSERT: must agree
+    // with the same expressions in SELECT position
+    LakeSql.sql(s, """INSERT INTO dnl_t SELECT n_nationkey + 1000,
+      CAST(CASE WHEN n_name ~ 'NATION_\d+' THEN 1 ELSE 0 END AS BIGINT),
+      CAST(CASE WHEN n_name GLOB 'NATION*' THEN 1 ELSE 0 END AS BIGINT)
+      FROM nation""")
+    val ins = LakeSql.sql(s,
+      "SELECT SUM(m) AS sm, SUM(g) AS sg FROM dnl_t WHERE k >= 1000").head
+    assert(ins.getLong(0) == 25L && ins.getLong(1) == 25L, ins.toString)
+    // and through UPDATE's WHERE
+    LakeSql.sql(s, """UPDATE dnl_t SET m = 7
+      WHERE k < 1000 AND CAST(k AS VARCHAR) ~ '\d\d'""")
+    assert(LakeSql.sql(s,
+      "SELECT COUNT(*) AS n FROM dnl_t WHERE m = 7").head.getLong(0) == 15L)
+    LakeSql.sql(s, "DROP TABLE dnl_t")
+  }
+
   test("INSTALL/LOAD extension tier: refused by default NAMING the " +
       "native equivalent; warn-ignored under lenientSet (all " +
       "spellings: INSTALL, FORCE INSTALL, FROM repo, quoted, LOAD); " +
