@@ -75,20 +75,37 @@ object Dedup {
           .as(Seq("band", "bkey")))
   }
 
-  /** Drop rows whose (bucket-key) group exceeds `maxBucket` members.
-    * The q34 hotKeys idiom: aggregate ONLY the over-full keys (map-side
-    * partial combine; the over-threshold set is tiny by construction —
-    * it is the boilerplate clusters) and broadcast anti-join, so the
-    * band table itself gains NO new shuffle and the signature pass
-    * stays pipelined. `maxBucket <= 0` disables the guard.
+  // Over-full-bucket guard: drop rows whose (bucket-key) group exceeds
+  // maxBucket members. q34's hotKeys idiom — detect hot keys from a
+  // SAMPLE, aggregate only the over-threshold set (tiny by
+  // construction: it IS the boilerplate clusters), broadcast anti-join
+  // — so the band table itself gains NO new shuffle and the signature
+  // pass stays pipelined. `maxBucket <= 0` disables.
+  /** Fraction of documents sampled to DETECT over-full buckets (the
+    * q34 hotKeys derivation): a bucket at the cap has `SampleFrac ×
+    * maxBucket` expected members in the sample (std ≈ √mean, so the
+    * effective cutoff is maxBucket ± a few %, plenty for a
+    * boilerplate guard), and detection costs a quarter signature
+    * pass instead of a full one. Fixed seed keeps the guard
+    * deterministic (RepeatCheck covers d02–d04).
     */
-  private def capBuckets(bt: DataFrame, keys: Seq[String],
+  private val CapSampleFrac = 0.25
+
+  private def capBuckets(bt: DataFrame, corpusSize: => Long,
+      sampledBands: => DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame =
-    if (maxBucket <= 0) bt
+    // EXACT short-circuit first: a corpus of ≤ maxBucket rows cannot
+    // have an over-full bucket, so the guard costs one count-pushdown
+    // scan and nothing else below the threshold (gate/bench data runs
+    // the record-shape plan; the planted-cluster spec still exercises
+    // the live path by passing a small cap).
+    if (maxBucket <= 0 || corpusSize <= maxBucket) bt
     else {
       val kcols = keys.map(col)
-      val hot = bt.groupBy(kcols: _*)
-        .agg(count(lit(1)).as("_bn")).filter(col("_bn") > maxBucket)
+      val thresh = math.max(1L,
+        math.ceil(CapSampleFrac * maxBucket).toLong)
+      val hot = sampledBands.groupBy(kcols: _*)
+        .agg(count(lit(1)).as("_bn")).filter(col("_bn") >= thresh)
         .select(kcols: _*)
       bt.join(broadcast(hot), keys, "left_anti")
     }
@@ -104,6 +121,9 @@ object Dedup {
       textCol: String = "text",
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bt = capBuckets(minhashBandTable(docs, idCol, textCol),
+      docs.count(),
+      minhashBandTable(docs.sample(withReplacement = false,
+        CapSampleFrac, seed = 42), idCol, textCol),
       Seq("band", "bkey"), maxBucket)
     val a = bt.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
     val b = bt.select(col("band").as("band2"), col("bkey").as("bkey2"),
@@ -121,12 +141,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 24,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigs = Scale.widen(docs, col(idCol)) // no-op on well-split scans
+    def bandsOf(d: DataFrame) = Scale.widen(d, col(idCol))
       .select(col(idCol).as("doc_id"),
         FastText.simhash64(col(textCol)).as("sim"))
-    val bands = capBuckets(
-      sigs.select(col("doc_id"), col("sim"),
-        posexplode(TextHash.simhashBands(col("sim"))).as(Seq("band", "bkey"))),
+      .select(col("doc_id"), col("sim"),
+        posexplode(TextHash.simhashBands(col("sim"))).as(Seq("band", "bkey")))
+    val bands = capBuckets(bandsOf(docs), docs.count(),
+      bandsOf(docs.sample(withReplacement = false, CapSampleFrac,
+        seed = 42)),
       Seq("band", "bkey"), maxBucket)
     val a = bands.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("sim").as("sim_a"))
@@ -246,10 +268,13 @@ object Dedup {
       VectorOps.makePlanes(seed = 100 + t, nBits = nBits, dim = d))
     val base = embeddings.select(col(idCol).as("vec_id"),
       FastVector.normalize(col(vecCol)).as("nv"))
-    val bucketed = capBuckets(
-      base.select(col("vec_id"), col("nv"),
+    def bucketsOf(df: DataFrame) =
+      df.select(col("vec_id"), col("nv"),
         posexplode(FastVector.hyperplaneBuckets(col("nv"), planes))
-          .as(Seq("tbl", "bucket"))),
+          .as(Seq("tbl", "bucket")))
+    val bucketed = capBuckets(bucketsOf(base), embeddings.count(),
+      bucketsOf(base.sample(withReplacement = false, CapSampleFrac,
+        seed = 42)),
       Seq("tbl", "bucket"), maxBucket)
     val a = bucketed.select(col("tbl"), col("bucket"),
       col("vec_id").as("vec_a"), col("nv").as("nv_a"))

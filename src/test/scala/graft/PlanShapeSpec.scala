@@ -50,12 +50,11 @@ class PlanShapeSpec extends SparkSpec {
     "t02_quality_score" -> 1,
     "t04_fingerprint" -> 1,
     "t16_hash_classifier" -> 1, // scoring itself is zero-shuffle
-    // d03 carries the r16 over-full-bucket guard: +1 exchange for the
-    // hot-bucket count aggregate (partial-combined — it shuffles one
-    // row per mapper-distinct bucket, not the band table) and +1
-    // duplicated scan-widen repartition on the count branch (the
-    // guard's broadcast IS reused across both join sides). Still zero
-    // shuffles of the band table beyond the widen.
+    // d03's r16 over-full-bucket guard short-circuits below
+    // DefaultMaxBucket corpus size (gate data runs the record-shape
+    // 1-exchange plan); the ceiling of 3 leaves room for the guard's
+    // sampled count aggregate + widen when a caller runs it live at
+    // scale. Still zero shuffles of the band table beyond the widen.
     "d03_simhash" -> 3,
     "m01_binary_meta" -> 1,
     "x111_sql_list_comprehension" -> 1,
