@@ -197,7 +197,15 @@ object LakeSql {
 
   private def dropEntry(s: SparkSession, name: String): Boolean = {
     val had = catalog(s).remove(name).isDefined
-    if (had) catalogDir(s).foreach(appendOp(s, _, "drop", name))
+    if (had) {
+      catalogDir(s).foreach(appendOp(s, _, "drop", name))
+      // The read path binds catalog names through session temp views,
+      // REPLACING them only while the name is still cataloged — so a
+      // dropped (or renamed-away) name would otherwise keep resolving
+      // to its stale snapshot in THIS session (r16 finding: SELECT
+      // after ALTER TABLE … RENAME TO silently read the old name).
+      s.catalog.dropTempView(name)
+    }
     had
   }
 
@@ -380,6 +388,119 @@ object LakeSql {
     "tpcds" -> "no generator here - supply parquet inputs",
     "excel" -> "no Excel reader here - convert to parquet/csv first",
     "spatial" -> "no spatial types here")
+
+  // ---- CHECKPOINT tier ----------------------------------------------
+  // DuckDB's WAL flush. A lake engine has no WAL — every commit is
+  // already durable — and the nearest ANALOG (rewriting small files /
+  // rebasing deletion vectors) is the explicit OPTIMIZE/compact
+  // surface. Same tier shape as INSTALL/LOAD: warn-ignore under
+  // lenientSet naming the analog, refuse by default.
+  private val CheckpointRe =
+    "(?is)^\\s*(FORCE\\s+)?CHECKPOINT(?:\\s+[A-Za-z_]\\w*)?\\s*;?\\s*$".r
+  private val BareTruncateRe =
+    "(?is)^\\s*TRUNCATE\\s+(?!TABLE\\b)([A-Za-z_]\\w*)\\s*;?\\s*$".r
+
+  // ---- CREATE SEQUENCE / nextval / currval ---------------------------
+  // DuckDB sequences, SESSION-scoped: the definition registers a
+  // counter; nextval('s')/currval('s') substitute as typed literals at
+  // the text entry and the statement re-enters the full dispatch.
+  // Substitution is per-OCCURRENCE (a VALUES list with two nextval
+  // calls gets two consecutive values — DuckDB's per-evaluation-site
+  // rule for constant contexts), but a ROW-PRODUCING query (any FROM)
+  // refuses loudly: per-row sequence advancement is inherently serial
+  // — the 100 TB answer is row_number() over a window or a
+  // monotonically-increasing id, and silently evaluating ONE value per
+  // occurrence would be wrong. State is session-only (sequence state
+  // is write-hot; journaling every nextval through the catalog op log
+  // would serialize it — documented divergence from DuckDB's
+  // persisted sequences).
+  private val CreateSeqRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
+      "SEQUENCE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)" +
+      "((?:\\s+(?:START(?:\\s+WITH)?|INCREMENT(?:\\s+BY)?)\\s+-?\\d+)*)" +
+      "\\s*;?\\s*$").r
+  private val DropSeqRe =
+    ("(?is)^\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_]\\w*)\\s*;?\\s*$").r
+  private val SeqCallKeyword =
+    "(?is).*\\b(nextval|currval)\\s*\\(.*".r
+
+  private final class SeqState(start: Long, inc: Long) {
+    private val next = new java.util.concurrent.atomic.AtomicLong(start)
+    private val last =
+      new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+    def nextval(): Long = {
+      val v = next.getAndAdd(inc); last.set(Some(v)); v
+    }
+    def currval(name: String): Long = last.get.getOrElse(
+      throw new IllegalArgumentException(
+        s"currval('$name'): nextval has not been called in this session"))
+  }
+  private val sequences = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, SeqState]]())
+  private def seqsOf(s: SparkSession) = sequences.synchronized {
+    var m = sequences.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, SeqState]
+      sequences.put(s, m)
+    }
+    m
+  }
+
+  private def createSequence(s: SparkSession, orReplace: Boolean,
+      ifNotExists: Boolean, name: String, opts: String): Unit = {
+    val start = "(?i)START(?:\\s+WITH)?\\s+(-?\\d+)".r
+      .findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+    val inc = "(?i)INCREMENT(?:\\s+BY)?\\s+(-?\\d+)".r
+      .findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+    require(inc != 0, s"CREATE SEQUENCE $name: INCREMENT must be nonzero")
+    if (orReplace) { seqsOf(s).put(name.toLowerCase,
+      new SeqState(start, inc)); () }
+    else {
+      val existed = seqsOf(s).putIfAbsent(name.toLowerCase,
+        new SeqState(start, inc)).isDefined
+      require(!existed || ifNotExists, s"sequence $name already exists")
+    }
+  }
+
+  /** Substitute nextval('s')/currval('s') occurrences (outside string
+    * literals) with the counter's typed literal values, left to right.
+    * Returns the text unchanged when no real occurrence exists.
+    */
+  private def rewriteSeqCalls(s: SparkSession, st: String): String = {
+    val callRe = "(?i)\\b(nextval|currval)\\s*\\(\\s*'([^']*)'\\s*\\)".r
+    // quote-parity check per match; replace left-to-right
+    val sb = new StringBuilder
+    var pos = 0
+    var changed = false
+    for (m <- callRe.findAllMatchIn(st)) {
+      if (st.substring(0, m.start).count(_ == '\'') % 2 == 0) {
+        // currval is CONSTANT for the statement (the last value
+        // returned) — safe to substitute anywhere; only nextval's
+        // per-evaluation-site advancement clashes with row-producing
+        // queries.
+        require(m.group(1).equalsIgnoreCase("currval") ||
+            "(?i)\\bFROM\\b".r.findFirstIn(
+              stripLiteralBodies(st)).isEmpty,
+          s"${m.group(1)} in a row-producing query is not supported — " +
+            "sequences advance per evaluation site, which is inherently " +
+            "serial; use row_number() over a window (q35 idiom) or " +
+            "monotonically_increasing_id for distributed id assignment")
+        val seq = seqsOf(s).getOrElse(m.group(2).toLowerCase,
+          throw new IllegalArgumentException(
+            s"no sequence named ${m.group(2)} (CREATE SEQUENCE first; " +
+              "sequences are session-scoped)"))
+        val v = if (m.group(1).equalsIgnoreCase("nextval")) seq.nextval()
+          else seq.currval(m.group(2))
+        sb ++= st.substring(pos, m.start)
+        sb ++= s"CAST($v AS BIGINT)"
+        pos = m.end
+        changed = true
+      }
+    }
+    if (!changed) st else { sb ++= st.substring(pos); sb.toString }
+  }
 
   private def runInstallLoad(s: SparkSession, verb: String,
       ext: String): Unit = {
@@ -1360,6 +1481,30 @@ object LakeSql {
       runInstallLoad(s,
         if (force != null) "FORCE INSTALL" else "INSTALL", ext)
       s.emptyDataFrame
+    case CheckpointRe(force) =>
+      require(lenientSet(s),
+        "CHECKPOINT flushes DuckDB's WAL; lake commits are already " +
+          "durable, and the small-file analog is explicit (OPTIMIZE " +
+          "<t> / the s17 compact path). Set spark.graft.sql." +
+          "lenientSet=true to warn-and-ignore it in migration scripts.")
+      System.err.println("graft: ignoring " +
+        (if (force != null) "FORCE CHECKPOINT" else "CHECKPOINT") +
+        " (lake commits are durable; lenientSet on)")
+      s.emptyDataFrame
+    // DuckDB's bare `TRUNCATE t` (no TABLE keyword) — normalize to the
+    // Spark grammar and re-enter
+    case BareTruncateRe(name) =>
+      sqlDispatch(s, s"TRUNCATE TABLE $name")
+    case CreateSeqRe(orReplace, ifNotExists, name, opts) =>
+      requireNoTxn(s, "CREATE SEQUENCE")
+      createSequence(s, orReplace != null, ifNotExists != null, name,
+        Option(opts).getOrElse(""))
+      s.emptyDataFrame
+    case DropSeqRe(ifExists, name) =>
+      requireNoTxn(s, "DROP SEQUENCE")
+      require(seqsOf(s).remove(name.toLowerCase).isDefined ||
+        ifExists != null, s"sequence $name does not exist")
+      s.emptyDataFrame
     case LoadExtRe(ext) =>
       runInstallLoad(s, "LOAD", ext)
       s.emptyDataFrame
@@ -1437,9 +1582,18 @@ object LakeSql {
       // stored view text keeps generate_series(...) and re-binds on
       // every read. The gate is ANY series token (not just FROM/JOIN
       // position) so scalar-list forms route too (round 15).
-      val st = if ("(?is).*\\b(generate_series|range)\\s*\\(.*".r
+      val st2 = if ("(?is).*\\b(generate_series|range)\\s*\\(.*".r
             .matches(st1) && !CreateViewKeyword.matches(st1))
         rewriteSeriesFunctions(s, st1) else st1
+      // Sequence calls substitute ONCE here (the rewrite ADVANCES the
+      // counters, so it must never run twice on one statement — a
+      // guard-then-rewrite case pattern would); the substituted text
+      // re-enters the full dispatch like any other rewrite.
+      val seqRewritten =
+        if (SeqCallKeyword.matches(st2) && seqsOf(s).nonEmpty)
+          rewriteSeqCalls(s, st2) else st2
+      if (seqRewritten ne st2) return sql(s, seqRewritten)
+      val st = st2
       st match {
         // EXPLAIN ANALYZE must route before plain EXPLAIN (whose regex
         // would otherwise swallow ANALYZE into the inner statement).
@@ -6887,6 +7041,88 @@ object LakeSql {
           DeltaLite.renameColumn(s, path, column.name.head, newName)
         else IcebergLite.renameColumn(s, path, column.name.head, newName)
         s.emptyDataFrame
+      // ALTER TABLE … DROP COLUMN (r16): metadata-only on either
+      // format — Delta via column mapping (surviving fields keep
+      // resolving to physical names), Iceberg via a new current
+      // schema (readers project by field id). Zero data IO at any
+      // table size; files keep the orphan column until compaction.
+      case org.apache.spark.sql.catalyst.plans.logical
+          .DropColumns(tbl, cols, ifExists) =>
+        val (provider, path) = lookupAlterTarget(s, tbl)
+        cols.foreach { c =>
+          require(c.name.length == 1,
+            s"only top-level columns can be dropped, got ${c.name}")
+          val name = c.name.head
+          val have =
+            if (provider == "deltalite")
+              DeltaLite.snapshot(s, path).schema.fieldNames
+            else IcebergLite.snapshot(s, path).schema.fieldNames
+          if (have.contains(name)) {
+            if (provider == "deltalite") DeltaLite.dropColumn(s, path, name)
+            else IcebergLite.dropColumn(s, path, name)
+          } else require(ifExists, s"no column $name")
+        }
+        s.emptyDataFrame
+      // ALTER TABLE … RENAME TO (r16): a catalog-level re-binding —
+      // the data does not move; the op log records drop+register so
+      // the rename is durable and visible to later sessions.
+      case org.apache.spark.sql.catalyst.plans.logical
+          .RenameTable(child, newNameParts, _) =>
+        val parts = child match {
+          case u: UnresolvedIdentifier => u.nameParts
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView => u.multipartIdentifier
+          case other => throw new IllegalArgumentException(
+            s"unsupported RENAME target: $other")
+        }
+        require(parts.length == 1 && newNameParts.length == 1,
+          "RENAME TO supports unqualified names in the primary catalog")
+        val (oldName, newName) = (parts.head, newNameParts.head)
+        val entry = catalog(s).getOrElse(oldName,
+          throw new IllegalArgumentException(
+            s"RENAME: $oldName is not in the catalog"))
+        require(!catalog(s).contains(newName),
+          s"RENAME: $newName already exists")
+        dropEntry(s, oldName)
+        registerEntry(s, newName, entry._1, entry._2)
+        recordCatalogUndo(s) {
+          dropEntry(s, newName)
+          registerEntry(s, oldName, entry._1, entry._2)
+        }
+        s.emptyDataFrame
+      // TRUNCATE TABLE (r16): an atomic empty overwrite — old files
+      // stay time-travelable, exactly DuckDB's semantics plus the lake
+      // formats' history. Returns the removed-row count (DuckDB's
+      // result shape).
+      case org.apache.spark.sql.catalyst.plans.logical
+          .TruncateTable(child) =>
+        import s.implicits._
+        val parts = child match {
+          case u: UnresolvedIdentifier => u.nameParts
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView => u.multipartIdentifier
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTable => u.multipartIdentifier
+          case other => throw new IllegalArgumentException(
+            s"unsupported TRUNCATE target: $other")
+        }
+        require(parts.length == 1,
+          "TRUNCATE supports unqualified names in the primary catalog")
+        val (provider, path) = catalog(s).get(parts.head) match {
+          case Some(("view", _)) => throw new IllegalArgumentException(
+            s"${parts.head} is a view — TRUNCATE targets lake tables")
+          case Some(pp) => pp
+          case None => throw new IllegalArgumentException(
+            s"TRUNCATE: table ${parts.head} not in catalog")
+        }
+        recordTableTouch(s, provider, path)
+        val snap = if (provider == "iceberglite")
+          IcebergLite.snapshot(s, path) else DeltaLite.snapshot(s, path)
+        val n = snap.count()
+        val empty = snap.limit(0)
+        if (provider == "iceberglite") IcebergLite.overwrite(s, path, empty)
+        else DeltaLite.overwrite(s, path, empty)
+        Seq(n).toDF("count")
       case plan if plan.collectWithSubqueries {
           case _: RelationTimeTravel => () }.nonEmpty =>
         // Time-travel query path: `name VERSION AS OF v` cannot bind

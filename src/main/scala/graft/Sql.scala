@@ -3323,7 +3323,61 @@ object Sql {
         UNION ALL
         SELECT 'ice' AS phase, c_custkey, c_name, bal, c_nationkey
         FROM x125_t
-        ORDER BY phase, c_custkey"""))
+        ORDER BY phase, c_custkey""")),
+
+      // ------------------------------------------------------------ x126
+      // DDL lifecycle (r16): ALTER TABLE RENAME TO (catalog-level
+      // re-binding, data unmoved), ALTER TABLE DROP COLUMN (metadata-
+      // only — Delta column mapping / Iceberg schema evolution; files
+      // keep the orphan column, field ids never reused so a re-added
+      // name is all-null), TRUNCATE (atomic empty overwrite, history
+      // intact), CREATE SEQUENCE + nextval (session counters; per-
+      // occurrence substitution in constant contexts, row-producing
+      // queries refuse naming the distributed idiom). The oracle runs
+      // the SAME DDL natively on a DuckDB temp table — rename, drop
+      // column, sequence inserts, truncate all cross-checked engine-
+      // to-engine, like x125.
+      GQuery("x126_sql_ddl_lifecycle", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val root = graft.util.Scratch.dir("x126")
+        LakeSql.sql(s, s"""CREATE TABLE ddl0_$tag USING deltalite
+          LOCATION '$root/t_$tag'
+          AS SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r
+             FROM nation""")
+        LakeSql.sql(s, s"ALTER TABLE ddl0_$tag RENAME TO ddl1_$tag")
+        LakeSql.sql(s, s"ALTER TABLE ddl1_$tag DROP COLUMN nm")
+        LakeSql.sql(s,
+          s"CREATE SEQUENCE sq_$tag START 100 INCREMENT 10")
+        LakeSql.sql(s, s"""INSERT INTO ddl1_$tag VALUES
+          (nextval('sq_$tag'), -1), (nextval('sq_$tag'), -2)""")
+        LakeSql.sql(s, s"""CREATE TABLE ddlt_$tag USING deltalite
+          LOCATION '$root/tt_$tag' AS SELECT 1 AS x""")
+        LakeSql.sql(s, s"TRUNCATE ddlt_$tag")
+        val out = LakeSql.sql(s, s"""
+          SELECT k, r, (SELECT COUNT(*) FROM ddlt_$tag) AS trunc_left,
+                 (SELECT currval('sq_$tag')) AS seq_last
+          FROM ddl1_$tag ORDER BY k""")
+        out.count() // materialize before DROP
+        LakeSql.sql(s, s"DROP TABLE ddl1_$tag")
+        LakeSql.sql(s, s"DROP TABLE ddlt_$tag")
+        LakeSql.sql(s, s"DROP SEQUENCE sq_$tag")
+        out
+      }, Some("""
+        CREATE OR REPLACE TEMP TABLE x126_t AS
+          SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r
+          FROM nation;
+        ALTER TABLE x126_t RENAME TO x126_u;
+        ALTER TABLE x126_u DROP COLUMN nm;
+        CREATE OR REPLACE SEQUENCE x126_sq START 100 INCREMENT 10;
+        INSERT INTO x126_u VALUES
+          (nextval('x126_sq'), -1), (nextval('x126_sq'), -2);
+        CREATE OR REPLACE TEMP TABLE x126_tt AS SELECT 1 AS x;
+        TRUNCATE x126_tt;
+        SELECT k, r, (SELECT COUNT(*) FROM x126_tt) AS trunc_left,
+               (SELECT currval('x126_sq')) AS seq_last
+        FROM x126_u ORDER BY k"""))
     )
   }
 

@@ -1507,8 +1507,22 @@ object DeltaLite {
     val st = replay(s, table, v)
     require(!st.schema.fieldNames.contains(name),
       s"column $name already exists")
-    val widened = StructType(st.schema.fields :+
-      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    // On a COLUMN-MAPPED table the new field gets a FRESH physical
+    // name: an unstamped field would resolve by its logical name and
+    // alias any same-named column still present in old data files —
+    // i.e. a re-added name after DROP COLUMN would resurrect the
+    // dropped data (r16 DDL-lifecycle spec caught exactly this).
+    val newField = {
+      val base = org.apache.spark.sql.types
+        .StructField(name, dataType, nullable = true)
+      if (hasMapping(st.schema))
+        base.copy(metadata = new MetadataBuilder()
+          .putString(PhysKey,
+            s"$name-${java.util.UUID.randomUUID().toString.take(8)}")
+          .build())
+      else base
+    }
+    val widened = StructType(st.schema.fields :+ newField)
     writeCommit(s, table, v + 1,
       Seq(metaDataAction(table, widened.json, st.partCols, st.config)),
       operation = "ADD COLUMNS")
@@ -1569,6 +1583,60 @@ object DeltaLite {
       upgrade :+ metaDataAction(table, renamed.json, st.partCols,
         st.config),
       operation = "RENAME COLUMN")
+  }
+
+  /** DROP a column via COLUMN MAPPING: one metadata-only commit, zero
+    * data IO at any table size. The table upgrades to name-mode
+    * mapping (like [[renameColumn]]) so every surviving field keeps
+    * resolving to its physical name; existing files simply carry the
+    * dropped physical column as dead weight until [[compact]] rewrites
+    * them. Guards mirror renameColumn: partition columns refuse (their
+    * name IS the layout), columns referenced by generation expressions
+    * or CHECK constraints refuse (stored SQL would silently break),
+    * and the last column refuses (an empty schema is not a table).
+    * Field ids are not reused — a later ADD COLUMN of the same name is
+    * a NEW (all-null) column, never the old data resurrecting, because
+    * the new field's physical name is freshly stamped.
+    */
+  def dropColumn(s: SparkSession, table: String, name: String): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val schema = st.schema
+    require(schema.fieldNames.contains(name), s"no column $name")
+    require(schema.fields.length > 1,
+      s"cannot drop $name: it is the table's only column")
+    require(!st.partCols.contains(name),
+      s"cannot drop partition column $name (its name is the " +
+        "directory layout — stated simplification)")
+    def refs(exprText: String): Boolean =
+      s.sessionState.sqlParser.parseExpression(exprText).collect {
+        case a: UnresolvedAttribute => a.name
+      }.exists(_.equalsIgnoreCase(name))
+    val genRefs = generatedColsOf(schema)
+      .filter { case (g, gx, _) => g != name && refs(gx) }.map(_._1)
+    require(genRefs.isEmpty,
+      s"cannot drop $name: generated column(s) " +
+        s"${genRefs.mkString(", ")} derive from it")
+    val conRefs = st.constraints.filter { case (_, c) => refs(c) }.map(_._1)
+    require(conRefs.isEmpty,
+      s"cannot drop $name: CHECK constraint(s) " +
+        s"${conRefs.mkString(", ")} reference it — drop them first")
+    val upgraded = StructType(schema.fields.map { fd =>
+      if (fd.metadata.contains(PhysKey)) fd
+      else fd.copy(metadata = new MetadataBuilder()
+        .withMetadata(fd.metadata).putString(PhysKey, fd.name).build())
+    })
+    val dropped = StructType(upgraded.fields.filterNot(_.name == name))
+    // a physical new-name stamp for the dropped field is irrelevant —
+    // the field is gone from the schema; files keep the orphan column
+    val upgrade =
+      if (hasMapping(schema)) Nil
+      else Seq(columnMappingProtocolAction)
+    writeCommit(s, table, v + 1,
+      upgrade :+ metaDataAction(table, dropped.json, st.partCols,
+        st.config),
+      operation = "DROP COLUMNS")
   }
 
   /** ADD a CHECK constraint (the protocol's `delta.constraints.<name>`

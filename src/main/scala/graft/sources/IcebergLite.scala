@@ -994,6 +994,30 @@ object IcebergLite {
       currentSchemaId = next.schemaId))
   }
 
+  /** DROP a column: metadata-only — a new schema WITHOUT the field
+    * becomes current. Existing files keep the column as dead weight
+    * (readers project by field id, so they never see it); field ids
+    * are never reused, so a later ADD COLUMN of the same name is a
+    * NEW all-null column, never the old data resurrecting. Partition
+    * source columns refuse (their name is baked into some spec's
+    * layout); the last column refuses.
+    */
+  def dropColumn(s: SparkSession, table: String, name: String): Unit = {
+    val meta = readMeta(s, table)
+    val cur = meta.currentSchema
+    require(cur.fields.exists(_.name == name), s"no column $name")
+    require(cur.fields.length > 1,
+      s"cannot drop $name: it is the table's only column")
+    require(!meta.partSpecs.exists(_._2.exists(pc =>
+      pc.name == name || pc.source == name)),
+      s"cannot drop partition column $name (its name is baked into " +
+        "some spec's data/k=v/ layout)")
+    val next = IceSchema(meta.schemas.map(_.schemaId).max + 1,
+      cur.fields.filterNot(_.name == name))
+    writeMetadata(s, table, meta.copy(schemas = meta.schemas :+ next,
+      currentSchemaId = next.schemaId))
+  }
+
   /** ADD a nullable column: metadata-only; the new field takes a FRESH
     * id (ids are never reused — Iceberg's guard against a dropped
     * column's old data resurrecting under a new column of the same

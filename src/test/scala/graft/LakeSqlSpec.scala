@@ -3116,6 +3116,106 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(s, "DROP TABLE dnl_t")
   }
 
+  test("DDL lifecycle r16: TRUNCATE (atomic empty overwrite, count " +
+      "result, time travel intact), ALTER TABLE RENAME TO (catalog " +
+      "re-binding), DROP COLUMN (metadata-only on both formats, " +
+      "re-added name reads all-null), CHECKPOINT tier") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("ddllife")
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"dl_${provider.take(4)}"
+      LakeSql.sql(s, s"""CREATE TABLE $t USING $provider
+        LOCATION '$base/$t'
+        AS SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r
+           FROM nation""")
+      // DROP COLUMN: metadata-only; remaining columns read fine
+      LakeSql.sql(s, s"ALTER TABLE $t DROP COLUMN nm")
+      val sch = LakeSql.table(s, t).schema.fieldNames.toSeq
+      assert(sch == Seq("k", "r"), sch.toString)
+      assert(LakeSql.sql(s, s"SELECT SUM(k) AS x FROM $t")
+        .head.getLong(0) == 300L)
+      // dropping a missing column refuses; IF EXISTS is quiet
+      intercept[Exception](LakeSql.sql(s, s"ALTER TABLE $t DROP COLUMN nope"))
+      LakeSql.sql(s, s"ALTER TABLE $t DROP COLUMN IF EXISTS nope")
+      // a re-added column of the SAME NAME is new and all-null —
+      // dropped data never resurrects
+      LakeSql.sql(s, s"ALTER TABLE $t ADD COLUMNS (nm STRING)")
+      assert(LakeSql.sql(s,
+        s"SELECT COUNT(nm) AS n FROM $t").head.getLong(0) == 0L)
+      // RENAME TO: same data under the new name, old name gone
+      LakeSql.sql(s, s"ALTER TABLE $t RENAME TO ${t}_rn")
+      assert(LakeSql.sql(s, s"SELECT COUNT(*) AS n FROM ${t}_rn")
+        .head.getLong(0) == 25L)
+      intercept[Exception](
+        LakeSql.sql(s, s"SELECT COUNT(*) AS n FROM $t").collect())
+      // TRUNCATE: returns removed count; table empty; history intact
+      val n = LakeSql.sql(s, s"TRUNCATE TABLE ${t}_rn").head.getLong(0)
+      assert(n == 25L)
+      assert(LakeSql.sql(s, s"SELECT COUNT(*) AS n FROM ${t}_rn")
+        .head.getLong(0) == 0L)
+      LakeSql.sql(s, s"DROP TABLE ${t}_rn")
+    }
+    // bare TRUNCATE <t> (DuckDB spelling, no TABLE keyword) also routes
+    LakeSql.sql(s, s"""CREATE TABLE dl_bare USING deltalite
+      LOCATION '$base/dl_bare' AS SELECT 1 AS a""")
+    assert(LakeSql.sql(s, "TRUNCATE dl_bare").head.getLong(0) == 1L)
+    LakeSql.sql(s, "DROP TABLE dl_bare")
+    // CHECKPOINT: refuse by default naming the analog; lenient ignores
+    val ec = intercept[IllegalArgumentException](LakeSql.sql(s, "CHECKPOINT"))
+    assert(ec.getMessage.contains("OPTIMIZE"), ec.getMessage)
+    s.conf.set("spark.graft.sql.lenientSet", "true")
+    try { LakeSql.sql(s, "CHECKPOINT"); LakeSql.sql(s, "FORCE CHECKPOINT") }
+    finally s.conf.set("spark.graft.sql.lenientSet", "false")
+  }
+
+  test("CREATE SEQUENCE / nextval / currval: session counters, START/" +
+      "INCREMENT honored, per-occurrence substitution in constant " +
+      "contexts, row-producing queries refuse naming the distributed " +
+      "idiom, literals survive, DROP SEQUENCE") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    LakeSql.sql(s, "CREATE SEQUENCE sq1 START 5 INCREMENT 2")
+    val r1 = LakeSql.sql(s,
+      "SELECT nextval('sq1') AS a, nextval('sq1') AS b").head
+    assert(r1.getLong(0) == 5L && r1.getLong(1) == 7L, r1.toString)
+    assert(LakeSql.sql(s, "SELECT currval('sq1') AS c")
+      .head.getLong(0) == 7L)
+    // sequence values flow into DML (the migration id-assignment shape)
+    val base = graft.util.Scratch.dir("seqdml")
+    LakeSql.sql(s, s"""CREATE TABLE sq_t USING deltalite
+      LOCATION '$base/sq_t' AS SELECT CAST(0 AS BIGINT) AS id,
+      'seed' AS v""")
+    LakeSql.sql(s, "INSERT INTO sq_t VALUES (nextval('sq1'), 'x')")
+    LakeSql.sql(s, "INSERT INTO sq_t VALUES (nextval('sq1'), 'y')")
+    val ids = LakeSql.sql(s,
+      "SELECT id FROM sq_t WHERE id > 0 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(9L, 11L), ids.toString)
+    // a literal containing the spelling is untouched
+    assert(LakeSql.sql(s, "SELECT 'nextval(''sq1'')' AS t")
+      .head.getString(0) == "nextval('sq1')")
+    // row-producing queries refuse with the named idiom
+    val er = intercept[IllegalArgumentException](LakeSql.sql(s,
+      "SELECT nextval('sq1') AS id, n_name FROM nation"))
+    assert(er.getMessage.contains("row_number"), er.getMessage)
+    // guards: unknown sequence, duplicate create, IF NOT EXISTS, DROP
+    intercept[IllegalArgumentException](
+      LakeSql.sql(s, "SELECT nextval('nosuch') AS x"))
+    intercept[IllegalArgumentException](
+      LakeSql.sql(s, "CREATE SEQUENCE sq1"))
+    LakeSql.sql(s, "CREATE SEQUENCE IF NOT EXISTS sq1")
+    LakeSql.sql(s, "DROP SEQUENCE sq1")
+    intercept[IllegalArgumentException](LakeSql.sql(s, "DROP SEQUENCE sq1"))
+    LakeSql.sql(s, "DROP SEQUENCE IF EXISTS sq1")
+    // currval before any nextval is a loud error
+    LakeSql.sql(s, "CREATE SEQUENCE sq2")
+    intercept[IllegalArgumentException](
+      LakeSql.sql(s, "SELECT currval('sq2') AS c"))
+    LakeSql.sql(s, "DROP SEQUENCE sq2")
+    LakeSql.sql(s, "DROP TABLE sq_t")
+  }
+
   test("INSTALL/LOAD extension tier: refused by default NAMING the " +
       "native equivalent; warn-ignored under lenientSet (all " +
       "spellings: INSTALL, FORCE INSTALL, FROM repo, quoted, LOAD); " +
