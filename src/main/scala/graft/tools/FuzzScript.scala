@@ -50,7 +50,7 @@ object FuzzScript {
     }
     val finalSelect =
       s"SELECT k, g, v, s FROM $t ORDER BY k, g, v, s"
-    r.nextInt(10) match {
+    r.nextInt(11) match {
       case 0 => // txn ROLLBACK: DML unwinds, final state = CTAS state
         s"""$ctas;
            |BEGIN TRANSACTION;
@@ -149,6 +149,28 @@ object FuzzScript {
            |  CAST(${intExpr(r, cols)} AS BIGINT) AS v
            |FROM $table WHERE $key <= ? ORDER BY $key;
            |EXECUTE $p(${keyCap / (1 + r.nextInt(3))})""".stripMargin
+      case 10 => // DDL lifecycle (x126): RENAME TO + DROP COLUMN +
+        // sequence-id inserts (+ optional TRUNCATE restart) — the
+        // same statements DuckDB runs natively
+        val u = s"fz${i}_u"; val sq = s"fz${i}_sq"
+        val start = 100 + r.nextInt(900); val inc = 1 + r.nextInt(9)
+        val trunc = if (r.nextBoolean()) s"TRUNCATE $u;\n" else ""
+        // own CTAS: g must be VARCHAR so the sequence-id VALUES rows
+        // type-check on every base table (n_regionkey is INT)
+        val ctas10 =
+          s"CREATE TABLE $t AS SELECT $key AS k, " +
+            s"CAST($group AS VARCHAR) AS g, " +
+            s"CAST(${intExpr(r, cols)} AS BIGINT) AS v, " +
+            s"${strExpr(r, cols)} AS s FROM $table WHERE $key <= $keyCap"
+        s"""$ctas10;
+           |ALTER TABLE $t RENAME TO $u;
+           |ALTER TABLE $u DROP COLUMN s;
+           |${trunc}CREATE SEQUENCE $sq START $start INCREMENT $inc;
+           |INSERT INTO $u VALUES
+           |  (nextval('$sq'), '${pick(r, Seq("aa", "bb", "cc"))}',
+           |   CAST(currval('$sq') AS BIGINT)),
+           |  (nextval('$sq'), 'zz', CAST(-1 AS BIGINT));
+           |SELECT k, g, v FROM $u ORDER BY k, g, v""".stripMargin
       case 9 => // join-DML: UPDATE … FROM / DELETE … USING (x125) —
         // grouped/keyed sources, so multi-match never trips the guard
         val mm = 2 + r.nextInt(4)
