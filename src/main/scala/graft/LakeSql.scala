@@ -400,6 +400,70 @@ object LakeSql {
   private val BareTruncateRe =
     "(?is)^\\s*TRUNCATE\\s+(?!TABLE\\b)([A-Za-z_]\\w*)\\s*;?\\s*$".r
 
+  // ---- OPTIMIZE / VACUUM / ANALYZE at the text entry ----------------
+  // The maintenance surface the engine's own messages point at (s11/
+  // s17/s18/s50 had API-only spellings until r16). OPTIMIZE <t>
+  // bin-packs small files; OPTIMIZE <t> ZORDER BY (cols) is s18's
+  // Morton-order rewrite (deltalite; iceberglite refuses naming the
+  // delta path); VACUUM <t> [RETAIN n VERSIONS] garbage-collects
+  // unreferenced files (Delta vacuum / Iceberg expireSnapshots). Bare
+  // VACUUM / ANALYZE / VACUUM ANALYZE (DuckDB's whole-database
+  // maintenance) warn-ignore under lenientSet naming the per-table
+  // statements — whole-catalog maintenance at 100 TB is a scheduled
+  // job per table, never one blocking statement.
+  private val BareMaintRe =
+    "(?is)^\\s*(VACUUM\\s+ANALYZE|VACUUM|ANALYZE)\\s*;?\\s*$".r
+  private val OptimizeRe =
+    ("(?is)^\\s*OPTIMIZE\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?" +
+      "(?:\\s+TARGET\\s+(\\d+)\\s+FILES?)?\\s*;?\\s*$").r
+  private val VacuumTableRe =
+    ("(?is)^\\s*VACUUM\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS?)?\\s*;?\\s*$").r
+
+  private def maintTarget(s: SparkSession, what: String,
+      tbl: String): (String, String) = catalog(s).get(tbl) match {
+    case Some(("view", _)) => throw new IllegalArgumentException(
+      s"$tbl is a view — $what targets lake tables")
+    case Some(pp) => pp
+    case None => throw new IllegalArgumentException(
+      s"$what: table $tbl not in catalog")
+  }
+
+  private def runOptimize(s: SparkSession, tbl: String,
+      zcolsRaw: String, targetRaw: String): DataFrame = {
+    val (provider, path) = maintTarget(s, "OPTIMIZE", tbl)
+    requireNoTxn(s, "OPTIMIZE") // physical rewrite; not undoable cheaply
+    val target = Option(targetRaw).map(_.toInt).getOrElse(
+      math.max(1, s.sparkContext.defaultParallelism / 8))
+    Option(zcolsRaw) match {
+      case Some(raw) =>
+        val cols = raw.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "ZORDER BY needs at least one column")
+        require(provider == "deltalite",
+          "OPTIMIZE … ZORDER BY is the deltalite Morton-order rewrite " +
+            s"(s18); $tbl uses $provider — convert or use plain OPTIMIZE")
+        DeltaLite.compactZOrder(s, path, cols.toSeq, target)
+      case None =>
+        if (provider == "deltalite") DeltaLite.compact(s, path, target)
+        else { IcebergLite.compact(s, path, target); () }
+    }
+    s.emptyDataFrame
+  }
+
+  private def runVacuumTable(s: SparkSession, tbl: String,
+      retainRaw: String): DataFrame = {
+    import s.implicits._
+    val (provider, path) = maintTarget(s, "VACUUM", tbl)
+    requireNoTxn(s, "VACUUM") // deletes files; time travel shrinks
+    val retain = Option(retainRaw).map(_.toInt).getOrElse(1)
+    val n =
+      if (provider == "deltalite")
+        DeltaLite.vacuum(s, path, retainVersions = retain)
+      else IcebergLite.expireSnapshots(s, path, retain = retain)
+    Seq(n.toString.toLong).toDF("files_removed")
+  }
+
   // ---- CREATE SEQUENCE / nextval / currval ---------------------------
   // DuckDB sequences, SESSION-scoped: the definition registers a
   // counter; nextval('s')/currval('s') substitute as typed literals at
@@ -1099,6 +1163,8 @@ object LakeSql {
     """(?is)\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
   private val ShowTablesRe =
     """(?is)\s*SHOW\s+(?:ALL\s+)?TABLES\s*;?\s*""".r
+  private val ShowDatabasesRe =
+    """(?is)\s*SHOW\s+DATABASES\s*;?\s*""".r
 
   private def stripLiteralBodies(q: String): String = {
     val sb = new StringBuilder(q.length)
@@ -1495,6 +1561,22 @@ object LakeSql {
     // Spark grammar and re-enter
     case BareTruncateRe(name) =>
       sqlDispatch(s, s"TRUNCATE TABLE $name")
+    case BareMaintRe(verb) =>
+      require(lenientSet(s),
+        s"whole-database ${verb.toUpperCase} is not supported — " +
+          "per-table maintenance is explicit here: OPTIMIZE <t> " +
+          "[ZORDER BY (cols)] bin-packs/clusters, VACUUM <t> [RETAIN " +
+          "n VERSIONS] garbage-collects, SUMMARIZE <t> computes " +
+          "statistics. Set spark.graft.sql.lenientSet=true to " +
+          "warn-and-ignore it in migration scripts.")
+      System.err.println(
+        s"graft: ignoring ${verb.toUpperCase} (per-table maintenance " +
+          "is explicit; lenientSet on)")
+      s.emptyDataFrame
+    case OptimizeRe(tbl, zcols, target) =>
+      runOptimize(s, tbl, zcols, target)
+    case VacuumTableRe(tbl, retain) =>
+      runVacuumTable(s, tbl, retain)
     case CreateSeqRe(orReplace, ifNotExists, name, opts) =>
       requireNoTxn(s, "CREATE SEQUENCE")
       createSequence(s, orReplace != null, ifNotExists != null, name,
@@ -1557,6 +1639,13 @@ object LakeSql {
         .select(org.apache.spark.sql.functions.col("table_name")
           .as("name"))
         .orderBy("name")
+    case ShowDatabasesRe() =>
+      // DuckDB's SHOW DATABASES: one name per catalog — the primary
+      // ("main", DuckDB's own primary alias) plus every ATTACHed root.
+      catalogsMeta(s)
+        .select(org.apache.spark.sql.functions.col("catalog_name")
+          .as("database_name"))
+        .orderBy("database_name")
     case _ =>
       val stM = expandMacros(s, statement)
       // non-UTC timezone tier: epoch-grid rewrite families refuse
@@ -6769,6 +6858,66 @@ object LakeSql {
             properties = config)
           register(s, name, provider, loc)
           recordCatalogUndo(s) { dropEntry(s, name); () }
+        }
+        s.emptyDataFrame
+      // CREATE OR REPLACE TABLE … AS SELECT (r16): DuckDB's idempotent
+      // table-refresh idiom. An existing SAME-PROVIDER table is
+      // replaced by an atomic full overwrite — its location and
+      // HISTORY survive (the replaced content stays time-travelable),
+      // which is strictly more useful than drop+create and exactly
+      // what an idempotent refresh script wants. A missing table
+      // creates (the OR CREATE half); bare REPLACE TABLE on a missing
+      // name refuses; views refuse; provider changes refuse.
+      case org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTableAsSelect(UnresolvedIdentifier(nameParts, _),
+            partitioning, query, spec, _, orCreate, _) =>
+        require(nameParts.length == 1,
+          "CREATE OR REPLACE TABLE supports unqualified names in the " +
+            "primary catalog")
+        val name = nameParts.last
+        val (specProvider, specLocation, specProps) = spec match {
+          case t: TableSpec => (t.provider, t.location, t.properties)
+          case t: org.apache.spark.sql.catalyst.plans.logical
+              .UnresolvedTableSpec =>
+            (t.provider, t.location, t.properties)
+          case other => throw new IllegalArgumentException(
+            s"unsupported table spec: $other")
+        }
+        require(partitioning.isEmpty,
+          "partitioned CREATE OR REPLACE TABLE is not supported — " +
+            "create once with PARTITIONED BY, then INSERT OVERWRITE")
+        val df = Glue.dataFrame(s, query)
+        catalog(s).get(name) match {
+          case Some(("view", _)) => throw new IllegalArgumentException(
+            s"$name is a view — use CREATE OR REPLACE VIEW")
+          case Some((prov, path)) =>
+            require(specProvider.forall(_.equalsIgnoreCase(prov)),
+              s"$name already exists USING $prov — a replace cannot " +
+                "change the provider; DROP TABLE first")
+            require(specProps.isEmpty,
+              "TBLPROPERTIES on a replace of an existing table is not " +
+                "supported — properties travel with the table")
+            recordTableTouch(s, prov, path)
+            if (prov == "iceberglite") IcebergLite.overwrite(s, path, df)
+            else DeltaLite.overwrite(s, path, df)
+          case None =>
+            require(orCreate,
+              s"REPLACE TABLE: $name does not exist — use CREATE OR " +
+                "REPLACE TABLE")
+            val provider = specProvider.map(_.toLowerCase)
+              .getOrElse("deltalite")
+            require(Set("deltalite", "iceberglite").contains(provider),
+              s"unsupported provider $provider")
+            val loc = specLocation.getOrElse(
+              s"${s.sessionState.conf.warehousePath.stripSuffix("/")}/$name")
+            require(specProps.isEmpty,
+              "TBLPROPERTIES on CREATE OR REPLACE TABLE is not " +
+                "supported — declare keys on a plain CREATE TABLE")
+            if (provider == "deltalite")
+              DeltaLite.create(s, loc, df, Seq.empty)
+            else IcebergLite.create(s, loc, df, Seq.empty)
+            register(s, name, provider, loc)
+            recordCatalogUndo(s) { dropEntry(s, name); () }
         }
         s.emptyDataFrame
       case CreateTableAsSelect(UnresolvedIdentifier(nameParts, _),

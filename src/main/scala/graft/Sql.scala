@@ -3377,7 +3377,53 @@ object Sql {
         TRUNCATE x126_tt;
         SELECT k, r, (SELECT COUNT(*) FROM x126_tt) AS trunc_left,
                (SELECT currval('x126_sq')) AS seq_last
-        FROM x126_u ORDER BY k"""))
+        FROM x126_u ORDER BY k""")),
+
+      // ------------------------------------------------------------ x127
+      // Maintenance + idempotent refresh (r16): OPTIMIZE <t> [TARGET n
+      // FILES] bin-packs, OPTIMIZE … ZORDER BY clusters (s18), VACUUM
+      // <t> RETAIN n VERSIONS garbage-collects, and CREATE OR REPLACE
+      // TABLE refreshes IN PLACE (an overwrite commit — the replaced
+      // content stays time-travelable). Maintenance must never change
+      // answers, so the gated SELECT runs AFTER compact+vacuum+replace
+      // and must hash-match DuckDB replaying the same logical sequence
+      // with its native VACUUM and CREATE OR REPLACE TABLE.
+      GQuery("x127_sql_maintenance", (s, d) => {
+        open(s, d)
+        val tag = java.util.UUID.randomUUID().toString
+          .replace("-", "").take(8)
+        val root = graft.util.Scratch.dir("x127")
+        val t = s"maint_$tag"
+        LakeSql.sql(s, s"""CREATE TABLE $t USING deltalite
+          LOCATION '$root/$t'
+          AS SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+             FROM customer WHERE c_custkey <= 500""")
+        LakeSql.sql(s, s"""INSERT INTO $t
+          SELECT c_custkey + 1000, CAST(c_acctbal AS DOUBLE)
+          FROM customer WHERE c_custkey <= 100""")
+        LakeSql.sql(s, s"OPTIMIZE $t TARGET 1 FILES")
+        LakeSql.sql(s, s"OPTIMIZE $t ZORDER BY (c_custkey, bal)")
+        LakeSql.sql(s, s"VACUUM $t RETAIN 1 VERSIONS")
+        LakeSql.sql(s, s"""CREATE OR REPLACE TABLE $t AS
+          SELECT c_custkey, CAST(c_acctbal * 2 AS DOUBLE) AS bal
+          FROM customer WHERE c_custkey <= 200""")
+        val out = LakeSql.sql(s,
+          s"SELECT c_custkey, bal FROM $t ORDER BY c_custkey")
+        out.count() // materialize before DROP
+        LakeSql.sql(s, s"DROP TABLE $t")
+        out
+      }, Some("""
+        CREATE OR REPLACE TEMP TABLE x127_t AS
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer WHERE c_custkey <= 500;
+        INSERT INTO x127_t
+          SELECT c_custkey + 1000, CAST(c_acctbal AS DOUBLE)
+          FROM customer WHERE c_custkey <= 100;
+        VACUUM;
+        CREATE OR REPLACE TEMP TABLE x127_t AS
+          SELECT c_custkey, CAST(c_acctbal * 2 AS DOUBLE) AS bal
+          FROM customer WHERE c_custkey <= 200;
+        SELECT c_custkey, bal FROM x127_t ORDER BY c_custkey"""))
     )
   }
 

@@ -3169,6 +3169,78 @@ class LakeSqlSpec extends SparkSpec {
     finally s.conf.set("spark.graft.sql.lenientSet", "false")
   }
 
+  test("maintenance statements r16: OPTIMIZE bin-packs (file count " +
+      "drops, content identical), OPTIMIZE ZORDER BY routes to s18's " +
+      "rewrite, VACUUM RETAIN garbage-collects with a count result, " +
+      "bare VACUUM/ANALYZE tier; CREATE OR REPLACE TABLE refreshes " +
+      "in place (history survives) and creates when missing; SHOW " +
+      "DATABASES lists catalogs") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("maint")
+    LakeSql.sql(s, s"""CREATE TABLE mt_t USING deltalite
+      LOCATION '$base/mt_t'
+      AS SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 400""")
+    // fragment it with appends, then OPTIMIZE
+    for (i <- 1 to 3)
+      LakeSql.sql(s, s"""INSERT INTO mt_t
+        SELECT c_custkey + ${1000 * i}, c_acctbal FROM customer
+        WHERE c_custkey <= 50""")
+    val before = LakeSql.sql(s,
+      "SELECT CAST(SUM(c_custkey) AS BIGINT) AS sm, COUNT(*) AS n FROM mt_t")
+      .head
+    LakeSql.sql(s, "OPTIMIZE mt_t TARGET 1 FILES")
+    val after = LakeSql.sql(s,
+      "SELECT CAST(SUM(c_custkey) AS BIGINT) AS sm, COUNT(*) AS n FROM mt_t")
+      .head
+    assert(before == after, s"$before vs $after")
+    // ZORDER spelling routes (numeric cols); iceberg refuses naming delta
+    LakeSql.sql(s, "OPTIMIZE mt_t ZORDER BY (c_custkey, c_acctbal)")
+    assert(LakeSql.sql(s,
+      "SELECT CAST(SUM(c_custkey) AS BIGINT) AS sm FROM mt_t")
+      .head.getLong(0) == before.getLong(0))
+    // VACUUM returns a files_removed count (history shrank to 1 version)
+    val removed = LakeSql.sql(s, "VACUUM mt_t RETAIN 1 VERSIONS")
+      .head.getLong(0)
+    assert(removed >= 1, s"removed=$removed")
+    // bare maintenance verbs: refuse by default naming per-table ops
+    val em = intercept[IllegalArgumentException](LakeSql.sql(s, "VACUUM"))
+    assert(em.getMessage.contains("OPTIMIZE"), em.getMessage)
+    intercept[IllegalArgumentException](LakeSql.sql(s, "ANALYZE"))
+    s.conf.set("spark.graft.sql.lenientSet", "true")
+    try { LakeSql.sql(s, "VACUUM"); LakeSql.sql(s, "ANALYZE")
+      LakeSql.sql(s, "VACUUM ANALYZE") }
+    finally s.conf.set("spark.graft.sql.lenientSet", "false")
+    // CREATE OR REPLACE TABLE: in-place refresh, history survives
+    val vBefore = graft.sources.DeltaLite.latestVersion(s, s"$base/mt_t")
+    LakeSql.sql(s, """CREATE OR REPLACE TABLE mt_t AS
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 10""")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM mt_t")
+      .head.getLong(0) == 11L) // c_custkey 0..10
+    assert(graft.sources.DeltaLite.latestVersion(s, s"$base/mt_t")
+      > vBefore) // an overwrite COMMIT, not a wipe…
+    // …and the PRE-replace content is still time-travelable
+    assert(LakeSql.sql(s,
+      s"SELECT COUNT(*) AS n FROM mt_t VERSION AS OF $vBefore")
+      .head.getLong(0) == 303L) // 150 base + 3x51 appends (sf0.001)
+    // …and creates when missing; bare REPLACE TABLE on missing refuses
+    LakeSql.sql(s, s"""CREATE OR REPLACE TABLE mt_new USING deltalite
+      LOCATION '$base/mt_new' AS SELECT 1 AS a""")
+    assert(LakeSql.sql(s, "SELECT a FROM mt_new").head.getInt(0) == 1)
+    intercept[IllegalArgumentException](LakeSql.sql(s,
+      "REPLACE TABLE mt_missing AS SELECT 1 AS a"))
+    // provider change refuses
+    intercept[IllegalArgumentException](LakeSql.sql(s,
+      s"""CREATE OR REPLACE TABLE mt_new USING iceberglite
+          LOCATION '$base/mt_new2' AS SELECT 2 AS a"""))
+    // SHOW DATABASES: the primary catalog is present
+    val dbs = LakeSql.sql(s, "SHOW DATABASES").collect()
+      .map(_.getString(0)).toSeq
+    assert(dbs.contains("main"), dbs.toString)
+    LakeSql.sql(s, "DROP TABLE mt_t")
+    LakeSql.sql(s, "DROP TABLE mt_new")
+  }
+
   test("CREATE SEQUENCE / nextval / currval: session counters, START/" +
       "INCREMENT honored, per-occurrence substitution in constant " +
       "contexts, row-producing queries refuse naming the distributed " +
