@@ -544,9 +544,16 @@ object LakeSql {
         // returned) — safe to substitute anywhere; only nextval's
         // per-evaluation-site advancement clashes with row-producing
         // queries.
+        // Row-producing contexts: anything with a FROM, plus per-row
+        // DML heads (UPDATE ... SET / DELETE / MERGE evaluate their
+        // expressions once per target row even without a FROM — a
+        // single substituted literal would silently diverge from
+        // per-row sequence advancement).
+        val perRowHead =
+          "(?is)^\\s*(UPDATE|DELETE|MERGE)\\b".r.findFirstIn(st).isDefined
         require(m.group(1).equalsIgnoreCase("currval") ||
-            "(?i)\\bFROM\\b".r.findFirstIn(
-              stripLiteralBodies(st)).isEmpty,
+            (!perRowHead && "(?i)\\bFROM\\b".r.findFirstIn(
+              stripLiteralBodies(st)).isEmpty),
           s"${m.group(1)} in a row-producing query is not supported — " +
             "sequences advance per evaluation site, which is inherently " +
             "serial; use row_number() over a window (q35 idiom) or " +
@@ -2026,6 +2033,13 @@ object LakeSql {
   /** Index of the first DEPTH-0 occurrence of keyword `kw` (word-
     * bounded, case-insensitive) outside string literals, or -1.
     */
+  /** Word character for keyword-boundary tests: regex \b semantics —
+    * '_' is part of an identifier, so FROM never matches inside
+    * from_unixtime / x_from (was a misroute of plain UPDATEs whose
+    * SET/WHERE text contained such identifiers). */
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
   private def topLevelIndexOf(text: String, kw: String,
       from: Int = 0): Int = {
     var i = from
@@ -2044,9 +2058,9 @@ object LakeSql {
         case ')' => depth -= 1
         case _ =>
           if (depth == 0 && up.startsWith(kw.toUpperCase, i) &&
-              (i == 0 || !Character.isLetterOrDigit(text.charAt(i - 1))) &&
+              (i == 0 || !isWordChar(text.charAt(i - 1))) &&
               (i + kw.length >= text.length ||
-                !Character.isLetterOrDigit(text.charAt(i + kw.length)))) {
+                !isWordChar(text.charAt(i + kw.length)))) {
             return i
           }
       }
@@ -6050,36 +6064,54 @@ object LakeSql {
     require(assigns.nonEmpty, "UPDATE … FROM: empty SET list")
     require(assigns.map(_._1.toLowerCase).distinct.length == assigns.length,
       "UPDATE … FROM: a column is assigned twice")
-    // one source row per target row, or the SET replacement is
-    // ambiguous — count the join vs the semi-join (no row identity
-    // needed; both counts run in one statement)
-    val counts = sql(s, s"""SELECT
-      (SELECT COUNT(*) FROM $tbl AS $ta JOIN $srcSql AS $sa
-         ON ($cond)) AS nj,
-      (SELECT COUNT(*) FROM $tbl AS $ta LEFT SEMI JOIN $srcSql AS $sa
-         ON ($cond)) AS nm""").head
-    val (nj, nm) = (counts.getLong(0), counts.getLong(1))
-    require(nj == nm,
-      s"UPDATE … FROM: ${nj - nm} surplus match(es) — some target row " +
-        "matches more than one source row and SET replacement is " +
-        "ambiguous; dedup the source or tighten the condition (the " +
-        "MERGE one-source-row-per-target contract)")
-    if (nm > 0) {
-      val colsSql = schema.fields.map { f =>
-        assigns.find(_._1.equalsIgnoreCase(f.name)) match {
-          case Some((_, e)) =>
-            s"CASE WHEN $sa.__gf_m THEN CAST(($e) AS ${f.dataType.sql}) " +
-              s"ELSE $ta.${f.name} END AS ${f.name}"
-          case None => s"$ta.${f.name} AS ${f.name}"
-        }
-      }.mkString(", ")
-      val post = sql(s, s"""SELECT $colsSql FROM $tbl AS $ta
-        LEFT JOIN (SELECT __gf_src.*, TRUE AS __gf_m
-                   FROM $srcSql AS __gf_src) AS $sa ON ($cond)""")
-      if (provider == "iceberglite") IcebergLite.overwrite(s, path, post)
-      else DeltaLite.overwrite(s, path, post)
-    }
-    Seq(nm).toDF("count")
+    // Materialize the source ONCE (localCheckpoint) so the ambiguity
+    // check and the applied rewrite see the SAME rows even for a
+    // nondeterministic (rand()/now()) or concurrently-mutated source,
+    // and the statement costs one source evaluation instead of three.
+    // The source is the MERGE-contract small side; the target is never
+    // materialized.
+    val srcView = s"__gf_jdml_src_${java.util.UUID.randomUUID()
+      .toString.replace("-", "").take(12)}"
+    val srcDf = sql(s, s"SELECT * FROM $srcSql AS $sa").localCheckpoint()
+    srcDf.createOrReplaceTempView(srcView)
+    try {
+      // one source row per target row, or the SET replacement is
+      // ambiguous — ONE aggregate over ONE left join: nj = matched
+      // pairs, nm = distinct matched target rows (row identity from
+      // monotonically_increasing_id, stable within this single action)
+      val counts = sql(s, s"""SELECT
+          COUNT($sa.__gf_m) AS nj,
+          COUNT(DISTINCT IF($sa.__gf_m, $ta.__gf_rid, NULL)) AS nm
+        FROM (SELECT monotonically_increasing_id() AS __gf_rid, *
+              FROM $tbl) AS $ta
+        LEFT JOIN (SELECT *, TRUE AS __gf_m FROM $srcView) AS $sa
+          ON ($cond)""").head
+      val (nj, nm) = (counts.getLong(0), counts.getLong(1))
+      require(nj == nm,
+        s"UPDATE … FROM: ${nj - nm} surplus match(es) — some target row " +
+          "matches more than one source row and SET replacement is " +
+          "ambiguous; dedup the source or tighten the condition (the " +
+          "MERGE one-source-row-per-target contract)")
+      if (nm > 0) {
+        val colsSql = schema.fields.map { f =>
+          assigns.find(_._1.equalsIgnoreCase(f.name)) match {
+            case Some((_, e)) =>
+              s"CASE WHEN $sa.__gf_m THEN CAST(($e) AS ${f.dataType.sql}) " +
+                s"ELSE $ta.${f.name} END AS ${f.name}"
+            case None => s"$ta.${f.name} AS ${f.name}"
+          }
+        }.mkString(", ")
+        // nj == nm against the checkpointed source ⇒ the LEFT JOIN
+        // emits exactly one row per target row; the write plan carries
+        // exactly ONE join over the target (PlanShapeSpec-gated).
+        val post = sql(s, s"""SELECT $colsSql FROM $tbl AS $ta
+          LEFT JOIN (SELECT *, TRUE AS __gf_m FROM $srcView) AS $sa
+          ON ($cond)""")
+        if (provider == "iceberglite") IcebergLite.overwrite(s, path, post)
+        else DeltaLite.overwrite(s, path, post)
+      }
+      Seq(nm).toDF("count")
+    } finally s.catalog.dropTempView(srcView)
   }
 
   private[graft] def runDeleteUsing(s: SparkSession,
@@ -6098,17 +6130,25 @@ object LakeSql {
     val (srcSql, sa) = parseJoinDmlSource(srcSpec, "DELETE … USING")
     require(!sa.equalsIgnoreCase(ta),
       s"source alias $sa collides with the target alias")
-    val nDel = sql(s, s"""SELECT COUNT(*) AS n FROM $tbl AS $ta
-      LEFT SEMI JOIN $srcSql AS $sa ON ($cond)""").head.getLong(0)
-    if (nDel > 0) {
-      val keepCols = schema.fieldNames
-        .map(f => s"$ta.$f AS $f").mkString(", ")
-      val post = sql(s, s"""SELECT $keepCols FROM $tbl AS $ta
-        LEFT ANTI JOIN $srcSql AS $sa ON ($cond)""")
-      if (provider == "iceberglite") IcebergLite.overwrite(s, path, post)
-      else DeltaLite.overwrite(s, path, post)
-    }
-    Seq(nDel).toDF("count")
+    // Materialize the source once (same rationale as UPDATE … FROM):
+    // the count and the applied anti-join must see identical rows.
+    val srcView = s"__gf_jdml_src_${java.util.UUID.randomUUID()
+      .toString.replace("-", "").take(12)}"
+    val srcDf = sql(s, s"SELECT * FROM $srcSql AS $sa").localCheckpoint()
+    srcDf.createOrReplaceTempView(srcView)
+    try {
+      val nDel = sql(s, s"""SELECT COUNT(*) AS n FROM $tbl AS $ta
+        LEFT SEMI JOIN $srcView AS $sa ON ($cond)""").head.getLong(0)
+      if (nDel > 0) {
+        val keepCols = schema.fieldNames
+          .map(f => s"$ta.$f AS $f").mkString(", ")
+        val post = sql(s, s"""SELECT $keepCols FROM $tbl AS $ta
+          LEFT ANTI JOIN $srcView AS $sa ON ($cond)""")
+        if (provider == "iceberglite") IcebergLite.overwrite(s, path, post)
+        else DeltaLite.overwrite(s, path, post)
+      }
+      Seq(nDel).toDF("count")
+    } finally s.catalog.dropTempView(srcView)
   }
 
   private[graft] def runOnConflict(s: SparkSession,

@@ -91,24 +91,51 @@ object Dedup {
     */
   private val CapSampleFrac = 0.25
 
+  /** Below this cap the sampled detection is too noisy (the threshold
+    * is a handful of rows, std ≈ √mean), so [[capBuckets]] switches to
+    * an EXACT full-table groupBy count — correct at any cap, and small
+    * caps are the debug/spec regime where the extra aggregate is cheap.
+    */
+  private val ExactCapThreshold = 1000
+
   private def capBuckets(bt: DataFrame, corpusSize: => Long,
       sampledBands: => DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame =
     // EXACT short-circuit first: a corpus of ≤ maxBucket rows cannot
-    // have an over-full bucket, so the guard costs one count-pushdown
-    // scan and nothing else below the threshold (gate/bench data runs
-    // the record-shape plan; the planted-cluster spec still exercises
-    // the live path by passing a small cap).
+    // have an over-full bucket. `corpusSize` is zero-action on plain
+    // parquet scans (Scale.rowCountUpperBound sums footer record
+    // counts — no job), so below the threshold the guard costs
+    // metadata reads only and gate/bench data runs the record-shape
+    // plan; the planted-cluster spec still exercises the live path by
+    // passing a small cap.
     if (maxBucket <= 0 || corpusSize <= maxBucket) bt
     else {
       val kcols = keys.map(col)
-      val thresh = math.max(1L,
-        math.ceil(CapSampleFrac * maxBucket).toLong)
-      val hot = sampledBands.groupBy(kcols: _*)
-        .agg(count(lit(1)).as("_bn")).filter(col("_bn") >= thresh)
-        .select(kcols: _*)
+      val hot =
+        if (maxBucket < ExactCapThreshold)
+          // exact: the sample's Poisson noise dominates at small caps
+          bt.groupBy(kcols: _*)
+            .agg(count(lit(1)).as("_bn")).filter(col("_bn") > maxBucket)
+            .select(kcols: _*)
+        else {
+          val thresh = math.max(1L,
+            math.ceil(CapSampleFrac * maxBucket).toLong)
+          sampledBands.groupBy(kcols: _*)
+            .agg(count(lit(1)).as("_bn")).filter(col("_bn") >= thresh)
+            .select(kcols: _*)
+        }
       bt.join(broadcast(hot), keys, "left_anti")
     }
+
+  /** Corpus size for the guard's short-circuit: a sound zero-job upper
+    * bound from parquet footers when the plan allows, else one exact
+    * distributed count. Documented at the public API: calling
+    * minhashCandidatePairs/simhashPairs/embeddingNearDup with a
+    * maxBucket > 0 may run this count at plan-CONSTRUCTION time when
+    * the input is not a plain parquet scan.
+    */
+  private def corpusBound(docs: DataFrame): Long =
+    Scale.rowCountUpperBound(docs).getOrElse(docs.count())
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band, with
     * the number of shared bands. Self-equi-join on (band, bkey):
@@ -121,7 +148,7 @@ object Dedup {
       textCol: String = "text",
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bt = capBuckets(minhashBandTable(docs, idCol, textCol),
-      docs.count(),
+      corpusBound(docs),
       minhashBandTable(docs.sample(withReplacement = false,
         CapSampleFrac, seed = 42), idCol, textCol),
       Seq("band", "bkey"), maxBucket)
@@ -146,7 +173,7 @@ object Dedup {
         FastText.simhash64(col(textCol)).as("sim"))
       .select(col("doc_id"), col("sim"),
         posexplode(TextHash.simhashBands(col("sim"))).as(Seq("band", "bkey")))
-    val bands = capBuckets(bandsOf(docs), docs.count(),
+    val bands = capBuckets(bandsOf(docs), corpusBound(docs),
       bandsOf(docs.sample(withReplacement = false, CapSampleFrac,
         seed = 42)),
       Seq("band", "bkey"), maxBucket)
@@ -272,7 +299,7 @@ object Dedup {
       df.select(col("vec_id"), col("nv"),
         posexplode(FastVector.hyperplaneBuckets(col("nv"), planes))
           .as(Seq("tbl", "bucket")))
-    val bucketed = capBuckets(bucketsOf(base), embeddings.count(),
+    val bucketed = capBuckets(bucketsOf(base), corpusBound(embeddings),
       bucketsOf(base.sample(withReplacement = false, CapSampleFrac,
         seed = 42)),
       Seq("tbl", "bucket"), maxBucket)

@@ -1622,6 +1622,13 @@ object DeltaLite {
     require(conRefs.isEmpty,
       s"cannot drop $name: CHECK constraint(s) " +
         s"${conRefs.mkString(", ")} reference it — drop them first")
+    // declared conflict-key columns (graft.keys) drive keyed DML
+    // (INSERT OR REPLACE / ON CONFLICT / MERGE); dropping one would
+    // leave the property naming a dead column and break later DML
+    require(!st.config.get("graft.keys").exists(_.split(",")
+        .map(_.trim).exists(_.equalsIgnoreCase(name))),
+      s"cannot drop $name: it is a declared conflict-key column " +
+        "(graft.keys) — redeclare the keys first")
     val upgraded = StructType(schema.fields.map { fd =>
       if (fd.metadata.contains(PhysKey)) fd
       else fd.copy(metadata = new MetadataBuilder()

@@ -1012,6 +1012,13 @@ object IcebergLite {
       pc.name == name || pc.source == name)),
       s"cannot drop partition column $name (its name is baked into " +
         "some spec's data/k=v/ layout)")
+    // mirror DeltaLite.dropColumn: a declared conflict-key column
+    // (graft.keys) drives keyed DML — dropping it would strand the
+    // property on a dead column
+    require(!meta.properties.get("graft.keys").exists(_.split(",")
+        .map(_.trim).exists(_.equalsIgnoreCase(name))),
+      s"cannot drop $name: it is a declared conflict-key column " +
+        "(graft.keys) — redeclare the keys first")
     val next = IceSchema(meta.schemas.map(_.schemaId).max + 1,
       cur.fields.filterNot(_.name == name))
     writeMetadata(s, table, meta.copy(schemas = meta.schemas :+ next,

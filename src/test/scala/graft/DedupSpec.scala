@@ -175,4 +175,34 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(6) >= r.getLong(7), s"doc $id occ >= xdoc")
     }
   }
+
+  test("Scale.rowCountUpperBound: exact footer count on a plain " +
+      "parquet scan with ZERO jobs run; sound (never under) through " +
+      "Project/Filter/Sample/Union; None when the plan could grow " +
+      "rows (join) or the leaf isn't parquet — the bucket guard's " +
+      "short-circuit is free on gate/bench data") {
+    import graft.util.Scale
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = docs.count()
+    // plain scan: exact, and computed without launching a job
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    val bound = Scale.rowCountUpperBound(docs)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    assert(bound.contains(n), s"bound=$bound n=$n")
+    assert(after == before, "rowCountUpperBound launched a Spark job")
+    // row-reducing nodes: still Some, still an upper bound
+    val filtered = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    val fb = Scale.rowCountUpperBound(filtered)
+    assert(fb.exists(_ >= filtered.count()) && fb.contains(n))
+    assert(Scale.rowCountUpperBound(docs.sample(0.1, 42L)).contains(n))
+    assert(Scale.rowCountUpperBound(docs.union(docs)).contains(2 * n))
+    // row-growing / opaque plans: None (caller falls back to count())
+    assert(Scale.rowCountUpperBound(
+      docs.join(docs.select(col("doc_id")), "doc_id")).isEmpty)
+    import spark.implicits._
+    assert(Scale.rowCountUpperBound(
+      Seq(1, 2).toDF("x").localCheckpoint()).isEmpty)
+  }
 }

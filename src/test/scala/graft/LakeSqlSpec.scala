@@ -3288,6 +3288,47 @@ class LakeSqlSpec extends SparkSpec {
     LakeSql.sql(s, "DROP TABLE sq_t")
   }
 
+  test("r17 regressions: keyword-boundary treats '_' as a word char " +
+      "(UPDATE whose SET text contains from_unixtime stays on the " +
+      "single-table path); nextval in per-row DML refuses even " +
+      "without FROM; DROP COLUMN refuses on a declared graft.keys " +
+      "column, both formats") {
+    val s = spark.newSession()
+    Sql.open(s, sfDir)
+    val base = graft.util.Scratch.dir("r17reg")
+    // (1) from_unixtime in SET must NOT route to UPDATE … FROM
+    LakeSql.sql(s, s"""CREATE TABLE r17_t USING deltalite
+      LOCATION '$base/r17_t' AS SELECT n_nationkey AS k,
+      CAST('1970-01-01 00:00:00' AS STRING) AS ts,
+      CAST(0 AS BIGINT) AS x_from FROM nation WHERE n_nationkey < 5""")
+    LakeSql.sql(s,
+      "UPDATE r17_t SET ts = CAST(from_unixtime(86400) AS STRING) WHERE k = 1")
+    assert(LakeSql.sql(s, "SELECT ts FROM r17_t WHERE k = 1")
+      .head.getString(0).startsWith("1970-01-02"))
+    // an identifier with a trailing _from segment is equally safe
+    LakeSql.sql(s, "UPDATE r17_t SET x_from = 7 WHERE k = 2")
+    assert(LakeSql.sql(s, "SELECT x_from FROM r17_t WHERE k = 2")
+      .head.getLong(0) == 7L)
+    // (2) nextval in an UPDATE (no FROM anywhere) is per-row — refuse
+    LakeSql.sql(s, "CREATE SEQUENCE r17_sq")
+    val e = intercept[IllegalArgumentException](LakeSql.sql(s,
+      "UPDATE r17_t SET x_from = nextval('r17_sq')"))
+    assert(e.getMessage.contains("row-producing"), e.getMessage)
+    LakeSql.sql(s, "DROP SEQUENCE r17_sq")
+    LakeSql.sql(s, "DROP TABLE r17_t")
+    // (3) DROP COLUMN on a graft.keys column refuses on both formats
+    for (provider <- Seq("deltalite", "iceberglite")) {
+      val t = s"r17k_${provider.take(4)}"
+      LakeSql.sql(s, s"""CREATE TABLE $t (k BIGINT PRIMARY KEY,
+        v BIGINT) USING $provider LOCATION '$base/$t'""")
+      val ek = intercept[IllegalArgumentException](
+        LakeSql.sql(s, s"ALTER TABLE $t DROP COLUMN k"))
+      assert(ek.getMessage.contains("graft.keys"), ek.getMessage)
+      LakeSql.sql(s, s"ALTER TABLE $t DROP COLUMN v") // non-key drops fine
+      LakeSql.sql(s, s"DROP TABLE $t")
+    }
+  }
+
   test("INSTALL/LOAD extension tier: refused by default NAMING the " +
       "native equivalent; warn-ignored under lenientSet (all " +
       "spellings: INSTALL, FORCE INSTALL, FROM repo, quoted, LOAD); " +
