@@ -89,10 +89,11 @@ object LakeSql {
             case "register" => m.put(n.get("name").asText(),
               (n.get("provider").asText(), n.get("path").asText()))
             case "drop" => m.remove(n.get("name").asText())
-            // type ops live in the SAME numbered log (one durable
-            // catalog history) but hydrate a different map — see
-            // replayTypeOps; they are no-ops for the table view.
-            case "type_register" | "type_drop" =>
+            // type/sequence ops live in the SAME numbered log (one
+            // durable catalog history) but hydrate different maps —
+            // see replayTypeOps/replaySeqOps; no-ops for tables.
+            case "type_register" | "type_drop" |
+                 "seq_register" | "seq_advance" | "seq_drop" =>
             case other => throw new IllegalStateException(
               s"unknown catalog op '$other' in $fp")
           }
@@ -136,7 +137,8 @@ object LakeSql {
     val node = Json.createObjectNode()
     node.put("op", op)
     node.put("name", name)
-    if (op == "register" || op == "type_register") {
+    if (op == "register" || op == "type_register" ||
+        op == "seq_register" || op == "seq_advance") {
       node.put("provider", provider)
       node.put("path", path) }
     val bytes = (Json.writeValueAsString(node) + "\n").getBytes("UTF-8")
@@ -474,10 +476,15 @@ object LakeSql {
   // refuses loudly: per-row sequence advancement is inherently serial
   // — the 100 TB answer is row_number() over a window or a
   // monotonically-increasing id, and silently evaluating ONE value per
-  // occurrence would be wrong. State is session-only (sequence state
-  // is write-hot; journaling every nextval through the catalog op log
-  // would serialize it — documented divergence from DuckDB's
-  // persisted sequences).
+  // occurrence would be wrong. DURABILITY (r17): under a configured
+  // catalog dir, sequence DEFINITIONS journal like views/macros/enums
+  // (seq_register/seq_drop ops) and the counter CHECKPOINTS once per
+  // statement batch that advanced it (seq_advance carries the
+  // post-statement next value) — one op per statement, never one per
+  // nextval, and the row-producing refusal above keeps this path cold
+  // at scale. currval stays session-local (Postgres semantics: currval
+  // before any nextval in a session is an error even for a persisted
+  // sequence).
   private val CreateSeqRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?" +
       "SEQUENCE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*)" +
@@ -489,7 +496,7 @@ object LakeSql {
   private val SeqCallKeyword =
     "(?is).*\\b(nextval|currval)\\s*\\(.*".r
 
-  private final class SeqState(start: Long, inc: Long) {
+  private final class SeqState(val start: Long, val inc: Long) {
     private val next = new java.util.concurrent.atomic.AtomicLong(start)
     private val last =
       new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
@@ -499,6 +506,10 @@ object LakeSql {
     def currval(name: String): Long = last.get.getOrElse(
       throw new IllegalArgumentException(
         s"currval('$name'): nextval has not been called in this session"))
+    /** The value the next nextval() returns — the seq_advance payload. */
+    def peek: Long = next.get
+    /** Restore a journaled checkpoint (op-log replay only). */
+    def setNext(v: Long): Unit = next.set(v)
   }
   private val sequences = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
@@ -507,10 +518,54 @@ object LakeSql {
     var m = sequences.get(s)
     if (m == null) {
       m = scala.collection.concurrent.TrieMap.empty[String, SeqState]
+      // hydrate durable sequences (definitions + last checkpoint)
+      catalogDir(s).foreach(dir => replaySeqOps(s, dir, m))
       sequences.put(s, m)
     }
     m
   }
+
+  /** Replay ONLY the sequence ops of a durable catalog into `m` —
+    * definitions (seq_register: provider field carries "start,inc"),
+    * drops, and per-statement counter checkpoints (seq_advance: the
+    * provider field carries the post-statement next value).
+    */
+  private def replaySeqOps(s: SparkSession, dir: String,
+      m: scala.collection.concurrent.TrieMap[String, SeqState]): Unit = {
+    val p = opsDir(dir)
+    val f = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (f.exists(p)) {
+      f.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        .foreach { fp =>
+          val in = f.open(fp)
+          val n = try Json.readTree(in) finally in.close()
+          n.get("op").asText() match {
+            case "seq_register" =>
+              val parts = n.get("provider").asText().split(",")
+              m.put(n.get("name").asText(),
+                new SeqState(parts(0).toLong, parts(1).toLong))
+            case "seq_advance" =>
+              m.get(n.get("name").asText())
+                .foreach(_.setNext(n.get("provider").asText().toLong))
+            case "seq_drop" => m.remove(n.get("name").asText())
+            case _ =>
+          }
+        }
+    }
+  }
+
+  /** Journal one post-statement counter checkpoint per advanced
+    * sequence (the durable half of nextval).
+    */
+  private[graft] def journalSeqAdvance(s: SparkSession,
+      names: Seq[String]): Unit =
+    catalogDir(s).foreach { dir =>
+      names.distinct.foreach { name =>
+        seqsOf(s).get(name).foreach(st =>
+          appendOp(s, dir, "seq_advance", name, st.peek.toString, ""))
+      }
+    }
 
   private def createSequence(s: SparkSession, orReplace: Boolean,
       ifNotExists: Boolean, name: String, opts: String): Unit = {
@@ -519,13 +574,17 @@ object LakeSql {
     val inc = "(?i)INCREMENT(?:\\s+BY)?\\s+(-?\\d+)".r
       .findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
     require(inc != 0, s"CREATE SEQUENCE $name: INCREMENT must be nonzero")
-    if (orReplace) { seqsOf(s).put(name.toLowerCase,
-      new SeqState(start, inc)); () }
-    else {
-      val existed = seqsOf(s).putIfAbsent(name.toLowerCase,
-        new SeqState(start, inc)).isDefined
-      require(!existed || ifNotExists, s"sequence $name already exists")
-    }
+    val created =
+      if (orReplace) { seqsOf(s).put(name.toLowerCase,
+        new SeqState(start, inc)); true }
+      else {
+        val existed = seqsOf(s).putIfAbsent(name.toLowerCase,
+          new SeqState(start, inc)).isDefined
+        require(!existed || ifNotExists, s"sequence $name already exists")
+        !existed
+      }
+    if (created) catalogDir(s).foreach(appendOp(s, _, "seq_register",
+      name.toLowerCase, s"$start,$inc", ""))
   }
 
   /** Substitute nextval('s')/currval('s') occurrences (outside string
@@ -538,6 +597,7 @@ object LakeSql {
     val sb = new StringBuilder
     var pos = 0
     var changed = false
+    val advanced = Seq.newBuilder[String]
     for (m <- callRe.findAllMatchIn(st)) {
       if (st.substring(0, m.start).count(_ == '\'') % 2 == 0) {
         // currval is CONSTANT for the statement (the last value
@@ -562,15 +622,20 @@ object LakeSql {
           throw new IllegalArgumentException(
             s"no sequence named ${m.group(2)} (CREATE SEQUENCE first; " +
               "sequences are session-scoped)"))
-        val v = if (m.group(1).equalsIgnoreCase("nextval")) seq.nextval()
-          else seq.currval(m.group(2))
+        val v = if (m.group(1).equalsIgnoreCase("nextval")) {
+          advanced += m.group(2).toLowerCase; seq.nextval()
+        } else seq.currval(m.group(2))
         sb ++= st.substring(pos, m.start)
         sb ++= s"CAST($v AS BIGINT)"
         pos = m.end
         changed = true
       }
     }
-    if (!changed) st else { sb ++= st.substring(pos); sb.toString }
+    if (!changed) st else {
+      // one durable checkpoint per advanced sequence per statement
+      journalSeqAdvance(s, advanced.result())
+      sb ++= st.substring(pos); sb.toString
+    }
   }
 
   private def runInstallLoad(s: SparkSession, verb: String,
@@ -1591,8 +1656,10 @@ object LakeSql {
       s.emptyDataFrame
     case DropSeqRe(ifExists, name) =>
       requireNoTxn(s, "DROP SEQUENCE")
-      require(seqsOf(s).remove(name.toLowerCase).isDefined ||
-        ifExists != null, s"sequence $name does not exist")
+      val had = seqsOf(s).remove(name.toLowerCase).isDefined
+      require(had || ifExists != null, s"sequence $name does not exist")
+      if (had)
+        catalogDir(s).foreach(appendOp(s, _, "seq_drop", name.toLowerCase))
       s.emptyDataFrame
     case LoadExtRe(ext) =>
       runInstallLoad(s, "LOAD", ext)
@@ -1771,7 +1838,18 @@ object LakeSql {
         // fall through, not re-enter forever. Each extractor computes
         // its rewrite ONCE (guard and recursion share the result).
         case ListLitRewrite(r) =>
-          val df = sql(s, r)
+          val df = try sql(s, r) catch {
+            // a string-keyed subscript rewrote to try_element_at,
+            // which a STRUCT operand fails at analysis — rethrow with
+            // the DuckDB-shaped hint instead of the rewrite's name
+            case e: org.apache.spark.sql.AnalysisException
+                if r != st && e.getMessage.contains("try_element_at") &&
+                  e.getMessage.toLowerCase.contains("struct") =>
+              throw new IllegalArgumentException(
+                "subscript with a string key reads a MAP (DuckDB " +
+                  "map['key'] → value LIST); for a STRUCT spell " +
+                  "struct.field", e)
+          }
           // the 1-based subscript rewrite cannot see types: a MAP
           // subscript diverges (DuckDB map[k] returns a LIST, [] on
           // miss — not element_at's scalar), so the rewrite's own
@@ -2861,12 +2939,15 @@ object LakeSql {
               }
               if (content.isEmpty || sliceLike)
                 halted = true // slice / type suffix — leave verbatim
-              else {
-                require(!"(?s)^'.*'$".r.matches(content),
-                  s"string-keyed subscript $ident[$content] is " +
-                    "ambiguous (DuckDB map['key'] returns a LIST, " +
-                    "struct['field'] is field access) — spell " +
-                    "element_at()/map_extract() or struct.field")
+              else if ("(?s)^'.*'$".r.matches(content)) {
+                // string-keyed subscript = DuckDB's map['key'] → the
+                // value LIST ([] on miss) — the same rebuilt identity
+                // as map_extract (r17; STRUCT operands fail analysis
+                // with the struct.field hint, see ListLitRewrite)
+                cur = s"filter(array(try_element_at($cur, $content))" +
+                  ", __e -> __e IS NOT NULL)"
+                k = close + 1
+              } else {
                 cur = s"try_element_at($cur, nullif(($content), 0))"
                 k = close + 1
               }
@@ -6446,13 +6527,12 @@ object LakeSql {
   // enum), NULL stays NULL, and an out-of-range value raises at
   // runtime (DuckDB's conversion error, equally loud); `enum_range
   // (NULL::t)` becomes the literal value array. All codegen'd scalar
-  // CASE work on the scan — no UDF, no exchange. Scope stated
-  // honestly: types are session-scoped (macros are durable-catalog;
-  // enum DDL durability is future work), the `x::t` cast shorthand
-  // refuses naming the CAST spelling (general tight-operand capture
-  // belongs to the x112 pin layer), and enum ORDER follows the string
-  // values (DuckDB orders by declaration position — a documented
-  // divergence; declare values in lexical order where order matters).
+  // CASE work on the scan — no UDF, no exchange. The `x::t` cast
+  // shorthand normalizes to the CAST spelling via the x112
+  // tight-operand capture (r17). Scope stated honestly: enum ORDER
+  // follows the string values (DuckDB orders by declaration position —
+  // a documented divergence; declare values in lexical order where
+  // order matters).
   private val enumTypes = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Seq[String]]]())
@@ -6524,6 +6604,24 @@ object LakeSql {
         "(?i)\\benum_range\\s*\\(\\s*CAST\\s*\\(\\s*NULL\\s+AS\\s+" +
           name + "\\s*\\)\\s*\\)",
         arrRepl))
+      // x::name shorthand → CAST(x AS name) (r17): tight-operand
+      // capture via the x112 pin machinery, so `c_name::mood`,
+      // `('a')::mood`, and call results all normalize to the CAST
+      // spelling the validated rewrite below handles; uncapturable
+      // operands fail loud with the parenthesize hint.
+      var contSh = true
+      while (contSh) {
+        contSh = false
+        val (inLit, close) = opScanState(st)
+        ("(?i)::\\s*" + name + "\\b").r.findAllMatchIn(st)
+          .find(m => !inLit(m.start)).foreach { m =>
+            val ls = opTightLeft(st, m.start, inLit, close)
+            val e = st.substring(ls, m.start).trim
+            st = st.substring(0, ls) + s"CAST(($e) AS $name)" +
+              st.substring(m.end)
+            contSh = true
+          }
+      }
       // CAST(e AS name) → validated VARCHAR (loop: one cast per pass)
       val castRe = "(?i)\\bCAST\\s*\\(".r
       var cont = true
@@ -6551,13 +6649,6 @@ object LakeSql {
           cont = true
         }
       }
-      st = outsideLiterals(st)(_.replaceAll(
-        "(?i)\\bNULL\\s*::\\s*" + name + "\\b", "CAST(NULL AS STRING)"))
-      if (("(?i)::\\s*" + name + "\\b").r.findAllMatchIn(st).exists(m =>
-          st.substring(0, m.start).count(_ == '\'') % 2 == 0))
-        throw new IllegalArgumentException(
-          s"'x::$name' enum casts are supported only as CAST(x AS " +
-            s"$name) or NULL::$name — spell the CAST")
     }
     st
   }

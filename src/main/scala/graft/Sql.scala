@@ -2708,9 +2708,12 @@ object Sql {
       // shared order), and map_extract's LIST contract — the value
       // singleton, or the EMPTY list when the key is absent — rebuilt
       // on Spark as filter(array(try_element_at(…)), not-null), still
-      // a codegen'd expression tree. list_max over the extract
-      // scalarizes it for the hash: the singleton's value, or NULL for
-      // the missing key, on BOTH engines. ONE text both engines run.
+      // a codegen'd expression tree. The m['key'] subscript shorthand
+      // (r17) routes through the SAME identity — hit, miss, and a
+      // chained m['k'][1] un-listing are all under the hash. list_max
+      // over the extract scalarizes it for the hash: the singleton's
+      // value, or NULL for the missing key, on BOTH engines. ONE text
+      // both engines run.
       GQuery("x97_sql_map", (s, d) => {
         open(s, d)
         LakeSql.sql(s, MapFuncsText)
@@ -3484,6 +3487,10 @@ object Sql {
            CAST(CASE WHEN o_totalprice < 60000 THEN 'LOW'
                      WHEN o_totalprice < 160000 THEN 'MEDIUM'
                      ELSE 'HIGH' END AS x120_tier) AS tier,
+           (CASE WHEN o_totalprice < 100000 THEN 'LOW'
+                 ELSE 'HIGH' END)::x120_tier AS tier2,
+           'MEDIUM'::x120_tier AS t_lit,
+           upper('high')::x120_tier AS t_fn,
            array_to_string(enum_range(NULL::x120_tier), ',') AS rng
     FROM orders WHERE o_orderkey <= 2000
     ORDER BY o_orderkey"""
@@ -3858,7 +3865,10 @@ object Sql {
            array_to_string(list_transform(map_values(m),
              v -> CAST(v AS STRING)), ',') AS vs,
            list_max(map_extract(m, 'n_nations')) AS n_nations,
-           list_max(map_extract(m, 'missing')) AS missing
+           list_max(map_extract(m, 'missing')) AS missing,
+           list_max(m['min_nk']) AS sub_hit,
+           list_max(m['missing']) AS sub_miss,
+           m['max_nk'][1] AS sub_chain
     FROM (SELECT rk, map(list_value('n_nations', 'min_nk', 'max_nk'),
                          list_value(cnt, lo, hi)) AS m
           FROM (SELECT n_regionkey AS rk,

@@ -111,6 +111,8 @@ object FuzzScript {
         s"""CREATE TYPE $ty AS ENUM (${labels.map("'" + _ + "'").mkString(", ")});
            |SELECT $key,
            |  CAST(CASE ${branches.mkString(" ")} END AS $ty) AS lab,
+           |  (CASE ${branches.mkString(" ")} END)::$ty AS lab2,
+           |  '${labels.head}'::$ty AS lab_lit,
            |  array_to_string(enum_range(NULL::$ty), '|') AS rng,
            |  ${intExpr(r, cols)} AS v
            |FROM $table WHERE $key <= ${keyCap / 2} ORDER BY $key""".stripMargin

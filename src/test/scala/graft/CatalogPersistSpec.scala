@@ -113,6 +113,55 @@ class CatalogPersistSpec extends SparkSpec {
     LakeSql.sql(s3, s"DROP TYPE $ty")
   }
 
+  test("CREATE SEQUENCE persists through the durable catalog (r17): a " +
+      "new session continues the counter from the per-statement " +
+      "checkpoint (no value reuse), currval stays session-local, and " +
+      "DROP SEQUENCE journals") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val root = graft.util.Scratch.dir("seqpersist")
+    val sq = s"sq_$tag"
+
+    val s1 = spark.newSession()
+    s1.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s1, sfDir)
+    LakeSql.sql(s1, s"CREATE SEQUENCE $sq START 100 INCREMENT 3")
+    val r1 = LakeSql.sql(s1,
+      s"SELECT nextval('$sq') AS a, nextval('$sq') AS b").head
+    assert(r1.getLong(0) == 100L && r1.getLong(1) == 103L)
+
+    // restart stand-in: the counter resumes AFTER the checkpoint —
+    // durable sequences never reissue a value across sessions
+    val s2 = spark.newSession()
+    s2.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s2, sfDir)
+    // currval is SESSION-local (Postgres rule): errors before any
+    // nextval in this session even though the definition replayed
+    intercept[IllegalArgumentException](
+      LakeSql.sql(s2, s"SELECT currval('$sq') AS c"))
+    assert(LakeSql.sql(s2, s"SELECT nextval('$sq') AS a")
+      .head.getLong(0) == 106L)
+    // duplicate create refuses against the replayed registry
+    intercept[IllegalArgumentException](
+      LakeSql.sql(s2, s"CREATE SEQUENCE $sq"))
+    // the sequence never surfaces as a catalog table
+    assert(!LakeSql.tablesMeta(s2).collect()
+      .exists(_.getString(0).contains(tag)))
+    // DROP journals: a third session no longer has it, and CREATE
+    // works again restarting from its own START
+    LakeSql.sql(s2, s"DROP SEQUENCE $sq")
+    val s3 = spark.newSession()
+    s3.conf.set(LakeSql.CatalogDirKey, s"$root/catalog")
+    Sql.open(s3, sfDir)
+    // gone: either the registry refusal (other sequences exist) or
+    // Spark's unresolved-function error (registry empty) — both loud
+    intercept[Exception](
+      LakeSql.sql(s3, s"SELECT nextval('$sq') AS a"))
+    LakeSql.sql(s3, s"CREATE SEQUENCE $sq")
+    assert(LakeSql.sql(s3, s"SELECT nextval('$sq') AS a")
+      .head.getLong(0) == 1L)
+    LakeSql.sql(s3, s"DROP SEQUENCE $sq")
+  }
+
   test("ATTACH binds a second durable root: qualified CTAS writes to " +
       "ITS op log, a fresh session re-attaches and sees the table, " +
       "cross-catalog joins plan, DETACH unbinds") {

@@ -683,8 +683,8 @@ class LakeSqlSpec extends SparkSpec {
 
   test("CREATE TYPE … AS ENUM: casts validate against the value list " +
       "(NULL passes, out-of-range raises), enum_range yields the " +
-      "array, ::type shorthand refuses naming CAST, DROP TYPE and " +
-      "duplicate-create guard") {
+      "array, ::type shorthand validates like CAST (r17), DROP TYPE " +
+      "and duplicate-create guard") {
     Sql.open(spark, sfDir)
     LakeSql.sql(spark, "CREATE TYPE espec_mood AS ENUM ('sad','ok','happy')")
     val r = LakeSql.sql(spark, """
@@ -714,10 +714,20 @@ class LakeSqlSpec extends SparkSpec {
       FROM nation LIMIT 1""").collect().head
     assert(lit2.getString(0) == "enum_range(NULL::espec_mood)" &&
       lit2.getString(1) == "NULL::espec_mood", lit2.toString)
-    // the :: shorthand refuses, naming the CAST spelling
-    val e2 = intercept[IllegalArgumentException](LakeSql.sql(spark,
-      "SELECT n_name::espec_mood FROM nation LIMIT 1"))
-    assert(e2.getMessage.contains("CAST"), e2.getMessage)
+    // the :: shorthand (r17) validates exactly like the CAST spelling:
+    // literal, paren-group, and function-call operands all capture
+    val sh = LakeSql.sql(spark, """SELECT 'ok'::espec_mood AS a,
+      ('ha' || 'ppy')::espec_mood AS b,
+      lower('SAD')::espec_mood AS c,
+      nullif('x','x')::espec_mood AS d
+      FROM nation LIMIT 1""").collect().head
+    assert(sh.getString(0) == "ok" && sh.getString(1) == "happy" &&
+      sh.getString(2) == "sad" && sh.isNullAt(3), sh.toString)
+    val shBad = intercept[Exception](LakeSql.sql(spark,
+      "SELECT n_name::espec_mood AS a FROM nation LIMIT 1").collect())
+    assert(shBad.getMessage.contains("espec_mood") ||
+      Option(shBad.getCause).exists(_.getMessage.contains("espec_mood")),
+      shBad.getMessage)
     // duplicate create refuses; DROP removes; casts then fail analysis
     intercept[IllegalArgumentException](LakeSql.sql(spark,
       "CREATE TYPE espec_mood AS ENUM ('a')"))
@@ -2470,8 +2480,9 @@ class LakeSqlSpec extends SparkSpec {
   }
 
   test("list literals/comprehensions/subscripts: array(), " +
-      "transform/filter sugar, nesting, 1-based access edges, loud " +
-      "refusals for map/string-keyed/chained subscripts") {
+      "transform/filter sugar, nesting, 1-based access edges, " +
+      "map['key'] LIST contract (r17), loud refusals for computed-key " +
+      "map / chained-on-paren subscripts") {
     Sql.open(spark, sfDir)
     val r = LakeSql.sql(spark, """
       SELECT [1, 2, 3] AS lit,
@@ -2512,12 +2523,21 @@ class LakeSqlSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       LakeSql.sql(spark,
-        "SELECT m['a'] FROM (SELECT map(['a'], [1]) AS m)")
-    }
-    intercept[IllegalArgumentException] {
-      LakeSql.sql(spark,
         "SELECT (ARRAY(1, 2))[1] FROM nation WHERE n_nationkey = 0")
     }
+    // string-keyed subscript on a MAP (r17): DuckDB's m['k'] → the
+    // value LIST, [] on miss; chained [1] un-lists; a STRUCT operand
+    // refuses with the struct.field hint
+    val ms = LakeSql.sql(spark, """SELECT m['a'] AS hit,
+      m['zz'] AS miss, m['a'][1] AS chained
+      FROM (SELECT map(['a'], [1]) AS m)""").collect().head
+    assert(ms.getSeq[Int](0) == Seq(1) && ms.getSeq[Int](1).isEmpty &&
+      ms.getInt(2) == 1, ms.toString)
+    val se = intercept[IllegalArgumentException] {
+      LakeSql.sql(spark, """SELECT st['f'] FROM
+        (SELECT named_struct('f', 1) AS st)""")
+    }
+    assert(se.getMessage.contains("struct.field"), se.getMessage)
     // computed key on a MAP: textually indistinguishable from an array
     // subscript — the analysis-time guard refuses on the MapType child
     intercept[IllegalArgumentException] {
