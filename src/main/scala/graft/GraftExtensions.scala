@@ -61,7 +61,17 @@ object GraftExtensions {
       "graft_kmv(hash, k) - aggregate: k-minimum-values distinct " +
         "sketch (k smallest distinct hashes, ascending)",
       (args: Seq[Expression]) =>
-        graft.functions.Kmv.KmvSketch(args.head, intArg(args(1), "k"))))
+        graft.functions.Kmv.KmvSketch(args.head, intArg(args(1), "k"))),
+    // DuckDB-vocabulary Unicode normalizers (r17): engine-neutral
+    // NFD-strip-marks and NFC, so migrating scripts that call them
+    // keep working at the text entry.
+    ("strip_accents",
+      "strip_accents(text) - remove accents/diacritics (NFD + drop " +
+        "nonspacing marks; the utf8proc strip_accents map)",
+      (args: Seq[Expression]) => graft.functions.Unicode.Unaccent(args.head)),
+    ("nfc_normalize",
+      "nfc_normalize(text) - Unicode canonical composition (NFC)",
+      (args: Seq[Expression]) => graft.functions.Unicode.Nfc(args.head)))
 
   /** Register every native function into an existing session (the
     * post-hoc equivalent of building withExtensions — same builders).

@@ -231,9 +231,15 @@ object LakeSql {
   // session's restore). That is the standard compensation contract
   // multi-table lakehouse pipelines use; true cross-table isolation
   // needs a coordinating catalog service, out of scope by design.
+  /** Per-table pre-transaction anchor: provider, version/snapshot id,
+    * and — iceberglite only — the current SCHEMA id. Iceberg schema
+    * evolution moves no snapshot, so rollbackTo alone cannot revert an
+    * in-transaction ALTER COLUMN; the recorded schema id restores it
+    * (Delta needs nothing extra: restore() reinstates prior metadata).
+    */
   private case class TxnState(
       dmlBase: scala.collection.mutable.LinkedHashMap[
-        String, (String, Long)],
+        String, (String, Long, Option[Int])],
       catalogUndo: scala.collection.mutable.ArrayBuffer[() => Unit])
 
   private val txns = java.util.Collections.synchronizedMap(
@@ -249,13 +255,14 @@ object LakeSql {
       path: String): Unit =
     txnOf(s).foreach { t =>
       if (!t.dmlBase.contains(path)) {
-        val v = provider match {
-          case "deltalite" => DeltaLite.latestVersion(s, path)
-          case "iceberglite" => IcebergLite.currentSnapshotId(s, path)
+        val (v, schemaId) = provider match {
+          case "deltalite" => (DeltaLite.latestVersion(s, path), None)
+          case "iceberglite" => (IcebergLite.currentSnapshotId(s, path),
+            Some(IcebergLite.currentSchemaIdOf(s, path)))
           case other => throw new IllegalArgumentException(
             s"transactions do not cover provider $other")
         }
-        t.dmlBase.put(path, (provider, v))
+        t.dmlBase.put(path, (provider, v, schemaId))
       }
     }
 
@@ -285,9 +292,13 @@ object LakeSql {
     // Tables first (restores work on paths, independent of catalog
     // state), then catalog undos in reverse mutation order.
     t.dmlBase.foreach {
-      case (path, ("deltalite", v)) => DeltaLite.restore(s, path, v)
-      case (path, ("iceberglite", v)) => IcebergLite.rollbackTo(s, path, v)
-      case (path, (other, _)) => throw new IllegalStateException(
+      case (path, ("deltalite", v, _)) => DeltaLite.restore(s, path, v)
+      case (path, ("iceberglite", v, schemaId)) =>
+        IcebergLite.rollbackTo(s, path, v)
+        // rollbackTo moves only the snapshot pointer; in-transaction
+        // schema evolution (metadata-only, no snapshot) unwinds here.
+        schemaId.foreach(IcebergLite.restoreSchemaId(s, path, _))
+      case (path, (other, _, _)) => throw new IllegalStateException(
         s"unknown provider $other recorded for $path")
     }
     t.catalogUndo.reverseIterator.foreach(_.apply())

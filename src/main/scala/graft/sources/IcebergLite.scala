@@ -104,6 +104,30 @@ object IcebergLite {
   def currentSnapshotId(s: SparkSession, table: String): Long =
     readMeta(s, table).currentSnapshot
 
+  /** Id of the CURRENT schema. Schema evolution moves no snapshot
+    * (add/drop/rename column write new metadata, same
+    * current-snapshot-id — Iceberg's own contract), so a transaction
+    * that wants to roll back a metadata-only ALTER must record this
+    * alongside the snapshot id: [[rollbackTo]] alone cannot revert it.
+    */
+  def currentSchemaIdOf(s: SparkSession, table: String): Int =
+    readMeta(s, table).currentSchemaId
+
+  /** Point current-schema-id back at `schemaId` (which must still be
+    * in the table's schema list — schemas are append-only, so any
+    * previously-current id is). The transaction rollback path uses
+    * this to unwind in-transaction schema evolution; it is metadata-
+    * only and leaves snapshots untouched.
+    */
+  def restoreSchemaId(s: SparkSession, table: String,
+      schemaId: Int): Unit = {
+    val meta = readMeta(s, table)
+    if (meta.currentSchemaId == schemaId) return
+    require(meta.schemas.exists(_.schemaId == schemaId),
+      s"no schema $schemaId in the schema list at $table")
+    writeMetadata(s, table, meta.copy(currentSchemaId = schemaId))
+  }
+
   // ------------------------------------------------------------ schema
 
   /** One field of an Iceberg schema: the id is the column's identity

@@ -50,7 +50,7 @@ object FuzzScript {
     }
     val finalSelect =
       s"SELECT k, g, v, s FROM $t ORDER BY k, g, v, s"
-    r.nextInt(11) match {
+    r.nextInt(13) match {
       case 0 => // txn ROLLBACK: DML unwinds, final state = CTAS state
         s"""$ctas;
            |BEGIN TRANSACTION;
@@ -173,6 +173,48 @@ object FuzzScript {
            |   CAST(currval('$sq') AS BIGINT)),
            |  (nextval('$sq'), 'zz', CAST(-1 AS BIGINT));
            |SELECT k, g, v FROM $u ORDER BY k, g, v""".stripMargin
+      case 11 => // txn × DDL lifecycle (r17, judge item 8): RENAME TO
+        // [+ DROP COLUMN] + DML on the NEW name inside BEGIN, then
+        // COMMIT (new name + new schema stick) or ROLLBACK (old name,
+        // old schema, old rows — the r17 iceberg-schema-anchor fix and
+        // the rename catalog undo both land here). Shared dialect:
+        // DuckDB runs the same transactional DDL natively.
+        val u = s"fz${i}_u"
+        val commit = r.nextBoolean()
+        val dropS = r.nextBoolean()
+        val drop = if (dropS) s"ALTER TABLE $u DROP COLUMN s;\n" else ""
+        val finalCols = if (commit && dropS) "k, g, v" else "k, g, v, s"
+        val finalTable = if (commit) u else t
+        s"""$ctas;
+           |BEGIN TRANSACTION;
+           |ALTER TABLE $t RENAME TO $u;
+           |${drop}UPDATE $u SET v = v * ${1 + r.nextInt(3)} + ${r.nextInt(7)}
+           |  WHERE k % ${2 + r.nextInt(4)} = ${r.nextInt(2)};
+           |DELETE FROM $u WHERE k % ${3 + r.nextInt(5)} = ${r.nextInt(3)};
+           |${if (commit) "COMMIT" else "ROLLBACK"};
+           |SELECT $finalCols FROM $finalTable ORDER BY k, g, v"""
+          .stripMargin
+      case 12 => // txn × table refresh (r17, judge item 8): TRUNCATE or
+        // CREATE OR REPLACE TABLE mid-transaction + INSERT, then
+        // COMMIT/ROLLBACK — CORT-of-existing must register a table
+        // touch (content restore), TRUNCATE likewise.
+        val commit = r.nextBoolean()
+        val refresh =
+          if (r.nextBoolean()) s"TRUNCATE TABLE $t"
+          else
+            s"CREATE OR REPLACE TABLE $t AS SELECT $key AS k, " +
+              s"$group AS g, CAST($key % ${7 + r.nextInt(9)} AS BIGINT) " +
+              s"AS v, lower(${FuzzGen.sCol(r, cols)}) AS s FROM $table " +
+              s"WHERE $key <= ${keyCap / 2}"
+        s"""$ctas;
+           |BEGIN TRANSACTION;
+           |$refresh;
+           |INSERT INTO $t SELECT $key + 50000, $group,
+           |  CAST($key % ${2 + r.nextInt(6)} AS BIGINT),
+           |  upper(${FuzzGen.sCol(r, cols)}) FROM $table
+           |  WHERE $key <= ${keyCap / 4};
+           |${if (commit) "COMMIT" else "ROLLBACK"};
+           |$finalSelect""".stripMargin
       case 9 => // join-DML: UPDATE … FROM / DELETE … USING (x125) —
         // grouped/keyed sources, so multi-match never trips the guard
         val mm = 2 + r.nextInt(4)

@@ -108,6 +108,100 @@ class TxnSpec extends SparkSpec {
       .contains("extra"))
   }
 
+  test("ICEBERG schema evolution rolls back: schema changes move no " +
+      "snapshot, so the txn anchor must carry the schema id (r17 fix)") {
+    val s = fresh()
+    val base = graft.util.Scratch.dir("txnalter_ice")
+    LakeSql.sql(s, s"""CREATE TABLE alt_i USING iceberglite
+      LOCATION '$base/alt_i'
+      AS SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+    // ALTER-only transaction: drop + rename + add, then ROLLBACK —
+    // the pre-transaction schema AND its data must return intact.
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s, "ALTER TABLE alt_i DROP COLUMN n_regionkey")
+    LakeSql.sql(s, "ALTER TABLE alt_i RENAME COLUMN n_name TO label")
+    LakeSql.sql(s, "ALTER TABLE alt_i ADD COLUMN extra INT")
+    assert(LakeSql.sql(s, "SELECT * FROM alt_i").columns.toSet ==
+      Set("n_nationkey", "label", "extra"))
+    LakeSql.sql(s, "ROLLBACK")
+    val cols = LakeSql.sql(s, "SELECT * FROM alt_i").columns.toSet
+    assert(cols == Set("n_nationkey", "n_name", "n_regionkey"))
+    // the dropped column's DATA is back, not resurrected-as-null
+    assert(LakeSql.sql(s,
+      "SELECT COUNT(*) AS n FROM alt_i WHERE n_name IS NOT NULL")
+      .head.getLong(0) == 25L)
+
+    // Mixed ALTER + DML: rollback reverts data to the pre-txn
+    // snapshot AND the schema to the pre-txn id, in that order.
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s, "DELETE FROM alt_i WHERE n_nationkey < 10")
+    LakeSql.sql(s, "ALTER TABLE alt_i DROP COLUMN n_regionkey")
+    LakeSql.sql(s, "ROLLBACK")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM alt_i")
+      .head.getLong(0) == 25L)
+    assert(LakeSql.sql(s, "SELECT * FROM alt_i").columns.toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey"))
+    // COMMIT keeps schema changes (no phantom restore on commit).
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s, "ALTER TABLE alt_i DROP COLUMN n_regionkey")
+    LakeSql.sql(s, "COMMIT")
+    assert(!LakeSql.sql(s, "SELECT * FROM alt_i").columns
+      .contains("n_regionkey"))
+  }
+
+  test("RENAME TO / TRUNCATE / CREATE OR REPLACE TABLE inside a " +
+      "transaction: ROLLBACK restores name, rows, and content") {
+    val s = fresh()
+    val base = graft.util.Scratch.dir("txnddl2")
+    LakeSql.sql(s, s"""CREATE TABLE lc_t USING deltalite
+      LOCATION '$base/lc_t'
+      AS SELECT r_regionkey AS k, r_name AS nm FROM region""")
+
+    // RENAME TO + DML on the NEW name, then ROLLBACK: old name is
+    // back, new name gone, data untouched.
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s, "ALTER TABLE lc_t RENAME TO lc_u")
+    LakeSql.sql(s, "DELETE FROM lc_u WHERE k < 3")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM lc_u")
+      .head.getLong(0) == 2L)
+    LakeSql.sql(s, "ROLLBACK")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM lc_t")
+      .head.getLong(0) == 5L)
+    intercept[Exception] {
+      LakeSql.sql(s, "SELECT * FROM lc_u").collect()
+    }
+
+    // TRUNCATE inside txn, then ROLLBACK: rows return.
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s, "TRUNCATE TABLE lc_t")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM lc_t")
+      .head.getLong(0) == 0L)
+    LakeSql.sql(s, "ROLLBACK")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM lc_t")
+      .head.getLong(0) == 5L)
+
+    // CREATE OR REPLACE TABLE of an EXISTING table inside txn, then
+    // ROLLBACK: the original content returns (replace = table touch).
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s,
+      "CREATE OR REPLACE TABLE lc_t AS SELECT n_nationkey AS k, " +
+        "n_name AS nm FROM nation")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM lc_t")
+      .head.getLong(0) == 25L)
+    LakeSql.sql(s, "ROLLBACK")
+    assert(LakeSql.sql(s, "SELECT COUNT(*) AS n FROM lc_t")
+      .head.getLong(0) == 5L)
+
+    // …and a CORT that CREATED the table rolls back to absent.
+    LakeSql.sql(s, "BEGIN")
+    LakeSql.sql(s,
+      s"CREATE OR REPLACE TABLE lc_new USING deltalite LOCATION '$base/lc_new' AS SELECT 1 AS one")
+    LakeSql.sql(s, "ROLLBACK")
+    intercept[Exception] {
+      LakeSql.sql(s, "SELECT * FROM lc_new").collect()
+    }
+  }
+
   test("guards: nested BEGIN, stray COMMIT/ROLLBACK, non-transactional " +
       "statements inside a transaction, and failure cleanup") {
     val s = fresh()
