@@ -47,7 +47,10 @@ object ScaleData {
       }.reduce(_ unionByName _)
 
     def write(df: DataFrame, t: String): Unit = {
-      df.coalesce(4).write.mode("overwrite").parquet(s"$dst/__tmp_$t")
+      // keep files ~50-100 MB at any copy count (sf10 = 100 copies
+      // would otherwise funnel through 4 writer tasks)
+      df.coalesce(math.max(4, copies / 5))
+        .write.mode("overwrite").parquet(s"$dst/__tmp_$t")
       // single-file layout like the driver's (name.parquet = one file
       // is NOT required by Tables — a directory reads fine — but keep
       // the per-table path contract)
