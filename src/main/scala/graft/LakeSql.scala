@@ -1460,6 +1460,27 @@ object LakeSql {
     } finally in.close()
   }
 
+  /** Run independent per-table jobs from a small thread pool (guide
+    * §2.6): Spark's scheduler overlaps concurrent jobs, so the next
+    * table's tasks back-fill executors a finishing table frees —
+    * per-table exports/imports are serial only when driver code makes
+    * them so. Errors propagate; the pool never outlives the call.
+    */
+  private def forEachConcurrently[A](items: Seq[A], width: Int = 4)(
+      f: A => Unit): Unit =
+    if (items.size <= 1) items.foreach(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(width, items.size))
+      try items.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = f(a)
+      })).foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      } finally pool.shutdown()
+    }
+
   private def runExportDatabase(s: SparkSession, dir: String): Unit = {
     require(dir.nonEmpty, "EXPORT DATABASE needs a non-empty path")
     val (fs, p) = hadoopFs(s, dir)
@@ -1468,7 +1489,10 @@ object LakeSql {
     val views = entries.collect { case (n, ("view", text)) =>
       s"CREATE VIEW $n AS $text" }
     val tables = entries.filter(_._2._1 != "view")
-    tables.foreach { case (n, _) =>
+    // Independent per-table export writes run concurrently (§2.6); the
+    // manifest is written AFTER every table landed, so a failed export
+    // can never look complete.
+    forEachConcurrently(tables) { case (n, _) =>
       table(s, n).write.mode("overwrite").parquet(s"$dir/$n.parquet")
     }
     val arr = Json.createArrayNode()
@@ -1482,11 +1506,18 @@ object LakeSql {
   private def runImportDatabase(s: SparkSession, dir: String): Unit = {
     val arr = Json.readTree(readSmallFile(s, s"$dir/manifest.json"))
     require(arr.isArray, s"malformed manifest at $dir/manifest.json")
+    val specs = scala.collection.mutable.Buffer.empty[(String, String)]
     arr.forEach { node =>
-      val n = node.get("name").asText()
-      val provider = node.get("provider").asText()
+      specs += ((node.get("name").asText(), node.get("provider").asText()))
+    }
+    specs.foreach { case (n, _) =>
       require(!catalog(s).contains(n),
         s"IMPORT DATABASE: $n already exists in the catalog")
+    }
+    // Per-table create jobs are independent of each other (distinct
+    // target dirs) — run them concurrently (§2.6); registration is
+    // per-table and order-free (distinct names).
+    forEachConcurrently(specs.toSeq) { case (n, provider) =>
       val df = s.read.parquet(s"$dir/$n.parquet")
       val loc = s"${dir.stripSuffix("/")}/imported/$n"
       if (provider == "deltalite") DeltaLite.create(s, loc, df, Seq.empty)
@@ -7537,6 +7568,13 @@ object LakeSql {
     * catalog (CREATE TABLE-registered — either provider). Returns the
     * affected table's path.
     */
+  /** True when every expression in `df`'s analyzed plan (subqueries
+    * included) is deterministic — the gate for evaluating a MERGE
+    * source more than once instead of materializing it.
+    */
+  private def planDeterministic(df: DataFrame): Boolean =
+    graft.util.Plans.deterministic(df)
+
   def execute(s: SparkSession, tables: Map[String, String],
       sql: String): String = {
     // (provider, path) through either catalog: a qualified
@@ -7708,36 +7746,80 @@ object LakeSql {
         } else {
           // WHEN NOT MATCHED BY SOURCE — the CDC full-sync idiom:
           // target rows whose key is ABSENT from the source DELETE or
-          // UPDATE (optional AND narrows which). The clause semantically
-          // touches every target row (any file can hold a non-matching
-          // key), so this path computes the post-merge content — source
-          // rows replace/insert by key, absent-keyed target rows pass
-          // through the BY SOURCE action — and commits it as ONE atomic
-          // overwrite (old files stay time-travelable). That full
-          // rewrite is the honest cost of full-sync on ANY engine; the
-          // keyed pruned-copy-on-write path above stays untouched for
-          // plain upserts.
-          import org.apache.spark.sql.functions.{coalesce, col, lit, not, when}
+          // UPDATE (optional AND narrows which). r18, stats-pruned
+          // (guide §6, §3): ONE fused aggregate over the source yields
+          // both the dup check and the per-key min/max range; only
+          // files whose stats admit a source-range key OR a row
+          // satisfying the BY SOURCE condition are rewritten — every
+          // other file provably holds only absent-keyed rows the
+          // action cannot touch, and rides into the SAME atomic commit
+          // by reference. At 100 TB a keyed CDC sync rewrites the
+          // files its keys and condition reach, never the table; an
+          // unconditional BY SOURCE action touches every absent row,
+          // so there the candidate set is every file (the honest full
+          // rewrite this path used to pay always).
+          import org.apache.spark.sql.functions.{coalesce, col, lit, not, when, count, min => fmin, max => fmax}
           require(m.notMatchedBySourceActions.length == 1,
             "one WHEN NOT MATCHED BY SOURCE clause is supported")
-          val tgt = if (isIceberg(m.targetTable)) IcebergLite.snapshot(s, p)
-            else DeltaLite.snapshot(s, p)
-          // the source is consumed three times below (dup check, key
-          // anti-join, final union) — cache it once at CDC-source size
-          // so the plan reads the source scan exactly once
-          val srcCols = src.select(tgt.schema.fieldNames.map(col).toSeq: _*)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-          // one source row per key: with SET * replacement, which copy
-          // wins is ambiguous — same rule as the keyed merge path
-          val dup = srcCols.groupBy(keys.map(col): _*)
-            .count().filter(col("count") > 1).limit(1).count()
-          require(dup == 0L,
+          val ice = isIceberg(m.targetTable)
+          val tgtSchema = (if (ice) IcebergLite.snapshot(s, p)
+            else DeltaLite.snapshot(s, p)).schema
+          // A nondeterministic source must evaluate exactly ONCE (the
+          // dup check would otherwise judge a different row set than
+          // the rewrite writes) — materialize via localCheckpoint.
+          // Deterministic sources (the common case) re-evaluate freely:
+          // no materialization job, no executor memory held (guide §5).
+          val srcRaw = src.select(tgtSchema.fieldNames.map(col).toSeq: _*)
+          val srcCols =
+            if (planDeterministic(srcRaw)) srcRaw
+            else srcRaw.localCheckpoint()
+          // ONE aggregate job: the per-key counts roll up into the dup
+          // check AND the key ranges the pruning needs (the old path
+          // paid a persist job plus a dedicated dup-check job). String
+          // keys never contribute a range — parquet footer string stats
+          // compare in UTF-16 code-unit order vs Spark min/max's UTF-8
+          // byte order, which disagree above the BMP.
+          val kc = keys.map(col)
+          val prunable = tgtSchema.fields.toSeq
+            .filter(f => keys.contains(f.name) &&
+              f.dataType != org.apache.spark.sql.types.StringType)
+            .map(_.name)
+          val aggs = fmax(col("_gf_n")).as("_maxn") +:
+            prunable.flatMap(k =>
+              Seq(fmin(col(k)).as(s"_lo_$k"), fmax(col(k)).as(s"_hi_$k")))
+          val row = srcCols.groupBy(kc: _*)
+            .agg(count(lit(1)).as("_gf_n"))
+            .agg(aggs.head, aggs.tail: _*).head()
+          require(row.isNullAt(0) || row.getLong(0) <= 1L,
             "merge: duplicate source keys — SET * replacement is " +
               "ambiguous; dedup the source")
-          val keyDf = srcCols.select(keys.map(col): _*).distinct()
-          val absent = tgt.join(keyDf, keys, "left_anti")
-          val kept = m.notMatchedBySourceActions.head match {
+          val rangePred: org.apache.spark.sql.Column =
+            if (row.isNullAt(0)) lit(false) // empty source: no key matches
+            else if (prunable.isEmpty) lit(true)
+            else prunable.zipWithIndex.map { case (k, i) =>
+              val lo = row.get(1 + 2 * i); val hi = row.get(2 + 2 * i)
+              if (lo == null) lit(false)
+              else col(k) >= lit(lo) && col(k) <= lit(hi)
+            }.reduce(_ && _)
+          val action = m.notMatchedBySourceActions.head
+          val bySrcCond = action match {
+            case DeleteAction(c) => c.map(Glue.column)
+            case UpdateAction(c, _, false) => c.map(Glue.column)
+            case other => throw new IllegalArgumentException(
+              s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+          }
+          val rewritePred = bySrcCond match {
+            case None => lit(true) // unconditional: every absent row acted on
+            case Some(c) => rangePred || c
+          }
+          val files = if (ice) IcebergLite.filesMayMatch(s, p, rewritePred)
+            else DeltaLite.filesMayMatch(s, p, rewritePred)
+          val subset = if (ice) IcebergLite.readSubset(s, p, files)
+            else DeltaLite.readSubset(s, p, files)
+          // keys are proven unique above, so the anti-join needs no
+          // distinct() — one exchange fewer in the rewrite (§2.4)
+          val absent = subset.join(srcCols.select(kc: _*), keys, "left_anti")
+          val kept = action match {
             case DeleteAction(cond) =>
               // delete where cond holds (NULL = not deleted, SQL rule);
               // no condition deletes every absent-keyed row
@@ -7757,7 +7839,7 @@ object LakeSql {
                 "BY SOURCE UPDATE must not reassign merge keys")
               val gate = cond.map(c =>
                 coalesce(Glue.column(c), lit(false)))
-              absent.select(tgt.schema.fieldNames.map { f =>
+              absent.select(tgtSchema.fieldNames.map { f =>
                 assigned.get(f) match {
                   case None => col(f)
                   case Some(v) => (gate match {
@@ -7770,9 +7852,8 @@ object LakeSql {
               s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
           }
           val merged = srcCols.unionByName(kept)
-          if (isIceberg(m.targetTable)) IcebergLite.overwrite(s, p, merged)
-          else DeltaLite.overwrite(s, p, merged)
-          } finally srcCols.unpersist(false)
+          if (ice) IcebergLite.commitReplace(s, p, files, merged)
+          else DeltaLite.commitReplace(s, p, files, merged)
         }
         p
       case other =>

@@ -1775,10 +1775,23 @@ object DeltaLite {
     val srcCols = source.select(schema.fieldNames.map(col).toSeq: _*)
     val srcKeyCounts = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_src_n"))
+    // Stats-pruned candidate set (guide §6): above a file-count floor,
+    // one cheap source key-range aggregate lets per-file min/max stats
+    // drop files that cannot hold ANY source key BEFORE the
+    // hit-detection read — at 100 TB the candidate read follows the
+    // source's key locality, never the table. Below the floor the
+    // extra aggregate job costs more than the full (tiny) read it
+    // saves, so it is skipped — scale-adaptive, not core-count-tuned.
+    val candidateEntries =
+      if (st.entries.size < mergePruneFloor(s)) st.entries
+      else sourceKeyRangePred(source, keys, schema) match {
+        case None => st.entries
+        case Some(pred) => keptEntries(s, st, pred)
+      }
     val (hitNames, maxMatches) =
-      if (st.entries.isEmpty) (Set.empty[String], 0L)
+      if (candidateEntries.isEmpty) (Set.empty[String], 0L)
       else {
-        val row = readEntries(s, table, schema, st.entries,
+        val row = readEntries(s, table, schema, candidateEntries,
             fileCol = Some("_gf"))
           .join(srcKeyCounts, keys)
           .agg(collect_set(col("_gf")).as("_files"), max(col("_src_n")))
@@ -1791,16 +1804,79 @@ object DeltaLite {
         "Delta MERGE forbids ambiguous multi-matches; dedup the source")
     val hitEntries = st.entries
       .filter(e => hitNames.contains(fileName(e.path)))
+    // No distinct() on the anti-join's key side: right-side duplicates
+    // cannot change a left_anti result, and dropping the Deduplicate
+    // saves one exchange in the rewrite query (guide §2.4).
     val newData =
       if (hitEntries.isEmpty) srcCols
       else readEntries(s, table, schema, hitEntries)
-        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .join(source.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(srcCols)
     writeCommit(s, table, v + 1,
       stagedAdds(s, table, newData, schema, st.partCols,
         constraints = st.constraints) ++
         hitEntries.map(e => removeAction(e.path)),
       operation = "MERGE")
+  }
+
+  /** Conf: minimum live-file count before a keyed MERGE pays the
+    * source key-range aggregate that drives stats pruning. Local/tiny
+    * tables (bench scale) skip the extra job; production tables prune.
+    */
+  private[sources] def mergePruneFloor(s: SparkSession): Int =
+    s.conf.get("spark.graft.merge.pruneMinFiles", "8").toInt
+
+  /** Conservative "file may hold a source key" predicate from ONE
+    * aggregate over the source: AND over key columns of
+    * `key BETWEEN min(src.key) AND max(src.key)`. String keys are
+    * excluded — parquet footer string stats compare in UTF-16 code-unit
+    * order while Spark min/max order by UTF-8 bytes, and the two
+    * disagree above the BMP, so pruning on them could be unsound.
+    * None = nothing prunable (or an empty/all-null-key source, where
+    * `lit(false)` prunes everything a matched-arm rewrite could touch).
+    */
+  private[sources] def sourceKeyRangePred(source: DataFrame,
+      keys: Seq[String], schema: StructType): Option[Column] = {
+    val prunable = schema.fields.toSeq
+      .filter(f => keys.contains(f.name) && f.dataType != StringType)
+      .map(_.name)
+    if (prunable.isEmpty) return None
+    val aggs = prunable.flatMap(k =>
+      Seq(min(col(k)).as(s"_lo_$k"), max(col(k)).as(s"_hi_$k")))
+    val row = source.agg(aggs.head, aggs.tail: _*).head()
+    Some(prunable.zipWithIndex.map { case (k, i) =>
+      val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
+      if (lo == null) lit(false)
+      else col(k) >= lit(lo) && col(k) <= lit(hi)
+    }.reduce(_ && _))
+  }
+
+  /** Live files `pred` may match, by conservative partition+stats
+    * pruning — the rewrite-candidate set for [[commitReplace]].
+    */
+  def filesMayMatch(s: SparkSession, table: String, pred: Column): Seq[String] = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    keptEntries(s, replay(s, table, v), pred).map(_.path)
+  }
+
+  /** ONE atomic commit replacing exactly the `removed` live files with
+    * `add`'s rows — the pruned-rewrite primitive behind the stats-pruned
+    * full-sync MERGE (guide §6): untouched files ride into the new
+    * version by reference; a full-table overwrite is the degenerate
+    * case where `removed` is every live file.
+    */
+  def commitReplace(s: SparkSession, table: String, removed: Seq[String],
+      add: DataFrame, operation: String = "MERGE"): Unit = {
+    val v = latestVersion(s, table)
+    require(v >= 0, s"no delta log at $table")
+    val st = replay(s, table, v)
+    val live = st.entries.map(_.path).toSet
+    removed.foreach(p => require(live.contains(p), s"not a live file: $p"))
+    writeCommit(s, table, v + 1,
+      stagedAdds(s, table, add, st.schema, st.partCols,
+        constraints = st.constraints) ++ removed.map(p => removeAction(p)),
+      operation)
   }
 
   /** MERGE-ON-READ MERGE via deletion vectors: matched target rows are

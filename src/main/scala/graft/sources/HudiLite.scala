@@ -450,55 +450,76 @@ object HudiLite {
     val slices = latestSlices(s, table)
     val instant = nextInstant(s, table)
     val f = fs(s, new Path(table))
-    val upd = updates.localCheckpoint()
-    val updKeys = upd.select(col(key)).distinct()
+    // Multi-consumed source: materialize ONLY when its plan is
+    // nondeterministic (guide §5) — a deterministic source re-evaluates
+    // to the same rows, and skipping the checkpoint saves one job and
+    // holds no executor memory.
+    val upd =
+      if (graft.util.Plans.deterministic(updates)) updates
+      else updates.localCheckpoint()
+    // No distinct() on the probe keys: semi/anti joins are unaffected
+    // by right-side duplicates, and dropping Deduplicate saves an
+    // exchange (guide §2.4).
+    val updKeys = upd.select(col(key))
 
-    // Current rows tagged with their file group.
-    val tagged = slices.toSeq.map { case (fileId, (_, rel)) =>
-      s.read.parquet(s"$table/$rel").withColumn("_hoodie_fg", lit(fileId))
-    }.reduce(_.unionByName(_)).localCheckpoint()
-    val keyToGroup = tagged.select(col(key), col("_hoodie_fg"))
-
-    // Merged content of every AFFECTED group: its unmatched current
-    // rows + the updates whose key lives there, each row carrying the
-    // group id — one shuffle on the group id, one partitioned write.
-    val affectedGroups = keyToGroup.join(updKeys, Seq(key), "left_semi")
+    // Affected groups from COLUMN-PRUNED key scans (guide §6): the r17
+    // shape localCheckpointed EVERY column of EVERY group — an O(table)
+    // read + executor-memory materialization per upsert. A 100 TB COW
+    // upsert must discover its touched groups from the key column
+    // alone, then read only those groups full-width for the rewrite.
+    val keyToGroupAll = slices.toSeq.map { case (fileId, (_, rel)) =>
+      s.read.parquet(s"$table/$rel").select(col(key))
+        .withColumn("_hoodie_fg", lit(fileId))
+    }.reduce(_.unionByName(_))
+    val affected = keyToGroupAll.join(updKeys, Seq(key), "left_semi")
       .select(col("_hoodie_fg")).distinct()
-    val merged = tagged
-      .join(affectedGroups, Seq("_hoodie_fg"), "left_semi")
-      .join(updKeys, Seq(key), "left_anti")
-      .unionByName(upd
-        .withColumn(MetaCommitTime, lit(instant)) // updated rows re-stamp
-        .join(keyToGroup, Seq(key))
-        .select(tagged.columns.map(col).toSeq: _*))
-    val staged = s"$table/.staging_$instant"
-    merged.repartition(col("_hoodie_fg"))
-      .write.partitionBy("_hoodie_fg").mode("overwrite").parquet(staged)
+      .collect().map(_.getString(0)).toSet
+
     val newStats = scala.collection.mutable.Buffer.empty[(String, String)]
-    val stagedPath = new Path(staged)
-    if (f.exists(stagedPath))
-      f.listStatus(stagedPath).map(_.getPath)
-        .filter(_.getName.startsWith("_hoodie_fg=")).foreach { dir =>
-          val fileId = dir.getName.stripPrefix("_hoodie_fg=")
-          // repartition(col) hashes each group to ONE task → one file.
-          // If that invariant ever breaks (maxRecordsPerFile, commit-
-          // protocol changes), fail loud instead of dropping rows.
-          val groupParts = f.listStatus(dir).map(_.getPath)
-            .filter(_.getName.startsWith("part-"))
-          require(groupParts.length == 1,
-            s"COW rewrite of group $fileId produced ${groupParts.length} " +
-              "part files (expected exactly 1); refusing to drop rows")
-          val part = groupParts.head
-          val rel = s"${fileId}_0-0-0_$instant.parquet"
-          f.rename(part, new Path(table, rel))
-          newStats += ((fileId, rel))
-        }
-    f.delete(stagedPath, true)
+    if (affected.nonEmpty) {
+      // Only affected groups are read full-width and rewritten: their
+      // unmatched current rows + the updates whose key lives there,
+      // each row carrying the group id — one shuffle on the group id,
+      // one partitioned write.
+      val tagged = slices.toSeq.collect {
+        case (fileId, (_, rel)) if affected.contains(fileId) =>
+          s.read.parquet(s"$table/$rel")
+            .withColumn("_hoodie_fg", lit(fileId))
+      }.reduce(_.unionByName(_))
+      val merged = tagged
+        .join(updKeys, Seq(key), "left_anti")
+        .unionByName(upd
+          .withColumn(MetaCommitTime, lit(instant)) // updated rows re-stamp
+          .join(tagged.select(col(key), col("_hoodie_fg")), Seq(key))
+          .select(tagged.columns.map(col).toSeq: _*))
+      val staged = s"$table/.staging_$instant"
+      merged.repartition(col("_hoodie_fg"))
+        .write.partitionBy("_hoodie_fg").mode("overwrite").parquet(staged)
+      val stagedPath = new Path(staged)
+      if (f.exists(stagedPath))
+        f.listStatus(stagedPath).map(_.getPath)
+          .filter(_.getName.startsWith("_hoodie_fg=")).foreach { dir =>
+            val fileId = dir.getName.stripPrefix("_hoodie_fg=")
+            // repartition(col) hashes each group to ONE task → one file.
+            // If that invariant ever breaks (maxRecordsPerFile, commit-
+            // protocol changes), fail loud instead of dropping rows.
+            val groupParts = f.listStatus(dir).map(_.getPath)
+              .filter(_.getName.startsWith("part-"))
+            require(groupParts.length == 1,
+              s"COW rewrite of group $fileId produced ${groupParts.length} " +
+                "part files (expected exactly 1); refusing to drop rows")
+            val part = groupParts.head
+            val rel = s"${fileId}_0-0-0_$instant.parquet"
+            f.rename(part, new Path(table, rel))
+            newStats += ((fileId, rel))
+          }
+      f.delete(stagedPath, true)
+    }
 
     // Pure inserts (keys in no current group) become fresh groups.
     // Instant-suffixed ids: a reused group name would make this slice
     // SHADOW that group's rows at read time.
-    val inserts = upd.join(keyToGroup.select(col(key)), Seq(key),
+    val inserts = upd.join(keyToGroupAll.select(col(key)), Seq(key),
       "left_anti")
     if (!inserts.isEmpty)
       newStats ++= writeSlices(s, table, inserts, instant,
@@ -527,10 +548,16 @@ object HudiLite {
     val slices = fileSlices(s, table)
     val instant = nextInstant(s, table)
     val f = fs(s, new Path(table))
-    val upd = updates.localCheckpoint()
+    // Materialize only a nondeterministic source (guide §5) — see
+    // cowUpsert.
+    val upd =
+      if (graft.util.Plans.deterministic(updates)) updates
+      else updates.localCheckpoint()
 
     // key → file group, from base AND log rows (a key that entered the
     // table through an earlier log file still maps to its group).
+    // Keys-only and therefore bounded, so the localCheckpoint below is
+    // O(keys), never O(table) — it is consumed by two joins.
     val keyToGroup = slices.toSeq.map { case (fileId, sl) =>
       val files = (sl.basePath +: sl.logs.map(_._2))
         .map(rel => s"$table/$rel")

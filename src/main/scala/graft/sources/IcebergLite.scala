@@ -2175,10 +2175,22 @@ object IcebergLite {
       .agg(count(lit(1)).as("_src_n"))
     val groups = entryGroups(manifests)
     val deletes = delCtxOf(manifests)
+    // Stats-pruned candidate set (guide §6), same shape as
+    // DeltaLite.merge: above the file-count floor, one source key-range
+    // aggregate + manifest/stats pruning bound the hit-detection read
+    // to files whose key bounds can intersect the source.
+    val nFiles = groups.map(_._2.size).sum
+    val candGroups =
+      if (nFiles < DeltaLite.mergePruneFloor(s)) groups
+      else DeltaLite.sourceKeyRangePred(source, keys, cur.struct) match {
+        case None => groups
+        case Some(pred) =>
+          prunedEntries(s, meta, dataManifests(manifests), pred)._2
+      }
     val (hitNames, maxMatches) =
-      if (groups.forall(_._2.isEmpty)) (Set.empty[String], 0L)
+      if (candGroups.forall(_._2.isEmpty)) (Set.empty[String], 0L)
       else {
-        val row = readEntries(s, table, meta, groups, deletes,
+        val row = readEntries(s, table, meta, candGroups, deletes,
             fileCol = Some("_ice_hit"))
           .join(srcKeyCounts, keys)
           .agg(collect_set(col("_ice_hit")).as("_files"),
@@ -2193,15 +2205,58 @@ object IcebergLite {
     val hitGroups = groups.map { case (sid, es) =>
       sid -> es.filter(e => hitNames.contains(fileName(e.path)))
     }.filter(_._2.nonEmpty)
+    // No distinct() on the anti-join's key side: right-side duplicates
+    // cannot change a left_anti result — one exchange fewer (§2.4).
     val newData =
       if (hitGroups.isEmpty) srcCols
       else readEntries(s, table, meta, hitGroups, deletes)
-        .join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .join(source.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(srcCols)
     val newManifest = writeManifest(s, table, newData, cur,
       meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
     val removed = hitGroups.flatMap(_._2.map(_.path)).toSet
     commitSnapshot(s, table, meta,
       survivingManifests(s, table, meta, manifests, removed) :+ newManifest)
+  }
+
+  /** Data files of the current snapshot that `pred` may match, by
+    * hierarchical manifest/partition/stats pruning — the
+    * rewrite-candidate set for [[commitReplace]].
+    */
+  def filesMayMatch(s: SparkSession, table: String,
+      pred: Column): Seq[String] = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    prunedEntries(s, meta, dataManifests(manifests), pred)
+      ._2.flatMap(_._2.map(_.path))
+  }
+
+  /** Read exactly the named data files of the current snapshot, under
+    * the current schema, honoring pending delete files.
+    */
+  def readSubset(s: SparkSession, table: String,
+      paths: Seq[String]): DataFrame = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val want = paths.toSet
+    val groups = entryGroups(manifests).map { case (k, es) =>
+      k -> es.filter(e => want.contains(e.path))
+    }
+    readEntries(s, table, meta, groups, delCtxOf(manifests))
+  }
+
+  /** ONE snapshot replacing exactly the `removed` data files with
+    * `add`'s rows — the pruned-rewrite primitive behind the
+    * stats-pruned full-sync MERGE (guide §6): untouched files stay in
+    * their (possibly rewritten) manifests by reference; a full-table
+    * overwrite is the degenerate case. Returns the new snapshot id.
+    */
+  def commitReplace(s: SparkSession, table: String, removed: Seq[String],
+      add: DataFrame): Long = {
+    val (meta, manifests) = manifestsOf(s, table, -1L)
+    val live = dataManifests(manifests).flatMap(_.entries.map(_.path)).toSet
+    removed.foreach(p => require(live.contains(p), s"not a live file: $p"))
+    val m = writeManifest(s, table, add, meta.currentSchema,
+      meta.defaultSpecId, meta.partCols, meta.sortCols, nextSeq(meta))
+    commitSnapshot(s, table, meta,
+      survivingManifests(s, table, meta, manifests, removed.toSet) :+ m)
   }
 }
